@@ -1,0 +1,321 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.knn.Knn
+
+/** The driver-facing query catalog: one entry per implemented operator
+  * from SURVEY.md §2, each with an equivalent DuckDB oracle in
+  * [[Queries.oracle]].
+  *
+  * Float policy for oracle parity: every distance is accumulated in
+  * double precision (see [[graft.core.VecKernels]]) and ROUNDED to 4
+  * decimals in both the Spark output and the DuckDB SQL, so the
+  * driver's value-hash compare is deterministic; integer/rank outputs
+  * are cast to BIGINT on both sides (SURVEY.md §7 "exact float parity"
+  * non-goal).
+  */
+object Queries {
+
+  // ---- table helpers ---------------------------------------------------
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def lineitem(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+
+  /** Query side: vec_id < n. */
+  private def qDf(s: SparkSession, dir: String, n: Long): DataFrame =
+    emb(s, dir).filter(col("vec_id") < n)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+  /** Base side: vec_id >= from. */
+  private def bDf(s: SparkSession, dir: String, from: Long): DataFrame =
+    emb(s, dir).filter(col("vec_id") >= from)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private def r4(c: String): org.apache.spark.sql.Column = round(col(c), 4)
+
+  // DuckDB SQL fragments ------------------------------------------------
+  private val dL2 = "list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2"
+  private val dIp = "list_inner_product(q.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+  private val dCos = "list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+  private val dL1 =
+    "list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), p -> abs(p[1]-p[2])), 'sum')"
+  private val dLinf =
+    "list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), p -> abs(p[1]-p[2])), 'max')"
+  private val dLp3 =
+    "list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), p -> abs(p[1]-p[2])^3), 'sum')"
+  private val dCanb =
+    "list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), p -> CASE WHEN abs(p[1])+abs(p[2]) > 0 THEN abs(p[1]-p[2])/(abs(p[1])+abs(p[2])) ELSE 0 END), 'sum')"
+
+  /** Windowed-top-k oracle: the SQL-expressible form of the TopK
+    * aggregate (SURVEY §2.5). */
+  private def knnOracle(dist: String, qPred: String, bPred: String, k: Int,
+      desc: Boolean = false): String = {
+    val ord = if (desc) s"$dist DESC, b.vec_id" else s"$dist, b.vec_id"
+    s"""SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+       |  SELECT q.vec_id AS qid, b.vec_id AS id, $dist AS dist,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $ord) AS "rank"
+       |  FROM embeddings q CROSS JOIN embeddings b
+       |  WHERE $qPred AND $bPred) t
+       |WHERE "rank" <= $k""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // The catalog. Names are stable keys; comments map to SURVEY.md §2 rows.
+  // ---------------------------------------------------------------------
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // §2.3 IndexFlat::search — exact brute-force kNN, per metric
+    ("knn_flat_l2", (s: SparkSession, dir: String) =>
+      Knn.knnJoin(qDf(s, dir, 10), bDf(s, dir, 10), 10)
+        .withColumn("dist", r4("dist")),
+      Some(knnOracle(dL2, "q.vec_id < 10", "b.vec_id >= 10", 10))),
+
+    ("knn_flat_ip", (s: SparkSession, dir: String) =>
+      Knn.knnJoin(qDf(s, dir, 10), bDf(s, dir, 10), 10, metric = "ip")
+        .withColumn("dist", r4("dist")),
+      Some(knnOracle(dIp, "q.vec_id < 10", "b.vec_id >= 10", 10, desc = true))),
+
+    ("knn_flat_cosine", (s: SparkSession, dir: String) =>
+      Knn.knnJoin(qDf(s, dir, 10), bDf(s, dir, 10), 10, metric = "cosine")
+        .withColumn("dist", r4("dist")),
+      Some(knnOracle(dCos, "q.vec_id < 10", "b.vec_id >= 10", 10, desc = true))),
+
+    ("knn_flat_l1", (s: SparkSession, dir: String) =>
+      Knn.knnJoin(qDf(s, dir, 10), bDf(s, dir, 10), 5, metric = "l1")
+        .withColumn("dist", r4("dist")),
+      Some(knnOracle(dL1, "q.vec_id < 10", "b.vec_id >= 10", 5))),
+
+    ("knn_flat_linf", (s: SparkSession, dir: String) =>
+      Knn.knnJoin(qDf(s, dir, 10), bDf(s, dir, 10), 5, metric = "linf")
+        .withColumn("dist", r4("dist")),
+      Some(knnOracle(dLinf, "q.vec_id < 10", "b.vec_id >= 10", 5))),
+
+    // §2.8 metric_arg / Lp metric
+    ("knn_flat_lp3", (s: SparkSession, dir: String) =>
+      Knn.knnJoin(qDf(s, dir, 10), bDf(s, dir, 10), 5, metric = "lp", metricArg = 3.0)
+        .withColumn("dist", r4("dist")),
+      Some(knnOracle(dLp3, "q.vec_id < 10", "b.vec_id >= 10", 5))),
+
+    ("knn_flat_canberra", (s: SparkSession, dir: String) =>
+      Knn.knnJoin(qDf(s, dir, 10), bDf(s, dir, 10), 5, metric = "canberra")
+        .withColumn("dist", r4("dist")),
+      Some(knnOracle(dCanb, "q.vec_id < 10", "b.vec_id >= 10", 5))),
+
+    // §2.3 flat range search (radius theta-join, long-format output)
+    ("range_search_l2", (s: SparkSession, dir: String) =>
+      Knn.rangeJoin(qDf(s, dir, 20), bDf(s, dir, 20), 1.45)
+        .withColumn("dist", r4("dist")),
+      Some(s"""SELECT q.vec_id AS qid, b.vec_id AS id, round($dL2, 4) AS dist
+              |FROM embeddings q CROSS JOIN embeddings b
+              |WHERE q.vec_id < 20 AND b.vec_id >= 20 AND $dL2 < 1.45""".stripMargin)),
+
+    // §2.3 Index::assign (1-NN)
+    ("assign_1nn", (s: SparkSession, dir: String) =>
+      Knn.assign(qDf(s, dir, 50), bDf(s, dir, 50))
+        .withColumn("dist", r4("dist")),
+      Some(s"""SELECT qid, id, round(dist, 4) AS dist FROM (
+              |  SELECT q.vec_id AS qid, b.vec_id AS id, $dL2 AS dist,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $dL2, b.vec_id) AS rn
+              |  FROM embeddings q CROSS JOIN embeddings b
+              |  WHERE q.vec_id < 50 AND b.vec_id >= 50) t WHERE rn = 1""".stripMargin)),
+
+    // §2.3 pairwise distance matrix
+    ("pairwise_l2", (s: SparkSession, dir: String) =>
+      Knn.pairwise(qDf(s, dir, 8), bDf(s, dir, 0).filter(col("id") < 8))
+        .withColumn("dist", r4("dist")),
+      Some(s"""SELECT q.vec_id AS qid, b.vec_id AS id, round($dL2, 4) AS dist
+              |FROM embeddings q CROSS JOIN embeddings b
+              |WHERE q.vec_id < 8 AND b.vec_id < 8""".stripMargin)),
+
+    // §2.3 knn_by_idx — kNN over per-query candidate lists
+    ("knn_by_idx", (s: SparkSession, dir: String) => {
+      val q = qDf(s, dir, 5); val b = bDf(s, dir, 10)
+      val cand = b.select(col("id")).crossJoin(q.select(col("qid")))
+        .filter(col("id") % 5 === col("qid") % 5)
+      Knn.knnByIdx(q, b, cand, 3).withColumn("dist", r4("dist"))
+    },
+      Some(knnOracle(dL2, "q.vec_id < 5", "b.vec_id >= 10 AND b.vec_id % 5 = q.vec_id % 5", 3))),
+
+    // §2.2 IDSelectorRange pushdown
+    ("knn_idsel_range", (s: SparkSession, dir: String) =>
+      Knn.knnJoin(qDf(s, dir, 10), bDf(s, dir, 10), 5,
+        filter = Some(col("id").between(100, 299)))
+        .withColumn("dist", r4("dist")),
+      Some(knnOracle(dL2, "q.vec_id < 10", "b.vec_id BETWEEN 100 AND 299", 5))),
+
+    // §2.2 IDSelectorArray (isin)
+    ("knn_idsel_array", (s: SparkSession, dir: String) =>
+      Knn.knnJoin(qDf(s, dir, 10), bDf(s, dir, 10), 5,
+        filter = Some(col("id").isin(14L to 147L by 7L: _*)))
+        .withColumn("dist", r4("dist")),
+      Some(knnOracle(dL2, "q.vec_id < 10",
+        s"b.vec_id IN (${(14L to 147L by 7L).mkString(",")})", 5))),
+
+    // §2.2 IDSelectorBatch (broadcast semi-join against an id set)
+    ("knn_idsel_batch", (s: SparkSession, dir: String) => {
+      val base = bDf(s, dir, 10)
+      val ids = base.select(col("id")).filter(col("id") % 7 === 0)
+      val filtered = base.join(broadcast(ids), Seq("id"), "left_semi")
+      Knn.knnJoin(qDf(s, dir, 10), filtered, 5).withColumn("dist", r4("dist"))
+    },
+      Some(knnOracle(dL2, "q.vec_id < 10", "b.vec_id >= 10 AND b.vec_id % 7 = 0", 5))),
+
+    // §2.2 IDSelectorBitmap (arbitrary per-id bit: even ids)
+    ("knn_idsel_bitmap", (s: SparkSession, dir: String) =>
+      Knn.knnJoin(qDf(s, dir, 10), bDf(s, dir, 10), 5,
+        filter = Some(col("id") % 2 === 0))
+        .withColumn("dist", r4("dist")),
+      Some(knnOracle(dL2, "q.vec_id < 10", "b.vec_id >= 10 AND b.vec_id % 2 = 0", 5))),
+
+    // §2.2 IDSelectorNot (anti-join rewrite)
+    ("knn_idsel_not", (s: SparkSession, dir: String) => {
+      val base = bDf(s, dir, 10)
+      val del = base.select(col("id")).filter(col("id") % 3 === 0)
+      val filtered = base.join(broadcast(del), Seq("id"), "left_anti")
+      Knn.knnJoin(qDf(s, dir, 10), filtered, 5).withColumn("dist", r4("dist"))
+    },
+      Some(knnOracle(dL2, "q.vec_id < 10", "b.vec_id >= 10 AND b.vec_id % 3 <> 0", 5))),
+
+    // §2.2 reconstruct / reconstruct_batch (point lookups by id)
+    ("reconstruct", (s: SparkSession, dir: String) =>
+      emb(s, dir).filter(col("vec_id").isin(3L, 7L, 11L, 123L))
+        .select(col("vec_id"),
+          transform(col("embedding"), x => round(x.cast("double"), 4)).as("vec")),
+      Some("""SELECT vec_id, list_transform(embedding::DOUBLE[], x -> round(x, 4)) AS vec
+             |FROM embeddings WHERE vec_id IN (3, 7, 11, 123)""".stripMargin)),
+
+    // §2.2 reconstruct_n (contiguous id range)
+    ("reconstruct_n", (s: SparkSession, dir: String) =>
+      emb(s, dir).filter(col("vec_id").between(50, 59))
+        .select(col("vec_id"),
+          transform(col("embedding"), x => round(x.cast("double"), 4)).as("vec")),
+      Some("""SELECT vec_id, list_transform(embedding::DOUBLE[], x -> round(x, 4)) AS vec
+             |FROM embeddings WHERE vec_id BETWEEN 50 AND 59""".stripMargin)),
+
+    // §2.4/§2.8 norms (fvec_norms_L2)
+    ("norms_l2", (s: SparkSession, dir: String) =>
+      emb(s, dir).filter(col("vec_id") < 100)
+        .select(col("vec_id"), round(norm_l2(col("embedding")), 4).as("norm")),
+      Some("""SELECT vec_id, round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')), 4) AS norm
+             |FROM embeddings WHERE vec_id < 100""".stripMargin)),
+
+    // §2.9 CenteringTransform (x - mean), first two dims
+    ("centering", (s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      val means = e.agg(
+        avg(element_at(col("embedding"), 1).cast("double")).as("m1"),
+        avg(element_at(col("embedding"), 2).cast("double")).as("m2"))
+      e.crossJoin(broadcast(means)).select(
+        col("vec_id"),
+        round(element_at(col("embedding"), 1).cast("double") - col("m1"), 4).as("c1"),
+        round(element_at(col("embedding"), 2).cast("double") - col("m2"), 4).as("c2"))
+    },
+      Some("""SELECT vec_id, round(embedding[1]::DOUBLE - m1, 4) AS c1, round(embedding[2]::DOUBLE - m2, 4) AS c2
+             |FROM embeddings, (SELECT avg(embedding[1]::DOUBLE) AS m1, avg(embedding[2]::DOUBLE) AS m2 FROM embeddings)""".stripMargin)),
+
+    // §2.8 hamming over sign-bit codes (LSH binarization + popcount)
+    ("hamming_signbits", (s: SparkSession, dir: String) => {
+      val a = emb(s, dir).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("i"), sign_bits(col("embedding")).as("ca"))
+      val b = emb(s, dir).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("j"), sign_bits(col("embedding")).as("cb"))
+      a.crossJoin(b).filter(col("i") < col("j"))
+        .select(col("i"), col("j"), hamming_dist(col("ca"), col("cb")).as("hd"))
+    },
+      Some("""SELECT a.vec_id AS i, b.vec_id AS j,
+             |  (SELECT count(*) FROM range(1, 65) r(k) WHERE (a.embedding[k] >= 0) <> (b.embedding[k] >= 0)) AS hd
+             |FROM embeddings a CROSS JOIN embeddings b
+             |WHERE a.vec_id < b.vec_id AND b.vec_id < 16""".stripMargin)),
+
+    // §2.8 binary jaccard over sign-bit codes
+    ("jaccard_signbits", (s: SparkSession, dir: String) => {
+      val a = emb(s, dir).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("i"), sign_bits(col("embedding")).as("ca"))
+      val b = emb(s, dir).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("j"), sign_bits(col("embedding")).as("cb"))
+      a.crossJoin(b).filter(col("i") < col("j"))
+        .select(col("i"), col("j"), round(jaccard_dist(col("ca"), col("cb")), 4).as("jd"))
+    },
+      Some("""SELECT i, j, CASE WHEN uni = 0 THEN 0.0 ELSE round(1.0 - inter*1.0/uni, 4) END AS jd FROM (
+             |  SELECT a.vec_id AS i, b.vec_id AS j,
+             |    (SELECT count(*) FROM range(1, 65) r(k) WHERE a.embedding[k] >= 0 AND b.embedding[k] >= 0) AS inter,
+             |    (SELECT count(*) FROM range(1, 65) r(k) WHERE a.embedding[k] >= 0 OR b.embedding[k] >= 0) AS uni
+             |  FROM embeddings a CROSS JOIN embeddings b
+             |  WHERE a.vec_id < b.vec_id AND b.vec_id < 16) t""".stripMargin)),
+
+    // §2.7 merge_from (unionByName + id shift)
+    ("merge_from", (s: SparkSession, dir: String) => {
+      val a = emb(s, dir).filter(col("vec_id") < 100).select(col("vec_id"), col("label"))
+      val b = emb(s, dir).filter(col("vec_id") < 100)
+        .select((col("vec_id") + 1000).as("vec_id"), col("label"))
+      a.unionByName(b)
+    },
+      Some("""SELECT vec_id, label FROM embeddings WHERE vec_id < 100
+             |UNION ALL SELECT vec_id + 1000 AS vec_id, label FROM embeddings WHERE vec_id < 100""".stripMargin)),
+
+    // §2.7 remove_ids (anti-join rewrite)
+    ("remove_ids", (s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      val del = e.select(col("vec_id")).filter(col("vec_id") % 5 === 2)
+      e.join(broadcast(del), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label"))
+    },
+      Some("SELECT vec_id, label FROM embeddings WHERE vec_id % 5 <> 2")),
+
+    // §2.7 update_vectors (delete + insert)
+    ("update_vectors", (s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      val untouched = e.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+      val replaced = e.filter(col("vec_id") < 5).select(col("vec_id"))
+        .join(e.select((col("vec_id") - 200).as("vec_id"), col("embedding")), "vec_id")
+      untouched.unionByName(replaced)
+        .select(col("vec_id"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"))
+    },
+      Some("""SELECT a.vec_id, round(b.embedding[1]::DOUBLE, 4) AS e1
+             |FROM embeddings a JOIN embeddings b
+             |  ON b.vec_id = CASE WHEN a.vec_id < 5 THEN a.vec_id + 200 ELSE a.vec_id END
+             |WHERE a.vec_id < 10""".stripMargin)),
+
+    // §2.7 copy_subset_to (filtered write)
+    ("copy_subset_to", (s: SparkSession, dir: String) =>
+      emb(s, dir).filter(col("vec_id") % 4 === 1).select(col("vec_id"), col("label")),
+      Some("SELECT vec_id, label FROM embeddings WHERE vec_id % 4 = 1")),
+
+    // §2.5/2.6 TopK-per-group on a relational table (argsort/windowing)
+    ("topk_group_lineitem", (s: SparkSession, dir: String) => {
+      val li = lineitem(s, dir).select(
+        col("l_returnflag"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        col("l_extendedprice").as("price"))
+      li.groupBy(col("l_returnflag"))
+        .agg(topk(col("price"), col("id"), 3, asc = false).as("_tk"))
+        .select(col("l_returnflag"), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+        .select(col("l_returnflag"), (col("_pos") + 1).cast("long").as("rank"),
+          col("_r.id").as("id"), col("_r.dist").as("price"))
+    },
+      Some("""SELECT l_returnflag, "rank", id, price FROM (
+             |  SELECT l_returnflag, l_orderkey*10 + l_linenumber AS id, l_extendedprice AS price,
+             |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey*10 + l_linenumber) AS "rank"
+             |  FROM lineitem) t WHERE "rank" <= 3""".stripMargin)),
+
+    // sanity: classic aggregation pipeline (partial agg + shuffle)
+    ("q1_agg", (s: SparkSession, dir: String) =>
+      lineitem(s, dir).groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        round(sum(col("l_quantity")), 1).as("sum_qty"),
+        count(lit(1)).as("cnt"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price")),
+      Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 1) AS sum_qty,
+             |  count(*) AS cnt, round(avg(l_extendedprice), 2) AS avg_price
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map { case (n, f, _) => n -> f }.toMap
+
+  def oracleSql: Map[String, String] =
+    catalog.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}

@@ -1,0 +1,220 @@
+package graft.core
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Scalar distance kernels over Catalyst `ArrayData` of FloatType.
+  *
+  * All kernels accumulate in double precision with a single
+  * left-to-right pass, matching DuckDB's list_distance /
+  * list_inner_product semantics on `::DOUBLE[]` casts so the duckdb
+  * oracle hash-matches after rounding.
+  *
+  * Semantics mirror the reference's metric definitions
+  * (faiss/MetricType.h:20-34, faiss/utils/distances.h:28-37,
+  * faiss/utils/extra_distances-inl.h:29-113): L2 is SQUARED, inner
+  * product / cosine / jaccard are similarities (higher = better).
+  *
+  * These are plain static methods so generated code (whole-stage
+  * codegen) can call them directly — one invokestatic per row, no
+  * virtual dispatch, no boxing.
+  */
+object VecKernels {
+
+  def l2sq(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  def ip(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / Math.sqrt(na * nb)
+  }
+
+  def l1(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) {
+      s += Math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble)
+      i += 1
+    }
+    s
+  }
+
+  def linf(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = Math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble)
+      if (d > s) s = d
+      i += 1
+    }
+    s
+  }
+
+  /** Lp^p (NOT the p-th root), matching faiss METRIC_Lp
+    * (extra_distances-inl.h:39-47: accumulates |x-y|^p, no root). */
+  def lp(a: ArrayData, b: ArrayData, p: Double): Double = {
+    val n = a.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) {
+      s += Math.pow(Math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble), p)
+      i += 1
+    }
+    s
+  }
+
+  /** faiss METRIC_Canberra (extra_distances-inl.h:63-72):
+    * sum |x-y| / (|x| + |y|), term skipped when denominator is 0. */
+  def canberra(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      val den = Math.abs(x) + Math.abs(y)
+      if (den > 0.0) s += Math.abs(x - y) / den
+      i += 1
+    }
+    s
+  }
+
+  /** faiss METRIC_BrayCurtis (extra_distances-inl.h:74-84):
+    * sum|x-y| / sum|x+y|. */
+  def braycurtis(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var num = 0.0; var den = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      num += Math.abs(x - y); den += Math.abs(x + y)
+      i += 1
+    }
+    if (den > 0.0) num / den else 0.0
+  }
+
+  /** faiss METRIC_JensenShannon (extra_distances-inl.h:86-99):
+    * sum over dims of x*log(x/m) + y*log(y/m), m=(x+y)/2; terms with
+    * non-positive components skipped. */
+  def jensenshannon(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      if (x > 0.0 && y > 0.0) {
+        val m = 0.5 * (x + y)
+        s += x * Math.log(x / m) + y * Math.log(y / m)
+      }
+      i += 1
+    }
+    s
+  }
+
+  def normL2(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    Math.sqrt(s)
+  }
+
+  def normL2Sqr(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    s
+  }
+
+  /** L2-normalize into a new float array (faiss fvec_renorm_L2,
+    * utils/distances.h:113). Zero vectors pass through unchanged. */
+  def normalize(a: ArrayData): Array[Float] = {
+    val n = a.numElements()
+    val out = new Array[Float](n)
+    var s = 0.0; var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    val inv = if (s > 0.0) 1.0 / Math.sqrt(s) else 1.0
+    i = 0
+    while (i < n) { out(i) = (a.getFloat(i).toDouble * inv).toFloat; i += 1 }
+    out
+  }
+
+  /** Residual x - c (faiss Index::compute_residual, Index.h:211). */
+  def sub(a: ArrayData, b: ArrayData): Array[Float] = {
+    val n = a.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) { out(i) = a.getFloat(i) - b.getFloat(i); i += 1 }
+    out
+  }
+
+  def add(a: ArrayData, b: ArrayData): Array[Float] = {
+    val n = a.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) { out(i) = a.getFloat(i) + b.getFloat(i); i += 1 }
+    out
+  }
+
+  /** Hamming distance over packed binary codes
+    * (faiss/utils/hamming.h:113). */
+  def hamming(a: Array[Byte], b: Array[Byte]): Long = {
+    var s = 0L; var i = 0
+    val n = Math.min(a.length, b.length)
+    while (i < n) {
+      s += java.lang.Integer.bitCount((a(i) ^ b(i)) & 0xff)
+      i += 1
+    }
+    s
+  }
+
+  /** Binary Jaccard distance 1 - |a&b|/|a|b| (faiss METRIC_JACCARD on
+    * binary codes, utils/jaccard-inl.h). Returns 1.0 for two empty sets
+    * intersection convention: faiss returns 0/0 -> define 1.0 distance
+    * when union empty? reference treats accu_den==0 as 1.0 similarity;
+    * we follow: union==0 => distance 0.0. */
+  def jaccardBinary(a: Array[Byte], b: Array[Byte]): Double = {
+    var inter = 0L; var union = 0L; var i = 0
+    val n = Math.min(a.length, b.length)
+    while (i < n) {
+      inter += java.lang.Integer.bitCount(a(i) & b(i) & 0xff)
+      union += java.lang.Integer.bitCount((a(i) | b(i)) & 0xff)
+      i += 1
+    }
+    if (union == 0L) 0.0 else 1.0 - inter.toDouble / union.toDouble
+  }
+
+  /** Pack sign bits of a float vector into bytes, little-endian bit
+    * order within each byte (faiss/IndexLSH.h:21 sign-bit codes;
+    * bit i of byte j = sign of component 8j+i >= 0). */
+  def packSignBits(a: ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    val out = new Array[Byte]((n + 7) / 8)
+    var i = 0
+    while (i < n) {
+      if (a.getFloat(i) >= 0f) out(i >> 3) = (out(i >> 3) | (1 << (i & 7))).toByte
+      i += 1
+    }
+    out
+  }
+}

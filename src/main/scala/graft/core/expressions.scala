@@ -1,0 +1,165 @@
+package graft.core
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Supported distance metrics, mirroring faiss/MetricType.h:20-34.
+  * `ascending` = true when smaller is better (a distance), false when
+  * larger is better (a similarity — IP, cosine; faiss uses CMin/CMax
+  * comparators per metric, utils/ordered_key_value.h). */
+object Metric {
+  val Similarities: Set[String] = Set("ip", "cosine")
+  def ascending(metric: String): Boolean = !Similarities.contains(metric)
+  val All: Seq[String] = Seq(
+    "l2sq", "ip", "cosine", "l1", "linf", "lp", "canberra", "braycurtis",
+    "jensenshannon", "hamming", "jaccard")
+}
+
+/** dist(a, b) over two ArrayType(FloatType) columns, computed by a
+  * static kernel in [[VecKernels]]; stays inside whole-stage codegen
+  * (a single invokestatic per row).
+  *
+  * Re-expresses faiss's DistanceComputer family
+  * (faiss/impl/DistanceComputer.h:25, faiss/utils/distances.h:28-37,
+  * faiss/utils/extra_distances-inl.h:29-113) as Catalyst expressions.
+  */
+case class VecDistance(left: Expression, right: Expression, metric: String,
+    metricArg: Double = 0.0) extends BinaryExpression {
+  require(Metric.All.contains(metric) && metric != "hamming" && metric != "jaccard",
+    s"unsupported float metric $metric")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = s"vec_$metric"
+
+  private val kernel = "graft.core.VecKernels"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    metric match {
+      case "l2sq"          => VecKernels.l2sq(x, y)
+      case "ip"            => VecKernels.ip(x, y)
+      case "cosine"        => VecKernels.cosine(x, y)
+      case "l1"            => VecKernels.l1(x, y)
+      case "linf"          => VecKernels.linf(x, y)
+      case "lp"            => VecKernels.lp(x, y, metricArg)
+      case "canberra"      => VecKernels.canberra(x, y)
+      case "braycurtis"    => VecKernels.braycurtis(x, y)
+      case "jensenshannon" => VecKernels.jensenshannon(x, y)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    metric match {
+      case "lp" =>
+        defineCodeGen(ctx, ev, (a, b) => s"$kernel.lp($a, $b, $metricArg)")
+      case m =>
+        defineCodeGen(ctx, ev, (a, b) => s"$kernel.$m($a, $b)")
+    }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Hamming distance over two BinaryType packed-bit codes
+  * (faiss/utils/hamming.h:113-193). */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hamming"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.hamming(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.VecKernels.hamming($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Binary Jaccard distance (faiss METRIC_JACCARD over binary codes,
+  * faiss/utils/jaccard-inl.h). */
+case class JaccardDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_binary"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.jaccardBinary(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.VecKernels.jaccardBinary($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm of a float vector (faiss fvec_norms_L2,
+  * utils/distances.h:100). */
+case class VecNorm(child: Expression, squared: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = if (squared) "norm_l2sq" else "norm_l2"
+  override def nullSafeEval(a: Any): Any =
+    if (squared) VecKernels.normL2Sqr(a.asInstanceOf[ArrayData])
+    else VecKernels.normL2(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (squared) "normL2Sqr" else "normL2"
+    defineCodeGen(ctx, ev, a => s"graft.core.VecKernels.$fn($a)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** L2-normalize (faiss fvec_renorm_L2 / NormalizationTransform,
+  * VectorTransform.h:280). */
+case class NormalizeL2(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "normalize_l2"
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(VecKernels.normalize(a.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.core.VecKernels.normalize($a))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Element-wise a - b (faiss compute_residual, Index.h:211-242). */
+case class VecSub(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "vec_sub"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    new GenericArrayData(VecKernels.sub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.core.VecKernels.sub($a, $b))")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Element-wise a + b. */
+case class VecAdd(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "vec_add"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    new GenericArrayData(VecKernels.add(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.core.VecKernels.add($a, $b))")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Sign-bit binarization: float vector -> packed BinaryType code
+  * (faiss/IndexLSH.h:21-40 sign bits; bit order as in
+  * faiss binarize helpers: bit i of byte j = component 8j+i >= 0). */
+case class SignBits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "sign_bits"
+  override def nullSafeEval(a: Any): Any =
+    VecKernels.packSignBits(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.core.VecKernels.packSignBits($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

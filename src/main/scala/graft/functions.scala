@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.shim
+import graft.core._
+
+/** Public column-level API of the engine: distance expressions, vector
+  * helpers and the top-k aggregate — faiss's scalar-function surface
+  * (faiss/utils/distances.h, faiss/utils/extra_distances-inl.h,
+  * faiss/utils/hamming.h) re-expressed as codegen'd Catalyst
+  * expressions.
+  */
+object functions {
+
+  /** Squared L2 distance (faiss METRIC_L2 is squared, MetricType.h:22). */
+  def l2sq(a: Column, b: Column): Column =
+    shim.col(VecDistance(shim.expr(a), shim.expr(b), "l2sq"))
+
+  def inner_product(a: Column, b: Column): Column =
+    shim.col(VecDistance(shim.expr(a), shim.expr(b), "ip"))
+
+  def cosine_sim(a: Column, b: Column): Column =
+    shim.col(VecDistance(shim.expr(a), shim.expr(b), "cosine"))
+
+  def l1_dist(a: Column, b: Column): Column =
+    shim.col(VecDistance(shim.expr(a), shim.expr(b), "l1"))
+
+  def linf_dist(a: Column, b: Column): Column =
+    shim.col(VecDistance(shim.expr(a), shim.expr(b), "linf"))
+
+  /** Lp^p distance with metric_arg = p (faiss METRIC_Lp, Index.h:81). */
+  def lp_dist(a: Column, b: Column, p: Double): Column =
+    shim.col(VecDistance(shim.expr(a), shim.expr(b), "lp", p))
+
+  def canberra_dist(a: Column, b: Column): Column =
+    shim.col(VecDistance(shim.expr(a), shim.expr(b), "canberra"))
+
+  def braycurtis_dist(a: Column, b: Column): Column =
+    shim.col(VecDistance(shim.expr(a), shim.expr(b), "braycurtis"))
+
+  def jensenshannon_dist(a: Column, b: Column): Column =
+    shim.col(VecDistance(shim.expr(a), shim.expr(b), "jensenshannon"))
+
+  /** Generic dispatch by metric name (see [[graft.core.Metric]]). */
+  def vec_dist(a: Column, b: Column, metric: String, metricArg: Double = 0.0): Column =
+    metric match {
+      case "hamming" => hamming_dist(a, b).cast("double")
+      case "jaccard" => jaccard_dist(a, b)
+      case m         => shim.col(VecDistance(shim.expr(a), shim.expr(b), m, metricArg))
+    }
+
+  /** Hamming distance over packed BinaryType codes. */
+  def hamming_dist(a: Column, b: Column): Column =
+    shim.col(HammingDistance(shim.expr(a), shim.expr(b)))
+
+  /** Binary Jaccard distance over packed BinaryType codes. */
+  def jaccard_dist(a: Column, b: Column): Column =
+    shim.col(JaccardDistance(shim.expr(a), shim.expr(b)))
+
+  def norm_l2(a: Column): Column = shim.col(VecNorm(shim.expr(a), squared = false))
+  def norm_l2sq(a: Column): Column = shim.col(VecNorm(shim.expr(a), squared = true))
+  def normalize_l2(a: Column): Column = shim.col(NormalizeL2(shim.expr(a)))
+  def vec_sub(a: Column, b: Column): Column = shim.col(VecSub(shim.expr(a), shim.expr(b)))
+  def vec_add(a: Column, b: Column): Column = shim.col(VecAdd(shim.expr(a), shim.expr(b)))
+
+  /** Sign-bit binarization to a packed BinaryType code (LSH). */
+  def sign_bits(a: Column): Column = shim.col(SignBits(shim.expr(a)))
+
+  /** Top-k-per-group aggregate over (score, id); `asc=true` keeps the
+    * smallest scores. Returns array<struct<id,dist>> best-to-worst.
+    * Partial aggregation = faiss per-thread heaps + merge. */
+  def topk(score: Column, id: Column, k: Int, asc: Boolean = true): Column =
+    shim.agg(TopKAgg(shim.expr(score), shim.expr(id), k, asc))
+
+  /** Register SQL names for the expressions (usable via spark.sql). */
+  def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    val reg = spark.sessionState.functionRegistry
+    def one(name: String)(b: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    one("l2sq")(es => VecDistance(es(0), es(1), "l2sq"))
+    one("inner_product")(es => VecDistance(es(0), es(1), "ip"))
+    one("cosine_sim")(es => VecDistance(es(0), es(1), "cosine"))
+    one("hamming_dist")(es => HammingDistance(es(0), es(1)))
+    one("jaccard_dist")(es => JaccardDistance(es(0), es(1)))
+    one("norm_l2")(es => VecNorm(es(0), squared = false))
+    one("normalize_l2")(es => NormalizeL2(es(0)))
+    one("sign_bits")(es => SignBits(es(0)))
+  }
+}
