@@ -1,0 +1,70 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import scala.util.Random
+
+class KernelSpec extends AnyFunSuite {
+
+  private def arr(xs: Array[Float]) = new GenericArrayData(xs)
+  private val rnd = new Random(1234)
+  private def randVec(d: Int) = Array.fill(d)(rnd.nextFloat() * 2 - 1)
+
+  test("l2sq / ip / l1 / linf match naive double math") {
+    for (_ <- 1 to 50) {
+      val d = 1 + rnd.nextInt(100)
+      val a = randVec(d); val b = randVec(d)
+      val l2 = a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+      val ip = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val l1 = a.zip(b).map { case (x, y) => math.abs(x.toDouble - y) }.sum
+      val li = a.zip(b).map { case (x, y) => math.abs(x.toDouble - y) }.max
+      assert(math.abs(VecKernels.l2sq(arr(a), arr(b)) - l2) < 1e-12)
+      assert(math.abs(VecKernels.ip(arr(a), arr(b)) - ip) < 1e-12)
+      assert(math.abs(VecKernels.l1(arr(a), arr(b)) - l1) < 1e-12)
+      assert(math.abs(VecKernels.linf(arr(a), arr(b)) - li) < 1e-12)
+    }
+  }
+
+  test("cosine is IP of normalized vectors") {
+    for (_ <- 1 to 20) {
+      val d = 2 + rnd.nextInt(50)
+      val a = randVec(d); val b = randVec(d)
+      val na = VecKernels.normalize(arr(a)); val nb = VecKernels.normalize(arr(b))
+      val viaNorm = VecKernels.ip(arr(na), arr(nb))
+      assert(math.abs(VecKernels.cosine(arr(a), arr(b)) - viaNorm) < 1e-5)
+    }
+  }
+
+  test("normalize produces unit vectors; zero vector passes through") {
+    val v = randVec(32)
+    assert(math.abs(VecKernels.normL2(arr(VecKernels.normalize(arr(v)))) - 1.0) < 1e-6)
+    val z = Array.fill(8)(0f)
+    assert(VecKernels.normalize(arr(z)).toSeq == z.toSeq)
+  }
+
+  test("hamming/jaccard on packed sign bits match unpacked definitions") {
+    for (_ <- 1 to 50) {
+      val d = 1 + rnd.nextInt(70)
+      val a = randVec(d); val b = randVec(d)
+      val ca = VecKernels.packSignBits(arr(a)); val cb = VecKernels.packSignBits(arr(b))
+      val hd = a.zip(b).count { case (x, y) => (x >= 0) != (y >= 0) }
+      assert(VecKernels.hamming(ca, cb) == hd)
+      val inter = a.zip(b).count { case (x, y) => x >= 0 && y >= 0 }
+      val union = a.zip(b).count { case (x, y) => x >= 0 || y >= 0 }
+      val jd = if (union == 0) 0.0 else 1.0 - inter.toDouble / union
+      assert(math.abs(VecKernels.jaccardBinary(ca, cb) - jd) < 1e-12)
+    }
+  }
+
+  test("lp with p=2 equals l2sq; p=1 equals l1") {
+    val a = randVec(16); val b = randVec(16)
+    assert(math.abs(VecKernels.lp(arr(a), arr(b), 2.0) - VecKernels.l2sq(arr(a), arr(b))) < 1e-9)
+    assert(math.abs(VecKernels.lp(arr(a), arr(b), 1.0) - VecKernels.l1(arr(a), arr(b))) < 1e-9)
+  }
+
+  test("sub/add round-trip") {
+    val a = randVec(16); val b = randVec(16)
+    val back = VecKernels.add(arr(VecKernels.sub(arr(a), arr(b))), arr(b))
+    a.zip(back).foreach { case (x, y) => assert(math.abs(x - y) < 1e-5) }
+  }
+}
