@@ -2,8 +2,11 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.shim
 import graft.functions._
 import graft.knn.Knn
+import graft.core.{NearestCentroid, VecSumAgg}
+import graft.index.IvfIndex
 
 /** The driver-facing query catalog: one entry per implemented operator
   * from SURVEY.md §2, each with an equivalent DuckDB oracle in
@@ -301,6 +304,107 @@ object Queries {
              |  SELECT l_returnflag, l_orderkey*10 + l_linenumber AS id, l_extendedprice AS price,
              |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey*10 + l_linenumber) AS "rank"
              |  FROM lineitem) t WHERE "rank" <= 3""".stripMargin)),
+
+    // §2.4 k-means assign step / coarse quantizer (NearestCentroid
+    // expression against fixed centroids = embeddings 0..3)
+    ("assign_centroids", (s: SparkSession, dir: String) => {
+      val cents = emb(s, dir).filter(col("vec_id") < 4).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      emb(s, dir).filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"),
+          shim.col(NearestCentroid(shim.expr(col("embedding")), cents)).as("_a"))
+        .select(col("id"), col("_a.list_no").cast("long").as("list_no"),
+          round(col("_a.dist"), 4).as("dist"))
+    },
+      Some(s"""SELECT id, list_no, round(dist, 4) AS dist FROM (
+              |  SELECT b.vec_id AS id, q.vec_id AS list_no, $dL2 AS dist,
+              |    row_number() OVER (PARTITION BY b.vec_id ORDER BY $dL2, q.vec_id) AS rn
+              |  FROM embeddings b CROSS JOIN embeddings q
+              |  WHERE q.vec_id < 4 AND b.vec_id >= 10) t WHERE rn = 1""".stripMargin)),
+
+    // §2.4 compute_centroids kernel (VecSumAgg): mean vector per label
+    ("centroid_per_label", (s: SparkSession, dir: String) =>
+      emb(s, dir).groupBy(col("label"))
+        .agg(shim.agg(VecSumAgg(shim.expr(col("embedding")))).as("_s"))
+        .select(col("label"), col("_s.cnt").as("cnt"),
+          round(element_at(col("_s.sum"), 1) / col("_s.cnt"), 4).as("m1"),
+          round(element_at(col("_s.sum"), 2) / col("_s.cnt"), 4).as("m2")),
+      Some("""SELECT label, count(*) AS cnt, round(avg(embedding[1]::DOUBLE), 4) AS m1,
+             |  round(avg(embedding[2]::DOUBLE), 4) AS m2
+             |FROM embeddings GROUP BY label""".stripMargin)),
+
+    // §2.4 MatrixStats profiling (per-dim mean/std/min/max)
+    ("matrix_stats", (s: SparkSession, dir: String) =>
+      emb(s, dir).select(posexplode(col("embedding")).as(Seq("_p", "_e")))
+        .select((col("_p") + 1).cast("long").as("dim"), col("_e").cast("double").as("e"))
+        .groupBy(col("dim"))
+        .agg(round(avg(col("e")), 4).as("mean"), round(stddev_samp(col("e")), 4).as("sd"),
+          round(min(col("e")), 4).as("mn"), round(max(col("e")), 4).as("mx")),
+      Some("""SELECT i::BIGINT AS dim, round(avg(e), 4) AS mean, round(stddev_samp(e), 4) AS sd,
+             |  round(min(e), 4) AS mn, round(max(e), 4) AS mx
+             |FROM (SELECT unnest(embedding::DOUBLE[]) AS e, generate_subscripts(embedding, 1) AS i
+             |      FROM embeddings) t GROUP BY i""".stripMargin)),
+
+    // §2.4 imbalance_factor over a deterministic assignment
+    ("imbalance_factor", (s: SparkSession, dir: String) => {
+      val cents = emb(s, dir).filter(col("vec_id") < 4).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      emb(s, dir).filter(col("vec_id") >= 10)
+        .select(shim.col(NearestCentroid(shim.expr(col("embedding")), cents)).as("_a"))
+        .groupBy(col("_a.list_no")).count()
+        .agg(round(lit(4.0) * sum(col("count") * col("count")).cast("double") /
+          (sum(col("count")).cast("double") * sum(col("count")).cast("double")), 4)
+          .as("imbalance"))
+    },
+      Some(s"""WITH asg AS (
+              |  SELECT id, list_no FROM (
+              |    SELECT b.vec_id AS id, q.vec_id AS list_no, $dL2 AS dist,
+              |      row_number() OVER (PARTITION BY b.vec_id ORDER BY $dL2, q.vec_id) AS rn
+              |    FROM embeddings b CROSS JOIN embeddings q
+              |    WHERE q.vec_id < 4 AND b.vec_id >= 10) t WHERE rn = 1),
+              |sz AS (SELECT list_no, count(*) AS c FROM asg GROUP BY list_no)
+              |SELECT round(4.0 * sum(c*c)::DOUBLE / (sum(c)::DOUBLE * sum(c)::DOUBLE), 4) AS imbalance
+              |FROM sz""".stripMargin)),
+
+    // §2.3 IVF search with nprobe = nlist ⇒ must equal exact kNN (the
+    // end-to-end test of train/assign/partition-pruned join/top-k)
+    ("ivf_search_exact", (s: SparkSession, dir: String) => {
+      val idx = IvfIndex.build(bDf(s, dir, 10), "id", "vec", nlist = 16, niter = 4)
+      idx.search(qDf(s, dir, 10), k = 10, nprobe = 16)
+        .withColumn("dist", r4("dist"))
+    },
+      Some(knnOracle(dL2, "q.vec_id < 10", "b.vec_id >= 10", 10))),
+
+    // §2.3 IVF range search, nprobe = nlist ⇒ exact
+    ("ivf_range_exact", (s: SparkSession, dir: String) => {
+      val idx = IvfIndex.build(bDf(s, dir, 20), "id", "vec", nlist = 16, niter = 4)
+      idx.rangeSearch(qDf(s, dir, 20), radius = 1.45, nprobe = 16)
+        .withColumn("dist", r4("dist"))
+    },
+      Some(s"""SELECT q.vec_id AS qid, b.vec_id AS id, round($dL2, 4) AS dist
+              |FROM embeddings q CROSS JOIN embeddings b
+              |WHERE q.vec_id < 20 AND b.vec_id >= 20 AND $dL2 < 1.45""".stripMargin)),
+
+    // §2.3 the real approximate path (nprobe << nlist): rows-only check
+    ("ivf_search_nprobe4", (s: SparkSession, dir: String) => {
+      val idx = IvfIndex.build(bDf(s, dir, 10), "id", "vec", nlist = 16, niter = 4)
+      idx.search(qDf(s, dir, 10), k = 10, nprobe = 4)
+    }, None),
+
+    // §2.7 search_and_return_centroids: list_no as an output column
+    ("ivf_search_centroids", (s: SparkSession, dir: String) => {
+      val idx = IvfIndex.build(bDf(s, dir, 10), "id", "vec", nlist = 16, niter = 4)
+      idx.search(qDf(s, dir, 10), k = 5, nprobe = 16, withCentroid = true)
+    }, None),
+
+    // §2.4 k-means train (seeded; engine-deterministic, no SQL oracle)
+    ("kmeans_train", (s: SparkSession, dir: String) => {
+      val m = graft.cluster.KMeans.fit(
+        emb(s, dir).select(col("embedding")), "embedding",
+        graft.cluster.KMeans.Params(k = 8, niter = 5))
+      m.centroidsDf(s).select(col("list_no"),
+        round(element_at(col("centroid"), 1).cast("double"), 3).as("c1"))
+    }, None),
 
     // sanity: classic aggregation pipeline (partial agg + shuffle)
     ("q1_agg", (s: SparkSession, dir: String) =>

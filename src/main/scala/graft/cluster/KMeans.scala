@@ -1,0 +1,180 @@
+package graft.cluster
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.shim
+import graft.core.{NearestCentroid, VecSumAgg}
+
+/** FAISS-semantics Lloyd k-means (faiss/Clustering.cpp:271-560) as a
+  * DataFrame fit.
+  *
+  * Per-round dataflow (all distributed, only k×d floats ever reach the
+  * driver):
+  *   1. assign: per-row argmin over the centroid table embedded in the
+  *      plan ([[graft.core.NearestCentroid]]) — no join, no shuffle of
+  *      the data;
+  *   2. update: groupBy(list_no) + [[graft.core.VecSumAgg]] (partial
+  *      map-side sums, shuffle k × d doubles);
+  *   3. driver: centroid = sum/cnt, empty-cluster split, optional
+  *      spherical renorm (Clustering.cpp:220-260, :65).
+  *
+  * FAISS parity notes (SURVEY.md §7 "seeded-RNG parity" non-goal):
+  * subsampling to k*max_points_per_centroid (Clustering.cpp:93) and
+  * init selection use a deterministic xxhash64(vec, seed) order rather
+  * than faiss's RandomGenerator; empty clusters split the LARGEST
+  * cluster deterministically with the same ±1/1024 perturbation
+  * (Clustering.cpp:240-255). Quality metrics (objective, imbalance)
+  * are comparable, exact centroids are not.
+  */
+object KMeans {
+
+  case class Params(
+      k: Int,
+      niter: Int = 25,
+      seed: Long = 1234L,
+      maxPointsPerCentroid: Int = 256,  // Clustering.h:36 default
+      nredo: Int = 1,
+      spherical: Boolean = false,
+      metric: String = "l2sq")
+
+  case class Model(
+      centroids: Array[Array[Float]],
+      objective: Double,
+      iterationObjectives: Seq[Double],
+      sizes: Array[Long]) {
+
+    /** Cluster sizes skew metric (faiss imbalance_factor,
+      * Clustering.cpp:49-63): k * sum(sz²) / n². 1.0 = perfectly even. */
+    def imbalanceFactor: Double = {
+      val n = sizes.sum.toDouble
+      if (n == 0) 0.0 else sizes.length * sizes.map(s => s.toDouble * s).sum / (n * n)
+    }
+
+    /** (list_no, centroid) as a DataFrame. */
+    def centroidsDf(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("list_no", "centroid")
+        .select(col("list_no"),
+          col("centroid").cast("array<float>").as("centroid"))
+    }
+
+    /** Adds (list_no, dist-to-centroid) columns — search_centroid
+      * (faiss/IVFlib.h:62). */
+    def assign(df: DataFrame, vecCol: String): DataFrame = {
+      val a = shim.col(NearestCentroid(shim.expr(col(vecCol)), centroids, "l2sq"))
+      df.withColumn("_a", a)
+        .withColumn("list_no", col("_a.list_no"))
+        .withColumn("centroid_dist", col("_a.dist"))
+        .drop("_a")
+    }
+  }
+
+  def fit(df: DataFrame, vecCol: String, p: Params): Model = {
+    require(p.metric == "l2sq", "faiss trains the coarse quantizer with L2 (Clustering.cpp)")
+    val spark = df.sparkSession
+    val vecs = df.select(col(vecCol).as("vec")).filter(col("vec").isNotNull)
+
+    val maxTrain = p.k.toLong * p.maxPointsPerCentroid
+    val total = vecs.count()
+    // Subsample deterministically when the train set exceeds
+    // k*max_points_per_centroid (Clustering.cpp:93 subsample_training_set)
+    val train0 =
+      if (total > maxTrain)
+        vecs.withColumn("_h", xxhash64(col("vec"), lit(p.seed)))
+          .orderBy(col("_h")).limit(maxTrain.toInt).drop("_h")
+      else vecs
+    val train = train0.cache()
+    try {
+      var best: Model = null
+      for (redo <- 0 until p.nredo) {
+        val m = fitOnce(train, p, p.seed + redo)
+        if (best == null || m.objective < best.objective) best = m
+      }
+      best
+    } finally { train.unpersist() }
+  }
+
+  private def fitOnce(train: DataFrame, p: Params, seed: Long): Model = {
+    // init: first k rows in deterministic hash order (rand_perm analog)
+    var centroids: Array[Array[Float]] =
+      train.withColumn("_h", xxhash64(col("vec"), lit(seed)))
+        .orderBy(col("_h")).limit(p.k)
+        .select("vec").collect()
+        .map(_.getSeq[Float](0).toArray)
+    require(centroids.nonEmpty, "empty training set")
+    if (centroids.length < p.k) {
+      // fewer distinct points than k: pad by perturbing existing ones
+      centroids = Array.tabulate(p.k)(i => perturb(centroids(i % centroids.length), i))
+    }
+    if (p.spherical) centroids = centroids.map(renorm)
+
+    val objectives = Vector.newBuilder[Double]
+    var lastObjective = 0.0
+    var sizes = new Array[Long](p.k)
+
+    for (_ <- 0 until p.niter) {
+      val assigned = train.select(
+        col("vec"),
+        shim.col(NearestCentroid(shim.expr(col("vec")), centroids, p.metric)).as("_a"))
+      val stats = assigned
+        .select(col("_a.list_no").as("list_no"), col("_a.dist").as("dist"), col("vec"))
+        .groupBy(col("list_no"))
+        .agg(shim.agg(VecSumAgg(shim.expr(col("vec")))).as("s"),
+          sum(col("dist")).as("obj"))
+        .collect()
+
+      val sums = new Array[Array[Double]](p.k)
+      val counts = new Array[Long](p.k)
+      var obj = 0.0
+      stats.foreach { r =>
+        val l = r.getInt(0)
+        val s = r.getStruct(1)
+        sums(l) = s.getSeq[Double](0).toArray
+        counts(l) = s.getLong(1)
+        obj += r.getDouble(2)
+      }
+      objectives += obj
+      lastObjective = obj
+
+      val next = new Array[Array[Float]](p.k)
+      for (j <- 0 until p.k) {
+        next(j) =
+          if (counts(j) > 0) {
+            val c = new Array[Float](sums(j).length)
+            var i = 0
+            while (i < c.length) { c(i) = (sums(j)(i) / counts(j)).toFloat; i += 1 }
+            if (p.spherical) renorm(c) else c
+          } else null
+      }
+      // split_clusters (Clustering.cpp:220-260): each empty cluster takes
+      // a perturbed copy of the (deterministically) largest cluster's
+      // centroid; both get half its size for subsequent splits.
+      for (j <- 0 until p.k if next(j) == null) {
+        val big = counts.indices.maxBy(counts)
+        next(j) = perturb(next(big), j)
+        counts(j) = counts(big) / 2
+        counts(big) -= counts(j)
+      }
+      centroids = next
+      sizes = counts
+    }
+    Model(centroids, lastObjective, objectives.result(), sizes)
+  }
+
+  /** faiss split perturbation (Clustering.cpp:247-252): scale by
+    * (1 ± EPS) with sign alternating on dim parity, EPS = 1/1024. */
+  private def perturb(c: Array[Float], salt: Int): Array[Float] = {
+    val eps = 1f / 1024f
+    Array.tabulate(c.length) { i =>
+      if (((i + salt) & 1) == 1) c(i) * (1 + eps) else c(i) * (1 - eps)
+    }
+  }
+
+  private def renorm(c: Array[Float]): Array[Float] = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i).toDouble * c(i); i += 1 }
+    val inv = if (s > 0) (1.0 / math.sqrt(s)) else 1.0
+    c.map(x => (x * inv).toFloat)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.core
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Distance from an ArrayData row vector to a plain float[] centroid. */
+private[graft] object CentroidKernels {
+  def dist(a: ArrayData, c: Array[Float], metric: String): Double = {
+    val n = c.length
+    metric match {
+      case "l2sq" =>
+        var s = 0.0; var i = 0
+        while (i < n) { val d = a.getFloat(i).toDouble - c(i); s += d * d; i += 1 }
+        s
+      case "ip" | "cosine" => // cosine assumes pre-normalized inputs (faiss convention)
+        var s = 0.0; var i = 0
+        while (i < n) { s += a.getFloat(i).toDouble * c(i); i += 1 }
+        s
+      case m => throw new IllegalArgumentException(s"centroid metric $m")
+    }
+  }
+}
+
+/** The coarse-quantizer assignment: nearest centroid of a small
+  * centroid table embedded in the plan (shipped once per task, like a
+  * broadcast). This is Level1Quantizer::train_q1's assign step and
+  * IndexIVF's quantizer->search(n, x, 1, ...) (faiss/IndexIVF.cpp:330,
+  * faiss/Clustering.cpp assign loop).
+  *
+  * Returns struct(list_no: int, dist: double). Ties break on the lower
+  * list_no (faiss argmin semantics).
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Float]],
+    metric: String = "l2sq") extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("list_no", IntegerType, nullable = false),
+    StructField("dist", DoubleType, nullable = false)))
+  override def prettyName: String = "nearest_centroid"
+
+  private val asc = Metric.ascending(metric)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var best = -1; var bestD = if (asc) Double.MaxValue else Double.MinValue
+    var j = 0
+    while (j < centroids.length) {
+      val d = CentroidKernels.dist(a, centroids(j), metric)
+      if (if (asc) d < bestD else d > bestD) { best = j; bestD = d }
+      j += 1
+    }
+    InternalRow(best, bestD)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Top-nprobe nearest centroids — the IVF probe-list computation
+  * (faiss/IndexIVF.cpp:330 quantizer->search with k=nprobe). Returns
+  * array<struct<list_no:int, dist:double>> best-first. */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Float]],
+    nprobe: Int, metric: String = "l2sq")
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("list_no", IntegerType, nullable = false),
+    StructField("dist", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  private val asc = Metric.ascending(metric)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val h = new TopKHeap(math.min(nprobe, centroids.length), asc)
+    var j = 0
+    while (j < centroids.length) {
+      h.insert(CentroidKernels.dist(a, centroids(j), metric), j.toLong)
+      j += 1
+    }
+    val (ids, scores) = h.sorted()
+    val out = new Array[Any](ids.length)
+    var i = 0
+    while (i < ids.length) { out(i) = InternalRow(ids(i).toInt, scores(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

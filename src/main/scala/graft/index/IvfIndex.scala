@@ -1,0 +1,179 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.shim
+import graft.core.{Metric, NearestCentroids, TopKAgg}
+import graft.cluster.KMeans
+import graft.functions.{topk, vec_dist}
+
+/** IVF (inverted-file) index: the reference's scale path
+  * (faiss/IndexIVF.cpp) re-expressed as a list_no-partitioned
+  * DataFrame plus a small centroid table.
+  *
+  * Build = k-means on a subsample + assign + repartition by list_no
+  * (IndexIVF::train / add_core, IndexIVF.cpp:254). Search = per-query
+  * coarse quantization to nprobe lists (broadcast-size centroid table
+  * embedded in the plan) + equi-join on list_no against only the
+  * probed lists + per-query top-k (IndexIVF::search,
+  * IndexIVF.cpp:302-683). With parquet persistence partitioned on
+  * list_no, the probe filter becomes static partition pruning: at
+  * 100 TB the scan touches nprobe/nlist of the data, which is the
+  * whole point of IVF.
+  */
+class IvfIndex(
+    val d: Int,
+    val metric: String,
+    val nlist: Int,
+    val centroids: Array[Array[Float]],
+    /** (id: long, vec: array<float>, list_no: int) */
+    val invlists: DataFrame) {
+
+  import IvfIndex._
+
+  /** Per-query probe lists: (qid, qvec, list_no, coarse_dist). */
+  private def probes(queries: DataFrame, nprobe: Int,
+      queryId: String, queryVec: String): DataFrame =
+    queries.select(col(queryId), col(queryVec),
+      explode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
+        math.min(nprobe, nlist), metric))).as("_p"))
+      .select(col(queryId), col(queryVec),
+        col("_p.list_no").as("list_no"), col("_p.dist").as("coarse_dist"))
+
+  /** kNN search over the probed lists (search_preassigned,
+    * faiss/IndexIVF.cpp:398-683). Output (qid, rank, id, dist).
+    * `filter` = IDSelector pushed inside the scan (IndexIVF.h:377).
+    * `maxCodes` caps scanned candidates per (query, list)
+    * (faiss/IndexIVF.h:67-72 max_codes budget). */
+  def search(queries: DataFrame, k: Int, nprobe: Int,
+      queryId: String = "qid", queryVec: String = "qvec",
+      filter: Option[Column] = None,
+      maxCodes: Option[Int] = None,
+      withCentroid: Boolean = false): DataFrame = {
+    val pr = probes(queries, nprobe, queryId, queryVec)
+    // The probed-list set is tiny (≤ queries × nprobe ints): collecting
+    // it turns the invlists scan into a statically partition-pruned read.
+    val probed = pr.select("list_no").distinct().collect().map(_.getInt(0))
+    val lists0 = invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
+    val lists = filter.map(lists0.filter).getOrElse(lists0)
+    var cand = lists.join(broadcast(pr), "list_no")
+      .select(col(queryId), col("list_no"), col("id"),
+        vec_dist(col(queryVec), col("vec"), metric).as("_dist"))
+    maxCodes.foreach { mc =>
+      // scan budget per (query, list): keep the mc best candidates of
+      // each probed list before the global top-k
+      cand = cand
+        .groupBy(col(queryId), col("list_no"))
+        .agg(topk(col("_dist"), col("id"), mc, Metric.ascending(metric)).as("_tk"))
+        .select(col(queryId), col("list_no"), explode(col("_tk")).as("_r"))
+        .select(col(queryId), col("list_no"),
+          col("_r.id").as("id"), col("_r.dist").as("_dist"))
+    }
+    val agg =
+      if (withCentroid) {
+        // search_and_return_centroids (faiss/IVFlib.h:74): carry list_no
+        // through the top-k by packing it into the id (id * nlist + list)
+        val packed = cand.select(col(queryId),
+          (col("id") * nlist + col("list_no")).as("_pid"), col("_dist"))
+        packed.groupBy(col(queryId))
+          .agg(topk(col("_dist"), col("_pid"), k, Metric.ascending(metric)).as("_tk"))
+          .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+          .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
+            (col("_r.id") / nlist).cast("long").as("id"),
+            (col("_r.id") % nlist).cast("int").as("list_no"),
+            col("_r.dist").as("dist"))
+      } else {
+        cand.groupBy(col(queryId))
+          .agg(topk(col("_dist"), col("id"), k, Metric.ascending(metric)).as("_tk"))
+          .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+          .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
+            col("_r.id").as("id"), col("_r.dist").as("dist"))
+      }
+    agg
+  }
+
+  /** IVF range search (faiss/IndexIVF.cpp:690-795): same pruning,
+    * radius predicate instead of top-k. */
+  def rangeSearch(queries: DataFrame, radius: Double, nprobe: Int,
+      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+    val pr = probes(queries, nprobe, queryId, queryVec)
+    val probed = pr.select("list_no").distinct().collect().map(_.getInt(0))
+    val lists = invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
+    val pred =
+      if (Metric.ascending(metric)) col("dist") < radius else col("dist") > radius
+    lists.join(broadcast(pr), "list_no")
+      .select(col(queryId), col("id"),
+        vec_dist(col(queryVec), col("vec"), metric).as("dist"))
+      .filter(pred)
+  }
+
+  /** Which list each base id landed in (search_centroid,
+    * faiss/IVFlib.h:62) — list_no is just a column here. */
+  def listAssignments: DataFrame = invlists.select(col("id"), col("list_no"))
+
+  /** merge_from (faiss/Index.h:273-282): same centroids required
+    * (check_compatible_for_merge analog = same nlist/d/metric); ids
+    * optionally shifted. */
+  def mergeFrom(other: IvfIndex, addId: Long = 0L): IvfIndex = {
+    require(other.d == d && other.metric == metric && other.nlist == nlist,
+      "incompatible indexes (d/metric/nlist differ)")
+    new IvfIndex(d, metric, nlist, centroids,
+      invlists.unionByName(
+        other.invlists.withColumn("id", col("id") + addId)))
+  }
+
+  /** remove_ids (faiss/Index.h:164-167) as an immutable rewrite. */
+  def removeIds(ids: DataFrame): IvfIndex =
+    new IvfIndex(d, metric, nlist, centroids,
+      invlists.join(broadcast(ids), Seq("id"), "left_anti"))
+
+  def save(path: String): Unit = IvfIndex.save(this, path)
+}
+
+object IvfIndex {
+
+  /** Train + add (IndexIVF lifecycle steps 2-3, SURVEY §3.1). */
+  def build(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
+      metric: String = "l2sq", niter: Int = 10, seed: Long = 1234L): IvfIndex = {
+    val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val model = KMeans.fit(data, "vec",
+      KMeans.Params(k = nlist, niter = niter, seed = seed))
+    val d = model.centroids.head.length
+    val assigned = model.assign(data, "vec")
+      .select(col("id"), col("vec"), col("list_no"))
+    new IvfIndex(d, metric, nlist, model.centroids, assigned)
+  }
+
+  /** Persist as list_no-partitioned parquet + a one-row-per-centroid
+    * JSON sidecar (read_index/write_index analog,
+    * faiss/impl/index_write.cpp — format is parquet+JSON, not the
+    * fourcc binary). */
+  def save(idx: IvfIndex, path: String): Unit = {
+    val spark = idx.invlists.sparkSession
+    idx.invlists
+      .repartition(col("list_no"))
+      .write.mode("overwrite").partitionBy("list_no")
+      .parquet(s"$path/invlists")
+    import spark.implicits._
+    idx.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq, idx.d, idx.metric, idx.nlist) }
+      .toDF("list_no", "centroid", "d", "metric", "nlist")
+      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+  }
+
+  def load(spark: SparkSession, path: String): IvfIndex = {
+    val meta = spark.read.json(s"$path/meta")
+      .select(col("list_no").cast("int"),
+        col("centroid").cast("array<float>"),
+        col("d").cast("int"), col("metric"), col("nlist").cast("int"))
+      .collect()
+    val d = meta.head.getInt(2)
+    val metric = meta.head.getString(3)
+    val nlist = meta.head.getInt(4)
+    val centroids = new Array[Array[Float]](nlist)
+    meta.foreach { r => centroids(r.getInt(0)) = r.getSeq[Float](1).toArray }
+    val invlists = spark.read.parquet(s"$path/invlists")
+      .select(col("id"), col("vec"), col("list_no").cast("int"))
+    new IvfIndex(d, metric, nlist, centroids, invlists)
+  }
+}

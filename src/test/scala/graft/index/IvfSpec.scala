@@ -1,0 +1,73 @@
+package graft.index
+
+import graft.SparkTestBase
+import graft.knn.Knn
+import graft.cluster.KMeans
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkTestBase {
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").cache()
+  private def q = emb.filter(col("vec_id") < 10)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+  private def b = emb.filter(col("vec_id") >= 10)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private lazy val idx = IvfIndex.build(b, "id", "vec", nlist = 8, niter = 4)
+
+  private def resultSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("qid", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("nprobe = nlist reproduces exact brute-force kNN") {
+    val exact = resultSet(Knn.knnJoin(q, b, 10))
+    val ivf = resultSet(idx.search(q, 10, nprobe = 8))
+    assert(ivf == exact)
+  }
+
+  test("kmeans objective decreases and covers all points") {
+    val m = KMeans.fit(b, "vec", KMeans.Params(k = 8, niter = 5))
+    assert(m.sizes.sum == b.count())
+    val objs = m.iterationObjectives
+    assert(objs.last <= objs.head)
+    assert(m.imbalanceFactor >= 1.0 && m.imbalanceFactor < 8.0)
+  }
+
+  test("nprobe < nlist keeps reasonable recall (faiss test_ivf_kmeans style)") {
+    val exact = resultSet(Knn.knnJoin(q, b, 10))
+    val approx = resultSet(idx.search(q, 10, nprobe = 2))
+    // recall on (qid, id) pairs ignoring rank
+    val e = exact.map { case (a, _, c) => (a, c) }
+    val a = approx.map { case (x, _, z) => (x, z) }
+    val recall = e.intersect(a).size.toDouble / e.size
+    assert(recall > 0.2, s"recall $recall") // reference asserts > 0.2 (test_index_accuracy.py:47)
+  }
+
+  test("save/load round-trip preserves search results") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    idx.save(dir)
+    val loaded = IvfIndex.load(spark, dir)
+    assert(resultSet(loaded.search(q, 5, nprobe = 8)) == resultSet(idx.search(q, 5, nprobe = 8)))
+    assert(loaded.nlist == idx.nlist && loaded.d == idx.d && loaded.metric == idx.metric)
+  }
+
+  test("mergeFrom with id shift = union of invlists") {
+    val merged = idx.mergeFrom(idx, addId = 100000L)
+    assert(merged.invlists.count() == 2 * idx.invlists.count())
+    val ids = merged.invlists.select("id").collect().map(_.getLong(0))
+    assert(ids.count(_ >= 100000L) == idx.invlists.count())
+  }
+
+  test("removeIds drops exactly the requested ids") {
+    import spark.implicits._
+    val del = Seq(10L, 11L, 12L).toDF("id")
+    val pruned = idx.removeIds(del)
+    assert(pruned.invlists.count() == idx.invlists.count() - 3)
+  }
+
+  test("maxCodes caps candidates but keeps top results when generous") {
+    val capped = resultSet(idx.search(q, 5, nprobe = 8, maxCodes = Some(1000)))
+    val full = resultSet(idx.search(q, 5, nprobe = 8))
+    assert(capped == full)
+  }
+}
