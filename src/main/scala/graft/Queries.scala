@@ -7,6 +7,7 @@ import graft.functions._
 import graft.knn.Knn
 import graft.core.{NearestCentroid, VecSumAgg}
 import graft.index.IvfIndex
+import graft.llm.{Dedup, Multimodal, TextFunctions => TF}
 
 /** The driver-facing query catalog: one entry per implemented operator
   * from SURVEY.md §2, each with an equivalent DuckDB oracle in
@@ -405,6 +406,143 @@ object Queries {
       m.centroidsDf(s).select(col("list_no"),
         round(element_at(col("centroid"), 1).cast("double"), 3).as("c1"))
     }, None),
+
+    // ---- LLM-pipeline operators (north star) --------------------------
+
+    // exact dedup with instances table (IVFFlatDedup analog) on a
+    // corpus with planted duplicates (embeddings unioned with an
+    // id-shifted copy)
+    ("exact_dedup_vectors", (s: SparkSession, dir: String) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val doubled = e.unionByName(
+        e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Dedup.exactDupGroups(doubled, "vec_id", col("embedding"))
+    },
+      Some("""WITH u AS (SELECT vec_id, embedding FROM embeddings
+             |           UNION ALL SELECT vec_id + 10000, embedding FROM embeddings)
+             |SELECT min(vec_id) AS rep_id, count(*) AS cnt, list_sort(list(vec_id)) AS ids
+             |FROM u GROUP BY embedding""".stripMargin)),
+
+    // MinHash + LSH banding near-dup dedup, end-to-end (shingle ->
+    // md5 minhash signature -> band hashes -> bucket join -> exact
+    // Jaccard verify). The oracle replicates the identical pipeline.
+    ("minhash_lsh_neardup", (s: SparkSession, dir: String) =>
+      Dedup.nearDupPairs(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        threshold = 0.8, ngram = 3, hashes = 12, bands = 4)
+        .withColumn("jaccard", round(col("jaccard"), 4)),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             |         THEN list_transform(t[1:len(t)-2], (x, i) -> x || ' ' || t[i+1] || ' ' || t[i+2])
+             |         ELSE []::VARCHAR[] END) AS s FROM toks),
+             |sig AS (SELECT doc_id, s, list_transform(range(0, 12),
+             |          j -> list_aggregate(list_transform(s, x -> md5(j || ':' || x)), 'min')) AS sg FROM sh),
+             |band AS (SELECT doc_id, b, md5(array_to_string(sg[3*b+1:3*b+3], '|')) AS bh
+             |         FROM sig, range(0, 4) r(b)),
+             |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+             |         FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+             |jac AS (SELECT i, j, len(list_intersect(sa.s, sb.s))::DOUBLE AS inter,
+             |               (len(sa.s) + len(sb.s))::DOUBLE AS tot
+             |        FROM cand JOIN sh sa ON sa.doc_id = i JOIN sh sb ON sb.doc_id = j)
+             |SELECT i, j, round(inter/(tot-inter), 4) AS jaccard
+             |FROM jac WHERE inter/(tot-inter) >= 0.8""".stripMargin)),
+
+    // exact n-gram Jaccard via inverted shingle index (no cross join)
+    ("ngram_jaccard_pairs", (s: SparkSession, dir: String) =>
+      Dedup.ngramJaccardPairs(
+        s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 150),
+        "doc_id", "text", threshold = 0.5, ngram = 3)
+        .withColumn("jaccard", round(col("jaccard"), 4)),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 150),
+             |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+             |         THEN list_transform(t[1:len(t)-2], (x, i) -> x || ' ' || t[i+1] || ' ' || t[i+2])
+             |         ELSE []::VARCHAR[] END)) AS sh FROM toks),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+             |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT i, j, round(c::DOUBLE/(na.n + nb.n - c), 4) AS jaccard
+             |FROM inter JOIN sizes na ON na.doc_id = i JOIN sizes nb ON nb.doc_id = j
+             |WHERE c::DOUBLE/(na.n + nb.n - c) >= 0.5""".stripMargin)),
+
+    // embedding near-dup (cosine >= 0.95) on the doubled corpus
+    ("embedding_near_dup", (s: SparkSession, dir: String) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val doubled = e.unionByName(
+        e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Dedup.embeddingNearDups(doubled, "vec_id", "embedding", 0.95)
+        .withColumn("cos", round(col("cos"), 4))
+    },
+      Some("""WITH u AS (SELECT vec_id, embedding FROM embeddings
+             |           UNION ALL SELECT vec_id + 10000, embedding FROM embeddings)
+             |SELECT a.vec_id AS i, b.vec_id AS j,
+             |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+             |FROM u a CROSS JOIN u b
+             |WHERE a.vec_id < b.vec_id
+             |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95""".stripMargin)),
+
+    // simhash near-dup candidates (engine-private 64-bit hash; no SQL
+    // oracle — covered by SimHashSpec invariants)
+    ("simhash_neardup", (s: SparkSession, dir: String) =>
+      Dedup.simhashNearDups(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        maxHamming = 16), None),
+
+    // text analysis: token/char counts
+    ("token_count", (s: SparkSession, dir: String) =>
+      s.read.parquet(s"$dir/documents.parquet").select(
+        col("doc_id"), TF.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("len_chars")),
+      Some("""SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+             |  length(text)::BIGINT AS len_chars FROM documents""".stripMargin)),
+
+    // text analysis: quality scoring (length/stopword/token-length)
+    ("quality_score", (s: SparkSession, dir: String) =>
+      s.read.parquet(s"$dir/documents.parquet").select(
+        col("doc_id"),
+        round(TF.avgTokenLength(col("text")), 4).as("avg_tok_len"),
+        round(TF.stopwordRatio(col("text"), TF.EnStopwords), 4).as("sw_ratio"),
+        round(TF.qualityScore(col("text"), TF.EnStopwords), 4).as("score")),
+      Some("""SELECT doc_id,
+             |  round(list_aggregate(list_transform(t, x -> length(x)), 'sum')::DOUBLE / len(t), 4) AS avg_tok_len,
+             |  round(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','on'], x)))::DOUBLE / len(t), 4) AS sw_ratio,
+             |  round((least(length(text)::DOUBLE / 500.0, 1.0)
+             |    + least(5.0 * len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','on'], x)))::DOUBLE / len(t), 1.0)
+             |    + CASE WHEN list_aggregate(list_transform(t, x -> length(x)), 'sum')::DOUBLE / len(t) <= 8.0 THEN 1.0 ELSE 0.5 END) / 3.0, 4) AS score
+             |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents) d""".stripMargin)),
+
+    // text analysis: stopword-based language-ID heuristic
+    ("langid_stopwords", (s: SparkSession, dir: String) => {
+      val ratio = TF.stopwordRatio(col("text"), TF.EnStopwords)
+      s.read.parquet(s"$dir/documents.parquet").select(
+        col("doc_id"), round(ratio, 4).as("en_ratio"),
+        when(ratio > 0.02, "en").otherwise("und").as("pred"))
+    },
+      Some("""SELECT doc_id, round(r, 4) AS en_ratio,
+             |  CASE WHEN r > 0.02 THEN 'en' ELSE 'und' END AS pred
+             |FROM (SELECT doc_id,
+             |        len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','to','in','is','on'], x)))::DOUBLE
+             |          / len(string_split(text, ' ')) AS r
+             |      FROM documents) t""".stripMargin)),
+
+    // document fingerprinting (content hash)
+    ("fingerprint_md5", (s: SparkSession, dir: String) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp")),
+      Some("SELECT doc_id, md5(text) AS fp FROM documents")),
+
+    // multimodal: opaque binary column -> batched mapPartitions decode
+    // (stub) -> typed features; oracle checks the byte-derived fields
+    ("multimodal_features", (s: SparkSession, dir: String) => {
+      val media = s.read.parquet(s"$dir/documents.parquet").select(
+        col("doc_id").as("id"), col("text").cast("binary").as("media"),
+        lit("text-as-image").as("kind"))
+      Multimodal.extractFeatures(media)
+        .select(col("id"), col("n_bytes"), col("f_first"), col("f_last"))
+    },
+      Some("""SELECT doc_id AS id, octet_length(text::BLOB)::BIGINT AS n_bytes,
+             |  ascii(substr(text, 1, 1))::DOUBLE AS f_first,
+             |  ascii(substr(text, -1, 1))::DOUBLE AS f_last
+             |FROM documents""".stripMargin)),
 
     // sanity: classic aggregation pipeline (partial agg + shuffle)
     ("q1_agg", (s: SparkSession, dir: String) =>

@@ -1,0 +1,57 @@
+package graft.core
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit SimHash over a token array (Charikar's hashing for near-dup
+  * detection): each token hashes to 64 bits (FNV-1a, self-contained so
+  * results are stable across engines/JVMs); bit i of the output is the
+  * sign of sum over tokens of (bit i ? +1 : -1). Near-dup docs differ
+  * in few bits → bucket by 16-bit chunks for LSH (any-chunk-equal =
+  * candidate).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var t = 0
+    val n = arr.numElements()
+    while (t < n) {
+      val s = arr.getUTF8String(t)
+      if (s != null) {
+        val h = SimHash64.fnv1a64(s.getBytes)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHash64 {
+  def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+}

@@ -66,6 +66,9 @@ object functions {
   /** Sign-bit binarization to a packed BinaryType code (LSH). */
   def sign_bits(a: Column): Column = shim.col(SignBits(shim.expr(a)))
 
+  /** 64-bit SimHash of a token array (near-dup fingerprint). */
+  def simhash64(tokens: Column): Column = shim.col(SimHash64(shim.expr(tokens)))
+
   /** Top-k-per-group aggregate over (score, id); `asc=true` keeps the
     * smallest scores. Returns array<struct<id,dist>> best-to-worst.
     * Partial aggregation = faiss per-thread heaps + merge. */

@@ -1,0 +1,78 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for LLM-training-data pipelines, built
+  * entirely from codegen'd Spark SQL builtins so every step has an
+  * exact DuckDB-SQL equivalent for the correctness oracle.
+  *
+  * Hash parity: MinHash and fingerprints use md5 over UTF-8 strings —
+  * identical in Spark and DuckDB — rather than engine-private hashes.
+  * MinHash "hash function j" = md5 of "j:" ++ shingle; the signature
+  * component is the lexicographic min of the hex digests, a standard
+  * min-wise permutation family.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (documents.text is single-space joined). */
+  def tokenize(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokenize(text)).cast("long")
+
+  /** Word n-gram shingles joined by single spaces; empty when the doc
+    * has fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokenize(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array())
+  }
+
+  /** Distinct shingle set (the Jaccard universe). */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+
+  /** MinHash signature: array of `h` lexicographic-min md5 digests.
+    * Empty-shingle docs get nulls in the signature (never match). */
+  def minhashSignature(shingleSet: Column, h: Int): Column =
+    transform(sequence(lit(0), lit(h - 1)),
+      j => array_min(transform(shingleSet,
+        s => md5(concat(j.cast("string"), lit(":"), s)))))
+
+  /** LSH band hashes: `bands` digests, each over `rowsPerBand`
+    * consecutive signature components. Candidates = docs sharing any
+    * (band_id, band_hash). */
+  def lshBandHashes(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws("|", slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)))))
+
+  /** Document fingerprint (content hash). */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Fraction of tokens found in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokenize(text)
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(sw, t))).cast("double") /
+      size(toks).cast("double")
+  }
+
+  def avgTokenLength(text: Column): Column = {
+    val toks = tokenize(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Heuristic quality score in [0,1]: rewards mid-length docs, short
+    * tokens, and stopword presence (n-gram/stopword heuristics in the
+    * C4/Gopher tradition; exact formula is ours, deterministic). */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val swScore = least(stopwordRatio(text, stopwords) * 5.0, lit(1.0))
+    val tokScore = when(avgTokenLength(text) <= 8.0, 1.0).otherwise(0.5)
+    (lenScore + swScore + tokScore) / 3.0
+  }
+
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+}
