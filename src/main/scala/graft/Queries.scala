@@ -407,6 +407,191 @@ object Queries {
         round(element_at(col("centroid"), 1).cast("double"), 3).as("c1"))
     }, None),
 
+    // §2.11/§2.8 SQ8 codec: train (per-dim min/max) + encode + decode;
+    // oracle reproduces the codec arithmetic in SQL
+    ("sq8_roundtrip", (s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      val sq = graft.index.SqIndex.build(e, "vec_id", "embedding")
+      sq.reconstruct
+        .join(e.select(col("vec_id").as("id"), col("embedding")), "id")
+        .select(col("id"), round(element_at(col("vec"), 1), 4).as("d1"),
+          round(aggregate(
+            zip_with(col("embedding").cast("array<double>"), col("vec"),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x), 4).as("err"))
+    },
+      Some("""WITH dims AS (
+             |  SELECT list(mn ORDER BY i) AS vmn, list(mx - mn ORDER BY i) AS vd FROM (
+             |    SELECT i, min(e) AS mn, max(e) AS mx
+             |    FROM (SELECT unnest(embedding::DOUBLE[]) AS e, generate_subscripts(embedding, 1) AS i
+             |          FROM embeddings) u GROUP BY i) t),
+             |dec AS (SELECT vec_id AS id, embedding,
+             |  list_transform(embedding::DOUBLE[], (x, i) ->
+             |    vmn[i] + (floor(255 * (CASE WHEN vd[i] = 0 THEN 0
+             |      ELSE least(greatest((x - vmn[i]) / vd[i], 0), 1) END)) + 0.5) / 255 * vd[i]) AS dv
+             |  FROM embeddings, dims)
+             |SELECT id, round(dv[1], 4) AS d1,
+             |  round(list_aggregate(list_transform(list_zip(embedding::DOUBLE[], dv),
+             |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 4) AS err
+             |FROM dec""".stripMargin)),
+
+    // §2.11 SQ8 asymmetric (ADC) kNN search
+    ("sq8_knn", (s: SparkSession, dir: String) => {
+      val sq = graft.index.SqIndex.build(bDf(s, dir, 10), "id", "vec")
+      sq.search(qDf(s, dir, 10), 5).withColumn("dist", r4("dist"))
+    },
+      Some("""WITH dims AS (
+             |  SELECT list(mn ORDER BY i) AS vmn, list(mx - mn ORDER BY i) AS vd FROM (
+             |    SELECT i, min(e) AS mn, max(e) AS mx
+             |    FROM (SELECT unnest(embedding::DOUBLE[]) AS e, generate_subscripts(embedding, 1) AS i
+             |          FROM embeddings WHERE vec_id >= 10) u GROUP BY i) t),
+             |dec AS (SELECT vec_id AS id,
+             |  list_transform(embedding::DOUBLE[], (x, i) ->
+             |    vmn[i] + (floor(255 * (CASE WHEN vd[i] = 0 THEN 0
+             |      ELSE least(greatest((x - vmn[i]) / vd[i], 0), 1) END)) + 0.5) / 255 * vd[i]) AS dv
+             |  FROM embeddings, dims WHERE vec_id >= 10),
+             |qd AS (SELECT q.vec_id AS qid, b.id AS id,
+             |  list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], b.dv),
+             |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
+             |  FROM embeddings q CROSS JOIN dec b WHERE q.vec_id < 10)
+             |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+             |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank"
+             |  FROM qd) w WHERE "rank" <= 5""".stripMargin)),
+
+    // §2.3 IndexRefine: SQ8 coarse stage (k*k_factor) + exact re-rank
+    ("refine_sq8_rerank", (s: SparkSession, dir: String) =>
+      graft.index.Refine.sqRefineSearch(qDf(s, dir, 10), bDf(s, dir, 10),
+        k = 5, kFactor = 4).withColumn("dist", r4("dist")),
+      Some("""WITH dims AS (
+             |  SELECT list(mn ORDER BY i) AS vmn, list(mx - mn ORDER BY i) AS vd FROM (
+             |    SELECT i, min(e) AS mn, max(e) AS mx
+             |    FROM (SELECT unnest(embedding::DOUBLE[]) AS e, generate_subscripts(embedding, 1) AS i
+             |          FROM embeddings WHERE vec_id >= 10) u GROUP BY i) t),
+             |dec AS (SELECT vec_id AS id, embedding,
+             |  list_transform(embedding::DOUBLE[], (x, i) ->
+             |    vmn[i] + (floor(255 * (CASE WHEN vd[i] = 0 THEN 0
+             |      ELSE least(greatest((x - vmn[i]) / vd[i], 0), 1) END)) + 0.5) / 255 * vd[i]) AS dv
+             |  FROM embeddings, dims WHERE vec_id >= 10),
+             |qd AS (SELECT q.vec_id AS qid, b.id AS id,
+             |  list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], b.dv),
+             |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS adc,
+             |  list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2 AS ed
+             |  FROM embeddings q CROSS JOIN dec b WHERE q.vec_id < 10),
+             |cand AS (SELECT qid, id, ed FROM (
+             |  SELECT qid, id, ed, row_number() OVER (PARTITION BY qid ORDER BY adc, id) AS r1
+             |  FROM qd) w WHERE r1 <= 20)
+             |SELECT qid, "rank", id, round(ed, 4) AS dist FROM (
+             |  SELECT qid, id, ed, row_number() OVER (PARTITION BY qid ORDER BY ed, id) AS "rank"
+             |  FROM cand) w2 WHERE "rank" <= 5""".stripMargin)),
+
+    // §2.2/§2.9 RemapDimensionsTransform: kNN in a projected subspace
+    ("remap_dims_knn", (s: SparkSession, dir: String) =>
+      Knn.knnJoin(
+        qDf(s, dir, 10).withColumn("qvec", slice(col("qvec"), 1, 16)),
+        bDf(s, dir, 10).withColumn("vec", slice(col("vec"), 1, 16)), 5)
+        .withColumn("dist", r4("dist")),
+      Some(knnOracle(
+        "list_distance(q.embedding[1:16]::DOUBLE[], b.embedding[1:16]::DOUBLE[])^2",
+        "q.vec_id < 10", "b.vec_id >= 10", 5))),
+
+    // §2.2 IndexSplitVectors: vertical split, partial distances summed
+    ("split_vectors", (s: SparkSession, dir: String) => {
+      val q = qDf(s, dir, 5); val b = bDf(s, dir, 5).filter(col("id") < 26)
+      b.crossJoin(broadcast(q)).select(col("qid"), col("id"),
+        round(l2sq(slice(col("qvec"), 1, 32), slice(col("vec"), 1, 32)) +
+          l2sq(slice(col("qvec"), 33, 32), slice(col("vec"), 33, 32)), 4).as("dist"))
+    },
+      Some(s"""SELECT q.vec_id AS qid, b.vec_id AS id, round($dL2, 4) AS dist
+              |FROM embeddings q CROSS JOIN embeddings b
+              |WHERE q.vec_id < 5 AND b.vec_id BETWEEN 5 AND 25""".stripMargin)),
+
+    // §2.9 IndexRowwiseMinMax: per-row scaling stored alongside codes
+    ("rowwise_minmax", (s: SparkSession, dir: String) => {
+      val e = emb(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      e.select(col("vec_id"),
+        round(array_min(col("v")), 4).as("rmin"),
+        round(array_max(col("v")), 4).as("rmax"),
+        round((element_at(col("v"), 1) - array_min(col("v"))) /
+          (array_max(col("v")) - array_min(col("v"))), 4).as("s1"))
+    },
+      Some("""SELECT vec_id,
+             |  round(list_aggregate(embedding::DOUBLE[], 'min'), 4) AS rmin,
+             |  round(list_aggregate(embedding::DOUBLE[], 'max'), 4) AS rmax,
+             |  round((embedding[1]::DOUBLE - list_aggregate(embedding::DOUBLE[], 'min'))
+             |    / (list_aggregate(embedding::DOUBLE[], 'max') - list_aggregate(embedding::DOUBLE[], 'min')), 4) AS s1
+             |FROM embeddings""".stripMargin)),
+
+    // §2.9 LinearTransform y = Ax (Walsh-pattern ±1 matrix, 4 outputs)
+    ("linear_transform", (s: SparkSession, dir: String) => {
+      val mat = Array.tabulate(4, 64)((j, i) => if (((i >> j) & 1) == 0) 1f else -1f)
+      val y = shim.col(graft.core.MatVec(shim.expr(col("embedding")), mat))
+      emb(s, dir).select(col("vec_id"), y.as("_y"))
+        .select(col("vec_id"),
+          round(element_at(col("_y"), 1), 4).as("y0"),
+          round(element_at(col("_y"), 2), 4).as("y1"),
+          round(element_at(col("_y"), 3), 4).as("y2"),
+          round(element_at(col("_y"), 4), 4).as("y3"))
+    },
+      Some((0 until 4).map(j =>
+        s"round(list_aggregate(list_transform(embedding::DOUBLE[], (x, i) -> CASE WHEN (((i-1)::BIGINT >> $j) & 1) = 0 THEN x ELSE -x END), 'sum'), 4) AS y$j")
+        .mkString("SELECT vec_id, ", ", ", " FROM embeddings"))),
+
+    // §2.11 binary flat (BFlat): Hamming kNN over packed sign-bit codes
+    ("knn_binary_hamming", (s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), sign_bits(col("embedding")).as("qcode"))
+      val b = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), sign_bits(col("embedding")).as("code"))
+      graft.index.BinaryFlat.knnJoin(q, b, 5)
+    },
+      Some("""SELECT qid, "rank", id, hd FROM (
+             |  SELECT q.vec_id AS qid, b.vec_id AS id,
+             |    (SELECT count(*) FROM range(1, 65) r(kk)
+             |     WHERE (q.embedding[kk] >= 0) <> (b.embedding[kk] >= 0)) AS hd,
+             |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |      (SELECT count(*) FROM range(1, 65) r(kk)
+             |       WHERE (q.embedding[kk] >= 0) <> (b.embedding[kk] >= 0)), b.vec_id) AS "rank"
+             |  FROM embeddings q CROSS JOIN embeddings b
+             |  WHERE q.vec_id < 10 AND b.vec_id >= 10) t WHERE "rank" <= 5""".stripMargin)),
+
+    // §2.12 recall / eval_intersection: recall@10 of half-dim search
+    ("recall_half_dims", (s: SparkSession, dir: String) => {
+      val truth = Knn.knnJoin(qDf(s, dir, 20), bDf(s, dir, 20), 10)
+      val approx = Knn.knnJoin(
+        qDf(s, dir, 20).withColumn("qvec", slice(col("qvec"), 1, 32)),
+        bDf(s, dir, 20).withColumn("vec", slice(col("vec"), 1, 32)), 10)
+      graft.eval.Recall.perQuery(truth, approx)
+        .withColumn("recall", round(col("recall"), 4))
+    },
+      Some("""WITH t AS (SELECT qid, id FROM (
+             |    SELECT q.vec_id AS qid, b.vec_id AS id,
+             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |        list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2, b.vec_id) AS r
+             |    FROM embeddings q CROSS JOIN embeddings b
+             |    WHERE q.vec_id < 20 AND b.vec_id >= 20) x WHERE r <= 10),
+             |a AS (SELECT qid, id FROM (
+             |    SELECT q.vec_id AS qid, b.vec_id AS id,
+             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |        list_distance(q.embedding[1:32]::DOUBLE[], b.embedding[1:32]::DOUBLE[])^2, b.vec_id) AS r
+             |    FROM embeddings q CROSS JOIN embeddings b
+             |    WHERE q.vec_id < 20 AND b.vec_id >= 20) x WHERE r <= 10),
+             |i AS (SELECT t.qid, count(*) AS c FROM t JOIN a ON t.qid = a.qid AND t.id = a.id GROUP BY t.qid)
+             |SELECT q.qid, coalesce(c, 0)::BIGINT AS n_intersect, round(coalesce(c, 0)/10.0, 4) AS recall
+             |FROM (SELECT DISTINCT qid FROM t) q LEFT JOIN i ON q.qid = i.qid""".stripMargin)),
+
+    // §2.6 range_search_max_results: radius search with a global cap
+    ("range_maxres", (s: SparkSession, dir: String) =>
+      Knn.rangeJoin(qDf(s, dir, 20), bDf(s, dir, 20), 2.0)
+        .orderBy(col("dist"), col("qid"), col("id")).limit(50)
+        .withColumn("dist", r4("dist")),
+      Some(s"""SELECT qid, id, round(dist, 4) AS dist FROM (
+              |  SELECT q.vec_id AS qid, b.vec_id AS id, $dL2 AS dist
+              |  FROM embeddings q CROSS JOIN embeddings b
+              |  WHERE q.vec_id < 20 AND b.vec_id >= 20 AND $dL2 < 2.0
+              |  ORDER BY dist, qid, id LIMIT 50) t""".stripMargin)),
+
     // ---- LLM-pipeline operators (north star) --------------------------
 
     // exact dedup with instances table (IVFFlatDedup analog) on a

@@ -1,0 +1,197 @@
+package graft.core
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Per-dimension (min, max) aggregate — ScalarQuantizer RS_minmax
+  * training (faiss/impl/ScalarQuantizer.cpp:452-476 train_Uniform /
+  * :576 train_NonUniform). Output struct(mins array<double>,
+  * maxs array<double>). */
+final class MinMaxBuf(var mins: Array[Double], var maxs: Array[Double]) {
+  def add(a: ArrayData): Unit = {
+    val n = a.numElements()
+    if (mins == null) {
+      mins = Array.fill(n)(Double.MaxValue)
+      maxs = Array.fill(n)(Double.MinValue)
+    }
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      if (x < mins(i)) mins(i) = x
+      if (x > maxs(i)) maxs(i) = x
+      i += 1
+    }
+  }
+  def merge(o: MinMaxBuf): Unit = if (o.mins != null) {
+    if (mins == null) { mins = o.mins.clone(); maxs = o.maxs.clone() }
+    else {
+      var i = 0
+      while (i < mins.length) {
+        if (o.mins(i) < mins(i)) mins(i) = o.mins(i)
+        if (o.maxs(i) > maxs(i)) maxs(i) = o.maxs(i)
+        i += 1
+      }
+    }
+  }
+}
+
+case class VecMinMaxAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MinMaxBuf] with UnaryLike[Expression] {
+
+  override def prettyName: String = "vec_minmax"
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("mins", ArrayType(DoubleType, containsNull = false)),
+    StructField("maxs", ArrayType(DoubleType, containsNull = false))))
+
+  override def createAggregationBuffer(): MinMaxBuf = new MinMaxBuf(null, null)
+  override def update(b: MinMaxBuf, in: InternalRow): MinMaxBuf = {
+    val v = child.eval(in)
+    if (v != null) b.add(v.asInstanceOf[ArrayData]); b
+  }
+  override def merge(b: MinMaxBuf, o: MinMaxBuf): MinMaxBuf = { b.merge(o); b }
+  override def eval(b: MinMaxBuf): Any =
+    InternalRow(
+      if (b.mins == null) null else new GenericArrayData(b.mins),
+      if (b.maxs == null) null else new GenericArrayData(b.maxs))
+
+  override def serialize(b: MinMaxBuf): Array[Byte] = {
+    val d = if (b.mins == null) 0 else b.mins.length
+    val bb = ByteBuffer.allocate(4 + 16 * d)
+    bb.putInt(d)
+    var i = 0
+    while (i < d) { bb.putDouble(b.mins(i)); bb.putDouble(b.maxs(i)); i += 1 }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): MinMaxBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val d = bb.getInt
+    if (d == 0) new MinMaxBuf(null, null)
+    else {
+      val mn = new Array[Double](d); val mx = new Array[Double](d)
+      var i = 0
+      while (i < d) { mn(i) = bb.getDouble; mx(i) = bb.getDouble; i += 1 }
+      new MinMaxBuf(mn, mx)
+    }
+  }
+  override def withNewMutableAggBufferOffset(o: Int): VecMinMaxAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VecMinMaxAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): VecMinMaxAgg =
+    copy(child = c)
+}
+
+/** SQ8 codec kernels — faiss QuantizerTemplate<Codec8bit, false>
+  * (ScalarQuantizer.cpp:269-305): xi = clamp((x - vmin)/vdiff, 0, 1),
+  * code = (int)(255 * xi); decode = vmin + (code + 0.5)/255 * vdiff.
+  * Math is double precision so the DuckDB oracle reproduces it
+  * bit-for-bit (the reference uses float32 — reconstruction differs in
+  * the 7th decimal, within the codec's quantization error). */
+object SqKernels {
+  def encode(a: ArrayData, vmin: Array[Double], vdiff: Array[Double]): Array[Byte] = {
+    val d = vmin.length
+    val out = new Array[Byte](d)
+    var i = 0
+    while (i < d) {
+      var xi = 0.0
+      if (vdiff(i) != 0.0) {
+        xi = (a.getFloat(i).toDouble - vmin(i)) / vdiff(i)
+        if (xi < 0) xi = 0
+        if (xi > 1) xi = 1
+      }
+      out(i) = (255.0 * xi).toInt.toByte
+      i += 1
+    }
+    out
+  }
+  def decode(code: Array[Byte], vmin: Array[Double], vdiff: Array[Double]): Array[Double] = {
+    val d = vmin.length
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      out(i) = vmin(i) + ((code(i) & 0xff) + 0.5) / 255.0 * vdiff(i)
+      i += 1
+    }
+    out
+  }
+  /** Asymmetric distance: L2sq between a float query and a decoded
+    * code, single pass, no materialized decode. */
+  def adcL2sq(q: ArrayData, code: Array[Byte], vmin: Array[Double],
+      vdiff: Array[Double]): Double = {
+    val d = vmin.length
+    var s = 0.0; var i = 0
+    while (i < d) {
+      val dec = vmin(i) + ((code(i) & 0xff) + 0.5) / 255.0 * vdiff(i)
+      val df = q.getFloat(i).toDouble - dec
+      s += df * df
+      i += 1
+    }
+    s
+  }
+}
+
+case class SQEncode(child: Expression, vmin: Array[Double], vdiff: Array[Double])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "sq8_encode"
+  override def nullSafeEval(v: Any): Any =
+    SqKernels.encode(v.asInstanceOf[ArrayData], vmin, vdiff)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class SQDecode(child: Expression, vmin: Array[Double], vdiff: Array[Double])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sq8_decode"
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(SqKernels.decode(v.asInstanceOf[Array[Byte]], vmin, vdiff))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** dist(query float vec, SQ8 code) without materializing the decode. */
+case class SQAdcL2(left: Expression, right: Expression,
+    vmin: Array[Double], vdiff: Array[Double])
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq8_adc_l2sq"
+  override def nullSafeEval(q: Any, c: Any): Any =
+    SqKernels.adcL2sq(q.asInstanceOf[ArrayData], c.asInstanceOf[Array[Byte]], vmin, vdiff)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Dense mat-vec y = A x (+ b): the LinearTransform core
+  * (faiss/VectorTransform.h:73). Output double for oracle parity. */
+case class MatVec(child: Expression, matrix: Array[Array[Float]],
+    bias: Array[Float] = null)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mat_vec"
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val dOut = matrix.length
+    val out = new Array[Double](dOut)
+    var j = 0
+    while (j < dOut) {
+      val row = matrix(j)
+      var s = if (bias == null) 0.0 else bias(j).toDouble
+      var i = 0
+      while (i < row.length) { s += row(i).toDouble * a.getFloat(i).toDouble; i += 1 }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

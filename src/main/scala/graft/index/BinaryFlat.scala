@@ -1,0 +1,48 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{hamming_dist, jaccard_dist, topk}
+
+/** Binary flat index (IndexBinaryFlat, faiss/IndexBinaryFlat.h:20):
+  * packed-bit codes in a BinaryType column, exhaustively searched
+  * under Hamming (hammings_knn_hc, faiss/utils/hamming.h:129) or
+  * binary Jaccard (faiss/utils/binary_distances.h). Same broadcast +
+  * partial-top-k shape as the float path. */
+object BinaryFlat {
+
+  /** kNN under Hamming distance. Output (qid, rank, id, hd). */
+  def knnJoin(queries: DataFrame, base: DataFrame, k: Int,
+      queryId: String = "qid", queryCode: String = "qcode",
+      baseId: String = "id", baseCode: String = "code"): DataFrame =
+    base.crossJoin(broadcast(queries))
+      .select(col(queryId), col(baseId),
+        hamming_dist(col(queryCode), col(baseCode)).cast("double").as("_d"))
+      .groupBy(col(queryId))
+      .agg(topk(col("_d"), col(baseId), k, asc = true).as("_tk"))
+      .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+      .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
+        col("_r.id").as(baseId), col("_r.dist").cast("long").as("hd"))
+
+  /** kNN under binary Jaccard distance. Output (qid, rank, id, jd). */
+  def knnJoinJaccard(queries: DataFrame, base: DataFrame, k: Int,
+      queryId: String = "qid", queryCode: String = "qcode",
+      baseId: String = "id", baseCode: String = "code"): DataFrame =
+    base.crossJoin(broadcast(queries))
+      .select(col(queryId), col(baseId),
+        jaccard_dist(col(queryCode), col(baseCode)).as("_d"))
+      .groupBy(col(queryId))
+      .agg(topk(col("_d"), col(baseId), k, asc = true).as("_tk"))
+      .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+      .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
+        col("_r.id").as(baseId), col("_r.dist").as("jd"))
+
+  /** Hamming range search (hamming_range_search, hamming.h:175). */
+  def rangeJoin(queries: DataFrame, base: DataFrame, maxHamming: Long,
+      queryId: String = "qid", queryCode: String = "qcode",
+      baseId: String = "id", baseCode: String = "code"): DataFrame =
+    base.crossJoin(broadcast(queries))
+      .select(col(queryId), col(baseId),
+        hamming_dist(col(queryCode), col(baseCode)).as("hd"))
+      .filter(col("hd") <= maxHamming)
+}
