@@ -592,6 +592,28 @@ object Queries {
               |  WHERE q.vec_id < 20 AND b.vec_id >= 20 AND $dL2 < 2.0
               |  ORDER BY dist, qid, id LIMIT 50) t""".stripMargin)),
 
+    // §2.11 IndexPQ ADC search (kmeans codebooks: engine-deterministic,
+    // verified by PqSpec ADC==decode-then-L2 parity; rows-only here)
+    ("pq_adc_search", (s: SparkSession, dir: String) => {
+      val pq = graft.index.PqIndex.build(bDf(s, dir, 10), "id", "vec",
+        m = 8, ksub = 16, niter = 4)
+      pq.search(qDf(s, dir, 10), 10)
+    }, None),
+
+    // §2.3 polysemous-style Hamming pre-filter before ADC
+    ("pq_polysemous_filter", (s: SparkSession, dir: String) => {
+      val pq = graft.index.PqIndex.build(bDf(s, dir, 10), "id", "vec",
+        m = 8, ksub = 16, niter = 4)
+      pq.search(qDf(s, dir, 10), 10, polysemousHt = Some(48))
+    }, None),
+
+    // §2.11 IVFPQ: residual PQ inside the pruned IVF join
+    ("ivfpq_search", (s: SparkSession, dir: String) => {
+      val idx = graft.index.IvfPqIndex.build(bDf(s, dir, 10), "id", "vec",
+        nlist = 8, m = 8, ksub = 16, niterCoarse = 4, niterPq = 4)
+      idx.search(qDf(s, dir, 10), 10, nprobe = 8)
+    }, None),
+
     // ---- LLM-pipeline operators (north star) --------------------------
 
     // exact dedup with instances table (IVFFlatDedup analog) on a

@@ -1,0 +1,182 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.shim
+import graft.core._
+import graft.functions.{hamming_dist, topk, vec_sub}
+
+/** Product-quantizer model [M][ksub][dsub] (faiss ProductQuantizer,
+  * impl/ProductQuantizer.cpp). */
+case class PqModel(m: Int, ksub: Int, dsub: Int,
+    codebooks: Array[Array[Array[Float]]]) {
+
+  def encode(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      shim.col(PQEncode(shim.expr(col(vecCol)), codebooks)).as("code"))
+
+  def decodeCol(codeCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    shim.col(PQDecode(shim.expr(codeCol), codebooks))
+
+  def lutCol(vecCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    shim.col(PQLut(shim.expr(vecCol), codebooks))
+
+  def adcCol(codeCol: org.apache.spark.sql.Column,
+      lutCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    shim.col(PQAdcFromLut(shim.expr(codeCol), shim.expr(lutCol), ksub))
+}
+
+object Pq {
+
+  /** Train M independent subspace codebooks with joint Lloyd rounds:
+    * one distributed assign+update job per iteration for ALL subspaces
+    * (groupBy (m, code) + VecSumAgg on the subvector), not M separate
+    * fits — M× fewer Spark jobs than the naive loop.
+    * (faiss ProductQuantizer::train, impl/ProductQuantizer.cpp; each
+    * subspace is a ksub-means over dsub dims.) */
+  def train(df: DataFrame, vecCol: String, m: Int, ksub: Int,
+      niter: Int = 8, seed: Long = 1234L): PqModel = {
+    val d = df.select(size(col(vecCol))).first().getInt(0)
+    require(d % m == 0, s"d=$d not divisible by M=$m")
+    val dsub = d / m
+    val vecs = df.select(col(vecCol).as("vec")).filter(col("vec").isNotNull)
+
+    // init: ksub deterministic sample rows; codebook[mi] = their mi-th
+    // subvectors (random-point init per subspace, one job)
+    val sample = vecs.withColumn("_h", xxhash64(col("vec"), lit(seed)))
+      .orderBy(col("_h")).limit(ksub).select("vec").collect()
+      .map(_.getSeq[Float](0).toArray)
+    var codebooks: Array[Array[Array[Float]]] =
+      Array.tabulate(m)(mi => Array.tabulate(math.min(ksub, sample.length))(j =>
+        sample(j).slice(mi * dsub, (mi + 1) * dsub)))
+
+    for (_ <- 0 until niter) {
+      // assign all M subspaces in one pass, then per-(m, code) means
+      val exploded = vecs.select(
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          mi => slice(col("vec"), mi * dsub + 1, lit(dsub)))).as(Seq("_m", "_sub")))
+        .select(col("_m"),
+          shim.col(PQSubAssign(shim.expr(col("_m")), shim.expr(col("_sub")),
+            codebooks)).as("_j"),
+          col("_sub"))
+      val stats = exploded.groupBy(col("_m"), col("_j"))
+        .agg(shim.agg(VecSumAgg(shim.expr(col("_sub")))).as("s"))
+        .collect()
+      val next = Array.tabulate(m)(mi => codebooks(mi).map(_.clone()))
+      stats.foreach { r =>
+        val mi = r.getInt(0)
+        val j = r.getInt(1)
+        val s = r.getStruct(2)
+        val sums = s.getSeq[Double](0); val cnt = s.getLong(1)
+        if (cnt > 0) next(mi)(j) = sums.map(x => (x / cnt).toFloat).toArray
+      }
+      codebooks = next
+    }
+    PqModel(m, ksub, dsub, codebooks)
+  }
+}
+
+/** Flat PQ index (IndexPQ, faiss/IndexPQ.h:24): codes + ADC search via
+  * per-query lookup tables. Optional polysemous-style Hamming
+  * pre-filter on the codes (faiss/IndexPQ.h:116-121 search_type
+  * ST_polysemous: cheap bitwise filter before the expensive ADC). */
+class PqIndex(val model: PqModel, val codes: DataFrame) {
+
+  def search(queries: DataFrame, k: Int,
+      queryId: String = "qid", queryVec: String = "qvec",
+      polysemousHt: Option[Int] = None): DataFrame = {
+    val q = queries.select(col(queryId), col(queryVec),
+      model.lutCol(col(queryVec)).as("_lut"),
+      shim.col(PQEncode(shim.expr(col(queryVec)), model.codebooks)).as("_qcode"))
+    var cand = codes.crossJoin(broadcast(q))
+    polysemousHt.foreach { ht =>
+      cand = cand.filter(hamming_dist(col("code"), col("_qcode")) <= ht)
+    }
+    cand
+      .select(col(queryId), col("id"), model.adcCol(col("code"), col("_lut")).as("_dist"))
+      .groupBy(col(queryId))
+      .agg(topk(col("_dist"), col("id"), k, asc = true).as("_tk"))
+      .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+      .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
+        col("_r.id").as("id"), col("_r.dist").as("dist"))
+  }
+
+  /** Lossy reconstruction (sa_decode). */
+  def reconstruct: DataFrame =
+    codes.select(col("id"), model.decodeCol(col("code")).as("vec"))
+}
+
+object PqIndex {
+  def build(df: DataFrame, idCol: String, vecCol: String, m: Int = 8,
+      ksub: Int = 16, niter: Int = 8, seed: Long = 1234L): PqIndex = {
+    val model = Pq.train(df, vecCol, m, ksub, niter, seed)
+    new PqIndex(model, model.encode(df, idCol, vecCol))
+  }
+}
+
+/** IVFPQ (faiss/IndexIVFPQ.h:34): coarse quantizer + PQ on RESIDUALS
+  * (by_residual), searched with per-(query, probed-list) LUTs over the
+  * residual q - centroid. Composes IvfIndex's pruned-join shape with
+  * PQ's ADC scan. */
+class IvfPqIndex(
+    val nlist: Int,
+    val centroids: Array[Array[Float]],
+    val model: PqModel,
+    /** (id, list_no, code) */
+    val codes: DataFrame) {
+
+  def search(queries: DataFrame, k: Int, nprobe: Int,
+      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centDf = centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "centroid")
+      .select(col("list_no"), col("centroid").cast("array<float>").as("centroid"))
+    val probes = queries.select(col(queryId), col(queryVec),
+      explode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
+        math.min(nprobe, nlist), "l2sq"))).as("_p"))
+      .select(col(queryId), col(queryVec), col("_p.list_no").as("list_no"))
+      .join(broadcast(centDf), "list_no")
+      .select(col(queryId), col("list_no"),
+        model.lutCol(vec_sub(col(queryVec), col("centroid"))).as("_lut"))
+    val probed = probes.select("list_no").distinct().collect().map(_.getInt(0))
+    codes.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
+      .join(broadcast(probes), "list_no")
+      .select(col(queryId), col("id"), model.adcCol(col("code"), col("_lut")).as("_dist"))
+      .groupBy(col(queryId))
+      .agg(topk(col("_dist"), col("id"), k, asc = true).as("_tk"))
+      .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+      .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
+        col("_r.id").as("id"), col("_r.dist").as("dist"))
+  }
+}
+
+object IvfPqIndex {
+  /** Coarse k-means + residual PQ train + encode (IndexIVFPQ::train /
+    * add_core; residual computed against the assigned centroid). */
+  def build(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+      niterCoarse: Int = 8, niterPq: Int = 6, seed: Long = 1234L): IvfPqIndex = {
+    val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val coarse = graft.cluster.KMeans.fit(data, "vec",
+      graft.cluster.KMeans.Params(k = nlist, niter = niterCoarse, seed = seed))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = coarse.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "centroid")
+      .select(col("list_no"), col("centroid").cast("array<float>").as("centroid"))
+    val assigned = coarse.assign(data, "vec")
+      .join(broadcast(centDf), "list_no")
+      .select(col("id"), col("list_no"), vec_sub(col("vec"), col("centroid")).as("res"))
+      .cache()
+    try {
+      val model = Pq.train(assigned, "res", m, ksub, niterPq, seed)
+      val codes = assigned.select(col("id"), col("list_no"),
+        shim.col(PQEncode(shim.expr(col("res")), model.codebooks)).as("code"))
+      // materialize codes before unpersisting the residuals
+      val matCodes = codes.cache()
+      matCodes.count()
+      new IvfPqIndex(nlist, coarse.centroids, model, matCodes)
+    } finally { assigned.unpersist() }
+  }
+}

@@ -1,0 +1,55 @@
+package graft.index
+
+import graft.SparkTestBase
+import graft.knn.Knn
+import graft.eval.Recall
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkTestBase {
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").cache()
+  private def q = emb.filter(col("vec_id") < 10)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+  private def b = emb.filter(col("vec_id") >= 10)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private lazy val pq = PqIndex.build(b, "id", "vec", m = 8, ksub = 16, niter = 5)
+
+  test("ADC distance equals L2 to the decoded vector") {
+    val model = pq.model
+    val df = pq.codes.limit(100).crossJoin(broadcast(q.limit(5)))
+      .select(
+        model.adcCol(col("code"), model.lutCol(col("qvec"))).as("adc"),
+        graft.functions.l2sq(col("qvec"), model.decodeCol(col("code"))).as("viaDecode"))
+    df.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6,
+        s"${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
+  test("PQ search recall above floor (lossy but informative)") {
+    val truth = Knn.knnJoin(q, b, 10)
+    val approx = pq.search(q, 10)
+    val rec = Recall.mean(truth, approx)
+    assert(rec > 0.15, s"recall $rec")
+  }
+
+  test("polysemous Hamming pre-filter: generous ht == unfiltered") {
+    val unfiltered = pq.search(q, 5).select("qid", "id").collect().toSet
+    val generous = pq.search(q, 5, polysemousHt = Some(64)).select("qid", "id").collect().toSet
+    assert(generous == unfiltered)
+    // aggressive ht returns a subset of candidates per query
+    val aggressive = pq.search(q, 5, polysemousHt = Some(2))
+    assert(aggressive.count() <= 50)
+  }
+
+  test("IVFPQ search: recall above floor and ids within base") {
+    val ivfpq = IvfPqIndex.build(b, "id", "vec", nlist = 8, m = 8, ksub = 16,
+      niterCoarse = 4, niterPq = 4)
+    val truth = Knn.knnJoin(q, b, 10)
+    val res = ivfpq.search(q, 10, nprobe = 8)
+    val rec = Recall.mean(truth, res)
+    assert(rec > 0.1, s"recall $rec")
+    assert(res.select("id").collect().forall(_.getLong(0) >= 10))
+  }
+}
