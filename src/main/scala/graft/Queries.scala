@@ -39,6 +39,22 @@ object Queries {
 
   private def r4(c: String): org.apache.spark.sql.Column = round(col(c), 4)
 
+  /** Memo for trained indexes shared across catalog entries (Verify
+    * and Bench run many queries in one session; rebuilding the same
+    * index per query would redo identical kmeans jobs). */
+  private val memo = scala.collection.concurrent.TrieMap.empty[String, Any]
+  private def cached[T](key: String)(f: => T): T =
+    memo.getOrElseUpdate(key, f.asInstanceOf[Any]).asInstanceOf[T]
+
+  private def ivf16(s: SparkSession, dir: String): IvfIndex =
+    cached(s"ivf16:$dir") {
+      IvfIndex.build(bDf(s, dir, 10), "id", "vec", nlist = 16, niter = 4)
+    }
+  private def pq16(s: SparkSession, dir: String): graft.index.PqIndex =
+    cached(s"pq16:$dir") {
+      graft.index.PqIndex.build(bDf(s, dir, 10), "id", "vec", m = 8, ksub = 16, niter = 4)
+    }
+
   // DuckDB SQL fragments ------------------------------------------------
   private val dL2 = "list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2"
   private val dIp = "list_inner_product(q.embedding::DOUBLE[], b.embedding::DOUBLE[])"
@@ -369,11 +385,9 @@ object Queries {
 
     // §2.3 IVF search with nprobe = nlist ⇒ must equal exact kNN (the
     // end-to-end test of train/assign/partition-pruned join/top-k)
-    ("ivf_search_exact", (s: SparkSession, dir: String) => {
-      val idx = IvfIndex.build(bDf(s, dir, 10), "id", "vec", nlist = 16, niter = 4)
-      idx.search(qDf(s, dir, 10), k = 10, nprobe = 16)
-        .withColumn("dist", r4("dist"))
-    },
+    ("ivf_search_exact", (s: SparkSession, dir: String) =>
+      ivf16(s, dir).search(qDf(s, dir, 10), k = 10, nprobe = 16)
+        .withColumn("dist", r4("dist")),
       Some(knnOracle(dL2, "q.vec_id < 10", "b.vec_id >= 10", 10))),
 
     // §2.3 IVF range search, nprobe = nlist ⇒ exact
@@ -387,16 +401,13 @@ object Queries {
               |WHERE q.vec_id < 20 AND b.vec_id >= 20 AND $dL2 < 1.45""".stripMargin)),
 
     // §2.3 the real approximate path (nprobe << nlist): rows-only check
-    ("ivf_search_nprobe4", (s: SparkSession, dir: String) => {
-      val idx = IvfIndex.build(bDf(s, dir, 10), "id", "vec", nlist = 16, niter = 4)
-      idx.search(qDf(s, dir, 10), k = 10, nprobe = 4)
-    }, None),
+    ("ivf_search_nprobe4", (s: SparkSession, dir: String) =>
+      ivf16(s, dir).search(qDf(s, dir, 10), k = 10, nprobe = 4), None),
 
     // §2.7 search_and_return_centroids: list_no as an output column
-    ("ivf_search_centroids", (s: SparkSession, dir: String) => {
-      val idx = IvfIndex.build(bDf(s, dir, 10), "id", "vec", nlist = 16, niter = 4)
-      idx.search(qDf(s, dir, 10), k = 5, nprobe = 16, withCentroid = true)
-    }, None),
+    ("ivf_search_centroids", (s: SparkSession, dir: String) =>
+      ivf16(s, dir).search(qDf(s, dir, 10), k = 5, nprobe = 16,
+        withCentroid = true), None),
 
     // §2.4 k-means train (seeded; engine-deterministic, no SQL oracle)
     ("kmeans_train", (s: SparkSession, dir: String) => {
@@ -594,18 +605,12 @@ object Queries {
 
     // §2.11 IndexPQ ADC search (kmeans codebooks: engine-deterministic,
     // verified by PqSpec ADC==decode-then-L2 parity; rows-only here)
-    ("pq_adc_search", (s: SparkSession, dir: String) => {
-      val pq = graft.index.PqIndex.build(bDf(s, dir, 10), "id", "vec",
-        m = 8, ksub = 16, niter = 4)
-      pq.search(qDf(s, dir, 10), 10)
-    }, None),
+    ("pq_adc_search", (s: SparkSession, dir: String) =>
+      pq16(s, dir).search(qDf(s, dir, 10), 10), None),
 
     // §2.3 polysemous-style Hamming pre-filter before ADC
-    ("pq_polysemous_filter", (s: SparkSession, dir: String) => {
-      val pq = graft.index.PqIndex.build(bDf(s, dir, 10), "id", "vec",
-        m = 8, ksub = 16, niter = 4)
-      pq.search(qDf(s, dir, 10), 10, polysemousHt = Some(48))
-    }, None),
+    ("pq_polysemous_filter", (s: SparkSession, dir: String) =>
+      pq16(s, dir).search(qDf(s, dir, 10), 10, polysemousHt = Some(48)), None),
 
     // §2.11 IVFPQ: residual PQ inside the pruned IVF join
     ("ivfpq_search", (s: SparkSession, dir: String) => {
@@ -750,6 +755,37 @@ object Queries {
              |  ascii(substr(text, 1, 1))::DOUBLE AS f_first,
              |  ascii(substr(text, -1, 1))::DOUBLE AS f_last
              |FROM documents""".stripMargin)),
+
+    // §2.10 Structured Streaming: tumbling-window agg over the events
+    // stream, drained to completion — result equals the batch query
+    ("stream_window_agg", (s: SparkSession, dir: String) =>
+      graft.streaming.StreamingIngest.windowedEventCounts(
+        s, s"$dir/events.parquet"),
+      Some("""SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS ws, event_type,
+             |  count(*) AS cnt, round(sum(value), 2) AS sv
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // §2.12 autotune: nprobe operating points -> Pareto frontier
+    // (recall needs our seeded kmeans; deterministic per engine,
+    // rows-only for the driver)
+    ("autotune_pareto", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val idx = IvfIndex.build(bDf(s, dir, 10), "id", "vec", nlist = 8, niter = 3)
+      val pts = graft.tune.AutoTune.explore(
+        idx, qDf(s, dir, 10), bDf(s, dir, 10), 10, Seq(1, 2, 4, 8))
+      graft.tune.AutoTune.paretoFront(pts)
+        .map(p => (p.nprobe, math.rint(p.recall * 1000) / 1000, math.rint(p.scannedFrac * 1000) / 1000))
+        .toDF("nprobe", "recall", "scanned_frac")
+    }, None),
+
+    // §2.4 exact 1-D k-means (DP over the value histogram)
+    ("kmeans1d_quantity", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val r = graft.cluster.KMeans1D.fit(lineitem(s, dir), "l_quantity", 4)
+      r.boundaries.zip(r.centroids).toSeq
+        .map { case (b, c) => (b, math.rint(c * 1000) / 1000) }
+        .toDF("boundary", "centroid")
+    }, None),
 
     // sanity: classic aggregation pipeline (partial agg + shuffle)
     ("q1_agg", (s: SparkSession, dir: String) =>

@@ -1,0 +1,121 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.knn.Knn
+import graft.transform._
+
+/** Unified search surface over every index family — the factory-string
+  * DSL (faiss index_factory, faiss/index_factory.cpp:885; grammar
+  * SURVEY §2.11). Supported grammar (comma-separated):
+  *
+  *   [transform,...] [IVF<nlist>,] <code>
+  *   transform := PCA<d> | PCAW<d> | RR<d> | L2norm | Center
+  *   code      := Flat | SQ8 | PQ<M>[x<ksub>]
+  *
+  * e.g. "Flat", "IVF16,Flat", "PCA32,IVF16,PQ8", "L2norm,SQ8".
+  * Unsupported reference tokens (HNSW/NSG/fast-scan/additive) are
+  * rejected with the SURVEY §7 rationale: graph builds are
+  * non-dataflow; capability is covered by the IVF path.
+  */
+object IndexFactory {
+
+  sealed trait Built {
+    def search(queries: DataFrame, k: Int, nprobe: Int = 1,
+        queryId: String = "qid", queryVec: String = "qvec"): DataFrame
+  }
+
+  private final class FlatBuilt(base: DataFrame, chain: VecTransform)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      Knn.knnJoin(q.withColumn(qvec, chain.applyCol(col(qvec))), base, k,
+        queryId = qid, queryVec = qvec)
+  }
+  private final class IvfBuilt(idx: IvfIndex, chain: VecTransform)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
+        math.max(nprobe, 1), qid, qvec)
+  }
+  private final class SqBuilt(idx: SqIndex, chain: VecTransform)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, qid, qvec)
+  }
+  private final class PqBuilt(idx: PqIndex, chain: VecTransform)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, qid, qvec)
+  }
+  private final class IvfPqBuilt(idx: IvfPqIndex, chain: VecTransform)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
+        math.max(nprobe, 1), qid, qvec)
+  }
+
+  private val Pca = "PCA(W?)(\\d+)".r
+  private val Rr = "RR(\\d+)".r
+  private val Ivf = "IVF(\\d+)".r
+  private val Pq = "PQ(\\d+)(?:x(\\d+))?".r
+
+  /** Train the whole pipeline on `df` (id, vec) and return a
+    * searchable index. */
+  def build(df: DataFrame, idCol: String, vecCol: String, desc: String,
+      niter: Int = 4, seed: Long = 1234L): Built = {
+    val tokens = desc.split(",").map(_.trim).filter(_.nonEmpty).toList
+    require(tokens.nonEmpty, s"empty factory string '$desc'")
+
+    var data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val transforms = Vector.newBuilder[VecTransform]
+    var rest = tokens
+    var done = false
+    while (!done) rest match {
+      case Pca(w, dOut) :: tl =>
+        val t = Transforms.pca(data, "vec", dOut.toInt, whiten = w == "W")
+        transforms += t
+        data = data.withColumn("vec", t.applyCol(col("vec")))
+        rest = tl
+      case Rr(dd) :: tl =>
+        val t = Transforms.randomRotation(dd.toInt, seed)
+        transforms += t
+        data = data.withColumn("vec", t.applyCol(col("vec")))
+        rest = tl
+      case "L2norm" :: tl =>
+        transforms += Normalization
+        data = data.withColumn("vec", Normalization.applyCol(col("vec")))
+        rest = tl
+      case "Center" :: tl =>
+        val t = Centering.train(data, "vec")
+        transforms += t
+        data = data.withColumn("vec", t.applyCol(col("vec")))
+        rest = tl
+      case _ => done = true
+    }
+    val chain = Chain(transforms.result())
+    data = data.cache()
+
+    val built = rest match {
+      case Ivf(nlist) :: code :: Nil => code match {
+        case "Flat" =>
+          new IvfBuilt(IvfIndex.build(data, "id", "vec", nlist.toInt,
+            niter = niter, seed = seed), chain)
+        case Pq(m, ks) =>
+          new IvfPqBuilt(IvfPqIndex.build(data, "id", "vec", nlist.toInt,
+            m.toInt, Option(ks).map(_.toInt).getOrElse(16),
+            niterCoarse = niter, niterPq = niter, seed = seed), chain)
+        case other => throw new IllegalArgumentException(
+          s"unsupported IVF code '$other' in '$desc'")
+      }
+      case "Flat" :: Nil => new FlatBuilt(data, chain)
+      case "SQ8" :: Nil => new SqBuilt(SqIndex.build(data, "id", "vec"), chain)
+      case Pq(m, ks) :: Nil =>
+        new PqBuilt(PqIndex.build(data, "id", "vec", m.toInt,
+          Option(ks).map(_.toInt).getOrElse(16), niter = niter, seed = seed), chain)
+      case other => throw new IllegalArgumentException(
+        s"unsupported factory tail '${other.mkString(",")}' in '$desc' " +
+          "(HNSW/NSG/fast-scan are out of scope: SURVEY §7)")
+    }
+    built
+  }
+}

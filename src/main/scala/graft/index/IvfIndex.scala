@@ -40,6 +40,12 @@ class IvfIndex(
       .select(col(queryId), col(queryVec),
         col("_p.list_no").as("list_no"), col("_p.dist").as("coarse_dist"))
 
+  /** Distinct lists any query probes at this nprobe (the scan set). */
+  def probedListNos(queries: DataFrame, nprobe: Int,
+      queryId: String = "qid", queryVec: String = "qvec"): Array[Int] =
+    probes(queries, nprobe, queryId, queryVec)
+      .select("list_no").distinct().collect().map(_.getInt(0))
+
   /** kNN search over the probed lists (search_preassigned,
     * faiss/IndexIVF.cpp:398-683). Output (qid, rank, id, dist).
     * `filter` = IDSelector pushed inside the scan (IndexIVF.h:377).

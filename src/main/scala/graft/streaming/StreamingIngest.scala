@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.cluster.KMeans
+
+/** Structured-Streaming ingest into an IVF index (SURVEY §2.10): the
+  * reference's incremental `add` path (faiss/Index.h:100-116,
+  * IndexIVF.cpp:254 omp add loop) is embarrassingly parallel
+  * assign→append, which maps exactly onto foreachBatch over a
+  * list_no-partitioned parquet index. SlidingIndexWindow
+  * (faiss/IVFlib.h:87-112) becomes time-partition retention.
+  */
+object StreamingIngest {
+
+  /** Start appending a stream of (id, vec) rows into `indexPath`
+    * (same layout as [[graft.index.IvfIndex.save]]): each microbatch
+    * is coarse-assigned with the trained centroids and appended to its
+    * list_no partitions. */
+  def startIngest(stream: DataFrame, model: KMeans.Model, indexPath: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        model.assign(batch, "vec")
+          .select(col("id"), col("vec"), col("list_no"))
+          .write.mode("append").partitionBy("list_no")
+          .parquet(s"$indexPath/invlists")
+      }
+      .start()
+
+  /** Retention step of a sliding window over time-partitioned data
+    * (SlidingIndexWindow::step): keep only the newest `keep`
+    * partitions of `col`. Returns the pruned DataFrame view; physical
+    * deletion is the caller's compaction policy. */
+  def slidingWindow(df: DataFrame, partitionCol: String, keep: Int): DataFrame = {
+    val parts = df.select(col(partitionCol)).distinct()
+      .orderBy(col(partitionCol).desc).limit(keep)
+    df.join(broadcast(parts), Seq(partitionCol), "left_semi")
+  }
+
+  /** Batch-equivalent streaming window aggregation over a parquet
+    * events table: readStream → tumbling window agg → memory sink,
+    * drained synchronously. Returns the completed result table. */
+  def windowedEventCounts(spark: SparkSession, eventsParquet: String,
+      windowLength: String = "1 hour"): DataFrame = {
+    // FileStreamSource wants a directory: stage the single file
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(eventsParquet),
+      dir.resolve("events.parquet"))
+    // the testdata writes TIMESTAMP(NANOS) which Spark only reads as long
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsParquet).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val agg = stream
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+    val name = s"graft_windowed_${System.identityHashCode(stream)}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("window.start").cast("long").as("ws"), col("event_type"),
+        col("cnt"), round(col("sv"), 2).as("sv"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.io
+
+import graft.SparkTestBase
+import graft.index.IndexFactory
+import graft.knn.Knn
+import org.apache.spark.sql.functions._
+
+class IoFactorySpec extends SparkTestBase {
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").cache()
+  private def q = emb.filter(col("vec_id") < 5)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+  private def b = emb.filter(col("vec_id") >= 10)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  test("fvecs round-trip: write locally, distributed read back") {
+    val vecs = emb.limit(20).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val path = java.nio.file.Files.createTempDirectory("vecs").toString + "/t.fvecs"
+    VecsIO.writeFvecsLocal(path, vecs.iterator)
+    val back = VecsIO.readFvecs(spark, path).orderBy("id").collect()
+    assert(back.length == 20)
+    back.zip(vecs).foreach { case (row, orig) =>
+      assert(row.getSeq[Float](1).toArray.toSeq == orig.toSeq)
+    }
+  }
+
+  test("factory Flat == direct knnJoin") {
+    val f = IndexFactory.build(b, "id", "vec", "Flat")
+    val got = f.search(q, 5).select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Knn.knnJoin(q, b, 5).select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("factory IVF8,Flat with nprobe=8 == exact") {
+    val f = IndexFactory.build(b, "id", "vec", "IVF8,Flat")
+    val got = f.search(q, 5, nprobe = 8).select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Knn.knnJoin(q, b, 5).select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("factory PCA16,IVF4,Flat and L2norm,SQ8 build and search") {
+    val f1 = IndexFactory.build(b, "id", "vec", "PCA16,IVF4,Flat")
+    assert(f1.search(q, 3, nprobe = 4).count() == 15)
+    val f2 = IndexFactory.build(b, "id", "vec", "L2norm,SQ8")
+    assert(f2.search(q, 3).count() == 15)
+  }
+
+  test("factory rejects unsupported HNSW with rationale") {
+    val e = intercept[IllegalArgumentException] {
+      IndexFactory.build(b, "id", "vec", "HNSW32")
+    }
+    assert(e.getMessage.contains("SURVEY"))
+  }
+}
