@@ -619,6 +619,106 @@ object Queries {
       idx.search(qDf(s, dir, 10), 10, nprobe = 8)
     }, None),
 
+    // §2.7 intersect (left_semi) of two id sets
+    ("intersect_ids", (s: SparkSession, dir: String) => {
+      val a = emb(s, dir).filter(col("vec_id") % 2 === 0).select(col("vec_id"))
+      val b = emb(s, dir).filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+      a.join(b, Seq("vec_id"), "left_semi")
+    },
+      Some("SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0 AND vec_id % 3 = 0")),
+
+    // §2.7 except (left_anti)
+    ("except_ids", (s: SparkSession, dir: String) => {
+      val a = emb(s, dir).filter(col("vec_id") % 2 === 0).select(col("vec_id"))
+      val b = emb(s, dir).filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+      a.join(b, Seq("vec_id"), "left_anti")
+    },
+      Some("SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0 AND vec_id % 3 <> 0")),
+
+    // §2.3 search_and_reconstruct: kNN that also returns the matched
+    // vector (joined back on id, rounded first component as witness)
+    ("search_and_reconstruct", (s: SparkSession, dir: String) => {
+      val res = Knn.knnJoin(qDf(s, dir, 10), bDf(s, dir, 10), 5)
+      res.join(bDf(s, dir, 10), "id")
+        .select(col("qid"), col("rank"), col("id"), r4("dist").as("dist"),
+          round(element_at(col("vec"), 1).cast("double"), 4).as("v1"))
+    },
+      Some(s"""SELECT qid, "rank", id, round(dist, 4) AS dist, round(v1, 4) AS v1 FROM (
+              |  SELECT q.vec_id AS qid, b.vec_id AS id, $dL2 AS dist,
+              |    b.embedding[1]::DOUBLE AS v1,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $dL2, b.vec_id) AS "rank"
+              |  FROM embeddings q CROSS JOIN embeddings b
+              |  WHERE q.vec_id < 10 AND b.vec_id >= 10) t WHERE "rank" <= 5""".stripMargin)),
+
+    // §2.3 IndexFlat1D: exact 1-D nearest search (|q - v| metric)
+    ("knn_1d", (s: SparkSession, dir: String) => {
+      val vals = emb(s, dir).select(col("vec_id").as("id"),
+        element_at(col("embedding"), 1).cast("double").as("v"))
+      val qs = vals.filter(col("id") < 10)
+        .select(col("id").as("qid"), col("v").as("qv"))
+      val base = vals.filter(col("id") >= 10)
+      base.crossJoin(broadcast(qs))
+        .select(col("qid"), col("id"), abs(col("v") - col("qv")).as("_d"))
+        .groupBy(col("qid"))
+        .agg(topk(col("_d"), col("id"), 3, asc = true).as("_tk"))
+        .select(col("qid"), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+        .select(col("qid"), (col("_pos") + 1).cast("long").as("rank"),
+          col("_r.id").as("id"), round(col("_r.dist"), 4).as("dist"))
+    },
+      Some("""SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+             |  SELECT q.vec_id AS qid, b.vec_id AS id,
+             |    abs(b.embedding[1]::DOUBLE - q.embedding[1]::DOUBLE) AS dist,
+             |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |      abs(b.embedding[1]::DOUBLE - q.embedding[1]::DOUBLE), b.vec_id) AS "rank"
+             |  FROM embeddings q CROSS JOIN embeddings b
+             |  WHERE q.vec_id < 10 AND b.vec_id >= 10) t WHERE "rank" <= 3""".stripMargin)),
+
+    // §2.3 range search under a similarity metric (IP: dist > radius)
+    ("range_search_ip", (s: SparkSession, dir: String) =>
+      Knn.rangeJoin(qDf(s, dir, 20), bDf(s, dir, 20), 0.35, metric = "ip")
+        .withColumn("dist", r4("dist")),
+      Some(s"""SELECT q.vec_id AS qid, b.vec_id AS id, round($dIp, 4) AS dist
+              |FROM embeddings q CROSS JOIN embeddings b
+              |WHERE q.vec_id < 20 AND b.vec_id >= 20 AND $dIp > 0.35""".stripMargin)),
+
+    // §2.7 get_invlist_range: export a contiguous range of lists
+    ("invlist_range", (s: SparkSession, dir: String) =>
+      ivf16(s, dir).invlists.filter(col("list_no").between(0, 7))
+        .groupBy(col("list_no")).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).cast("long").as("n_lists"), sum(col("cnt")).as("n_rows")),
+      None),
+
+    // §2.11 LSH: seeded random rotation + sign bits + Hamming search
+    ("lsh_search", (s: SparkSession, dir: String) => {
+      val rot = cached(s"rot64:$dir") { graft.transform.Transforms.randomRotation(64, 42L) }
+      val enc = (c: org.apache.spark.sql.Column) => sign_bits(rot.applyCol(c))
+      val q = qDf(s, dir, 10).select(col("qid"), enc(col("qvec")).as("qcode"))
+      val b = bDf(s, dir, 10).select(col("id"), enc(col("vec")).as("code"))
+      graft.index.BinaryFlat.knnJoin(q, b, 10)
+    }, None),
+
+    // §2.9 OPQ: learned rotation + PQ (rows-only; engine-deterministic)
+    ("opq_pq_search", (s: SparkSession, dir: String) => {
+      val base = bDf(s, dir, 10)
+      val (rot, pqm) = cached(s"opq:$dir") {
+        graft.transform.Opq.trainOpq(base, "vec", m = 8, ksub = 16,
+          outerIters = 2, pqIters = 3)
+      }
+      val idx = new graft.index.PqIndex(pqm,
+        pqm.encode(base.withColumn("vec", rot.applyCol(col("vec"))), "id", "vec"))
+      idx.search(qDf(s, dir, 10).withColumn("qvec", rot.applyCol(col("qvec"))), 10)
+    }, None),
+
+    // §2.4 two-level clustering (scalable nlist path; rows-only)
+    ("two_level_centroids", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val cents = graft.cluster.TwoLevelClustering.fit(
+        emb(s, dir), "embedding", nlist = 12, niter1 = 3, niter2 = 3)
+      cents.zipWithIndex.toSeq
+        .map { case (c, i) => (i, math.rint(c(0) * 1000) / 1000) }
+        .toDF("list_no", "c1")
+    }, None),
+
     // ---- LLM-pipeline operators (north star) --------------------------
 
     // exact dedup with instances table (IVFFlatDedup analog) on a

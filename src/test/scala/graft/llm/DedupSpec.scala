@@ -1,0 +1,65 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet").cache()
+
+  test("exact dedup on doubled corpus: every group has exactly 2 instances") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val doubled = e.unionByName(
+      e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val groups = Dedup.exactDupGroups(doubled, "vec_id", col("embedding"))
+    assert(groups.count() == 500)
+    assert(groups.filter(col("cnt") =!= 2).count() == 0)
+    val survivors = Dedup.dropExactDups(doubled, "vec_id", col("embedding"))
+    assert(survivors.count() == 500)
+    assert(survivors.filter(col("vec_id") >= 10000).count() == 0) // min id wins
+  }
+
+  test("minhash LSH candidates contain all very-near duplicates") {
+    // ground truth: pairs with 3-gram jaccard >= 0.9 (planted dups)
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9, 3)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "testdata should contain planted near-dups")
+    val found = Dedup.nearDupPairs(docs, "doc_id", "text", 0.9, 3, 12, 4)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // at jaccard >= 0.9 with 4 bands of 3, candidate recall is ~0.995
+    assert(truth.subsetOf(found) || (truth -- found).size <= 1,
+      s"missed ${truth -- found}")
+  }
+
+  test("pairJaccard equals the inverted-index computation") {
+    val pairs = Dedup.minhashLshCandidates(docs, "doc_id", "text", 3, 12, 4)
+    val viaSets = Dedup.pairJaccard(pairs, docs, "doc_id", "text", 3)
+      .filter(col("jaccard") >= 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaIndex = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5, 3)
+      .join(pairs, Seq("i", "j"), "left_semi")
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSets == viaIndex)
+  }
+
+  test("simhash near-dups include the planted duplicates") {
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.95, 3)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 10)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // simhash of near-identical token multisets should be within a few bits
+    assert(truth.intersect(sh).size >= truth.size / 2,
+      s"simhash found ${truth.intersect(sh).size} of ${truth.size}")
+  }
+
+  test("embedding near-dups on doubled corpus are exactly the planted copies") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val doubled = e.unionByName(
+      e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val pairs = Dedup.embeddingNearDups(doubled, "vec_id", "embedding", 0.99)
+    assert(pairs.count() == 500)
+    assert(pairs.filter(col("j") - col("i") =!= 10000).count() == 0)
+  }
+}
