@@ -41,9 +41,14 @@ object Dedup {
     val r = hashes / bands
     val sig = docs.select(col(idCol).as("_id"),
       minhashSignature(shingleSet(col(textCol), ngram), hashes).as("_sig"))
+    // The signature (shingling + hashes*|shingles| md5s per doc) is by
+    // far the most expensive expression in the pipeline and the band
+    // table feeds both sides of the self-join plus the verify stage —
+    // persist it so it is computed exactly once per document.
     val banded = sig.select(col("_id"),
       posexplode(lshBandHashes(col("_sig"), bands, r)).as(Seq("band_id", "band_hash")))
       .filter(col("band_hash").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("a").join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_hash") === col("b.band_hash") &&
@@ -57,6 +62,7 @@ object Dedup {
       textCol: String, ngram: Int = 3): DataFrame = {
     val sets = docs.select(col(idCol).as("_id"),
       shingleSet(col(textCol), ngram).as("_set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs
       .join(sets.select(col("_id").as("i"), col("_set").as("_sa")), "i")
       .join(sets.select(col("_id").as("j"), col("_set").as("_sb")), "j")
@@ -74,6 +80,7 @@ object Dedup {
       threshold: Double, ngram: Int = 3, hashes: Int = 12,
       bands: Int = 4): DataFrame = {
     val cand = minhashLshCandidates(docs, idCol, textCol, ngram, hashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairJaccard(cand, docs, idCol, textCol, ngram)
       .filter(col("jaccard") >= threshold)
   }
