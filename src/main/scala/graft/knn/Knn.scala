@@ -52,8 +52,12 @@ object Knn {
   }
 
   /** 1-NN assignment (Index::assign, faiss/Index.h:158): returns
-    * (qid, id, dist) of the single nearest base row. Uses min/max of a
-    * (dist, id) struct → plain codegen'd partial agg, no heap needed. */
+    * (qid, id, dist) of the single nearest base row. Uses the k=1
+    * bounded-heap aggregate — ObjectHashAggregate with partial
+    * map-side combine. (A min-of-struct formulation reads nicer but
+    * Spark plans struct min/max as SortAggregate, which sorts the
+    * whole |base|×|queries| cross product — the SingleBestResultHandler
+    * heap shape avoids any sort.) */
   def assign(
       queries: DataFrame, base: DataFrame,
       metric: String = "l2sq", metricArg: Double = 0.0,
@@ -61,22 +65,12 @@ object Knn {
       baseId: String = "id", baseVec: String = "vec"): DataFrame = {
     val asc = Metric.ascending(metric)
     val dist = vec_dist(col(queryVec), col(baseVec), metric, metricArg)
-    val joined = base.crossJoin(broadcast(queries))
-      .select(col(queryId), struct(dist.as("dist"), col(baseId).as("id")).as("_p"))
-    val best = if (asc) min(col("_p")) else max(col("_p"))
-    // For similarities the id tiebreak must still be ASC while dist is
-    // DESC; max(struct) breaks ties toward larger id, so flip the id
-    // sign inside the struct and restore after.
-    if (asc)
-      joined.groupBy(col(queryId)).agg(best.as("_b"))
-        .select(col(queryId), col("_b.id").as(baseId), col("_b.dist").as("dist"))
-    else {
-      val j2 = base.crossJoin(broadcast(queries))
-        .select(col(queryId),
-          struct(dist.as("dist"), (-col(baseId)).as("nid")).as("_p"))
-      j2.groupBy(col(queryId)).agg(max(col("_p")).as("_b"))
-        .select(col(queryId), (-col("_b.nid")).as(baseId), col("_b.dist").as("dist"))
-    }
+    base.crossJoin(broadcast(queries))
+      .select(col(queryId), col(baseId), dist.as("_dist"))
+      .groupBy(col(queryId))
+      .agg(topk(col("_dist"), col(baseId), 1, asc).as("_tk"))
+      .select(col(queryId), explode(col("_tk")).as("_r"))
+      .select(col(queryId), col("_r.id").as(baseId), col("_r.dist").as("dist"))
   }
 
   /** Range search (Index::range_search, faiss/Index.h:145-150,

@@ -1,0 +1,65 @@
+package graft.knn
+
+import graft.SparkTestBase
+import graft.index.IvfIndex
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression checks: the scale story depends on these
+  * plan shapes, not just on correct results (builder prompt: "the plan
+  * you'd want, not the first one that passed"). */
+class PlanSpec extends SparkTestBase {
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+  private def q = emb.filter(col("vec_id") < 10)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+  private def b = emb.filter(col("vec_id") >= 10)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  test("knnJoin: broadcast queries, partial top-k, base never shuffled") {
+    val plan = Knn.knnJoin(q, b, 5).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"no broadcast NLJ:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"no object hash agg:\n$plan")
+    assert(plan.toLowerCase.contains("partial_topk"), s"no partial top-k:\n$plan")
+    // exactly one data shuffle: the k-rows-per-group final aggregation
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
+  }
+
+  test("base-side id filter is pushed to the parquet scan") {
+    val df = Knn.knnJoin(q, b, 5, filter = Some(col("id").between(100, 299)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(vec_id,100)"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("projection pruning: only vec_id and embedding are read") {
+    val plan = Knn.knnJoin(q, b, 5).queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("label"), "label column should be pruned from scan")
+  }
+
+  test("persisted IVF search reads only the probed list_no partitions") {
+    val idx = IvfIndex.build(b, "id", "vec", nlist = 8, niter = 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivfplan").toString
+    idx.save(dir)
+    val loaded = IvfIndex.load(spark, dir)
+    val oneQuery = q.limit(1)
+    val lists = loaded.probedListNos(oneQuery, 2)
+    val probed = loaded.invlists
+      .filter(col("list_no").isin(lists.map(Integer.valueOf): _*))
+    // inputFiles ignores filters; count selected partitions from the scan
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("list_no"), s"no partition filter on list_no:\n$plan")
+    val scanned = probed.select(col("list_no")).distinct().count()
+    assert(scanned <= lists.length, s"scanned $scanned lists for ${lists.length} probes")
+  }
+
+  test("assign uses the heap aggregate (no window, no sort aggregate)") {
+    val plan = Knn.assign(q, b).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "assign must not use a window sort")
+    assert(!plan.contains("SortAggregate"), s"sort aggregate in assign:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"expected object hash agg:\n$plan")
+  }
+}
