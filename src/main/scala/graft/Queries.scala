@@ -614,8 +614,10 @@ object Queries {
 
     // §2.11 IVFPQ: residual PQ inside the pruned IVF join
     ("ivfpq_search", (s: SparkSession, dir: String) => {
-      val idx = graft.index.IvfPqIndex.build(bDf(s, dir, 10), "id", "vec",
-        nlist = 8, m = 8, ksub = 16, niterCoarse = 4, niterPq = 4)
+      val idx = cached(s"ivfpq:$dir") {
+        graft.index.IvfPqIndex.build(bDf(s, dir, 10), "id", "vec",
+          nlist = 8, m = 8, ksub = 16, niterCoarse = 4, niterPq = 4)
+      }
       idx.search(qDf(s, dir, 10), 10, nprobe = 8)
     }, None),
 
@@ -717,6 +719,17 @@ object Queries {
       cents.zipWithIndex.toSeq
         .map { case (c, i) => (i, math.rint(c(0) * 1000) / 1000) }
         .toDF("list_no", "c1")
+    }, None),
+
+    // §2.3 IVFPQR: IVFPQ candidates re-ranked exactly with k_factor
+    ("ivfpqr_search", (s: SparkSession, dir: String) => {
+      val base = bDf(s, dir, 10)
+      val idx = cached(s"ivfpq:$dir") {
+        graft.index.IvfPqIndex.build(base, "id", "vec", nlist = 8,
+          m = 8, ksub = 16, niterCoarse = 4, niterPq = 4)
+      }
+      graft.index.Refine.ivfPqRefineSearch(qDf(s, dir, 10), base, idx,
+        k = 5, nprobe = 8, kFactor = 4)
     }, None),
 
     // ---- LLM-pipeline operators (north star) --------------------------

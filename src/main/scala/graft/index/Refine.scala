@@ -29,4 +29,14 @@ object Refine {
     val stage1 = sq.search(queries, k * kFactor)
     rerank(queries, base, stage1, k, metric)
   }
+
+  /** IVFPQ + exact re-rank with k_factor (IndexIVFPQR,
+    * faiss/IndexIVFPQR.h:19, default k_factor = 4; our stage 2
+    * re-scores with exact vectors rather than a second residual PQ —
+    * same plan shape, strictly better precision). */
+  def ivfPqRefineSearch(queries: DataFrame, base: DataFrame, idx: IvfPqIndex,
+      k: Int, nprobe: Int, kFactor: Int = 4): DataFrame = {
+    val stage1 = idx.search(queries, k * kFactor, nprobe)
+    rerank(queries, base, stage1, k)
+  }
 }

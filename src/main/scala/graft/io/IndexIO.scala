@@ -1,0 +1,100 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.index._
+import graft.transform._
+
+/** read_index/write_index analogs for the remaining index families and
+  * trained transforms (faiss/index_io.h:38-71,
+  * faiss/impl/index_write.cpp / index_read.cpp): parquet for row data,
+  * a small JSON dataset for trained parameters. Layout:
+  *   <path>/codes|invlists/  — parquet (partitioned where meaningful)
+  *   <path>/meta/            — one-row-per-parameter JSON
+  */
+object IndexIO {
+
+  // ---- SQ -------------------------------------------------------------
+  def saveSq(idx: SqIndex, path: String): Unit = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    idx.codes.write.mode("overwrite").parquet(s"$path/codes")
+    idx.vmin.indices.map(i => (i, idx.vmin(i), idx.vdiff(i))).toDF("dim", "vmin", "vdiff")
+      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+  }
+
+  def loadSq(spark: SparkSession, path: String): SqIndex = {
+    val meta = spark.read.json(s"$path/meta")
+      .select(col("dim").cast("int"), col("vmin").cast("double"),
+        col("vdiff").cast("double")).collect()
+    val d = meta.length
+    val vmin = new Array[Double](d); val vdiff = new Array[Double](d)
+    meta.foreach { r =>
+      vmin(r.getInt(0)) = r.getDouble(1); vdiff(r.getInt(0)) = r.getDouble(2)
+    }
+    new SqIndex(vmin, vdiff, spark.read.parquet(s"$path/codes"))
+  }
+
+  // ---- PQ -------------------------------------------------------------
+  def savePq(idx: PqIndex, path: String): Unit = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    idx.codes.write.mode("overwrite").parquet(s"$path/codes")
+    val m = idx.model
+    val rows = for (mi <- 0 until m.m; j <- 0 until m.codebooks(mi).length)
+      yield (mi, j, m.codebooks(mi)(j).toSeq, m.ksub, m.dsub)
+    rows.toDF("m", "j", "centroid", "ksub", "dsub")
+      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+  }
+
+  def loadPq(spark: SparkSession, path: String): PqIndex = {
+    val meta = spark.read.json(s"$path/meta")
+      .select(col("m").cast("int"), col("j").cast("int"),
+        col("centroid").cast("array<float>"),
+        col("ksub").cast("int"), col("dsub").cast("int")).collect()
+    val mCount = meta.map(_.getInt(0)).max + 1
+    val ksub = meta.head.getInt(3); val dsub = meta.head.getInt(4)
+    val cb = Array.ofDim[Array[Float]](mCount, ksub)
+    meta.foreach { r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray }
+    new PqIndex(PqModel(mCount, ksub, dsub, cb), spark.read.parquet(s"$path/codes"))
+  }
+
+  // ---- VectorTransform chain -----------------------------------------
+  // (write_VectorTransform / read_VectorTransform, faiss/index_io.h:67)
+  def saveTransform(spark: SparkSession, t: VecTransform, path: String): Unit = {
+    import spark.implicits._
+    def rows(t: VecTransform, pos: Int): Seq[(Int, String, Int, Seq[Float], Seq[Float])] =
+      t match {
+        case Normalization => Seq((pos, "l2norm", -1, Nil, Nil))
+        case Centering(m) => Seq((pos, "center", -1, m.toSeq, Nil))
+        case Remap(idx) => Seq((pos, "remap", -1, idx.map(_.toFloat).toSeq, Nil))
+        case Linear(a, b) => a.indices.map(i =>
+          (pos, "linear", i, a(i).toSeq, if (b == null) Nil else Seq(b(i))))
+        case Chain(ts) => ts.zipWithIndex.flatMap { case (s, i) => rows(s, pos * 100 + i) }
+      }
+    rows(t, 0).toDF("pos", "kind", "row", "weights", "bias")
+      .coalesce(1).write.mode("overwrite").json(path)
+  }
+
+  def loadTransform(spark: SparkSession, path: String): VecTransform = {
+    val rows = spark.read.json(path)
+      .select(col("pos").cast("int"), col("kind"), col("row").cast("int"),
+        col("weights").cast("array<float>"), col("bias").cast("array<float>"))
+      .collect()
+    val byPos = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+    val parts = byPos.map { case (_, rs) =>
+      rs.head.getString(1) match {
+        case "l2norm" => Normalization
+        case "center" => Centering(rs.head.getSeq[Float](3).toArray)
+        case "remap" => Remap(rs.head.getSeq[Float](3).map(_.toInt).toArray)
+        case "linear" =>
+          val sorted = rs.sortBy(_.getInt(2))
+          val a = sorted.map(_.getSeq[Float](3).toArray).toArray
+          val biases = sorted.map(_.getSeq[Float](4))
+          val b = if (biases.head.isEmpty) null else biases.map(_.head).toArray
+          Linear(a, b)
+      }
+    }
+    if (parts.length == 1) parts.head else Chain(parts)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.io
+
+import graft.SparkTestBase
+import graft.index.{PqIndex, SqIndex}
+import graft.transform._
+import org.apache.spark.sql.functions._
+
+class IndexIOSpec extends SparkTestBase {
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").cache()
+  private def q = emb.filter(col("vec_id") < 5)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+  private def b = emb.filter(col("vec_id") >= 10)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private def results(df: org.apache.spark.sql.DataFrame) =
+    df.select("qid", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("SQ index save/load round-trip preserves search results") {
+    val idx = SqIndex.build(b, "id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("sqio").toString
+    IndexIO.saveSq(idx, dir)
+    val loaded = IndexIO.loadSq(spark, dir)
+    assert(results(loaded.search(q, 5)) == results(idx.search(q, 5)))
+  }
+
+  test("PQ index save/load round-trip preserves search results") {
+    val idx = PqIndex.build(b, "id", "vec", m = 8, ksub = 16, niter = 3)
+    val dir = java.nio.file.Files.createTempDirectory("pqio").toString
+    IndexIO.savePq(idx, dir)
+    val loaded = IndexIO.loadPq(spark, dir)
+    assert(results(loaded.search(q, 5)) == results(idx.search(q, 5)))
+    assert(loaded.model.ksub == 16 && loaded.model.m == 8)
+  }
+
+  test("transform chain save/load round-trip applies identically") {
+    val chain = Chain(Seq(
+      Centering.train(emb, "embedding"),
+      Transforms.pca(emb, "embedding", 8),
+      Normalization))
+    val dir = java.nio.file.Files.createTempDirectory("tio").toString + "/t"
+    IndexIO.saveTransform(spark, chain, dir)
+    val loaded = IndexIO.loadTransform(spark, dir)
+    val a = emb.limit(20).select(chain.applyCol(col("embedding")).as("y")).collect()
+    val c = emb.limit(20).select(loaded.applyCol(col("embedding")).as("y")).collect()
+    a.zip(c).foreach { case (x, y) =>
+      val xs = x.getSeq[Float](0); val ys = y.getSeq[Float](0)
+      xs.zip(ys).foreach { case (u, v) => assert(math.abs(u - v) < 1e-6) }
+    }
+  }
+}
