@@ -760,8 +760,12 @@ object Queries {
              |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
              |         THEN list_transform(t[1:len(t)-2], (x, i) -> x || ' ' || t[i+1] || ' ' || t[i+2])
              |         ELSE []::VARCHAR[] END) AS s FROM toks),
+             |hs AS (SELECT doc_id, s, list_transform(s,
+             |         x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 1048573) AS hv FROM sh),
              |sig AS (SELECT doc_id, s, list_transform(range(0, 12),
-             |          j -> list_aggregate(list_transform(s, x -> md5(j || ':' || x)), 'min')) AS sg FROM sh),
+             |          j -> list_aggregate(list_transform(hv,
+             |            h -> (h * ((2654435761 * (j+1)) % 1000000007) + (97531 * (j+13)) % 1000000007) % 1000000007),
+             |            'min')) AS sg FROM hs),
              |band AS (SELECT doc_id, b, md5(array_to_string(sg[3*b+1:3*b+3], '|')) AS bh
              |         FROM sig, range(0, 4) r(b)),
              |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j

@@ -43,6 +43,50 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** MinHash signature from pre-hashed shingle values: one pass of
+  * `numHashes` linear permutations (h·A_j + B_j mod P) over the base
+  * hashes. The base hash (md5-hex → int, mod 2^20ish) is computed once
+  * per shingle by builtin expressions; this expression replaces
+  * `numHashes` md5 evaluations per shingle with integer math, and its
+  * constants are reproduced verbatim in the DuckDB oracle SQL. */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  import MinHashSig._
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      val aj = a(j); val bj = b(j)
+      var best = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val h = (arr.getLong(i) * aj + bj) % P
+          if (h < best) best = h
+        }
+        i += 1
+      }
+      out(j) = if (best == Long.MaxValue) null else best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashSig {
+  /** Constants mirrored in the oracle SQL — keep in sync with
+    * Queries.minhash oracle. */
+  val P = 1000000007L
+  val M = 1048573L // base-hash modulus (fits h*a in int64)
+  def a(j: Int): Long = (2654435761L * (j + 1)) % P
+  def b(j: Int): Long = (97531L * (j + 13)) % P
+}
+
 object SimHash64 {
   def fnv1a64(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L

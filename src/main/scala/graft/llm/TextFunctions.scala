@@ -33,19 +33,27 @@ object TextFunctions {
   /** Distinct shingle set (the Jaccard universe). */
   def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
 
-  /** MinHash signature: array of `h` lexicographic-min md5 digests.
+  /** MinHash signature: one md5 per shingle (hex prefix → 60-bit int,
+    * reduced mod [[graft.core.MinHashSig.M]]), then `h` linear
+    * permutations min-reduced in a single expression pass
+    * ([[graft.core.MinHashSig]]). ~h× cheaper than hashing every
+    * (j, shingle) pair, with identical DuckDB-SQL reproducibility.
     * Empty-shingle docs get nulls in the signature (never match). */
-  def minhashSignature(shingleSet: Column, h: Int): Column =
-    transform(sequence(lit(0), lit(h - 1)),
-      j => array_min(transform(shingleSet,
-        s => md5(concat(j.cast("string"), lit(":"), s)))))
+  def minhashSignature(shingleSet: Column, h: Int): Column = {
+    val baseHashes = transform(shingleSet,
+      s => (conv(substring(md5(s), 1, 15), 16, 10).cast("long") % graft.core.MinHashSig.M))
+    org.apache.spark.sql.graft.shim.col(
+      graft.core.MinHashSig(
+        org.apache.spark.sql.graft.shim.expr(baseHashes), h))
+  }
 
   /** LSH band hashes: `bands` digests, each over `rowsPerBand`
     * consecutive signature components. Candidates = docs sharing any
     * (band_id, band_hash). */
   def lshBandHashes(signature: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
-      b => md5(concat_ws("|", slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)))))
+      b => md5(concat_ws("|",
+        slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"))))
 
   /** Document fingerprint (content hash). */
   def fingerprint(text: Column): Column = md5(text)
