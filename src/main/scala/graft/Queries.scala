@@ -732,6 +732,68 @@ object Queries {
         k = 5, nprobe = 8, kFactor = 4)
     }, None),
 
+    // §2.11 IVF-SQ: SQ8 codes inside the pruned IVF join; nprobe=nlist
+    // makes it equal the flat SQ8 ADC search, so the sq8_knn oracle
+    // applies verbatim
+    ("ivfsq_search_exact", (s: SparkSession, dir: String) => {
+      val idx = graft.index.IvfSqIndex.build(bDf(s, dir, 10), "id", "vec",
+        nlist = 16, niter = 4)
+      idx.search(qDf(s, dir, 10), 5, nprobe = 16).withColumn("dist", r4("dist"))
+    },
+      Some("""WITH dims AS (
+             |  SELECT list(mn ORDER BY i) AS vmn, list(mx - mn ORDER BY i) AS vd FROM (
+             |    SELECT i, min(e) AS mn, max(e) AS mx
+             |    FROM (SELECT unnest(embedding::DOUBLE[]) AS e, generate_subscripts(embedding, 1) AS i
+             |          FROM embeddings WHERE vec_id >= 10) u GROUP BY i) t),
+             |dec AS (SELECT vec_id AS id,
+             |  list_transform(embedding::DOUBLE[], (x, i) ->
+             |    vmn[i] + (floor(255 * (CASE WHEN vd[i] = 0 THEN 0
+             |      ELSE least(greatest((x - vmn[i]) / vd[i], 0), 1) END)) + 0.5) / 255 * vd[i]) AS dv
+             |  FROM embeddings, dims WHERE vec_id >= 10),
+             |qd AS (SELECT q.vec_id AS qid, b.id AS id,
+             |  list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], b.dv),
+             |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
+             |  FROM embeddings q CROSS JOIN dec b WHERE q.vec_id < 10)
+             |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+             |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank"
+             |  FROM qd) w WHERE "rank" <= 5""".stripMargin)),
+
+    // §2.11 IndexBinaryHash: bit-prefix buckets, query scans its bucket
+    ("bhash_search", (s: SparkSession, dir: String) => {
+      val bucketOf = (v: org.apache.spark.sql.Column) =>
+        (0 until 8).map(i => when(element_at(v, i + 1) >= 0f, lit(1L << i))
+          .otherwise(lit(0L))).reduce(_ + _)
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"),
+        sign_bits(col("embedding")).as("qcode"), bucketOf(col("embedding")).as("bucket"))
+      val b = e.filter(col("vec_id") >= 10).select(col("vec_id").as("id"),
+        sign_bits(col("embedding")).as("code"), bucketOf(col("embedding")).as("bucket"))
+      graft.index.BinaryFlat.hashSearch(q, b, 3)
+    },
+      Some("""WITH coded AS (SELECT vec_id, embedding,
+             |  list_aggregate(list_transform(range(1, 9),
+             |    i -> CASE WHEN embedding[i] >= 0 THEN (2^(i-1))::BIGINT ELSE 0 END), 'sum') AS bucket
+             |  FROM embeddings)
+             |SELECT qid, "rank", id, hd FROM (
+             |  SELECT q.vec_id AS qid, b.vec_id AS id,
+             |    (SELECT count(*) FROM range(1, 65) r(kk)
+             |     WHERE (q.embedding[kk] >= 0) <> (b.embedding[kk] >= 0)) AS hd,
+             |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |      (SELECT count(*) FROM range(1, 65) r(kk)
+             |       WHERE (q.embedding[kk] >= 0) <> (b.embedding[kk] >= 0)), b.vec_id) AS "rank"
+             |  FROM coded q JOIN coded b ON q.bucket = b.bucket
+             |  WHERE q.vec_id < 10 AND b.vec_id >= 10) t WHERE "rank" <= 3""".stripMargin)),
+
+    // §2.4 ProgressiveDimClustering (PCA-prefix warm-started k-means)
+    ("progressive_dim_kmeans", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val m = graft.cluster.ProgressiveDimKMeans.fit(
+        emb(s, dir), "embedding", k = 8, levels = Seq(8, 24, 64),
+        niterPerLevel = 3)
+      m.sizes.zipWithIndex.toSeq.map { case (sz, i) => (i, sz) }
+        .toDF("list_no", "size")
+    }, None),
+
     // ---- LLM-pipeline operators (north star) --------------------------
 
     // exact dedup with instances table (IVFFlatDedup analog) on a

@@ -70,7 +70,8 @@ object KMeans {
     }
   }
 
-  def fit(df: DataFrame, vecCol: String, p: Params): Model = {
+  def fit(df: DataFrame, vecCol: String, p: Params,
+      init: Option[Array[Array[Float]]] = None): Model = {
     require(p.metric == "l2sq", "faiss trains the coarse quantizer with L2 (Clustering.cpp)")
     val spark = df.sparkSession
     val vecs = df.select(col(vecCol).as("vec")).filter(col("vec").isNotNull)
@@ -88,20 +89,22 @@ object KMeans {
     try {
       var best: Model = null
       for (redo <- 0 until p.nredo) {
-        val m = fitOnce(train, p, p.seed + redo)
+        val m = fitOnce(train, p, p.seed + redo, init)
         if (best == null || m.objective < best.objective) best = m
       }
       best
     } finally { train.unpersist() }
   }
 
-  private def fitOnce(train: DataFrame, p: Params, seed: Long): Model = {
-    // init: first k rows in deterministic hash order (rand_perm analog)
-    var centroids: Array[Array[Float]] =
+  private def fitOnce(train: DataFrame, p: Params, seed: Long,
+      init: Option[Array[Array[Float]]] = None): Model = {
+    // init: warm-start centroids if given (ProgressiveDimClustering),
+    // else first k rows in deterministic hash order (rand_perm analog)
+    var centroids: Array[Array[Float]] = init.getOrElse(
       train.withColumn("_h", xxhash64(col("vec"), lit(seed)))
         .orderBy(col("_h")).limit(p.k)
         .select("vec").collect()
-        .map(_.getSeq[Float](0).toArray)
+        .map(_.getSeq[Float](0).toArray))
     require(centroids.nonEmpty, "empty training set")
     if (centroids.length < p.k) {
       // fewer distinct points than k: pad by perturbing existing ones

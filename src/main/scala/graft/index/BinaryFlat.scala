@@ -37,6 +37,25 @@ object BinaryFlat {
       .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
         col("_r.id").as(baseId), col("_r.dist").as("jd"))
 
+  /** Hash-bucketed Hamming kNN (IndexBinaryHash,
+    * faiss/IndexBinaryHash.h:26: codes bucketed by a bit-prefix; a
+    * query scans only its bucket). `queries` carries (qid, qcode,
+    * bucket) and `base` (id, code, bucket); candidate generation is an
+    * equi-join on the bucket — the binary analog of IVF pruning, and
+    * the 100 TB path for binary codes. */
+  def hashSearch(queries: DataFrame, base: DataFrame, k: Int,
+      queryId: String = "qid", queryCode: String = "qcode",
+      baseId: String = "id", baseCode: String = "code",
+      bucket: String = "bucket"): DataFrame =
+    base.join(broadcast(queries), bucket)
+      .select(col(queryId), col(baseId),
+        hamming_dist(col(queryCode), col(baseCode)).cast("double").as("_d"))
+      .groupBy(col(queryId))
+      .agg(topk(col("_d"), col(baseId), k, asc = true).as("_tk"))
+      .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+      .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
+        col("_r.id").as(baseId), col("_r.dist").cast("long").as("hd"))
+
   /** Hamming range search (hamming_range_search, hamming.h:175). */
   def rangeJoin(queries: DataFrame, base: DataFrame, maxHamming: Long,
       queryId: String = "qid", queryCode: String = "qcode",

@@ -1,0 +1,58 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.shim
+import graft.core.{NearestCentroids, SQAdcL2, SQEncode, VecMinMaxAgg}
+import graft.functions.topk
+
+/** IVF + scalar-quantized codes (IndexIVFScalarQuantizer,
+  * faiss/IndexScalarQuantizer.h:64): the IVF pruned-join shape of
+  * [[IvfIndex]] with SQ8 codes instead of raw floats in the inverted
+  * lists — 4× less data scanned per probe. Codes are absolute (not
+  * residual) SQ8 over the global per-dim range. */
+class IvfSqIndex(
+    val nlist: Int,
+    val centroids: Array[Array[Float]],
+    val vmin: Array[Double],
+    val vdiff: Array[Double],
+    /** (id, list_no, code) */
+    val codes: DataFrame) {
+
+  def search(queries: DataFrame, k: Int, nprobe: Int,
+      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+    val probes = queries.select(col(queryId), col(queryVec),
+      explode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
+        math.min(nprobe, nlist), "l2sq"))).as("_p"))
+      .select(col(queryId), col(queryVec), col("_p.list_no").as("list_no"))
+    val probed = probes.select("list_no").distinct().collect().map(_.getInt(0))
+    codes.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
+      .join(broadcast(probes), "list_no")
+      .select(col(queryId), col("id"),
+        shim.col(SQAdcL2(shim.expr(col(queryVec)), shim.expr(col("code")),
+          vmin, vdiff)).as("_dist"))
+      .groupBy(col(queryId))
+      .agg(topk(col("_dist"), col("id"), k, asc = true).as("_tk"))
+      .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+      .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
+        col("_r.id").as("id"), col("_r.dist").as("dist"))
+  }
+}
+
+object IvfSqIndex {
+  def build(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, niter: Int = 4, seed: Long = 1234L): IvfSqIndex = {
+    val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val coarse = graft.cluster.KMeans.fit(data, "vec",
+      graft.cluster.KMeans.Params(k = nlist, niter = niter, seed = seed))
+    val mm = data.agg(shim.agg(VecMinMaxAgg(shim.expr(col("vec")))).as("_mm"))
+      .select(col("_mm.mins"), col("_mm.maxs")).collect().head
+    val mins = mm.getSeq[Double](0).toArray
+    val maxs = mm.getSeq[Double](1).toArray
+    val vdiff = mins.indices.map(i => maxs(i) - mins(i)).toArray
+    val codes = coarse.assign(data, "vec")
+      .select(col("id"), col("list_no"),
+        shim.col(SQEncode(shim.expr(col("vec")), mins, vdiff)).as("code"))
+    new IvfSqIndex(nlist, coarse.centroids, mins, vdiff, codes)
+  }
+}
