@@ -123,6 +123,26 @@ object Queries {
         .withColumn("dist", r4("dist")),
       Some(knnOracle(dCanb, "q.vec_id < 10", "b.vec_id >= 10", 5))),
 
+    ("knn_flat_braycurtis", (s: SparkSession, dir: String) =>
+      Knn.knnJoin(qDf(s, dir, 10), bDf(s, dir, 10), 5, metric = "braycurtis")
+        .withColumn("dist", r4("dist")),
+      Some(knnOracle(
+        "CASE WHEN list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), p -> abs(p[1]+p[2])), 'sum') > 0 THEN list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), p -> abs(p[1]-p[2])), 'sum') / list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), p -> abs(p[1]+p[2])), 'sum') ELSE 0 END",
+        "q.vec_id < 10", "b.vec_id >= 10", 5))),
+
+    ("knn_flat_jensenshannon", (s: SparkSession, dir: String) => {
+      // JS needs nonnegative components: search over |x| vectors
+      val absv = (c: org.apache.spark.sql.Column) => transform(c, x => abs(x))
+      Knn.knnJoin(
+        qDf(s, dir, 10).withColumn("qvec", absv(col("qvec"))),
+        bDf(s, dir, 10).withColumn("vec", absv(col("vec"))), 5,
+        metric = "jensenshannon")
+        .withColumn("dist", r4("dist"))
+    },
+      Some(knnOracle(
+        "list_aggregate(list_transform(list_zip(list_transform(q.embedding::DOUBLE[], v -> abs(v)), list_transform(b.embedding::DOUBLE[], v -> abs(v))), p -> CASE WHEN p[1] > 0 AND p[2] > 0 THEN p[1]*ln(p[1]/((p[1]+p[2])/2)) + p[2]*ln(p[2]/((p[1]+p[2])/2)) ELSE 0 END), 'sum')",
+        "q.vec_id < 10", "b.vec_id >= 10", 5))),
+
     // §2.3 flat range search (radius theta-join, long-format output)
     ("range_search_l2", (s: SparkSession, dir: String) =>
       Knn.rangeJoin(qDf(s, dir, 20), bDf(s, dir, 20), 1.45)
