@@ -66,6 +66,23 @@ object functions {
   /** Sign-bit binarization to a packed BinaryType code (LSH). */
   def sign_bits(a: Column): Column = shim.col(SignBits(shim.expr(a)))
 
+  /** kmin/kmax (faiss python/extra_wrappers.py:22,40): per-row top-k
+    * of a score array, as (value, index) structs — index is 0-based
+    * like the reference. Built from codegen'd array builtins. */
+  def kmin(scores: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    slice(array_sort(zip_with(scores,
+      sequence(lit(0), size(scores) - 1),
+      (v, i) => struct(v.as("value"), i.as("index")))), 1, k)
+  }
+
+  def kmax(scores: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    slice(reverse(array_sort(zip_with(scores,
+      sequence(lit(0), size(scores) - 1),
+      (v, i) => struct(v.as("value"), i.as("index"))))), 1, k)
+  }
+
   /** 64-bit SimHash of a token array (near-dup fingerprint). */
   def simhash64(tokens: Column): Column = shim.col(SimHash64(shim.expr(tokens)))
 

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkTestBase {
+
+  test("kmin/kmax return smallest/largest values with 0-based indices") {
+    import spark.implicits._
+    val df = Seq(Seq(5.0f, 1.0f, 3.0f, 2.0f)).toDF("s")
+    val r = df.select(
+      graft.functions.kmin(col("s"), 2).as("mn"),
+      graft.functions.kmax(col("s"), 2).as("mx")).collect().head
+    val mn = r.getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (x.getFloat(0), x.getInt(1)))
+    val mx = r.getSeq[org.apache.spark.sql.Row](1)
+      .map(x => (x.getFloat(0), x.getInt(1)))
+    assert(mn == Seq((1.0f, 1), (2.0f, 3)))
+    assert(mx == Seq((5.0f, 0), (3.0f, 2)))
+  }
+
+  test("SQL registration exposes distance functions to spark.sql") {
+    graft.functions.register(spark)
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .createOrReplaceTempView("emb_sql")
+    val r = spark.sql(
+      """SELECT l2sq(a.embedding, b.embedding) AS d,
+        |       cosine_sim(a.embedding, b.embedding) AS c,
+        |       norm_l2(a.embedding) AS n
+        |FROM emb_sql a JOIN emb_sql b ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) > 0 && math.abs(r.getDouble(2) - 1.0) < 0.01)
+  }
+
+  test("flagship entry returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
