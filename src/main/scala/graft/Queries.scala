@@ -804,6 +804,30 @@ object Queries {
              |  FROM coded q JOIN coded b ON q.bucket = b.bucket
              |  WHERE q.vec_id < 10 AND b.vec_id >= 10) t WHERE "rank" <= 3""".stripMargin)),
 
+    // §2.8 Hamming range search over packed codes
+    ("hamming_range", (s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"),
+        sign_bits(col("embedding")).as("qcode"))
+      val b = e.filter(col("vec_id") >= 10).select(col("vec_id").as("id"),
+        sign_bits(col("embedding")).as("code"))
+      graft.index.BinaryFlat.rangeJoin(q, b, maxHamming = 20)
+    },
+      Some("""SELECT q.vec_id AS qid, b.vec_id AS id,
+             |  (SELECT count(*) FROM range(1, 65) r(kk)
+             |   WHERE (q.embedding[kk] >= 0) <> (b.embedding[kk] >= 0)) AS hd
+             |FROM embeddings q CROSS JOIN embeddings b
+             |WHERE q.vec_id < 10 AND b.vec_id >= 10
+             |  AND (SELECT count(*) FROM range(1, 65) r(kk)
+             |       WHERE (q.embedding[kk] >= 0) <> (b.embedding[kk] >= 0)) <= 20""".stripMargin)),
+
+    // blocked kNN for huge query sets (same oracle as knn_flat_l2 k=5:
+    // blocking must not change results)
+    ("knn_flat_blocked", (s: SparkSession, dir: String) =>
+      Knn.knnJoinBlocked(qDf(s, dir, 10), bDf(s, dir, 10), 5, blocks = 3)
+        .withColumn("dist", r4("dist")),
+      Some(knnOracle(dL2, "q.vec_id < 10", "b.vec_id >= 10", 5))),
+
     // §2.4 ProgressiveDimClustering (PCA-prefix warm-started k-means)
     ("progressive_dim_kmeans", (s: SparkSession, dir: String) => {
       import s.implicits._

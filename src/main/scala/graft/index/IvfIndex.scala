@@ -51,18 +51,25 @@ class IvfIndex(
     * `filter` = IDSelector pushed inside the scan (IndexIVF.h:377).
     * `maxCodes` caps scanned candidates per (query, list)
     * (faiss/IndexIVF.h:67-72 max_codes budget). */
+  /** @param broadcastQueries true (default) broadcasts the probe table
+    *        (small query sets); false leaves it to a shuffle equi-join
+    *        on list_no — the right plan when the query set itself is
+    *        huge (e.g. a full-corpus self-join for dedup). Partition
+    *        pruning applies either way. */
   def search(queries: DataFrame, k: Int, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec",
       filter: Option[Column] = None,
       maxCodes: Option[Int] = None,
-      withCentroid: Boolean = false): DataFrame = {
+      withCentroid: Boolean = false,
+      broadcastQueries: Boolean = true): DataFrame = {
     val pr = probes(queries, nprobe, queryId, queryVec)
     // The probed-list set is tiny (≤ queries × nprobe ints): collecting
     // it turns the invlists scan into a statically partition-pruned read.
     val probed = pr.select("list_no").distinct().collect().map(_.getInt(0))
     val lists0 = invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
     val lists = filter.map(lists0.filter).getOrElse(lists0)
-    var cand = lists.join(broadcast(pr), "list_no")
+    val prSide = if (broadcastQueries) broadcast(pr) else pr
+    var cand = lists.join(prSide, "list_no")
       .select(col(queryId), col("list_no"), col("id"),
         vec_dist(col(queryVec), col("vec"), metric).as("_dist"))
     maxCodes.foreach { mc =>

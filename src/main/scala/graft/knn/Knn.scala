@@ -94,6 +94,26 @@ object Knn {
       .select(col(queryId), col(baseId), col("_dist").as("dist"))
   }
 
+  /** knnJoin for LARGE query sets (too big to broadcast whole): the
+    * query table is processed in `blocks` hash-blocks, each small
+    * enough to broadcast; per-block results are unioned. Wall-clock =
+    * blocks sequential scans of base (each fully parallel) — the same
+    * trade FAISS's blocked BLAS search makes (bs_x blocks,
+    * utils/distances.cpp:235). For large-Q AND the base pre-indexed,
+    * prefer IvfIndex.search with broadcastQueries=false (shuffle join
+    * on list_no) instead. */
+  def knnJoinBlocked(
+      queries: DataFrame, base: DataFrame, k: Int, blocks: Int,
+      metric: String = "l2sq", metricArg: Double = 0.0,
+      queryId: String = "qid", queryVec: String = "qvec",
+      baseId: String = "id", baseVec: String = "vec"): DataFrame = {
+    require(blocks > 0)
+    (0 until blocks).map { bI =>
+      knnJoin(queries.filter(pmod(xxhash64(col(queryId)), lit(blocks)) === bI),
+        base, k, metric, metricArg, queryId, queryVec, baseId, baseVec)
+    }.reduce(_ unionByName _)
+  }
+
   /** Full pairwise distance matrix (faiss pairwise_L2sqr,
     * utils/distances.h:49; python pairwise_distances,
     * extra_wrappers.py:58). */
