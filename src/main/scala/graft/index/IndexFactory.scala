@@ -54,10 +54,28 @@ object IndexFactory {
         math.max(nprobe, 1), qid, qvec)
   }
 
+  private final class IvfSqBuilt(idx: IvfSqIndex, chain: VecTransform)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
+        math.max(nprobe, 1), qid, qvec)
+  }
+  /** Refine wrapper: coarse Built + exact re-rank over the
+    * (transformed) base (IndexRefineFlat / ",RFlat" suffix). */
+  private final class RefineBuilt(inner: Built, base: DataFrame,
+      chain: VecTransform, kFactor: Int) extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
+      val stage1 = inner.search(q, k * kFactor, nprobe, qid, qvec)
+      Refine.rerank(q.withColumn(qvec, chain.applyCol(col(qvec))), base,
+        stage1, k, queryId = qid, queryVec = qvec)
+    }
+  }
+
   private val Pca = "PCA(W?)(\\d+)".r
   private val Rr = "RR(\\d+)".r
   private val Ivf = "IVF(\\d+)".r
   private val Pq = "PQ(\\d+)(?:x(\\d+))?".r
+  private val OpqTok = "OPQ(\\d+)".r
 
   /** Train the whole pipeline on `df` (id, vec) and return a
     * searchable index. */
@@ -90,15 +108,30 @@ object IndexFactory {
         transforms += t
         data = data.withColumn("vec", t.applyCol(col("vec")))
         rest = tl
+      case OpqTok(m) :: tl =>
+        val (rot, _) = graft.transform.Opq.trainOpq(data, "vec", m.toInt,
+          ksub = 16, outerIters = 2, pqIters = niter, seed = seed)
+        transforms += rot
+        data = data.withColumn("vec", rot.applyCol(col("vec")))
+        rest = tl
       case _ => done = true
     }
     val chain = Chain(transforms.result())
     data = data.cache()
 
-    val built = rest match {
+    // ",RFlat" suffix = exact re-rank stage (IndexRefineFlat)
+    val (core, refine) = rest.lastOption match {
+      case Some("RFlat") => (rest.dropRight(1), true)
+      case _ => (rest, false)
+    }
+
+    val built = core match {
       case Ivf(nlist) :: code :: Nil => code match {
         case "Flat" =>
           new IvfBuilt(IvfIndex.build(data, "id", "vec", nlist.toInt,
+            niter = niter, seed = seed), chain)
+        case "SQ8" =>
+          new IvfSqBuilt(IvfSqIndex.build(data, "id", "vec", nlist.toInt,
             niter = niter, seed = seed), chain)
         case Pq(m, ks) =>
           new IvfPqBuilt(IvfPqIndex.build(data, "id", "vec", nlist.toInt,
@@ -116,6 +149,6 @@ object IndexFactory {
         s"unsupported factory tail '${other.mkString(",")}' in '$desc' " +
           "(HNSW/NSG/fast-scan are out of scope: SURVEY §7)")
     }
-    built
+    if (refine) new RefineBuilt(built, data, chain, kFactor = 4) else built
   }
 }

@@ -89,11 +89,25 @@ object Dedup {
     * shingle index (explode + equi-join on the shingle, then count) —
     * no cross join; pairs sharing zero shingles are never generated. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, ngram: Int = 3): DataFrame = {
+      threshold: Double, ngram: Int = 3,
+      maxShingleDf: Option[Int] = None): DataFrame = {
     val exploded = docs.select(col(idCol).as("_id"),
       explode(shingleSet(col(textCol), ngram)).as("_sh"))
     val sizes = exploded.groupBy("_id").agg(count(lit(1)).as("_n"))
-    val inter = exploded.as("a").join(exploded.as("b"),
+    // Skew guard for 100 TB corpora: a shingle appearing in f docs
+    // generates f² candidate rows, so a handful of boilerplate
+    // shingles can dominate the join. Capping document frequency
+    // drops only those hot keys; any pair sharing a rarer shingle is
+    // still generated (estimated Jaccard then uses the kept-shingle
+    // counts — exact when no cap is set, the default).
+    val forJoin = maxShingleDf match {
+      case Some(cap) =>
+        val hot = exploded.groupBy("_sh").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > cap).select("_sh")
+        exploded.join(broadcast(hot), Seq("_sh"), "left_anti")
+      case None => exploded
+    }
+    val inter = forJoin.as("a").join(forJoin.as("b"),
         col("a._sh") === col("b._sh") && col("a._id") < col("b._id"))
       .groupBy(col("a._id").as("i"), col("b._id").as("j"))
       .agg(count(lit(1)).as("_c"))

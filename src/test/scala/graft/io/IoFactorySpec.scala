@@ -50,6 +50,22 @@ class IoFactorySpec extends SparkTestBase {
     assert(f2.search(q, 3).count() == 15)
   }
 
+  test("factory IVF8,SQ8 and IVF4,PQ8,RFlat build and search") {
+    val f1 = IndexFactory.build(b, "id", "vec", "IVF8,SQ8")
+    assert(f1.search(q, 3, nprobe = 8).count() == 15)
+    val f2 = IndexFactory.build(b, "id", "vec", "IVF4,PQ8,RFlat")
+    val res = f2.search(q, 3, nprobe = 4)
+    assert(res.count() == 15)
+    // refined distances must be exact L2 of the true vectors
+    val exact = Knn.knnJoin(q, b, 3).select("qid", "id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    res.select("qid", "id", "dist").collect().foreach { r =>
+      exact.get((r.getLong(0), r.getLong(1))).foreach { d =>
+        assert(math.abs(d - r.getDouble(2)) < 1e-9)
+      }
+    }
+  }
+
   test("factory rejects unsupported HNSW with rationale") {
     val e = intercept[IllegalArgumentException] {
       IndexFactory.build(b, "id", "vec", "HNSW32")
