@@ -882,6 +882,34 @@ object Queries {
              |SELECT i, j, round(inter/(tot-inter), 4) AS jaccard
              |FROM jac WHERE inter/(tot-inter) >= 0.8""".stripMargin)),
 
+    // full dedup pipeline output: the corpus after near-dup removal
+    // (keep-first policy), oracle replays the whole minhash pipeline
+    ("neardup_dedup_corpus", (s: SparkSession, dir: String) =>
+      Dedup.dropNearDups(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        threshold = 0.8, ngram = 3, hashes = 12, bands = 4)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             |         THEN list_transform(t[1:len(t)-2], (x, i) -> x || ' ' || t[i+1] || ' ' || t[i+2])
+             |         ELSE []::VARCHAR[] END) AS s FROM toks),
+             |hs AS (SELECT doc_id, s, list_transform(s,
+             |         x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 1048573) AS hv FROM sh),
+             |sig AS (SELECT doc_id, s, list_transform(range(0, 12),
+             |          j -> list_aggregate(list_transform(hv,
+             |            h -> (h * ((2654435761 * (j+1)) % 1000000007) + (97531 * (j+13)) % 1000000007) % 1000000007),
+             |            'min')) AS sg FROM hs),
+             |band AS (SELECT doc_id, b, md5(array_to_string(sg[3*b+1:3*b+3], '|')) AS bh
+             |         FROM sig, range(0, 4) r(b)),
+             |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+             |         FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+             |jac AS (SELECT i, j, len(list_intersect(sa.s, sb.s))::DOUBLE AS inter,
+             |               (len(sa.s) + len(sb.s))::DOUBLE AS tot
+             |        FROM cand JOIN sh sa ON sa.doc_id = i JOIN sh sb ON sb.doc_id = j),
+             |losers AS (SELECT DISTINCT j FROM jac WHERE inter/(tot-inter) >= 0.8)
+             |SELECT doc_id, lang, n_chars FROM documents
+             |WHERE doc_id NOT IN (SELECT j FROM losers)""".stripMargin)),
+
     // exact n-gram Jaccard via inverted shingle index (no cross join)
     ("ngram_jaccard_pairs", (s: SparkSession, dir: String) =>
       Dedup.ngramJaccardPairs(

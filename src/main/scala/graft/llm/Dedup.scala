@@ -85,6 +85,18 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The corpus after near-dup removal: for every verified pair
+    * (i, j), the higher id j is dropped (keep-first policy — the
+    * standard LLM-training-data dedup rule; a connected-components
+    * variant would union labels first). */
+  def dropNearDups(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, ngram: Int = 3, hashes: Int = 12,
+      bands: Int = 4): DataFrame = {
+    val losers = nearDupPairs(docs, idCol, textCol, threshold, ngram, hashes, bands)
+      .select(col("j").as(idCol)).distinct()
+    docs.join(broadcast(losers), Seq(idCol), "left_anti")
+  }
+
   /** All-pairs exact n-gram Jaccard above a threshold via an inverted
     * shingle index (explode + equi-join on the shingle, then count) —
     * no cross join; pairs sharing zero shingles are never generated. */
