@@ -141,6 +141,127 @@ object SqKernels {
   }
 }
 
+/** SQ4 codec (faiss Codec4bit, ScalarQuantizer.cpp:93-101): 4-bit
+  * codes packed two per byte; xi as in SQ8, code = (int)(15 * xi),
+  * decode = (code + 0.5)/15. */
+object Sq4Kernels {
+  def encode(a: ArrayData, vmin: Array[Double], vdiff: Array[Double]): Array[Byte] = {
+    val d = vmin.length
+    val out = new Array[Byte]((d + 1) / 2)
+    var i = 0
+    while (i < d) {
+      var xi = 0.0
+      if (vdiff(i) != 0.0) {
+        xi = (a.getFloat(i).toDouble - vmin(i)) / vdiff(i)
+        if (xi < 0) xi = 0
+        if (xi > 1) xi = 1
+      }
+      val code = (15.0 * xi).toInt
+      out(i >> 1) = (out(i >> 1) | (code << ((i & 1) << 2))).toByte
+      i += 1
+    }
+    out
+  }
+  def decode(code: Array[Byte], vmin: Array[Double], vdiff: Array[Double]): Array[Double] = {
+    val d = vmin.length
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      val c = (code(i >> 1) >> ((i & 1) << 2)) & 0xf
+      out(i) = vmin(i) + (c + 0.5) / 15.0 * vdiff(i)
+      i += 1
+    }
+    out
+  }
+}
+
+case class SQ4Encode(child: Expression, vmin: Array[Double], vdiff: Array[Double])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "sq4_encode"
+  override def nullSafeEval(v: Any): Any =
+    Sq4Kernels.encode(v.asInstanceOf[ArrayData], vmin, vdiff)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class SQ4Decode(child: Expression, vmin: Array[Double], vdiff: Array[Double])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sq4_decode"
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(Sq4Kernels.decode(v.asInstanceOf[Array[Byte]], vmin, vdiff))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** fp16 codec (faiss QT_fp16, ScalarQuantizer.cpp QuantizerFP16 /
+  * utils/fp16.h): IEEE 754 half precision with round-to-nearest-even.
+  * No SQL analog — verified by Fp16Spec round-trip bounds. */
+object Fp16Kernels {
+  def toHalf(f: Float): Short = {
+    val bits = java.lang.Float.floatToIntBits(f)
+    val sign = (bits >>> 16) & 0x8000
+    var value = (bits & 0x7fffffff) + 0x1000 // round-to-nearest (ties up)
+    if (value >= 0x47800000) { // overflow -> inf (or NaN passthrough)
+      if ((bits & 0x7fffffff) >= 0x47800000) {
+        if ((bits & 0x7fffffff) < 0x7f800000) return (sign | 0x7c00).toShort
+        return (sign | 0x7c00 | ((bits & 0x007fffff) >> 13)).toShort
+      }
+      return (sign | 0x7bff).toShort
+    }
+    if (value >= 0x38800000) return (sign | ((value - 0x38000000) >> 13)).toShort
+    if (value < 0x33000000) return sign.toShort // underflow -> 0
+    value = (bits & 0x7fffffff) >> 23
+    ((sign | ((((bits & 0x7fffff) | 0x800000) + (0x800000 >>> (value - 102)))
+      >> (126 - value)))).toShort
+  }
+  def fromHalf(h: Short): Float = {
+    val hh = h & 0xffff
+    val sign = (hh & 0x8000) << 16
+    val exp = (hh >> 10) & 0x1f
+    val mant = hh & 0x3ff
+    if (exp == 0) {
+      if (mant == 0) return java.lang.Float.intBitsToFloat(sign)
+      // subnormal
+      var e = -1; var m = mant
+      do { e += 1; m <<= 1 } while ((m & 0x400) == 0)
+      return java.lang.Float.intBitsToFloat(
+        sign | ((127 - 15 - e) << 23) | ((m & 0x3ff) << 13))
+    }
+    if (exp == 0x1f)
+      return java.lang.Float.intBitsToFloat(sign | 0x7f800000 | (mant << 13))
+    java.lang.Float.intBitsToFloat(sign | ((exp - 15 + 127) << 23) | (mant << 13))
+  }
+  def encode(a: ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    val bb = ByteBuffer.allocate(2 * n)
+    var i = 0
+    while (i < n) { bb.putShort(toHalf(a.getFloat(i))); i += 1 }
+    bb.array()
+  }
+  def decode(code: Array[Byte]): Array[Float] = {
+    val bb = ByteBuffer.wrap(code)
+    val out = new Array[Float](code.length / 2)
+    var i = 0
+    while (i < out.length) { out(i) = fromHalf(bb.getShort); i += 1 }
+    out
+  }
+}
+
+case class Fp16Encode(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "fp16_encode"
+  override def nullSafeEval(v: Any): Any = Fp16Kernels.encode(v.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class Fp16Decode(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "fp16_decode"
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(Fp16Kernels.decode(v.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class SQEncode(child: Expression, vmin: Array[Double], vdiff: Array[Double])
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType

@@ -1,0 +1,54 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import scala.util.Random
+
+class CodecSpec extends AnyFunSuite {
+  private val rnd = new Random(99)
+  private def vec(d: Int) = Array.fill(d)(rnd.nextFloat() * 4 - 2)
+
+  test("fp16 round-trip: exact for representable values, bounded otherwise") {
+    // values exactly representable in half precision survive unchanged
+    Seq(0f, 1f, -1f, 0.5f, 2048f, -0.25f).foreach { f =>
+      assert(Fp16Kernels.fromHalf(Fp16Kernels.toHalf(f)) == f, s"value $f")
+    }
+    for (_ <- 1 to 2000) {
+      val f = (rnd.nextFloat() * 8 - 4)
+      val back = Fp16Kernels.fromHalf(Fp16Kernels.toHalf(f))
+      assert(math.abs(back - f) <= math.max(math.abs(f) * 1.0f / 1024, 1e-4f),
+        s"$f -> $back")
+    }
+    // overflow saturates to inf like IEEE
+    assert(Fp16Kernels.fromHalf(Fp16Kernels.toHalf(1e6f)).isPosInfinity)
+    assert(Fp16Kernels.fromHalf(Fp16Kernels.toHalf(-1e6f)).isNegInfinity)
+  }
+
+  test("fp16 encode/decode arrays") {
+    val v = vec(33)
+    val dec = Fp16Kernels.decode(Fp16Kernels.encode(new GenericArrayData(v)))
+    assert(dec.length == 33)
+    v.zip(dec).foreach { case (a, b) => assert(math.abs(a - b) < 4e-3) }
+  }
+
+  test("sq4: 2 codes per byte, reconstruction within half a bin") {
+    val d = 16
+    val v = vec(d)
+    val vmin = Array.fill(d)(-2.0); val vdiff = Array.fill(d)(4.0)
+    val code = Sq4Kernels.encode(new GenericArrayData(v), vmin, vdiff)
+    assert(code.length == d / 2)
+    val dec = Sq4Kernels.decode(code, vmin, vdiff)
+    v.zip(dec).foreach { case (x, y) =>
+      assert(math.abs(x - y) <= 4.0 / 15 / 2 + 1e-6, s"$x vs $y")
+    }
+  }
+
+  test("sq4 odd dimension packs the tail nibble") {
+    val d = 7
+    val v = vec(d)
+    val vmin = Array.fill(d)(-2.0); val vdiff = Array.fill(d)(4.0)
+    val code = Sq4Kernels.encode(new GenericArrayData(v), vmin, vdiff)
+    assert(code.length == 4)
+    assert(Sq4Kernels.decode(code, vmin, vdiff).length == 7)
+  }
+}
