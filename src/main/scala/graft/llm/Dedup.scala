@@ -97,6 +97,41 @@ object Dedup {
     docs.join(broadcast(losers), Seq(idCol), "left_anti")
   }
 
+  /** Connected components over near-dup pairs by distributed min-label
+    * propagation: each node repeatedly adopts the smallest label in
+    * its neighborhood until fixpoint. Near-dup graphs are shallow
+    * (tiny cliques/chains), so this converges in a few joins; each
+    * iteration is one shuffle of the EDGE set, never the corpus.
+    * Returns (id, component) where component = min id of the group. */
+  def nearDupComponents(ids: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", maxIter: Int = 10): DataFrame = {
+    val sym = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("component"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("dst"), col("component").as("_nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("_nl")).as("_nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("_nmin"), col("component")))
+            .as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("component", "_old"), "id")
+        .filter(col("component") =!= col("_old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** All-pairs exact n-gram Jaccard above a threshold via an inverted
     * shingle index (explode + equi-join on the shingle, then count) —
     * no cross join; pairs sharing zero shingles are never generated. */

@@ -53,6 +53,24 @@ class DedupSpec extends SparkTestBase {
       s"simhash found ${truth.intersect(sh).size} of ${truth.size}")
   }
 
+  test("connected components group chains; dedup is idempotent") {
+    import spark.implicits._
+    // chain 1-2-3 and pair (10, 11): components {1,2,3} and {10,11}
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("i", "j")
+    val comp = Dedup.nearDupComponents(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp(99L) == 99L)
+
+    // idempotence on the real corpus: dedup of the deduped corpus
+    // finds no remaining near-dup pairs
+    val survivors = Dedup.dropNearDups(docs, "doc_id", "text", 0.8)
+    val again = Dedup.nearDupPairs(survivors, "doc_id", "text", 0.8)
+    assert(again.count() == 0, "dedup not idempotent")
+  }
+
   test("embedding near-dups on doubled corpus are exactly the planted copies") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
