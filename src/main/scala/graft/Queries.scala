@@ -1084,6 +1084,48 @@ object Queries {
         .toDF("boundary", "centroid")
     }, None),
 
+    // end-to-end LLM training-data pipeline: quality filter -> minhash
+    // near-dup removal -> per-language corpus stats; every stage
+    // replayed by the oracle
+    ("training_data_pipeline", (s: SparkSession, dir: String) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val quality = docs.filter(
+        TF.qualityScore(col("text"), TF.EnStopwords) >= 0.5)
+      val deduped = Dedup.dropNearDups(quality, "doc_id", "text",
+        threshold = 0.8, ngram = 3, hashes = 12, bands = 4)
+      deduped.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars").cast("double")), 2).as("avg_chars"),
+        sum(TF.tokenCount(col("text"))).as("total_tokens"))
+    },
+      Some("""WITH quality AS (
+             |  SELECT * FROM (
+             |    SELECT d.*, string_split(text, ' ') AS t FROM documents d) q
+             |  WHERE (least(length(text)::DOUBLE / 500.0, 1.0)
+             |    + least(5.0 * len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','on'], x)))::DOUBLE / len(t), 1.0)
+             |    + CASE WHEN list_aggregate(list_transform(t, x -> length(x)), 'sum')::DOUBLE / len(t) <= 8.0 THEN 1.0 ELSE 0.5 END) / 3.0 >= 0.5),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             |         THEN list_transform(t[1:len(t)-2], (x, i) -> x || ' ' || t[i+1] || ' ' || t[i+2])
+             |         ELSE []::VARCHAR[] END) AS s FROM quality),
+             |hs AS (SELECT doc_id, s, list_transform(s,
+             |         x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 1048573) AS hv FROM sh),
+             |sig AS (SELECT doc_id, s, list_transform(range(0, 12),
+             |          j -> list_aggregate(list_transform(hv,
+             |            h -> (h * ((2654435761 * (j+1)) % 1000000007) + (97531 * (j+13)) % 1000000007) % 1000000007),
+             |            'min')) AS sg FROM hs),
+             |band AS (SELECT doc_id, b, md5(array_to_string(sg[3*b+1:3*b+3], '|')) AS bh
+             |         FROM sig, range(0, 4) r(b)),
+             |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+             |         FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+             |jac AS (SELECT i, j, len(list_intersect(sa.s, sb.s))::DOUBLE AS inter,
+             |               (len(sa.s) + len(sb.s))::DOUBLE AS tot
+             |        FROM cand JOIN sh sa ON sa.doc_id = i JOIN sh sb ON sb.doc_id = j),
+             |losers AS (SELECT DISTINCT j FROM jac WHERE inter/(tot-inter) >= 0.8),
+             |deduped AS (SELECT * FROM quality WHERE doc_id NOT IN (SELECT j FROM losers))
+             |SELECT lang, count(*) AS n_docs, round(avg(n_chars::DOUBLE), 2) AS avg_chars,
+             |  CAST(sum(len(t)) AS BIGINT) AS total_tokens
+             |FROM deduped GROUP BY lang""".stripMargin)),
+
     // sanity: classic aggregation pipeline (partial agg + shuffle)
     ("q1_agg", (s: SparkSession, dir: String) =>
       lineitem(s, dir).groupBy(col("l_returnflag"), col("l_linestatus")).agg(
