@@ -4,27 +4,46 @@ import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.shim
 import graft.core.{NearestCentroids, SQAdcL2, SQEncode, VecMinMaxAgg}
-import graft.functions.topk
+import graft.functions.{topk, vec_sub}
 
 /** IVF + scalar-quantized codes (IndexIVFScalarQuantizer,
   * faiss/IndexScalarQuantizer.h:64): the IVF pruned-join shape of
   * [[IvfIndex]] with SQ8 codes instead of raw floats in the inverted
-  * lists — 4× less data scanned per probe. Codes are absolute (not
-  * residual) SQ8 over the global per-dim range. */
+  * lists — 4× less data scanned per probe.
+  *
+  * `byResidual = true` (the reference default) encodes
+  * vec − centroid(list): residuals concentrate near 0, so the shared
+  * per-dim range wastes fewer bits; the query side subtracts the
+  * probed centroid before the ADC distance, exactly as
+  * IndexIVFScalarQuantizer::search does with its residual buffer.
+  */
 class IvfSqIndex(
     val nlist: Int,
     val centroids: Array[Array[Float]],
     val vmin: Array[Double],
     val vdiff: Array[Double],
+    val byResidual: Boolean,
     /** (id, list_no, code) */
     val codes: DataFrame) {
 
+  private def centroidsDf = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("list_no", "centroid")
+      .select(col("list_no"), col("centroid").cast("array<float>").as("centroid"))
+  }
+
   def search(queries: DataFrame, k: Int, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
-    val probes = queries.select(col(queryId), col(queryVec),
+    var probes = queries.select(col(queryId), col(queryVec),
       explode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
         math.min(nprobe, nlist), "l2sq"))).as("_p"))
       .select(col(queryId), col(queryVec), col("_p.list_no").as("list_no"))
+    if (byResidual)
+      probes = probes.join(broadcast(centroidsDf), "list_no")
+        .select(col(queryId), col("list_no"),
+          vec_sub(col(queryVec), col("centroid")).as(queryVec))
     val probed = probes.select("list_no").distinct().collect().map(_.getInt(0))
     codes.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
       .join(broadcast(probes), "list_no")
@@ -41,18 +60,35 @@ class IvfSqIndex(
 
 object IvfSqIndex {
   def build(df: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 16, niter: Int = 4, seed: Long = 1234L): IvfSqIndex = {
+      nlist: Int = 16, niter: Int = 4, seed: Long = 1234L,
+      byResidual: Boolean = false): IvfSqIndex = {
     val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val coarse = graft.cluster.KMeans.fit(data, "vec",
       graft.cluster.KMeans.Params(k = nlist, niter = niter, seed = seed))
-    val mm = data.agg(shim.agg(VecMinMaxAgg(shim.expr(col("vec")))).as("_mm"))
-      .select(col("_mm.mins"), col("_mm.maxs")).collect().head
-    val mins = mm.getSeq[Double](0).toArray
-    val maxs = mm.getSeq[Double](1).toArray
-    val vdiff = mins.indices.map(i => maxs(i) - mins(i)).toArray
-    val codes = coarse.assign(data, "vec")
-      .select(col("id"), col("list_no"),
-        shim.col(SQEncode(shim.expr(col("vec")), mins, vdiff)).as("code"))
-    new IvfSqIndex(nlist, coarse.centroids, mins, vdiff, codes)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = coarse.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "centroid")
+      .select(col("list_no"), col("centroid").cast("array<float>").as("centroid"))
+    val assigned0 = coarse.assign(data, "vec")
+    val toEncode =
+      if (byResidual)
+        assigned0.join(broadcast(centDf), "list_no")
+          .select(col("id"), col("list_no"),
+            vec_sub(col("vec"), col("centroid")).as("enc"))
+      else assigned0.select(col("id"), col("list_no"), col("vec").as("enc"))
+    val cached = toEncode.cache()
+    try {
+      val mm = cached.agg(shim.agg(VecMinMaxAgg(shim.expr(col("enc")))).as("_mm"))
+        .select(col("_mm.mins"), col("_mm.maxs")).collect().head
+      val mins = mm.getSeq[Double](0).toArray
+      val maxs = mm.getSeq[Double](1).toArray
+      val vdiff = mins.indices.map(i => maxs(i) - mins(i)).toArray
+      val codes = cached.select(col("id"), col("list_no"),
+        shim.col(SQEncode(shim.expr(col("enc")), mins, vdiff)).as("code"))
+      val mat = codes.cache()
+      mat.count()
+      new IvfSqIndex(nlist, coarse.centroids, mins, vdiff, byResidual, mat)
+    } finally cached.unpersist()
   }
 }
