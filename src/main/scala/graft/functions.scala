@@ -106,5 +106,19 @@ object functions {
     one("norm_l2")(es => VecNorm(es(0), squared = false))
     one("normalize_l2")(es => NormalizeL2(es(0)))
     one("sign_bits")(es => SignBits(es(0)))
+    // topk(score, id, k, asc) aggregate for SQL: k/asc must be literals
+    one("topk") { es =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val k = es(2) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"topk k must be a literal int, got $other")
+      }
+      val asc = es.lift(3) match {
+        case Some(Literal(v: Boolean, _)) => v
+        case None => true
+        case other => throw new IllegalArgumentException(s"topk asc must be a literal bool, got $other")
+      }
+      TopKAgg(es(0), es(1), k, asc).toAggregateExpression()
+    }
   }
 }

@@ -31,6 +31,21 @@ class FunctionsSpec extends SparkTestBase {
     assert(r.getDouble(0) > 0 && math.abs(r.getDouble(2) - 1.0) < 0.01)
   }
 
+  test("topk aggregate is callable from SQL") {
+    graft.functions.register(spark)
+    spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .createOrReplaceTempView("li_sql")
+    val rows = spark.sql(
+      """SELECT l_returnflag, topk(l_extendedprice, l_orderkey, 2, false) AS tk
+        |FROM li_sql GROUP BY l_returnflag""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tk = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(tk.length == 2)
+      assert(tk(0).getDouble(1) >= tk(1).getDouble(1)) // descending
+    }
+  }
+
   test("flagship entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
