@@ -23,6 +23,31 @@ object IndexFactory {
   sealed trait Built {
     def search(queries: DataFrame, k: Int, nprobe: Int = 1,
         queryId: String = "qid", queryVec: String = "qvec"): DataFrame
+    /** Canonical factory string (reverse_index_factory,
+      * contrib/factory_tools.py:76). Set by [[build]]. */
+    var description: String = ""
+  }
+
+  /** Bytes per stored vector for a factory string at dimension d
+    * (get_code_size, contrib/factory_tools.py:10). Transform prefixes
+    * may change the effective d (PCA<t>/OPQ keep their output dim). */
+  def codeSize(desc: String, d: Int): Int = {
+    var dim = d
+    var code: Option[Int] = None
+    desc.split(",").map(_.trim).foreach {
+      case Pca(_, t) => dim = t.toInt
+      case Rr(t) => dim = t.toInt
+      case OpqTok(_) => ()
+      case "L2norm" | "Center" | "RFlat" => ()
+      case Ivf(_) => ()
+      case "Flat" => code = Some(4 * dim)
+      case "SQ8" => code = Some(dim)
+      case "SQ4" => code = Some((dim + 1) / 2)
+      case "FP16" => code = Some(2 * dim)
+      case Pq(m, _) => code = Some(m.toInt)
+      case other => throw new IllegalArgumentException(s"unknown token $other")
+    }
+    code.getOrElse(throw new IllegalArgumentException(s"no code token in '$desc'"))
   }
 
   private final class FlatBuilt(base: DataFrame, chain: VecTransform)
@@ -149,6 +174,8 @@ object IndexFactory {
         s"unsupported factory tail '${other.mkString(",")}' in '$desc' " +
           "(HNSW/NSG/fast-scan are out of scope: SURVEY §7)")
     }
-    if (refine) new RefineBuilt(built, data, chain, kFactor = 4) else built
+    val result = if (refine) new RefineBuilt(built, data, chain, kFactor = 4) else built
+    result.description = desc
+    result
   }
 }

@@ -66,6 +66,17 @@ class IoFactorySpec extends SparkTestBase {
     }
   }
 
+  test("codeSize and description introspection") {
+    assert(IndexFactory.codeSize("Flat", 64) == 256)
+    assert(IndexFactory.codeSize("SQ8", 64) == 64)
+    assert(IndexFactory.codeSize("SQ4", 64) == 32)
+    assert(IndexFactory.codeSize("FP16", 64) == 128)
+    assert(IndexFactory.codeSize("IVF16,PQ8", 64) == 8)
+    assert(IndexFactory.codeSize("PCA32,IVF16,Flat", 64) == 128)
+    val f = IndexFactory.build(b, "id", "vec", "IVF8,Flat")
+    assert(f.description == "IVF8,Flat")
+  }
+
   test("factory rejects unsupported HNSW with rationale") {
     val e = intercept[IllegalArgumentException] {
       IndexFactory.build(b, "id", "vec", "HNSW32")

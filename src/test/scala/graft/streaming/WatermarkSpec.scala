@@ -1,0 +1,44 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Event-time semantics the reference lacks entirely (SURVEY §2.10):
+  * watermarked tumbling windows with late-data drop, exercised
+  * synchronously over a MemoryStream. */
+class WatermarkSpec extends SparkTestBase {
+
+  test("watermark drops events later than the threshold in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Timestamp, Double)]
+    val agg = ms.toDF().select(col("_1").as("ts"), col("_2").as("v"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val name = "graft_watermark_test"
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    try {
+      ms.addData((ts(1, 10), 1.0), (ts(1, 20), 2.0))
+      q.processAllAvailable()
+      // advance event time far past hour 1 + watermark -> hour-1 window closes
+      ms.addData((ts(3, 0), 3.0))
+      q.processAllAvailable()
+      // this event is now >10min late for the closed hour-1 window: dropped
+      ms.addData((ts(1, 30), 99.0))
+      q.processAllAvailable()
+      ms.addData((ts(5, 0), 4.0))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .select(col("window.start").cast("string"), col("cnt")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // hour-1 window emitted with ONLY the 2 on-time events
+      assert(rows.exists { case (k, v) => k.startsWith("2024-01-01 01") && v == 2L },
+        s"got $rows")
+    } finally q.stop()
+  }
+}
