@@ -499,6 +499,39 @@ object Queries {
              |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 4) AS err
              |FROM dec""".stripMargin)),
 
+    // §2.11 SQ6 codec (6-bit, four codes per three bytes)
+    ("sq6_roundtrip", (s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      val mm = e.agg(shim.agg(graft.core.VecMinMaxAgg(shim.expr(col("embedding")))).as("_mm"))
+        .select(col("_mm.mins"), col("_mm.maxs")).collect().head
+      val mins = mm.getSeq[Double](0).toArray
+      val vdiff = mins.indices.map(i => mm.getSeq[Double](1)(i) - mins(i)).toArray
+      e.select(col("vec_id"),
+        shim.col(graft.core.SQ6Decode(
+          graft.core.SQ6Encode(shim.expr(col("embedding")), mins, vdiff),
+          mins, vdiff)).as("_dv"),
+        col("embedding"))
+        .select(col("vec_id"), round(element_at(col("_dv"), 1), 4).as("d1"),
+          round(aggregate(
+            zip_with(col("embedding").cast("array<double>"), col("_dv"),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x), 4).as("err"))
+    },
+      Some("""WITH dims AS (
+             |  SELECT list(mn ORDER BY i) AS vmn, list(mx - mn ORDER BY i) AS vd FROM (
+             |    SELECT i, min(e) AS mn, max(e) AS mx
+             |    FROM (SELECT unnest(embedding::DOUBLE[]) AS e, generate_subscripts(embedding, 1) AS i
+             |          FROM embeddings) u GROUP BY i) t),
+             |dec AS (SELECT vec_id, embedding,
+             |  list_transform(embedding::DOUBLE[], (x, i) ->
+             |    vmn[i] + (floor(63 * (CASE WHEN vd[i] = 0 THEN 0
+             |      ELSE least(greatest((x - vmn[i]) / vd[i], 0), 1) END)) + 0.5) / 63 * vd[i]) AS dv
+             |  FROM embeddings, dims)
+             |SELECT vec_id, round(dv[1], 4) AS d1,
+             |  round(list_aggregate(list_transform(list_zip(embedding::DOUBLE[], dv),
+             |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 4) AS err
+             |FROM dec""".stripMargin)),
+
     // §2.11 fp16 codec (IEEE half; no SQL analog -> CodecSpec verifies)
     ("fp16_roundtrip", (s: SparkSession, dir: String) =>
       emb(s, dir).select(col("vec_id"),

@@ -193,6 +193,74 @@ case class SQ4Decode(child: Expression, vmin: Array[Double], vdiff: Array[Double
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** SQ6 codec (faiss Codec6bit, ScalarQuantizer.cpp:127-198): 6-bit
+  * codes packed four per three bytes; code = (int)(63 * xi),
+  * decode = (code + 0.5)/63. */
+object Sq6Kernels {
+  def encode(a: ArrayData, vmin: Array[Double], vdiff: Array[Double]): Array[Byte] = {
+    val d = vmin.length
+    val out = new Array[Byte]((d * 6 + 7) / 8)
+    var i = 0
+    while (i < d) {
+      var xi = 0.0
+      if (vdiff(i) != 0.0) {
+        xi = (a.getFloat(i).toDouble - vmin(i)) / vdiff(i)
+        if (xi < 0) xi = 0
+        if (xi > 1) xi = 1
+      }
+      val bits = (63.0 * xi).toInt
+      val base = (i >> 2) * 3
+      (i & 3) match {
+        case 0 => out(base) = (out(base) | bits).toByte
+        case 1 =>
+          out(base) = (out(base) | (bits << 6)).toByte
+          out(base + 1) = (out(base + 1) | (bits >> 2)).toByte
+        case 2 =>
+          out(base + 1) = (out(base + 1) | (bits << 4)).toByte
+          out(base + 2) = (out(base + 2) | (bits >> 4)).toByte
+        case 3 => out(base + 2) = (out(base + 2) | (bits << 2)).toByte
+      }
+      i += 1
+    }
+    out
+  }
+  def decode(code: Array[Byte], vmin: Array[Double], vdiff: Array[Double]): Array[Double] = {
+    val d = vmin.length
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      val base = (i >> 2) * 3
+      val bits = (i & 3) match {
+        case 0 => code(base) & 0x3f
+        case 1 => (((code(base) & 0xff) >> 6) | ((code(base + 1) & 0xff) << 2)) & 0x3f
+        case 2 => (((code(base + 1) & 0xff) >> 4) | ((code(base + 2) & 0xff) << 4)) & 0x3f
+        case 3 => ((code(base + 2) & 0xff) >> 2) & 0x3f
+      }
+      out(i) = vmin(i) + (bits + 0.5) / 63.0 * vdiff(i)
+      i += 1
+    }
+    out
+  }
+}
+
+case class SQ6Encode(child: Expression, vmin: Array[Double], vdiff: Array[Double])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "sq6_encode"
+  override def nullSafeEval(v: Any): Any =
+    Sq6Kernels.encode(v.asInstanceOf[ArrayData], vmin, vdiff)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class SQ6Decode(child: Expression, vmin: Array[Double], vdiff: Array[Double])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sq6_decode"
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(Sq6Kernels.decode(v.asInstanceOf[Array[Byte]], vmin, vdiff))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** fp16 codec (faiss QT_fp16, ScalarQuantizer.cpp QuantizerFP16 /
   * utils/fp16.h): IEEE 754 half precision with round-to-nearest-even.
   * No SQL analog — verified by Fp16Spec round-trip bounds. */

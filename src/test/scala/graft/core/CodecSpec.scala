@@ -43,6 +43,21 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("sq6: 4 codes per 3 bytes, pack/unpack round-trips exactly") {
+    val rnd6 = new Random(7)
+    for (_ <- 1 to 50) {
+      val d = 1 + rnd6.nextInt(40)
+      val v = Array.fill(d)(rnd6.nextFloat() * 4 - 2)
+      val vmin = Array.fill(d)(-2.0); val vdiff = Array.fill(d)(4.0)
+      val code = Sq6Kernels.encode(new GenericArrayData(v), vmin, vdiff)
+      assert(code.length == (d * 6 + 7) / 8)
+      val dec = Sq6Kernels.decode(code, vmin, vdiff)
+      v.zip(dec).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= 4.0 / 63 / 2 + 1e-6, s"d=$d $x vs $y")
+      }
+    }
+  }
+
   test("sq4 odd dimension packs the tail nibble") {
     val d = 7
     val v = vec(d)
