@@ -820,15 +820,15 @@ object Queries {
         .toDF("list_no", "c1")
     }, None),
 
-    // §2.3 IVFPQR: IVFPQ candidates re-ranked exactly with k_factor
+    // §2.3 IVFPQR: second residual codebook re-rank (true faiss shape,
+    // no raw vectors stored); exact-vector re-rank variant remains in
+    // Refine.ivfPqRefineSearch
     ("ivfpqr_search", (s: SparkSession, dir: String) => {
-      val base = bDf(s, dir, 10)
-      val idx = cached(s"ivfpq:$dir") {
-        graft.index.IvfPqIndex.build(base, "id", "vec", nlist = 8,
-          m = 8, ksub = 16, niterCoarse = 4, niterPq = 4)
+      val idx = cached(s"ivfpqr:$dir") {
+        graft.index.IvfPqrIndex.build(bDf(s, dir, 10), "id", "vec",
+          nlist = 8, m = 8, ksub = 16, niterCoarse = 4, niterPq = 4)
       }
-      graft.index.Refine.ivfPqRefineSearch(qDf(s, dir, 10), base, idx,
-        k = 5, nprobe = 8, kFactor = 4)
+      idx.search(qDf(s, dir, 10), k = 5, nprobe = 8)
     }, None),
 
     // §2.11 IVF-SQ: SQ8 codes inside the pruned IVF join; nprobe=nlist

@@ -151,6 +151,99 @@ class IvfPqIndex(
   }
 }
 
+/** True IVFPQR (faiss/IndexIVFPQR.h:19): a SECOND product quantizer
+  * trained on the first stage's quantization error
+  * (r2 = residual − decode(code1)); search re-ranks the k·k_factor ADC
+  * candidates with the two-codebook reconstruction — no raw vectors
+  * are ever stored, unlike the exact-re-rank variant in
+  * [[Refine.ivfPqRefineSearch]]. */
+class IvfPqrIndex(
+    val nlist: Int,
+    val centroids: Array[Array[Float]],
+    val model1: PqModel,
+    val model2: PqModel,
+    /** (id, list_no, code, code2) */
+    val codes: DataFrame,
+    val kFactor: Int = 4) {
+
+  def search(queries: DataFrame, k: Int, nprobe: Int,
+      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centDf = centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "centroid")
+      .select(col("list_no"), col("centroid").cast("array<float>").as("centroid"))
+    val probes = queries.select(col(queryId), col(queryVec),
+      explode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
+        math.min(nprobe, nlist), "l2sq"))).as("_p"))
+      .select(col(queryId), col(queryVec), col("_p.list_no").as("list_no"))
+      .join(broadcast(centDf), "list_no")
+      .select(col(queryId), col("list_no"),
+        vec_sub(col(queryVec), col("centroid")).as("_qres"))
+      .withColumn("_lut", model1.lutCol(col("_qres")))
+    val probed = probes.select("list_no").distinct().collect().map(_.getInt(0))
+    val lists = codes.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
+    // stage 1: ADC over code1, keep k*kFactor candidates per query
+    val stage1 = lists.join(broadcast(probes.select(col(queryId), col("list_no"), col("_lut"))), "list_no")
+      .select(col(queryId), col("id"), model1.adcCol(col("code"), col("_lut")).as("_d1"))
+      .groupBy(col(queryId))
+      .agg(topk(col("_d1"), col("id"), k * kFactor, asc = true).as("_tk"))
+      .select(col(queryId), explode(col("_tk")).as("_r"))
+      .select(col(queryId), col("_r.id").as("id"))
+    // stage 2: re-rank with the two-codebook reconstruction
+    val rescored = stage1
+      .join(lists.select(col("id"), col("list_no"), col("code"), col("code2")), "id")
+      .join(broadcast(probes.select(col(queryId), col("list_no"), col("_qres"))),
+        Seq(queryId, "list_no"))
+      .select(col(queryId), col("id"),
+        graft.functions.l2sq(col("_qres"),
+          graft.functions.vec_add(model1.decodeCol(col("code")),
+            model2.decodeCol(col("code2")))).as("_d2"))
+    rescored.groupBy(col(queryId))
+      .agg(topk(col("_d2"), col("id"), k, asc = true).as("_tk"))
+      .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+      .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
+        col("_r.id").as("id"), col("_r.dist").as("dist"))
+  }
+}
+
+object IvfPqrIndex {
+  def build(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+      niterCoarse: Int = 6, niterPq: Int = 5, kFactor: Int = 4,
+      seed: Long = 1234L): IvfPqrIndex = {
+    val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val coarse = graft.cluster.KMeans.fit(data, "vec",
+      graft.cluster.KMeans.Params(k = nlist, niter = niterCoarse, seed = seed))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = coarse.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "centroid")
+      .select(col("list_no"), col("centroid").cast("array<float>").as("centroid"))
+    val assigned = coarse.assign(data, "vec")
+      .join(broadcast(centDf), "list_no")
+      .select(col("id"), col("list_no"), vec_sub(col("vec"), col("centroid")).as("res"))
+      .cache()
+    try {
+      val model1 = Pq.train(assigned, "res", m, ksub, niterPq, seed)
+      // second-stage train set: the first stage's quantization error
+      val withErr = assigned.withColumn("res2",
+        vec_sub(col("res"), model1.decodeCol(
+          shim.col(PQEncode(shim.expr(col("res")), model1.codebooks)))))
+        .cache()
+      try {
+        val model2 = Pq.train(withErr, "res2", m, ksub, niterPq, seed + 1)
+        val codes = withErr.select(col("id"), col("list_no"),
+          shim.col(PQEncode(shim.expr(col("res")), model1.codebooks)).as("code"),
+          shim.col(PQEncode(shim.expr(col("res2")), model2.codebooks)).as("code2"))
+        val mat = codes.cache()
+        mat.count()
+        new IvfPqrIndex(nlist, coarse.centroids, model1, model2, mat, kFactor)
+      } finally withErr.unpersist()
+    } finally assigned.unpersist()
+  }
+}
+
 object IvfPqIndex {
   /** Coarse k-means + residual PQ train + encode (IndexIVFPQ::train /
     * add_core; residual computed against the assigned centroid). */

@@ -43,6 +43,20 @@ class PqSpec extends SparkTestBase {
     assert(aggressive.count() <= 50)
   }
 
+  test("true IVFPQR: second codebook improves recall over plain IVFPQ") {
+    val truth = Knn.knnJoin(q, b, 10).cache()
+    val plain = IvfPqIndex.build(b, "id", "vec", nlist = 8, m = 8, ksub = 16,
+      niterCoarse = 4, niterPq = 4)
+    val pqr = IvfPqrIndex.build(b, "id", "vec", nlist = 8, m = 8, ksub = 16,
+      niterCoarse = 4, niterPq = 4)
+    val rPlain = Recall.mean(truth, plain.search(q, 10, nprobe = 8))
+    val rPqr = Recall.mean(truth, pqr.search(q, 10, nprobe = 8))
+    // the re-rank over a 4x candidate pool with finer reconstruction
+    // should not lose recall (usually gains)
+    assert(rPqr >= rPlain - 0.05, s"pqr $rPqr vs plain $rPlain")
+    truth.unpersist()
+  }
+
   test("IVFPQ search: recall above floor and ids within base") {
     val ivfpq = IvfPqIndex.build(b, "id", "vec", nlist = 8, m = 8, ksub = 16,
       niterCoarse = 4, niterPq = 4)
