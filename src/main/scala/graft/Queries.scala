@@ -907,6 +907,30 @@ object Queries {
         .withColumn("dist", r4("dist")),
       Some(knnOracle(dL2, "q.vec_id < 10", "b.vec_id >= 10", 5))),
 
+    // §2.11 batch kNN-graph construction (NNDescent build phase /
+    // Deep1B kNN-graph use case): exact graph oracle-checked
+    ("knn_graph_exact", (s: SparkSession, dir: String) =>
+      graft.knn.KnnGraph.exact(
+        emb(s, dir).filter(col("vec_id") < 100)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")), 5)
+        .withColumn("dist", r4("dist")),
+      Some("""SELECT src, "rank", dst, round(dist, 4) AS dist FROM (
+             |  SELECT q.vec_id AS src, b.vec_id AS dst,
+             |    list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2 AS dist,
+             |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |      list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2, b.vec_id) AS "rank"
+             |  FROM embeddings q CROSS JOIN embeddings b
+             |  WHERE q.vec_id < 100 AND b.vec_id < 100 AND q.vec_id <> b.vec_id) t
+             |WHERE "rank" <= 5""".stripMargin)),
+
+    // nn-descent refinement of the graph (iterative; rows-only,
+    // KnnGraphSpec asserts convergence toward the exact graph)
+    ("knn_graph_nndescent", (s: SparkSession, dir: String) =>
+      graft.knn.KnnGraph.nnDescent(
+        emb(s, dir).filter(col("vec_id") < 100)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        5, iters = 2), None),
+
     // §2.4 ProgressiveDimClustering (PCA-prefix warm-started k-means)
     ("progressive_dim_kmeans", (s: SparkSession, dir: String) => {
       import s.implicits._

@@ -1,0 +1,79 @@
+package graft.knn
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch kNN-graph construction (the capability behind the
+  * reference's Deep1B kNN-graph benchmark, benchs/README.md:313, and
+  * IndexNNDescent's build phase, faiss/impl/NNDescent.cpp:488 —
+  * SURVEY §2.11 notes NN-descent's graph BUILD is the one graph
+  * algorithm that is dataflow-friendly: neighbor-of-neighbor
+  * candidate joins + per-node top-k).
+  *
+  * `exact` is O(n²) work but never shuffles the base (blocked
+  * broadcast); `nnDescent` is the scale path: each round generates
+  * candidates by joining the current graph with itself (≈ n·k² rows)
+  * and reduces with the partial top-k — no cross join at any size.
+  */
+object KnnGraph {
+
+  /** Exact k-nearest-neighbor graph (self-join, self-edge excluded).
+    * Output (src, rank, dst, dist). */
+  def exact(base: DataFrame, k: Int, metric: String = "l2sq",
+      idCol: String = "id", vecCol: String = "vec",
+      blocks: Int = 1): DataFrame = {
+    val q = base.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val res =
+      if (blocks <= 1) Knn.knnJoin(q, base, k + 1, metric,
+        baseId = idCol, baseVec = vecCol)
+      else Knn.knnJoinBlocked(q, base, k + 1, blocks, metric,
+        baseId = idCol, baseVec = vecCol)
+    // drop the self edge, re-rank 1..k
+    res.filter(col("qid") =!= col(idCol))
+      .groupBy(col("qid"))
+      .agg(graft.functions.topk(col("dist"), col(idCol), k, asc = true).as("_tk"))
+      .select(col("qid").as("src"), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+      .select(col("src"), (col("_pos") + 1).cast("long").as("rank"),
+        col("_r.id").as("dst"), col("_r.dist").as("dist"))
+  }
+
+  /** NN-descent refinement (Dong et al., WWW'11): start from a cheap
+    * initial graph, repeatedly propose neighbors-of-neighbors (in both
+    * edge directions) and keep each node's best k. Converges in a few
+    * rounds on metric data; each round is two equi-joins + a top-k. */
+  def nnDescent(base: DataFrame, k: Int, iters: Int = 3,
+      metric: String = "l2sq", idCol: String = "id", vecCol: String = "vec",
+      seed: Long = 1234L): DataFrame = {
+    val ids = base.select(col(idCol).as("src"))
+    val n = ids.count()
+    // initial graph: k pseudo-random neighbors via hashed offsets
+    var graph = ids.select(col("src"),
+      explode(sequence(lit(1), lit(k))).as("_j"))
+      .select(col("src"),
+        pmod(xxhash64(col("src"), col("_j"), lit(seed)), lit(n)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+    for (_ <- 0 until iters) {
+      val undirected = graph.select(col("src"), col("dst"))
+        .unionByName(graph.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      // neighbors of neighbors
+      val non = undirected.as("a")
+        .join(undirected.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val candidates = undirected.unionByName(non).distinct()
+        .select(col("src").as("qid"), col("dst").as(idCol))
+      val q = base.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      graph = Knn.knnByIdx(q, base, candidates, k, metric,
+        baseId = idCol, baseVec = vecCol)
+        .select(col("qid").as("src"), col(idCol).as("dst"), col("dist"))
+    }
+    val q = base.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    Knn.knnByIdx(q, base,
+      graph.select(col("src").as("qid"), col("dst").as(idCol)), k, metric,
+      baseId = idCol, baseVec = vecCol)
+      .select(col("qid").as("src"), col("rank"), col(idCol).as("dst"), col("dist"))
+  }
+}
