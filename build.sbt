@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs the whole executor inside this one JVM: the 8g JVM
+  // default thrashes GC with 32 concurrent tasks (r02 bench collapse).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-XX:+UseG1GC",
 )

@@ -140,7 +140,7 @@ object Queries {
         .withColumn("dist", r4("dist"))
     },
       Some(knnOracle(
-        "list_aggregate(list_transform(list_zip(list_transform(q.embedding::DOUBLE[], v -> abs(v)), list_transform(b.embedding::DOUBLE[], v -> abs(v))), p -> CASE WHEN p[1] > 0 AND p[2] > 0 THEN p[1]*ln(p[1]/((p[1]+p[2])/2)) + p[2]*ln(p[2]/((p[1]+p[2])/2)) ELSE 0 END), 'sum')",
+        "0.5 * list_aggregate(list_transform(list_zip(list_transform(q.embedding::DOUBLE[], v -> abs(v)), list_transform(b.embedding::DOUBLE[], v -> abs(v))), p -> CASE WHEN p[1] > 0 AND p[2] > 0 THEN p[1]*ln(p[1]/((p[1]+p[2])/2)) + p[2]*ln(p[2]/((p[1]+p[2])/2)) ELSE 0 END), 'sum')",
         "q.vec_id < 10", "b.vec_id >= 10", 5))),
 
     // §2.3 flat range search (radius theta-join, long-format output)
@@ -218,20 +218,26 @@ object Queries {
     },
       Some(knnOracle(dL2, "q.vec_id < 10", "b.vec_id >= 10 AND b.vec_id % 3 <> 0", 5))),
 
-    // §2.2 reconstruct / reconstruct_batch (point lookups by id)
+    // §2.2 reconstruct / reconstruct_batch (point lookups by id).
+    // Output is exploded to scalar (vec_id, dim, val) rows: the driver's
+    // comparator cannot sort array-typed cells (VERDICT r02 finding #1).
     ("reconstruct", (s: SparkSession, dir: String) =>
       emb(s, dir).filter(col("vec_id").isin(3L, 7L, 11L, 123L))
-        .select(col("vec_id"),
-          transform(col("embedding"), x => round(x.cast("double"), 4)).as("vec")),
-      Some("""SELECT vec_id, list_transform(embedding::DOUBLE[], x -> round(x, 4)) AS vec
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("_p", "_e")))
+        .select(col("vec_id"), (col("_p") + 1).cast("long").as("dim"),
+          round(col("_e").cast("double"), 4).as("val")),
+      Some("""SELECT vec_id, generate_subscripts(embedding, 1)::BIGINT AS dim,
+             |  round(unnest(embedding::DOUBLE[]), 4) AS val
              |FROM embeddings WHERE vec_id IN (3, 7, 11, 123)""".stripMargin)),
 
-    // §2.2 reconstruct_n (contiguous id range)
+    // §2.2 reconstruct_n (contiguous id range), exploded like reconstruct
     ("reconstruct_n", (s: SparkSession, dir: String) =>
       emb(s, dir).filter(col("vec_id").between(50, 59))
-        .select(col("vec_id"),
-          transform(col("embedding"), x => round(x.cast("double"), 4)).as("vec")),
-      Some("""SELECT vec_id, list_transform(embedding::DOUBLE[], x -> round(x, 4)) AS vec
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("_p", "_e")))
+        .select(col("vec_id"), (col("_p") + 1).cast("long").as("dim"),
+          round(col("_e").cast("double"), 4).as("val")),
+      Some("""SELECT vec_id, generate_subscripts(embedding, 1)::BIGINT AS dim,
+             |  round(unnest(embedding::DOUBLE[]), 4) AS val
              |FROM embeddings WHERE vec_id BETWEEN 50 AND 59""".stripMargin)),
 
     // §2.4/§2.8 norms (fvec_norms_L2)
@@ -241,19 +247,23 @@ object Queries {
       Some("""SELECT vec_id, round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')), 4) AS norm
              |FROM embeddings WHERE vec_id < 100""".stripMargin)),
 
-    // §2.9 CenteringTransform (x - mean), first two dims
+    // §2.9 CenteringTransform (x - mean), first two dims. The mean is
+    // itself rounded to 6dp on BOTH sides before subtracting: Spark and
+    // DuckDB accumulate avg() in different orders, and the raw means can
+    // straddle a 4dp half-ulp boundary (VERDICT r02 finding #2); after
+    // rounding both engines subtract the identical double.
     ("centering", (s: SparkSession, dir: String) => {
       val e = emb(s, dir)
       val means = e.agg(
-        avg(element_at(col("embedding"), 1).cast("double")).as("m1"),
-        avg(element_at(col("embedding"), 2).cast("double")).as("m2"))
+        round(avg(element_at(col("embedding"), 1).cast("double")), 6).as("m1"),
+        round(avg(element_at(col("embedding"), 2).cast("double")), 6).as("m2"))
       e.crossJoin(broadcast(means)).select(
         col("vec_id"),
         round(element_at(col("embedding"), 1).cast("double") - col("m1"), 4).as("c1"),
         round(element_at(col("embedding"), 2).cast("double") - col("m2"), 4).as("c2"))
     },
       Some("""SELECT vec_id, round(embedding[1]::DOUBLE - m1, 4) AS c1, round(embedding[2]::DOUBLE - m2, 4) AS c2
-             |FROM embeddings, (SELECT avg(embedding[1]::DOUBLE) AS m1, avg(embedding[2]::DOUBLE) AS m2 FROM embeddings)""".stripMargin)),
+             |FROM embeddings, (SELECT round(avg(embedding[1]::DOUBLE), 6) AS m1, round(avg(embedding[2]::DOUBLE), 6) AS m2 FROM embeddings)""".stripMargin)),
 
     // §2.8 hamming over sign-bit codes (LSH binarization + popcount)
     ("hamming_signbits", (s: SparkSession, dir: String) => {
@@ -950,11 +960,15 @@ object Queries {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
       val doubled = e.unionByName(
         e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      // ids list rendered as a comma string: the driver's comparator
+      // cannot hash array-typed cells (VERDICT r02 finding #1)
       Dedup.exactDupGroups(doubled, "vec_id", col("embedding"))
+        .withColumn("ids", array_join(col("ids"), ","))
     },
       Some("""WITH u AS (SELECT vec_id, embedding FROM embeddings
              |           UNION ALL SELECT vec_id + 10000, embedding FROM embeddings)
-             |SELECT min(vec_id) AS rep_id, count(*) AS cnt, list_sort(list(vec_id)) AS ids
+             |SELECT min(vec_id) AS rep_id, count(*) AS cnt,
+             |  array_to_string(list_sort(list(vec_id)), ',') AS ids
              |FROM u GROUP BY embedding""".stripMargin)),
 
     // MinHash + LSH banding near-dup dedup, end-to-end (shingle ->

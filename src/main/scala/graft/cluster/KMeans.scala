@@ -79,12 +79,20 @@ object KMeans {
     val maxTrain = p.k.toLong * p.maxPointsPerCentroid
     val total = vecs.count()
     // Subsample deterministically when the train set exceeds
-    // k*max_points_per_centroid (Clustering.cpp:93 subsample_training_set)
+    // k*max_points_per_centroid (Clustering.cpp:93 subsample_training_set).
+    // Hash-THRESHOLD filter, not orderBy(hash).limit(n): TakeOrdered
+    // merges all n sampled rows on the driver, which at nlist=10⁵ ×
+    // 256 points/centroid is tens of millions of vectors through one
+    // process (VERDICT r02 finding #4). The filter keeps ≈maxTrain rows
+    // (binomial around the target) fully distributed; exact sample
+    // counts are not a FAISS-parity goal (SURVEY §7 seeded-RNG parity).
     val train0 =
-      if (total > maxTrain)
-        vecs.withColumn("_h", xxhash64(col("vec"), lit(p.seed)))
-          .orderBy(col("_h")).limit(maxTrain.toInt).drop("_h")
-      else vecs
+      if (total > maxTrain) {
+        val buckets = 1L << 30
+        val keep = math.min(buckets,
+          (maxTrain.toDouble / total * buckets).toLong + 1)
+        vecs.filter(pmod(xxhash64(col("vec"), lit(p.seed)), lit(buckets)) < keep)
+      } else vecs
     val train = train0.cache()
     try {
       var best: Model = null

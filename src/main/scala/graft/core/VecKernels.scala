@@ -118,6 +118,10 @@ object VecKernels {
   /** faiss METRIC_JensenShannon (extra_distances-inl.h:86-99):
     * sum over dims of x*log(x/m) + y*log(y/m), m=(x+y)/2; terms with
     * non-positive components skipped. */
+  /** METRIC_JensenShannon: faiss returns 0.5 * the accumulated KL sum
+    * (extra_distances-inl.h). Terms with a nonpositive component are
+    * skipped — a deliberate NaN-avoiding deviation (faiss would emit
+    * NaN via log of a nonpositive ratio). */
   def jensenshannon(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     var s = 0.0; var i = 0
@@ -129,7 +133,7 @@ object VecKernels {
       }
       i += 1
     }
-    s
+    0.5 * s
   }
 
   def normL2(a: ArrayData): Double = {

@@ -92,8 +92,10 @@ class IvfIndex(
           .agg(topk(col("_dist"), col("_pid"), k, Metric.ascending(metric)).as("_tk"))
           .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
           .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
-            (col("_r.id") / nlist).cast("long").as("id"),
-            (col("_r.id") % nlist).cast("int").as("list_no"),
+            // integer floor-div/mod round-trip: `/` is double division
+            // and loses precision for id*nlist near 2^53
+            expr(s"_r.id div $nlist").cast("long").as("id"),
+            pmod(col("_r.id"), lit(nlist.toLong)).cast("int").as("list_no"),
             col("_r.dist").as("dist"))
       } else {
         cand.groupBy(col(queryId))

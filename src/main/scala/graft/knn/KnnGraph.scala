@@ -44,13 +44,25 @@ object KnnGraph {
   def nnDescent(base: DataFrame, k: Int, iters: Int = 3,
       metric: String = "l2sq", idCol: String = "id", vecCol: String = "vec",
       seed: Long = 1234L): DataFrame = {
-    val ids = base.select(col(idCol).as("src"))
+    val spark = base.sparkSession
+    val ids = base.select(col(idCol).cast("long").as("src"))
     val n = ids.count()
-    // initial graph: k pseudo-random neighbors via hashed offsets
+    // initial graph: k pseudo-random neighbors. Hashed offsets are
+    // positions into a dense 0..n-1 enumeration of the ACTUAL ids
+    // (zipWithIndex — distributed, two passes over the id column), so
+    // sparse or non-contiguous id spaces still seed real neighbors
+    // rather than ids that do not exist.
+    val mapped = {
+      import spark.implicits._
+      ids.rdd.map(_.getLong(0)).zipWithIndex()
+        .toDF("_dstid", "_pos")
+    }
     var graph = ids.select(col("src"),
       explode(sequence(lit(1), lit(k))).as("_j"))
       .select(col("src"),
-        pmod(xxhash64(col("src"), col("_j"), lit(seed)), lit(n)).as("dst"))
+        pmod(xxhash64(col("src"), col("_j"), lit(seed)), lit(n)).as("_pos"))
+      .join(mapped, "_pos")
+      .select(col("src"), col("_dstid").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
 
