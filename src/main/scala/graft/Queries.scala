@@ -23,10 +23,19 @@ import graft.llm.{Dedup, Multimodal, TextFunctions => TF}
 object Queries {
 
   // ---- table helpers ---------------------------------------------------
+  // Table DataFrames are memoized per (session, path): spark.read
+  // re-lists files and re-infers the parquet schema (a small Spark job)
+  // on EVERY call, and the catalog's ~90 queries each read 1-3 tables —
+  // reusing the analyzed plan removes ~200 fixed-overhead jobs per
+  // session without changing any scan plan.
+  private def table(s: SparkSession, dir: String, name: String): DataFrame =
+    cached(s"table:$dir/$name:${s.hashCode}") {
+      s.read.parquet(s"$dir/$name.parquet")
+    }
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    table(s, dir, "embeddings")
   private def lineitem(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/lineitem.parquet")
+    table(s, dir, "lineitem")
 
   /** Query side: vec_id < n. */
   private def qDf(s: SparkSession, dir: String, n: Long): DataFrame =
@@ -50,9 +59,150 @@ object Queries {
     cached(s"ivf16:$dir") {
       IvfIndex.build(bDf(s, dir, 10), "id", "vec", nlist = 16, niter = 4)
     }
+  private def ivf20(s: SparkSession, dir: String): IvfIndex =
+    cached(s"ivf20:$dir") {
+      IvfIndex.build(bDf(s, dir, 20), "id", "vec", nlist = 16, niter = 4)
+    }
+  private def ivfsq16(s: SparkSession, dir: String): graft.index.IvfSqIndex =
+    cached(s"ivfsq16:$dir") {
+      graft.index.IvfSqIndex.build(bDf(s, dir, 10), "id", "vec", nlist = 16, niter = 4)
+    }
   private def pq16(s: SparkSession, dir: String): graft.index.PqIndex =
     cached(s"pq16:$dir") {
       graft.index.PqIndex.build(bDf(s, dir, 10), "id", "vec", m = 8, ksub = 16, niter = 4)
+    }
+  private def rot64(s: SparkSession, dir: String): graft.transform.Linear =
+    cached(s"rot64:$dir") { graft.transform.Transforms.randomRotation(64, 42L) }
+  private def opqModel(s: SparkSession, dir: String): (graft.transform.Linear, graft.index.PqModel) =
+    cached(s"opq:$dir") {
+      graft.transform.Opq.trainOpq(bDf(s, dir, 10), "vec", m = 8, ksub = 16,
+        outerIters = 2, pqIters = 3)
+    }
+  private def ivfpq8(s: SparkSession, dir: String): graft.index.IvfPqIndex =
+    cached(s"ivfpq:$dir") {
+      graft.index.IvfPqIndex.build(bDf(s, dir, 10), "id", "vec",
+        nlist = 8, m = 8, ksub = 16, niterCoarse = 4, niterPq = 4)
+    }
+  private def ivfpqr8(s: SparkSession, dir: String): graft.index.IvfPqrIndex =
+    cached(s"ivfpqr:$dir") {
+      graft.index.IvfPqrIndex.build(bDf(s, dir, 10), "id", "vec",
+        nlist = 8, m = 8, ksub = 16, niterCoarse = 4, niterPq = 4)
+    }
+
+  /** Writes the trained-state sidecars that the sidecar-based oracle
+    * SQLs read (see [[OracleAux]]); called by Verify after the query
+    * dump so the sidecars always come from the same session (and thus
+    * the same memoized models) as the compared outputs. */
+  def writeOracleAux(s: SparkSession, dir: String): Unit = {
+    OracleAux.write(dir, "ivf16_centroids",
+      OracleAux.centroidsDf(s, ivf16(s, dir).centroids))
+    OracleAux.write(dir, "pq16_codebooks",
+      OracleAux.codebooksDf(s, pq16(s, dir).model.codebooks))
+    OracleAux.write(dir, "rot64", OracleAux.matrixDf(s, rot64(s, dir).a))
+    val (orot, opqm) = opqModel(s, dir)
+    OracleAux.write(dir, "opq_rot", OracleAux.matrixDf(s, orot.a))
+    OracleAux.write(dir, "opq_codebooks", OracleAux.codebooksDf(s, opqm.codebooks))
+    val ipq = ivfpq8(s, dir)
+    OracleAux.write(dir, "ivfpq_centroids", OracleAux.centroidsDf(s, ipq.centroids))
+    OracleAux.write(dir, "ivfpq_codebooks", OracleAux.codebooksDf(s, ipq.model.codebooks))
+    val ipqr = ivfpqr8(s, dir)
+    OracleAux.write(dir, "ivfpqr_centroids", OracleAux.centroidsDf(s, ipqr.centroids))
+    OracleAux.write(dir, "ivfpqr_codebooks1", OracleAux.codebooksDf(s, ipqr.model1.codebooks))
+    OracleAux.write(dir, "ivfpqr_codebooks2", OracleAux.codebooksDf(s, ipqr.model2.codebooks))
+    OracleAux.write(dir, "ivfbig_centroids",
+      OracleAux.centroidsDf(s, ivfBig(s, dir).centroids))
+    val ipqb = ivfpqBig(s, dir)
+    OracleAux.write(dir, "ivfpqbig_centroids", OracleAux.centroidsDf(s, ipqb.centroids))
+    OracleAux.write(dir, "ivfpqbig_codebooks", OracleAux.codebooksDf(s, ipqb.model.codebooks))
+    OracleAux.write(dir, "bivf_centroids",
+      OracleAux.bitsDf(s, bivf8(s, dir).centroidBits))
+    OracleAux.write(dir, "rq_codebooks",
+      OracleAux.codebooksDf(s, rqModel16(s, dir).codebooks))
+  }
+
+  /** Root the static sidecar-oracle SQLs read from: the driver's
+    * correctness gate always runs at sf0.01. */
+  private val AUX = s"${OracleAux.Root}/sf0.01"
+
+  // ---- at-scale vector table -------------------------------------------
+  // The embeddings table is tiny even at sf0.1 (2,000 rows), so vector
+  // plans there are overhead-dominated. This derives a |lineitem|-sized
+  // (600k rows at sf0.1) d=8 float vector table with exact-arithmetic
+  // features (no dates, no floating parity risk), used by the *_big
+  // queries that actually stress the scan/prune/top-k machinery.
+  // Row id = 60-bit md5 content hash over integer-exact column casts:
+  // the synthetic lineitem has no unique natural key ((orderkey,
+  // linenumber) repeats with different payloads), and the hash is
+  // reproducible verbatim in DuckDB (same trick as the minhash
+  // oracle). Full-row duplicates collapse under DISTINCT identically
+  // in both engines.
+  private def bigVecs(s: SparkSession, dir: String): DataFrame =
+    cached(s"bigvecs:$dir") {
+      val key = concat_ws("|",
+        col("l_orderkey").cast("long"), col("l_linenumber").cast("long"),
+        col("l_partkey").cast("long"), col("l_suppkey").cast("long"),
+        col("l_quantity").cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        round(col("l_discount") * 100).cast("long"),
+        round(col("l_tax") * 100).cast("long"))
+      lineitem(s, dir).select(
+        conv(substring(md5(key), 1, 15), 16, 10).cast("long").as("id"),
+        array(
+          col("l_quantity") / 50.0,
+          col("l_extendedprice") / 100000.0,
+          col("l_discount") * 10.0,
+          col("l_tax") * 10.0,
+          (col("l_partkey") % 1000) / 1000.0,
+          (col("l_suppkey") % 100) / 100.0,
+          (col("l_orderkey") % 97) / 97.0,
+          col("l_linenumber") / 7.0
+        ).cast("array<float>").as("vec"))
+        .distinct()
+    }
+  /** ~1 query per 10k base rows, deterministically spread. */
+  private def bigQueries(s: SparkSession, dir: String): DataFrame =
+    bigVecs(s, dir).filter(col("id") % 9973 === 1)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+  private val bigVecSql =
+    """SELECT DISTINCT ('0x' || substr(md5(
+      |    l_orderkey::BIGINT::VARCHAR || '|' || l_linenumber::BIGINT::VARCHAR || '|' ||
+      |    l_partkey::BIGINT::VARCHAR || '|' || l_suppkey::BIGINT::VARCHAR || '|' ||
+      |    l_quantity::BIGINT::VARCHAR || '|' || round(l_extendedprice*100)::BIGINT::VARCHAR || '|' ||
+      |    round(l_discount*100)::BIGINT::VARCHAR || '|' || round(l_tax*100)::BIGINT::VARCHAR), 1, 15))::BIGINT AS id,
+      |  [l_quantity/50.0, l_extendedprice/100000.0, l_discount*10.0, l_tax*10.0,
+      |   (l_partkey % 1000)/1000.0, (l_suppkey % 100)/100.0,
+      |   (l_orderkey % 97)/97.0, l_linenumber/7.0]::REAL[] AS vec
+      |FROM lineitem""".stripMargin
+  private def ivfBig(s: SparkSession, dir: String): IvfIndex =
+    cached(s"ivfbig:$dir") {
+      IvfIndex.build(bigVecs(s, dir), "id", "vec", nlist = 64, niter = 4)
+    }
+  private def ivfpqBig(s: SparkSession, dir: String): graft.index.IvfPqIndex =
+    cached(s"ivfpqbig:$dir") {
+      graft.index.IvfPqIndex.build(bigVecs(s, dir), "id", "vec",
+        nlist = 64, m = 4, ksub = 16, niterCoarse = 4, niterPq = 4)
+    }
+  private def bivf8(s: SparkSession, dir: String): graft.index.BinaryIvfIndex =
+    cached(s"bivf8:$dir") {
+      graft.index.BinaryIvfIndex.buildFromVectors(bDf(s, dir, 10), "id", "vec",
+        nlist = 8, niter = 4)
+    }
+  private def rqModel16(s: SparkSession, dir: String): graft.index.RqModel =
+    cached(s"rq16:$dir") {
+      graft.index.Rq.train(emb(s, dir).select(col("embedding")), "embedding",
+        levels = 2, k = 16, niter = 4)
+    }
+  private def docsDf(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+  /** The one MinHash-LSH near-dup pipeline at the catalog's standard
+    * parameters, shared by every query that consumes its verified
+    * pairs (candidates, corpus dedup) — the signature+band+verify
+    * pipeline is the most expensive job in the catalog and must run
+    * once per session, not once per consuming query. */
+  private def nearDups08(s: SparkSession, dir: String): DataFrame =
+    cached(s"neardups08:$dir") {
+      Dedup.nearDupPairs(docsDf(s, dir), "doc_id", "text",
+        threshold = 0.8, ngram = 3, hashes = 12, bands = 4)
     }
 
   // DuckDB SQL fragments ------------------------------------------------
@@ -247,23 +397,25 @@ object Queries {
       Some("""SELECT vec_id, round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')), 4) AS norm
              |FROM embeddings WHERE vec_id < 100""".stripMargin)),
 
-    // §2.9 CenteringTransform (x - mean), first two dims. The mean is
-    // itself rounded to 6dp on BOTH sides before subtracting: Spark and
-    // DuckDB accumulate avg() in different orders, and the raw means can
-    // straddle a 4dp half-ulp boundary (VERDICT r02 finding #2); after
-    // rounding both engines subtract the identical double.
+    // §2.9 CenteringTransform (x - mean), first two dims. BOTH operands
+    // are rounded to 4dp before subtracting: the difference of two
+    // on-grid 4dp doubles is within 1e-15 of a 4dp grid point — never
+    // near the x.xxxx5 half-grid boundary where Spark's decimal-string
+    // rounding and DuckDB's fp-multiply rounding can disagree (the r03
+    // hash mismatch; the 6dp-mean variant still produced 6dp-ish
+    // differences that could sit exactly on that boundary).
     ("centering", (s: SparkSession, dir: String) => {
       val e = emb(s, dir)
       val means = e.agg(
-        round(avg(element_at(col("embedding"), 1).cast("double")), 6).as("m1"),
-        round(avg(element_at(col("embedding"), 2).cast("double")), 6).as("m2"))
+        round(avg(element_at(col("embedding"), 1).cast("double")), 4).as("m1"),
+        round(avg(element_at(col("embedding"), 2).cast("double")), 4).as("m2"))
       e.crossJoin(broadcast(means)).select(
         col("vec_id"),
-        round(element_at(col("embedding"), 1).cast("double") - col("m1"), 4).as("c1"),
-        round(element_at(col("embedding"), 2).cast("double") - col("m2"), 4).as("c2"))
+        round(round(element_at(col("embedding"), 1).cast("double"), 4) - col("m1"), 4).as("c1"),
+        round(round(element_at(col("embedding"), 2).cast("double"), 4) - col("m2"), 4).as("c2"))
     },
-      Some("""SELECT vec_id, round(embedding[1]::DOUBLE - m1, 4) AS c1, round(embedding[2]::DOUBLE - m2, 4) AS c2
-             |FROM embeddings, (SELECT round(avg(embedding[1]::DOUBLE), 6) AS m1, round(avg(embedding[2]::DOUBLE), 6) AS m2 FROM embeddings)""".stripMargin)),
+      Some("""SELECT vec_id, round(round(embedding[1]::DOUBLE, 4) - m1, 4) AS c1, round(round(embedding[2]::DOUBLE, 4) - m2, 4) AS c2
+             |FROM embeddings, (SELECT round(avg(embedding[1]::DOUBLE), 4) AS m1, round(avg(embedding[2]::DOUBLE), 4) AS m2 FROM embeddings)""".stripMargin)),
 
     // §2.8 hamming over sign-bit codes (LSH binarization + popcount)
     ("hamming_signbits", (s: SparkSession, dir: String) => {
@@ -421,23 +573,57 @@ object Queries {
       Some(knnOracle(dL2, "q.vec_id < 10", "b.vec_id >= 10", 10))),
 
     // §2.3 IVF range search, nprobe = nlist ⇒ exact
-    ("ivf_range_exact", (s: SparkSession, dir: String) => {
-      val idx = IvfIndex.build(bDf(s, dir, 20), "id", "vec", nlist = 16, niter = 4)
-      idx.rangeSearch(qDf(s, dir, 20), radius = 1.45, nprobe = 16)
-        .withColumn("dist", r4("dist"))
-    },
+    ("ivf_range_exact", (s: SparkSession, dir: String) =>
+      ivf20(s, dir).rangeSearch(qDf(s, dir, 20), radius = 1.45, nprobe = 16)
+        .withColumn("dist", r4("dist")),
       Some(s"""SELECT q.vec_id AS qid, b.vec_id AS id, round($dL2, 4) AS dist
               |FROM embeddings q CROSS JOIN embeddings b
               |WHERE q.vec_id < 20 AND b.vec_id >= 20 AND $dL2 < 1.45""".stripMargin)),
 
-    // §2.3 the real approximate path (nprobe << nlist): rows-only check
+    // §2.3 the real approximate path (nprobe << nlist). Oracle reads
+    // the trained-centroid sidecar, re-derives per-query probe lists
+    // (4 nearest centroids), base-list assignment, and the pruned
+    // exact top-k — a full hash check of IVF pruning semantics.
     ("ivf_search_nprobe4", (s: SparkSession, dir: String) =>
-      ivf16(s, dir).search(qDf(s, dir, 10), k = 10, nprobe = 4), None),
+      ivf16(s, dir).search(qDf(s, dir, 10), k = 10, nprobe = 4)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivf16_centroids/*.parquet')),
+              |qc AS (SELECT q.vec_id AS qid, c.list_no, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
+              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10),
+              |probes AS (SELECT qid, list_no FROM qc WHERE pr <= 4),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |d AS (SELECT p.qid, a.id,
+              |    list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2 AS dist
+              |  FROM probes p JOIN basg a ON a.list_no = p.list_no
+              |  JOIN embeddings q ON q.vec_id = p.qid JOIN embeddings b ON b.vec_id = a.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 10""".stripMargin)),
 
-    // §2.7 search_and_return_centroids: list_no as an output column
+    // §2.7 search_and_return_centroids: list_no as an output column.
+    // nprobe = nlist, so the result is the exact top-k plus each
+    // match's home list from the centroid-sidecar assignment.
     ("ivf_search_centroids", (s: SparkSession, dir: String) =>
       ivf16(s, dir).search(qDf(s, dir, 10), k = 5, nprobe = 16,
-        withCentroid = true), None),
+        withCentroid = true).withColumn("dist", r4("dist")),
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivf16_centroids/*.parquet')),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |d AS (SELECT q.vec_id AS qid, b.vec_id AS id,
+              |    list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2 AS dist
+              |  FROM embeddings q CROSS JOIN embeddings b
+              |  WHERE q.vec_id < 10 AND b.vec_id >= 10)
+              |SELECT qid, "rank", id, list_no, round(dist, 4) AS dist FROM (
+              |  SELECT d.qid, d.id, a.list_no, d.dist,
+              |    row_number() OVER (PARTITION BY d.qid ORDER BY d.dist, d.id) AS "rank"
+              |  FROM d JOIN basg a ON a.id = d.id) w
+              |WHERE "rank" <= 5""".stripMargin)),
 
     // §2.4 k-means train (seeded; engine-deterministic, no SQL oracle)
     ("kmeans_train", (s: SparkSession, dir: String) => {
@@ -712,23 +898,99 @@ object Queries {
               |  WHERE q.vec_id < 20 AND b.vec_id >= 20 AND $dL2 < 2.0
               |  ORDER BY dist, qid, id LIMIT 50) t""".stripMargin)),
 
-    // §2.11 IndexPQ ADC search (kmeans codebooks: engine-deterministic,
-    // verified by PqSpec ADC==decode-then-L2 parity; rows-only here)
+    // §2.11 IndexPQ ADC search. Oracle reads the trained codebooks
+    // sidecar (written by Verify, see OracleAux) and independently
+    // re-derives encode (per-subspace argmin), the per-query LUT, and
+    // the ADC sum in SQL — full hash check of the PQ pipeline.
     ("pq_adc_search", (s: SparkSession, dir: String) =>
-      pq16(s, dir).search(qDf(s, dir, 10), 10), None),
+      pq16(s, dir).search(qDf(s, dir, 10), 10).withColumn("dist", r4("dist")),
+      Some(s"""WITH cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/pq16_codebooks/*.parquet')),
+              |bsub AS (SELECT vec_id AS id, r.m AS m, embedding[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM embeddings, range(0,8) r(m) WHERE vec_id >= 10),
+              |enc AS (SELECT id, m, j FROM (
+              |  SELECT b.id, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
+              |qsub AS (SELECT vec_id AS qid, r.m AS m, embedding[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM embeddings, range(0,8) r(m) WHERE vec_id < 10),
+              |lut AS (SELECT q.qid, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub q JOIN cb ON cb.m = q.m),
+              |adc AS (SELECT l.qid, e.id, list_aggregate(list(l.pd ORDER BY l.m), 'sum') AS dist
+              |  FROM enc e JOIN lut l ON l.m = e.m AND l.j = e.j GROUP BY l.qid, e.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w
+              |WHERE "rank" <= 10""".stripMargin)),
 
-    // §2.3 polysemous-style Hamming pre-filter before ADC
+    // §2.3 polysemous-style Hamming pre-filter before ADC: the oracle
+    // additionally encodes the QUERIES and applies the same byte-wise
+    // popcount filter before the ADC ranking.
     ("pq_polysemous_filter", (s: SparkSession, dir: String) =>
-      pq16(s, dir).search(qDf(s, dir, 10), 10, polysemousHt = Some(48)), None),
+      pq16(s, dir).search(qDf(s, dir, 10), 10, polysemousHt = Some(48))
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/pq16_codebooks/*.parquet')),
+              |bsub AS (SELECT vec_id AS id, r.m AS m, embedding[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM embeddings, range(0,8) r(m) WHERE vec_id >= 10),
+              |enc AS (SELECT id, m, j FROM (
+              |  SELECT b.id, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
+              |qsub AS (SELECT vec_id AS qid, r.m AS m, embedding[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM embeddings, range(0,8) r(m) WHERE vec_id < 10),
+              |qenc AS (SELECT qid, m, j FROM (
+              |  SELECT q.qid, q.m, cb.j, row_number() OVER (PARTITION BY q.qid, q.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM qsub q JOIN cb ON cb.m = q.m) t WHERE rn = 1),
+              |ham AS (SELECT qe.qid, e.id,
+              |    list_aggregate(list(bit_count(xor(e.j::BIGINT, qe.j::BIGINT)) ORDER BY e.m), 'sum') AS hd
+              |  FROM enc e JOIN qenc qe ON qe.m = e.m GROUP BY qe.qid, e.id),
+              |lut AS (SELECT q.qid, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub q JOIN cb ON cb.m = q.m),
+              |adc AS (SELECT l.qid, e.id, list_aggregate(list(l.pd ORDER BY l.m), 'sum') AS dist
+              |  FROM enc e JOIN lut l ON l.m = e.m AND l.j = e.j
+              |  JOIN ham h ON h.qid = l.qid AND h.id = e.id
+              |  WHERE h.hd <= 48 GROUP BY l.qid, e.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w
+              |WHERE "rank" <= 10""".stripMargin)),
 
-    // §2.11 IVFPQ: residual PQ inside the pruned IVF join
-    ("ivfpq_search", (s: SparkSession, dir: String) => {
-      val idx = cached(s"ivfpq:$dir") {
-        graft.index.IvfPqIndex.build(bDf(s, dir, 10), "id", "vec",
-          nlist = 8, m = 8, ksub = 16, niterCoarse = 4, niterPq = 4)
-      }
-      idx.search(qDf(s, dir, 10), 10, nprobe = 8)
-    }, None),
+    // §2.11 IVFPQ: residual PQ inside the pruned IVF join. nprobe =
+    // nlist here, so the oracle replays coarse assignment (argmin over
+    // the centroid sidecar), the float32 residual, residual encode,
+    // per-(query, list) LUT over (q - centroid), and the ADC sum.
+    ("ivfpq_search", (s: SparkSession, dir: String) =>
+      ivfpq8(s, dir).search(qDf(s, dir, 10), 10, nprobe = 8)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfpq_centroids/*.parquet')),
+              |cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/ivfpq_codebooks/*.parquet')),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |bres AS (SELECT a.id, a.list_no,
+              |    list_transform(list_zip(b.embedding, c.c), p -> p[1] - p[2]) AS res
+              |  FROM basg a JOIN embeddings b ON b.vec_id = a.id JOIN cent c ON c.list_no = a.list_no),
+              |bsub AS (SELECT id, list_no, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM bres, range(0,8) r(m)),
+              |enc AS (SELECT id, list_no, m, j FROM (
+              |  SELECT b.id, b.list_no, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
+              |qres AS (SELECT q.vec_id AS qid, c.list_no,
+              |    list_transform(list_zip(q.embedding, c.c), p -> p[1] - p[2]) AS res
+              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10),
+              |qsub AS (SELECT qid, list_no, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM qres, range(0,8) r(m)),
+              |lut AS (SELECT q.qid, q.list_no, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub q JOIN cb ON cb.m = q.m),
+              |adc AS (SELECT l.qid, e.id, list_aggregate(list(l.pd ORDER BY l.m), 'sum') AS dist
+              |  FROM enc e JOIN lut l ON l.list_no = e.list_no AND l.m = e.m AND l.j = e.j
+              |  GROUP BY l.qid, e.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w
+              |WHERE "rank" <= 10""".stripMargin)),
 
     // §2.7 intersect (left_semi) of two id sets
     ("intersect_ids", (s: SparkSession, dir: String) => {
@@ -792,33 +1054,75 @@ object Queries {
               |FROM embeddings q CROSS JOIN embeddings b
               |WHERE q.vec_id < 20 AND b.vec_id >= 20 AND $dIp > 0.35""".stripMargin)),
 
-    // §2.7 get_invlist_range: export a contiguous range of lists
+    // §2.7 get_invlist_range: export a contiguous range of lists.
+    // Oracle re-derives the list assignment from the centroid sidecar.
     ("invlist_range", (s: SparkSession, dir: String) =>
       ivf16(s, dir).invlists.filter(col("list_no").between(0, 7))
         .groupBy(col("list_no")).agg(count(lit(1)).as("cnt"))
         .agg(count(lit(1)).cast("long").as("n_lists"), sum(col("cnt")).as("n_rows")),
-      None),
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivf16_centroids/*.parquet')),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1)
+              |SELECT count(DISTINCT list_no)::BIGINT AS n_lists, count(*)::BIGINT AS n_rows
+              |FROM basg WHERE list_no BETWEEN 0 AND 7""".stripMargin)),
 
-    // §2.11 LSH: seeded random rotation + sign bits + Hamming search
+    // §2.11 LSH: seeded random rotation + sign bits + Hamming search.
+    // Oracle reads the rotation-matrix sidecar, re-derives the rotated
+    // float32 sign bits per dim, and counts mismatches (Hamming is
+    // bit-packing-independent).
     ("lsh_search", (s: SparkSession, dir: String) => {
-      val rot = cached(s"rot64:$dir") { graft.transform.Transforms.randomRotation(64, 42L) }
+      val rot = rot64(s, dir)
       val enc = (c: org.apache.spark.sql.Column) => sign_bits(rot.applyCol(c))
       val q = qDf(s, dir, 10).select(col("qid"), enc(col("qvec")).as("qcode"))
       val b = bDf(s, dir, 10).select(col("id"), enc(col("vec")).as("code"))
       graft.index.BinaryFlat.knnJoin(q, b, 10)
-    }, None),
+    },
+      Some(s"""WITH bits AS (SELECT vec_id, list((yv >= 0) ORDER BY d) AS bv FROM (
+              |  SELECT e.vec_id, r.d,
+              |    (list_aggregate(list_transform(list_zip(r.r::DOUBLE[], e.embedding::DOUBLE[]), p -> p[1]*p[2]), 'sum'))::REAL AS yv
+              |  FROM embeddings e CROSS JOIN read_parquet('$AUX/rot64/*.parquet') r) t GROUP BY vec_id),
+              |hd AS (SELECT q.vec_id AS qid, b.vec_id AS id,
+              |    len(list_filter(list_zip(q.bv, b.bv), p -> p[1] <> p[2]))::BIGINT AS hd
+              |  FROM bits q JOIN bits b ON q.vec_id < 10 AND b.vec_id >= 10)
+              |SELECT qid, "rank", id, hd FROM (
+              |  SELECT qid, id, hd, row_number() OVER (PARTITION BY qid ORDER BY hd, id) AS "rank" FROM hd) w
+              |WHERE "rank" <= 10""".stripMargin)),
 
-    // §2.9 OPQ: learned rotation + PQ (rows-only; engine-deterministic)
+    // §2.9 OPQ: learned rotation + PQ. Oracle rotates both sides with
+    // the rotation sidecar (double mat-vec, float32 cast — the Linear
+    // transform's output contract), then replays the flat-PQ
+    // encode/LUT/ADC with the OPQ codebooks sidecar.
     ("opq_pq_search", (s: SparkSession, dir: String) => {
       val base = bDf(s, dir, 10)
-      val (rot, pqm) = cached(s"opq:$dir") {
-        graft.transform.Opq.trainOpq(base, "vec", m = 8, ksub = 16,
-          outerIters = 2, pqIters = 3)
-      }
+      val (rot, pqm) = opqModel(s, dir)
       val idx = new graft.index.PqIndex(pqm,
         pqm.encode(base.withColumn("vec", rot.applyCol(col("vec"))), "id", "vec"))
       idx.search(qDf(s, dir, 10).withColumn("qvec", rot.applyCol(col("qvec"))), 10)
-    }, None),
+        .withColumn("dist", r4("dist"))
+    },
+      Some(s"""WITH cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/opq_codebooks/*.parquet')),
+              |rv AS (SELECT vec_id, list(yv ORDER BY d) AS v FROM (
+              |  SELECT e.vec_id, r.d,
+              |    (list_aggregate(list_transform(list_zip(r.r::DOUBLE[], e.embedding::DOUBLE[]), p -> p[1]*p[2]), 'sum'))::REAL AS yv
+              |  FROM embeddings e CROSS JOIN read_parquet('$AUX/opq_rot/*.parquet') r) t GROUP BY vec_id),
+              |bsub AS (SELECT vec_id AS id, r.m AS m, v[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM rv, range(0,8) r(m) WHERE vec_id >= 10),
+              |enc AS (SELECT id, m, j FROM (
+              |  SELECT b.id, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
+              |qsub AS (SELECT vec_id AS qid, r.m AS m, v[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM rv, range(0,8) r(m) WHERE vec_id < 10),
+              |lut AS (SELECT q.qid, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub q JOIN cb ON cb.m = q.m),
+              |adc AS (SELECT l.qid, e.id, list_aggregate(list(l.pd ORDER BY l.m), 'sum') AS dist
+              |  FROM enc e JOIN lut l ON l.m = e.m AND l.j = e.j GROUP BY l.qid, e.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w
+              |WHERE "rank" <= 10""".stripMargin)),
 
     // §2.4 two-level clustering (scalable nlist path; rows-only)
     ("two_level_centroids", (s: SparkSession, dir: String) => {
@@ -832,23 +1136,74 @@ object Queries {
 
     // §2.3 IVFPQR: second residual codebook re-rank (true faiss shape,
     // no raw vectors stored); exact-vector re-rank variant remains in
-    // Refine.ivfPqRefineSearch
-    ("ivfpqr_search", (s: SparkSession, dir: String) => {
-      val idx = cached(s"ivfpqr:$dir") {
-        graft.index.IvfPqrIndex.build(bDf(s, dir, 10), "id", "vec",
-          nlist = 8, m = 8, ksub = 16, niterCoarse = 4, niterPq = 4)
-      }
-      idx.search(qDf(s, dir, 10), k = 5, nprobe = 8)
-    }, None),
+    // Refine.ivfPqRefineSearch. The oracle replays BOTH stages: ADC
+    // over codebook-1 keeps k*kFactor candidates, then the
+    // two-codebook float32 reconstruction re-ranks them.
+    ("ivfpqr_search", (s: SparkSession, dir: String) =>
+      ivfpqr8(s, dir).search(qDf(s, dir, 10), k = 5, nprobe = 8)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfpqr_centroids/*.parquet')),
+              |cb1 AS (SELECT m, j, c FROM read_parquet('$AUX/ivfpqr_codebooks1/*.parquet')),
+              |cb2 AS (SELECT m, j, c FROM read_parquet('$AUX/ivfpqr_codebooks2/*.parquet')),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |bres AS (SELECT a.id, a.list_no,
+              |    list_transform(list_zip(b.embedding, c.c), p -> p[1] - p[2]) AS res
+              |  FROM basg a JOIN embeddings b ON b.vec_id = a.id JOIN cent c ON c.list_no = a.list_no),
+              |bsub AS (SELECT id, list_no, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM bres, range(0,8) r(m)),
+              |enc1 AS (SELECT id, list_no, m, j FROM (
+              |  SELECT b.id, b.list_no, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN cb1 cb ON cb.m = b.m) t WHERE rn = 1),
+              |dec1 AS (SELECT e.id, flatten(list(cb.c ORDER BY e.m)) AS v
+              |  FROM enc1 e JOIN cb1 cb ON cb.m = e.m AND cb.j = e.j GROUP BY e.id),
+              |res2 AS (SELECT r.id, r.list_no,
+              |    list_transform(list_zip(r.res, d.v), p -> p[1] - p[2]) AS res
+              |  FROM bres r JOIN dec1 d ON d.id = r.id),
+              |bsub2 AS (SELECT id, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |          FROM res2, range(0,8) r(m)),
+              |enc2 AS (SELECT id, m, j FROM (
+              |  SELECT b.id, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub2 b JOIN cb2 cb ON cb.m = b.m) t WHERE rn = 1),
+              |dec2 AS (SELECT e.id, flatten(list(cb.c ORDER BY e.m)) AS v
+              |  FROM enc2 e JOIN cb2 cb ON cb.m = e.m AND cb.j = e.j GROUP BY e.id),
+              |qres AS (SELECT q.vec_id AS qid, c.list_no,
+              |    list_transform(list_zip(q.embedding, c.c), p -> p[1] - p[2]) AS res
+              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10),
+              |qsub AS (SELECT qid, list_no, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM qres, range(0,8) r(m)),
+              |lut AS (SELECT q.qid, q.list_no, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub q JOIN cb1 cb ON cb.m = q.m),
+              |adc AS (SELECT l.qid, e.id, list_aggregate(list(l.pd ORDER BY l.m), 'sum') AS d1
+              |  FROM enc1 e JOIN lut l ON l.list_no = e.list_no AND l.m = e.m AND l.j = e.j
+              |  GROUP BY l.qid, e.id),
+              |st1 AS (SELECT qid, id FROM (
+              |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY d1, id) AS rn FROM adc) t
+              |  WHERE rn <= 20),
+              |resc AS (SELECT s1.qid, s1.id,
+              |    list_aggregate(list_transform(
+              |      list_zip(q.res::DOUBLE[], list_transform(list_zip(d1.v, d2.v), p -> p[1] + p[2])::DOUBLE[]),
+              |      p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
+              |  FROM st1 s1
+              |  JOIN basg a ON a.id = s1.id
+              |  JOIN qres q ON q.qid = s1.qid AND q.list_no = a.list_no
+              |  JOIN dec1 d1 ON d1.id = s1.id
+              |  JOIN dec2 d2 ON d2.id = s1.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM resc) w
+              |WHERE "rank" <= 5""".stripMargin)),
 
     // §2.11 IVF-SQ: SQ8 codes inside the pruned IVF join; nprobe=nlist
     // makes it equal the flat SQ8 ADC search, so the sq8_knn oracle
     // applies verbatim
-    ("ivfsq_search_exact", (s: SparkSession, dir: String) => {
-      val idx = graft.index.IvfSqIndex.build(bDf(s, dir, 10), "id", "vec",
-        nlist = 16, niter = 4)
-      idx.search(qDf(s, dir, 10), 5, nprobe = 16).withColumn("dist", r4("dist"))
-    },
+    ("ivfsq_search_exact", (s: SparkSession, dir: String) =>
+      ivfsq16(s, dir).search(qDf(s, dir, 10), 5, nprobe = 16)
+        .withColumn("dist", r4("dist")),
       Some("""WITH dims AS (
              |  SELECT list(mn ORDER BY i) AS vmn, list(mx - mn ORDER BY i) AS vd FROM (
              |    SELECT i, min(e) AS mn, max(e) AS mx
@@ -975,9 +1330,7 @@ object Queries {
     // md5 minhash signature -> band hashes -> bucket join -> exact
     // Jaccard verify). The oracle replicates the identical pipeline.
     ("minhash_lsh_neardup", (s: SparkSession, dir: String) =>
-      Dedup.nearDupPairs(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-        threshold = 0.8, ngram = 3, hashes = 12, bands = 4)
+      nearDups08(s, dir)
         .withColumn("jaccard", round(col("jaccard"), 4)),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
              |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
@@ -1002,9 +1355,7 @@ object Queries {
     // full dedup pipeline output: the corpus after near-dup removal
     // (keep-first policy), oracle replays the whole minhash pipeline
     ("neardup_dedup_corpus", (s: SparkSession, dir: String) =>
-      Dedup.dropNearDups(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-        threshold = 0.8, ngram = 3, hashes = 12, bands = 4)
+      Dedup.dropPairsLosers(docsDf(s, dir), "doc_id", nearDups08(s, dir))
         .select(col("doc_id"), col("lang"), col("n_chars")),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
              |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
@@ -1030,7 +1381,7 @@ object Queries {
     // exact n-gram Jaccard via inverted shingle index (no cross join)
     ("ngram_jaccard_pairs", (s: SparkSession, dir: String) =>
       Dedup.ngramJaccardPairs(
-        s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 150),
+        docsDf(s, dir).filter(col("doc_id") < 150),
         "doc_id", "text", threshold = 0.5, ngram = 3)
         .withColumn("jaccard", round(col("jaccard"), 4)),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 150),
@@ -1064,12 +1415,12 @@ object Queries {
     // oracle — covered by SimHashSpec invariants)
     ("simhash_neardup", (s: SparkSession, dir: String) =>
       Dedup.simhashNearDups(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        docsDf(s, dir), "doc_id", "text",
         maxHamming = 16), None),
 
     // text analysis: token/char counts
     ("token_count", (s: SparkSession, dir: String) =>
-      s.read.parquet(s"$dir/documents.parquet").select(
+      docsDf(s, dir).select(
         col("doc_id"), TF.tokenCount(col("text")).as("n_tokens"),
         length(col("text")).cast("long").as("len_chars")),
       Some("""SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
@@ -1077,7 +1428,7 @@ object Queries {
 
     // text analysis: quality scoring (length/stopword/token-length)
     ("quality_score", (s: SparkSession, dir: String) =>
-      s.read.parquet(s"$dir/documents.parquet").select(
+      docsDf(s, dir).select(
         col("doc_id"),
         round(TF.avgTokenLength(col("text")), 4).as("avg_tok_len"),
         round(TF.stopwordRatio(col("text"), TF.EnStopwords), 4).as("sw_ratio"),
@@ -1093,7 +1444,7 @@ object Queries {
     // text analysis: stopword-based language-ID heuristic
     ("langid_stopwords", (s: SparkSession, dir: String) => {
       val ratio = TF.stopwordRatio(col("text"), TF.EnStopwords)
-      s.read.parquet(s"$dir/documents.parquet").select(
+      docsDf(s, dir).select(
         col("doc_id"), round(ratio, 4).as("en_ratio"),
         when(ratio > 0.02, "en").otherwise("und").as("pred"))
     },
@@ -1106,14 +1457,14 @@ object Queries {
 
     // document fingerprinting (content hash)
     ("fingerprint_md5", (s: SparkSession, dir: String) =>
-      s.read.parquet(s"$dir/documents.parquet")
+      docsDf(s, dir)
         .select(col("doc_id"), TF.fingerprint(col("text")).as("fp")),
       Some("SELECT doc_id, md5(text) AS fp FROM documents")),
 
     // multimodal: opaque binary column -> batched mapPartitions decode
     // (stub) -> typed features; oracle checks the byte-derived fields
     ("multimodal_features", (s: SparkSession, dir: String) => {
-      val media = s.read.parquet(s"$dir/documents.parquet").select(
+      val media = docsDf(s, dir).select(
         col("doc_id").as("id"), col("text").cast("binary").as("media"),
         lit("text-as-image").as("kind"))
       Multimodal.extractFeatures(media)
@@ -1138,7 +1489,9 @@ object Queries {
     // rows-only for the driver)
     ("autotune_pareto", (s: SparkSession, dir: String) => {
       import s.implicits._
-      val idx = IvfIndex.build(bDf(s, dir, 10), "id", "vec", nlist = 8, niter = 3)
+      val idx = cached(s"ivf8:$dir") {
+        IvfIndex.build(bDf(s, dir, 10), "id", "vec", nlist = 8, niter = 3)
+      }
       val pts = graft.tune.AutoTune.explore(
         idx, qDf(s, dir, 10), bDf(s, dir, 10), 10, Seq(1, 2, 4, 8))
       graft.tune.AutoTune.paretoFront(pts)
@@ -1159,7 +1512,7 @@ object Queries {
     // near-dup removal -> per-language corpus stats; every stage
     // replayed by the oracle
     ("training_data_pipeline", (s: SparkSession, dir: String) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = docsDf(s, dir)
       val quality = docs.filter(
         TF.qualityScore(col("text"), TF.EnStopwords) >= 0.5)
       val deduped = Dedup.dropNearDups(quality, "doc_id", "text",
@@ -1196,6 +1549,202 @@ object Queries {
              |SELECT lang, count(*) AS n_docs, round(avg(n_chars::DOUBLE), 2) AS avg_chars,
              |  CAST(sum(len(t)) AS BIGINT) AS total_tokens
              |FROM deduped GROUP BY lang""".stripMargin)),
+
+    // ---- at-scale vector queries (600k-row lineitem-derived table;
+    // the bench rows that actually stress scan/prune/top-k) ----------
+
+    // exact brute-force kNN at |lineitem| scale: broadcast-NLJ + heap
+    // aggregate over 600k rows x ~60 queries (sf0.1)
+    ("knn_flat_l2_big", (s: SparkSession, dir: String) =>
+      Knn.knnJoin(bigQueries(s, dir), bigVecs(s, dir), 10)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH v AS ($bigVecSql)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT q.id AS qid, b.id AS id,
+              |    list_distance(q.vec::DOUBLE[], b.vec::DOUBLE[])^2 AS dist,
+              |    row_number() OVER (PARTITION BY q.id ORDER BY
+              |      list_distance(q.vec::DOUBLE[], b.vec::DOUBLE[])^2, b.id) AS "rank"
+              |  FROM v q CROSS JOIN v b WHERE q.id % 9973 = 1) t
+              |WHERE "rank" <= 10""".stripMargin)),
+
+    // IVF at scale: nprobe/nlist = 8/64 prunes 87.5% of the scan; the
+    // oracle replays probe selection + assignment from the centroid
+    // sidecar. Bench contrast vs knn_flat_l2_big is the IVF pruning
+    // claim measured under real load.
+    ("ivf_search_big", (s: SparkSession, dir: String) =>
+      ivfBig(s, dir).search(bigQueries(s, dir), k = 10, nprobe = 8)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH v AS ($bigVecSql),
+              |cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfbig_centroids/*.parquet')),
+              |qc AS (SELECT q.id AS qid, c.list_no, row_number() OVER (PARTITION BY q.id ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.vec::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
+              |  FROM v q CROSS JOIN cent c WHERE q.id % 9973 = 1),
+              |probes AS (SELECT qid, list_no FROM qc WHERE pr <= 8),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.id, c.list_no, row_number() OVER (PARTITION BY b.id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.vec::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM v b CROSS JOIN cent c) t WHERE rn = 1),
+              |d AS (SELECT p.qid, a.id,
+              |    list_distance(q.vec::DOUBLE[], b.vec::DOUBLE[])^2 AS dist
+              |  FROM probes p JOIN basg a ON a.list_no = p.list_no
+              |  JOIN v q ON q.id = p.qid JOIN v b ON b.id = a.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 10""".stripMargin)),
+
+    // IVFPQ at scale (m=4, dsub=2 over d=8): codes are 4 bytes/row vs
+    // 32 bytes of floats; oracle replays the full residual-encode +
+    // LUT + ADC pipeline from the sidecars.
+    ("ivfpq_search_big", (s: SparkSession, dir: String) =>
+      ivfpqBig(s, dir).search(bigQueries(s, dir), k = 10, nprobe = 8)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH v AS ($bigVecSql),
+              |cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfpqbig_centroids/*.parquet')),
+              |cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/ivfpqbig_codebooks/*.parquet')),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.id, c.list_no, row_number() OVER (PARTITION BY b.id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.vec::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM v b CROSS JOIN cent c) t WHERE rn = 1),
+              |bres AS (SELECT a.id, a.list_no,
+              |    list_transform(list_zip(b.vec, c.c), p -> p[1] - p[2]) AS res
+              |  FROM basg a JOIN v b ON b.id = a.id JOIN cent c ON c.list_no = a.list_no),
+              |bsub AS (SELECT id, list_no, r.m AS m, res[r.m*2+1:r.m*2+2]::DOUBLE[] AS sv
+              |         FROM bres, range(0,4) r(m)),
+              |enc AS (SELECT id, list_no, m, j FROM (
+              |  SELECT b.id, b.list_no, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
+              |qc AS (SELECT q.id AS qid, c.list_no, q.vec, c.c, row_number() OVER (PARTITION BY q.id ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.vec::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
+              |  FROM v q CROSS JOIN cent c WHERE q.id % 9973 = 1),
+              |qres AS (SELECT qid, list_no,
+              |    list_transform(list_zip(vec, c), p -> p[1] - p[2]) AS res
+              |  FROM qc WHERE pr <= 8),
+              |qsub AS (SELECT qid, list_no, r.m AS m, res[r.m*2+1:r.m*2+2]::DOUBLE[] AS sv
+              |         FROM qres, range(0,4) r(m)),
+              |lut AS (SELECT q.qid, q.list_no, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub q JOIN cb ON cb.m = q.m),
+              |adc AS (SELECT l.qid, e.id, list_aggregate(list(l.pd ORDER BY l.m), 'sum') AS dist
+              |  FROM enc e JOIN lut l ON l.list_no = e.list_no AND l.m = e.m AND l.j = e.j
+              |  GROUP BY l.qid, e.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w
+              |WHERE "rank" <= 10""".stripMargin)),
+
+    // §2.11 Binary IVF (IndexBinaryIVF): Hamming-pruned inverted lists
+    // of sign-bit codes. All-integer arithmetic, so the oracle replays
+    // assignment, probe selection, and the pruned Hamming top-k
+    // exactly from the binarized-centroid sidecar.
+    ("bivf_search", (s: SparkSession, dir: String) => {
+      val q = qDf(s, dir, 10)
+        .select(col("qid"), sign_bits(col("qvec")).as("qcode"))
+      bivf8(s, dir).search(q, k = 5, nprobe = 2)
+    },
+      Some(s"""WITH cent AS (SELECT list_no, bits FROM read_parquet('$AUX/bivf_centroids/*.parquet')),
+              |bbits AS (SELECT vec_id AS id, list_transform(embedding, x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS bits
+              |          FROM embeddings WHERE vec_id >= 10),
+              |qbits AS (SELECT vec_id AS id, list_transform(embedding, x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS bits
+              |          FROM embeddings WHERE vec_id < 10),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.id, c.list_no, row_number() OVER (PARTITION BY b.id ORDER BY
+              |    len(list_filter(list_zip(b.bits, c.bits), p -> p[1] <> p[2])), c.list_no) AS rn
+              |  FROM bbits b CROSS JOIN cent c) t WHERE rn = 1),
+              |probes AS (SELECT qid, list_no FROM (
+              |  SELECT q.id AS qid, c.list_no, row_number() OVER (PARTITION BY q.id ORDER BY
+              |    len(list_filter(list_zip(q.bits, c.bits), p -> p[1] <> p[2])), c.list_no) AS pr
+              |  FROM qbits q CROSS JOIN cent c) t WHERE pr <= 2),
+              |hd AS (SELECT p.qid, a.id,
+              |    len(list_filter(list_zip(qb.bits, bb.bits), p -> p[1] <> p[2]))::BIGINT AS hd
+              |  FROM probes p JOIN basg a ON a.list_no = p.list_no
+              |  JOIN qbits qb ON qb.id = p.qid JOIN bbits bb ON bb.id = a.id)
+              |SELECT qid, "rank", id, hd FROM (
+              |  SELECT qid, id, hd, row_number() OVER (PARTITION BY qid ORDER BY hd, id) AS "rank" FROM hd) w
+              |WHERE "rank" <= 5""".stripMargin)),
+
+    // §2.11 residual quantizer roundtrip (IndexAdditiveQuantizer /
+    // ResidualQuantizer minimal slice): 2 greedy levels of
+    // full-dimension codebooks. The oracle replays the level-by-level
+    // argmin encode, float32 residual, and codeword-sum decode from
+    // the codebook sidecar.
+    ("rq_roundtrip", (s: SparkSession, dir: String) => {
+      val rq = rqModel16(s, dir)
+      emb(s, dir).select(col("vec_id"),
+        rq.roundtripCol(col("embedding")).as("_dv"), col("embedding"))
+        .select(col("vec_id"),
+          round(element_at(col("_dv"), 1).cast("double"), 4).as("d1"),
+          round(aggregate(
+            zip_with(col("embedding").cast("array<double>"),
+              col("_dv").cast("array<double>"),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x), 4).as("err"))
+    },
+      Some(s"""WITH cb AS (SELECT m, j, c FROM read_parquet('$AUX/rq_codebooks/*.parquet')),
+              |a0 AS (SELECT vec_id, embedding, j0 FROM (
+              |  SELECT e.vec_id, e.embedding, cb.j AS j0, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(e.embedding::DOUBLE[], cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM embeddings e JOIN cb ON cb.m = 0) t WHERE rn = 1),
+              |r1 AS (SELECT a0.vec_id, a0.embedding, a0.j0,
+              |    list_transform(list_zip(a0.embedding, cb.c), p -> p[1] - p[2]) AS res
+              |  FROM a0 JOIN cb ON cb.m = 0 AND cb.j = a0.j0),
+              |a1 AS (SELECT vec_id, embedding, j0, j1 FROM (
+              |  SELECT r1.vec_id, r1.embedding, r1.j0, cb.j AS j1, row_number() OVER (PARTITION BY r1.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(r1.res::DOUBLE[], cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM r1 JOIN cb ON cb.m = 1) t WHERE rn = 1),
+              |dec AS (SELECT a1.vec_id, a1.embedding,
+              |    list_transform(list_zip(c0.c, c1.c), p -> p[1] + p[2]) AS dv
+              |  FROM a1 JOIN cb c0 ON c0.m = 0 AND c0.j = a1.j0
+              |  JOIN cb c1 ON c1.m = 1 AND c1.j = a1.j1)
+              |SELECT vec_id, round(dv[1]::DOUBLE, 4) AS d1,
+              |  round(list_aggregate(list_transform(list_zip(embedding::DOUBLE[], dv::DOUBLE[]),
+              |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 4) AS err
+              |FROM dec""".stripMargin)),
+
+    // RQ reconstruction-distance search (the SDC-style use of the
+    // additive code): rank base by ||q - decode(encode(b))||².
+    ("rq_search", (s: SparkSession, dir: String) => {
+      val rq = rqModel16(s, dir)
+      val b = bDf(s, dir, 10).select(col("id"), rq.roundtripCol(col("vec")).as("dv"))
+      val q = qDf(s, dir, 10)
+      b.crossJoin(broadcast(q))
+        .select(col("qid"), col("id"), l2sq(col("qvec"), col("dv")).as("_d"))
+        .groupBy(col("qid"))
+        .agg(topk(col("_d"), col("id"), 5, asc = true).as("_tk"))
+        .select(col("qid"), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+        .select(col("qid"), (col("_pos") + 1).cast("long").as("rank"),
+          col("_r.id").as("id"), round(col("_r.dist"), 4).as("dist"))
+    },
+      Some(s"""WITH cb AS (SELECT m, j, c FROM read_parquet('$AUX/rq_codebooks/*.parquet')),
+              |a0 AS (SELECT vec_id, embedding, j0 FROM (
+              |  SELECT e.vec_id, e.embedding, cb.j AS j0, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(e.embedding::DOUBLE[], cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM embeddings e JOIN cb ON cb.m = 0 WHERE e.vec_id >= 10) t WHERE rn = 1),
+              |r1 AS (SELECT a0.vec_id, a0.embedding, a0.j0,
+              |    list_transform(list_zip(a0.embedding, cb.c), p -> p[1] - p[2]) AS res
+              |  FROM a0 JOIN cb ON cb.m = 0 AND cb.j = a0.j0),
+              |a1 AS (SELECT vec_id, embedding, j0, j1 FROM (
+              |  SELECT r1.vec_id, r1.embedding, r1.j0, cb.j AS j1, row_number() OVER (PARTITION BY r1.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(r1.res::DOUBLE[], cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM r1 JOIN cb ON cb.m = 1) t WHERE rn = 1),
+              |dec AS (SELECT a1.vec_id AS id,
+              |    list_transform(list_zip(c0.c, c1.c), p -> p[1] + p[2]) AS dv
+              |  FROM a1 JOIN cb c0 ON c0.m = 0 AND c0.j = a1.j0
+              |  JOIN cb c1 ON c1.m = 1 AND c1.j = a1.j1),
+              |d AS (SELECT q.vec_id AS qid, b.id,
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], b.dv::DOUBLE[]),
+              |      p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
+              |  FROM embeddings q CROSS JOIN dec b WHERE q.vec_id < 10)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 5""".stripMargin)),
+
+    // per-partition HNSW graph accelerator (IndexHNSWfast capability,
+    // IndexShards merge). Approximate + partitioning-dependent, so
+    // rows-only for the driver; HnswSpec asserts recall vs exact.
+    ("hnsw_partition_search", (s: SparkSession, dir: String) =>
+      graft.knn.PartitionedHnsw.knnJoin(
+        bigQueries(s, dir), bigVecs(s, dir), 10,
+        m = 16, efConstruction = 64, efSearch = 96), None),
 
     // sanity: classic aggregation pipeline (partial agg + shuffle)
     ("q1_agg", (s: SparkSession, dir: String) =>

@@ -91,7 +91,15 @@ object KMeans {
         val buckets = 1L << 30
         val keep = math.min(buckets,
           (maxTrain.toDouble / total * buckets).toLong + 1)
-        vecs.filter(pmod(xxhash64(col("vec"), lit(p.seed)), lit(buckets)) < keep)
+        val sampled =
+          vecs.filter(pmod(xxhash64(col("vec"), lit(p.seed)), lit(buckets)) < keep)
+        // The hash keys on the vector VALUE, so duplicate-heavy data can
+        // land every copy in (or out of) the kept range: an empty or
+        // k-deficient sample is possible. Fall back to an unsampled
+        // arbitrary-prefix limit then — degenerate inputs only, so the
+        // limit's driver-side collect stays irrelevant at scale.
+        if (sampled.limit(p.k).count() < p.k) vecs.limit(maxTrain.toInt)
+        else sampled
       } else vecs
     val train = train0.cache()
     try {

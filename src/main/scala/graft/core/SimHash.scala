@@ -87,6 +87,39 @@ object MinHashSig {
   def b(j: Int): Long = (97531L * (j + 13)) % P
 }
 
+/** Per-shingle base hash: md5 hex-prefix (first 15 hex digits = 60
+  * bits) mod [[MinHashSig.M]], over a string array in ONE kernel call
+  * per row. Semantically identical to the builtin chain
+  * `transform(s, x -> conv(substring(md5(x),1,15),16,10) % M)` — which
+  * DuckDB reproduces as `('0x'||substr(md5(x),1,15))::BIGINT % M` —
+  * but ~40× faster: higher-order-function lambdas are interpreted
+  * (boxed eval per element), while this loops over the array inside
+  * one expression eval with a reused MessageDigest. */
+case class MinHashBase(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_base"
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val dig = md.digest(arr.getUTF8String(i).getBytes)
+      // first 15 hex digits = bytes 0..6 + the high nibble of byte 7
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+      h = (h << 4) | ((dig(7) >> 4) & 0xfL)
+      out(i) = h % MinHashSig.M
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object SimHash64 {
   def fnv1a64(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L

@@ -115,13 +115,11 @@ object VecKernels {
     if (den > 0.0) num / den else 0.0
   }
 
-  /** faiss METRIC_JensenShannon (extra_distances-inl.h:86-99):
-    * sum over dims of x*log(x/m) + y*log(y/m), m=(x+y)/2; terms with
-    * non-positive components skipped. */
-  /** METRIC_JensenShannon: faiss returns 0.5 * the accumulated KL sum
-    * (extra_distances-inl.h). Terms with a nonpositive component are
-    * skipped — a deliberate NaN-avoiding deviation (faiss would emit
-    * NaN via log of a nonpositive ratio). */
+  /** METRIC_JensenShannon (faiss extra_distances-inl.h:86-99): 0.5 *
+    * sum over dims of x*log(x/m) + y*log(y/m) with m=(x+y)/2. Terms
+    * with a nonpositive component are skipped — a deliberate
+    * NaN-avoiding deviation (faiss would emit NaN via log of a
+    * nonpositive ratio). */
   def jensenshannon(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     var s = 0.0; var i = 0

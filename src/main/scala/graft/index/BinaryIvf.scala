@@ -1,0 +1,99 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{hamming_dist, sign_bits, topk}
+
+/** Binary IVF index (faiss/IndexBinaryIVF.h:33): inverted lists of
+  * packed binary codes, a binary coarse quantizer, Hamming-pruned
+  * search. Composes the IVF pruned-join shape of [[IvfIndex]] with the
+  * Hamming kernels of [[BinaryFlat]].
+  *
+  * Training follows the reference's recipe (IndexBinaryIVF::train →
+  * float k-means over the bits, then binarize the centroids): k-means
+  * runs on the codes unpacked to 0/1 floats and each centroid is
+  * re-packed by thresholding at 0.5 — so the coarse quantizer is
+  * itself a binary code table and assignment is pure integer Hamming
+  * (deterministic; ties on the lower list_no).
+  */
+class BinaryIvfIndex(
+    val nlist: Int,
+    /** per-list centroid bits, 0/1 per dim. */
+    val centroidBits: Array[Array[Int]],
+    /** (id, code, list_no) */
+    val invlists: DataFrame) {
+
+  private def centDf: DataFrame = {
+    val spark = invlists.sparkSession
+    import spark.implicits._
+    centroidBits.zipWithIndex.toSeq
+      .map { case (bits, l) => (l, BinaryIvfIndex.pack(bits)) }
+      .toDF("list_no", "ccode")
+  }
+
+  /** Hamming kNN over the nprobe closest lists. Output
+    * (qid, rank, id, hd). */
+  def search(queries: DataFrame, k: Int, nprobe: Int,
+      queryId: String = "qid", queryCode: String = "qcode"): DataFrame = {
+    val cents = centDf
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col(queryId), col(queryCode),
+        hamming_dist(col(queryCode), col("ccode")).cast("double").as("_hd"),
+        col("list_no"))
+      .groupBy(col(queryId), col(queryCode))
+      .agg(topk(col("_hd"), col("list_no").cast("long"), nprobe, asc = true).as("_tk"))
+      .select(col(queryId), col(queryCode), explode(col("_tk")).as("_r"))
+      .select(col(queryId), col(queryCode), col("_r.id").cast("int").as("list_no"))
+    val probed = probes.select("list_no").distinct().collect().map(_.getInt(0))
+    invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
+      .join(broadcast(probes), "list_no")
+      .select(col(queryId), col("id"),
+        hamming_dist(col(queryCode), col("code")).cast("double").as("_d"))
+      .groupBy(col(queryId))
+      .agg(topk(col("_d"), col("id"), k, asc = true).as("_tk"))
+      .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+      .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
+        col("_r.id").as("id"), col("_r.dist").cast("long").as("hd"))
+  }
+}
+
+object BinaryIvfIndex {
+
+  private[index] def pack(bits: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte]((bits.length + 7) / 8)
+    var i = 0
+    while (i < bits.length) {
+      if (bits(i) != 0) out(i >> 3) = (out(i >> 3) | (1 << (i & 7))).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Train + add from float vectors: codes = sign bits, coarse
+    * quantizer = k-means on the 0/1 bit vectors, binarized. */
+  def buildFromVectors(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, niter: Int = 6, seed: Long = 1234L): BinaryIvfIndex = {
+    val bitsf = transform(col(vecCol), x => when(x >= 0f, 1f).otherwise(0f))
+    val data = df.select(col(idCol).as("id"),
+      sign_bits(col(vecCol)).as("code"), bitsf.as("_bits"))
+    val model = graft.cluster.KMeans.fit(data.select(col("_bits")), "_bits",
+      graft.cluster.KMeans.Params(k = nlist, niter = niter, seed = seed))
+    val centroidBits = model.centroids.map(_.map(x => if (x >= 0.5f) 1 else 0))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = centroidBits.zipWithIndex.toSeq
+      .map { case (b, l) => (l, pack(b)) }.toDF("list_no", "ccode")
+    // assignment = min Hamming to the binarized centroids (ties on the
+    // lower list_no, the TopKHeap convention)
+    val assigned = data.select(col("id"), col("code"))
+      .crossJoin(broadcast(centDf))
+      .select(col("id"), col("code"),
+        hamming_dist(col("code"), col("ccode")).cast("double").as("_hd"),
+        col("list_no"))
+      .groupBy(col("id"), col("code"))
+      .agg(topk(col("_hd"), col("list_no").cast("long"), 1, asc = true).as("_tk"))
+      .select(col("id"), col("code"), explode(col("_tk")).as("_r"))
+      .select(col("id"), col("code"), col("_r.id").cast("int").as("list_no"))
+    new BinaryIvfIndex(nlist, centroidBits, assigned)
+  }
+}

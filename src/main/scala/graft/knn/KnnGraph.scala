@@ -81,6 +81,13 @@ object KnnGraph {
       graph = Knn.knnByIdx(q, base, candidates, k, metric,
         baseId = idCol, baseVec = vecCol)
         .select(col("qid").as("src"), col(idCol).as("dst"), col("dist"))
+        // Truncate lineage each round: the graph feeds THREE plan
+        // references next round (undirected union + both join sides),
+        // so without a cut the logical plan grows geometrically with
+        // iterations — execution re-use aside, Spark re-formats the
+        // plan string on every AQE stage update, which alone turns
+        // minutes of CPU on deep plans (the r02/r03 bench stalls).
+        .localCheckpoint()
     }
     val q = base.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     Knn.knnByIdx(q, base,

@@ -34,17 +34,17 @@ object TextFunctions {
   def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
 
   /** MinHash signature: one md5 per shingle (hex prefix → 60-bit int,
-    * reduced mod [[graft.core.MinHashSig.M]]), then `h` linear
-    * permutations min-reduced in a single expression pass
+    * reduced mod [[graft.core.MinHashSig.M]], computed by the
+    * [[graft.core.MinHashBase]] kernel — one expression call per row,
+    * not an interpreted lambda per shingle), then `h` linear
+    * permutations min-reduced in a single pass
     * ([[graft.core.MinHashSig]]). ~h× cheaper than hashing every
     * (j, shingle) pair, with identical DuckDB-SQL reproducibility.
     * Empty-shingle docs get nulls in the signature (never match). */
   def minhashSignature(shingleSet: Column, h: Int): Column = {
-    val baseHashes = transform(shingleSet,
-      s => (conv(substring(md5(s), 1, 15), 16, 10).cast("long") % graft.core.MinHashSig.M))
-    org.apache.spark.sql.graft.shim.col(
-      graft.core.MinHashSig(
-        org.apache.spark.sql.graft.shim.expr(baseHashes), h))
+    import org.apache.spark.sql.graft.shim
+    shim.col(graft.core.MinHashSig(
+      graft.core.MinHashBase(shim.expr(shingleSet)), h))
   }
 
   /** LSH band hashes: `bands` digests, each over `rowsPerBand`

@@ -17,6 +17,8 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.maxPlanStringLength", "8192")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -32,8 +32,14 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # Sidecar-based oracles hardcode the driver's fixed sf0.01 aux path
+    # (the static SQL has no directory parameter). When replicating the
+    # gate at another scale, point them at the sidecars Verify just
+    # wrote for THIS sf directory.
+    sfbase = os.path.basename(sfdir.rstrip("/"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        sql = sql.replace("/oracle_aux/sf0.01/", f"/oracle_aux/{sfbase}/")
         spark_dir = f"{outdir}/{name}"
         files = glob.glob(f"{spark_dir}/*.parquet")
         if not files:
