@@ -5,7 +5,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -15,8 +15,16 @@ object Bench {
       // each — the source of the r02/r03 wandering per-query stalls).
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.maxPlanStringLength", "8192")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+      // async block/shuffle cleanup: the blocking cleaner serializes
+      // against job submission through the dispatcher and produced
+      // multi-second wandering stalls across a ~90-query session
+      .config("spark.cleaner.referenceTracking.blocking", "false")
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "false")
+    // extra confs for A/B experiments: SPARK_GRAFT_CONF="k=v,k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
     // Uncounted warmup: pays one-time session/scheduler/codegen startup
     // so per-query timings measure the queries, not JVM init.
     try SparkEntry.queries.headOption.foreach { case (_, fn) => fn(spark, sfDir).count() }

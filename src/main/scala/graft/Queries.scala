@@ -145,7 +145,7 @@ object Queries {
         round(col("l_extendedprice") * 100).cast("long"),
         round(col("l_discount") * 100).cast("long"),
         round(col("l_tax") * 100).cast("long"))
-      lineitem(s, dir).select(
+      val df = lineitem(s, dir).select(
         conv(substring(md5(key), 1, 15), 16, 10).cast("long").as("id"),
         array(
           col("l_quantity") / 50.0,
@@ -158,6 +158,12 @@ object Queries {
           col("l_linenumber") / 7.0
         ).cast("array<float>").as("vec"))
         .distinct()
+        // feeds every *_big query (flat scan, index builds, searches):
+        // cache the ~30 MB derived table once per session rather than
+        // re-running the md5+distinct shuffle per action
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
     }
   /** ~1 query per 10k base rows, deterministically spread. */
   private def bigQueries(s: SparkSession, dir: String): DataFrame =
@@ -175,7 +181,12 @@ object Queries {
       |FROM lineitem""".stripMargin
   private def ivfBig(s: SparkSession, dir: String): IvfIndex =
     cached(s"ivfbig:$dir") {
-      IvfIndex.build(bigVecs(s, dir), "id", "vec", nlist = 64, niter = 4)
+      val idx = IvfIndex.build(bigVecs(s, dir), "id", "vec", nlist = 64, niter = 4)
+      // materialize the assignment once: every search re-scans the
+      // invlists, and the assign expression over 600k rows shouldn't
+      // re-run per probe action
+      idx.invlists.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      idx
     }
   private def ivfpqBig(s: SparkSession, dir: String): graft.index.IvfPqIndex =
     cached(s"ivfpqbig:$dir") {

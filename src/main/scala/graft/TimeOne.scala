@@ -18,11 +18,16 @@ object TimeOne {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.maxPlanStringLength", "8192")
+      // async block/shuffle cleanup: the blocking cleaner serializes
+      // against job submission through the dispatcher and produced
+      // multi-second wandering stalls across a ~90-query session
+      .config("spark.cleaner.referenceTracking.blocking", "false")
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "false")
     // extra confs for A/B experiments: SPARK_GRAFT_CONF="k=v,k=v"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
     val spark = b.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(name)
     for (i <- 1 to repeat) {
       val t0 = System.nanoTime()

@@ -15,8 +15,13 @@ object Verify {
       // see Bench: avoid codegen-cache eviction churn across ~90 queries
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.maxPlanStringLength", "8192")
+      // async block/shuffle cleanup: the blocking cleaner serializes
+      // against job submission through the dispatcher and produced
+      // multi-second wandering stalls across a ~90-query session
+      .config("spark.cleaner.referenceTracking.blocking", "false")
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

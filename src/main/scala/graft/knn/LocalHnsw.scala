@@ -1,7 +1,5 @@
 package graft.knn
 
-import scala.collection.mutable
-
 /** In-memory single-JVM HNSW graph — the per-partition building block
   * of [[PartitionedHnsw]] (the IndexShards pattern,
   * faiss/IndexShards.h:20: independent sub-indexes whose results are
@@ -10,11 +8,13 @@ import scala.collection.mutable
   * (faiss/IndexHNSWfast.h:63, faiss/impl/HNSWfast.cpp:368 add/search):
   * geometric level assignment, greedy descent through upper levels,
   * beam (ef) search at level 0, bidirectional links pruned to the M
-  * best. Written from scratch for the JVM: flat int adjacency arrays,
-  * no locks (a partition builds single-threaded).
+  * best. Written for the JVM hot path: primitive-array heaps, a BitSet
+  * visited set, flat int adjacency lists — no boxing anywhere in the
+  * build/search loops (a partition builds single-threaded).
   *
   * Deterministic given (seed, insertion order): level draws come from a
-  * seeded RNG and all ties break on the lower node id.
+  * seeded RNG, and candidate selection orders are fixed by the heap
+  * comparisons (dist, then insertion index).
   */
 final class LocalHnsw(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
 
@@ -22,20 +22,66 @@ final class LocalHnsw(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
   private val mL = 1.0 / math.log(m.toDouble)
   private val maxM0 = 2 * m
 
-  private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
-  private val ids = mutable.ArrayBuffer.empty[Long]
-  private val levels = mutable.ArrayBuffer.empty[Int]
-  /** neighbors(node)(level) = growable int list. */
-  private val neighbors = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+  private var n = 0
+  private var cap = 1024
+  private var vecs = new Array[Array[Float]](cap)
+  private var ids = new Array[Long](cap)
+  private var levels = new Array[Int](cap)
+  /** nbrA(node)(level) = int array, nbrN(node)(level) = used length. */
+  private var nbrA = new Array[Array[Array[Int]]](cap)
+  private var nbrN = new Array[Array[Int]](cap)
   private var entry = -1
   private var maxLevel = -1
 
-  def size: Int = vecs.length
+  private val visited = new java.util.BitSet()
+
+  def size: Int = n
+
+  private def grow(): Unit = {
+    cap *= 2
+    vecs = java.util.Arrays.copyOf(vecs, cap)
+    ids = java.util.Arrays.copyOf(ids, cap)
+    levels = java.util.Arrays.copyOf(levels, cap)
+    nbrA = java.util.Arrays.copyOf(nbrA, cap)
+    nbrN = java.util.Arrays.copyOf(nbrN, cap)
+  }
 
   private def dist(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
     s
+  }
+
+  private def addLink(node: Int, level: Int, nb: Int): Unit = {
+    val arr = nbrA(node)(level)
+    val used = nbrN(node)(level)
+    if (used == arr.length)
+      nbrA(node)(level) = java.util.Arrays.copyOf(arr, arr.length * 2)
+    nbrA(node)(level)(used) = nb
+    nbrN(node)(level) = used + 1
+  }
+
+  /** Keep the `capL` closest neighbors of `node` at `level` (amortized:
+    * callers let the list overshoot by a small slack first). */
+  private def pruneTo(node: Int, level: Int, capL: Int): Unit = {
+    val arr = nbrA(node)(level)
+    val used = nbrN(node)(level)
+    val ds = new Array[Double](used)
+    val v = vecs(node)
+    var i = 0
+    while (i < used) { ds(i) = dist(v, vecs(arr(i))); i += 1 }
+    // insertion sort by (dist, id) — used <= capL + slack is small
+    i = 1
+    while (i < used) {
+      val dv = ds(i); val av = arr(i)
+      var j = i - 1
+      while (j >= 0 && (ds(j) > dv || (ds(j) == dv && arr(j) > av))) {
+        ds(j + 1) = ds(j); arr(j + 1) = arr(j); j -= 1
+      }
+      ds(j + 1) = dv; arr(j + 1) = av
+      i += 1
+    }
+    nbrN(node)(level) = capL
   }
 
   /** Greedy single-step descent at `level` from `start`. */
@@ -45,78 +91,165 @@ final class LocalHnsw(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
     var improved = true
     while (improved) {
       improved = false
-      val ns = neighbors(cur)(level)
+      val arr = nbrA(cur)(level)
+      val used = nbrN(cur)(level)
       var i = 0
-      while (i < ns.length) {
-        val n = ns(i)
-        val d = dist(q, vecs(n))
-        if (d < curD || (d == curD && n < cur)) { cur = n; curD = d; improved = true }
+      while (i < used) {
+        val nd = arr(i)
+        val d = dist(q, vecs(nd))
+        if (d < curD) { cur = nd; curD = d; improved = true }
         i += 1
       }
     }
     cur
   }
 
-  /** Beam search at `level`: the ef best candidates found from
-    * `start`, as a max-heap-ordered array of (dist, node). */
-  private def beam(q: Array[Float], start: Int, level: Int, ef: Int): mutable.PriorityQueue[(Double, Int)] = {
-    // results: max-heap by dist (worst on top); frontier: min-heap
-    val results = mutable.PriorityQueue.empty[(Double, Int)](
-      Ordering.by[(Double, Int), (Double, Int)](t => (t._1, -t._2)))
-    val frontier = mutable.PriorityQueue.empty[(Double, Int)](
-      Ordering.by[(Double, Int), (Double, Int)](t => (-t._1, t._2)))
-    val visited = mutable.HashSet.empty[Int]
+  // ---- primitive heaps (shared scratch, resized on demand) ------------
+  // results: max-heap of (dist, node) capped at ef — worst on top
+  private var resD = new Array[Double](0)
+  private var resX = new Array[Int](0)
+  private var resN = 0
+  // frontier: min-heap of (dist, node)
+  private var froD = new Array[Double](64)
+  private var froX = new Array[Int](64)
+  private var froN = 0
+
+  private def resPush(d: Double, x: Int, ef: Int): Unit = {
+    if (resN < ef) {
+      var i = resN; resD(i) = d; resX(i) = x; resN += 1
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (resD(p) < resD(i) || (resD(p) == resD(i) && resX(p) < resX(i))) {
+          val td = resD(p); resD(p) = resD(i); resD(i) = td
+          val tx = resX(p); resX(p) = resX(i); resX(i) = tx
+          i = p
+        } else return
+      }
+    } else if (d < resD(0) || (d == resD(0) && x < resX(0))) {
+      resD(0) = d; resX(0) = x
+      var i = 0
+      while (true) {
+        val l = 2 * i + 1; val r = l + 1
+        var big = i
+        if (l < resN && (resD(l) > resD(big) || (resD(l) == resD(big) && resX(l) > resX(big)))) big = l
+        if (r < resN && (resD(r) > resD(big) || (resD(r) == resD(big) && resX(r) > resX(big)))) big = r
+        if (big == i) return
+        val td = resD(big); resD(big) = resD(i); resD(i) = td
+        val tx = resX(big); resX(big) = resX(i); resX(i) = tx
+        i = big
+      }
+    }
+  }
+
+  private def froPush(d: Double, x: Int): Unit = {
+    if (froN == froD.length) {
+      froD = java.util.Arrays.copyOf(froD, froN * 2)
+      froX = java.util.Arrays.copyOf(froX, froN * 2)
+    }
+    var i = froN; froD(i) = d; froX(i) = x; froN += 1
+    while (i > 0) {
+      val p = (i - 1) >> 1
+      if (froD(p) > froD(i)) {
+        val td = froD(p); froD(p) = froD(i); froD(i) = td
+        val tx = froX(p); froX(p) = froX(i); froX(i) = tx
+        i = p
+      } else return
+    }
+  }
+
+  private def froPop(): Unit = {
+    froN -= 1
+    froD(0) = froD(froN); froX(0) = froX(froN)
+    var i = 0
+    while (true) {
+      val l = 2 * i + 1; val r = l + 1
+      var small = i
+      if (l < froN && froD(l) < froD(small)) small = l
+      if (r < froN && froD(r) < froD(small)) small = r
+      if (small == i) return
+      val td = froD(small); froD(small) = froD(i); froD(i) = td
+      val tx = froX(small); froX(small) = froX(i); froX(i) = tx
+      i = small
+    }
+  }
+
+  /** Beam search at `level` from `start`. Fills resD/resX (heap order)
+    * with the <= ef best candidates. */
+  private def beam(q: Array[Float], start: Int, level: Int, ef: Int): Unit = {
+    if (resD.length < ef) { resD = new Array[Double](ef); resX = new Array[Int](ef) }
+    resN = 0; froN = 0
+    visited.clear()
     val d0 = dist(q, vecs(start))
-    results.enqueue((d0, start)); frontier.enqueue((d0, start)); visited += start
-    while (frontier.nonEmpty) {
-      val (cd, cn) = frontier.dequeue()
-      if (results.size >= ef && cd > results.head._1) {
-        frontier.clear()
-      } else {
-        val ns = neighbors(cn)(level)
+    resPush(d0, start, ef); froPush(d0, start); visited.set(start)
+    while (froN > 0) {
+      val cd = froD(0); val cn = froX(0); froPop()
+      if (resN >= ef && cd > resD(0)) { froN = 0 }
+      else {
+        val arr = nbrA(cn)(level)
+        val used = nbrN(cn)(level)
         var i = 0
-        while (i < ns.length) {
-          val n = ns(i)
-          if (!visited.contains(n)) {
-            visited += n
-            val d = dist(q, vecs(n))
-            if (results.size < ef || d < results.head._1) {
-              results.enqueue((d, n)); frontier.enqueue((d, n))
-              if (results.size > ef) results.dequeue()
+        while (i < used) {
+          val nd = arr(i)
+          if (!visited.get(nd)) {
+            visited.set(nd)
+            val d = dist(q, vecs(nd))
+            if (resN < ef || d < resD(0) || (d == resD(0) && nd < resX(0))) {
+              resPush(d, nd, ef); froPush(d, nd)
             }
           }
           i += 1
         }
       }
     }
-    results
+  }
+
+  /** Current beam results sorted ascending by (dist, node). */
+  private def beamSorted(): (Array[Int], Array[Double], Int) = {
+    val k = resN
+    val xs = java.util.Arrays.copyOf(resX, k)
+    val ds = java.util.Arrays.copyOf(resD, k)
+    // heap is small: insertion sort by (dist, id)
+    var i = 1
+    while (i < k) {
+      val dv = ds(i); val xv = xs(i)
+      var j = i - 1
+      while (j >= 0 && (ds(j) > dv || (ds(j) == dv && xs(j) > xv))) {
+        ds(j + 1) = ds(j); xs(j + 1) = xs(j); j -= 1
+      }
+      ds(j + 1) = dv; xs(j + 1) = xv
+      i += 1
+    }
+    (xs, ds, k)
   }
 
   def add(id: Long, v: Array[Float]): Unit = {
-    val node = vecs.length
+    if (n == cap) grow()
+    val node = n
     val level = math.min((-math.log(math.max(rng.nextDouble(), 1e-12)) * mL).toInt, 24)
-    vecs += v; ids += id; levels += level
-    neighbors += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+    vecs(node) = v; ids(node) = id; levels(node) = level
+    nbrA(node) = Array.tabulate(level + 1)(l =>
+      new Array[Int](if (l == 0) maxM0 + 9 else m + 9))
+    nbrN(node) = new Array[Int](level + 1)
+    n += 1
     if (entry < 0) { entry = node; maxLevel = level; return }
     var cur = entry
     var l = maxLevel
     while (l > level) { cur = greedy(v, cur, l); l -= 1 }
     while (l >= 0) {
-      val cands = beam(v, cur, l, efConstruction).dequeueAll.reverse // best-first
-      val cap = if (l == 0) maxM0 else m
-      val selected = cands.take(m)
-      selected.foreach { case (_, n) =>
-        neighbors(node)(l) += n
-        val back = neighbors(n)(l)
-        back += node
-        if (back.length > cap) {
-          // prune: keep the `cap` closest to n (ties on lower id)
-          val kept = back.map(x => (dist(vecs(n), vecs(x)), x))
-            .sortBy(t => (t._1, t._2)).take(cap).map(_._2)
-          back.clear(); back ++= kept
-        }
+      beam(v, cur, l, efConstruction)
+      val (bi, _, bn) = beamSorted()
+      val take = math.min(m, bn)
+      val capL = if (l == 0) maxM0 else m
+      var t = 0
+      while (t < take) {
+        val nb = bi(t)
+        addLink(node, l, nb)
+        addLink(nb, l, node)
+        // amortized prune: allow a small overshoot before re-selecting
+        if (nbrN(nb)(l) > capL + 8) pruneTo(nb, l, capL)
+        t += 1
       }
-      if (selected.nonEmpty) cur = selected.head._2
+      if (take > 0) cur = bi(0)
       l -= 1
     }
     if (level > maxLevel) { maxLevel = level; entry = node }
@@ -128,7 +261,11 @@ final class LocalHnsw(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
     var cur = entry
     var l = maxLevel
     while (l > 0) { cur = greedy(q, cur, l); l -= 1 }
-    val res = beam(q, cur, 0, math.max(efSearch, k)).dequeueAll.reverse
-    res.take(k).map { case (d, n) => (ids(n), d) }.toArray
+    beam(q, cur, 0, math.max(efSearch, k))
+    val (xs, ds, bn) = beamSorted()
+    val out = new Array[(Long, Double)](math.min(k, bn))
+    var i = 0
+    while (i < out.length) { out(i) = (ids(xs(i)), ds(i)); i += 1 }
+    out
   }
 }
