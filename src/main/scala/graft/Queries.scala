@@ -118,6 +118,8 @@ object Queries {
       OracleAux.bitsDf(s, bivf8(s, dir).centroidBits))
     OracleAux.write(dir, "rq_codebooks",
       OracleAux.codebooksDf(s, rqModel16(s, dir).codebooks))
+    OracleAux.write(dir, "imi_codebooks",
+      OracleAux.codebooksDf(s, imi16(s, dir).model.codebooks))
   }
 
   /** Root the static sidecar-oracle SQLs read from: the driver's
@@ -197,6 +199,10 @@ object Queries {
     cached(s"bivf8:$dir") {
       graft.index.BinaryIvfIndex.buildFromVectors(bDf(s, dir, 10), "id", "vec",
         nlist = 8, niter = 4)
+    }
+  private def imi16(s: SparkSession, dir: String): graft.index.ImiIndex =
+    cached(s"imi16:$dir") {
+      graft.index.ImiIndex.build(bDf(s, dir, 10), "id", "vec", ksub = 16, niter = 4)
     }
   private def rqModel16(s: SparkSession, dir: String): graft.index.RqModel =
     cached(s"rq16:$dir") {
@@ -1641,6 +1647,41 @@ object Queries {
               |  GROUP BY l.qid, e.id)
               |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w
+              |WHERE "rank" <= 10""".stripMargin)),
+
+    // §2.11 IMI multi-index (MultiIndexQuantizer / IMI2x4 coarse
+    // quantizer): K² cartesian cells from two K-entry half-space
+    // codebooks; probes ranked by the decomposed LUT sum. The oracle
+    // replays half-space assignment, cell ranking, and the pruned
+    // exact top-k from the codebook sidecar.
+    ("imi_search", (s: SparkSession, dir: String) =>
+      imi16(s, dir).search(qDf(s, dir, 10), k = 10, nprobe = 8)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/imi_codebooks/*.parquet')),
+              |bh AS (SELECT vec_id AS id, r.m AS m, embedding[r.m*32+1:r.m*32+32]::DOUBLE[] AS sv
+              |       FROM embeddings, range(0,2) r(m) WHERE vec_id >= 10),
+              |benc AS (SELECT id, m, j FROM (
+              |  SELECT b.id, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bh b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
+              |bcell AS (SELECT a0.id, a0.j*16 + a1.j AS cell
+              |  FROM benc a0 JOIN benc a1 ON a0.id = a1.id AND a0.m = 0 AND a1.m = 1),
+              |qh AS (SELECT vec_id AS qid, r.m AS m, embedding[r.m*32+1:r.m*32+32]::DOUBLE[] AS sv
+              |       FROM embeddings, range(0,2) r(m) WHERE vec_id < 10),
+              |qd AS (SELECT q.qid, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS d
+              |  FROM qh q JOIN cb ON cb.m = q.m),
+              |cells AS (SELECT d0.qid, d0.j*16 + d1.j AS cell, d0.d + d1.d AS cd
+              |  FROM qd d0 JOIN qd d1 ON d0.qid = d1.qid AND d0.m = 0 AND d1.m = 1),
+              |probes AS (SELECT qid, cell FROM (
+              |  SELECT qid, cell, cd, row_number() OVER (PARTITION BY qid ORDER BY cd, cell) AS pr
+              |  FROM cells) t WHERE pr <= 8),
+              |d AS (SELECT p.qid, bc.id,
+              |    list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2 AS dist
+              |  FROM probes p JOIN bcell bc ON bc.cell = p.cell
+              |  JOIN embeddings q ON q.vec_id = p.qid JOIN embeddings b ON b.vec_id = bc.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
               |WHERE "rank" <= 10""".stripMargin)),
 
     // §2.11 Binary IVF (IndexBinaryIVF): Hamming-pruned inverted lists

@@ -39,7 +39,7 @@ object IndexFactory {
       case Rr(t) => dim = t.toInt
       case OpqTok(_) => ()
       case "L2norm" | "Center" | "RFlat" => ()
-      case Ivf(_) => ()
+      case Ivf(_) | Imi(_) => ()
       case "Flat" => code = Some(4 * dim)
       case "SQ8" => code = Some(dim)
       case "SQ4" => code = Some((dim + 1) / 2)
@@ -101,6 +101,14 @@ object IndexFactory {
   private val Ivf = "IVF(\\d+)".r
   private val Pq = "PQ(\\d+)(?:x(\\d+))?".r
   private val OpqTok = "OPQ(\\d+)".r
+  private val Imi = "IMI2x(\\d+)".r
+
+  private final class ImiBuilt(idx: ImiIndex, chain: VecTransform)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
+        nprobe, queryId = qid, queryVec = qvec)
+  }
 
   /** Train the whole pipeline on `df` (id, vec) and return a
     * searchable index. */
@@ -165,6 +173,11 @@ object IndexFactory {
         case other => throw new IllegalArgumentException(
           s"unsupported IVF code '$other' in '$desc'")
       }
+      case Imi(bits) :: "Flat" :: Nil =>
+        // IMI2x<b> = MultiIndexQuantizer coarse with 2^b centroids per
+        // half-space (faiss index_factory coarse grammar)
+        new ImiBuilt(ImiIndex.build(data, "id", "vec",
+          ksub = 1 << bits.toInt, niter = niter, seed = seed), chain)
       case "Flat" :: Nil => new FlatBuilt(data, chain)
       case "SQ8" :: Nil => new SqBuilt(SqIndex.build(data, "id", "vec"), chain)
       case Pq(m, ks) :: Nil =>

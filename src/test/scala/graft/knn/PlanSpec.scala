@@ -62,4 +62,35 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortAggregate"), s"sort aggregate in assign:\n$plan")
     assert(plan.contains("ObjectHashAggregate"), s"expected object hash agg:\n$plan")
   }
+
+  test("kmeans subsample never plans a global sort/TakeOrdered (VERDICT r02 #4)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // force the subsample path: n > k * maxPointsPerCentroid
+    val vecs = (0 until 3000)
+      .map(i => Seq.fill(4)((i % 97).toFloat)).toDF("vec")
+      .select(col("vec").cast("array<float>").as("vec"))
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans += qe.executedPlan.toString
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark0.listenerManager.register(listener)
+    try {
+      graft.cluster.KMeans.fit(vecs, "vec",
+        graft.cluster.KMeans.Params(k = 4, niter = 2, maxPointsPerCentroid = 100))
+      // listener delivery is async; poll briefly for the last plans
+      Thread.sleep(1500)
+      // the k-row init TakeOrdered is fine (k rows); a TakeOrdered over
+      // the SAMPLE (maxTrain rows through the driver) is the
+      // scale-killer — assert no job sorts more than the k init rows
+      val bad = plans.filter(p =>
+        p.contains("TakeOrderedAndProject") && !p.contains("limit=4,"))
+      assert(bad.isEmpty,
+        s"subsample planned a non-init TakeOrdered:\n${bad.headOption.getOrElse("")}")
+    } finally spark0.listenerManager.unregister(listener)
+  }
 }
