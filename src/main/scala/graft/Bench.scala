@@ -47,19 +47,29 @@ object Bench {
       // progress to stderr only; stdout carries nothing but the JSON line
       System.err.println(f"[bench] $name%-28s $dt%8.2f s")
     }
-    // 3-decimal timings keep the single JSON line ~2.5 KB so it
-    // survives the driver's bounded log tail (r03 parsed=null).
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fj = failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
-    println(json)
-    Console.out.flush()
-    // belt-and-braces copy that survives any stdout truncation
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
+    // Full per-query detail goes to a committed file + stderr; the log
+    // the driver parses keeps only the LAST ~2000 bytes of output
+    // (r03 parsed=null: the 2.3 KB full line was head-truncated), so
+    // stdout's final line must be a slim JSON that always fits. Keep
+    // the slowest queries first until a 1400-byte budget is spent.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL_LAST.json"), json)
+      java.nio.file.Paths.get("BENCH_LOCAL_LAST.json"), full)
     catch { case _: Throwable => () }
+    println(full)
+    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","nqueries":${results.size},"failed":$fj,"detail":"BENCH_LOCAL_LAST.json","sf":"$sfDir","queries":"""
+    val slimEntries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = head.length + 3
+    results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+      val e = "\"" + k + f"""":$v%.3f"""
+      if (len + e.length + 1 <= 1400) { slimEntries += e; len += e.length + 1 }
+    }
+    println(head + slimEntries.mkString("{", ",", "}") + "}")
+    Console.out.flush()
     spark.stop()
   }
 }
