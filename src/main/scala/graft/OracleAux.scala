@@ -57,6 +57,17 @@ object OracleAux {
       .select(col("d"), col("r").cast("array<float>").as("r"))
   }
 
+  /** (d, r, bias) one row per Linear-transform row (y = A x + b);
+    * bias written as 0 when the transform has none. */
+  def linearDf(s: SparkSession, lin: graft.transform.Linear): DataFrame = {
+    import s.implicits._
+    val b = if (lin.b == null) Array.fill(lin.a.length)(0f) else lin.b
+    lin.a.zip(b).zipWithIndex.toSeq
+      .map { case ((row, bb), d) => (d, row.toSeq, bb) }
+      .toDF("d", "r", "bias")
+      .select(col("d"), col("r").cast("array<float>").as("r"), col("bias"))
+  }
+
   def write(sfDir: String, name: String, df: DataFrame): Unit =
     df.coalesce(1).write.mode("overwrite").parquet(s"${dir(sfDir)}/$name")
 }

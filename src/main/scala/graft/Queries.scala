@@ -88,6 +88,28 @@ object Queries {
       graft.index.IvfPqrIndex.build(bDf(s, dir, 10), "id", "vec",
         nlist = 8, m = 8, ksub = 16, niterCoarse = 4, niterPq = 4)
     }
+  private def km8(s: SparkSession, dir: String): graft.cluster.KMeans.Model =
+    cached(s"km8:$dir") {
+      graft.cluster.KMeans.fit(emb(s, dir).select(col("embedding")), "embedding",
+        graft.cluster.KMeans.Params(k = 8, niter = 5))
+    }
+  private def twoLevel12(s: SparkSession, dir: String): Array[Array[Float]] =
+    cached(s"twolevel12:$dir") {
+      graft.cluster.TwoLevelClustering.fit(emb(s, dir), "embedding",
+        nlist = 12, niter1 = 3, niter2 = 3)
+    }
+  private def pdk8(s: SparkSession, dir: String): (graft.transform.Linear, graft.cluster.KMeans.Model) =
+    cached(s"pdk8:$dir") {
+      graft.cluster.ProgressiveDimKMeans.fitWithTransform(emb(s, dir), "embedding",
+        k = 8, levels = Seq(8, 24, 64), niterPerLevel = 3)
+    }
+  /** Documents corpus with planted exact duplicates (id + 100000):
+    * guarantees the simhash near-dup query returns rows at any sf. */
+  private def simhashCorpus(s: SparkSession, dir: String): DataFrame =
+    cached(s"simhashCorpus:$dir") {
+      val d = docsDf(s, dir).select(col("doc_id"), col("text"))
+      d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    }
 
   /** Writes the trained-state sidecars that the sidecar-based oracle
     * SQLs read (see [[OracleAux]]); called by Verify after the query
@@ -120,6 +142,16 @@ object Queries {
       OracleAux.codebooksDf(s, rqModel16(s, dir).codebooks))
     OracleAux.write(dir, "imi_codebooks",
       OracleAux.codebooksDf(s, imi16(s, dir).model.codebooks))
+    OracleAux.write(dir, "kmeans8_centroids",
+      OracleAux.centroidsDf(s, km8(s, dir).centroids))
+    OracleAux.write(dir, "twolevel_centroids",
+      OracleAux.centroidsDf(s, twoLevel12(s, dir)))
+    val (prot, pmodel) = pdk8(s, dir)
+    OracleAux.write(dir, "pdk_rot", OracleAux.linearDf(s, prot))
+    OracleAux.write(dir, "pdk_centroids", OracleAux.centroidsDf(s, pmodel.centroids))
+    OracleAux.write(dir, "simhash_codes",
+      simhashCorpus(s, dir).select(col("doc_id").as("cid"),
+        simhash64(TF.tokenize(col("text"))).as("code")))
   }
 
   /** Root the static sidecar-oracle SQLs read from: the driver's
@@ -642,14 +674,27 @@ object Queries {
               |  FROM d JOIN basg a ON a.id = d.id) w
               |WHERE "rank" <= 5""".stripMargin)),
 
-    // §2.4 k-means train (seeded; engine-deterministic, no SQL oracle)
+    // §2.4 k-means train. The oracle reads the trained centroids from
+    // the sidecar and independently replays the ASSIGNMENT arithmetic
+    // (argmin L2 over all points) — per-cluster sizes and objective
+    // must agree, verifying that the trained model is consistent with
+    // the data rather than just echoing a dump.
     ("kmeans_train", (s: SparkSession, dir: String) => {
-      val m = graft.cluster.KMeans.fit(
-        emb(s, dir).select(col("embedding")), "embedding",
-        graft.cluster.KMeans.Params(k = 8, niter = 5))
-      m.centroidsDf(s).select(col("list_no"),
-        round(element_at(col("centroid"), 1).cast("double"), 3).as("c1"))
-    }, None),
+      val m = km8(s, dir)
+      m.assign(emb(s, dir), "embedding")
+        .groupBy(col("list_no"))
+        .agg(count(lit(1)).as("n"), round(sum(col("centroid_dist")), 3).as("obj"))
+        .select(col("list_no"), col("n"), col("obj"))
+    },
+      Some(s"""WITH cent AS (SELECT list_no, c::DOUBLE[] AS c FROM read_parquet('$AUX/kmeans8_centroids/*.parquet')),
+              |d AS (SELECT e.vec_id, c.list_no,
+              |    list_aggregate(list_transform(list_zip(e.embedding::DOUBLE[], c.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
+              |  FROM embeddings e CROSS JOIN cent c),
+              |a AS (SELECT vec_id, list_no, dist FROM (
+              |  SELECT vec_id, list_no, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_no) AS rn FROM d) t
+              |  WHERE rn = 1)
+              |SELECT list_no, count(*)::BIGINT AS n, round(sum(dist), 3) AS obj
+              |FROM a GROUP BY list_no""".stripMargin)),
 
     // §2.11/§2.8 SQ8 codec: train (per-dim min/max) + encode + decode;
     // oracle reproduces the codec arithmetic in SQL
@@ -745,18 +790,40 @@ object Queries {
              |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 4) AS err
              |FROM dec""".stripMargin)),
 
-    // §2.11 fp16 codec (IEEE half; no SQL analog -> CodecSpec verifies)
+    // §2.11 fp16 codec (IEEE half, round-half-up in magnitude — the
+    // codec's bit arithmetic, SqCodec.toHalf). The oracle re-derives
+    // the half-precision rounding from first principles in SQL: find
+    // the exponent e with 2^e <= |x| < 2^(e+1) (exact power-of-2 join,
+    // no log2 misrounding), quantize the 10-bit mantissa grain with
+    // floor(y + 0.5), handle subnormals (grain 2^-24 below 2^-14) and
+    // the underflow-to-zero cutoff at 2^-25.
     ("fp16_roundtrip", (s: SparkSession, dir: String) =>
       emb(s, dir).select(col("vec_id"),
         shim.col(graft.core.Fp16Decode(
           graft.core.Fp16Encode(shim.expr(col("embedding"))))).as("_dv"),
         col("embedding"))
         .select(col("vec_id"),
+          round(element_at(col("_dv"), 1).cast("double"), 6).as("d1"),
           round(aggregate(
             zip_with(col("embedding").cast("array<double>"),
               col("_dv").cast("array<double>"),
               (x, y) => (x - y) * (x - y)),
-            lit(0.0), (a, x) => a + x), 8).as("err")), None),
+            lit(0.0), (a, x) => a + x), 8).as("err")),
+      Some("""WITH el AS (SELECT vec_id, i, x, abs(x) AS ax FROM (
+             |    SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+             |           generate_subscripts(embedding, 1) AS i FROM embeddings) u),
+             |ee AS (SELECT e.vec_id, e.i, e.x, e.ax, max(t.e) AS ex
+             |       FROM el e LEFT JOIN range(-45,16) t(e) ON power(2.0, t.e) <= e.ax
+             |       GROUP BY e.vec_id, e.i, e.x, e.ax),
+             |hv AS (SELECT vec_id, i, x,
+             |  CASE WHEN ax < power(2.0, -25) THEN 0.0
+             |       WHEN ex >= -14 THEN sign(x) * floor(ax / power(2.0, ex-10) + 0.5) * power(2.0, ex-10)
+             |       ELSE sign(x) * floor(ax * power(2.0, 24) + 0.5) * power(2.0, -24) END AS dv
+             |  FROM ee)
+             |SELECT vec_id,
+             |  round(max(CASE WHEN i = 1 THEN dv END), 6) AS d1,
+             |  round(sum((x-dv)*(x-dv)), 8) AS err
+             |FROM hv GROUP BY vec_id""".stripMargin)),
 
     // §2.11 SQ8 asymmetric (ADC) kNN search
     ("sq8_knn", (s: SparkSession, dir: String) => {
@@ -1141,15 +1208,25 @@ object Queries {
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w
               |WHERE "rank" <= 10""".stripMargin)),
 
-    // §2.4 two-level clustering (scalable nlist path; rows-only)
+    // §2.4 two-level clustering (scalable nlist path). Sidecar oracle
+    // replays the final assignment (sizes + objective) like kmeans_train.
     ("two_level_centroids", (s: SparkSession, dir: String) => {
-      import s.implicits._
-      val cents = graft.cluster.TwoLevelClustering.fit(
-        emb(s, dir), "embedding", nlist = 12, niter1 = 3, niter2 = 3)
-      cents.zipWithIndex.toSeq
-        .map { case (c, i) => (i, math.rint(c(0) * 1000) / 1000) }
-        .toDF("list_no", "c1")
-    }, None),
+      val cents = twoLevel12(s, dir)
+      val a = shim.col(graft.core.NearestCentroid(shim.expr(col("embedding")), cents))
+      emb(s, dir).select(col("vec_id"), a.as("_a"))
+        .select(col("vec_id"), col("_a.list_no").as("list_no"), col("_a.dist").as("dist"))
+        .groupBy(col("list_no"))
+        .agg(count(lit(1)).as("n"), round(sum(col("dist")), 3).as("obj"))
+    },
+      Some(s"""WITH cent AS (SELECT list_no, c::DOUBLE[] AS c FROM read_parquet('$AUX/twolevel_centroids/*.parquet')),
+              |d AS (SELECT e.vec_id, c.list_no,
+              |    list_aggregate(list_transform(list_zip(e.embedding::DOUBLE[], c.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
+              |  FROM embeddings e CROSS JOIN cent c),
+              |a AS (SELECT vec_id, list_no, dist FROM (
+              |  SELECT vec_id, list_no, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_no) AS rn FROM d) t
+              |  WHERE rn = 1)
+              |SELECT list_no, count(*)::BIGINT AS n, round(sum(dist), 3) AS obj
+              |FROM a GROUP BY list_no""".stripMargin)),
 
     // §2.3 IVFPQR: second residual codebook re-rank (true faiss shape,
     // no raw vectors stored); exact-vector re-rank variant remains in
@@ -1313,15 +1390,29 @@ object Queries {
           .select(col("vec_id").as("id"), col("embedding").as("vec")),
         5, iters = 2), None),
 
-    // §2.4 ProgressiveDimClustering (PCA-prefix warm-started k-means)
+    // §2.4 ProgressiveDimClustering (PCA-prefix warm-started k-means).
+    // Sidecar oracle rotates every point with the learned PCA (mat-vec
+    // + centering bias, float32 output contract), then replays the
+    // final-level assignment: per-cluster sizes must agree.
     ("progressive_dim_kmeans", (s: SparkSession, dir: String) => {
-      import s.implicits._
-      val m = graft.cluster.ProgressiveDimKMeans.fit(
-        emb(s, dir), "embedding", k = 8, levels = Seq(8, 24, 64),
-        niterPerLevel = 3)
-      m.sizes.zipWithIndex.toSeq.map { case (sz, i) => (i, sz) }
-        .toDF("list_no", "size")
-    }, None),
+      val (rot, m) = pdk8(s, dir)
+      val rotated = emb(s, dir).select(col("vec_id"), rot.applyCol(col("embedding")).as("vr"))
+      m.assign(rotated, "vr")
+        .groupBy(col("list_no")).agg(count(lit(1)).as("n"))
+    },
+      Some(s"""WITH rot AS (SELECT d, r::DOUBLE[] AS r, bias FROM read_parquet('$AUX/pdk_rot/*.parquet')),
+              |rv AS (SELECT vec_id, list(yv ORDER BY d) AS v FROM (
+              |  SELECT e.vec_id, r.d,
+              |    ((list_aggregate(list_transform(list_zip(r.r, e.embedding::DOUBLE[]), p -> p[1]*p[2]), 'sum')) + r.bias::DOUBLE)::REAL AS yv
+              |  FROM embeddings e CROSS JOIN rot r) t GROUP BY vec_id),
+              |cent AS (SELECT list_no, c::DOUBLE[] AS c FROM read_parquet('$AUX/pdk_centroids/*.parquet')),
+              |d AS (SELECT rv.vec_id, c.list_no,
+              |    list_aggregate(list_transform(list_zip(rv.v::DOUBLE[], c.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
+              |  FROM rv CROSS JOIN cent c),
+              |a AS (SELECT vec_id, list_no FROM (
+              |  SELECT vec_id, list_no, row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_no) AS rn FROM d) t
+              |  WHERE rn = 1)
+              |SELECT list_no, count(*)::BIGINT AS n FROM a GROUP BY list_no""".stripMargin)),
 
     // ---- LLM-pipeline operators (north star) --------------------------
 
@@ -1428,12 +1519,21 @@ object Queries {
              |WHERE a.vec_id < b.vec_id
              |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95""".stripMargin)),
 
-    // simhash near-dup candidates (engine-private 64-bit hash; no SQL
-    // oracle — covered by SimHashSpec invariants)
+    // simhash near-dup pairs over a corpus with planted exact
+    // duplicates. 8 chunks of 8 bits with maxHamming=7 make the
+    // chunk-LSH candidate set COMPLETE by pigeonhole, so the sidecar
+    // oracle (engine-computed 64-bit codes, then an independent
+    // all-pairs xor/popcount in SQL) must agree exactly — this checks
+    // that the bucketed pipeline loses no pair vs brute force.
     ("simhash_neardup", (s: SparkSession, dir: String) =>
       Dedup.simhashNearDups(
-        docsDf(s, dir), "doc_id", "text",
-        maxHamming = 16), None),
+        simhashCorpus(s, dir), "doc_id", "text",
+        maxHamming = 7, chunks = 8),
+      Some(s"""WITH c AS (SELECT cid, code FROM read_parquet('$AUX/simhash_codes/*.parquet'))
+              |SELECT a.cid AS i, b.cid AS j,
+              |  bit_count(xor(a.code, b.code))::BIGINT AS hamming
+              |FROM c a JOIN c b ON a.cid < b.cid
+              |WHERE bit_count(xor(a.code, b.code)) <= 7""".stripMargin)),
 
     // text analysis: token/char counts
     ("token_count", (s: SparkSession, dir: String) =>
@@ -1516,14 +1616,53 @@ object Queries {
         .toDF("nprobe", "recall", "scanned_frac")
     }, None),
 
-    // §2.4 exact 1-D k-means (DP over the value histogram)
+    // §2.4 exact 1-D k-means (DP over the value histogram). The DP is
+    // exactly optimal, so the oracle can find the SAME optimum a
+    // different way: enumerate every (k-1)-boundary segmentation of
+    // the sorted distinct values via prefix sums (C(m-1,3) combos for
+    // m distinct values — cheap for histogram-sized m) and take the
+    // minimum weighted SSE. Agreement proves global optimality, not
+    // just engine determinism.
     ("kmeans1d_quantity", (s: SparkSession, dir: String) => {
       import s.implicits._
       val r = graft.cluster.KMeans1D.fit(lineitem(s, dir), "l_quantity", 4)
-      r.boundaries.zip(r.centroids).toSeq
-        .map { case (b, c) => (b, math.rint(c * 1000) / 1000) }
-        .toDF("boundary", "centroid")
-    }, None),
+      // per-cluster mass from the same histogram the DP consumed
+      val hist = lineitem(s, dir)
+        .select(col("l_quantity").cast("double").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("c"))
+        .collect().map(row => (row.getDouble(0), row.getLong(1))).sortBy(_._1)
+      val k = r.boundaries.length
+      val sizes = Array.tabulate(k) { c =>
+        val lo = r.boundaries(c)
+        val hi = if (c == k - 1) Double.MaxValue else r.boundaries(c + 1)
+        hist.filter { case (v, _) => v >= lo && v < hi }.map(_._2).sum
+      }
+      (0 until k).map(c =>
+        (c.toLong, r.boundaries(c), math.rint(r.centroids(c) * 1000) / 1000, sizes(c)))
+        .toDF("cluster", "boundary", "centroid", "n")
+    },
+      Some("""WITH h AS (SELECT l_quantity::DOUBLE AS v, count(*)::DOUBLE AS w FROM lineitem GROUP BY 1),
+             |o AS (SELECT v, w, row_number() OVER (ORDER BY v) AS i FROM h),
+             |p AS (SELECT i, v, sum(w) OVER (ORDER BY i) AS cw, sum(w*v) OVER (ORDER BY i) AS cs, sum(w*v*v) OVER (ORDER BY i) AS cq FROM o),
+             |p0 AS (SELECT 0 AS i, NULL::DOUBLE AS v, 0.0 AS cw, 0.0 AS cs, 0.0 AS cq UNION ALL SELECT i, v, cw, cs, cq FROM p),
+             |seg AS (SELECT a.i AS lo, b.i AS hi,
+             |    b.cq - a.cq - (b.cs - a.cs)*(b.cs - a.cs)/(b.cw - a.cw) AS sse
+             |  FROM p0 a JOIN p0 b ON b.i > a.i),
+             |mx AS (SELECT max(i) AS mi FROM p),
+             |best AS (SELECT s1.hi AS b1, s2.hi AS b2, s3.hi AS b3
+             |  FROM seg s1 JOIN seg s2 ON s2.lo = s1.hi JOIN seg s3 ON s3.lo = s2.hi
+             |       JOIN seg s4 ON s4.lo = s3.hi, mx
+             |  WHERE s1.lo = 0 AND s4.hi = mx.mi
+             |  ORDER BY s1.sse + s2.sse + s3.sse + s4.sse, b1, b2, b3 LIMIT 1),
+             |bnds AS (SELECT 0 AS cluster, 0 AS lo, b1 AS hi FROM best
+             |  UNION ALL SELECT 1, b1, b2 FROM best
+             |  UNION ALL SELECT 2, b2, b3 FROM best
+             |  UNION ALL SELECT 3, b3, mx.mi FROM best, mx)
+             |SELECT b.cluster::BIGINT AS cluster,
+             |  (SELECT v FROM p WHERE i = b.lo + 1) AS boundary,
+             |  round((ph.cs - pl.cs) / (ph.cw - pl.cw), 3) AS centroid,
+             |  (ph.cw - pl.cw)::BIGINT AS n
+             |FROM bnds b JOIN p0 pl ON pl.i = b.lo JOIN p0 ph ON ph.i = b.hi""".stripMargin)),
 
     // end-to-end LLM training-data pipeline: quality filter -> minhash
     // near-dup removal -> per-language corpus stats; every stage

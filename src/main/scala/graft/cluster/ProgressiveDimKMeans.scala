@@ -16,7 +16,14 @@ object ProgressiveDimKMeans {
 
   def fit(df: DataFrame, vecCol: String, k: Int,
       levels: Seq[Int], niterPerLevel: Int = 4,
-      seed: Long = 1234L): KMeans.Model = {
+      seed: Long = 1234L): KMeans.Model =
+    fitWithTransform(df, vecCol, k, levels, niterPerLevel, seed)._2
+
+  /** Like [[fit]] but also returns the PCA rotation the centroids live
+    * in (callers that assign new points must rotate them first). */
+  def fitWithTransform(df: DataFrame, vecCol: String, k: Int,
+      levels: Seq[Int], niterPerLevel: Int = 4,
+      seed: Long = 1234L): (graft.transform.Linear, KMeans.Model) = {
     require(levels.nonEmpty && levels == levels.sorted, "levels must ascend")
     val d = df.select(size(col(vecCol))).first().getInt(0)
     require(levels.last <= d, s"level ${levels.last} > d=$d")
@@ -36,7 +43,7 @@ object ProgressiveDimKMeans {
           java.util.Arrays.copyOf(c, target) // zero-extend into new dims
         })
       }
-      model
+      (pca, model)
     } finally rotated.unpersist()
   }
 }

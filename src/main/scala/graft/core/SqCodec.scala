@@ -374,9 +374,12 @@ case class MatVec(child: Expression, matrix: Array[Array[Float]],
     var j = 0
     while (j < dOut) {
       val row = matrix(j)
-      var s = if (bias == null) 0.0 else bias(j).toDouble
+      var s = 0.0
       var i = 0
       while (i < row.length) { s += row(i).toDouble * a.getFloat(i).toDouble; i += 1 }
+      // bias added AFTER the product sum so the DuckDB sidecar replay
+      // (list_aggregate sum + bias) is the same double association
+      if (bias != null) s += bias(j).toDouble
       out(j) = s
       j += 1
     }

@@ -229,18 +229,23 @@ object Dedup {
       .select(col("i"), col("j"), col("jaccard"))
   }
 
-  /** SimHash near-dup candidates: LSH on 16-bit chunks of the 64-bit
-    * simhash (docs within Hamming distance 3 of each other share at
-    * least one exact chunk by pigeonhole over 4 chunks), verified by
-    * full 64-bit Hamming <= maxHamming. Grouped shuffle, no cross
-    * join. */
+  /** SimHash near-dup candidates: LSH on 64/chunks-bit chunks of the
+    * 64-bit simhash, verified by full 64-bit Hamming <= maxHamming.
+    * By pigeonhole the candidate set is COMPLETE whenever
+    * maxHamming < chunks (a pair within maxHamming flips fewer chunks
+    * than exist, so at least one chunk matches exactly); with
+    * maxHamming >= chunks it is a recall-best-effort candidate
+    * generator. Grouped shuffle, no cross join. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    require(chunks > 0 && 64 % chunks == 0, "chunks must divide 64")
+    val w = 64 / chunks
+    val mask = if (w == 64) -1L else (1L << w) - 1
     val sh = widen(docs).select(col(idCol).as("_id"),
       graft.functions.simhash64(TextFunctions.tokenize(col(textCol))).as("_sh"))
     val chunked = sh.select(col("_id"), col("_sh"),
-      posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("_sh"), c * 16).bitwiseAND(lit(0xffffL))): _*))
+      posexplode(array((0 until chunks).map(c =>
+        shiftrightunsigned(col("_sh"), c * w).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk_id", "chunk")))
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk_id") === col("b.chunk_id") &&
