@@ -88,6 +88,17 @@ object Queries {
       graft.index.IvfPqrIndex.build(bDf(s, dir, 10), "id", "vec",
         nlist = 8, m = 8, ksub = 16, niterCoarse = 4, niterPq = 4)
     }
+  private def twoLayer16(s: SparkSession, dir: String): graft.index.TwoLayerIndex =
+    cached(s"twolayer16:$dir") {
+      graft.index.TwoLayerIndex.build(
+        emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")),
+        "id", "vec", nlist = 16, m = 8, ksub = 16, niterCoarse = 4, niterPq = 4)
+    }
+  private def ivfsh8(s: SparkSession, dir: String): graft.index.IvfSpectralHashIndex =
+    cached(s"ivfsh8:$dir") {
+      graft.index.IvfSpectralHash.build(bDf(s, dir, 10), "id", "vec",
+        nlist = 8, nbit = 32, period = 1.0, thresholdType = "median", niter = 4)
+    }
   private def km8(s: SparkSession, dir: String): graft.cluster.KMeans.Model =
     cached(s"km8:$dir") {
       graft.cluster.KMeans.fit(emb(s, dir).select(col("embedding")), "embedding",
@@ -152,6 +163,13 @@ object Queries {
     OracleAux.write(dir, "simhash_codes",
       simhashCorpus(s, dir).select(col("doc_id").as("cid"),
         simhash64(TF.tokenize(col("text"))).as("code")))
+    val tl = twoLayer16(s, dir)
+    OracleAux.write(dir, "twolayer_centroids", OracleAux.centroidsDf(s, tl.centroids))
+    OracleAux.write(dir, "twolayer_codebooks", OracleAux.codebooksDf(s, tl.model.codebooks))
+    val sh = ivfsh8(s, dir)
+    OracleAux.write(dir, "sh_centroids", OracleAux.centroidsDf(s, sh.centroids))
+    OracleAux.write(dir, "sh_rot", OracleAux.matrixDf(s, sh.vt.a))
+    OracleAux.write(dir, "sh_thresh", OracleAux.centroidsDf(s, sh.thresholds))
   }
 
   /** Root the static sidecar-oracle SQLs read from: the driver's
@@ -1291,6 +1309,86 @@ object Queries {
               |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM resc) w
               |WHERE "rank" <= 5""".stripMargin)),
+
+    // Index2Layer (faiss/Index2Layer.h:29): IVFPQ codes without
+    // inverted lists — random-access encoded storage; the faithful API
+    // surface is encode + reconstruct (search is unimplemented in the
+    // reference, Index2Layer.h:53). The oracle replays coarse argmin ->
+    // residual -> per-subspace PQ argmin -> decode -> centroid+decode
+    // from the sidecars and must reproduce the reconstruction and its
+    // error exactly.
+    ("index2layer_roundtrip", (s: SparkSession, dir: String) => {
+      val tl = twoLayer16(s, dir)
+      tl.reconstruct
+        .join(emb(s, dir).select(col("vec_id").as("id"), col("embedding")), "id")
+        .select(col("id"),
+          round(element_at(col("vec"), 1).cast("double"), 4).as("d1"),
+          round(aggregate(
+            zip_with(col("embedding").cast("array<double>"),
+              col("vec").cast("array<double>"),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x), 4).as("err"))
+    },
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/twolayer_centroids/*.parquet')),
+              |cb AS (SELECT m, j, c FROM read_parquet('$AUX/twolayer_codebooks/*.parquet')),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c) t WHERE rn = 1),
+              |bres AS (SELECT a.id, a.list_no,
+              |    list_transform(list_zip(b.embedding, c.c), p -> p[1] - p[2]) AS res
+              |  FROM basg a JOIN embeddings b ON b.vec_id = a.id JOIN cent c ON c.list_no = a.list_no),
+              |bsub AS (SELECT id, list_no, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM bres, range(0,8) r(m)),
+              |enc AS (SELECT id, list_no, m, j FROM (
+              |  SELECT b.id, b.list_no, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
+              |dec AS (SELECT e.id, flatten(list(cb.c ORDER BY e.m)) AS dv
+              |  FROM enc e JOIN cb ON cb.m = e.m AND cb.j = e.j GROUP BY e.id),
+              |recon AS (SELECT a.id,
+              |    list_transform(list_zip(c.c, d.dv), p -> (p[1] + p[2])::REAL) AS rv
+              |  FROM basg a JOIN cent c ON c.list_no = a.list_no JOIN dec d ON d.id = a.id)
+              |SELECT r.id, round(r.rv[1]::DOUBLE, 4) AS d1,
+              |  round(list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], r.rv::DOUBLE[]),
+              |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 4) AS err
+              |FROM recon r JOIN embeddings b ON b.vec_id = r.id""".stripMargin)),
+
+    // IndexIVFSpectralHash (faiss/IndexIVFSpectralHash.h:31): binary
+    // signatures from periodic threshold intervals of the rotated
+    // vector, Hamming-ranked inside the probed IVF lists. Oracle
+    // replays rotation (sidecar matrix), per-list median thresholds
+    // (sidecar), bit extraction floor((y-c)*2/period)&1, probe
+    // selection, and Hamming top-k — all integers after the floor.
+    ("ivfsh_search", (s: SparkSession, dir: String) =>
+      ivfsh8(s, dir).search(qDf(s, dir, 10), k = 10, nprobe = 4),
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/sh_centroids/*.parquet')),
+              |rot AS (SELECT d, r::DOUBLE[] AS r FROM read_parquet('$AUX/sh_rot/*.parquet')),
+              |th AS (SELECT list_no, c::DOUBLE[] AS t FROM read_parquet('$AUX/sh_thresh/*.parquet')),
+              |ry AS (SELECT vec_id, list(yv ORDER BY d) AS y FROM (
+              |  SELECT e.vec_id, r.d,
+              |    (list_aggregate(list_transform(list_zip(r.r, e.embedding::DOUBLE[]), p -> p[1]*p[2]), 'sum'))::REAL AS yv
+              |  FROM embeddings e CROSS JOIN rot r) t GROUP BY vec_id),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |probes AS (SELECT qid, list_no FROM (
+              |  SELECT q.vec_id AS qid, c.list_no, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
+              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10) t WHERE pr <= 4),
+              |bbits AS (SELECT a.id, a.list_no,
+              |    list_transform(list_zip(y.y::DOUBLE[], t.t), p -> floor((p[1]-p[2])*2.0)::BIGINT & 1) AS bits
+              |  FROM basg a JOIN ry y ON y.vec_id = a.id JOIN th t ON t.list_no = a.list_no),
+              |qbits AS (SELECT p.qid, p.list_no,
+              |    list_transform(list_zip(y.y::DOUBLE[], t.t), p -> floor((p[1]-p[2])*2.0)::BIGINT & 1) AS bits
+              |  FROM probes p JOIN ry y ON y.vec_id = p.qid JOIN th t ON t.list_no = p.list_no),
+              |hd AS (SELECT q.qid, b.id,
+              |    len(list_filter(list_zip(q.bits, b.bits), p -> p[1] <> p[2]))::BIGINT AS hamming
+              |  FROM qbits q JOIN bbits b ON b.list_no = q.list_no)
+              |SELECT qid, "rank", id, hamming FROM (
+              |  SELECT qid, id, hamming, row_number() OVER (PARTITION BY qid ORDER BY hamming, id) AS "rank" FROM hd) w
+              |WHERE "rank" <= 10""".stripMargin)),
 
     // §2.11 IVF-SQ: SQ8 codes inside the pruned IVF join; nprobe=nlist
     // makes it equal the flat SQ8 ADC search, so the sq8_knn oracle

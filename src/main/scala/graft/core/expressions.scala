@@ -163,3 +163,37 @@ case class SignBits(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, a => s"graft.core.VecKernels.packSignBits($a)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Spectral-hash signature: bit_i = floor((y_i - c_i) * freq) & 1,
+  * packed little-endian (bit i at position i) into one BIGINT
+  * (faiss IndexIVFSpectralHash.cpp:146-160 binarize_with_freq, with
+  * freq = 2/period; nbit <= 64). Left child is the transformed vector
+  * y, right child the per-list threshold vector c. */
+case class SpectralBits(left: Expression, right: Expression,
+    nbit: Int, freq: Double) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "spectral_bits"
+  override def nullSafeEval(y: Any, c: Any): Any =
+    SpectralBits.eval(y.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], nbit, freq)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (y, c) => {
+      val cls = "graft.core.SpectralBits"
+      s"$cls.eval($y, $c, $nbit, $freq)"
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SpectralBits {
+  /** codegen entry */
+  def eval(ya: ArrayData, ca: ArrayData, nbit: Int, freq: Double): Long = {
+    var sig = 0L
+    var i = 0
+    while (i < nbit) {
+      val xf = ya.getFloat(i).toDouble - ca.getFloat(i).toDouble
+      sig |= (math.floor(xf * freq).toLong & 1L) << i
+      i += 1
+    }
+    sig
+  }
+}

@@ -9,11 +9,15 @@ import graft.transform._
   * DSL (faiss index_factory, faiss/index_factory.cpp:885; grammar
   * SURVEY §2.11). Supported grammar (comma-separated):
   *
-  *   [transform,...] [IVF<nlist>,] <code>
-  *   transform := PCA<d> | PCAW<d> | RR<d> | L2norm | Center
-  *   code      := Flat | SQ8 | PQ<M>[x<ksub>]
+  *   [transform,...] [IVF<nlist>, | IMI2x<b>, | Residual<nlist>,] <code>
+  *   transform := PCA<d> | PCAW<d> | RR<d> | OPQ<M> | L2norm | Center
+  *   code      := Flat | SQ8 | PQ<M>[x<ksub>] | SH<nbit>x<period>[g|c|m]
   *
-  * e.g. "Flat", "IVF16,Flat", "PCA32,IVF16,PQ8", "L2norm,SQ8".
+  * e.g. "Flat", "IVF16,Flat", "PCA32,IVF16,PQ8", "L2norm,SQ8",
+  * "IVF16,SH32x1.0m" (spectral hash; g/c/m = global/centroid/median
+  * threshold, index_factory.cpp:398 "SH<period><gcm>" — we make nbit
+  * explicit instead of inheriting it from a transform prefix),
+  * "Residual16,PQ8" (Index2Layer, index_factory.cpp:280 use_2layer).
   * Unsupported reference tokens (HNSW/NSG/fast-scan/additive) are
   * rejected with the SURVEY §7 rationale: graph builds are
   * non-dataflow; capability is covered by the IVF path.
@@ -39,11 +43,12 @@ object IndexFactory {
       case Rr(t) => dim = t.toInt
       case OpqTok(_) => ()
       case "L2norm" | "Center" | "RFlat" => ()
-      case Ivf(_) | Imi(_) => ()
+      case Ivf(_) | Imi(_) | Res(_) => ()
       case "Flat" => code = Some(4 * dim)
       case "SQ8" => code = Some(dim)
       case "SQ4" => code = Some((dim + 1) / 2)
       case "FP16" => code = Some(2 * dim)
+      case Sh(nbit, _, _) => code = Some((nbit.toInt + 7) / 8)
       case Pq(m, _) => code = Some(m.toInt)
       case other => throw new IllegalArgumentException(s"unknown token $other")
     }
@@ -102,12 +107,30 @@ object IndexFactory {
   private val Pq = "PQ(\\d+)(?:x(\\d+))?".r
   private val OpqTok = "OPQ(\\d+)".r
   private val Imi = "IMI2x(\\d+)".r
+  private val Res = "Residual(\\d+)".r
+  private val Sh = "SH(\\d+)x([-0-9.eE]+)([gcm])?".r
 
   private final class ImiBuilt(idx: ImiIndex, chain: VecTransform)
       extends Built {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
         nprobe, queryId = qid, queryVec = qvec)
+  }
+  private final class SpectralBuilt(idx: IvfSpectralHashIndex, chain: VecTransform)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
+        math.max(nprobe, 1), qid, qvec)
+  }
+  /** Index2Layer: the reference leaves search unimplemented
+    * (Index2Layer.h:53) — provided here as reconstruct-then-exact-scan
+    * for API completeness (the class is random-access encoded
+    * storage). */
+  private final class TwoLayerBuilt(idx: TwoLayerIndex, chain: VecTransform)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      Knn.knnJoin(q.withColumn(qvec, chain.applyCol(col(qvec))),
+        idx.reconstruct, k, queryId = qid, queryVec = qvec)
   }
 
   /** Train the whole pipeline on `df` (id, vec) and return a
@@ -170,9 +193,22 @@ object IndexFactory {
           new IvfPqBuilt(IvfPqIndex.build(data, "id", "vec", nlist.toInt,
             m.toInt, Option(ks).map(_.toInt).getOrElse(16),
             niterCoarse = niter, niterPq = niter, seed = seed), chain)
+        case Sh(nbit, period, tt) =>
+          val thresholdType = tt match {
+            case "g" => "global"
+            case "c" => "centroid"
+            case _ => "median"
+          }
+          new SpectralBuilt(IvfSpectralHash.build(data, "id", "vec",
+            nlist.toInt, nbit.toInt, period.toDouble, thresholdType,
+            niter = niter, seed = seed), chain)
         case other => throw new IllegalArgumentException(
           s"unsupported IVF code '$other' in '$desc'")
       }
+      case Res(nlist) :: Pq(m, ks) :: Nil =>
+        new TwoLayerBuilt(TwoLayerIndex.build(data, "id", "vec", nlist.toInt,
+          m.toInt, Option(ks).map(_.toInt).getOrElse(16),
+          niterCoarse = niter, niterPq = niter, seed = seed), chain)
       case Imi(bits) :: "Flat" :: Nil =>
         // IMI2x<b> = MultiIndexQuantizer coarse with 2^b centroids per
         // half-space (faiss index_factory coarse grammar)
