@@ -2035,6 +2035,20 @@ object Queries {
         bigQueries(s, dir), bigVecs(s, dir), 10,
         m = 16, efConstruction = 64, efSearch = 96), None),
 
+    // HNSW exact-degenerate: efSearch >= any partition's size makes
+    // the greedy beam cover the whole (connected-by-construction)
+    // per-partition graph, so the sharded HNSW must reproduce the flat
+    // exact search bit-for-bit — an end-to-end driver-gate check of
+    // the graph build, beam search, and shard merge. The approximate
+    // regime (efSearch << n) stays covered by hnsw_partition_search +
+    // HnswSpec's recall bound.
+    ("hnsw_exact_search", (s: SparkSession, dir: String) =>
+      graft.knn.PartitionedHnsw.knnJoin(
+        qDf(s, dir, 10), bDf(s, dir, 10), 10,
+        m = 16, efConstruction = 64, efSearch = 4096)
+        .withColumn("dist", r4("dist")),
+      Some(knnOracle(dL2, "q.vec_id < 10", "b.vec_id >= 10", 10))),
+
     // sanity: classic aggregation pipeline (partial agg + shuffle)
     ("q1_agg", (s: SparkSession, dir: String) =>
       lineitem(s, dir).groupBy(col("l_returnflag"), col("l_linestatus")).agg(
