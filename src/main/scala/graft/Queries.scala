@@ -1699,6 +1699,17 @@ object Queries {
              |  count(*) AS cnt, round(sum(value), 2) AS sv
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // streaming exactly-once dedup ingest (training-pipeline shape:
+    // drop duplicate records by key as they arrive, stateful
+    // dropDuplicates); the oracle is the batch count-distinct
+    ("stream_dedup_ingest", (s: SparkSession, dir: String) =>
+      graft.streaming.StreamingIngest.dedupIngest(
+        s, s"$dir/events.parquet", Seq("user_id", "event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_unique_users")),
+      Some("""SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_unique_users
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     // §2.12 autotune: nprobe operating points -> Pareto frontier
     // (recall needs our seeded kmeans; deterministic per engine,
     // rows-only for the driver)

@@ -67,4 +67,28 @@ object StreamingIngest {
       .select(col("window.start").cast("long").as("ws"), col("event_type"),
         col("cnt"), round(col("sv"), 2).as("sv"))
   }
+
+  /** Streaming exactly-once dedup ingest: readStream → stateful
+    * dropDuplicates on `keys` → append sink, drained synchronously.
+    * The training-pipeline ingest shape — dedup crawled records by
+    * fingerprint AS they arrive, state = one entry per distinct key
+    * (at scale: RocksDB state store + watermark-bounded state via
+    * dropDuplicatesWithinWatermark). Returns the table of unique
+    * rows. */
+  def dedupIngest(spark: SparkSession, eventsParquet: String,
+      keys: Seq[String]): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(eventsParquet),
+      dir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsParquet).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .dropDuplicates(keys)
+    val name = s"graft_dedup_${System.identityHashCode(stream)}"
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
 }
