@@ -92,33 +92,14 @@ object functions {
   def topk(score: Column, id: Column, k: Int, asc: Boolean = true): Column =
     shim.agg(TopKAgg(shim.expr(score), shim.expr(id), k, asc))
 
-  /** Register SQL names for the expressions (usable via spark.sql). */
+  /** Register SQL names for the expressions on an existing session
+    * (usable via spark.sql). Cluster-wide installs use
+    * `spark.sql.extensions=graft.GraftExtensions` instead — both
+    * share [[GraftExtensions.all]]. */
   def register(spark: SparkSession): Unit = {
-    import org.apache.spark.sql.catalyst.expressions.Expression
     val reg = spark.sessionState.functionRegistry
-    def one(name: String)(b: Seq[Expression] => Expression): Unit =
+    GraftExtensions.all.foreach { case (name, b) =>
       reg.createOrReplaceTempFunction(name, b, "built-in")
-    one("l2sq")(es => VecDistance(es(0), es(1), "l2sq"))
-    one("inner_product")(es => VecDistance(es(0), es(1), "ip"))
-    one("cosine_sim")(es => VecDistance(es(0), es(1), "cosine"))
-    one("hamming_dist")(es => HammingDistance(es(0), es(1)))
-    one("jaccard_dist")(es => JaccardDistance(es(0), es(1)))
-    one("norm_l2")(es => VecNorm(es(0), squared = false))
-    one("normalize_l2")(es => NormalizeL2(es(0)))
-    one("sign_bits")(es => SignBits(es(0)))
-    // topk(score, id, k, asc) aggregate for SQL: k/asc must be literals
-    one("topk") { es =>
-      import org.apache.spark.sql.catalyst.expressions.Literal
-      val k = es(2) match {
-        case Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(s"topk k must be a literal int, got $other")
-      }
-      val asc = es.lift(3) match {
-        case Some(Literal(v: Boolean, _)) => v
-        case None => true
-        case other => throw new IllegalArgumentException(s"topk asc must be a literal bool, got $other")
-      }
-      TopKAgg(es(0), es(1), k, asc).toAggregateExpression()
     }
   }
 }

@@ -18,6 +18,13 @@ class FunctionsSpec extends SparkTestBase {
     assert(mx == Seq((5.0f, 0), (3.0f, 2)))
   }
 
+  test("GraftExtensions applies its whole function list to SparkSessionExtensions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext) // must register every builder without throwing
+    assert(graft.GraftExtensions.all.map(_._1).distinct.size ==
+      graft.GraftExtensions.all.size)
+  }
+
   test("SQL registration exposes distance functions to spark.sql") {
     graft.functions.register(spark)
     spark.read.parquet(s"$sf0001/embeddings.parquet")
