@@ -59,6 +59,85 @@ object IndexIO {
     new PqIndex(PqModel(mCount, ksub, dsub, cb), spark.read.parquet(s"$path/codes"))
   }
 
+  // ---- IVFPQ ----------------------------------------------------------
+  // (write/read of IndexIVFPQ, faiss/impl/index_write.cpp: coarse
+  // centroids + PQ codebooks + per-list codes). Codes are list_no-
+  // partitioned like IvfIndex.save so the loaded index keeps static
+  // partition pruning.
+  def saveIvfPq(idx: IvfPqIndex, path: String): Unit = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    idx.codes.repartition(col("list_no"))
+      .write.mode("overwrite").partitionBy("list_no").parquet(s"$path/codes")
+    idx.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq, idx.nlist) }
+      .toDF("list_no", "centroid", "nlist")
+      .coalesce(1).write.mode("overwrite").json(s"$path/centroids")
+    val m = idx.model
+    (for (mi <- 0 until m.m; j <- m.codebooks(mi).indices)
+      yield (mi, j, m.codebooks(mi)(j).toSeq, m.ksub, m.dsub))
+      .toDF("m", "j", "centroid", "ksub", "dsub")
+      .coalesce(1).write.mode("overwrite").json(s"$path/codebooks")
+  }
+
+  def loadIvfPq(spark: SparkSession, path: String): IvfPqIndex = {
+    val cents = spark.read.json(s"$path/centroids")
+      .select(col("list_no").cast("int"), col("centroid").cast("array<float>"),
+        col("nlist").cast("int")).collect()
+    val nlist = cents.head.getInt(2)
+    val centroids = new Array[Array[Float]](nlist)
+    cents.foreach { r => centroids(r.getInt(0)) = r.getSeq[Float](1).toArray }
+    val cb = spark.read.json(s"$path/codebooks")
+      .select(col("m").cast("int"), col("j").cast("int"),
+        col("centroid").cast("array<float>"),
+        col("ksub").cast("int"), col("dsub").cast("int")).collect()
+    val mCount = cb.map(_.getInt(0)).max + 1
+    val ksub = cb.head.getInt(3); val dsub = cb.head.getInt(4)
+    val books = Array.ofDim[Array[Float]](mCount, ksub)
+    cb.foreach { r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray }
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("id"), col("list_no").cast("int"), col("code"))
+    new IvfPqIndex(nlist, centroids, PqModel(mCount, ksub, dsub, books), codes)
+  }
+
+  // ---- Index2Layer -----------------------------------------------------
+  // Same trained state as IVFPQ but sequential (unpartitioned) codes —
+  // the class's defining property (faiss/Index2Layer.h:29).
+  def saveTwoLayer(idx: TwoLayerIndex, path: String): Unit = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    idx.codes.write.mode("overwrite").parquet(s"$path/codes")
+    idx.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq, idx.nlist) }
+      .toDF("list_no", "centroid", "nlist")
+      .coalesce(1).write.mode("overwrite").json(s"$path/centroids")
+    val m = idx.model
+    (for (mi <- 0 until m.m; j <- m.codebooks(mi).indices)
+      yield (mi, j, m.codebooks(mi)(j).toSeq, m.ksub, m.dsub))
+      .toDF("m", "j", "centroid", "ksub", "dsub")
+      .coalesce(1).write.mode("overwrite").json(s"$path/codebooks")
+  }
+
+  def loadTwoLayer(spark: SparkSession, path: String): TwoLayerIndex = {
+    val cents = spark.read.json(s"$path/centroids")
+      .select(col("list_no").cast("int"), col("centroid").cast("array<float>"),
+        col("nlist").cast("int")).collect()
+    val nlist = cents.head.getInt(2)
+    val centroids = new Array[Array[Float]](nlist)
+    cents.foreach { r => centroids(r.getInt(0)) = r.getSeq[Float](1).toArray }
+    val cb = spark.read.json(s"$path/codebooks")
+      .select(col("m").cast("int"), col("j").cast("int"),
+        col("centroid").cast("array<float>"),
+        col("ksub").cast("int"), col("dsub").cast("int")).collect()
+    val mCount = cb.map(_.getInt(0)).max + 1
+    val ksub = cb.head.getInt(3); val dsub = cb.head.getInt(4)
+    val books = Array.ofDim[Array[Float]](mCount, ksub)
+    cb.foreach { r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray }
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("id"), col("list_no").cast("int"), col("code"))
+    new TwoLayerIndex(nlist, centroids, PqModel(mCount, ksub, dsub, books), codes)
+  }
+
   // ---- VectorTransform chain -----------------------------------------
   // (write_VectorTransform / read_VectorTransform, faiss/index_io.h:67)
   def saveTransform(spark: SparkSession, t: VecTransform, path: String): Unit = {

@@ -34,6 +34,33 @@ class IndexIOSpec extends SparkTestBase {
     assert(loaded.model.ksub == 16 && loaded.model.m == 8)
   }
 
+  test("IVFPQ index save/load round-trip preserves search results and pruning layout") {
+    val idx = graft.index.IvfPqIndex.build(b, "id", "vec",
+      nlist = 4, m = 8, ksub = 16, niterCoarse = 3, niterPq = 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqio").toString
+    IndexIO.saveIvfPq(idx, dir)
+    val loaded = IndexIO.loadIvfPq(spark, dir)
+    assert(results(loaded.search(q, 5, nprobe = 4)) ==
+      results(idx.search(q, 5, nprobe = 4)))
+    // list_no-partitioned on disk: static pruning survives the reload
+    val parts = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("list_no=")).map(_.getName)
+    assert(parts.nonEmpty)
+  }
+
+  test("Index2Layer save/load round-trip preserves reconstruction") {
+    val idx = graft.index.TwoLayerIndex.build(b, "id", "vec",
+      nlist = 4, m = 8, ksub = 16, niterCoarse = 3, niterPq = 3)
+    val dir = java.nio.file.Files.createTempDirectory("twolayerio").toString
+    IndexIO.saveTwoLayer(idx, dir)
+    val loaded = IndexIO.loadTwoLayer(spark, dir)
+    def recon(i: graft.index.TwoLayerIndex) =
+      i.reconstruct.select(col("id"),
+        round(element_at(col("vec"), 1).cast("double"), 5).as("v"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(recon(loaded) == recon(idx))
+  }
+
   test("transform chain save/load round-trip applies identically") {
     val chain = Chain(Seq(
       Centering.train(emb, "embedding"),
