@@ -25,6 +25,25 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
   }
 
+  test("Index2Layer reconstruct is shuffle-free (broadcast centroid lookup + in-row decode)") {
+    val idx = graft.index.TwoLayerIndex.build(b, "id", "vec",
+      nlist = 4, m = 8, ksub = 16, niterCoarse = 2, niterPq = 2)
+    val plan = idx.reconstruct.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 0, s"reconstruct must not shuffle, got $shuffles:\n$plan")
+  }
+
+  test("spectral-hash search: broadcast probes/thresholds, single top-k exchange") {
+    val idx = graft.index.IvfSpectralHash.build(b, "id", "vec",
+      nlist = 4, nbit = 16, period = 1.0, thresholdType = "global", niter = 2)
+    val plan = idx.search(q, k = 5, nprobe = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(plan.toLowerCase.contains("partial_topk"), s"no partial top-k:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
+  }
+
   test("base-side id filter is pushed to the parquet scan") {
     val df = Knn.knnJoin(q, b, 5, filter = Some(col("id").between(100, 299)))
     val plan = df.queryExecution.executedPlan.toString
