@@ -138,6 +138,77 @@ object IndexIO {
     new TwoLayerIndex(nlist, centroids, PqModel(mCount, ksub, dsub, books), codes)
   }
 
+  // ---- Binary IVF ------------------------------------------------------
+  def saveBinaryIvf(idx: BinaryIvfIndex, path: String): Unit = {
+    val spark = idx.invlists.sparkSession
+    import spark.implicits._
+    idx.invlists.repartition(col("list_no"))
+      .write.mode("overwrite").partitionBy("list_no").parquet(s"$path/invlists")
+    idx.centroidBits.zipWithIndex.toSeq
+      .map { case (bits, l) => (l, bits.toSeq, idx.nlist) }
+      .toDF("list_no", "bits", "nlist")
+      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+  }
+
+  def loadBinaryIvf(spark: SparkSession, path: String): BinaryIvfIndex = {
+    val meta = spark.read.json(s"$path/meta")
+      .select(col("list_no").cast("int"), col("bits").cast("array<int>"),
+        col("nlist").cast("int")).collect()
+    val nlist = meta.head.getInt(2)
+    val bits = new Array[Array[Int]](nlist)
+    meta.foreach { r => bits(r.getInt(0)) = r.getSeq[Int](1).toArray }
+    new BinaryIvfIndex(nlist, bits,
+      spark.read.parquet(s"$path/invlists")
+        .select(col("id"), col("code"), col("list_no").cast("int")))
+  }
+
+  // ---- IMI -------------------------------------------------------------
+  def saveImi(idx: ImiIndex, path: String): Unit = {
+    val spark = idx.invlists.sparkSession
+    import spark.implicits._
+    idx.invlists.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/invlists")
+    val m = idx.model
+    (for (mi <- 0 until m.m; j <- m.codebooks(mi).indices)
+      yield (mi, j, m.codebooks(mi)(j).toSeq, m.ksub, m.dsub))
+      .toDF("m", "j", "centroid", "ksub", "dsub")
+      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+  }
+
+  def loadImi(spark: SparkSession, path: String): ImiIndex = {
+    val cb = spark.read.json(s"$path/meta")
+      .select(col("m").cast("int"), col("j").cast("int"),
+        col("centroid").cast("array<float>"),
+        col("ksub").cast("int"), col("dsub").cast("int")).collect()
+    val mCount = cb.map(_.getInt(0)).max + 1
+    val ksub = cb.head.getInt(3); val dsub = cb.head.getInt(4)
+    val books = Array.ofDim[Array[Float]](mCount, ksub)
+    cb.foreach { r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray }
+    new ImiIndex(ksub, PqModel(mCount, ksub, dsub, books),
+      spark.read.parquet(s"$path/invlists")
+        .select(col("id"), col("vec"), col("cell").cast("int")))
+  }
+
+  // ---- RQ (trained model) ----------------------------------------------
+  def saveRq(spark: SparkSession, model: RqModel, path: String): Unit = {
+    import spark.implicits._
+    (for (l <- 0 until model.levels; j <- model.codebooks(l).indices)
+      yield (l, j, model.codebooks(l)(j).toSeq, model.k))
+      .toDF("level", "j", "centroid", "k")
+      .coalesce(1).write.mode("overwrite").json(path)
+  }
+
+  def loadRq(spark: SparkSession, path: String): RqModel = {
+    val rows = spark.read.json(path)
+      .select(col("level").cast("int"), col("j").cast("int"),
+        col("centroid").cast("array<float>"), col("k").cast("int")).collect()
+    val levels = rows.map(_.getInt(0)).max + 1
+    val k = rows.head.getInt(3)
+    val cb = Array.ofDim[Array[Float]](levels, k)
+    rows.foreach { r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray }
+    RqModel(levels, k, cb)
+  }
+
   // ---- VectorTransform chain -----------------------------------------
   // (write_VectorTransform / read_VectorTransform, faiss/index_io.h:67)
   def saveTransform(spark: SparkSession, t: VecTransform, path: String): Unit = {

@@ -61,6 +61,38 @@ class IndexIOSpec extends SparkTestBase {
     assert(recon(loaded) == recon(idx))
   }
 
+  test("Binary IVF save/load round-trip preserves search results") {
+    val idx = graft.index.BinaryIvfIndex.buildFromVectors(b, "id", "vec",
+      nlist = 4, niter = 3)
+    val dir = java.nio.file.Files.createTempDirectory("bivfio").toString
+    IndexIO.saveBinaryIvf(idx, dir)
+    val loaded = IndexIO.loadBinaryIvf(spark, dir)
+    val qc = q.select(col("qid"), graft.functions.sign_bits(col("qvec")).as("qcode"))
+    assert(results(loaded.search(qc, 5, nprobe = 4)) ==
+      results(idx.search(qc, 5, nprobe = 4)))
+  }
+
+  test("IMI save/load round-trip preserves search results") {
+    val idx = graft.index.ImiIndex.build(b, "id", "vec", ksub = 4, niter = 3)
+    val dir = java.nio.file.Files.createTempDirectory("imiio").toString
+    IndexIO.saveImi(idx, dir)
+    val loaded = IndexIO.loadImi(spark, dir)
+    assert(results(loaded.search(q, 5, nprobe = loaded.nlist)) ==
+      results(idx.search(q, 5, nprobe = idx.nlist)))
+  }
+
+  test("RQ model save/load round-trip reproduces the decode exactly") {
+    val m = graft.index.Rq.train(b, "vec", levels = 2, k = 8, niter = 3)
+    val dir = java.nio.file.Files.createTempDirectory("rqio").toString
+    IndexIO.saveRq(spark, m, dir)
+    val loaded = IndexIO.loadRq(spark, dir)
+    def rt(mm: graft.index.RqModel) =
+      b.select(col("id"), round(element_at(mm.roundtripCol(col("vec")), 1)
+        .cast("double"), 6).as("v"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rt(loaded) == rt(m))
+  }
+
   test("transform chain save/load round-trip applies identically") {
     val chain = Chain(Seq(
       Centering.train(emb, "embedding"),
