@@ -189,6 +189,43 @@ object IndexIO {
         .select(col("id"), col("vec"), col("cell").cast("int")))
   }
 
+  // ---- IVF spectral hash ----------------------------------------------
+  def saveSpectralHash(idx: IvfSpectralHashIndex, path: String): Unit = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    idx.codes.repartition(col("list_no"))
+      .write.mode("overwrite").partitionBy("list_no").parquet(s"$path/codes")
+    idx.centroids.zipWithIndex.toSeq
+      .map { case (c, l) => (l, c.toSeq, idx.nlist, idx.nbit, idx.period) }
+      .toDF("list_no", "centroid", "nlist", "nbit", "period")
+      .coalesce(1).write.mode("overwrite").json(s"$path/centroids")
+    idx.thresholds.zipWithIndex.toSeq
+      .map { case (t, l) => (l, t.toSeq) }.toDF("list_no", "thresh")
+      .coalesce(1).write.mode("overwrite").json(s"$path/thresholds")
+    saveTransform(spark, idx.vt, s"$path/vt")
+  }
+
+  def loadSpectralHash(spark: SparkSession, path: String): IvfSpectralHashIndex = {
+    val cents = spark.read.json(s"$path/centroids")
+      .select(col("list_no").cast("int"), col("centroid").cast("array<float>"),
+        col("nlist").cast("int"), col("nbit").cast("int"),
+        col("period").cast("double")).collect()
+    val nlist = cents.head.getInt(2)
+    val nbit = cents.head.getInt(3)
+    val period = cents.head.getDouble(4)
+    val centroids = new Array[Array[Float]](nlist)
+    cents.foreach { r => centroids(r.getInt(0)) = r.getSeq[Float](1).toArray }
+    val th = spark.read.json(s"$path/thresholds")
+      .select(col("list_no").cast("int"), col("thresh").cast("array<float>"))
+      .collect()
+    val thresholds = new Array[Array[Float]](nlist)
+    th.foreach { r => thresholds(r.getInt(0)) = r.getSeq[Float](1).toArray }
+    val vt = loadTransform(spark, s"$path/vt").asInstanceOf[Linear]
+    new IvfSpectralHashIndex(nlist, nbit, period, centroids, vt, thresholds,
+      spark.read.parquet(s"$path/codes")
+        .select(col("id"), col("list_no").cast("int"), col("sig")))
+  }
+
   // ---- RQ (trained model) ----------------------------------------------
   def saveRq(spark: SparkSession, model: RqModel, path: String): Unit = {
     import spark.implicits._

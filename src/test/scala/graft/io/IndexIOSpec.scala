@@ -81,6 +81,17 @@ class IndexIOSpec extends SparkTestBase {
       results(idx.search(q, 5, nprobe = idx.nlist)))
   }
 
+  test("Spectral-hash index save/load round-trip preserves search results") {
+    val idx = graft.index.IvfSpectralHash.build(b, "id", "vec",
+      nlist = 4, nbit = 16, period = 1.0, thresholdType = "median", niter = 2)
+    val dir = java.nio.file.Files.createTempDirectory("shio").toString
+    IndexIO.saveSpectralHash(idx, dir)
+    val loaded = IndexIO.loadSpectralHash(spark, dir)
+    assert(results(loaded.search(q, 5, nprobe = 4)) ==
+      results(idx.search(q, 5, nprobe = 4)))
+    assert(loaded.nbit == 16 && loaded.period == 1.0)
+  }
+
   test("RQ model save/load round-trip reproduces the decode exactly") {
     val m = graft.index.Rq.train(b, "vec", levels = 2, k = 8, niter = 3)
     val dir = java.nio.file.Files.createTempDirectory("rqio").toString
