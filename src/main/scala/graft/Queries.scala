@@ -99,6 +99,10 @@ object Queries {
       graft.index.IvfSpectralHash.build(bDf(s, dir, 10), "id", "vec",
         nlist = 8, nbit = 32, period = 1.0, thresholdType = "median", niter = 4)
     }
+  private def ivf8(s: SparkSession, dir: String): IvfIndex =
+    cached(s"ivf8:$dir") {
+      IvfIndex.build(bDf(s, dir, 10), "id", "vec", nlist = 8, niter = 3)
+    }
   private def km8(s: SparkSession, dir: String): graft.cluster.KMeans.Model =
     cached(s"km8:$dir") {
       graft.cluster.KMeans.fit(emb(s, dir).select(col("embedding")), "embedding",
@@ -170,6 +174,8 @@ object Queries {
     OracleAux.write(dir, "sh_centroids", OracleAux.centroidsDf(s, sh.centroids))
     OracleAux.write(dir, "sh_rot", OracleAux.matrixDf(s, sh.vt.a))
     OracleAux.write(dir, "sh_thresh", OracleAux.centroidsDf(s, sh.thresholds))
+    OracleAux.write(dir, "ivf8_centroids",
+      OracleAux.centroidsDf(s, ivf8(s, dir).centroids))
   }
 
   /** Root the static sidecar-oracle SQLs read from: the driver's
@@ -1713,17 +1719,61 @@ object Queries {
     // §2.12 autotune: nprobe operating points -> Pareto frontier
     // (recall needs our seeded kmeans; deterministic per engine,
     // rows-only for the driver)
+    // Recall and scan-fraction are deterministic given the trained
+    // coarse quantizer (the cost proxy is scanned rows, not
+    // wall-clock), so the WHOLE autotune loop is oracle-checkable: the
+    // SQL replays, for every nprobe operating point, the probe
+    // selection, pruned search, recall vs the exact top-k, and probed
+    // list mass, then applies the same Pareto-domination filter.
     ("autotune_pareto", (s: SparkSession, dir: String) => {
       import s.implicits._
-      val idx = cached(s"ivf8:$dir") {
-        IvfIndex.build(bDf(s, dir, 10), "id", "vec", nlist = 8, niter = 3)
-      }
       val pts = graft.tune.AutoTune.explore(
-        idx, qDf(s, dir, 10), bDf(s, dir, 10), 10, Seq(1, 2, 4, 8))
+        ivf8(s, dir), qDf(s, dir, 10), bDf(s, dir, 10), 10, Seq(1, 2, 4, 8))
       graft.tune.AutoTune.paretoFront(pts)
         .map(p => (p.nprobe, math.rint(p.recall * 1000) / 1000, math.rint(p.scannedFrac * 1000) / 1000))
         .toDF("nprobe", "recall", "scanned_frac")
-    }, None),
+    },
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivf8_centroids/*.parquet')),
+              |nps AS (SELECT unnest([1, 2, 4, 8]) AS np),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |lsz AS (SELECT list_no, count(*)::DOUBLE AS sz FROM basg GROUP BY list_no),
+              |tot AS (SELECT sum(sz) AS t FROM lsz),
+              |qc AS (SELECT q.vec_id AS qid, c.list_no, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
+              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10),
+              |truth AS (SELECT qid, id FROM (
+              |  SELECT q.vec_id AS qid, b.vec_id AS id,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |      list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2, b.vec_id) AS rk
+              |  FROM embeddings q CROSS JOIN embeddings b
+              |  WHERE q.vec_id < 10 AND b.vec_id >= 10) t WHERE rk <= 10),
+              |cand AS (SELECT n.np, p.qid, a.id,
+              |    list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2 AS dist
+              |  FROM nps n JOIN qc p ON p.pr <= n.np
+              |  JOIN basg a ON a.list_no = p.list_no
+              |  JOIN embeddings q ON q.vec_id = p.qid
+              |  JOIN embeddings b ON b.vec_id = a.id),
+              |approx AS (SELECT np, qid, id FROM (
+              |  SELECT np, qid, id, row_number() OVER (PARTITION BY np, qid ORDER BY dist, id) AS rk
+              |  FROM cand) t WHERE rk <= 10),
+              |allq AS (SELECT n.np, q.vec_id AS qid FROM nps n, embeddings q WHERE q.vec_id < 10),
+              |inter AS (SELECT a.np, a.qid, count(*)::DOUBLE AS i
+              |  FROM approx a JOIN truth t ON t.qid = a.qid AND t.id = a.id
+              |  GROUP BY a.np, a.qid),
+              |rec AS (SELECT np, avg(coalesce(i, 0) / 10.0) AS recall
+              |  FROM allq LEFT JOIN inter USING (np, qid) GROUP BY np),
+              |pl AS (SELECT DISTINCT n.np, p.list_no FROM nps n JOIN qc p ON p.pr <= n.np),
+              |frac AS (SELECT np, sum(l.sz) / (SELECT t FROM tot) AS f
+              |  FROM pl JOIN lsz l USING (list_no) GROUP BY np),
+              |pts AS (SELECT r.np, r.recall, f.f FROM rec r JOIN frac f USING (np))
+              |SELECT np AS nprobe, round(recall, 3) AS recall, round(f, 3) AS scanned_frac
+              |FROM pts p
+              |WHERE NOT EXISTS (SELECT 1 FROM pts q
+              |  WHERE (q.recall > p.recall AND q.f <= p.f)
+              |     OR (q.recall >= p.recall AND q.f < p.f))""".stripMargin)),
 
     // §2.4 exact 1-D k-means (DP over the value histogram). The DP is
     // exactly optimal, so the oracle can find the SAME optimum a
