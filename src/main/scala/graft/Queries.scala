@@ -1647,6 +1647,30 @@ object Queries {
       Some("""SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
              |  length(text)::BIGINT AS len_chars FROM documents""".stripMargin)),
 
+    // corpus statistics: exact vocabulary size per language (distinct
+    // whitespace tokens) — the shuffle is on (lang, token) with
+    // map-side partial distinct, so it scales like any groupBy
+    ("vocab_size", (s: SparkSession, dir: String) =>
+      docsDf(s, dir)
+        .select(col("lang"), explode(TF.tokenize(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("tok")).as("vocab"), count(lit(1)).as("total_tokens")),
+      Some("""SELECT lang, count(DISTINCT tok)::BIGINT AS vocab, count(*)::BIGINT AS total_tokens
+             |FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents) t
+             |WHERE length(tok) > 0 GROUP BY lang""".stripMargin)),
+
+    // corpus statistics: exact length quantiles per source (median +
+    // p90 of n_chars, linear interpolation in both engines)
+    ("length_quantiles", (s: SparkSession, dir: String) =>
+      docsDf(s, dir).groupBy(col("source")).agg(
+        round(expr("percentile(n_chars, 0.5)"), 2).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 2).as("p90"),
+        count(lit(1)).as("n_docs")),
+      Some("""SELECT source, round(quantile_cont(n_chars, 0.5), 2) AS p50,
+             |  round(quantile_cont(n_chars, 0.9), 2) AS p90, count(*) AS n_docs
+             |FROM documents GROUP BY source""".stripMargin)),
+
     // text analysis: quality scoring (length/stopword/token-length)
     ("quality_score", (s: SparkSession, dir: String) =>
       docsDf(s, dir).select(
