@@ -1892,6 +1892,16 @@ object Queries {
     // ---- at-scale vector queries (600k-row lineitem-derived table;
     // the bench rows that actually stress scan/prune/top-k) ----------
 
+    // Materializes the 600k-row derived vector table (md5 ids +
+    // distinct + persist) as its own timed entry, so every downstream
+    // *_big query measures its own work instead of whoever runs first
+    // paying the derivation.
+    ("bigvec_derive", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      Seq(bigVecs(s, dir).count()).toDF("n_rows")
+    },
+      Some(s"WITH v AS ($bigVecSql) SELECT count(*) AS n_rows FROM v")),
+
     // exact brute-force kNN at |lineitem| scale: broadcast-NLJ + heap
     // aggregate over 600k rows x ~60 queries (sf0.1)
     ("knn_flat_l2_big", (s: SparkSession, dir: String) =>
