@@ -104,6 +104,35 @@ class IndexIOSpec extends SparkTestBase {
     assert(rt(loaded) == rt(m))
   }
 
+  test("merge_ondisk analog: two saved IVF indexes merge into one on-disk store") {
+    // contrib/ondisk.py:13 merge_ondisk — here: load both, mergeFrom
+    // (same trained quantizer), save; the merged store answers like an
+    // index built over the union.
+    import org.apache.spark.sql.graft.shim
+    val b1 = b.filter(col("id") % 2 === 0)
+    val b2 = b.filter(col("id") % 2 === 1)
+    val idx1 = graft.index.IvfIndex.build(b1, "id", "vec", nlist = 4, niter = 3)
+    // shard 2 shares the trained quantizer (merge's precondition)
+    def inv(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("_a", shim.col(
+        graft.core.NearestCentroid(shim.expr(col("vec")), idx1.centroids)))
+      .select(col("id"), col("vec"), col("_a.list_no").as("list_no"))
+    val idx2 = new graft.index.IvfIndex(idx1.d, idx1.metric, idx1.nlist,
+      idx1.centroids, inv(b2))
+    val d1 = java.nio.file.Files.createTempDirectory("ivfm1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("ivfm2").toString
+    val dm = java.nio.file.Files.createTempDirectory("ivfmerged").toString
+    idx1.save(d1); idx2.save(d2)
+    val merged = graft.index.IvfIndex.load(spark, d1)
+      .mergeFrom(graft.index.IvfIndex.load(spark, d2))
+    merged.save(dm)
+    val got = results(graft.index.IvfIndex.load(spark, dm)
+      .search(q, 5, nprobe = 4))
+    val want = results(new graft.index.IvfIndex(idx1.d, idx1.metric,
+      idx1.nlist, idx1.centroids, inv(b)).search(q, 5, nprobe = 4))
+    assert(got == want)
+  }
+
   test("transform chain save/load round-trip applies identically") {
     val chain = Chain(Seq(
       Centering.train(emb, "embedding"),

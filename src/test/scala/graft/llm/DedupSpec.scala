@@ -53,6 +53,22 @@ class DedupSpec extends SparkTestBase {
       s"simhash found ${truth.intersect(sh).size} of ${truth.size}")
   }
 
+  test("chunked simhash LSH is pigeonhole-complete: equals brute force for maxHamming < chunks") {
+    import org.apache.spark.sql.functions._
+    val codes = docs
+      .select(col("doc_id"),
+        graft.functions.simhash64(graft.llm.TextFunctions.tokenize(col("text"))).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (i, a) <- codes; (j, b) <- codes
+      if i < j && java.lang.Long.bitCount(a ^ b) <= 7
+    } yield (i, j)).toSet
+    val lsh = Dedup.simhashNearDups(docs, "doc_id", "text",
+      maxHamming = 7, chunks = 8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute, s"lsh ${lsh.size} pairs != brute ${brute.size}")
+  }
+
   test("connected components group chains; dedup is idempotent") {
     import spark.implicits._
     // chain 1-2-3 and pair (10, 11): components {1,2,3} and {10,11}
