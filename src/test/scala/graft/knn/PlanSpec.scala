@@ -44,6 +44,21 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
   }
 
+  test("window-rank filter gets the built-in WindowGroupLimit pushdown (no custom Rule needed)") {
+    // SURVEY §7 listed an optional Rule rewriting row_number<=k to a
+    // top-k aggregate; Spark 4's InferWindowGroupLimit already inserts
+    // a per-partition group limit before the window sort, so SQL users
+    // writing the window idiom get a bounded partial top-k natively —
+    // we keep the (faster) heap aggregate for the API path and rely on
+    // the built-in for the SQL idiom, per the built-ins-first doctrine.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    val plan = emb.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+  }
+
   test("base-side id filter is pushed to the parquet scan") {
     val df = Knn.knnJoin(q, b, 5, filter = Some(col("id").between(100, 299)))
     val plan = df.queryExecution.executedPlan.toString
