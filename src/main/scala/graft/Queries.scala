@@ -1647,6 +1647,29 @@ object Queries {
       Some("""SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
              |  length(text)::BIGINT AS len_chars FROM documents""".stripMargin)),
 
+    // quality signal: within-document 3-gram repetition ratio (the
+    // C4/Dolma-style repetitive-text filter) — built-in array
+    // functions only, stays inside whole-stage codegen
+    ("repetition_ratio", (s: SparkSession, dir: String) => {
+      val toks = TF.tokenize(col("text"))
+      val n = size(toks)
+      val grams = transform(sequence(lit(1), n - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3))))
+      val total = (n - 2).cast("double")
+      docsDf(s, dir).select(col("doc_id"),
+        when(n >= 3,
+          round((total - size(array_distinct(grams)).cast("double")) / total, 4))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+    },
+      Some("""SELECT doc_id,
+             |  CASE WHEN len(tk) >= 3
+             |    THEN round(((len(tk)-2) - len(list_distinct(g))) / (len(tk)-2)::DOUBLE, 4)
+             |    ELSE 0.0 END AS rep_ratio
+             |FROM (SELECT doc_id, tk,
+             |        list_transform(generate_series(1, len(tk)-2),
+             |                       i -> array_to_string(tk[i:i+2], ' ')) AS g
+             |      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t) u""".stripMargin)),
+
     // corpus statistics: exact vocabulary size per language (distinct
     // whitespace tokens) — the shuffle is on (lang, token) with
     // map-side partial distinct, so it scales like any groupBy
