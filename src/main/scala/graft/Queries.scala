@@ -126,6 +126,58 @@ object Queries {
       d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
     }
 
+  /** Deterministic ~300k-doc text corpus (sf0.1) with planted
+    * duplicates for the at-scale minhash dedup query: 12 md5-derived
+    * tokens per lineitem row (the testdata has no long-text column at
+    * lineitem scale), identically derivable in DuckDB. Tokens are
+    * unique per doc, so the only >=0.8-Jaccard pairs are the planted
+    * copies — the LOAD is real (full shingle/minhash/band join over
+    * the corpus), the answer is exactly replayable. */
+  private def commentCorpus(s: SparkSession, dir: String): DataFrame =
+    cached(s"commentCorpus:$dir") {
+      val did = (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
+      val toks = (0 until 12).map(i =>
+        substring(md5(concat(did.cast("string"), lit("_" + i))), 1, 6))
+      val base = lineitem(s, dir)
+        .filter(col("l_orderkey") % 4 === 0)
+        .select(did.as("doc_id"), concat_ws(" ", toks: _*).as("text"))
+      base.unionByName(
+        base.select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+    }
+  private val commentCorpusSql =
+    """SELECT doc_id, array_to_string(
+      |         [substr(md5(doc_id::VARCHAR || '_' || i), 1, 6) for i in range(0, 12)], ' ') AS text
+      |       FROM (SELECT (l_orderkey*10 + l_linenumber)::BIGINT AS doc_id
+      |             FROM lineitem WHERE l_orderkey % 4 = 0) b0
+      |       UNION ALL
+      |       SELECT doc_id + 1000000000, array_to_string(
+      |         [substr(md5(doc_id::VARCHAR || '_' || i), 1, 6) for i in range(0, 12)], ' ')
+      |       FROM (SELECT (l_orderkey*10 + l_linenumber)::BIGINT AS doc_id
+      |             FROM lineitem WHERE l_orderkey % 4 = 0) b1""".stripMargin
+
+  /** The DuckDB replay of the engine's minhash pipeline (3-gram
+    * shingles -> md5 minhash signature over 12 permutations -> 4-band
+    * LSH join -> exact-Jaccard verify) over any (doc_id, text)
+    * source. Ends with the `jac` CTE (i, j, inter, tot). */
+  private def minhashChainSql(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+       |         THEN list_transform(t[1:len(t)-2], (x, i) -> x || ' ' || t[i+1] || ' ' || t[i+2])
+       |         ELSE []::VARCHAR[] END) AS s FROM toks),
+       |hs AS (SELECT doc_id, s, list_transform(s,
+       |         x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 1048573) AS hv FROM sh),
+       |sig AS (SELECT doc_id, s, list_transform(range(0, 12),
+       |          j -> list_aggregate(list_transform(hv,
+       |            h -> (h * ((2654435761 * (j+1)) % 1000000007) + (97531 * (j+13)) % 1000000007) % 1000000007),
+       |            'min')) AS sg FROM hs),
+       |band AS (SELECT doc_id, b, md5(array_to_string(sg[3*b+1:3*b+3], '|')) AS bh
+       |         FROM sig, range(0, 4) r(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |         FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |jac AS (SELECT i, j, len(list_intersect(sa.s, sb.s))::DOUBLE AS inter,
+       |               (len(sa.s) + len(sb.s))::DOUBLE AS tot
+       |        FROM cand JOIN sh sa ON sa.doc_id = i JOIN sh sb ON sb.doc_id = j)""".stripMargin
+
   /** Writes the trained-state sidecars that the sidecar-based oracle
     * SQLs read (see [[OracleAux]]); called by Verify after the query
     * dump so the sidecars always come from the same session (and thus
@@ -1541,6 +1593,22 @@ object Queries {
     // MinHash + LSH banding near-dup dedup, end-to-end (shingle ->
     // md5 minhash signature -> band hashes -> bucket join -> exact
     // Jaccard verify). The oracle replicates the identical pipeline.
+    // MinHash near-dup at lineitem scale: ~300k-doc corpus (sf0.1)
+    // with planted duplicates — the text-dedup path measured under
+    // real load; the oracle replays the identical discrete pipeline
+    // (shingle -> md5 minhash -> band join -> exact-Jaccard verify)
+    // over the same corpus CTE.
+    ("minhash_neardup_big", (s: SparkSession, dir: String) => {
+      val corpus = commentCorpus(s, dir)
+      Dedup.nearDupPairs(corpus, "doc_id", "text",
+        threshold = 0.8, ngram = 3, hashes = 12, bands = 4)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+    },
+      Some(s"""WITH corpus AS ($commentCorpusSql),
+              |${minhashChainSql("corpus")}
+              |SELECT i, j, round(inter/(tot-inter), 4) AS jaccard
+              |FROM jac WHERE inter/(tot-inter) >= 0.8""".stripMargin)),
+
     ("minhash_lsh_neardup", (s: SparkSession, dir: String) =>
       nearDups08(s, dir)
         .withColumn("jaccard", round(col("jaccard"), 4)),
