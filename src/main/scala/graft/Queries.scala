@@ -1831,6 +1831,18 @@ object Queries {
       Some("""SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_unique_users
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // the same stateful dedup ingest at lineitem scale (600k rows at
+    // sf0.1 through the microbatch + state store machinery): dedup by
+    // (l_orderkey, l_partkey) — a genuinely duplicated key pair. Only
+    // the key COUNT is aggregated (which duplicate survives depends on
+    // arrival order, so any payload column would be nondeterministic).
+    ("stream_dedup_big", (s: SparkSession, dir: String) =>
+      graft.streaming.StreamingIngest.dedupIngest(
+        s, s"$dir/lineitem.parquet", Seq("l_orderkey", "l_partkey"))
+        .agg(count(lit(1)).as("n_unique_keys")),
+      Some("""SELECT count(*)::BIGINT AS n_unique_keys FROM (
+             |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) t""".stripMargin)),
+
     // §2.12 autotune: nprobe operating points -> Pareto frontier
     // (recall needs our seeded kmeans; deterministic per engine,
     // rows-only for the driver)
