@@ -329,6 +329,11 @@ object Queries {
       Dedup.nearDupPairs(docsDf(s, dir), "doc_id", "text",
         threshold = 0.8, ngram = 3, hashes = 12, bands = 4)
     }
+  private def commentPairs(s: SparkSession, dir: String): DataFrame =
+    cached(s"commentPairs:$dir") {
+      Dedup.nearDupPairs(commentCorpus(s, dir), "doc_id", "text",
+        threshold = 0.8, ngram = 3, hashes = 12, bands = 4)
+    }
 
   // DuckDB SQL fragments ------------------------------------------------
   private val dL2 = "list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2"
@@ -1598,16 +1603,24 @@ object Queries {
     // real load; the oracle replays the identical discrete pipeline
     // (shingle -> md5 minhash -> band join -> exact-Jaccard verify)
     // over the same corpus CTE.
-    ("minhash_neardup_big", (s: SparkSession, dir: String) => {
-      val corpus = commentCorpus(s, dir)
-      Dedup.nearDupPairs(corpus, "doc_id", "text",
-        threshold = 0.8, ngram = 3, hashes = 12, bands = 4)
-        .withColumn("jaccard", round(col("jaccard"), 4))
-    },
+    ("minhash_neardup_big", (s: SparkSession, dir: String) =>
+      commentPairs(s, dir).withColumn("jaccard", round(col("jaccard"), 4)),
       Some(s"""WITH corpus AS ($commentCorpusSql),
               |${minhashChainSql("corpus")}
               |SELECT i, j, round(inter/(tot-inter), 4) AS jaccard
               |FROM jac WHERE inter/(tot-inter) >= 0.8""".stripMargin)),
+
+    // end-to-end corpus dedup at scale: drop the keep-first losers of
+    // every >=0.8 pair from the 300k-doc corpus and count survivors
+    ("neardup_dedup_big", (s: SparkSession, dir: String) =>
+      Dedup.dropPairsLosers(commentCorpus(s, dir), "doc_id",
+        commentPairs(s, dir))
+        .agg(count(lit(1)).as("n_survivors")),
+      Some(s"""WITH corpus AS ($commentCorpusSql),
+              |${minhashChainSql("corpus")},
+              |losers AS (SELECT DISTINCT j FROM jac WHERE inter/(tot-inter) >= 0.8)
+              |SELECT count(*)::BIGINT AS n_survivors
+              |FROM corpus WHERE doc_id NOT IN (SELECT j FROM losers)""".stripMargin)),
 
     ("minhash_lsh_neardup", (s: SparkSession, dir: String) =>
       nearDups08(s, dir)
