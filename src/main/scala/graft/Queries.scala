@@ -2032,6 +2032,25 @@ object Queries {
               |  FROM v q CROSS JOIN v b WHERE q.id % 9973 = 1) t
               |WHERE "rank" <= 10""".stripMargin)),
 
+    // binary Hamming kNN at scale: centered sign-bit codes over the
+    // 600k-row table (1 byte/vector scanned); oracle replays the
+    // centering, sign extraction, and popcount ranking
+    ("knn_binary_hamming_big", (s: SparkSession, dir: String) => {
+      val enc = (c: org.apache.spark.sql.Column) =>
+        sign_bits(transform(c, x => x - lit(0.5f)))
+      val q = bigQueries(s, dir).select(col("qid"), enc(col("qvec")).as("qcode"))
+      val b = bigVecs(s, dir).select(col("id"), enc(col("vec")).as("code"))
+      graft.index.BinaryFlat.knnJoin(q, b, 10)
+    },
+      Some(s"""WITH v AS ($bigVecSql),
+              |bits AS (SELECT id, list_transform(v.vec::DOUBLE[], x -> x - 0.5 >= 0) AS bv FROM v),
+              |hd AS (SELECT q.id AS qid, b.id AS id,
+              |    len(list_filter(list_zip(q.bv, b.bv), p -> p[1] <> p[2]))::BIGINT AS hd
+              |  FROM bits q JOIN bits b ON q.id % 9973 = 1)
+              |SELECT qid, "rank", id, hd FROM (
+              |  SELECT qid, id, hd, row_number() OVER (PARTITION BY qid ORDER BY hd, id) AS "rank" FROM hd) w
+              |WHERE "rank" <= 10""".stripMargin)),
+
     // IVF index build at scale, timed separately from search (faiss
     // benches train/add apart from search for the same reason). Runs
     // before ivf_search_big in catalog order, so the search timing
