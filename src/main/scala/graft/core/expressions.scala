@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -161,6 +161,47 @@ case class SignBits(child: Expression) extends UnaryExpression {
     VecKernels.packSignBits(a.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.core.VecKernels.packSignBits($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Unpack a little-endian binary code into nbits 0/1 floats — the
+  * bridge from packed binary vectors to the float k-means trainer
+  * (IndexBinaryIVF trains its coarse quantizer on the bit vectors,
+  * faiss/IndexBinaryIVF.cpp train). */
+case class UnpackBits(child: Expression, nbits: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "unpack_bits"
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    val out = new Array[Float](nbits)
+    var i = 0
+    while (i < nbits) {
+      out(i) = ((bytes(i >> 3) >> (i & 7)) & 1).toFloat
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** First-b-bits bucket id of a packed binary code (IndexBinaryHash,
+  * faiss/IndexBinaryHash.h:26: hash = the b lowest-order bits). */
+case class BitPrefix(child: Expression, b: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(b >= 1 && b <= 63, "bit prefix must fit a positive long")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bit_prefix"
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    var h = 0L
+    var i = 0
+    while (i < b) {
+      h |= (((bytes(i >> 3) >> (i & 7)) & 1).toLong) << i
+      i += 1
+    }
+    h
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -76,10 +76,27 @@ object BinaryIvfIndex {
     val bitsf = transform(col(vecCol), x => when(x >= 0f, 1f).otherwise(0f))
     val data = df.select(col(idCol).as("id"),
       sign_bits(col(vecCol)).as("code"), bitsf.as("_bits"))
+    buildFromPrepared(data, nlist, niter, seed)
+  }
+
+  /** Train + add directly from packed binary codes of `nbits` bits —
+    * the IndexBinaryIVF entry shape (faiss/IndexBinaryIVF.cpp train:
+    * k-means over the bit vectors). */
+  def buildFromCodes(df: DataFrame, idCol: String, codeCol: String,
+      nbits: Int, nlist: Int, niter: Int = 6, seed: Long = 1234L): BinaryIvfIndex = {
+    val data = df.select(col(idCol).as("id"), col(codeCol).as("code"),
+      org.apache.spark.sql.graft.shim.col(
+        graft.core.UnpackBits(
+          org.apache.spark.sql.graft.shim.expr(col(codeCol)), nbits)).as("_bits"))
+    buildFromPrepared(data, nlist, niter, seed)
+  }
+
+  private def buildFromPrepared(data: DataFrame, nlist: Int, niter: Int,
+      seed: Long): BinaryIvfIndex = {
     val model = graft.cluster.KMeans.fit(data.select(col("_bits")), "_bits",
       graft.cluster.KMeans.Params(k = nlist, niter = niter, seed = seed))
     val centroidBits = model.centroids.map(_.map(x => if (x >= 0.5f) 1 else 0))
-    val spark = df.sparkSession
+    val spark = data.sparkSession
     import spark.implicits._
     val centDf = centroidBits.zipWithIndex.toSeq
       .map { case (b, l) => (l, pack(b)) }.toDF("list_no", "ccode")

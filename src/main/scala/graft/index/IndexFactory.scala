@@ -2,6 +2,7 @@ package graft.index
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.shim
 import graft.knn.Knn
 import graft.transform._
 
@@ -226,5 +227,53 @@ object IndexFactory {
     val result = if (refine) new RefineBuilt(built, data, chain, kFactor = 4) else built
     result.description = desc
     result
+  }
+
+  // ---- binary factory --------------------------------------------------
+
+  /** Searchable binary index over (id, code: binary) rows. */
+  sealed trait BinaryBuilt {
+    def search(queries: DataFrame, k: Int, nprobe: Int = 1,
+        queryId: String = "qid", queryCode: String = "qcode"): DataFrame
+  }
+
+  private val BIvf = "BIVF(\\d+)".r
+  private val BHash = "BHash(\\d+)".r
+
+  /** index_binary_factory analog (index_factory.cpp:889): grammar
+    * BFlat | BIVF<nlist> | BHash<b>. BHNSW / BHash<n>x<b> multi-hash
+    * are rejected with the SURVEY §7 graph-build rationale (the
+    * per-partition HNSW accelerator is the capability answer on the
+    * float side). `nbits` is the code width in bits (the `d` of
+    * index_binary_factory). */
+  def buildBinary(df: DataFrame, idCol: String, codeCol: String, nbits: Int,
+      desc: String, niter: Int = 4, seed: Long = 1234L): BinaryBuilt = {
+    val data = df.select(col(idCol).as("id"), col(codeCol).as("code"))
+    desc.trim match {
+      case "BFlat" => new BinaryBuilt {
+        def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qcode: String) =
+          BinaryFlat.knnJoin(q, data, k, queryId = qid, queryCode = qcode)
+      }
+      case BIvf(nlist) =>
+        val idx = BinaryIvfIndex.buildFromCodes(data, "id", "code", nbits,
+          nlist.toInt, niter = niter, seed = seed)
+        new BinaryBuilt {
+          def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qcode: String) =
+            idx.search(q, k, math.max(nprobe, 1), qid, qcode)
+        }
+      case BHash(b) =>
+        val bb = b.toInt
+        val bucketed = data.withColumn("bucket",
+          shim.col(graft.core.BitPrefix(shim.expr(col("code")), bb)))
+        new BinaryBuilt {
+          def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qcode: String) =
+            BinaryFlat.hashSearch(
+              q.withColumn("bucket",
+                shim.col(graft.core.BitPrefix(shim.expr(col(qcode)), bb))),
+              bucketed, k, queryId = qid, queryCode = qcode)
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported binary factory '$other' (BHNSW/multi-hash: SURVEY §7)")
+    }
   }
 }

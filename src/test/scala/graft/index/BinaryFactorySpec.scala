@@ -1,0 +1,48 @@
+package graft.index
+
+import graft.SparkTestBase
+import graft.functions.sign_bits
+import org.apache.spark.sql.functions._
+
+/** index_binary_factory analog (faiss/index_factory.cpp:889):
+  * BFlat | BIVF<nlist> | BHash<b> over packed binary codes. */
+class BinaryFactorySpec extends SparkTestBase {
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+  private def codes = emb.select(col("vec_id").as("id"),
+    sign_bits(col("embedding")).as("code"))
+  private def q = emb.filter(col("vec_id") < 5)
+    .select(col("vec_id").as("qid"), sign_bits(col("embedding")).as("qcode"))
+
+  private def results(df: org.apache.spark.sql.DataFrame) =
+    df.select("qid", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("BFlat equals the direct Hamming knnJoin") {
+    val built = IndexFactory.buildBinary(codes, "id", "code", 64, "BFlat")
+    assert(results(built.search(q, 5)) ==
+      results(BinaryFlat.knnJoin(q, codes, 5)))
+  }
+
+  test("BIVF with nprobe = nlist reproduces the flat search") {
+    val built = IndexFactory.buildBinary(codes, "id", "code", 64, "BIVF4", niter = 3)
+    assert(results(built.search(q, 5, nprobe = 4)) ==
+      results(BinaryFlat.knnJoin(q, codes, 5)))
+  }
+
+  test("BHash buckets by bit prefix; every query finds itself") {
+    val built = IndexFactory.buildBinary(codes, "id", "code", 64, "BHash8")
+    val top = built.search(q, 1, nprobe = 1)
+      .filter(col("rank") === 1).select("qid", "id", "hd").collect()
+    assert(top.length == 5)
+    // a query is its own bucket-mate at Hamming 0
+    assert(top.forall(_.getLong(2) == 0L))
+  }
+
+  test("BHNSW is rejected with the survey rationale") {
+    val e = intercept[IllegalArgumentException] {
+      IndexFactory.buildBinary(codes, "id", "code", 64, "BHNSW16")
+    }
+    assert(e.getMessage.contains("SURVEY"))
+  }
+}
