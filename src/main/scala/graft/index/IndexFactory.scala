@@ -50,6 +50,7 @@ object IndexFactory {
       case "SQ4" => code = Some((dim + 1) / 2)
       case "FP16" => code = Some(2 * dim)
       case Sh(nbit, _, _) => code = Some((nbit.toInt + 7) / 8)
+      case Lsh(nb) => code = Some((nb.toInt + 7) / 8)
       case Pq(m, _) => code = Some(m.toInt)
       case other => throw new IllegalArgumentException(s"unknown token $other")
     }
@@ -110,6 +111,20 @@ object IndexFactory {
   private val Imi = "IMI2x(\\d+)".r
   private val Res = "Residual(\\d+)".r
   private val Sh = "SH(\\d+)x([-0-9.eE]+)([gcm])?".r
+  private val Lsh = "LSH(\\d+)".r
+
+  /** IndexLSH (faiss/IndexLSH.h:23, factory "LSH[rt]"): seeded random
+    * rotation to nbits dims, sign-bit codes, Hamming ranking. */
+  private final class LshBuilt(rot: Linear, codes: DataFrame,
+      chain: VecTransform) extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
+      val enc = (c: Column) =>
+        graft.functions.sign_bits(rot.applyCol(chain.applyCol(c)))
+      BinaryFlat.knnJoin(
+        q.select(col(qid), enc(col(qvec)).as("_qc")), codes, k,
+        queryId = qid, queryCode = "_qc")
+    }
+  }
 
   private final class ImiBuilt(idx: ImiIndex, chain: VecTransform)
       extends Built {
@@ -210,6 +225,13 @@ object IndexFactory {
         new TwoLayerBuilt(TwoLayerIndex.build(data, "id", "vec", nlist.toInt,
           m.toInt, Option(ks).map(_.toInt).getOrElse(16),
           niterCoarse = niter, niterPq = niter, seed = seed), chain)
+      case Lsh(nbits) :: Nil =>
+        val dd = data.select(size(col("vec"))).first().getInt(0)
+        require(nbits.toInt <= dd, s"LSH$nbits > d=$dd")
+        val rot = Linear(Transforms.randomRotation(dd, seed).a.take(nbits.toInt))
+        val codes = data.select(col("id"),
+          graft.functions.sign_bits(rot.applyCol(col("vec"))).as("code"))
+        new LshBuilt(rot, codes, chain)
       case Imi(bits) :: "Flat" :: Nil =>
         // IMI2x<b> = MultiIndexQuantizer coarse with 2^b centroids per
         // half-space (faiss index_factory coarse grammar)

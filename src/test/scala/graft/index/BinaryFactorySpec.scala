@@ -39,6 +39,17 @@ class BinaryFactorySpec extends SparkTestBase {
     assert(top.forall(_.getLong(2) == 0L))
   }
 
+  test("float factory LSH32 builds and self-matches at Hamming 0") {
+    val data = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val built = IndexFactory.build(data, "id", "vec", "LSH32", niter = 2)
+    val fq = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val top = built.search(fq, 1).filter(col("rank") === 1)
+      .select("qid", "id", "hd").collect()
+    assert(top.length == 5 && top.forall(_.getLong(2) == 0L))
+    assert(IndexFactory.codeSize("LSH32", 64) == 4)
+  }
+
   test("BHNSW is rejected with the survey rationale") {
     val e = intercept[IllegalArgumentException] {
       IndexFactory.buildBinary(codes, "id", "code", 64, "BHNSW16")
