@@ -2032,6 +2032,45 @@ object Queries {
               |  FROM v q CROSS JOIN v b WHERE q.id % 9973 = 1) t
               |WHERE "rank" <= 10""".stripMargin)),
 
+    // SQ8 ADC kNN at scale: 8-byte codes (vs 32 raw bytes) over the
+    // 600k-row table; oracle replays the min/max training and the
+    // codec arithmetic
+    ("sq8_knn_big", (s: SparkSession, dir: String) => {
+      val sq = cached(s"sq8big:$dir") {
+        graft.index.SqIndex.build(bigVecs(s, dir), "id", "vec")
+      }
+      sq.search(bigQueries(s, dir), 10).withColumn("dist", r4("dist"))
+    },
+      Some(s"""WITH v AS ($bigVecSql),
+              |dims AS (
+              |  SELECT list(mn ORDER BY i) AS vmn, list(mx - mn ORDER BY i) AS vd FROM (
+              |    SELECT i, min(e) AS mn, max(e) AS mx
+              |    FROM (SELECT unnest(vec::DOUBLE[]) AS e, generate_subscripts(vec, 1) AS i
+              |          FROM v) u GROUP BY i) t),
+              |dec AS (SELECT v.id,
+              |  list_transform(vec::DOUBLE[], (x, i) ->
+              |    vmn[i] + (floor(255 * (CASE WHEN vd[i] = 0 THEN 0
+              |      ELSE least(greatest((x - vmn[i]) / vd[i], 0), 1) END)) + 0.5) / 255 * vd[i]) AS dv
+              |  FROM v, dims),
+              |qd AS (SELECT q.id AS qid, b.id AS id,
+              |  list_aggregate(list_transform(list_zip(q.vec::DOUBLE[], b.dv),
+              |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
+              |  FROM v q CROSS JOIN dec b WHERE q.id % 9973 = 1)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank"
+              |  FROM qd) w WHERE "rank" <= 10""".stripMargin)),
+
+    // radius search at scale over the 600k-row table
+    ("range_search_big", (s: SparkSession, dir: String) =>
+      Knn.rangeJoin(bigQueries(s, dir), bigVecs(s, dir), 0.02)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH v AS ($bigVecSql)
+              |SELECT q.id AS qid, b.id AS id,
+              |  round(list_distance(q.vec::DOUBLE[], b.vec::DOUBLE[])^2, 4) AS dist
+              |FROM v q CROSS JOIN v b
+              |WHERE q.id % 9973 = 1
+              |  AND list_distance(q.vec::DOUBLE[], b.vec::DOUBLE[])^2 < 0.02""".stripMargin)),
+
     // binary Hamming kNN at scale: centered sign-bit codes over the
     // 600k-row table (1 byte/vector scanned); oracle replays the
     // centering, sign extraction, and popcount ranking
