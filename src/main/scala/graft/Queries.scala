@@ -222,6 +222,16 @@ object Queries {
     val tl = twoLayer16(s, dir)
     OracleAux.write(dir, "twolayer_centroids", OracleAux.centroidsDf(s, tl.centroids))
     OracleAux.write(dir, "twolayer_codebooks", OracleAux.codebooksDf(s, tl.model.codebooks))
+    // Engine-encoded (id, list_no, code) with the PQ code unpacked to
+    // int subquantizer indices: the index2layer oracle verifies
+    // DECODE-from-codes (integer lookups + one float add) instead of
+    // replaying both chained argmins in DOUBLE — near-tie assignments
+    // diverge between float32 (engine) and double (SQL replay), which
+    // was the only hash-red row through r05.
+    OracleAux.write(dir, "twolayer_codes",
+      tl.codes.select(col("id"), col("list_no"),
+        transform(sequence(lit(1), lit(8)),
+          i => conv(hex(col("code").substr(i, lit(1))), 16, 10).cast("int")).as("code")))
     val sh = ivfsh8(s, dir)
     OracleAux.write(dir, "sh_centroids", OracleAux.centroidsDf(s, sh.centroids))
     OracleAux.write(dir, "sh_rot", OracleAux.matrixDf(s, sh.vt.a))
@@ -347,6 +357,18 @@ object Queries {
     "list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), p -> abs(p[1]-p[2])^3), 'sum')"
   private val dCanb =
     "list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), p -> CASE WHEN abs(p[1])+abs(p[2]) > 0 THEN abs(p[1]-p[2])/(abs(p[1])+abs(p[2])) ELSE 0 END), 'sum')"
+  // float (generalized) Jaccard over |x| vectors: (sum max - sum min) /
+  // sum max — the same formula order as VecKernels.jaccardFloat so the
+  // doubles agree bit-for-bit before rounding
+  private val dJacSumMin =
+    "list_aggregate(list_transform(list_zip(list_transform(q.embedding::DOUBLE[], v -> abs(v)), list_transform(b.embedding::DOUBLE[], v -> abs(v))), p -> least(p[1], p[2])), 'sum')"
+  private val dJacSumMax =
+    "list_aggregate(list_transform(list_zip(list_transform(q.embedding::DOUBLE[], v -> abs(v)), list_transform(b.embedding::DOUBLE[], v -> abs(v))), p -> greatest(p[1], p[2])), 'sum')"
+  private val dJacF =
+    s"(CASE WHEN $dJacSumMax = 0 THEN 1.0 ELSE ($dJacSumMax - $dJacSumMin) / $dJacSumMax END)"
+  // float Hamming over floor(x*2)-quantized vectors: mismatch count
+  private val dHamF =
+    "list_aggregate(list_transform(list_zip(list_transform(q.embedding::DOUBLE[], v -> floor(v*2)), list_transform(b.embedding::DOUBLE[], v -> floor(v*2))), p -> CASE WHEN p[1] <> p[2] THEN 1.0 ELSE 0.0 END), 'sum')"
 
   /** Windowed-top-k oracle: the SQL-expressible form of the TopK
     * aggregate (SURVEY §2.5). */
@@ -422,6 +444,36 @@ object Queries {
       Some(knnOracle(
         "0.5 * list_aggregate(list_transform(list_zip(list_transform(q.embedding::DOUBLE[], v -> abs(v)), list_transform(b.embedding::DOUBLE[], v -> abs(v))), p -> CASE WHEN p[1] > 0 AND p[2] > 0 THEN p[1]*ln(p[1]/((p[1]+p[2])/2)) + p[2]*ln(p[2]/((p[1]+p[2])/2)) ELSE 0 END), 'sum')",
         "q.vec_id < 10", "b.vec_id >= 10", 5))),
+
+    // §2.8 the MyScale fork's float-enum METRIC_JACCARD
+    // (faiss/MetricType.h:27; binary kernel utils/binary_distances.h
+    // bvec_jaccard generalized to sum-min/sum-max over reals).
+    // Jaccard needs nonnegative components: search over |x| vectors.
+    ("knn_flat_jaccard", (s: SparkSession, dir: String) => {
+      val absv = (c: org.apache.spark.sql.Column) => transform(c, x => abs(x))
+      Knn.knnJoin(
+        qDf(s, dir, 10).withColumn("qvec", absv(col("qvec"))),
+        bDf(s, dir, 10).withColumn("vec", absv(col("vec"))), 5,
+        metric = "jaccard")
+        .withColumn("dist", r4("dist"))
+    },
+      Some(knnOracle(dJacF, "q.vec_id < 10", "b.vec_id >= 10", 5))),
+
+    // §2.8 the fork's float-enum METRIC_HAMMING (faiss/MetricType.h:28;
+    // popcount(a XOR b) generalized to component mismatch count).
+    // Quantize to floor(x*2) first so mismatch counts are non-trivial
+    // on continuous embeddings (and exactly replayable: integer-valued
+    // floats on both sides).
+    ("knn_flat_hamming_float", (s: SparkSession, dir: String) => {
+      val quant = (c: org.apache.spark.sql.Column) =>
+        transform(c, x => floor(x.cast("double") * 2).cast("float"))
+      Knn.knnJoin(
+        qDf(s, dir, 10).withColumn("qvec", quant(col("qvec"))),
+        bDf(s, dir, 10).withColumn("vec", quant(col("vec"))), 5,
+        metric = "hamming")
+        .withColumn("dist", r4("dist"))
+    },
+      Some(knnOracle(dHamF, "q.vec_id < 10", "b.vec_id >= 10", 5))),
 
     // §2.3 flat range search (radius theta-join, long-format output)
     ("range_search_l2", (s: SparkSession, dir: String) =>
@@ -1376,10 +1428,14 @@ object Queries {
     // Index2Layer (faiss/Index2Layer.h:29): IVFPQ codes without
     // inverted lists — random-access encoded storage; the faithful API
     // surface is encode + reconstruct (search is unimplemented in the
-    // reference, Index2Layer.h:53). The oracle replays coarse argmin ->
-    // residual -> per-subspace PQ argmin -> decode -> centroid+decode
-    // from the sidecars and must reproduce the reconstruction and its
-    // error exactly.
+    // reference, Index2Layer.h:53). The oracle verifies the DECODE
+    // path from the engine's stored codes (twolayer_codes sidecar):
+    // integer codebook lookups + the coarse-centroid float add, then
+    // the reconstruction error vs the original vectors — the same
+    // decode-from-codes pattern that greens pq_adc_search. Replaying
+    // the chained argmin ENCODE in SQL is deliberately avoided: the
+    // engine assigns in float32, the replay in DOUBLE, and near-tie
+    // assignments diverge (the r04/r05 hash-red).
     ("index2layer_roundtrip", (s: SparkSession, dir: String) => {
       val tl = twoLayer16(s, dir)
       tl.reconstruct
@@ -1394,24 +1450,13 @@ object Queries {
     },
       Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/twolayer_centroids/*.parquet')),
               |cb AS (SELECT m, j, c FROM read_parquet('$AUX/twolayer_codebooks/*.parquet')),
-              |basg AS (SELECT id, list_no FROM (
-              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
-              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
-              |  FROM embeddings b CROSS JOIN cent c) t WHERE rn = 1),
-              |bres AS (SELECT a.id, a.list_no,
-              |    list_transform(list_zip(b.embedding, c.c), p -> p[1] - p[2]) AS res
-              |  FROM basg a JOIN embeddings b ON b.vec_id = a.id JOIN cent c ON c.list_no = a.list_no),
-              |bsub AS (SELECT id, list_no, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
-              |         FROM bres, range(0,8) r(m)),
-              |enc AS (SELECT id, list_no, m, j FROM (
-              |  SELECT b.id, b.list_no, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
-              |    list_aggregate(list_transform(list_zip(b.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
-              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
-              |dec AS (SELECT e.id, flatten(list(cb.c ORDER BY e.m)) AS dv
-              |  FROM enc e JOIN cb ON cb.m = e.m AND cb.j = e.j GROUP BY e.id),
-              |recon AS (SELECT a.id,
-              |    list_transform(list_zip(c.c, d.dv), p -> (p[1] + p[2])::REAL) AS rv
-              |  FROM basg a JOIN cent c ON c.list_no = a.list_no JOIN dec d ON d.id = a.id)
+              |codes AS (SELECT id, list_no, code FROM read_parquet('$AUX/twolayer_codes/*.parquet')),
+              |dec AS (SELECT cs.id, flatten(list(cb.c ORDER BY cb.m)) AS dv
+              |  FROM (SELECT id, r.m AS m, code[r.m+1] AS j FROM codes, range(0,8) r(m)) cs
+              |  JOIN cb ON cb.m = cs.m AND cb.j = cs.j GROUP BY cs.id),
+              |recon AS (SELECT c0.id,
+              |    list_transform(list_zip(ct.c, d.dv), p -> (p[1] + p[2])::REAL) AS rv
+              |  FROM codes c0 JOIN cent ct ON ct.list_no = c0.list_no JOIN dec d ON d.id = c0.id)
               |SELECT r.id, round(r.rv[1]::DOUBLE, 4) AS d1,
               |  round(list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], r.rv::DOUBLE[]),
               |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 4) AS err
@@ -1543,13 +1588,28 @@ object Queries {
              |  WHERE q.vec_id < 100 AND b.vec_id < 100 AND q.vec_id <> b.vec_id) t
              |WHERE "rank" <= 5""".stripMargin)),
 
-    // nn-descent refinement of the graph (iterative; rows-only,
-    // KnnGraphSpec asserts convergence toward the exact graph)
-    ("knn_graph_nndescent", (s: SparkSession, dir: String) =>
-      graft.knn.KnnGraph.nnDescent(
-        emb(s, dir).filter(col("vec_id") < 100)
-          .select(col("vec_id").as("id"), col("embedding").as("vec")),
-        5, iters = 2), None),
+    // nn-descent refinement of the graph (iterative, approximate).
+    // Driver gate: edge recall vs the exact graph (computed in-engine,
+    // both sides Spark) must clear 0.8 — the oracle independently
+    // derives the exact-graph edge count (n nodes × k, k < n) and
+    // asserts the gate boolean, so a recall regression flips the hash
+    // red (precedent: recall_half_dims). KnnGraphSpec additionally
+    // asserts per-iteration convergence.
+    ("knn_graph_nndescent", (s: SparkSession, dir: String) => {
+      val pts = emb(s, dir).filter(col("vec_id") < 100)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val exact = graft.knn.KnnGraph.exact(pts, 5)
+      val approx = graft.knn.KnnGraph.nnDescent(pts, 5, iters = 3)
+      val hits = exact.select(col("src"), col("dst"))
+        .join(approx.select(col("src"), col("dst")), Seq("src", "dst"), "left_semi")
+        .agg(count(lit(1)).as("_h"))
+      exact.agg(count(lit(1)).as("n_edges")).crossJoin(hits)
+        .select(col("n_edges"),
+          (col("_h").cast("double") / col("n_edges").cast("double") >= 0.8)
+            .as("recall_ge_080"))
+    },
+      Some("""SELECT (count(*) * 5)::BIGINT AS n_edges, true AS recall_ge_080
+             |FROM embeddings WHERE vec_id < 100""".stripMargin)),
 
     // §2.4 ProgressiveDimClustering (PCA-prefix warm-started k-means).
     // Sidecar oracle rotates every point with the learned PCA (mat-vec
@@ -2326,12 +2386,24 @@ object Queries {
               |WHERE "rank" <= 5""".stripMargin)),
 
     // per-partition HNSW graph accelerator (IndexHNSWfast capability,
-    // IndexShards merge). Approximate + partitioning-dependent, so
-    // rows-only for the driver; HnswSpec asserts recall vs exact.
-    ("hnsw_partition_search", (s: SparkSession, dir: String) =>
-      graft.knn.PartitionedHnsw.knnJoin(
-        bigQueries(s, dir), bigVecs(s, dir), 10,
-        m = 16, efConstruction = 64, efSearch = 96), None),
+    // IndexShards merge). Approximate + partitioning-dependent, so no
+    // per-row oracle; the driver gate is mean recall@10 vs the exact
+    // flat search (both computed in-engine) >= 0.9, with the oracle
+    // independently re-deriving the query count from lineitem and
+    // asserting the gate boolean — a recall regression flips the hash
+    // red (precedent: recall_half_dims). HnswSpec asserts recall too.
+    ("hnsw_partition_search", (s: SparkSession, dir: String) => {
+      val q = bigQueries(s, dir); val b = bigVecs(s, dir)
+      val approx = graft.knn.PartitionedHnsw.knnJoin(q, b, 10,
+        m = 16, efConstruction = 64, efSearch = 96)
+      val truth = Knn.knnJoin(q, b, 10)
+      graft.eval.Recall.perQuery(truth, approx)
+        .agg(count(lit(1)).as("n_queries"),
+          // vacuously true when the sf yields no big queries (sf0.001)
+          coalesce(avg(col("recall")) >= 0.9, lit(true)).as("recall_ge_090"))
+    },
+      Some(s"""SELECT count(*)::BIGINT AS n_queries, true AS recall_ge_090
+              |FROM ($bigVecSql) v WHERE id % 9973 = 1""".stripMargin)),
 
     // HNSW exact-degenerate: efSearch >= any partition's size makes
     // the greedy beam cover the whole (connected-by-construction)

@@ -11,8 +11,9 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   *
   * Semantics mirror the reference's metric definitions
   * (faiss/MetricType.h:20-34, faiss/utils/distances.h:28-37,
-  * faiss/utils/extra_distances-inl.h:29-113): L2 is SQUARED, inner
-  * product / cosine / jaccard are similarities (higher = better).
+  * faiss/utils/extra_distances-inl.h:29-113): L2 is SQUARED; inner
+  * product and cosine are similarities (higher = better); everything
+  * else, including jaccard, is a distance (lower = better).
   *
   * These are plain static methods so generated code (whole-stage
   * codegen) can call them directly — one invokestatic per row, no
@@ -115,7 +116,7 @@ object VecKernels {
     if (den > 0.0) num / den else 0.0
   }
 
-  /** METRIC_JensenShannon (faiss extra_distances-inl.h:86-99): 0.5 *
+  /** METRIC_JensenShannon (faiss extra_distances-inl.h:103-113): 0.5 *
     * sum over dims of x*log(x/m) + y*log(y/m) with m=(x+y)/2. Terms
     * with a nonpositive component are skipped — a deliberate
     * NaN-avoiding deviation (faiss would emit NaN via log of a
@@ -132,6 +133,39 @@ object VecKernels {
       i += 1
     }
     0.5 * s
+  }
+
+  /** Float (generalized/weighted) Jaccard distance — the MyScale
+    * fork's METRIC_JACCARD on the FLOAT metric enum
+    * (faiss/MetricType.h:27). Generalizes the fork's binary kernel
+    * (faiss/utils/binary_distances.h bvec_jaccard: popcount(a&b) /
+    * popcount(a|b)) to real-valued vectors via sum-min / sum-max —
+    * exactly equal to the bit kernel on 0/1 vectors. Distance =
+    * (den - num) / den; den == 0 -> 1.0, mirroring bvec_jaccard's
+    * accu_den == 0 case. Intended for nonnegative vectors. */
+  def jaccardFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var num = 0.0; var den = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      num += Math.min(x, y); den += Math.max(x, y)
+      i += 1
+    }
+    if (den == 0.0) 1.0 else (den - num) / den
+  }
+
+  /** Float Hamming distance — the fork's METRIC_HAMMING on the FLOAT
+    * metric enum (faiss/MetricType.h:28): the count of components
+    * that differ, the real-valued generalization of
+    * popcount(a XOR b) (faiss/utils/hamming.h). */
+  def hammingFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) {
+      if (a.getFloat(i) != b.getFloat(i)) s += 1.0
+      i += 1
+    }
+    s
   }
 
   def normL2(a: ArrayData): Double = {

@@ -28,8 +28,7 @@ object Metric {
   */
 case class VecDistance(left: Expression, right: Expression, metric: String,
     metricArg: Double = 0.0) extends BinaryExpression {
-  require(Metric.All.contains(metric) && metric != "hamming" && metric != "jaccard",
-    s"unsupported float metric $metric")
+  require(Metric.All.contains(metric), s"unsupported float metric $metric")
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = s"vec_$metric"
@@ -48,6 +47,8 @@ case class VecDistance(left: Expression, right: Expression, metric: String,
       case "canberra"      => VecKernels.canberra(x, y)
       case "braycurtis"    => VecKernels.braycurtis(x, y)
       case "jensenshannon" => VecKernels.jensenshannon(x, y)
+      case "jaccard"       => VecKernels.jaccardFloat(x, y)
+      case "hamming"       => VecKernels.hammingFloat(x, y)
     }
   }
 
@@ -55,6 +56,12 @@ case class VecDistance(left: Expression, right: Expression, metric: String,
     metric match {
       case "lp" =>
         defineCodeGen(ctx, ev, (a, b) => s"$kernel.lp($a, $b, $metricArg)")
+      // the binary popcount kernels own the bare names; the float
+      // generalizations are the *Float overload-free variants
+      case "jaccard" =>
+        defineCodeGen(ctx, ev, (a, b) => s"$kernel.jaccardFloat($a, $b)")
+      case "hamming" =>
+        defineCodeGen(ctx, ev, (a, b) => s"$kernel.hammingFloat($a, $b)")
       case m =>
         defineCodeGen(ctx, ev, (a, b) => s"$kernel.$m($a, $b)")
     }

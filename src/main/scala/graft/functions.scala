@@ -41,13 +41,13 @@ object functions {
   def jensenshannon_dist(a: Column, b: Column): Column =
     shim.col(VecDistance(shim.expr(a), shim.expr(b), "jensenshannon"))
 
-  /** Generic dispatch by metric name (see [[graft.core.Metric]]). */
+  /** Generic dispatch by metric name (see [[graft.core.Metric]]) over
+    * FLOAT vectors — "jaccard"/"hamming" here are the MyScale fork's
+    * float-enum metrics (faiss/MetricType.h:27-28), generalized
+    * sum-min/sum-max Jaccard and mismatch-count Hamming. Packed
+    * BinaryType codes use [[hamming_dist]] / [[jaccard_dist]]. */
   def vec_dist(a: Column, b: Column, metric: String, metricArg: Double = 0.0): Column =
-    metric match {
-      case "hamming" => hamming_dist(a, b).cast("double")
-      case "jaccard" => jaccard_dist(a, b)
-      case m         => shim.col(VecDistance(shim.expr(a), shim.expr(b), m, metricArg))
-    }
+    shim.col(VecDistance(shim.expr(a), shim.expr(b), metric, metricArg))
 
   /** Hamming distance over packed BinaryType codes. */
   def hamming_dist(a: Column, b: Column): Column =

@@ -56,6 +56,47 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("float jaccard reduces to the binary kernel on 0/1 vectors") {
+    for (_ <- 1 to 50) {
+      val d = 1 + rnd.nextInt(70)
+      val a = Array.fill(d)(if (rnd.nextBoolean()) 1f else 0f)
+      val b = Array.fill(d)(if (rnd.nextBoolean()) 1f else 0f)
+      val inter = a.zip(b).count { case (x, y) => x == 1f && y == 1f }
+      val union = a.zip(b).count { case (x, y) => x == 1f || y == 1f }
+      // reference bvec_jaccard convention: empty union -> distance 1.0
+      val jd = if (union == 0) 1.0 else (union - inter).toDouble / union
+      assert(math.abs(VecKernels.jaccardFloat(arr(a), arr(b)) - jd) < 1e-12)
+    }
+  }
+
+  test("float jaccard is sum-min/sum-max on weighted vectors") {
+    for (_ <- 1 to 20) {
+      val d = 1 + rnd.nextInt(50)
+      val a = randVec(d).map(math.abs); val b = randVec(d).map(math.abs)
+      val num = a.zip(b).map { case (x, y) => math.min(x, y).toDouble }.sum
+      val den = a.zip(b).map { case (x, y) => math.max(x, y).toDouble }.sum
+      val jd = if (den == 0.0) 1.0 else (den - num) / den
+      assert(math.abs(VecKernels.jaccardFloat(arr(a), arr(b)) - jd) < 1e-9)
+      // a distance: self-distance 0, symmetric, in [0, 1]
+      assert(VecKernels.jaccardFloat(arr(a), arr(a)) == 0.0)
+      assert(VecKernels.jaccardFloat(arr(a), arr(b)) ==
+        VecKernels.jaccardFloat(arr(b), arr(a)))
+    }
+  }
+
+  test("float hamming counts mismatching components") {
+    for (_ <- 1 to 20) {
+      val d = 1 + rnd.nextInt(50)
+      val a = randVec(d)
+      val b = a.clone()
+      val flips = rnd.nextInt(d + 1)
+      val idx = rnd.shuffle(a.indices.toList).take(flips)
+      idx.foreach(i => b(i) = b(i) + 1f)
+      assert(VecKernels.hammingFloat(arr(a), arr(b)) == flips.toDouble)
+      assert(VecKernels.hammingFloat(arr(a), arr(a)) == 0.0)
+    }
+  }
+
   test("lp with p=2 equals l2sq; p=1 equals l1") {
     val a = randVec(16); val b = randVec(16)
     assert(math.abs(VecKernels.lp(arr(a), arr(b), 2.0) - VecKernels.l2sq(arr(a), arr(b))) < 1e-9)
