@@ -94,6 +94,11 @@ object Queries {
         emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")),
         "id", "vec", nlist = 16, m = 8, ksub = 16, niterCoarse = 4, niterPq = 4)
     }
+  private def sqMeanstd(s: SparkSession, dir: String): graft.index.SqIndex =
+    cached(s"sqmeanstd:$dir") {
+      graft.index.SqIndex.build(emb(s, dir), "vec_id", "embedding",
+        rangeStat = "meanstd", rsArg = 2.5)
+    }
   private def ivfsh8(s: SparkSession, dir: String): graft.index.IvfSpectralHashIndex =
     cached(s"ivfsh8:$dir") {
       graft.index.IvfSpectralHash.build(bDf(s, dir, 10), "id", "vec",
@@ -238,6 +243,12 @@ object Queries {
     OracleAux.write(dir, "sh_thresh", OracleAux.centroidsDf(s, sh.thresholds))
     OracleAux.write(dir, "ivf8_centroids",
       OracleAux.centroidsDf(s, ivf8(s, dir).centroids))
+    val sqm = sqMeanstd(s, dir)
+    OracleAux.write(dir, "sq_meanstd_range", {
+      import s.implicits._
+      sqm.vmin.zip(sqm.vdiff).zipWithIndex.toSeq
+        .map { case ((mn, vd), i) => (i, mn, vd) }.toDF("i", "vmn", "vd")
+    })
   }
 
   /** Root the static sidecar-oracle SQLs read from: the driver's
@@ -856,6 +867,36 @@ object Queries {
              |  round(list_aggregate(list_transform(list_zip(embedding::DOUBLE[], dv),
              |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 4) AS err
              |FROM dec""".stripMargin)),
+
+    // §2.11/§2.8 SQ8 with the RS_meanstd range statistic
+    // (faiss/impl/ScalarQuantizer.h:46: [mean - std·rs, mean + std·rs],
+    // per-dimension via train_NonUniform). The oracle reads the trained
+    // per-dim range from the sq_meanstd_range sidecar and replays
+    // encode + decode + reconstruction error — same pattern as
+    // kmeans_train (trained state dumped, arithmetic re-derived).
+    ("sq8_meanstd_roundtrip", (s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      val sq = sqMeanstd(s, dir)
+      sq.reconstruct
+        .join(e.select(col("vec_id").as("id"), col("embedding")), "id")
+        .select(col("id"), round(element_at(col("vec"), 1), 4).as("d1"),
+          round(aggregate(
+            zip_with(col("embedding").cast("array<double>"), col("vec"),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x), 4).as("err"))
+    },
+      Some(s"""WITH dims AS (
+              |  SELECT list(vmn ORDER BY i) AS vmn, list(vd ORDER BY i) AS vd
+              |  FROM read_parquet('$AUX/sq_meanstd_range/*.parquet')),
+              |dec AS (SELECT vec_id AS id, embedding,
+              |  list_transform(embedding::DOUBLE[], (x, i) ->
+              |    vmn[i] + (floor(255 * (CASE WHEN vd[i] = 0 THEN 0
+              |      ELSE least(greatest((x - vmn[i]) / vd[i], 0), 1) END)) + 0.5) / 255 * vd[i]) AS dv
+              |  FROM embeddings, dims)
+              |SELECT id, round(dv[1], 4) AS d1,
+              |  round(list_aggregate(list_transform(list_zip(embedding::DOUBLE[], dv),
+              |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 4) AS err
+              |FROM dec""".stripMargin)),
 
     // §2.11 SQ4 codec (4-bit, two codes per byte)
     ("sq4_roundtrip", (s: SparkSession, dir: String) => {

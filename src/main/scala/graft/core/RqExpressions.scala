@@ -6,12 +6,17 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Residual-quantizer kernels (faiss/impl/ResidualQuantizer.h:22-60,
-  * IndexAdditiveQuantizer.h:25): L full-dimension codebooks applied
-  * greedily — level l encodes the residual left by levels 0..l-1, and
-  * decode is the sum of the selected codewords. This is the beam_size=1
-  * greedy path (ResidualQuantizer::train default refine_beam with
-  * beam 1 semantics); subspace PQ is the special case where codewords
-  * are nonzero on disjoint slices. codebooks layout: [L][k][d]. */
+  * IndexAdditiveQuantizer.h:25): L full-dimension codebooks — level l
+  * encodes the residual left by levels 0..l-1, and decode is the sum
+  * of the selected codewords. [[RqKernels.encode]] is the beam_size=1
+  * greedy path; [[RqKernels.encodeBeam]] is the reference's
+  * beam-search encoder (ResidualQuantizer::refine_beam,
+  * impl/ResidualQuantizer.cpp:651 / beam_search_encode_step :129,
+  * beam width = max_beam_size, ResidualQuantizer.h:55): keep the
+  * `beam` best partial codes by cumulative reconstruction error at
+  * every level, return the best full path. Subspace PQ is the special
+  * case where codewords are nonzero on disjoint slices. codebooks
+  * layout: [L][k][d]. */
 object RqKernels {
 
   /** Greedy per-level argmin; returns the L code indices. The running
@@ -43,6 +48,78 @@ object RqKernels {
     out
   }
 
+  /** Beam-search encoding (beam >= 1). At each level every surviving
+    * partial code is extended with all k codewords; the `beam` best
+    * extensions by cumulative squared reconstruction error survive
+    * (ties broken on lower codeword index then earlier parent —
+    * deterministic). Residuals are kept in float32 between levels like
+    * the greedy path; distances accumulate in double. The greedy path
+    * always survives level 0, so beam search can only match or beat
+    * greedy per level-0 choice, and in aggregate strictly beats it on
+    * real data (RqSpec asserts this). */
+  def encodeBeam(a: ArrayData, cb: Array[Array[Array[Float]]], beam: Int): Array[Int] = {
+    if (beam <= 1) return encode(a, cb)
+    val L = cb.length
+    val d = cb(0)(0).length
+    val k = cb(0).length
+    // current beam: codes[b][l], residual[b][d], dist[b]
+    var nBeam = 1
+    var codes = Array.ofDim[Int](1, 0)
+    var res = Array(Array.tabulate(d)(a.getFloat))
+    var l = 0
+    while (l < L) {
+      val nCand = nBeam * k
+      val candDist = new Array[Double](nCand)
+      var b = 0
+      while (b < nBeam) {
+        val r = res(b)
+        var j = 0
+        while (j < k) {
+          val c = cb(l)(j)
+          var s = 0.0; var t = 0
+          while (t < d) { val dv = r(t).toDouble - c(t); s += dv * dv; t += 1 }
+          candDist(b * k + j) = s
+          j += 1
+        }
+        b += 1
+      }
+      // select the `keep` smallest candidates; stable insertion keeps
+      // the (lower j, earlier parent) tie order since candidates are
+      // generated in that order
+      val keep = Math.min(beam, nCand)
+      val sel = new Array[Int](keep)
+      val selDist = new Array[Double](keep)
+      var nSel = 0
+      var ci = 0
+      while (ci < nCand) {
+        if (nSel < keep || candDist(ci) < selDist(nSel - 1)) {
+          var pos = if (nSel < keep) nSel else keep - 1
+          while (pos > 0 && candDist(ci) < selDist(pos - 1)) {
+            selDist(pos) = selDist(pos - 1); sel(pos) = sel(pos - 1); pos -= 1
+          }
+          selDist(pos) = candDist(ci); sel(pos) = ci
+          if (nSel < keep) nSel += 1
+        }
+        ci += 1
+      }
+      val nextCodes = Array.ofDim[Int](keep, l + 1)
+      val nextRes = Array.ofDim[Float](keep, d)
+      var s2 = 0
+      while (s2 < keep) {
+        val parent = sel(s2) / k; val j = sel(s2) % k
+        System.arraycopy(codes(parent), 0, nextCodes(s2), 0, l)
+        nextCodes(s2)(l) = j
+        val r = res(parent); val c = cb(l)(j)
+        var t = 0
+        while (t < d) { nextRes(s2)(t) = r(t) - c(t); t += 1 }
+        s2 += 1
+      }
+      codes = nextCodes; res = nextRes; nBeam = keep
+      l += 1
+    }
+    codes(0) // selection kept best-first
+  }
+
   /** Sum of the selected codewords, accumulated in float32 level by
     * level (codeword adds are float in the reference decoder too). */
   def decode(codes: ArrayData, cb: Array[Array[Array[Float]]]): Array[Float] = {
@@ -59,12 +136,15 @@ object RqKernels {
   }
 }
 
-case class RQEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+case class RQEncode(child: Expression, codebooks: Array[Array[Array[Float]]],
+    beam: Int = 1)
     extends UnaryExpression with CodegenFallback {
+  require(beam >= 1, "beam must be >= 1")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def prettyName: String = "rq_encode"
+  override def prettyName: String = if (beam == 1) "rq_encode" else s"rq_encode_beam$beam"
   override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(RqKernels.encode(v.asInstanceOf[ArrayData], codebooks))
+    new GenericArrayData(
+      RqKernels.encodeBeam(v.asInstanceOf[ArrayData], codebooks, beam))
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -76,6 +76,95 @@ object Pq {
   }
 }
 
+/** Polysemous code-permutation training — the greedy slice of
+  * faiss/impl/PolysemousTraining.cpp (IndexPQ.h:100-121: make codes
+  * usable BOTH as ADC indices and as Hamming-comparable bit strings).
+  * Same objective as the reference's ReproduceWithHammingObjective
+  * (PolysemousTraining.cpp:180-300): per subquantizer, find a
+  * permutation perm(centroid) -> code minimizing
+  *   sum_ij w_ij * (target_ij - hamming(perm_i, perm_j))^2
+  * where target is the inter-centroid squared-L2 table affine-mapped
+  * to Hamming scale (td = (d - mean)/std * sqrt(nbits/4) + nbits/2,
+  * PolysemousTraining.cpp:289-296) and w = exp(-dis_weight_factor*td)
+  * emphasizes small distances. The reference optimizes by simulated
+  * annealing; this slice hill-climbs pair swaps to a local optimum —
+  * deterministic, and enough to make the Hamming pre-filter prune
+  * more at equal recall (PqSpec asserts this; the annealed optimum
+  * reaches ~3.4x at ht=50, BASELINE.md). */
+object Polysemous {
+
+  private def l2(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Permute each subquantizer's codebook (order changes, centroid set
+    * does not): ADC results are identical, code bit patterns become
+    * distance-correlated. */
+  def optimize(model: PqModel, disWeightFactor: Double = math.log(2),
+      maxSweeps: Int = 200): PqModel = {
+    val newCbs = model.codebooks.map { cb =>
+      val n = cb.length
+      val nbits = 31 - Integer.numberOfLeadingZeros(n)
+      require((1 << nbits) == n, s"ksub=$n must be a power of two")
+      // affine-mapped target distances + weights (centroid-indexed)
+      val td = Array.ofDim[Double](n, n)
+      val w = Array.ofDim[Double](n, n)
+      var sum = 0.0; var sum2 = 0.0
+      for (i <- 0 until n; j <- 0 until n) {
+        val d = l2(cb(i), cb(j)); td(i)(j) = d; sum += d; sum2 += d * d
+      }
+      val mean = sum / (n * n)
+      val std = math.sqrt(math.max(1e-30, sum2 / (n * n) - mean * mean))
+      for (i <- 0 until n; j <- 0 until n) {
+        val t = (td(i)(j) - mean) / std * math.sqrt(nbits / 4.0) + nbits / 2.0
+        td(i)(j) = t
+        w(i)(j) = math.exp(-disWeightFactor * t)
+      }
+      def ham(a: Int, b: Int): Int = Integer.bitCount(a ^ b)
+      val perm = Array.tabulate(n)(identity)
+      def pairCost(i: Int, j: Int): Double = {
+        val e = td(i)(j) - ham(perm(i), perm(j))
+        w(i)(j) * e * e
+      }
+      // hill-climb: accept any swap that lowers the total cost. A
+      // swap of (u, v) only changes terms involving u or v.
+      var improved = true
+      var sweeps = 0
+      while (improved && sweeps < maxSweeps) {
+        improved = false
+        for (u <- 0 until n; v <- u + 1 until n) {
+          var before = 0.0
+          var i = 0
+          while (i < n) {
+            if (i != u && i != v) before += pairCost(u, i) + pairCost(i, u) +
+              pairCost(v, i) + pairCost(i, v)
+            i += 1
+          }
+          before += pairCost(u, v) + pairCost(v, u)
+          val tu = perm(u); perm(u) = perm(v); perm(v) = tu
+          var after = 0.0
+          i = 0
+          while (i < n) {
+            if (i != u && i != v) after += pairCost(u, i) + pairCost(i, u) +
+              pairCost(v, i) + pairCost(i, v)
+            i += 1
+          }
+          after += pairCost(u, v) + pairCost(v, u)
+          if (after >= before - 1e-12) { val t = perm(u); perm(u) = perm(v); perm(v) = t }
+          else improved = true
+        }
+        sweeps += 1
+      }
+      val out = new Array[Array[Float]](n)
+      for (c <- 0 until n) out(perm(c)) = cb(c)
+      out
+    }
+    model.copy(codebooks = newCbs)
+  }
+}
+
 /** Flat PQ index (IndexPQ, faiss/IndexPQ.h:24): codes + ADC search via
   * per-query lookup tables. Optional polysemous-style Hamming
   * pre-filter on the codes (faiss/IndexPQ.h:116-121 search_type
@@ -107,9 +196,13 @@ class PqIndex(val model: PqModel, val codes: DataFrame) {
 }
 
 object PqIndex {
+  /** `polysemous = true` runs [[Polysemous.optimize]] after training so
+    * the Hamming pre-filter (search(polysemousHt)) prunes harder. */
   def build(df: DataFrame, idCol: String, vecCol: String, m: Int = 8,
-      ksub: Int = 16, niter: Int = 8, seed: Long = 1234L): PqIndex = {
-    val model = Pq.train(df, vecCol, m, ksub, niter, seed)
+      ksub: Int = 16, niter: Int = 8, seed: Long = 1234L,
+      polysemous: Boolean = false): PqIndex = {
+    val trained = Pq.train(df, vecCol, m, ksub, niter, seed)
+    val model = if (polysemous) Polysemous.optimize(trained) else trained
     new PqIndex(model, model.encode(df, idCol, vecCol))
   }
 }

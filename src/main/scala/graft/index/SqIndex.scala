@@ -43,15 +43,92 @@ class SqIndex(
 
 object SqIndex {
 
-  /** Train (per-dim min/max over the data, RS_minmax) + encode. */
-  def build(df: DataFrame, idCol: String, vecCol: String): SqIndex = {
-    val mm = df.agg(shim.agg(VecMinMaxAgg(shim.expr(col(vecCol)))).as("_mm"))
-      .select(col("_mm.mins"), col("_mm.maxs")).collect().head
-    val mins = mm.getSeq[Double](0).toArray
-    val maxs = mm.getSeq[Double](1).toArray
-    val vdiff = mins.indices.map(i => maxs(i) - mins(i)).toArray
+  /** Train the per-dimension quantization range + encode.
+    *
+    * `rangeStat` mirrors ScalarQuantizer::RangeStat
+    * (faiss/impl/ScalarQuantizer.h:44-49), per-dimension like the
+    * reference's train_NonUniform (ScalarQuantizer.cpp:565: non-minmax
+    * stats run train_Uniform on each transposed dimension):
+    *  - "minmax"    — [min - rs·(max-min), max + rs·(max-min)]
+    *  - "meanstd"   — [mean - std·rs, mean + std·rs] (population std;
+    *                   var <= 0 falls back to std = 1 like the ref)
+    *  - "quantiles" — [Q(rs), Q(1-rs)] as exact order statistics with
+    *                   the reference's clamping of o = int(rs·n)
+    */
+  def build(df: DataFrame, idCol: String, vecCol: String,
+      rangeStat: String = "minmax", rsArg: Double = 0.0): SqIndex = {
+    val (mins, vdiff) = trainRange(df, vecCol, rangeStat, rsArg)
     val codes = df.select(col(idCol).as("id"),
       shim.col(SQEncode(shim.expr(col(vecCol)), mins, vdiff)).as("code"))
     new SqIndex(mins, vdiff, codes)
   }
+
+  /** (vmin, vdiff) per dimension for the chosen range statistic. All
+    * three are single distributed aggregations collecting d scalars
+    * (or 2d order statistics) to the driver — the trained state is
+    * O(d) exactly like the reference's `trained` vector. */
+  def trainRange(df: DataFrame, vecCol: String,
+      rangeStat: String = "minmax", rsArg: Double = 0.0): (Array[Double], Array[Double]) =
+    rangeStat match {
+      case "minmax" =>
+        val mm = df.agg(shim.agg(VecMinMaxAgg(shim.expr(col(vecCol)))).as("_mm"))
+          .select(col("_mm.mins"), col("_mm.maxs")).collect().head
+        val mins0 = mm.getSeq[Double](0).toArray
+        val maxs0 = mm.getSeq[Double](1).toArray
+        // RS_minmax range expansion (ScalarQuantizer.cpp:588-592)
+        val mins = mins0.indices.map(i => mins0(i) - (maxs0(i) - mins0(i)) * rsArg).toArray
+        val maxs = mins0.indices.map(i => maxs0(i) + (maxs0(i) - mins0(i)) * rsArg).toArray
+        (mins, mins.indices.map(i => maxs(i) - mins(i)).toArray)
+
+      case "meanstd" =>
+        // per-dim mean/population-std via one partial-aggregated
+        // shuffle of d keys (ScalarQuantizer.cpp:475-487 train_Uniform
+        // RS_meanstd, applied per transposed dimension)
+        val stats = df.select(posexplode(col(vecCol)).as(Seq("_i", "_x")))
+          .groupBy(col("_i"))
+          .agg(count(lit(1)).as("_n"),
+            sum(col("_x").cast("double")).as("_s"),
+            sum((col("_x") * col("_x")).cast("double")).as("_s2"))
+          .orderBy(col("_i")).collect()
+        val mins = new Array[Double](stats.length)
+        val vdiff = new Array[Double](stats.length)
+        stats.foreach { r =>
+          val i = r.getInt(0); val n = r.getLong(1).toDouble
+          val mean = r.getDouble(2) / n
+          val varr = r.getDouble(3) / n - mean * mean
+          val std = if (varr <= 0) 1.0 else math.sqrt(varr)
+          mins(i) = mean - std * rsArg
+          vdiff(i) = 2.0 * std * rsArg
+        }
+        (mins, vdiff)
+
+      case "quantiles" =>
+        // exact order statistics per dimension: a distributed sort
+        // within each of the d partitions (the same n·log n the
+        // reference spends in RAM, ScalarQuantizer.cpp:489-501)
+        val n = df.count()
+        var o = (rsArg * n).toInt
+        if (o < 0) o = 0
+        if (o > n - o) o = (n / 2).toInt
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_i")).orderBy(col("_x"))
+        val qs = df.select(posexplode(col(vecCol)).as(Seq("_i", "_x")))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === o + 1 || col("_rn") === n - o)
+          .groupBy(col("_i"))
+          .agg(min(when(col("_rn") === o + 1, col("_x"))).as("_lo"),
+            min(when(col("_rn") === n - o, col("_x"))).as("_hi"))
+          .orderBy(col("_i")).collect()
+        val mins = new Array[Double](qs.length)
+        val vdiff = new Array[Double](qs.length)
+        qs.foreach { r =>
+          val i = r.getInt(0)
+          mins(i) = r.getFloat(1).toDouble
+          vdiff(i) = r.getFloat(2).toDouble - mins(i)
+        }
+        (mins, vdiff)
+
+      case other => throw new IllegalArgumentException(
+        s"unknown rangeStat $other (minmax | meanstd | quantiles)")
+    }
 }

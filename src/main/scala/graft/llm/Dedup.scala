@@ -19,11 +19,19 @@ import graft.llm.TextFunctions._
   * shingle sets) persist it, force the small verified-pair result, and
   * unpersist the intermediates before returning — a long catalog
   * session must not accumulate storage (VERDICT r02 finding #6). The
-  * returned pair DataFrame itself stays cached; callers running many
-  * operators per session should `spark.catalog.clearCache()` between
-  * them.
+  * returned pair DataFrame stays cached so consumers (candidate
+  * listing, keep-first removal, components) don't re-run the
+  * signature pipeline per action; call [[Dedup.release]] when done
+  * with it — a long-lived 100 TB pipeline must hand storage back.
   */
 object Dedup {
+
+  /** Release the cached pair set returned by [[minhashLshCandidates]],
+    * [[pairJaccard]], [[nearDupPairs]] or [[embeddingNearDups]]. After
+    * this the DataFrame is still valid but recomputes from source on
+    * the next action. */
+  def release(pairs: DataFrame): Unit =
+    pairs.unpersist(blocking = false)
 
   private val Disk = StorageLevel.MEMORY_AND_DISK
 

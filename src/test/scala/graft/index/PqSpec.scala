@@ -43,6 +43,41 @@ class PqSpec extends SparkTestBase {
     assert(aggressive.count() <= 50)
   }
 
+  test("polysemous training: more pruning at equal recall than untrained codes") {
+    val trained = new PqIndex(Polysemous.optimize(pq.model),
+      Polysemous.optimize(pq.model).encode(b, "id", "vec"))
+    // unfiltered ADC results are permutation-invariant: same centroids,
+    // relabeled codes
+    val truthPlain = pq.search(q, 5).select("qid", "id").collect().toSet
+    val truthTrain = trained.search(q, 5).select("qid", "id").collect().toSet
+    assert(truthPlain == truthTrain)
+
+    def survivors(ix: PqIndex, ht: Int): Long = {
+      import graft.functions.hamming_dist
+      val qc = q.select(col("qid"),
+        org.apache.spark.sql.graft.shim.col(graft.core.PQEncode(
+          org.apache.spark.sql.graft.shim.expr(col("qvec")), ix.model.codebooks)).as("_qc"))
+      ix.codes.crossJoin(broadcast(qc))
+        .filter(hamming_dist(col("code"), col("_qc")) <= ht).count()
+    }
+    def recallAt(ix: PqIndex, ht: Int, truth: Set[org.apache.spark.sql.Row]): Double = {
+      val got = ix.search(q, 5, polysemousHt = Some(ht)).select("qid", "id").collect().toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    // smallest ht reaching 95% of the unfiltered result set, per variant
+    def htFor(ix: PqIndex, truth: Set[org.apache.spark.sql.Row]): Int =
+      (0 to 64).find(ht => recallAt(ix, ht, truth) >= 0.95).get
+    val htPlain = htFor(pq, truthPlain)
+    val htTrain = htFor(trained, truthTrain)
+    val total = survivors(pq, 64)
+    val passPlain = survivors(pq, htPlain).toDouble / total
+    val passTrain = survivors(trained, htTrain).toDouble / total
+    info(f"equal-recall ht: plain=$htPlain (pass ${passPlain * 100}%.1f%%) " +
+      f"trained=$htTrain (pass ${passTrain * 100}%.1f%%)")
+    assert(passTrain < passPlain,
+      f"trained codes must prune more at equal recall: $passTrain%.4f vs $passPlain%.4f")
+  }
+
   test("true IVFPQR: second codebook improves recall over plain IVFPQ") {
     val truth = Knn.knnJoin(q, b, 10).cache()
     val plain = IvfPqIndex.build(b, "id", "vec", nlist = 8, m = 8, ksub = 16,

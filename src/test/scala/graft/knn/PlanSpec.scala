@@ -60,6 +60,9 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("base-side id filter is pushed to the parquet scan") {
+    // other suites may have cached this very parquet read; the scan
+    // shape only exists against the raw relation
+    spark.catalog.clearCache()
     val df = Knn.knnJoin(q, b, 5, filter = Some(col("id").between(100, 299)))
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") &&
@@ -68,6 +71,7 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("projection pruning: only vec_id and embedding are read") {
+    spark.catalog.clearCache()
     val plan = Knn.knnJoin(q, b, 5).queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema"))
     assert(!plan.contains("label"), "label column should be pruned from scan")

@@ -32,6 +32,19 @@ class DedupSpec extends SparkTestBase {
       s"missed ${truth -- found}")
   }
 
+  test("nearDupPairs leaves only its result cached; release empties the cache manager") {
+    spark.catalog.clearCache()
+    assert(spark.sharedState.cacheManager.isEmpty, "precondition: empty cache")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", 0.9, 3, 12, 4)
+    // the returned pair set is cached, every intermediate already freed
+    assert(pairs.storageLevel.useMemory || pairs.storageLevel.useDisk)
+    Dedup.release(pairs)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cache manager must be empty after release (no leaked intermediates)")
+    // docs is a shared fixture other tests rely on — re-cache it
+    docs.cache().count()
+  }
+
   test("pairJaccard equals the inverted-index computation") {
     val pairs = Dedup.minhashLshCandidates(docs, "doc_id", "text", 3, 12, 4)
     val viaSets = Dedup.pairJaccard(pairs, docs, "doc_id", "text", 3)
