@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
+/** Minimal JSON writer for the two driver-contract mains — string
+  * escaping covers backslash, quote, and ALL control chars (<0x20):
+  * a tab or CR in builder-authored SQL would otherwise make the
+  * driver's json.load fail and silently zero a round's correctness. */
+object JsonMin {
+  def str(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+  def obj(kv: Iterable[(String, String)]): String =
+    kv.map { case (k, v) => s"${str(k)}: ${str(v)}" }.mkString("{", ",", "}")
+}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -41,21 +60,8 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] oracle-aux write failed: ${e.getMessage}")
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      JsonMin.obj(SparkEntry.oracleSql))
     spark.stop()
   }
 }

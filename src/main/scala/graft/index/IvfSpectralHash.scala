@@ -47,16 +47,20 @@ class IvfSpectralHashIndex(
       .map { case (t, l) => (l, t.toSeq) }.toDF("list_no", "_th")
       .select(col("list_no"), col("_th").cast("array<float>").as("_th"))
     // probe selection on the ORIGINAL d-dim vector (coarse quantizer
-    // runs before the hash transform, IndexIVF::search_preassigned)
-    val probes = queries.select(col(queryId),
-        vt.applyCol(col(queryVec)).as("_y"),
+    // runs before the hash transform, IndexIVF::search_preassigned).
+    // The driver-side collect for partition pruning runs only this
+    // slim coarse-assign subplan; the rotation + threshold join +
+    // signature plan below executes exactly once, inside the join
+    // (r04 finding: the full probe plan used to run twice).
+    val sel = queries.select(col(queryId), col(queryVec),
         explode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
           math.min(nprobe, nlist), "l2sq"))).as("_p"))
-      .select(col(queryId), col("_y"), col("_p.list_no").as("list_no"))
+      .select(col(queryId), col(queryVec), col("_p.list_no").as("list_no"))
+    val probed = sel.select("list_no").distinct().collect().map(_.getInt(0))
+    val probes = sel
       .join(broadcast(threshDf), "list_no")
       .select(col(queryId), col("list_no"),
-        signature(col("_y"), col("_th"), nbit, period).as("_qsig"))
-    val probed = probes.select("list_no").distinct().collect().map(_.getInt(0))
+        signature(vt.applyCol(col(queryVec)), col("_th"), nbit, period).as("_qsig"))
     codes.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
       .join(broadcast(probes), "list_no")
       .select(col(queryId), col("id"),

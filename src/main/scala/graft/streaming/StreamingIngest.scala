@@ -41,31 +41,51 @@ object StreamingIngest {
     df.join(broadcast(parts), Seq(partitionCol), "left_semi")
   }
 
+  /** FileStreamSource wants a DIRECTORY. A directory path streams
+    * as-is (the multi-file 100 TB case); a single-file path (the
+    * testdata layout) is staged into a temp dir that [[unstage]]
+    * removes once the memory sink holds the drained result. */
+  private def stage(path: String): (String, Option[java.nio.file.Path]) = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p)) (path, None)
+    else {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+      java.nio.file.Files.copy(p, dir.resolve(p.getFileName))
+      (dir.toString, Some(dir))
+    }
+  }
+
+  private def unstage(staged: Option[java.nio.file.Path]): Unit =
+    staged.foreach { d =>
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () })
+    }
+
   /** Batch-equivalent streaming window aggregation over a parquet
     * events table: readStream → tumbling window agg → memory sink,
     * drained synchronously. Returns the completed result table. */
   def windowedEventCounts(spark: SparkSession, eventsParquet: String,
       windowLength: String = "1 hour"): DataFrame = {
-    // FileStreamSource wants a directory: stage the single file
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(eventsParquet),
-      dir.resolve("events.parquet"))
-    // the testdata writes TIMESTAMP(NANOS) which Spark only reads as long
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(eventsParquet).schema
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
-    val agg = stream
-      .groupBy(window(col("ts"), windowLength), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
-    val name = s"graft_windowed_${System.identityHashCode(stream)}"
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
-      .select(col("window.start").cast("long").as("ws"), col("event_type"),
-        col("cnt"), round(col("sv"), 2).as("sv"))
+    val (srcDir, staged) = stage(eventsParquet)
+    try {
+      // the testdata writes TIMESTAMP(NANOS) which Spark only reads as long
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(eventsParquet).schema
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      val agg = stream
+        .groupBy(window(col("ts"), windowLength), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+      val name = s"graft_windowed_${System.identityHashCode(stream)}"
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
+        .select(col("window.start").cast("long").as("ws"), col("event_type"),
+          col("cnt"), round(col("sv"), 2).as("sv"))
+    } finally unstage(staged)
   }
 
   /** Streaming exactly-once dedup ingest: readStream → stateful
@@ -77,18 +97,17 @@ object StreamingIngest {
     * rows. */
   def dedupIngest(spark: SparkSession, eventsParquet: String,
       keys: Seq[String]): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(eventsParquet),
-      dir.resolve("events.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(eventsParquet).schema
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .dropDuplicates(keys)
-    val name = s"graft_dedup_${System.identityHashCode(stream)}"
-    val q = stream.writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    val (srcDir, staged) = stage(eventsParquet)
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(eventsParquet).schema
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+        .dropDuplicates(keys)
+      val name = s"graft_dedup_${System.identityHashCode(stream)}"
+      val q = stream.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
+    } finally unstage(staged)
   }
 }

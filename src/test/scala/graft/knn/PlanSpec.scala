@@ -94,6 +94,24 @@ class PlanSpec extends SparkTestBase {
     assert(scanned <= lists.length, s"scanned $scanned lists for ${lists.length} probes")
   }
 
+  test("session-built (cached) IVF search pushes the probed-list INSET into the scan") {
+    // the *_big queries search a memory-persisted session index: the
+    // probed list_no filter must reach the InMemoryTableScan (the
+    // cached-index analog of parquet PartitionFilters — that shape is
+    // pinned by the persisted-IVF test above). EXPLAIN.md captures the
+    // same shape at sf0.01 (r05 finding: the sections were degenerate
+    // LocalTableScan <empty> because the sf0.001 query set is empty).
+    val idx = IvfIndex.build(b, "id", "vec", nlist = 8, niter = 3)
+    idx.invlists.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    try {
+      val plan = idx.search(q, k = 5, nprobe = 2).queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"), s"no cached scan:\n$plan")
+      assert("list_no#\\d+ IN".r.findFirstIn(plan).isDefined,
+        s"probed-list filter not pushed into the cached scan:\n$plan")
+      assert(plan.toLowerCase.contains("partial_topk"), s"no partial top-k:\n$plan")
+    } finally idx.invlists.unpersist()
+  }
+
   test("assign uses the heap aggregate (no window, no sort aggregate)") {
     val plan = Knn.assign(q, b).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "assign must not use a window sort")
