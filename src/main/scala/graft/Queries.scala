@@ -143,11 +143,20 @@ object Queries {
       val did = (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
       val toks = (0 until 12).map(i =>
         substring(md5(concat(did.cast("string"), lit("_" + i))), 1, 6))
-      val base = lineitem(s, dir)
-        .filter(col("l_orderkey") % 4 === 0)
+      val li = lineitem(s, dir).filter(col("l_orderkey") % 4 === 0)
+      // widen before the 12-md5s-per-doc derivation (see bigVecs)
+      val widened =
+        if (li.rdd.getNumPartitions >= s.sparkContext.defaultParallelism) li
+        else li.repartition(s.sparkContext.defaultParallelism)
+      val base = widened
         .select(did.as("doc_id"), concat_ws(" ", toks: _*).as("text"))
+      // persist: 12 md5s/doc over ~600k docs is the most expensive
+      // derivation in the catalog and the minhash pipeline reads the
+      // corpus twice (band table + shingle sets) — ~100 MB cached vs
+      // re-hashing 7M md5s per pass
       base.unionByName(
         base.select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
   private val commentCorpusSql =
     """SELECT doc_id, array_to_string(
@@ -182,6 +191,22 @@ object Queries {
        |jac AS (SELECT i, j, len(list_intersect(sa.s, sb.s))::DOUBLE AS inter,
        |               (len(sa.s) + len(sb.s))::DOUBLE AS tot
        |        FROM cand JOIN sh sa ON sa.doc_id = i JOIN sh sb ON sb.doc_id = j)""".stripMargin
+
+  /** Force every SMALL memoized trained model — those without an
+    * explicit *_build catalog entry — so Bench's per-query timings
+    * measure SEARCH against pre-trained state, the same basis as the
+    * DuckDB oracles (which read trained sidecars). The big models
+    * (ivfBig / ivfpqBig / bigVecs) are deliberately NOT warmed:
+    * `ivf_build_big` / `ivfpq_build_big` / `bigvec_derive` exist to
+    * time exactly those builds. */
+  def warmTrainedModels(s: SparkSession, dir: String): Unit = {
+    ivf16(s, dir); ivf20(s, dir); ivf8(s, dir); ivfsq16(s, dir)
+    pq16(s, dir); rot64(s, dir); opqModel(s, dir); ivfpq8(s, dir)
+    ivfpqr8(s, dir); twoLayer16(s, dir); ivfsh8(s, dir); km8(s, dir)
+    twoLevel12(s, dir); pdk8(s, dir); bivf8(s, dir); rqModel16(s, dir)
+    prqModel(s, dir); imi16(s, dir); sqMeanstd(s, dir)
+    ()
+  }
 
   /** Writes the trained-state sidecars that the sidecar-based oracle
     * SQLs read (see [[OracleAux]]); called by Verify after the query
@@ -249,6 +274,14 @@ object Queries {
       sqm.vmin.zip(sqm.vdiff).zipWithIndex.toSeq
         .map { case ((mn, vd), i) => (i, mn, vd) }.toDF("i", "vmn", "vd")
     })
+    val prq = prqModel(s, dir)
+    OracleAux.write(dir, "prq_codebooks",
+      OracleAux.codebooksDf(s, prq.flatCodebooks))
+    // engine-encoded PRQ codes (beam=2 + ICM, not SQL-replayable):
+    // the oracle verifies decode-from-codes, the index2layer pattern
+    OracleAux.write(dir, "prq_codes",
+      emb(s, dir).select(col("vec_id").as("id"),
+        prq.encodeCol(col("embedding"), beam = 2, icmIters = 2).as("code")))
   }
 
   /** Root the static sidecar-oracle SQLs read from: the driver's
@@ -276,7 +309,15 @@ object Queries {
         round(col("l_extendedprice") * 100).cast("long"),
         round(col("l_discount") * 100).cast("long"),
         round(col("l_tax") * 100).cast("long"))
-      val df = lineitem(s, dir).select(
+      // widen before hashing: the sf0.1 lineitem parquet arrives as a
+      // couple of file splits, which would run the 600k md5 derivations
+      // on as few cores (same fix as Dedup.widen)
+      val src = {
+        val li = lineitem(s, dir)
+        val target = s.sparkContext.defaultParallelism
+        if (li.rdd.getNumPartitions >= target) li else li.repartition(target)
+      }
+      val df = src.select(
         conv(substring(md5(key), 1, 15), 16, 10).cast("long").as("id"),
         array(
           col("l_quantity") / 50.0,
@@ -337,6 +378,11 @@ object Queries {
     cached(s"rq16:$dir") {
       graft.index.Rq.train(emb(s, dir).select(col("embedding")), "embedding",
         levels = 2, k = 16, niter = 4)
+    }
+  private def prqModel(s: SparkSession, dir: String): graft.index.PrqModel =
+    cached(s"prq:$dir") {
+      graft.index.Prq.train(emb(s, dir).select(col("embedding")), "embedding",
+        nsplit = 2, levels = 2, k = 16, niter = 4, beam = 2)
     }
   private def docsDf(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
@@ -2387,6 +2433,40 @@ object Queries {
               |  round(list_aggregate(list_transform(list_zip(embedding::DOUBLE[], dv::DOUBLE[]),
               |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 4) AS err
               |FROM dec""".stripMargin)),
+
+    // Product-residual quantizer roundtrip (ProductResidualQuantizer /
+    // ProductLocalSearchQuantizer, faiss/impl/ProductAdditiveQuantizer
+    // .h:28,114): 2 splits x 2 levels, beam=2 encode + 2 ICM sweeps
+    // (the LSQ refinement). Beam/ICM encoding is not SQL-replayable,
+    // so the oracle verifies DECODE from the engine's stored codes
+    // (prq_codes sidecar): per-split per-level integer codebook
+    // lookups, the level float add, split concat, then the
+    // reconstruction error vs the original vectors.
+    ("prq_roundtrip", (s: SparkSession, dir: String) => {
+      val prq = prqModel(s, dir)
+      emb(s, dir).select(col("vec_id").as("id"),
+        prq.roundtripCol(col("embedding"), beam = 2, icmIters = 2).as("_dv"),
+        col("embedding"))
+        .select(col("id"),
+          round(element_at(col("_dv"), 1).cast("double"), 4).as("d1"),
+          round(aggregate(
+            zip_with(col("embedding").cast("array<double>"),
+              col("_dv").cast("array<double>"),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x), 4).as("err"))
+    },
+      Some(s"""WITH cb AS (SELECT m, j, c FROM read_parquet('$AUX/prq_codebooks/*.parquet')),
+              |codes AS (SELECT id, code FROM read_parquet('$AUX/prq_codes/*.parquet')),
+              |enc AS (SELECT id, r.m AS m, code[r.m+1] AS j FROM codes, range(0,4) r(m)),
+              |comp AS (SELECT e.id, (e.m // 2) AS s,
+              |    generate_subscripts(cb.c, 1) AS i, unnest(cb.c) AS v
+              |  FROM enc e JOIN cb ON cb.m = e.m AND cb.j = e.j),
+              |sumd AS (SELECT id, s, i, sum(v)::REAL AS v FROM comp GROUP BY id, s, i),
+              |dv AS (SELECT id, list(v ORDER BY s, i) AS dv FROM sumd GROUP BY id)
+              |SELECT d.id, round(d.dv[1]::DOUBLE, 4) AS d1,
+              |  round(list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], d.dv::DOUBLE[]),
+              |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 4) AS err
+              |FROM dv d JOIN embeddings b ON b.vec_id = d.id""".stripMargin)),
 
     // RQ reconstruction-distance search (the SDC-style use of the
     // additive code): rank base by ||q - decode(encode(b))||².

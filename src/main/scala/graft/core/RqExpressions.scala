@@ -120,6 +120,64 @@ object RqKernels {
     codes(0) // selection kept best-first
   }
 
+  /** ICM (iterated-conditional-modes) refinement — the encoding loop
+    * of faiss's LocalSearchQuantizer (impl/LocalSearchQuantizer.cpp:505
+    * icm_encode / :543 icm_encode_step): starting from the beam-search
+    * codes, cyclically re-optimize one level's code conditioned on all
+    * the others (argmin_j ||x - sum_{l' != l} c_l' - c_j||^2) until a
+    * full sweep changes nothing or `iters` sweeps ran. Every accepted
+    * move strictly lowers reconstruction error, so the result is never
+    * worse than the beam seed. (The reference adds random perturbation
+    * rounds — ILS — on top; this is the deterministic descent core.) */
+  def encodeIcm(a: ArrayData, cb: Array[Array[Array[Float]]],
+      beam: Int, iters: Int): Array[Int] = {
+    val codes = encodeBeam(a, cb, beam)
+    if (iters <= 0) return codes
+    val L = cb.length
+    val d = cb(0)(0).length
+    // running reconstruction sum (double — scoring precision)
+    val rec = new Array[Double](d)
+    var l = 0
+    while (l < L) {
+      val c = cb(l)(codes(l))
+      var t = 0
+      while (t < d) { rec(t) += c(t); t += 1 }
+      l += 1
+    }
+    var sweep = 0
+    var changed = true
+    while (changed && sweep < iters) {
+      changed = false
+      l = 0
+      while (l < L) {
+        val cOld = cb(l)(codes(l))
+        var best = codes(l); var bestD = Double.MaxValue
+        var j = 0
+        while (j < cb(l).length) {
+          val cj = cb(l)(j)
+          var s = 0.0; var t = 0
+          while (t < d) {
+            val dv = a.getFloat(t) - (rec(t) - cOld(t)) - cj(t)
+            s += dv * dv
+            t += 1
+          }
+          if (s < bestD) { bestD = s; best = j }
+          j += 1
+        }
+        if (best != codes(l)) {
+          val cNew = cb(l)(best)
+          var t = 0
+          while (t < d) { rec(t) += cNew(t).toDouble - cOld(t); t += 1 }
+          codes(l) = best
+          changed = true
+        }
+        l += 1
+      }
+      sweep += 1
+    }
+    codes
+  }
+
   /** Sum of the selected codewords, accumulated in float32 level by
     * level (codeword adds are float in the reference decoder too). */
   def decode(codes: ArrayData, cb: Array[Array[Array[Float]]]): Array[Float] = {
@@ -137,14 +195,18 @@ object RqKernels {
 }
 
 case class RQEncode(child: Expression, codebooks: Array[Array[Array[Float]]],
-    beam: Int = 1)
+    beam: Int = 1, icmIters: Int = 0)
     extends UnaryExpression with CodegenFallback {
   require(beam >= 1, "beam must be >= 1")
+  require(icmIters >= 0, "icmIters must be >= 0")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def prettyName: String = if (beam == 1) "rq_encode" else s"rq_encode_beam$beam"
+  override def prettyName: String =
+    if (beam == 1 && icmIters == 0) "rq_encode"
+    else s"rq_encode_beam${beam}_icm$icmIters"
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(
-      RqKernels.encodeBeam(v.asInstanceOf[ArrayData], codebooks, beam))
+      if (icmIters == 0) RqKernels.encodeBeam(v.asInstanceOf[ArrayData], codebooks, beam)
+      else RqKernels.encodeIcm(v.asInstanceOf[ArrayData], codebooks, beam, icmIters))
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -22,13 +22,16 @@ import graft.functions.vec_sub
   * (L·beam·k·d flops), never the dataflow.
   */
 case class RqModel(levels: Int, k: Int, codebooks: Array[Array[Array[Float]]]) {
-  def encodeCol(vecCol: Column, beam: Int = 1): Column =
-    shim.col(RQEncode(shim.expr(vecCol), codebooks, beam))
+  /** `icmIters` > 0 refines the beam codes with LSQ-style iterated
+    * conditional modes (LocalSearchQuantizer::icm_encode,
+    * impl/LocalSearchQuantizer.cpp:505). */
+  def encodeCol(vecCol: Column, beam: Int = 1, icmIters: Int = 0): Column =
+    shim.col(RQEncode(shim.expr(vecCol), codebooks, beam, icmIters))
   def decodeCol(codesCol: Column): Column =
     shim.col(RQDecode(shim.expr(codesCol), codebooks))
   /** decode(encode(x)) in one expression. */
-  def roundtripCol(vecCol: Column, beam: Int = 1): Column =
-    decodeCol(encodeCol(vecCol, beam))
+  def roundtripCol(vecCol: Column, beam: Int = 1, icmIters: Int = 0): Column =
+    decodeCol(encodeCol(vecCol, beam, icmIters))
 }
 
 object Rq {

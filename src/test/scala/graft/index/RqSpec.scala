@@ -9,11 +9,11 @@ class RqSpec extends SparkTestBase {
 
   private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").cache()
 
-  private def totalErr(model: RqModel, beam: Int): Double =
+  private def totalErr(model: RqModel, beam: Int, icm: Int = 0): Double =
     emb.select(
       aggregate(
         zip_with(col("embedding").cast("array<double>"),
-          model.roundtripCol(col("embedding"), beam),
+          model.roundtripCol(col("embedding"), beam, icm),
         (x, y) => (x - y) * (x - y)),
         lit(0.0), (a, x) => a + x).as("e"))
       .agg(sum(col("e"))).collect().head.getDouble(0)
@@ -44,6 +44,36 @@ class RqSpec extends SparkTestBase {
     val beamed = totalErr(beamModel, beam = 4)
     assert(beamed < greedy,
       s"beam-trained+beam-encoded err $beamed !< greedy pipeline err $greedy")
+  }
+
+  test("ICM refinement (LSQ encode loop) never hurts and improves greedy codes") {
+    val model = Rq.train(emb, "embedding", levels = 3, k = 16, niter = 4)
+    val greedy = totalErr(model, beam = 1)
+    val icm = totalErr(model, beam = 1, icm = 4)
+    assert(icm <= greedy + 1e-6, s"ICM $icm worse than its greedy seed $greedy")
+    assert(icm < greedy, s"ICM $icm did not improve greedy $greedy on real data")
+    // ICM on top of beam search is also a pure descent from the seed
+    val beamed = totalErr(model, beam = 4)
+    val both = totalErr(model, beam = 4, icm = 4)
+    assert(both <= beamed + 1e-6, s"beam+ICM $both worse than beam $beamed")
+  }
+
+  test("PRQ: per-split decode concatenation reconstructs, more splits cut error at same levels/k") {
+    val rq = Rq.train(emb, "embedding", levels = 2, k = 16, niter = 4)
+    val prq = Prq.train(emb, "embedding", nsplit = 2, levels = 2, k = 16, niter = 4)
+    val eRq = totalErr(rq, beam = 1)
+    val ePrq = emb.select(
+      aggregate(
+        zip_with(col("embedding").cast("array<double>"),
+          prq.roundtripCol(col("embedding")),
+        (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x).as("e"))
+      .agg(sum(col("e"))).collect().head.getDouble(0)
+    // 2 splits double the code budget at equal levels/k — error must drop
+    assert(ePrq < eRq, s"PRQ $ePrq !< RQ $eRq")
+    // decoded width = d
+    val n = emb.select(size(prq.roundtripCol(col("embedding")))).first().getInt(0)
+    assert(n == 64)
   }
 
   test("wider beam is monotone non-increasing in error") {
