@@ -204,7 +204,7 @@ object Queries {
     pq16(s, dir); rot64(s, dir); opqModel(s, dir); ivfpq8(s, dir)
     ivfpqr8(s, dir); twoLayer16(s, dir); ivfsh8(s, dir); km8(s, dir)
     twoLevel12(s, dir); pdk8(s, dir); bivf8(s, dir); rqModel16(s, dir)
-    prqModel(s, dir); imi16(s, dir); sqMeanstd(s, dir)
+    prqModel(s, dir); imi16(s, dir); sqMeanstd(s, dir); ivfrq8(s, dir)
     ()
   }
 
@@ -282,6 +282,12 @@ object Queries {
     OracleAux.write(dir, "prq_codes",
       emb(s, dir).select(col("vec_id").as("id"),
         prq.encodeCol(col("embedding"), beam = 2, icmIters = 2).as("code")))
+    val ivfrq = ivfrq8(s, dir)
+    OracleAux.write(dir, "ivfrq_centroids",
+      OracleAux.centroidsDf(s, ivfrq.centroids))
+    OracleAux.write(dir, "ivfrq_codebooks",
+      OracleAux.codebooksDf(s, ivfrq.model.codebooks))
+    OracleAux.write(dir, "ivfrq_codes", ivfrq.codes)
   }
 
   /** Root the static sidecar-oracle SQLs read from: the driver's
@@ -383,6 +389,12 @@ object Queries {
     cached(s"prq:$dir") {
       graft.index.Prq.train(emb(s, dir).select(col("embedding")), "embedding",
         nsplit = 2, levels = 2, k = 16, niter = 4, beam = 2)
+    }
+  private def ivfrq8(s: SparkSession, dir: String): graft.index.IvfRqIndex =
+    cached(s"ivfrq8:$dir") {
+      graft.index.IvfRq.build(bDf(s, dir, 10), "id", "vec",
+        nlist = 8, levels = 2, k = 16, niterCoarse = 4, niterRq = 4,
+        beam = 2, icmIters = 1)
     }
   private def docsDf(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
@@ -2467,6 +2479,41 @@ object Queries {
               |  round(list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], d.dv::DOUBLE[]),
               |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 4) AS err
               |FROM dv d JOIN embeddings b ON b.vec_id = d.id""".stripMargin)),
+
+    // IndexIVFResidualQuantizer (faiss/IndexIVFAdditiveQuantizer.h:26,
+    // 64): coarse quantizer + beam/ICM-encoded residual codes per
+    // list, searched by reconstruction distance (AQ_decompress) over
+    // the probed lists. The oracle replays probe selection from the
+    // centroid sidecar (the green ivfpq/ivfsh pattern) and verifies
+    // DECODE from the engine's stored codes (beam+ICM encoding is not
+    // SQL-replayable): integer codebook lookups, level sum, coarse
+    // float add, exact distance ranking.
+    ("ivfrq_search", (s: SparkSession, dir: String) =>
+      ivfrq8(s, dir).search(qDf(s, dir, 10), 10, nprobe = 4)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfrq_centroids/*.parquet')),
+              |cb AS (SELECT m, j, c FROM read_parquet('$AUX/ivfrq_codebooks/*.parquet')),
+              |codes AS (SELECT id, list_no, code FROM read_parquet('$AUX/ivfrq_codes/*.parquet')),
+              |comp AS (SELECT cs.id, generate_subscripts(cb.c, 1) AS i, unnest(cb.c) AS v
+              |  FROM (SELECT id, r.m AS m, code[r.m+1] AS j FROM codes, range(0,2) r(m)) cs
+              |  JOIN cb ON cb.m = cs.m AND cb.j = cs.j),
+              |sumd AS (SELECT id, i, sum(v)::REAL AS v FROM comp GROUP BY id, i),
+              |dv AS (SELECT id, list(v ORDER BY i) AS dv FROM sumd GROUP BY id),
+              |recon AS (SELECT c0.id, c0.list_no,
+              |    list_transform(list_zip(ct.c, d.dv), p -> (p[1] + p[2])::REAL) AS rv
+              |  FROM codes c0 JOIN cent ct ON ct.list_no = c0.list_no JOIN dv d ON d.id = c0.id),
+              |probes AS (SELECT qid, list_no FROM (
+              |  SELECT q.vec_id AS qid, c.list_no, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
+              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10) t WHERE pr <= 4),
+              |d AS (SELECT p.qid, r.id,
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], r.rv::DOUBLE[]),
+              |      p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
+              |  FROM probes p JOIN recon r ON r.list_no = p.list_no
+              |  JOIN embeddings q ON q.vec_id = p.qid)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 10""".stripMargin)),
 
     // RQ reconstruction-distance search (the SDC-style use of the
     // additive code): rank base by ||q - decode(encode(b))||².

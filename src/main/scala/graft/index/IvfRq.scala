@@ -1,0 +1,97 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.shim
+import graft.core.NearestCentroids
+import graft.functions.{l2sq, topk, vec_add, vec_sub}
+
+/** IndexIVFResidualQuantizer (faiss/IndexIVFAdditiveQuantizer.h:26,64):
+  * coarse quantizer + residual (additive) quantizer codes per list,
+  * searched by reconstruction distance over the probed lists — the
+  * AQ_decompress search type (impl/AdditiveQuantizer.h:58: decode the
+  * code, compute the exact distance to the decoded vector).
+  *
+  * Composes the IVF pruned-join shape (static list_no pruning from a
+  * driver-side probe set, base never shuffles) with the RQ expression
+  * kernels (beam-search + optional ICM encode, in-row decode). At
+  * 100 TB: per probed list the scan reads L*log2(k) bits + 8-byte id
+  * per row; decode + distance run inside the projection, no joins
+  * beyond the broadcast probe table.
+  */
+class IvfRqIndex(
+    val nlist: Int,
+    val centroids: Array[Array[Float]],
+    val model: RqModel,
+    /** (id, list_no, code array<int>) */
+    val codes: DataFrame) {
+
+  def search(queries: DataFrame, k: Int, nprobe: Int,
+      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+    val s = queries.sparkSession
+    import s.implicits._
+    val centDf = centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "_cent")
+      .select(col("list_no"), col("_cent").cast("array<float>").as("_cent"))
+    val probes = queries.select(col(queryId), col(queryVec),
+      explode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
+        math.min(nprobe, nlist), "l2sq"))).as("_p"))
+      .select(col(queryId), col(queryVec), col("_p.list_no").as("list_no"))
+    val probed = probes.select("list_no").distinct().collect().map(_.getInt(0))
+    codes.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
+      .join(broadcast(centDf), "list_no")
+      .join(broadcast(probes), "list_no")
+      .select(col(queryId), col("id"),
+        l2sq(col(queryVec),
+          vec_add(col("_cent"), model.decodeCol(col("code")))).as("_dist"))
+      .groupBy(col(queryId))
+      .agg(topk(col("_dist"), col("id"), k, asc = true).as("_tk"))
+      .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+      .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
+        col("_r.id").as("id"), col("_r.dist").as("dist"))
+  }
+
+  /** Lossy reconstruction: centroid + decoded residual, shuffle-free. */
+  def reconstruct: DataFrame = {
+    val s = codes.sparkSession
+    import s.implicits._
+    val centDf = centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "_cent")
+      .select(col("list_no"), col("_cent").cast("array<float>").as("_cent"))
+    codes.join(broadcast(centDf), "list_no")
+      .select(col("id"),
+        vec_add(col("_cent"), model.decodeCol(col("code"))).as("vec"))
+  }
+}
+
+object IvfRq {
+
+  /** Coarse k-means + RQ trained on residuals + encode
+    * (IndexIVFAdditiveQuantizer::train_encoder / encode_vectors,
+    * by_residual always true for the IVF-RQ path). */
+  def build(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, levels: Int = 2, k: Int = 16,
+      niterCoarse: Int = 6, niterRq: Int = 5,
+      beam: Int = 1, icmIters: Int = 0, seed: Long = 1234L): IvfRqIndex = {
+    val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val coarse = graft.cluster.KMeans.fit(data, "vec",
+      graft.cluster.KMeans.Params(k = nlist, niter = niterCoarse, seed = seed))
+    val s = df.sparkSession
+    import s.implicits._
+    val centDf = coarse.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "_cent")
+      .select(col("list_no"), col("_cent").cast("array<float>").as("_cent"))
+    val assigned = coarse.assign(data, "vec")
+      .join(broadcast(centDf), "list_no")
+      .select(col("id"), col("list_no"), vec_sub(col("vec"), col("_cent")).as("res"))
+      .cache()
+    try {
+      val model = Rq.train(assigned, "res", levels, k, niterRq, seed, beam)
+      val codes = assigned.select(col("id"), col("list_no"),
+        model.encodeCol(col("res"), beam, icmIters).as("code"))
+      val mat = codes.cache()
+      mat.count()
+      new IvfRqIndex(nlist, coarse.centroids, model, mat)
+    } finally assigned.unpersist()
+  }
+}

@@ -76,6 +76,31 @@ class RqSpec extends SparkTestBase {
     assert(n == 64)
   }
 
+  test("IVF-RQ: exact-degenerate at nprobe=nlist, recall floor at nprobe=2") {
+    import graft.knn.Knn
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val b = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val idx = IvfRq.build(b, "id", "vec", nlist = 4, levels = 2, k = 16,
+      niterCoarse = 3, niterRq = 3, beam = 2, icmIters = 1)
+    // nprobe = nlist scans everything: must equal the flat
+    // reconstruction-distance search over the same decoded vectors
+    val full = idx.search(q, 5, nprobe = 4).select("qid", "id").collect().toSet
+    val flatTwin = Knn.knnJoin(q,
+      idx.reconstruct.withColumnRenamed("vec", "vec").join(
+        b.select(col("id")), "id"), 5)
+      .select("qid", "id").collect().toSet
+    assert(full == flatTwin)
+    // pruning (nprobe=2 of 4) must retain most of the full
+    // reconstruction-distance search's results (2x16 codes on d=64 are
+    // far too lossy to gate against the EXACT search — rq_search's
+    // oracle checks code correctness, this checks pruning quality)
+    val rec = graft.eval.Recall.mean(
+      idx.search(q, 5, nprobe = 4), idx.search(q, 5, nprobe = 2))
+    assert(rec > 0.5, s"pruned-vs-full recall $rec")
+  }
+
   test("wider beam is monotone non-increasing in error") {
     val model = Rq.train(emb, "embedding", levels = 2, k = 16, niter = 4)
     val e1 = totalErr(model, 1); val e2 = totalErr(model, 2); val e8 = totalErr(model, 8)
