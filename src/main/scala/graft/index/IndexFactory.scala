@@ -13,15 +13,19 @@ import graft.transform._
   *   [transform,...] [IVF<nlist>, | IMI2x<b>, | Residual<nlist>,] <code>
   *   transform := PCA<d> | PCAW<d> | RR<d> | OPQ<M> | L2norm | Center
   *   code      := Flat | SQ8 | PQ<M>[x<ksub>] | SH<nbit>x<period>[g|c|m]
+  *              | RQ<L>x<nbits> | PRQ<nsplit>x<L>x<nbits>
   *
   * e.g. "Flat", "IVF16,Flat", "PCA32,IVF16,PQ8", "L2norm,SQ8",
   * "IVF16,SH32x1.0m" (spectral hash; g/c/m = global/centroid/median
   * threshold, index_factory.cpp:398 "SH<period><gcm>" — we make nbit
   * explicit instead of inheriting it from a transform prefix),
-  * "Residual16,PQ8" (Index2Layer, index_factory.cpp:280 use_2layer).
-  * Unsupported reference tokens (HNSW/NSG/fast-scan/additive) are
-  * rejected with the SURVEY §7 rationale: graph builds are
-  * non-dataflow; capability is covered by the IVF path.
+  * "Residual16,PQ8" (Index2Layer, index_factory.cpp:280 use_2layer),
+  * "RQ2x4" / "PRQ2x2x4" (additive quantizers, beam+ICM encode,
+  * reconstruction-distance search — index_factory.cpp aq patterns),
+  * "IVF16,RQ2x4" (IndexIVFResidualQuantizer).
+  * Unsupported reference tokens (HNSW/NSG/fast-scan) are rejected with
+  * the SURVEY §7 rationale: graph builds are non-dataflow; capability
+  * is covered by the IVF path.
   */
 object IndexFactory {
 
@@ -52,6 +56,8 @@ object IndexFactory {
       case Sh(nbit, _, _) => code = Some((nbit.toInt + 7) / 8)
       case Lsh(nb) => code = Some((nb.toInt + 7) / 8)
       case Pq(m, _) => code = Some(m.toInt)
+      case RqTok(lv, nb) => code = Some((lv.toInt * nb.toInt + 7) / 8)
+      case PrqTok(ns, lv, nb) => code = Some((ns.toInt * lv.toInt * nb.toInt + 7) / 8)
       case other => throw new IllegalArgumentException(s"unknown token $other")
     }
     code.getOrElse(throw new IllegalArgumentException(s"no code token in '$desc'"))
@@ -112,6 +118,10 @@ object IndexFactory {
   private val Res = "Residual(\\d+)".r
   private val Sh = "SH(\\d+)x([-0-9.eE]+)([gcm])?".r
   private val Lsh = "LSH(\\d+)".r
+  // additive quantizers (index_factory.cpp aq_templates): RQ<L>x<nbits>,
+  // PRQ<nsplit>x<L>x<nbits>; +IVF via the IVF<nlist>, prefix
+  private val RqTok = "RQ(\\d+)x(\\d+)".r
+  private val PrqTok = "PRQ(\\d+)x(\\d+)x(\\d+)".r
 
   /** IndexLSH (faiss/IndexLSH.h:23, factory "LSH[rt]"): seeded random
     * rotation to nbits dims, sign-bit codes, Hamming ranking. */
@@ -133,6 +143,12 @@ object IndexFactory {
         nprobe, queryId = qid, queryVec = qvec)
   }
   private final class SpectralBuilt(idx: IvfSpectralHashIndex, chain: VecTransform)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
+        math.max(nprobe, 1), qid, qvec)
+  }
+  private final class IvfRqBuilt(idx: IvfRqIndex, chain: VecTransform)
       extends Built {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
@@ -218,6 +234,11 @@ object IndexFactory {
           new SpectralBuilt(IvfSpectralHash.build(data, "id", "vec",
             nlist.toInt, nbit.toInt, period.toDouble, thresholdType,
             niter = niter, seed = seed), chain)
+        case RqTok(lv, nb) =>
+          // IVF<nlist>,RQ<L>x<nbits> (IndexIVFResidualQuantizer)
+          new IvfRqBuilt(IvfRq.build(data, "id", "vec", nlist.toInt,
+            lv.toInt, 1 << nb.toInt, niterCoarse = niter, niterRq = niter,
+            beam = 2, icmIters = 1, seed = seed), chain)
         case other => throw new IllegalArgumentException(
           s"unsupported IVF code '$other' in '$desc'")
       }
@@ -242,6 +263,18 @@ object IndexFactory {
       case Pq(m, ks) :: Nil =>
         new PqBuilt(PqIndex.build(data, "id", "vec", m.toInt,
           Option(ks).map(_.toInt).getOrElse(16), niter = niter, seed = seed), chain)
+      // flat additive quantizers: reconstruction-distance scan over the
+      // decoded vectors (AQ_decompress, impl/AdditiveQuantizer.h:58)
+      case RqTok(lv, nb) :: Nil =>
+        val model = Rq.train(data.select(col("vec")), "vec",
+          lv.toInt, 1 << nb.toInt, niter = niter, seed = seed, beam = 2)
+        new FlatBuilt(data.select(col("id"),
+          model.roundtripCol(col("vec"), beam = 2, icmIters = 1).as("vec")), chain)
+      case PrqTok(ns, lv, nb) :: Nil =>
+        val model = Prq.train(data.select(col("vec")), "vec", ns.toInt,
+          lv.toInt, 1 << nb.toInt, niter = niter, seed = seed, beam = 2)
+        new FlatBuilt(data.select(col("id"),
+          model.roundtripCol(col("vec"), beam = 2, icmIters = 1).as("vec")), chain)
       case other => throw new IllegalArgumentException(
         s"unsupported factory tail '${other.mkString(",")}' in '$desc' " +
           "(HNSW/NSG/fast-scan are out of scope: SURVEY §7)")

@@ -43,6 +43,18 @@ class IoFactorySpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("factory additive quantizers: RQ2x4, PRQ2x2x4, IVF8,RQ2x4") {
+    val rq = IndexFactory.build(b, "id", "vec", "RQ2x4")
+    assert(rq.search(q, 3).count() == 15)
+    val prq = IndexFactory.build(b, "id", "vec", "PRQ2x2x4")
+    assert(prq.search(q, 3).count() == 15)
+    val ivfrq = IndexFactory.build(b, "id", "vec", "IVF8,RQ2x4")
+    assert(ivfrq.search(q, 3, nprobe = 8).count() == 15)
+    assert(IndexFactory.codeSize("RQ2x4", 64) == 1)
+    assert(IndexFactory.codeSize("PRQ2x2x4", 64) == 2)
+    assert(IndexFactory.codeSize("IVF8,RQ2x4", 64) == 1)
+  }
+
   test("factory PCA16,IVF4,Flat and L2norm,SQ8 build and search") {
     val f1 = IndexFactory.build(b, "id", "vec", "PCA16,IVF4,Flat")
     assert(f1.search(q, 3, nprobe = 4).count() == 15)
