@@ -54,6 +54,8 @@ object SqIndex {
     *                   var <= 0 falls back to std = 1 like the ref)
     *  - "quantiles" — [Q(rs), Q(1-rs)] as exact order statistics with
     *                   the reference's clamping of o = int(rs·n)
+    *  - "optim"     — alternating assign / least-squares refit of the
+    *                   affine range (ScalarQuantizer.cpp:500-556)
     */
   def build(df: DataFrame, idCol: String, vecCol: String,
       rangeStat: String = "minmax", rsArg: Double = 0.0): SqIndex = {
@@ -128,7 +130,76 @@ object SqIndex {
         }
         (mins, vdiff)
 
+      case "optim" =>
+        // RS_optim (ScalarQuantizer.cpp:500-556): from the minmax
+        // range, alternate per-dim code assignment
+        // (n_i = round((x - b)/a), clamped) with the closed-form
+        // least-squares refit of (a, b), minimizing quantization MSE.
+        // One distributed aggregation per iteration covers ALL dims
+        // (the reference's 2000 in-RAM passes become <= maxIters full
+        // passes — a training-time cost, exactly like Lloyd rounds);
+        // early-stops when no dim's error changed, like the reference.
+        optimRange(df, vecCol, k = 256, maxIters = 30)
+
       case other => throw new IllegalArgumentException(
-        s"unknown rangeStat $other (minmax | meanstd | quantiles)")
+        s"unknown rangeStat $other (minmax | meanstd | quantiles | optim)")
     }
+
+  private def optimRange(df: DataFrame, vecCol: String, k: Int,
+      maxIters: Int): (Array[Double], Array[Double]) = {
+    val ex = df.select(posexplode(col(vecCol)).as(Seq("_i", "_x")))
+      .select(col("_i"), col("_x").cast("double").as("_x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val init = ex.groupBy(col("_i"))
+        .agg(min(col("_x")).as("_mn"), max(col("_x")).as("_mx"),
+          sum(col("_x")).as("_sx"), count(lit(1)).as("_n"))
+        .orderBy(col("_i")).collect()
+      val d = init.length
+      val a = new Array[Double](d); val b = new Array[Double](d)
+      val sx = new Array[Double](d); val n = new Array[Double](d)
+      init.foreach { r =>
+        val i = r.getInt(0)
+        b(i) = r.getDouble(1)
+        a(i) = (r.getDouble(2) - r.getDouble(1)) / (k - 1)
+        sx(i) = r.getDouble(3); n(i) = r.getLong(4).toDouble
+      }
+      val lastErr = Array.fill(d)(-1.0)
+      var it = 0
+      var anyChanged = true
+      while (it < maxIters && anyChanged) {
+        val aCol = element_at(typedlit(a.toSeq), col("_i") + 1)
+        val bCol = element_at(typedlit(b.toSeq), col("_i") + 1)
+        // a == 0 (constant dim): every code is 0, matching the clamp
+        val niRaw = when(aCol === 0.0, 0.0)
+          .otherwise(floor((col("_x") - bCol) / aCol + 0.5))
+        val ni = least(greatest(niRaw, lit(0.0)), lit((k - 1).toDouble))
+        val stats = ex.select(col("_i"), col("_x"), ni.as("_ni"), aCol.as("_a"), bCol.as("_b"))
+          .groupBy(col("_i"))
+          .agg(sum(col("_ni")).as("_sn"),
+            sum(col("_ni") * col("_ni")).as("_sn2"),
+            sum(col("_ni") * col("_x")).as("_sxn"),
+            sum((col("_x") - (col("_ni") * col("_a") + col("_b"))) *
+              (col("_x") - (col("_ni") * col("_a") + col("_b")))).as("_err"))
+          .orderBy(col("_i")).collect()
+        anyChanged = false
+        stats.foreach { r =>
+          val i = r.getInt(0)
+          val sn = r.getDouble(1); val sn2 = r.getDouble(2)
+          val sxn = r.getDouble(3); val err = r.getDouble(4)
+          if (err != lastErr(i)) {
+            anyChanged = true
+            lastErr(i) = err
+            val det = sn * sn - sn2 * n(i)
+            if (det != 0.0) {
+              b(i) = (sn * sxn - sn2 * sx(i)) / det
+              a(i) = (sn * sx(i) - n(i) * sxn) / det
+            }
+          }
+        }
+        it += 1
+      }
+      (b, a.map(_ * (k - 1)))
+    } finally ex.unpersist()
+  }
 }

@@ -48,6 +48,26 @@ class SqTrainSpec extends SparkTestBase {
     }
   }
 
+  test("RS_optim refines the minmax range and does not regress roundtrip error") {
+    def err(ix: SqIndex): Double =
+      ix.reconstruct.join(emb.select(col("vec_id").as("id"), col("embedding")), "id")
+        .select(aggregate(zip_with(col("embedding").cast("array<double>"), col("vec"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x).as("e"))
+        .agg(sum("e")).collect().head.getDouble(0)
+    val eMm = err(SqIndex.build(emb, "vec_id", "embedding"))
+    val eOpt = err(SqIndex.build(emb, "vec_id", "embedding", "optim"))
+    // the alternation minimizes quantization MSE under round-to-nearest
+    // assignment; our encoder's floor(+0.5-shifted decode) differs by
+    // half a step, so allow a small tolerance rather than strict <
+    assert(eOpt.isFinite && eOpt > 0)
+    assert(eOpt <= eMm * 1.05, s"optim $eOpt vs minmax $eMm")
+    // the refit must actually move the range off the raw min/max
+    val (m0, d0) = SqIndex.trainRange(emb, "embedding", "minmax")
+    val (m1, d1) = SqIndex.trainRange(emb, "embedding", "optim")
+    assert(m0.indices.exists(j => math.abs(m0(j) - m1(j)) > 1e-9 ||
+      math.abs(d0(j) - d1(j)) > 1e-9))
+  }
+
   test("meanstd-trained SQ8 roundtrip error is finite and close to minmax on gaussian-ish data") {
     def err(ix: SqIndex): Double =
       ix.reconstruct.join(emb.select(col("vec_id").as("id"), col("embedding")), "id")
