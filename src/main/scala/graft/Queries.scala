@@ -2587,6 +2587,52 @@ object Queries {
         .withColumn("dist", r4("dist")),
       Some(knnOracle(dL2, "q.vec_id < 10", "b.vec_id >= 10", 10))),
 
+    // per-partition NSG (IndexNSG capability, faiss/IndexNSG.h:26) —
+    // exact-degenerate gate: searchL >= any partition's size seeds the
+    // full candidate pool in LocalNsg.searchOnGraph, so the sharded
+    // NSG must reproduce the flat exact search bit-for-bit. An
+    // end-to-end driver gate on the kNN-graph bootstrap, MRNG prune,
+    // tree_grow connectivity fix, graph search, and shard merge.
+    ("nsg_exact_search", (s: SparkSession, dir: String) =>
+      graft.knn.PartitionedNsg.knnJoin(
+        qDf(s, dir, 10), bDf(s, dir, 10), 10,
+        gk = 16, r = 16, buildL = 32, searchL = 4096)
+        .withColumn("dist", r4("dist")),
+      Some(knnOracle(dL2, "q.vec_id < 10", "b.vec_id >= 10", 10))),
+
+    // NSG approximate regime at 600k-row scale: driver gate is mean
+    // recall@10 vs the exact flat search >= 0.9 (same pattern as
+    // hnsw_partition_search; the oracle re-derives the query count and
+    // asserts the gate boolean — a recall regression flips the hash).
+    ("nsg_partition_search", (s: SparkSession, dir: String) => {
+      val q = bigQueries(s, dir); val b = bigVecs(s, dir)
+      val approx = graft.knn.PartitionedNsg.knnJoin(q, b, 10,
+        gk = 32, r = 32, buildL = 64, searchL = 96)
+      val truth = Knn.knnJoin(q, b, 10)
+      graft.eval.Recall.perQuery(truth, approx)
+        .agg(count(lit(1)).as("n_queries"),
+          coalesce(avg(col("recall")) >= 0.9, lit(true)).as("recall_ge_090"))
+    },
+      Some(s"""SELECT count(*)::BIGINT AS n_queries, true AS recall_ge_090
+              |FROM ($bigVecSql) v WHERE id % 9973 = 1""".stripMargin)),
+
+    // IndexNNDescent searched as an index (faiss/IndexNNDescent.h:23):
+    // the raw (unpruned) per-partition kNN graph IS the search
+    // structure, walked by the same search_on_graph. Gate: recall@10
+    // vs exact >= 0.8 (the reference's own NNDescent tests gate on
+    // recall, tests/test_index_accuracy.py pattern).
+    ("nndescent_index_search", (s: SparkSession, dir: String) => {
+      val q = bigQueries(s, dir); val b = bigVecs(s, dir)
+      val approx = graft.knn.PartitionedNsg.knnJoin(q, b, 10,
+        gk = 32, r = 32, buildL = 64, searchL = 96, pruneToNsg = false)
+      val truth = Knn.knnJoin(q, b, 10)
+      graft.eval.Recall.perQuery(truth, approx)
+        .agg(count(lit(1)).as("n_queries"),
+          coalesce(avg(col("recall")) >= 0.8, lit(true)).as("recall_ge_080"))
+    },
+      Some(s"""SELECT count(*)::BIGINT AS n_queries, true AS recall_ge_080
+              |FROM ($bigVecSql) v WHERE id % 9973 = 1""".stripMargin)),
+
     // sanity: classic aggregation pipeline (partial agg + shuffle)
     ("q1_agg", (s: SparkSession, dir: String) =>
       lineitem(s, dir).groupBy(col("l_returnflag"), col("l_linestatus")).agg(

@@ -1,0 +1,411 @@
+package graft.knn
+
+/** In-memory single-JVM NSG graph (Fu et al., "Fast Approximate
+  * Nearest Neighbor Search With The Navigating Spreading-out Graph",
+  * VLDB'19) — the per-partition building block of [[PartitionedNsg]],
+  * covering the reference's IndexNSG (faiss/IndexNSG.h:26) and, in
+  * `prune = false` mode, IndexNNDescent's search-the-raw-kNN-graph
+  * semantics (faiss/IndexNNDescent.h:23) under the same IndexShards
+  * re-expression as [[LocalHnsw]].
+  *
+  * Algorithm re-derived from faiss/impl/NSG.cpp:
+  *  - init kNN graph (faiss/IndexNSG.cpp build_type 0/1: brute force
+  *    or NNDescent): brute force for small partitions, otherwise a
+  *    [[LocalHnsw]] bootstrap — the reference only needs an
+  *    APPROXIMATE kNN graph here (NNDescent's output is approximate
+  *    too), and the HNSW bootstrap is the already-tested local
+  *    machinery with the same contract.
+  *  - navigating point = node nearest the centroid (NSG.cpp:240
+  *    init_graph; the reference approximates the argmin by a graph
+  *    search from a random node — we compute it exactly, one O(n·d)
+  *    scan, deterministic).
+  *  - per-node candidate pool via search_on_graph collecting the
+  *    visited set (NSG.cpp:277-358), then MRNG edge selection
+  *    sync_prune (NSG.cpp:406-460): keep candidate p unless some
+  *    already-kept t has d(t,p) < d(q,p); degree capped at R,
+  *    candidate scan capped at C.
+  *  - add_reverse_links (NSG.cpp:462-540): each kept edge q→p is
+  *    offered back to p, re-pruned by the same rule when p is full.
+  *  - tree_grow / dfs / attach_unlinked (NSG.cpp:542-663): DFS from
+  *    the enterpoint; every unreached node is attached to its nearest
+  *    reached node with spare degree, so the final graph is CONNECTED
+  *    — which makes searchL >= n provably exact (the degenerate gate
+  *    [[graft.Queries]] uses).
+  *  - search = search_on_graph over the final graph (NSG.cpp:149-168):
+  *    fixed-size sorted candidate pool, expand-best-unexpanded until
+  *    no pool entry is unexpanded; pool seeded from the enterpoint's
+  *    neighbors plus deterministic pseudo-random fill (the reference
+  *    seeds a fixed RandomGenerator(0x1234) per search — same here).
+  *
+  * Deterministic given (ids, vecs, parameters): all ties break on
+  * (dist, node index) and the only RNG is fixed-seeded per search.
+  * Single-threaded by design — a Spark partition IS the parallel unit.
+  */
+final class LocalNsg(
+    ids: Array[Long], vecs: Array[Array[Float]],
+    gk: Int = 32, r: Int = 32, buildL: Int = 64, c: Int = 100,
+    prune: Boolean = true, seed: Long = 42L) {
+
+  private val n = vecs.length
+  require(n > 0, "empty partition")
+
+  def size: Int = n
+
+  private def dist(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  // ---- 1. initial kNN graph (degree <= gk, self excluded) -------------
+  private val knnG: Array[Array[Int]] = {
+    val k = math.min(gk, n - 1)
+    if (k <= 0) Array.fill(n)(Array.emptyIntArray)
+    else if (n <= 2048) {
+      // brute force (IndexNSG.cpp build_type 0)
+      Array.tabulate(n) { i =>
+        val ds = new Array[Double](n)
+        var j = 0
+        while (j < n) { ds(j) = if (j == i) Double.MaxValue else dist(vecs(i), vecs(j)); j += 1 }
+        val idx = Array.range(0, n)
+        // partial selection: k smallest by (dist, idx)
+        val out = new Array[Int](k)
+        var t = 0
+        while (t < k) {
+          var best = -1; var bd = Double.MaxValue
+          var m = 0
+          while (m < n) {
+            val jj = idx(m)
+            if (jj >= 0 && (ds(jj) < bd || (ds(jj) == bd && (best < 0 || jj < best)))) { bd = ds(jj); best = jj }
+            m += 1
+          }
+          out(t) = best; idx(best) = -1; t += 1
+        }
+        out
+      }
+    } else {
+      // HNSW bootstrap (stands in for IndexNSG.cpp build_type 1
+      // NNDescent: any high-recall approximate kNN graph works)
+      val h = new LocalHnsw(m = 16, efConstruction = 64, seed = seed)
+      var i = 0
+      while (i < n) { h.add(i.toLong, vecs(i)); i += 1 }
+      Array.tabulate(n) { q =>
+        h.search(vecs(q), k + 1, efSearch = math.max(64, k + 16))
+          .iterator.map(_._1.toInt).filter(_ != q).take(k).toArray
+      }
+    }
+  }
+
+  // ---- 2. navigating point (exact medoid vs centroid) -----------------
+  private val enterpoint: Int = {
+    val d = vecs(0).length
+    val center = new Array[Float](d)
+    var i = 0
+    while (i < n) {
+      val v = vecs(i); var j = 0
+      while (j < d) { center(j) += v(j); j += 1 }
+      i += 1
+    }
+    var j = 0
+    while (j < d) { center(j) /= n; j += 1 }
+    var best = 0; var bd = Double.MaxValue
+    i = 0
+    while (i < n) {
+      val dd = dist(center, vecs(i))
+      if (dd < bd) { bd = dd; best = i }
+      i += 1
+    }
+    best
+  }
+
+  // ---- search_on_graph scratch ----------------------------------------
+  private val visited = new java.util.BitSet()
+  // sorted candidate pool: ascending (dist, node); flag = not expanded
+  private var poolD = new Array[Double](0)
+  private var poolX = new Array[Int](0)
+  private var poolF = new Array[Boolean](0)
+
+  /** Insert (d,x,unexpanded) into the sorted pool of current size
+    * `size` capped at `cap`; returns the insert position (or cap if
+    * dropped). Classic NSG insert_into_pool. */
+  private def poolInsert(size: Int, cap: Int, d: Double, x: Int): Int = {
+    if (size == cap && (d > poolD(cap - 1) || (d == poolD(cap - 1) && x >= poolX(cap - 1)))) return cap
+    // binary search for first position with (dist, id) > (d, x)
+    var lo = 0; var hi = size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (poolD(mid) < d || (poolD(mid) == d && poolX(mid) < x)) lo = mid + 1 else hi = mid
+    }
+    val pos = lo
+    val last = math.min(size, cap - 1)
+    var i = last
+    while (i > pos) { poolD(i) = poolD(i - 1); poolX(i) = poolX(i - 1); poolF(i) = poolF(i - 1); i -= 1 }
+    poolD(pos) = d; poolX(pos) = x; poolF(pos) = true
+    pos
+  }
+
+  /** Best-first search over `graph` from `ep` with pool size `poolSize`.
+    * Returns the pool size used; pool arrays hold ascending results.
+    * When `collect` is non-null, every visited (node, dist) is appended
+    * (the sync_prune candidate set, NSG.cpp:360-388). */
+  private def searchOnGraph(graph: Array[Array[Int]], q: Array[Float],
+      ep: Int, poolSize: Int, collect: java.util.ArrayList[(Int, Double)]): Int = {
+    val ps = math.min(poolSize, n)
+    if (poolD.length < ps + 1) {
+      poolD = new Array[Double](ps + 1); poolX = new Array[Int](ps + 1); poolF = new Array[Boolean](ps + 1)
+    }
+    visited.clear()
+    // init ids: enterpoint's neighbors, then deterministic random fill
+    val init = new Array[Int](ps)
+    var num = 0
+    val epN = graph(ep)
+    var i = 0
+    while (i < epN.length && num < ps) {
+      val id = epN(i)
+      if (!visited.get(id)) { visited.set(id); init(num) = id; num += 1 }
+      i += 1
+    }
+    val rng = new java.util.Random(0x1234)  // NSG.cpp:284 fixed seed
+    var guard = 0
+    while (num < ps && guard < 16 * ps) {
+      val id = rng.nextInt(n)
+      if (!visited.get(id)) { visited.set(id); init(num) = id; num += 1 }
+      guard += 1
+    }
+    // fallback fill (rng may stall when ps ~ n): linear scan
+    if (num < ps) {
+      var id = 0
+      while (num < ps && id < n) {
+        if (!visited.get(id)) { visited.set(id); init(num) = id; num += 1 }
+        id += 1
+      }
+    }
+    var size = 0
+    i = 0
+    while (i < num) {
+      val id = init(i)
+      val d = dist(q, vecs(id))
+      poolInsert(size, ps, d, id)
+      size = math.min(size + 1, ps)
+      if (collect ne null) collect.add((id, d))
+      i += 1
+    }
+    // expand best unexpanded until none left below the pool horizon
+    var k = 0
+    while (k < size) {
+      if (poolF(k)) {
+        poolF(k) = false
+        val node = poolX(k)
+        var updated = size
+        val nbrs = graph(node)
+        var t = 0
+        while (t < nbrs.length) {
+          val id = nbrs(t)
+          if (id >= 0 && !visited.get(id)) {
+            visited.set(id)
+            val d = dist(q, vecs(id))
+            if (collect ne null) collect.add((id, d))
+            val pos = poolInsert(size, ps, d, id)
+            if (pos < size || size < ps) {
+              size = math.min(size + 1, ps)
+              if (pos < updated) updated = pos
+            }
+          }
+          t += 1
+        }
+        k = if (updated < k) updated else k + 1
+      } else k += 1
+    }
+    size
+  }
+
+  // ---- 3..5. NSG link + reverse links + tree_grow ---------------------
+  /** final graph: flat n×cap adjacency (-1 = empty) + degrees. In
+    * `prune = false` mode this is just the kNN graph (IndexNNDescent:
+    * the search structure IS the raw graph). */
+  private val capR = if (prune) r else math.max(1, math.min(gk, math.max(1, n - 1)))
+  private val finalA = Array.fill(n * capR)(-1)
+  private val degrees = new Array[Int](n)
+
+  private def mrngSelect(q: Int, pool: java.util.ArrayList[(Int, Double)],
+      out: Array[Int], outD: Array[Double]): Int = {
+    // sort ascending (dist, id); drop self and duplicates
+    val arr = pool.toArray(new Array[(Int, Double)](pool.size()))
+    java.util.Arrays.sort(arr, new java.util.Comparator[(Int, Double)] {
+      def compare(a: (Int, Double), b: (Int, Double)): Int = {
+        val c = java.lang.Double.compare(a._2, b._2)
+        if (c != 0) c else Integer.compare(a._1, b._1)
+      }
+    })
+    var cnt = 0
+    var start = 0
+    var scanned = 0
+    while (cnt < r && start < arr.length && scanned < c) {
+      val (p, dqp) = arr(start)
+      start += 1; scanned += 1
+      if (p != q) {
+        var occlude = false
+        var t = 0
+        while (!occlude && t < cnt) {
+          if (out(t) == p) occlude = true
+          else if (dist(vecs(out(t)), vecs(p)) < dqp) occlude = true  // MRNG rule, NSG.cpp:441
+          t += 1
+        }
+        if (!occlude) { out(cnt) = p; outD(cnt) = dqp; cnt += 1 }
+      }
+    }
+    cnt
+  }
+
+  if (prune && n > 1) {
+    val outBuf = new Array[Int](r)
+    val outD = new Array[Double](r)
+    var q = 0
+    while (q < n) {
+      val pool = new java.util.ArrayList[(Int, Double)](buildL * 4)
+      searchOnGraph(knnG, vecs(q), enterpoint, buildL, pool)
+      // also offer q's own kNN neighbors (NSG.cpp:413-421)
+      val kn = knnG(q)
+      var i = 0
+      while (i < kn.length) { pool.add((kn(i), dist(vecs(q), vecs(kn(i))))); i += 1 }
+      val cnt = mrngSelect(q, pool, outBuf, outD)
+      i = 0
+      while (i < cnt) { finalA(q * capR + i) = outBuf(i); i += 1 }
+      degrees(q) = cnt
+      q += 1
+    }
+    // add_reverse_links (NSG.cpp:462)
+    q = 0
+    while (q < n) {
+      var i = 0
+      while (i < degrees(q)) {
+        val des = finalA(q * capR + i)
+        var dup = false
+        var j = 0
+        while (!dup && j < degrees(des)) { if (finalA(des * capR + j) == q) dup = true; j += 1 }
+        if (!dup) {
+          if (degrees(des) < r) {
+            finalA(des * capR + degrees(des)) = q
+            degrees(des) += 1
+          } else {
+            // full: re-prune des's R+1 candidates by the same rule
+            val pool = new java.util.ArrayList[(Int, Double)](r + 1)
+            var t = 0
+            while (t < degrees(des)) {
+              val nb = finalA(des * capR + t)
+              pool.add((nb, dist(vecs(des), vecs(nb)))); t += 1
+            }
+            pool.add((q, dist(vecs(des), vecs(q))))
+            val cnt = mrngSelect(des, pool, outBuf, outD)
+            t = 0
+            while (t < cnt) { finalA(des * capR + t) = outBuf(t); t += 1 }
+            t = cnt
+            while (t < r) { finalA(des * capR + t) = -1; t += 1 }
+            degrees(des) = cnt
+          }
+        }
+        i += 1
+      }
+      q += 1
+    }
+    // tree_grow (NSG.cpp:542): connect every node to the enterpoint tree
+    val reached = new java.util.BitSet(n)
+    def dfs(root: Int): Unit = {
+      val stack = new java.util.ArrayDeque[Integer]()
+      stack.push(root); reached.set(root)
+      while (!stack.isEmpty) {
+        val node = stack.peek().intValue()
+        var next = -1
+        var i2 = 0
+        while (next < 0 && i2 < degrees(node)) {
+          val id = finalA(node * capR + i2)
+          if (id >= 0 && !reached.get(id)) next = id
+          i2 += 1
+        }
+        if (next < 0) stack.pop()
+        else { reached.set(next); stack.push(next) }
+      }
+    }
+    dfs(enterpoint)
+    var unreachedFrom = 0
+    var continueGrow = reached.cardinality() < n
+    while (continueGrow) {
+      // first unreached node (attach_unlinked, NSG.cpp:600)
+      var id = -1
+      var i2 = unreachedFrom
+      while (id < 0 && i2 < n) { if (!reached.get(i2)) id = i2; i2 += 1 }
+      if (id < 0) continueGrow = false
+      else {
+        unreachedFrom = id
+        // nearest REACHED node with spare degree, via graph search on
+        // the final graph (searchL pool), else linear fallback
+        val pool = new java.util.ArrayList[(Int, Double)](buildL * 4)
+        searchOnGraph(snapshotView(), vecs(id), enterpoint, buildL, pool)
+        val arr = pool.toArray(new Array[(Int, Double)](pool.size()))
+        java.util.Arrays.sort(arr, new java.util.Comparator[(Int, Double)] {
+          def compare(a: (Int, Double), b: (Int, Double)): Int = {
+            val cc = java.lang.Double.compare(a._2, b._2)
+            if (cc != 0) cc else Integer.compare(a._1, b._1)
+          }
+        })
+        var node = -1
+        var t = 0
+        while (node < 0 && t < arr.length) {
+          val cand = arr(t)._1
+          if (cand != id && reached.get(cand) && degrees(cand) < capR) node = cand
+          t += 1
+        }
+        if (node < 0) {
+          // fallback: any reached node with spare degree; else steal the
+          // enterpoint's last slot (degree invariant beats optimality)
+          var t2 = 0
+          while (node < 0 && t2 < n) {
+            if (t2 != id && reached.get(t2) && degrees(t2) < capR) node = t2
+            t2 += 1
+          }
+          if (node < 0) { node = enterpoint; degrees(node) = capR - 1 }
+        }
+        finalA(node * capR + degrees(node)) = id
+        degrees(node) += 1
+        dfs(node)
+        continueGrow = reached.cardinality() < n
+      }
+    }
+  } else if (!prune) {
+    var q = 0
+    while (q < n) {
+      val kn = knnG(q)
+      var i = 0
+      while (i < kn.length && i < capR) { finalA(q * capR + i) = kn(i); i += 1 }
+      degrees(q) = math.min(kn.length, capR)
+      q += 1
+    }
+  }
+
+  /** Fresh adjacency view of the (possibly still-growing) final graph. */
+  private def snapshotView(): Array[Array[Int]] =
+    Array.tabulate(n)(i => java.util.Arrays.copyOfRange(finalA, i * capR, i * capR + degrees(i)))
+
+  /** Adjacency view of the final graph for search (built once, after
+    * the constructor body above has finished mutating finalA/degrees —
+    * tree_grow uses snapshotView() precisely so this stays unforced
+    * until the graph is final). */
+  private lazy val finalGraphView: Array[Array[Int]] = snapshotView()
+
+  /** Top-k (id, dist) by NSG graph search; pool = max(searchL, k).
+    * searchL >= n degenerates to exact (connected graph, full pool). */
+  def search(q: Array[Float], k: Int, searchL: Int = 64): Array[(Long, Double)] = {
+    val sz = searchOnGraph(finalGraphView, q, enterpoint, math.max(searchL, k), null)
+    val out = new Array[(Long, Double)](math.min(k, sz))
+    var i = 0
+    while (i < out.length) { out(i) = (ids(poolX(i)), poolD(i)); i += 1 }
+    out
+  }
+
+  /** Max out-degree (spec support: must be <= R in pruned mode). */
+  def maxDegree: Int = {
+    var m = 0; var i = 0
+    while (i < n) { if (degrees(i) > m) m = degrees(i); i += 1 }
+    m
+  }
+}

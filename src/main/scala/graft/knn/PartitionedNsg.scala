@@ -1,0 +1,76 @@
+package graft.knn
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.functions.topk
+
+/** Distributed approximate kNN via per-partition in-memory NSG graphs
+  * — the capability answer to the reference's IndexNSG
+  * (faiss/IndexNSG.h:26, faiss/impl/NSG.cpp:679) and, with
+  * `pruneToNsg = false`, IndexNNDescent searched as an index
+  * (faiss/IndexNNDescent.h:23) — under the same IndexShards pattern as
+  * [[PartitionedHnsw]] (SURVEY §7: a single global graph build is
+  * anti-dataflow; per-partition graphs inside mapPartitions are the
+  * scalable re-expression).
+  *
+  * Each partition builds a private [[LocalNsg]] and answers every
+  * broadcast query locally; per-partition top-k results merge through
+  * the same bounded-heap aggregate as every other search path. The
+  * base never shuffles (beyond the one-time CPU-spread repartition),
+  * queries broadcast once, and each partition costs
+  * O(|part|·(GK·log|part| + buildL)) build + O(Q·searchL) search — at
+  * 1000 executors the graphs build in parallel and stay executor-sized.
+  *
+  * Accuracy: every partition is searched, so sharding loses no
+  * candidates (unlike IVF pruning); recall is single-node NSG recall
+  * at the same searchL. searchL >= max partition size degenerates to
+  * exact (LocalNsg seeds the full pool), which is the driver-gated
+  * bit-for-bit check `nsg_exact_search` uses.
+  */
+object PartitionedNsg {
+
+  /** Approximate top-k join. Output (qid, rank, id, dist), like
+    * [[Knn.knnJoin]]. `queries` must be driver-collectable (same
+    * contract as the broadcast-NLJ exact path). */
+  def knnJoin(queries: DataFrame, base: DataFrame, k: Int,
+      gk: Int = 32, r: Int = 32, buildL: Int = 64, searchL: Int = 64,
+      pruneToNsg: Boolean = true,
+      queryId: String = "qid", queryVec: String = "qvec",
+      baseId: String = "id", baseVec: String = "vec"): DataFrame = {
+    val spark = base.sparkSession
+    val qArr: Array[(Long, Array[Float])] = queries
+      .select(col(queryId).cast("long"), col(queryVec))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bq = spark.sparkContext.broadcast(qArr)
+    // graph build is CPU-bound: never inherit a narrow file-split
+    // partitioning (same rationale as PartitionedHnsw / Dedup.widen)
+    val target = spark.sparkContext.defaultParallelism
+    val spread =
+      if (base.rdd.getNumPartitions >= target) base else base.repartition(target)
+    val cand = spread.select(col(baseId).cast("long"), col(baseVec))
+      .rdd.mapPartitionsWithIndex { (pi, it) =>
+        val rows = it.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val g = new LocalNsg(rows.map(_._1), rows.map(_._2),
+            gk = gk, r = r, buildL = buildL, prune = pruneToNsg,
+            seed = 42L + pi)
+          bq.value.iterator.flatMap { case (qid, qv) =>
+            g.search(qv, k, searchL).iterator.map { case (id, d) => Row(qid, id, d) }
+          }
+        }
+      }
+    val candDf = spark.createDataFrame(cand,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_qid", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("_id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("_dist", org.apache.spark.sql.types.DoubleType, nullable = false))))
+    candDf
+      .groupBy(col("_qid").as(queryId))
+      .agg(topk(col("_dist"), col("_id"), k, asc = true).as("_tk"))
+      .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+      .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
+        col("_r.id").as(baseId), col("_r.dist").as("dist"))
+  }
+}
