@@ -288,6 +288,19 @@ object Queries {
     OracleAux.write(dir, "ivfrq_codebooks",
       OracleAux.codebooksDf(s, ivfrq.model.codebooks))
     OracleAux.write(dir, "ivfrq_codes", ivfrq.codes)
+    // ZnLattice: trained norm ranges, engine-encoded per-subvector
+    // integer codes, and the enumerated sphere codebook (the dataflow
+    // decode_cache, lattice_Zn.h:163) — the oracle replays DECODE only
+    // (integer lookups + double arithmetic), the index2layer pattern.
+    val zl = znLat16(s, dir)
+    OracleAux.write(dir, "zn_range", {
+      import s.implicits._
+      (0 until zl.nsq).map(j => (j, zl.mins(j), zl.maxs(j))).toDF("j", "mn", "mx")
+    })
+    OracleAux.write(dir, "zn_codes",
+      emb(s, dir).select(col("vec_id").as("id"),
+        graft.index.Lattice.subCodesCol(zl, col("embedding")).as("codes")))
+    OracleAux.write(dir, "zn_codebook", graft.index.Lattice.codebookDf(s, zl))
   }
 
   /** Root the static sidecar-oracle SQLs read from: the driver's
@@ -395,6 +408,14 @@ object Queries {
       graft.index.IvfRq.build(bDf(s, dir, 10), "id", "vec",
         nlist = 8, levels = 2, k = 16, niterCoarse = 4, niterRq = 4,
         beam = 2, icmIters = 1)
+    }
+  /** ZnLattice16x10_8 over the d=64 embeddings: 16 subvectors of
+    * dim 4, sphere r2=10 (nv=144 points, 8-bit lattice code), 8-bit
+    * scale (faiss/IndexLattice.h:22; factory index_factory.cpp:536). */
+  private def znLat16(s: SparkSession, dir: String): graft.core.LatticeCodec =
+    cached(s"znlat16:$dir") {
+      graft.index.Lattice.train(emb(s, dir), "embedding",
+        nsq = 16, scaleNbit = 8, r2 = 10)
     }
   private def docsDf(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
@@ -1560,6 +1581,65 @@ object Queries {
               |  round(list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], r.rv::DOUBLE[]),
               |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 4) AS err
               |FROM recon r JOIN embeddings b ON b.vec_id = r.id""".stripMargin)),
+
+    // ZnLattice codec roundtrip (faiss/IndexLattice.h:22, codec
+    // machinery faiss/impl/lattice_Zn.cpp): vectors encoded as 16
+    // (8-bit scale, 8-bit sphere-point) pairs by the enumerative
+    // Zn codec — no trained codebook at all. Engine and oracle both
+    // DECODE from the engine's integer codes (zn_codes sidecar) via
+    // the enumerated sphere table (zn_codebook) in identical DOUBLE
+    // arithmetic, then compare reconstruction error vs the original —
+    // re-running the combinatorial ENCODE in SQL is neither possible
+    // nor needed (ZnLatticeSpec proves encode optimal + bijective).
+    ("zn_lattice_roundtrip", (s: SparkSession, dir: String) => {
+      val lat = znLat16(s, dir)
+      import s.implicits._
+      val cb = graft.index.Lattice.codebookDf(s, lat)
+      val rng = (0 until lat.nsq).map(j => (j, lat.mins(j), lat.maxs(j)))
+        .toDF("j", "mn", "mx")
+      val per = emb(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"),
+          graft.index.Lattice.subCodesCol(lat, col("embedding")).as("codes"))
+        .select(col("id"), col("embedding"),
+          explode(transform(sequence(lit(0), lit(lat.nsq - 1)), j =>
+            struct(j.as("j"),
+              element_at(col("codes"), j * 2 + 1).as("scale"),
+              element_at(col("codes"), j * 2 + 2).as("lat_code")))).as("s"))
+        .select(col("id"), col("embedding"),
+          col("s.j").as("j"), col("s.scale").as("scale"), col("s.lat_code").as("lat_code"))
+      val dec = per
+        .join(broadcast(rng), "j")
+        .join(broadcast(cb), "lat_code")
+        .withColumn("nrm",
+          ((col("scale").cast("double") + lit(0.5)) *
+            (col("mx").cast("double") - col("mn").cast("double")) / lit(256.0) +
+            col("mn").cast("double")) / lit(math.sqrt(10.0)))
+        .select(col("id"), col("embedding"), col("j"),
+          transform(col("c"), x => x.cast("double") * col("nrm")).as("dv"))
+      dec.groupBy("id")
+        .agg(first(col("embedding")).as("embedding"),
+          sort_array(collect_list(struct(col("j"), col("dv")))).as("parts"))
+        .select(col("id"), col("embedding"),
+          flatten(transform(col("parts"), p => p.getField("dv"))).as("rv"))
+        .select(col("id"),
+          round(element_at(col("rv"), 1), 4).as("d1"),
+          round(aggregate(zip_with(col("embedding").cast("array<double>"), col("rv"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x), 4).as("err"))
+    },
+      Some(s"""WITH rngv AS (SELECT j, mn, mx FROM read_parquet('$AUX/zn_range/*.parquet')),
+              |cbv AS (SELECT lat_code, c FROM read_parquet('$AUX/zn_codebook/*.parquet')),
+              |codes AS (SELECT id, codes FROM read_parquet('$AUX/zn_codes/*.parquet')),
+              |per AS (SELECT id, r.j AS j, codes[2*r.j+1] AS scale, codes[2*r.j+2] AS lat_code
+              |  FROM codes, range(0,16) r(j)),
+              |dec AS (SELECT p.id, p.j,
+              |    list_transform(cb.c, x -> x::DOUBLE *
+              |      (((p.scale::DOUBLE + 0.5) * (g.mx::DOUBLE - g.mn::DOUBLE) / 256.0 + g.mn::DOUBLE) / sqrt(10.0))) AS dv
+              |  FROM per p JOIN rngv g ON g.j = p.j JOIN cbv cb ON cb.lat_code = p.lat_code),
+              |rv AS (SELECT id, flatten(list(dv ORDER BY j)) AS rv FROM dec GROUP BY id)
+              |SELECT r.id, round(r.rv[1], 4) AS d1,
+              |  round(list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], r.rv),
+              |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 4) AS err
+              |FROM rv r JOIN embeddings b ON b.vec_id = r.id""".stripMargin)),
 
     // IndexIVFSpectralHash (faiss/IndexIVFSpectralHash.h:31): binary
     // signatures from periodic threshold intervals of the rotated

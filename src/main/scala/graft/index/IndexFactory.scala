@@ -58,6 +58,11 @@ object IndexFactory {
       case Pq(m, _) => code = Some(m.toInt)
       case RqTok(lv, nb) => code = Some((lv.toInt * nb.toInt + 7) / 8)
       case PrqTok(ns, lv, nb) => code = Some((ns.toInt * lv.toInt * nb.toInt + 7) / 8)
+      case HnswTok(_) | NsgTok(_) => code = Some(4 * dim)  // Flat storage
+      case ZnTok(m, r2v, nbit) =>
+        val lat = new graft.core.LatticeCodec(dim, m.toInt, nbit.toInt, r2v.toInt,
+          new Array[Float](m.toInt), Array.fill(m.toInt)(1.0f))
+        code = Some(lat.codeSize)
       case other => throw new IllegalArgumentException(s"unknown token $other")
     }
     code.getOrElse(throw new IllegalArgumentException(s"no code token in '$desc'"))
@@ -122,6 +127,10 @@ object IndexFactory {
   // PRQ<nsplit>x<L>x<nbits>; +IVF via the IVF<nlist>, prefix
   private val RqTok = "RQ(\\d+)x(\\d+)".r
   private val PrqTok = "PRQ(\\d+)x(\\d+)x(\\d+)".r
+  private val HnswTok = "HNSW(\\d+)".r
+  private val NsgTok = "NSG(\\d+)".r
+  // ZnLattice<M>x<r2>_<nbit> (index_factory.cpp:536)
+  private val ZnTok = "ZnLattice(\\d+)x(\\d+)_(\\d+)".r
 
   /** IndexLSH (faiss/IndexLSH.h:23, factory "LSH[rt]"): seeded random
     * rotation to nbits dims, sign-bit codes, Hamming ranking. */
@@ -163,6 +172,24 @@ object IndexFactory {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       Knn.knnJoin(q.withColumn(qvec, chain.applyCol(col(qvec))),
         idx.reconstruct, k, queryId = qid, queryVec = qvec)
+  }
+
+  /** Per-partition HNSW shards over Flat storage (HNSW<M>[,Flat],
+    * index_factory.cpp HNSW grammar; search via PartitionedHnsw). */
+  private final class HnswBuilt(base: DataFrame, chain: VecTransform, m: Int)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      graft.knn.PartitionedHnsw.knnJoin(
+        q.withColumn(qvec, chain.applyCol(col(qvec))), base, k,
+        m = m, efSearch = math.max(96, 4 * k), queryId = qid, queryVec = qvec)
+  }
+  /** Per-partition NSG shards over Flat storage (NSG<R>[,Flat]). */
+  private final class NsgBuilt(base: DataFrame, chain: VecTransform, r: Int)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      graft.knn.PartitionedNsg.knnJoin(
+        q.withColumn(qvec, chain.applyCol(col(qvec))), base, k,
+        r = r, searchL = math.max(96, 4 * k), queryId = qid, queryVec = qvec)
   }
 
   /** Train the whole pipeline on `df` (id, vec) and return a
@@ -275,9 +302,22 @@ object IndexFactory {
           lv.toInt, 1 << nb.toInt, niter = niter, seed = seed, beam = 2)
         new FlatBuilt(data.select(col("id"),
           model.roundtripCol(col("vec"), beam = 2, icmIters = 1).as("vec")), chain)
+      // graph indexes over Flat storage (per-partition shards, SURVEY
+      // §7: the scalable re-expression of IndexHNSW / IndexNSG)
+      case HnswTok(m) :: tl if tl.isEmpty || tl == List("Flat") =>
+        new HnswBuilt(data, chain, m.toInt)
+      case NsgTok(rr) :: tl if tl.isEmpty || tl == List("Flat") =>
+        new NsgBuilt(data, chain, rr.toInt)
+      // ZnLattice<M>x<r2>_<nbit> (index_factory.cpp:536, IndexLattice):
+      // a pure codec in the reference (search throws); searchable here
+      // through the reconstruction-distance scan like the flat AQs
+      case ZnTok(m, r2v, nbit) :: Nil =>
+        val lat = Lattice.train(data, "vec", m.toInt, nbit.toInt, r2v.toInt)
+        new FlatBuilt(data.select(col("id"),
+          Lattice.decodeCol(lat, Lattice.encodeCol(lat, col("vec"))).as("vec")), chain)
       case other => throw new IllegalArgumentException(
         s"unsupported factory tail '${other.mkString(",")}' in '$desc' " +
-          "(HNSW/NSG/fast-scan are out of scope: SURVEY §7)")
+          "(fast-scan is out of scope: SURVEY §7)")
     }
     val result = if (refine) new RefineBuilt(built, data, chain, kFactor = 4) else built
     result.description = desc

@@ -55,6 +55,27 @@ class IoFactorySpec extends SparkTestBase {
     assert(IndexFactory.codeSize("IVF8,RQ2x4", 64) == 1)
   }
 
+  test("factory graph indexes HNSW16 / NSG16 and ZnLattice codec") {
+    // graph shards over Flat storage: generous search pool on this
+    // tiny base makes them exact
+    val h = IndexFactory.build(b, "id", "vec", "HNSW16")
+    val n = IndexFactory.build(b, "id", "vec", "NSG16,Flat")
+    val want = Knn.knnJoin(q, b, 3).select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotH = h.search(q, 3).select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotN = n.search(q, 3).select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotH == want, "HNSW16 on tiny base should be exact")
+    assert(gotN == want, "NSG16 on tiny base should be exact")
+    // ZnLattice16x10_8 on d=64: 16 x (8-bit scale + 8-bit lattice) = 32 bytes
+    val z = IndexFactory.build(b, "id", "vec", "ZnLattice16x10_8")
+    assert(z.search(q, 3).count() == 15)
+    assert(IndexFactory.codeSize("ZnLattice16x10_8", 64) == 32)
+    assert(IndexFactory.codeSize("HNSW16", 64) == 256)
+    assert(IndexFactory.codeSize("NSG16", 64) == 256)
+  }
+
   test("factory PCA16,IVF4,Flat and L2norm,SQ8 build and search") {
     val f1 = IndexFactory.build(b, "id", "vec", "PCA16,IVF4,Flat")
     assert(f1.search(q, 3, nprobe = 4).count() == 15)
@@ -89,9 +110,9 @@ class IoFactorySpec extends SparkTestBase {
     assert(f.description == "IVF8,Flat")
   }
 
-  test("factory rejects unsupported HNSW with rationale") {
+  test("factory rejects unsupported fast-scan with rationale") {
     val e = intercept[IllegalArgumentException] {
-      IndexFactory.build(b, "id", "vec", "HNSW32")
+      IndexFactory.build(b, "id", "vec", "PQ8x4fs")
     }
     assert(e.getMessage.contains("SURVEY"))
   }
