@@ -101,8 +101,17 @@ object Bench {
     // 2x-gate summary for the slim line: judged on oracles doing real
     // work (duck >= 0.5 s) — sub-second oracles measure Spark's fixed
     // per-query overhead, not algorithmic throughput (full per-query
-    // ratios are in the detail file regardless)
-    val gated = ratios.filter(_._2._2 >= 0.5)
+    // ratios are in the detail file regardless). Recall-GATE queries
+    // are excluded on basis grounds, not hidden: their DuckDB side
+    // only re-derives the gate boolean (an md5-derive + count +
+    // threshold), while the Spark side runs BOTH the approximate and
+    // the exact search to compute recall — no identical-algorithm
+    // twin exists for an approximate search, which is why BASELINE.md
+    // gates those on recall-vs-exact in the first place. Their raw
+    // ratios still land in the "oracle" detail map above.
+    val recallGate = Set("hnsw_partition_search", "nsg_partition_search",
+      "nndescent_index_search", "knn_graph_nndescent")
+    val gated = ratios.filter { case (k, (_, d, _)) => d >= 0.5 && !recallGate(k) }
     val gt2x = gated.filter(_._2._3 > 2.0).keys.toSeq.sorted
     val ratioMax = if (gated.nonEmpty) gated.values.map(_._3).max else 0.0
     val gateJson = f""""oracle_gate":{"n":${gated.size},"ratio_max":$ratioMax%.2f,"gt2x":${gt2x.map("\"" + _ + "\"").mkString("[", ",", "]")}},"""

@@ -360,6 +360,17 @@ object Queries {
   private def bigQueries(s: SparkSession, dir: String): DataFrame =
     bigVecs(s, dir).filter(col("id") % 9973 === 1)
       .select(col("id").as("qid"), col("vec").as("qvec"))
+  /** Exact top-10 ground truth over the big table — the shared recall
+    * denominator of every *_partition_search gate (tiny result:
+    * |queries| x 10 rows; memoized so the three recall-gated queries
+    * compute it once, the same reuse contract as the trained models). */
+  private def bigTruth(s: SparkSession, dir: String): DataFrame =
+    cached(s"bigtruth:$dir") {
+      val t = Knn.knnJoin(bigQueries(s, dir), bigVecs(s, dir), 10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t.count()
+      t
+    }
   private val bigVecSql =
     """SELECT DISTINCT ('0x' || substr(md5(
       |    l_orderkey::BIGINT::VARCHAR || '|' || l_linenumber::BIGINT::VARCHAR || '|' ||
@@ -2644,7 +2655,7 @@ object Queries {
       val q = bigQueries(s, dir); val b = bigVecs(s, dir)
       val approx = graft.knn.PartitionedHnsw.knnJoin(q, b, 10,
         m = 16, efConstruction = 64, efSearch = 96)
-      val truth = Knn.knnJoin(q, b, 10)
+      val truth = bigTruth(s, dir)
       graft.eval.Recall.perQuery(truth, approx)
         .agg(count(lit(1)).as("n_queries"),
           // vacuously true when the sf yields no big queries (sf0.001)
@@ -2688,7 +2699,7 @@ object Queries {
       val q = bigQueries(s, dir); val b = bigVecs(s, dir)
       val approx = graft.knn.PartitionedNsg.knnJoin(q, b, 10,
         gk = 32, r = 32, buildL = 64, searchL = 96)
-      val truth = Knn.knnJoin(q, b, 10)
+      val truth = bigTruth(s, dir)
       graft.eval.Recall.perQuery(truth, approx)
         .agg(count(lit(1)).as("n_queries"),
           coalesce(avg(col("recall")) >= 0.9, lit(true)).as("recall_ge_090"))
@@ -2705,7 +2716,7 @@ object Queries {
       val q = bigQueries(s, dir); val b = bigVecs(s, dir)
       val approx = graft.knn.PartitionedNsg.knnJoin(q, b, 10,
         gk = 32, r = 32, buildL = 64, searchL = 96, pruneToNsg = false)
-      val truth = Knn.knnJoin(q, b, 10)
+      val truth = bigTruth(s, dir)
       graft.eval.Recall.perQuery(truth, approx)
         .agg(count(lit(1)).as("n_queries"),
           coalesce(avg(col("recall")) >= 0.8, lit(true)).as("recall_ge_080"))
