@@ -484,6 +484,27 @@ object Queries {
        |WHERE "rank" <= $k""".stripMargin
   }
 
+  /** Probe-replay IVF oracle at nprobe=4 over the ivf16 sidecar,
+    * shared by the exact coarse assign (`ivf_search_nprobe4`) and its
+    * HNSW-degenerate twin (`ivf_hnsw_search`). */
+  private lazy val ivfNprobe4Sql: String =
+    s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivf16_centroids/*.parquet')),
+       |qc AS (SELECT q.vec_id AS qid, c.list_no, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
+       |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10),
+       |probes AS (SELECT qid, list_no FROM qc WHERE pr <= 4),
+       |basg AS (SELECT id, list_no FROM (
+       |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+       |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+       |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+       |d AS (SELECT p.qid, a.id,
+       |    list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2 AS dist
+       |  FROM probes p JOIN basg a ON a.list_no = p.list_no
+       |  JOIN embeddings q ON q.vec_id = p.qid JOIN embeddings b ON b.vec_id = a.id)
+       |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+       |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+       |WHERE "rank" <= 10""".stripMargin
+
   // ---------------------------------------------------------------------
   // The catalog. Names are stable keys; comments map to SURVEY.md §2 rows.
   // ---------------------------------------------------------------------
@@ -870,22 +891,21 @@ object Queries {
     ("ivf_search_nprobe4", (s: SparkSession, dir: String) =>
       ivf16(s, dir).search(qDf(s, dir, 10), k = 10, nprobe = 4)
         .withColumn("dist", r4("dist")),
-      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivf16_centroids/*.parquet')),
-              |qc AS (SELECT q.vec_id AS qid, c.list_no, row_number() OVER (PARTITION BY q.vec_id ORDER BY
-              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
-              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10),
-              |probes AS (SELECT qid, list_no FROM qc WHERE pr <= 4),
-              |basg AS (SELECT id, list_no FROM (
-              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
-              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
-              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
-              |d AS (SELECT p.qid, a.id,
-              |    list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2 AS dist
-              |  FROM probes p JOIN basg a ON a.list_no = p.list_no
-              |  JOIN embeddings q ON q.vec_id = p.qid JOIN embeddings b ON b.vec_id = a.id)
-              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
-              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
-              |WHERE "rank" <= 10""".stripMargin)),
+      Some(ivfNprobe4Sql)),
+
+    // IVF with an HNSW coarse quantizer (the reference's
+    // `IVF<n>_HNSW<m>` coarse grammar, index_factory.cpp:241-291):
+    // probe selection walks a per-executor HNSW graph over the
+    // centroids instead of the exact O(nlist) argmin — at nlist ~ 1M
+    // this is what keeps coarse quantization off the critical path.
+    // efSearch >= nlist makes the walk cover the whole graph, so the
+    // probe set — and therefore the result — must be bit-identical to
+    // the exact coarse assign: same oracle as ivf_search_nprobe4.
+    ("ivf_hnsw_search", (s: SparkSession, dir: String) =>
+      ivf16(s, dir).search(qDf(s, dir, 10), k = 10, nprobe = 4,
+        hnswCoarse = Some(4096))
+        .withColumn("dist", r4("dist")),
+      Some(ivfNprobe4Sql)),
 
     // §2.7 search_and_return_centroids: list_no as an output column.
     // nprobe = nlist, so the result is the exact top-k plus each

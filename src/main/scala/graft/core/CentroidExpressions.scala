@@ -58,6 +58,57 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Executor-JVM cache of HNSW graphs over centroid tables, keyed by a
+  * driver-assigned id. The graph is built once per executor process
+  * (first task to need it pays the O(nlist log nlist) build; every
+  * later task and row reuses it) — the dataflow stand-in for the
+  * reference's single trained quantizer object. */
+private[graft] object CentroidHnswCache {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.knn.LocalHnsw]()
+  def get(key: String, centroids: Array[Array[Float]], m: Int,
+      efConstruction: Int): graft.knn.LocalHnsw =
+    cache.computeIfAbsent(key, _ => {
+      val g = new graft.knn.LocalHnsw(m, efConstruction, seed = 42L)
+      var i = 0
+      while (i < centroids.length) { g.add(i.toLong, centroids(i)); i += 1 }
+      g
+    })
+}
+
+/** HNSW-accelerated probe-list computation — the coarse quantizer of
+  * the reference's `IVF{n}_HNSW{m}` grammar (index_factory.cpp:241-291
+  * coarse grammar; IndexHNSWFlat as quantizer). Exact assignment is
+  * O(nlist·d) per row, which at nlist ~ 1M centroids dominates the
+  * whole search; the graph walk is O(ef·log nlist·d). efSearch >=
+  * nlist degenerates to the exact probe set (the oracle gate).
+  * L2 only, like the reference's HNSW coarse quantizer. Same output
+  * contract as [[NearestCentroids]]. */
+case class NearestCentroidsHnsw(child: Expression,
+    centroids: Array[Array[Float]], nprobe: Int, efSearch: Int,
+    m: Int, cacheKey: String)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("list_no", IntegerType, nullable = false),
+    StructField("dist", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "nearest_centroids_hnsw"
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val g = CentroidHnswCache.get(cacheKey, centroids, m, efConstruction = 2 * m)
+    val q = a.toFloatArray()
+    val res = g.search(q, math.min(nprobe, centroids.length),
+      math.max(efSearch, nprobe))
+    val out = new Array[Any](res.length)
+    var i = 0
+    while (i < res.length) { out(i) = InternalRow(res(i)._1.toInt, res(i)._2); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Top-nprobe nearest centroids — the IVF probe-list computation
   * (faiss/IndexIVF.cpp:330 quantizer->search with k=nprobe). Returns
   * array<struct<list_no:int, dist:double>> best-first. */

@@ -48,7 +48,7 @@ object IndexFactory {
       case Rr(t) => dim = t.toInt
       case OpqTok(_) => ()
       case "L2norm" | "Center" | "RFlat" => ()
-      case Ivf(_) | Imi(_) | Res(_) => ()
+      case Ivf(_) | IvfHnsw(_, _) | Imi(_) | Res(_) => ()
       case "Flat" => code = Some(4 * dim)
       case "SQ8" => code = Some(dim)
       case "SQ4" => code = Some((dim + 1) / 2)
@@ -117,6 +117,9 @@ object IndexFactory {
   private val Pca = "PCA(W?)(\\d+)".r
   private val Rr = "RR(\\d+)".r
   private val Ivf = "IVF(\\d+)".r
+  // IVF<nlist>_HNSW<m>: HNSW-accelerated coarse quantizer (reference
+  // coarse grammar, index_factory.cpp:241-291)
+  private val IvfHnsw = "IVF(\\d+)_HNSW(\\d+)".r
   private val Pq = "PQ(\\d+)(?:x(\\d+))?".r
   private val OpqTok = "OPQ(\\d+)".r
   private val Imi = "IMI2x(\\d+)".r
@@ -172,6 +175,20 @@ object IndexFactory {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       Knn.knnJoin(q.withColumn(qvec, chain.applyCol(col(qvec))),
         idx.reconstruct, k, queryId = qid, queryVec = qvec)
+  }
+
+  /** IVF with an HNSW coarse quantizer (IVF<n>_HNSW<m>,Flat): the
+    * probe selection walks a per-executor graph over the centroids
+    * instead of the exact O(nlist) argmin — the scale path for large
+    * nlist. efSearch scales with nprobe; on small nlist it covers the
+    * whole graph and is exact. */
+  private final class IvfHnswBuilt(idx: IvfIndex, chain: VecTransform)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
+      val np = math.max(nprobe, 1)
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, np,
+        qid, qvec, hnswCoarse = Some(math.max(32, 4 * np)))
+    }
   }
 
   /** Per-partition HNSW shards over Flat storage (HNSW<M>[,Flat],
@@ -241,6 +258,9 @@ object IndexFactory {
     }
 
     val built = core match {
+      case IvfHnsw(nlist, _) :: "Flat" :: Nil =>
+        new IvfHnswBuilt(IvfIndex.build(data, "id", "vec", nlist.toInt,
+          niter = niter, seed = seed), chain)
       case Ivf(nlist) :: code :: Nil => code match {
         case "Flat" =>
           new IvfBuilt(IvfIndex.build(data, "id", "vec", nlist.toInt,

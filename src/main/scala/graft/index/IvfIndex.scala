@@ -3,7 +3,7 @@ package graft.index
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.shim
-import graft.core.{Metric, NearestCentroids, TopKAgg}
+import graft.core.{Metric, NearestCentroids, NearestCentroidsHnsw, TopKAgg}
 import graft.cluster.KMeans
 import graft.functions.{topk, vec_dist}
 
@@ -31,14 +31,33 @@ class IvfIndex(
 
   import IvfIndex._
 
-  /** Per-query probe lists: (qid, qvec, list_no, coarse_dist). */
+  /** Stable id for the executor-side HNSW coarse-quantizer cache:
+    * every task of every search over THIS index reuses one graph. */
+  private val hnswCacheKey = java.util.UUID.randomUUID().toString
+
+  /** Per-query probe lists: (qid, qvec, list_no, coarse_dist).
+    * `hnswCoarse = Some(efSearch)` routes the coarse quantization
+    * through a per-executor HNSW graph over the centroids (the
+    * reference's `IVF{n}_HNSW{m}` coarse grammar) — the scale path
+    * when nlist is large enough that the exact O(nlist) argmin per
+    * row dominates; efSearch >= nlist degenerates to exact. */
   private def probes(queries: DataFrame, nprobe: Int,
-      queryId: String, queryVec: String): DataFrame =
+      queryId: String, queryVec: String,
+      hnswCoarse: Option[Int] = None): DataFrame = {
+    val sel = hnswCoarse match {
+      case Some(ef) =>
+        require(metric == "l2sq", "HNSW coarse quantizer is L2-only (reference semantics)")
+        NearestCentroidsHnsw(shim.expr(col(queryVec)), centroids,
+          math.min(nprobe, nlist), ef, m = 16, cacheKey = hnswCacheKey)
+      case None =>
+        NearestCentroids(shim.expr(col(queryVec)), centroids,
+          math.min(nprobe, nlist), metric)
+    }
     queries.select(col(queryId), col(queryVec),
-      explode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
-        math.min(nprobe, nlist), metric))).as("_p"))
+      explode(shim.col(sel)).as("_p"))
       .select(col(queryId), col(queryVec),
         col("_p.list_no").as("list_no"), col("_p.dist").as("coarse_dist"))
+  }
 
   /** Distinct lists any query probes at this nprobe (the scan set). */
   def probedListNos(queries: DataFrame, nprobe: Int,
@@ -61,8 +80,9 @@ class IvfIndex(
       filter: Option[Column] = None,
       maxCodes: Option[Int] = None,
       withCentroid: Boolean = false,
-      broadcastQueries: Boolean = true): DataFrame = {
-    val pr = probes(queries, nprobe, queryId, queryVec)
+      broadcastQueries: Boolean = true,
+      hnswCoarse: Option[Int] = None): DataFrame = {
+    val pr = probes(queries, nprobe, queryId, queryVec, hnswCoarse)
     // The probed-list set is tiny (≤ queries × nprobe ints): collecting
     // it turns the invlists scan into a statically partition-pruned read.
     val probed = pr.select("list_no").distinct().collect().map(_.getInt(0))

@@ -25,6 +25,27 @@ class IvfSpec extends SparkTestBase {
     assert(ivf == exact)
   }
 
+  test("HNSW coarse quantizer: exact-degenerate efSearch reproduces exact probes") {
+    val exact = resultSet(idx.search(q, 10, nprobe = 4))
+    val viaHnsw = resultSet(idx.search(q, 10, nprobe = 4, hnswCoarse = Some(1024)))
+    assert(viaHnsw == exact,
+      "efSearch >= nlist must select the exact probe set and thus the exact result")
+  }
+
+  test("HNSW coarse quantizer: approximate regime keeps recall (and factory token)") {
+    val exact = resultSet(idx.search(q, 10, nprobe = 8))
+      .map { case (a, _, c) => (a, c) }
+    val approx = resultSet(idx.search(q, 10, nprobe = 8, hnswCoarse = Some(8)))
+      .map { case (a, _, c) => (a, c) }
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall < 0.9 at efSearch=8 over 8 lists")
+    // factory token: same training params as idx, nprobe = nlist with
+    // efSearch >= nlist => must reproduce the exact IVF result
+    val f = IndexFactory.build(b, "id", "vec", "IVF8_HNSW16,Flat")
+    assert(resultSet(f.search(q, 10, nprobe = 8)) ==
+      resultSet(idx.search(q, 10, nprobe = 8)))
+  }
+
   test("kmeans objective decreases and covers all points") {
     val m = KMeans.fit(b, "vec", KMeans.Params(k = 8, niter = 5))
     assert(m.sizes.sum == b.count())
