@@ -2711,6 +2711,20 @@ object Queries {
         .withColumn("dist", r4("dist")),
       Some(knnOracle(dL2, "q.vec_id < 10", "b.vec_id >= 10", 10))),
 
+    // Filtered graph search — the fork's IDSelector-inside-HNSW
+    // headline (faiss/IndexHNSWfast.h:87 remove_ids, :99 search with
+    // SearchParameters): the predicate is pushed BELOW the per-
+    // partition graph build, so the graph contains only admissible
+    // points; with the exact-degenerate efSearch the result must be
+    // bit-identical to the filtered flat search.
+    ("hnsw_filtered_search", (s: SparkSession, dir: String) =>
+      graft.knn.PartitionedHnsw.knnJoin(
+        qDf(s, dir, 10), bDf(s, dir, 10), 10,
+        m = 16, efConstruction = 64, efSearch = 4096,
+        filter = Some(pmod(col("id"), lit(3)) === 0))
+        .withColumn("dist", r4("dist")),
+      Some(knnOracle(dL2, "q.vec_id < 10", "b.vec_id >= 10 AND b.vec_id % 3 = 0", 10))),
+
     // NSG approximate regime at 600k-row scale: driver gate is mean
     // recall@10 vs the exact flat search >= 0.9 (same pattern as
     // hnsw_partition_search; the oracle re-derives the query count and

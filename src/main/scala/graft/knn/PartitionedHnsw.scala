@@ -29,11 +29,19 @@ object PartitionedHnsw {
 
   /** Approximate top-k join. Output (qid, rank, id, dist), like
     * [[Knn.knnJoin]]. `queries` must be driver-collectable (same
-    * contract as the broadcast-NLJ exact path). */
+    * contract as the broadcast-NLJ exact path).
+    *
+    * `filter` is the IDSelector of the fork's filtered HNSW search
+    * (faiss/IndexHNSWfast.h:99 SearchParameters; remove_ids
+    * `IndexHNSWfast.h:87`): pushed BELOW the graph build, so each
+    * partition's graph contains only admissible points — same result
+    * set as walking the full graph and discarding (top-k among allowed
+    * ids), and in the batch model deletion is the same filter. */
   def knnJoin(queries: DataFrame, base: DataFrame, k: Int,
       m: Int = 16, efConstruction: Int = 64, efSearch: Int = 64,
       queryId: String = "qid", queryVec: String = "qvec",
-      baseId: String = "id", baseVec: String = "vec"): DataFrame = {
+      baseId: String = "id", baseVec: String = "vec",
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
     val qArr: Array[(Long, Array[Float])] = queries
@@ -45,8 +53,10 @@ object PartitionedHnsw {
     // partitioning (same rationale as Dedup.widen); wider inputs pass
     // through unchanged
     val target = spark.sparkContext.defaultParallelism
+    val filtered = filter.map(base.filter).getOrElse(base)
     val spread =
-      if (base.rdd.getNumPartitions >= target) base else base.repartition(target)
+      if (filtered.rdd.getNumPartitions >= target) filtered
+      else filtered.repartition(target)
     val cand = spread.select(col(baseId).cast("long"), col(baseVec))
       .rdd.mapPartitionsWithIndex { (pi, it) =>
         val rows = it.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toArray

@@ -36,7 +36,8 @@ object PartitionedNsg {
       gk: Int = 32, r: Int = 32, buildL: Int = 64, searchL: Int = 64,
       pruneToNsg: Boolean = true,
       queryId: String = "qid", queryVec: String = "qvec",
-      baseId: String = "id", baseVec: String = "vec"): DataFrame = {
+      baseId: String = "id", baseVec: String = "vec",
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = base.sparkSession
     val qArr: Array[(Long, Array[Float])] = queries
       .select(col(queryId).cast("long"), col(queryVec))
@@ -44,10 +45,14 @@ object PartitionedNsg {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val bq = spark.sparkContext.broadcast(qArr)
     // graph build is CPU-bound: never inherit a narrow file-split
-    // partitioning (same rationale as PartitionedHnsw / Dedup.widen)
+    // partitioning (same rationale as PartitionedHnsw / Dedup.widen).
+    // `filter` = IDSelector / remove_ids semantics, pushed below the
+    // build (see PartitionedHnsw.knnJoin).
     val target = spark.sparkContext.defaultParallelism
+    val filtered = filter.map(base.filter).getOrElse(base)
     val spread =
-      if (base.rdd.getNumPartitions >= target) base else base.repartition(target)
+      if (filtered.rdd.getNumPartitions >= target) filtered
+      else filtered.repartition(target)
     val cand = spread.select(col(baseId).cast("long"), col(baseVec))
       .rdd.mapPartitionsWithIndex { (pi, it) =>
         val rows = it.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toArray
