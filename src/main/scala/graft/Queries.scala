@@ -237,6 +237,11 @@ object Queries {
       OracleAux.bitsDf(s, bivf8(s, dir).centroidBits))
     OracleAux.write(dir, "rq_codebooks",
       OracleAux.codebooksDf(s, rqModel16(s, dir).codebooks))
+    // engine-encoded base codes for the LUT search types (ST_LUT_*):
+    // the oracle replays decode + LUT arithmetic from these integers
+    OracleAux.write(dir, "rq_codes",
+      emb(s, dir).filter(col("vec_id") >= 10).select(col("vec_id").as("id"),
+        rqModel16(s, dir).encodeCol(col("embedding")).as("codes")))
     OracleAux.write(dir, "imi_codebooks",
       OracleAux.codebooksDf(s, imi16(s, dir).model.codebooks))
     OracleAux.write(dir, "kmeans8_centroids",
@@ -2660,6 +2665,53 @@ object Queries {
               |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], b.dv::DOUBLE[]),
               |      p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
               |  FROM embeddings q CROSS JOIN dec b WHERE q.vec_id < 10)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 5""".stripMargin)),
+
+    // Additive-quantizer LUT search (Search_type_t ST_norm_float,
+    // faiss/impl/AdditiveQuantizer.h:58-67): the scan computes
+    // d = ||q||^2 - 2·<q,x̂> + ||x̂||^2 where <q,x̂> is L lookups into a
+    // per-query LUT (exact: x̂ is a SUM of codewords, so the inner
+    // product distributes) and ||x̂||^2 is the norm stored with the
+    // codes at add time — no per-candidate decode. Oracle replays the
+    // whole chain from the engine's integer codes (rq_codes sidecar):
+    // decode, stored norm, LUT terms, same formula, same order.
+    ("rq_lut_search", (s: SparkSession, dir: String) => {
+      val rq = rqModel16(s, dir)
+      val b = bDf(s, dir, 10)
+        .select(col("id"), rq.encodeCol(col("vec")).as("codes"))
+        .withColumn("normsq", aggregate(
+          rq.decodeCol(col("codes")).cast("array<double>"),
+          lit(0.0), (a, x) => a + x * x))
+      val q = qDf(s, dir, 10).select(col("qid"),
+        rq.lutCol(col("qvec")).as("lut"),
+        aggregate(col("qvec").cast("array<double>"), lit(0.0),
+          (a, x) => a + x * x).as("qn"))
+      b.crossJoin(broadcast(q))
+        .select(col("qid"), col("id"),
+          (col("qn") - lit(2.0) * rq.ipFromLutCol(col("codes"), col("lut"))
+            + col("normsq")).as("_d"))
+        .groupBy(col("qid"))
+        .agg(topk(col("_d"), col("id"), 5, asc = true).as("_tk"))
+        .select(col("qid"), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+        .select(col("qid"), (col("_pos") + 1).cast("long").as("rank"),
+          col("_r.id").as("id"), round(col("_r.dist"), 4).as("dist"))
+    },
+      Some(s"""WITH cb AS (SELECT m, j, c FROM read_parquet('$AUX/rq_codebooks/*.parquet')),
+              |codes AS (SELECT id, codes FROM read_parquet('$AUX/rq_codes/*.parquet')),
+              |dec AS (SELECT codes.id, c0.c AS cv0, c1.c AS cv1,
+              |    list_transform(list_zip(c0.c, c1.c), p -> p[1] + p[2]) AS dv
+              |  FROM codes JOIN cb c0 ON c0.m = 0 AND c0.j = codes.codes[1]
+              |  JOIN cb c1 ON c1.m = 1 AND c1.j = codes.codes[2]),
+              |nb AS (SELECT id, cv0, cv1,
+              |    list_aggregate(list_transform(dv::DOUBLE[], x -> x*x), 'sum') AS normsq FROM dec),
+              |d AS (SELECT q.vec_id AS qid, nb.id,
+              |    (list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], q.embedding::DOUBLE[]), p -> p[1]*p[2]), 'sum')
+              |     - 2*(list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], nb.cv0::DOUBLE[]), p -> p[1]*p[2]), 'sum')
+              |        + list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], nb.cv1::DOUBLE[]), p -> p[1]*p[2]), 'sum')))
+              |    + nb.normsq AS dist
+              |  FROM nb CROSS JOIN embeddings q WHERE q.vec_id < 10)
               |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
               |WHERE "rank" <= 5""".stripMargin)),

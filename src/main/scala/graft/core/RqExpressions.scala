@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -217,4 +217,59 @@ case class RQDecode(child: Expression, codebooks: Array[Array[Array[Float]]])
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(RqKernels.decode(v.asInstanceOf[ArrayData], codebooks))
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-query additive-quantizer LUT: flat [L·k] array of
+  * LUT[l·k + j] = <q, cb[l][j]> (compute_LUT,
+  * faiss/impl/AdditiveQuantizer.cpp — the basis of every ST_LUT_*
+  * search type). Computed once per query row, joined against the
+  * codes: the scan then costs L lookups+adds per candidate instead of
+  * a d-dim decode+distance. */
+case class RQLut(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "rq_lut"
+  override def nullSafeEval(v: Any): Any = {
+    val q = v.asInstanceOf[ArrayData]
+    val levels = codebooks.length
+    val k = codebooks(0).length
+    val d = codebooks(0)(0).length
+    val out = new Array[Double](levels * k)
+    var l = 0
+    while (l < levels) {
+      var j = 0
+      while (j < k) {
+        val c = codebooks(l)(j)
+        var s = 0.0; var i = 0
+        while (i < d) { s += q.getFloat(i).toDouble * c(i); i += 1 }
+        out(l * k + j) = s
+        j += 1
+      }
+      l += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** <q, decode(codes)> from a precomputed LUT: the tight scan loop of
+  * ST_LUT_nonorm / ST_norm_float search
+  * (faiss/impl/AdditiveQuantizer.h:58-67; exact because the decoded
+  * vector is the SUM of per-level codewords, so its inner product
+  * distributes over the LUT entries). */
+case class RQIpFromLut(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "rq_ip_from_lut"
+  override def nullSafeEval(codes: Any, lut: Any): Any = {
+    val cd = codes.asInstanceOf[ArrayData]
+    val lu = lut.asInstanceOf[ArrayData]
+    var s = 0.0
+    var l = 0
+    val levels = cd.numElements()
+    while (l < levels) { s += lu.getDouble(l * k + cd.getInt(l)); l += 1 }
+    s
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

@@ -3,7 +3,7 @@ package graft.index
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.shim
-import graft.core.{RQDecode, RQEncode}
+import graft.core.{RQDecode, RQEncode, RQIpFromLut, RQLut}
 import graft.functions.vec_sub
 
 /** Residual (additive) quantizer — faiss/IndexAdditiveQuantizer.h:25 /
@@ -32,6 +32,12 @@ case class RqModel(levels: Int, k: Int, codebooks: Array[Array[Array[Float]]]) {
   /** decode(encode(x)) in one expression. */
   def roundtripCol(vecCol: Column, beam: Int = 1, icmIters: Int = 0): Column =
     decodeCol(encodeCol(vecCol, beam, icmIters))
+  /** Per-query LUT (compute_LUT): flat [levels·k] doubles. */
+  def lutCol(qvecCol: Column): Column =
+    shim.col(RQLut(shim.expr(qvecCol), codebooks))
+  /** <q, decode(codes)> via the LUT — the ST_LUT_* scan arithmetic. */
+  def ipFromLutCol(codesCol: Column, lutCol: Column): Column =
+    shim.col(RQIpFromLut(shim.expr(codesCol), shim.expr(lutCol), k))
 }
 
 object Rq {

@@ -28,6 +28,25 @@ class RqSpec extends SparkTestBase {
     }
   }
 
+  test("LUT search arithmetic: <q, decode(codes)> from LUT matches direct IP (ST_LUT_*)") {
+    val model = Rq.train(emb, "embedding", levels = 2, k = 16, niter = 4)
+    val got = emb.limit(20)
+      .select(col("embedding"),
+        model.encodeCol(col("embedding")).as("codes"))
+      .select(
+        model.ipFromLutCol(col("codes"), model.lutCol(col("embedding"))).as("viaLut"),
+        aggregate(zip_with(col("embedding").cast("array<double>"),
+          model.decodeCol(col("codes")).cast("array<double>"),
+          (x, y) => x * y), lit(0.0), (a, x) => a + x).as("direct"))
+      .collect()
+    got.foreach { r =>
+      // LUT distributes the IP over per-level codewords: identical up
+      // to double-summation order (decode sums floats first)
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-4,
+        s"viaLut ${r.getDouble(0)} vs direct ${r.getDouble(1)}")
+    }
+  }
+
   test("beam-search encoding strictly improves reconstruction error at equal code size") {
     // same codebooks (so exactly equal code size: L * log2(k) bits),
     // greedy vs beam=4 encoding — faiss refine_beam's claim
