@@ -354,6 +354,7 @@ object IndexFactory {
 
   private val BIvf = "BIVF(\\d+)".r
   private val BHash = "BHash(\\d+)".r
+  private val BHnsw = "BHNSW(\\d+)".r
 
   /** index_binary_factory analog (index_factory.cpp:889): grammar
     * BFlat | BIVF<nlist> | BHash<b>. BHNSW / BHash<n>x<b> multi-hash
@@ -387,8 +388,25 @@ object IndexFactory {
                 shim.col(graft.core.BitPrefix(shim.expr(col(qcode)), bb))),
               bucketed, k, queryId = qid, queryCode = qcode)
         }
+      case BHnsw(m) =>
+        // IndexBinaryHNSW (faiss/IndexBinaryHNSW.h:22): Hamming on
+        // 0/1-unpacked bits IS squared L2 (each mismatching bit
+        // contributes exactly 1), so the float per-partition graph
+        // shards cover the semantics bit-for-bit; dist = Hamming count.
+        val unpacked = data.select(col("id"),
+          shim.col(graft.core.UnpackBits(shim.expr(col("code")), nbits)).as("vec"))
+        new BinaryBuilt {
+          def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qcode: String) =
+            graft.knn.PartitionedHnsw.knnJoin(
+              q.select(col(qid),
+                shim.col(graft.core.UnpackBits(shim.expr(col(qcode)), nbits)).as("qvec")),
+              unpacked, k, m = m.toInt, efSearch = math.max(96, 4 * k),
+              queryId = qid)
+              .select(col(qid), col("rank"), col("id"),
+                col("dist").cast("long").as("hd"))
+        }
       case other => throw new IllegalArgumentException(
-        s"unsupported binary factory '$other' (BHNSW/multi-hash: SURVEY §7)")
+        s"unsupported binary factory '$other' (multi-hash BHash<n>x<b>: SURVEY §7)")
     }
   }
 }

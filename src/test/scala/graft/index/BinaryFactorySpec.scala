@@ -50,9 +50,19 @@ class BinaryFactorySpec extends SparkTestBase {
     assert(IndexFactory.codeSize("LSH32", 64) == 4)
   }
 
-  test("BHNSW is rejected with the survey rationale") {
+  test("BHNSW with generous efSearch equals the flat Hamming search") {
+    // Hamming on 0/1-unpacked bits == squared L2; k=32 pushes the
+    // factory's efSearch (4k = 128) past the ~125-row partition size,
+    // so the beam covers every (connected-by-construction) partition
+    // graph -> exact, including tie order (both paths break on id)
+    val built = IndexFactory.buildBinary(codes, "id", "code", 64, "BHNSW16")
+    assert(results(built.search(q, 32)) ==
+      results(BinaryFlat.knnJoin(q, codes, 32)))
+  }
+
+  test("multi-hash BHash<n>x<b> is rejected with the survey rationale") {
     val e = intercept[IllegalArgumentException] {
-      IndexFactory.buildBinary(codes, "id", "code", 64, "BHNSW16")
+      IndexFactory.buildBinary(codes, "id", "code", 64, "BHash4x8")
     }
     assert(e.getMessage.contains("SURVEY"))
   }
