@@ -113,6 +113,15 @@ object Queries {
       graft.cluster.KMeans.fit(emb(s, dir).select(col("embedding")), "embedding",
         graft.cluster.KMeans.Params(k = 8, niter = 5))
     }
+  /** Spherical k-means (ClusteringParameters.spherical,
+    * Clustering.cpp:65-68): centroids L2-renormalized after every
+    * update — the trainer FAISS uses for IP/cosine coarse quantizers
+    * (assignment stays L2, as in the reference). */
+  private def kmSph8(s: SparkSession, dir: String): graft.cluster.KMeans.Model =
+    cached(s"kmsph8:$dir") {
+      graft.cluster.KMeans.fit(emb(s, dir).select(col("embedding")), "embedding",
+        graft.cluster.KMeans.Params(k = 8, niter = 5, spherical = true))
+    }
   private def twoLevel12(s: SparkSession, dir: String): Array[Array[Float]] =
     cached(s"twolevel12:$dir") {
       graft.cluster.TwoLevelClustering.fit(emb(s, dir), "embedding",
@@ -246,6 +255,8 @@ object Queries {
       OracleAux.codebooksDf(s, imi16(s, dir).model.codebooks))
     OracleAux.write(dir, "kmeans8_centroids",
       OracleAux.centroidsDf(s, km8(s, dir).centroids))
+    OracleAux.write(dir, "kmeans_sph_centroids",
+      OracleAux.centroidsDf(s, kmSph8(s, dir).centroids))
     OracleAux.write(dir, "twolevel_centroids",
       OracleAux.centroidsDf(s, twoLevel12(s, dir)))
     val (prot, pmodel) = pdk8(s, dir)
@@ -954,6 +965,36 @@ object Queries {
               |  WHERE rn = 1)
               |SELECT list_no, count(*)::BIGINT AS n, round(sum(dist), 3) AS obj
               |FROM a GROUP BY list_no""".stripMargin)),
+
+    // Spherical k-means (ClusteringParameters.spherical,
+    // Clustering.cpp:65-68): same assignment-replay oracle as
+    // kmeans_train, plus the per-centroid L2 norm in the hashed output
+    // — the oracle recomputes it from the sidecar, so a centroid that
+    // isn't unit-renormalized flips the row red.
+    ("kmeans_spherical", (s: SparkSession, dir: String) => {
+      val m = kmSph8(s, dir)
+      import s.implicits._
+      val normDf = m.centroids.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.map(x => x.toDouble * x).sum) }
+        .toDF("list_no", "_n2")
+        .select(col("list_no"), round(sqrt(col("_n2")), 3).as("nrm"))
+      m.assign(emb(s, dir), "embedding")
+        .groupBy(col("list_no"))
+        .agg(count(lit(1)).as("n"), round(sum(col("centroid_dist")), 3).as("obj"))
+        .join(broadcast(normDf), "list_no")
+        .select(col("list_no"), col("n"), col("obj"), col("nrm"))
+    },
+      Some(s"""WITH cent AS (SELECT list_no, c::DOUBLE[] AS c FROM read_parquet('$AUX/kmeans_sph_centroids/*.parquet')),
+              |d AS (SELECT e.vec_id, c.list_no,
+              |    list_aggregate(list_transform(list_zip(e.embedding::DOUBLE[], c.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
+              |  FROM embeddings e CROSS JOIN cent c),
+              |a AS (SELECT vec_id, list_no, dist FROM (
+              |  SELECT vec_id, list_no, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_no) AS rn FROM d) t
+              |  WHERE rn = 1),
+              |nrm AS (SELECT list_no, round(sqrt(list_aggregate(list_transform(c, x -> x*x), 'sum')), 3) AS nrm FROM cent)
+              |SELECT g.list_no, g.n, g.obj, nrm.nrm FROM (
+              |  SELECT list_no, count(*)::BIGINT AS n, round(sum(dist), 3) AS obj
+              |  FROM a GROUP BY list_no) g JOIN nrm ON nrm.list_no = g.list_no""".stripMargin)),
 
     // §2.11/§2.8 SQ8 codec: train (per-dim min/max) + encode + decode;
     // oracle reproduces the codec arithmetic in SQL

@@ -35,6 +35,10 @@ object KMeans {
       maxPointsPerCentroid: Int = 256,  // Clustering.h:36 default
       nredo: Int = 1,
       spherical: Boolean = false,
+      /** Round centroids to integers after each update
+        * (post_process_centroids, Clustering.cpp:70-73 — used when
+        * clustering integer-valued data, e.g. binary/lattice codes). */
+      intCentroids: Boolean = false,
       metric: String = "l2sq")
 
   case class Model(
@@ -126,7 +130,7 @@ object KMeans {
       // fewer distinct points than k: pad by perturbing existing ones
       centroids = Array.tabulate(p.k)(i => perturb(centroids(i % centroids.length), i))
     }
-    if (p.spherical) centroids = centroids.map(renorm)
+    centroids = centroids.map(c => postProcess(c, p))
 
     val objectives = Vector.newBuilder[Double]
     var lastObjective = 0.0
@@ -163,7 +167,7 @@ object KMeans {
             val c = new Array[Float](sums(j).length)
             var i = 0
             while (i < c.length) { c(i) = (sums(j)(i) / counts(j)).toFloat; i += 1 }
-            if (p.spherical) renorm(c) else c
+            postProcess(c, p)
           } else null
       }
       // split_clusters (Clustering.cpp:220-260): each empty cluster takes
@@ -195,5 +199,12 @@ object KMeans {
     while (i < c.length) { s += c(i).toDouble * c(i); i += 1 }
     val inv = if (s > 0) (1.0 / math.sqrt(s)) else 1.0
     c.map(x => (x * inv).toFloat)
+  }
+
+  /** post_process_centroids (Clustering.cpp:65-74): spherical renorm,
+    * then optional integer rounding. */
+  private def postProcess(c: Array[Float], p: Params): Array[Float] = {
+    val c1 = if (p.spherical) renorm(c) else c
+    if (p.intCentroids) c1.map(x => math.round(x).toFloat) else c1
   }
 }

@@ -46,6 +46,16 @@ class IvfSpec extends SparkTestBase {
       resultSet(idx.search(q, 10, nprobe = 8)))
   }
 
+  test("spherical / int_centroids post-processing (Clustering.cpp:65-74)") {
+    val sph = KMeans.fit(b, "vec", KMeans.Params(k = 4, niter = 3, spherical = true))
+    sph.centroids.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x.toDouble).sum)
+      assert(math.abs(n - 1.0) < 1e-5, s"centroid norm $n != 1")
+    }
+    val ic = KMeans.fit(b, "vec", KMeans.Params(k = 4, niter = 3, intCentroids = true))
+    ic.centroids.foreach(_.foreach(x => assert(x == math.round(x).toFloat)))
+  }
+
   test("kmeans objective decreases and covers all points") {
     val m = KMeans.fit(b, "vec", KMeans.Params(k = 8, niter = 5))
     assert(m.sizes.sum == b.count())
