@@ -2004,6 +2004,42 @@ object Queries {
              |FROM inter JOIN sizes na ON na.doc_id = i JOIN sizes nb ON nb.doc_id = j
              |WHERE c::DOUBLE/(na.n + nb.n - c) >= 0.5""".stripMargin)),
 
+    // Fixed-size token chunking with overlap — the unit-of-training
+    // split of every LLM corpus pipeline. Narrow map per document
+    // (posexplode, nothing shuffles); oracle re-derives every chunk
+    // boundary and tail in SQL.
+    ("chunk_documents", (s: SparkSession, dir: String) =>
+      graft.llm.Corpus.chunk(docsDf(s, dir).filter(col("doc_id") < 100),
+        "doc_id", "text", size = 64, overlap = 16),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 100),
+             |c AS (SELECT doc_id, t, greatest(1, ceil((len(t) - 16)::DOUBLE / 48)::INT) AS nc FROM toks),
+             |e AS (SELECT doc_id, t, unnest(range(0, nc)) AS chunk_no FROM c)
+             |SELECT doc_id, chunk_no::BIGINT AS chunk_no,
+             |  array_to_string(t[chunk_no*48+1 : chunk_no*48+64], ' ') AS chunk_text,
+             |  len(string_split(array_to_string(t[chunk_no*48+1 : chunk_no*48+64], ' '), ' '))::BIGINT AS n_tokens
+             |FROM e""".stripMargin)),
+
+    // Benchmark decontamination: corpus docs sharing any distinct
+    // 3-gram with the benchmark split (doc_id % 7 == 0 stands in for
+    // an eval set). Inverted shingle index equi-join, one aggregate —
+    // the standard pre-training contamination sweep, never a cross
+    // join.
+    ("benchmark_decontaminate", (s: SparkSession, dir: String) => {
+      val d = docsDf(s, dir).filter(col("doc_id") < 200)
+      graft.llm.Corpus.contaminated(
+        d.filter(col("doc_id") % 7 =!= 0),
+        d.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", ngram = 3)
+    },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 200),
+             |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+             |         THEN list_transform(t[1:len(t)-2], (x, i) -> x || ' ' || t[i+1] || ' ' || t[i+2])
+             |         ELSE []::VARCHAR[] END)) AS sh FROM toks),
+             |bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 7 = 0),
+             |csh AS (SELECT doc_id, sh FROM sh WHERE doc_id % 7 <> 0)
+             |SELECT c.doc_id, count(DISTINCT c.sh)::BIGINT AS n_shared
+             |FROM csh c JOIN bsh b ON b.sh = c.sh GROUP BY c.doc_id""".stripMargin)),
+
     // embedding near-dup (cosine >= 0.95) on the doubled corpus
     ("embedding_near_dup", (s: SparkSession, dir: String) => {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
