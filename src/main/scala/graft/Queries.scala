@@ -214,6 +214,7 @@ object Queries {
     ivfpqr8(s, dir); twoLayer16(s, dir); ivfsh8(s, dir); km8(s, dir)
     twoLevel12(s, dir); pdk8(s, dir); bivf8(s, dir); rqModel16(s, dir)
     prqModel(s, dir); imi16(s, dir); sqMeanstd(s, dir); ivfrq8(s, dir)
+    kmSph8(s, dir); znLat16(s, dir)
     ()
   }
 
