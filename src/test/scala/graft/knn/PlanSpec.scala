@@ -59,6 +59,24 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
   }
 
+  test("chunk_documents is a narrow map: zero exchanges") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val plan = graft.llm.Corpus.chunk(docs, "doc_id", "text", 64, 16)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange".r.findAllIn(plan).length
+    assert(shuffles == 0, s"chunking must not shuffle, got $shuffles:\n$plan")
+  }
+
+  test("decontamination is an equi-join, never a cartesian/BNLJ") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val plan = graft.llm.Corpus.contaminated(
+      docs.filter(col("doc_id") % 7 =!= 0), docs.filter(col("doc_id") % 7 === 0),
+      "doc_id", "text", ngram = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
+  }
+
   test("base-side id filter is pushed to the parquet scan") {
     // other suites may have cached this very parquet read; the scan
     // shape only exists against the raw relation
