@@ -2197,6 +2197,18 @@ object Queries {
       Some("""SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_unique_users
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // custom per-key streaming state (flatMapGroupsWithState over a
+    // KeyValueGroupedDataset — the arbitrary-state-machine surface;
+    // state store entry per user). Outputs are count/max/min —
+    // order-insensitive, so the streaming result is exactly
+    // batch-equivalent and the oracle is the plain GROUP BY.
+    ("stream_user_state", (s: SparkSession, dir: String) =>
+      graft.streaming.StreamingIngest.statefulUserStats(
+        s, s"$dir/events.parquet", maxUser = 50),
+      Some("""SELECT user_id, count(*)::BIGINT AS cnt,
+             |  round(max(value), 2) AS mx, round(min(value), 2) AS mn
+             |FROM events WHERE user_id < 50 GROUP BY user_id""".stripMargin)),
+
     // the same stateful dedup ingest at lineitem scale (600k rows at
     // sf0.1 through the microbatch + state store machinery): dedup by
     // (l_orderkey, l_partkey) — a genuinely duplicated key pair. Only

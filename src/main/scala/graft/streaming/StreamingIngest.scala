@@ -110,4 +110,49 @@ object StreamingIngest {
       spark.table(name)
     } finally unstage(staged)
   }
+
+  /** Custom per-key streaming state via flatMapGroupsWithState (the
+    * KeyValueGroupedDataset custom-state surface — arbitrary state
+    * machines the built-in aggs can't express; at scale the state
+    * lives in the RocksDB state store, one entry per key). Tracks per
+    * user a running (count, max, min) over `value` and emits the
+    * state after each batch; the caller keeps the final row per key.
+    * Count/max/min are deliberately order-insensitive, so the result
+    * is exactly batch-equivalent regardless of row order. */
+  def statefulUserStats(spark: SparkSession, eventsParquet: String,
+      maxUser: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val (srcDir, staged) = stage(eventsParquet)
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(eventsParquet).schema
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+        .filter(col("user_id") < maxUser)
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+      val states = stream.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Double, Double), (Long, Long, Double, Double)](
+          OutputMode.Update, GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+          var (cnt, mx, mn) = state.getOption
+            .getOrElse((0L, Double.NegativeInfinity, Double.PositiveInfinity))
+          rows.foreach { case (_, v) =>
+            cnt += 1; mx = math.max(mx, v); mn = math.min(mn, v)
+          }
+          state.update((cnt, mx, mn))
+          Iterator((uid, cnt, mx, mn))
+        }
+      val name = s"graft_state_${System.identityHashCode(stream)}"
+      val q = states.toDF("user_id", "cnt", "mx", "mn")
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      // update mode emits one row per (key, batch): keep the final
+      // state = the row with the largest running count per key
+      spark.table(name)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("cnt"), col("mx"), col("mn"))).as("_s"))
+        .select(col("user_id"), col("_s.cnt").as("cnt"),
+          round(col("_s.mx"), 2).as("mx"), round(col("_s.mn"), 2).as("mn"))
+    } finally unstage(staged)
+  }
 }
