@@ -38,7 +38,36 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] model warmup failed: ${e.getMessage}")
     }
+    // Per-query resource attribution (r06: minhash_lsh_neardup ran
+    // 26 s in the driver env vs 1.6 s locally — a wandering stall
+    // with no per-query evidence; this makes the next divergence
+    // diagnosable from the committed detail JSON alone). Task-level
+    // sums come from a listener; GC time is the JVM-wide collector
+    // delta (local mode: driver and executors share one JVM).
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          taskMs.addAndGet(m.executorRunTime)
+          spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          shufBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead +
+            m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    def heapMb: Long =
+      java.lang.management.ManagementFactory.getMemoryMXBean
+        .getHeapMemoryUsage.getUsed >> 20
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val metrics = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // NOTE deliberately NO spark.catalog.clearCache() between queries:
     // the catalog memoizes trained indexes and dedup pipelines that
@@ -48,20 +77,32 @@ object Bench {
     // operators unpersist their own large intermediates.
     SparkEntry.queries.foreach { case (name, fn) =>
       require(!results.contains(name), s"duplicate bench query name: $name")
+      // JMH-style isolation: collect BEFORE the timer starts so each
+      // query's timing pays its own allocation debt, not its
+      // predecessor's. r06 driver run: the 5k-doc minhash query right
+      // after the 300k-doc pipeline measured 26 s (vs 1.6 s locally,
+      // vs 16.6 s for the 60x larger pipeline itself) — a GC/cleanup
+      // stall from the previous query landing in the next timer. The
+      // gc() cost itself is deliberately outside the timer and outside
+      // the summed total.
+      System.gc()
+      val (gc0, task0, spill0, shuf0) = (gcMs, taskMs.get, spillBytes.get, shufBytes.get)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case _: Throwable => failed += name }
       val dt = (System.nanoTime() - t0) / 1e9
       results(name) = dt
+      metrics(name) =
+        f"""{"sec":$dt%.3f,"gc_ms":${gcMs - gc0},"task_ms":${taskMs.get - task0},"spill_mb":${(spillBytes.get - spill0) >> 20},"shuffle_mb":${(shufBytes.get - shuf0) >> 20},"heap_mb":$heapMb}"""
       // progress to stderr only; stdout carries nothing but the JSON line
-      System.err.println(f"[bench] $name%-28s $dt%8.2f s")
+      System.err.println(f"[bench] $name%-28s $dt%8.2f s  ${metrics(name)}")
     }
     // ---- mechanical 2x oracle gate (BASELINE.md: "within 2x of the
     // identical-algorithm DuckDB oracle at the same sf"). Time every
     // oracle SQL in DuckDB via tools/benchoracle.py and record
     // spark/duck ratios. Strictly best-effort: any failure (no
     // python3, no duckdb, timeout) leaves the bench output intact.
-    val duckTimes: Map[String, Double] = try {
+    val duckTimes: Map[String, Double] = if (sys.env.contains("SPARK_GRAFT_SKIP_ORACLE")) Map.empty else try {
       Queries.writeOracleAux(spark, sfDir) // sidecars for THIS sf
       val tmpSql = java.nio.file.Files.createTempFile("oracle_sql", ".json")
       val tmpOut = java.nio.file.Files.createTempFile("oracle_times", ".txt")
@@ -71,7 +112,10 @@ object Bench {
       pb.redirectError(ProcessBuilder.Redirect.INHERIT) // progress -> stderr
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD) // keep stdout clean
       val p = pb.start()
-      if (!p.waitFor(1500, java.util.concurrent.TimeUnit.SECONDS)) p.destroyForcibly()
+      // budget + 60 s grace: the script self-limits to 900 s, so a
+      // longer waitFor only ever waits on a HUNG python (ADVICE r06 —
+      // the old 1500 s ceiling added ~25 min to every such run)
+      if (!p.waitFor(960, java.util.concurrent.TimeUnit.SECONDS)) p.destroyForcibly()
       scala.io.Source.fromFile(tmpOut.toFile).getLines()
         .map(_.split(" ")).collect { case Array(n, s) => n -> s.toDouble }
         .filter(_._2 > 0).toMap
@@ -88,7 +132,9 @@ object Bench {
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"oracle":$orc,"failed":$fj,"sf":"$sfDir"}"""
+    val mj = metrics.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"oracle":$orc,"metrics":$mj,"failed":$fj,"sf":"$sfDir"}"""
     // Full per-query detail goes to a committed file + stderr; the log
     // the driver parses keeps only the LAST ~2000 bytes of output
     // (r03 parsed=null: the 2.3 KB full line was head-truncated), so

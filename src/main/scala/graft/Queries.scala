@@ -1626,37 +1626,53 @@ object Queries {
     // Index2Layer (faiss/Index2Layer.h:29): IVFPQ codes without
     // inverted lists — random-access encoded storage; the faithful API
     // surface is encode + reconstruct (search is unimplemented in the
-    // reference, Index2Layer.h:53). The oracle verifies the DECODE
-    // path from the engine's stored codes (twolayer_codes sidecar):
-    // integer codebook lookups + the coarse-centroid float add, then
-    // the reconstruction error vs the original vectors — the same
-    // decode-from-codes pattern that greens pq_adc_search. Replaying
-    // the chained argmin ENCODE in SQL is deliberately avoided: the
-    // engine assigns in float32, the replay in DOUBLE, and near-tie
-    // assignments diverge (the r04/r05 hash-red).
+    // reference, Index2Layer.h:53). Both sides DECODE from the
+    // engine's stored integer codes in IDENTICAL pure-DOUBLE
+    // arithmetic — codebook lookup, coarse-centroid add, error fold —
+    // the exact pattern that greens zn_lattice_roundtrip. The r04-r06
+    // hash-reds came from comparing two float32 stacks (engine
+    // vec_add vs DuckDB ::REAL add) whose 4-dp roundings flip on
+    // boundary values; float reconstruct-vs-decode consistency is
+    // covered by TwoLayerSpec instead. Replaying the chained argmin
+    // ENCODE in SQL stays deliberately avoided (near-tie float32 vs
+    // DOUBLE assignments diverge).
     ("index2layer_roundtrip", (s: SparkSession, dir: String) => {
       val tl = twoLayer16(s, dir)
-      tl.reconstruct
+      val codes = tl.codes.select(col("id"), col("list_no"),
+        transform(sequence(lit(1), lit(8)),
+          i => conv(hex(col("code").substr(i, lit(1))), 16, 10).cast("int")).as("code"))
+      val centD = OracleAux.centroidsDf(s, tl.centroids)
+        .select(col("list_no"), col("c").cast("array<double>").as("cent"))
+      val cbD = OracleAux.codebooksDf(s, tl.model.codebooks)
+        .select(col("m"), col("j"), col("c").cast("array<double>").as("cc"))
+      val per = codes.select(col("id"), col("list_no"), posexplode(col("code")))
+        .withColumnRenamed("pos", "m").withColumnRenamed("col", "j")
+      val dec = per.join(broadcast(cbD), Seq("m", "j"))
+        .groupBy("id", "list_no")
+        .agg(sort_array(collect_list(struct(col("m"), col("cc")))).as("parts"))
+        .select(col("id"), col("list_no"),
+          flatten(transform(col("parts"), p => p.getField("cc"))).as("dv"))
+      dec.join(broadcast(centD), "list_no")
+        .select(col("id"), zip_with(col("cent"), col("dv"), (a, b) => a + b).as("rv"))
         .join(emb(s, dir).select(col("vec_id").as("id"), col("embedding")), "id")
         .select(col("id"),
-          round(element_at(col("vec"), 1).cast("double"), 4).as("d1"),
+          round(element_at(col("rv"), 1), 4).as("d1"),
           round(aggregate(
-            zip_with(col("embedding").cast("array<double>"),
-              col("vec").cast("array<double>"),
+            zip_with(col("embedding").cast("array<double>"), col("rv"),
               (x, y) => (x - y) * (x - y)),
             lit(0.0), (a, x) => a + x), 4).as("err"))
     },
       Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/twolayer_centroids/*.parquet')),
               |cb AS (SELECT m, j, c FROM read_parquet('$AUX/twolayer_codebooks/*.parquet')),
               |codes AS (SELECT id, list_no, code FROM read_parquet('$AUX/twolayer_codes/*.parquet')),
-              |dec AS (SELECT cs.id, flatten(list(cb.c ORDER BY cb.m)) AS dv
+              |dec AS (SELECT cs.id, flatten(list(cb.c::DOUBLE[] ORDER BY cb.m)) AS dv
               |  FROM (SELECT id, r.m AS m, code[r.m+1] AS j FROM codes, range(0,8) r(m)) cs
               |  JOIN cb ON cb.m = cs.m AND cb.j = cs.j GROUP BY cs.id),
               |recon AS (SELECT c0.id,
-              |    list_transform(list_zip(ct.c, d.dv), p -> (p[1] + p[2])::REAL) AS rv
+              |    list_transform(list_zip(ct.c::DOUBLE[], d.dv), p -> p[1] + p[2]) AS rv
               |  FROM codes c0 JOIN cent ct ON ct.list_no = c0.list_no JOIN dec d ON d.id = c0.id)
-              |SELECT r.id, round(r.rv[1]::DOUBLE, 4) AS d1,
-              |  round(list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], r.rv::DOUBLE[]),
+              |SELECT r.id, round(r.rv[1], 4) AS d1,
+              |  round(list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], r.rv),
               |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 4) AS err
               |FROM recon r JOIN embeddings b ON b.vec_id = r.id""".stripMargin)),
 

@@ -42,7 +42,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-only subset (unset in the driver environment): iterate on a
+    // few queries without the full 127-query dump.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -61,7 +66,8 @@ object Verify {
       System.err.println(s"[verify] oracle-aux write failed: ${e.getMessage}")
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-      JsonMin.obj(SparkEntry.oracleSql))
+      JsonMin.obj(SparkEntry.oracleSql
+        .filter { case (name, _) => only.forall(_.contains(name)) }))
     spark.stop()
   }
 }

@@ -222,19 +222,23 @@ case class SpectralBits(left: Expression, right: Expression,
   override def dataType: DataType = LongType
   override def prettyName: String = "spectral_bits"
   override def nullSafeEval(y: Any, c: Any): Any =
-    SpectralBits.eval(y.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], nbit, freq)
+    SpectralBits.evalBits(y.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], nbit, freq)
+  // NOTE: must call through MODULE$ — the companion's `eval` used to
+  // get NO static forwarder on the class (name clash with
+  // Expression.eval(InternalRow)), so janino saw only instance
+  // methods and every spectral-hash encode silently fell back to the
+  // interpreter (r06 verdict). `evalBits` has no clash, and the
+  // MODULE$ form is immune to forwarder rules entirely.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (y, c) => {
-      val cls = "graft.core.SpectralBits"
-      s"$cls.eval($y, $c, $nbit, $freq)"
-    })
+    defineCodeGen(ctx, ev, (y, c) =>
+      s"graft.core.SpectralBits$$.MODULE$$.evalBits($y, $c, $nbit, $freq)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
 object SpectralBits {
   /** codegen entry */
-  def eval(ya: ArrayData, ca: ArrayData, nbit: Int, freq: Double): Long = {
+  def evalBits(ya: ArrayData, ca: ArrayData, nbit: Int, freq: Double): Long = {
     var sig = 0L
     var i = 0
     while (i < nbit) {

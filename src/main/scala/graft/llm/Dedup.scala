@@ -278,30 +278,71 @@ object Dedup {
     * set is a strict superset of the answer and the final exact-cosine
     * filter keeps results identical to brute force. Each point is
     * shuffled once per probed cell (≈1–few at dedup thresholds), never
-    * joined all-pairs. `bruteForce = true` keeps the O(n²) cross join
-    * for tiny inputs / oracle twins. */
+    * joined all-pairs.
+    *
+    * `nlist <= 0` (the default) derives the cell count from the input:
+    * nlist = max(16, ceil(sqrt(n))), so cells stay O(sqrt(n)) and the
+    * within-cell verify join is O(n^1.5 · fanout) instead of the
+    * O(n²/const) a FIXED default degenerates to at corpus scale
+    * (VERDICT r06 finding #4). Large cell counts train via
+    * [[graft.cluster.TwoLevelClustering]] — constant Spark jobs
+    * regardless of nlist. `bruteForce = true` keeps the O(n²) cross
+    * join for tiny inputs / oracle twins. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nlist: Int = 16, niter: Int = 4,
+      threshold: Double, nlist: Int = 0, niter: Int = 4,
       seed: Long = 1234L, bruteForce: Boolean = false): DataFrame = {
     if (bruteForce) return embeddingNearDupsBrute(df, idCol, vecCol, threshold)
-    import graft.functions.{cosine_sim, l2sq, normalize_l2}
+    import graft.functions.cosine_sim
+    val (cand, assigned) =
+      embeddingCandidates(df, idCol, vecCol, threshold, nlist, niter, seed)
+    val out = cand
+      .withColumn("cos", cosine_sim(col("_va"), col("_vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("i"), col("j"), col("cos"))
+      .persist(Disk)
+    out.count()
+    assigned.unpersist(false)
+    out
+  }
+
+  /** Candidate pairs (i, j, _va, _vb) BEFORE the exact cosine verify —
+    * package-visible so tests can assert the blocking bound (the
+    * candidate count must grow sub-quadratically in n under the auto
+    * nlist). Also returns the persisted assignment table; the caller
+    * unpersists it after forcing downstream results. */
+  private[graft] def embeddingCandidates(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, nlist: Int = 0, niter: Int = 4,
+      seed: Long = 1234L): (DataFrame, DataFrame) = {
+    import graft.functions.{l2sq, normalize_l2}
     val spark = df.sparkSession
     val r = math.sqrt(math.max(0.0, 2.0 - 2.0 * threshold))
     val pts = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       normalize_l2(col(vecCol)).as("_nv"))
-    // coarse quantizer over the normalized vectors
-    val model = graft.cluster.KMeans.fit(pts.select(col("_nv")), "_nv",
-      graft.cluster.KMeans.Params(k = nlist, niter = niter, seed = seed))
-    val assigned = model.assign(pts, "_nv")
-      .select(col("_id"), col("_v"), col("_nv"), col("list_no"),
-        sqrt(col("centroid_dist")).as("_rad"))
+    val k =
+      if (nlist > 0) nlist
+      else math.max(16, math.ceil(math.sqrt(df.count().toDouble)).toInt)
+    // coarse quantizer over the normalized vectors; flat Lloyd for
+    // small k, two-level (contrib/clustering.py:24) for large
+    val centroids: Array[Array[Float]] =
+      if (k <= 256)
+        graft.cluster.KMeans.fit(pts.select(col("_nv")), "_nv",
+          graft.cluster.KMeans.Params(k = k, niter = niter, seed = seed)).centroids
+      else
+        graft.cluster.TwoLevelClustering.fit(pts.select(col("_nv")), "_nv", k,
+          niter1 = niter, niter2 = niter, seed = seed)
+    val assigned = pts
+      .withColumn("_a", org.apache.spark.sql.graft.shim.col(
+        graft.core.NearestCentroid(
+          org.apache.spark.sql.graft.shim.expr(col("_nv")), centroids)))
+      .select(col("_id"), col("_v"), col("_nv"),
+        col("_a.list_no").as("list_no"), sqrt(col("_a.dist")).as("_rad"))
       .persist(Disk)
     // per-cell max radius (nlist doubles to the driver)
     val maxRad = assigned.groupBy("list_no").agg(max(col("_rad")).as("_mr"))
       .collect().map(row => row.getInt(0) -> row.getDouble(1)).toMap
     val cents = {
       import spark.implicits._
-      model.centroids.zipWithIndex.toSeq
+      centroids.zipWithIndex.toSeq
         .map { case (c, l) => (l, c.toSeq, maxRad.getOrElse(l, 0.0)) }
         .toDF("list_no", "_cent", "_mr")
         .select(col("list_no"), col("_cent").cast("array<float>").as("_cent"),
@@ -316,17 +357,12 @@ object Dedup {
       .crossJoin(broadcast(cents))
       .filter(sqrt(l2sq(col("_nv"), col("_cent"))) <= col("_mr") + lit(r + 1e-6))
       .select(col("_id").as("i"), col("_v").as("_va"), col("list_no"))
-    val out = probes.join(
+    val cand = probes.join(
         assigned.select(col("_id").as("j"), col("_v").as("_vb"), col("list_no")),
         Seq("list_no"))
       .filter(col("i") < col("j"))
-      .withColumn("cos", cosine_sim(col("_va"), col("_vb")))
-      .filter(col("cos") >= threshold)
-      .select(col("i"), col("j"), col("cos"))
-      .persist(Disk)
-    out.count()
-    assigned.unpersist(false)
-    out
+      .select(col("i"), col("j"), col("_va"), col("_vb"))
+    (cand, assigned)
   }
 
   /** Brute-force all-pairs form (oracle twin / tiny inputs only). */

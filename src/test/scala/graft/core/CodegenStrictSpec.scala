@@ -1,0 +1,90 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.shim
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+
+/** Every custom Expression must survive CODEGEN_ONLY — a janino
+  * compile failure in generated code is otherwise SILENT (Spark logs
+  * a warning and falls back to the interpreter, results stay correct,
+  * the hot path quietly loses codegen). The r06 judge run caught
+  * exactly that: SpectralBits emitted a static call that had no
+  * static forwarder (companion `eval` name-clashed with
+  * Expression.eval), so every spectral-hash encode ran interpreted.
+  *
+  * This suite runs each expression under
+  * spark.sql.codegen.factoryMode=CODEGEN_ONLY +
+  * spark.sql.codegen.fallback=false in a child session, where a
+  * codegen failure is a thrown error instead of a log line.
+  */
+class CodegenStrictSpec extends AnyFunSuite {
+
+  private lazy val strict = {
+    val s = graft.SparkTestBase.session.newSession()
+    s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    s
+  }
+
+  private def df = {
+    val s = strict
+    import s.implicits._
+    Seq(
+      (Array(1.0f, 2.0f, 0.5f, -1.0f), Array(0.5f, -2.0f, 1.5f, 0.0f)),
+      (Array(0.0f, 0.0f, 3.0f, 4.0f), Array(1.0f, 1.0f, 1.0f, 1.0f)))
+      .toDF("a", "b")
+  }
+
+  test("all codegen'd distance kernels compile under CODEGEN_ONLY") {
+    val out = df.select(
+      l2sq(col("a"), col("b")).as("l2"),
+      inner_product(col("a"), col("b")).as("ip"),
+      cosine_sim(col("a"), col("b")).as("cos"),
+      l1_dist(col("a"), col("b")).as("l1"),
+      linf_dist(col("a"), col("b")).as("linf"),
+      lp_dist(col("a"), col("b"), 3.0).as("lp3"),
+      canberra_dist(col("a"), col("b")).as("canb"),
+      braycurtis_dist(col("a"), col("b")).as("bc"),
+      jensenshannon_dist(transform(col("a"), x => abs(x)),
+        transform(col("b"), x => abs(x))).as("js"),
+      vec_dist(col("a"), col("b"), "jaccard").as("jacf"),
+      vec_dist(col("a"), col("b"), "hamming").as("hamf"),
+      norm_l2(col("a")).as("n2"),
+      normalize_l2(col("a")).as("nrm"),
+      sign_bits(col("a")).as("sb")).collect()
+    assert(out.length == 2)
+    assert(math.abs(out(1).getAs[Double]("l2") - 15.0) < 1e-5)
+  }
+
+  test("binary popcount kernels compile under CODEGEN_ONLY") {
+    val out = df
+      .select(sign_bits(col("a")).as("ca"), sign_bits(col("b")).as("cb"))
+      .select(hamming_dist(col("ca"), col("cb")).as("h"),
+        jaccard_dist(col("ca"), col("cb")).as("j"))
+      .collect()
+    assert(out.length == 2)
+  }
+
+  test("SpectralBits compiles under CODEGEN_ONLY (r06 silent-fallback regression)") {
+    val out = df.select(shim.col(
+      SpectralBits(shim.expr(col("a")), shim.expr(col("b")), nbit = 4, freq = 2.0))
+      .as("bits")).collect()
+    // bit_i = floor((a_i - b_i) * 2) & 1, little-endian
+    def bits(a: Array[Float], b: Array[Float]): Long =
+      (0 until 4).map(i =>
+        (math.floor((a(i) - b(i)).toDouble * 2.0).toLong & 1L) << i).sum
+    assert(out(0).getLong(0) == bits(Array(1.0f, 2.0f, 0.5f, -1.0f), Array(0.5f, -2.0f, 1.5f, 0.0f)))
+  }
+
+  test("CodegenFallback expressions still execute under CODEGEN_ONLY") {
+    // CodegenFallback generates a call back into eval() — that IS its
+    // codegen contract; this guards that none of them break the
+    // generated-code path structurally.
+    val out = df.select(
+      shim.col(UnpackBits(shim.expr(sign_bits(col("a"))), 4)).as("u"),
+      shim.col(BitPrefix(shim.expr(sign_bits(col("a"))), 3)).as("p")).collect()
+    assert(out.length == 2)
+  }
+}
