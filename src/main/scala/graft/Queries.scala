@@ -2883,6 +2883,52 @@ object Queries {
         .withColumn("dist", r4("dist")),
       Some(knnOracle(dL2, "q.vec_id < 10", "b.vec_id >= 10 AND b.vec_id % 3 = 0", 10))),
 
+    // HNSW over SQ8 code storage (IndexHNSWSQ, faiss/IndexHNSW.h:168,
+    // factory "HNSW16,SQ8"): each partition's graph stores
+    // 1-byte-per-dim codes and decodes inside the distance
+    // (LocalHnswSq) — 4x less executor memory per graph shard. Exact-
+    // degenerate gate: efSearch >= any partition's size makes the
+    // asymmetric ADC beam cover the whole graph, so the result must
+    // equal the flat SQ8 ADC scan bit-for-bit (the sq8_knn oracle
+    // verbatim: same trained range, same codes, same kernel).
+    ("hnsw_sq_search", (s: SparkSession, dir: String) =>
+      graft.knn.PartitionedHnsw.knnJoinSq(
+        qDf(s, dir, 10), bDf(s, dir, 10), 5,
+        m = 16, efConstruction = 64, efSearch = 4096)
+        .withColumn("dist", r4("dist")),
+      Some("""WITH dims AS (
+             |  SELECT list(mn ORDER BY i) AS vmn, list(mx - mn ORDER BY i) AS vd FROM (
+             |    SELECT i, min(e) AS mn, max(e) AS mx
+             |    FROM (SELECT unnest(embedding::DOUBLE[]) AS e, generate_subscripts(embedding, 1) AS i
+             |          FROM embeddings WHERE vec_id >= 10) u GROUP BY i) t),
+             |dec AS (SELECT vec_id AS id,
+             |  list_transform(embedding::DOUBLE[], (x, i) ->
+             |    vmn[i] + (floor(255 * (CASE WHEN vd[i] = 0 THEN 0
+             |      ELSE least(greatest((x - vmn[i]) / vd[i], 0), 1) END)) + 0.5) / 255 * vd[i]) AS dv
+             |  FROM embeddings, dims WHERE vec_id >= 10),
+             |qd AS (SELECT q.vec_id AS qid, b.id AS id,
+             |  list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], b.dv),
+             |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
+             |  FROM embeddings q CROSS JOIN dec b WHERE q.vec_id < 10)
+             |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+             |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank"
+             |  FROM qd) w WHERE "rank" <= 5""".stripMargin)),
+
+    // HNSW-SQ8 approximate regime at 600k-row scale: recall@10 vs the
+    // FLOAT exact truth (the verdict-prescribed basis — the gate spans
+    // both the graph approximation and the SQ8 quantization error).
+    ("hnsw_sq_big", (s: SparkSession, dir: String) => {
+      val q = bigQueries(s, dir); val b = bigVecs(s, dir)
+      val approx = graft.knn.PartitionedHnsw.knnJoinSq(q, b, 10,
+        m = 16, efConstruction = 64, efSearch = 96)
+      val truth = bigTruth(s, dir)
+      graft.eval.Recall.perQuery(truth, approx)
+        .agg(count(lit(1)).as("n_queries"),
+          coalesce(avg(col("recall")) >= 0.85, lit(true)).as("recall_ge_085"))
+    },
+      Some(s"""SELECT count(*)::BIGINT AS n_queries, true AS recall_ge_085
+              |FROM ($bigVecSql) v WHERE id % 9973 = 1""".stripMargin)),
+
     // NSG approximate regime at 600k-row scale: driver gate is mean
     // recall@10 vs the exact flat search >= 0.9 (same pattern as
     // hnsw_partition_search; the oracle re-derives the query count and

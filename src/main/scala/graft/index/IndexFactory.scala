@@ -200,6 +200,15 @@ object IndexFactory {
         q.withColumn(qvec, chain.applyCol(col(qvec))), base, k,
         m = m, efSearch = math.max(96, 4 * k), queryId = qid, queryVec = qvec)
   }
+  /** Per-partition HNSW shards over SQ8 code storage (HNSW<M>,SQ8 —
+    * IndexHNSWSQ, faiss/IndexHNSW.h:168). */
+  private final class HnswSqBuilt(base: DataFrame, chain: VecTransform, m: Int)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      graft.knn.PartitionedHnsw.knnJoinSq(
+        q.withColumn(qvec, chain.applyCol(col(qvec))), base, k,
+        m = m, efSearch = math.max(96, 4 * k), queryId = qid, queryVec = qvec)
+  }
   /** Per-partition NSG shards over Flat storage (NSG<R>[,Flat]). */
   private final class NsgBuilt(base: DataFrame, chain: VecTransform, r: Int)
       extends Built {
@@ -326,6 +335,10 @@ object IndexFactory {
       // §7: the scalable re-expression of IndexHNSW / IndexNSG)
       case HnswTok(m) :: tl if tl.isEmpty || tl == List("Flat") =>
         new HnswBuilt(data, chain, m.toInt)
+      // HNSW<M>,SQ8 (IndexHNSWSQ, faiss/IndexHNSW.h:168): graph shards
+      // whose storage is SQ8 codes, decoded inside the distance
+      case HnswTok(m) :: "SQ8" :: Nil =>
+        new HnswSqBuilt(data, chain, m.toInt)
       case NsgTok(rr) :: tl if tl.isEmpty || tl == List("Flat") =>
         new NsgBuilt(data, chain, rr.toInt)
       // ZnLattice<M>x<r2>_<nbit> (index_factory.cpp:536, IndexLattice):

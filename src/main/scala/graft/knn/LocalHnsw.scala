@@ -1,5 +1,7 @@
 package graft.knn
 
+import scala.reflect.ClassTag
+
 /** In-memory single-JVM HNSW graph — the per-partition building block
   * of [[PartitionedHnsw]] (the IndexShards pattern,
   * faiss/IndexShards.h:20: independent sub-indexes whose results are
@@ -12,11 +14,23 @@ package graft.knn
   * visited set, flat int adjacency lists — no boxing anywhere in the
   * build/search loops (a partition builds single-threaded).
   *
+  * Generic in the STORED vector representation `S` (the reference's
+  * storage-index split, faiss/IndexHNSW.h:34: the graph walks ids, the
+  * storage supplies a DistanceComputer): [[LocalHnsw]] stores float32
+  * (IndexHNSWFlat), [[LocalHnswSq]] stores 1-byte-per-dim SQ8 codes
+  * decoded on the fly (IndexHNSWSQ, faiss/IndexHNSW.h:168) — 4× less
+  * executor memory per graph, the difference between an in-memory
+  * shard and a spilled one at 100 TB.
+  *
   * Deterministic given (seed, insertion order): level draws come from a
   * seeded RNG, and candidate selection orders are fixed by the heap
   * comparisons (dist, then insertion index).
   */
-final class LocalHnsw(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
+abstract class LocalHnswCore[S <: AnyRef: ClassTag](
+    m: Int, efConstruction: Int, seed: Long) {
+
+  /** Stored-vs-stored distance (graph construction). */
+  protected def sdist(a: S, b: S): Double
 
   private val rng = new java.util.Random(seed)
   private val mL = 1.0 / math.log(m.toDouble)
@@ -24,7 +38,7 @@ final class LocalHnsw(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
 
   private var n = 0
   private var cap = 1024
-  private var vecs = new Array[Array[Float]](cap)
+  private var vecs = new Array[S](cap)
   private var ids = new Array[Long](cap)
   private var levels = new Array[Int](cap)
   /** nbrA(node)(level) = int array, nbrN(node)(level) = used length. */
@@ -39,17 +53,11 @@ final class LocalHnsw(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
 
   private def grow(): Unit = {
     cap *= 2
-    vecs = java.util.Arrays.copyOf(vecs, cap)
+    vecs = java.util.Arrays.copyOf(vecs, cap).asInstanceOf[Array[S]]
     ids = java.util.Arrays.copyOf(ids, cap)
     levels = java.util.Arrays.copyOf(levels, cap)
     nbrA = java.util.Arrays.copyOf(nbrA, cap)
     nbrN = java.util.Arrays.copyOf(nbrN, cap)
-  }
-
-  private def dist(a: Array[Float], b: Array[Float]): Double = {
-    var s = 0.0; var i = 0
-    while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
-    s
   }
 
   private def addLink(node: Int, level: Int, nb: Int): Unit = {
@@ -69,7 +77,7 @@ final class LocalHnsw(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
     val ds = new Array[Double](used)
     val v = vecs(node)
     var i = 0
-    while (i < used) { ds(i) = dist(v, vecs(arr(i))); i += 1 }
+    while (i < used) { ds(i) = sdist(v, vecs(arr(i))); i += 1 }
     // insertion sort by (dist, id) — used <= capL + slack is small
     i = 1
     while (i < used) {
@@ -84,10 +92,11 @@ final class LocalHnsw(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
     nbrN(node)(level) = capL
   }
 
-  /** Greedy single-step descent at `level` from `start`. */
-  private def greedy(q: Array[Float], start: Int, level: Int): Int = {
+  /** Greedy single-step descent at `level` from `start`; `distTo` is
+    * the distance from the (implicit) query to a stored vector. */
+  private def greedy(distTo: S => Double, start: Int, level: Int): Int = {
     var cur = start
-    var curD = dist(q, vecs(cur))
+    var curD = distTo(vecs(cur))
     var improved = true
     while (improved) {
       improved = false
@@ -96,7 +105,7 @@ final class LocalHnsw(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
       var i = 0
       while (i < used) {
         val nd = arr(i)
-        val d = dist(q, vecs(nd))
+        val d = distTo(vecs(nd))
         if (d < curD) { cur = nd; curD = d; improved = true }
         i += 1
       }
@@ -175,11 +184,11 @@ final class LocalHnsw(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
 
   /** Beam search at `level` from `start`. Fills resD/resX (heap order)
     * with the <= ef best candidates. */
-  private def beam(q: Array[Float], start: Int, level: Int, ef: Int): Unit = {
+  private def beam(distTo: S => Double, start: Int, level: Int, ef: Int): Unit = {
     if (resD.length < ef) { resD = new Array[Double](ef); resX = new Array[Int](ef) }
     resN = 0; froN = 0
     visited.clear()
-    val d0 = dist(q, vecs(start))
+    val d0 = distTo(vecs(start))
     resPush(d0, start, ef); froPush(d0, start); visited.set(start)
     while (froN > 0) {
       val cd = froD(0); val cn = froX(0); froPop()
@@ -192,7 +201,7 @@ final class LocalHnsw(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
           val nd = arr(i)
           if (!visited.get(nd)) {
             visited.set(nd)
-            val d = dist(q, vecs(nd))
+            val d = distTo(vecs(nd))
             if (resN < ef || d < resD(0) || (d == resD(0) && nd < resX(0))) {
               resPush(d, nd, ef); froPush(d, nd)
             }
@@ -222,7 +231,7 @@ final class LocalHnsw(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
     (xs, ds, k)
   }
 
-  def add(id: Long, v: Array[Float]): Unit = {
+  def add(id: Long, v: S): Unit = {
     if (n == cap) grow()
     val node = n
     val level = math.min((-math.log(math.max(rng.nextDouble(), 1e-12)) * mL).toInt, 24)
@@ -232,11 +241,12 @@ final class LocalHnsw(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
     nbrN(node) = new Array[Int](level + 1)
     n += 1
     if (entry < 0) { entry = node; maxLevel = level; return }
+    val distTo: S => Double = s => sdist(v, s)
     var cur = entry
     var l = maxLevel
-    while (l > level) { cur = greedy(v, cur, l); l -= 1 }
+    while (l > level) { cur = greedy(distTo, cur, l); l -= 1 }
     while (l >= 0) {
-      beam(v, cur, l, efConstruction)
+      beam(distTo, cur, l, efConstruction)
       val (bi, _, bn) = beamSorted()
       val take = math.min(m, bn)
       val capL = if (l == 0) maxM0 else m
@@ -255,17 +265,73 @@ final class LocalHnsw(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
     if (level > maxLevel) { maxLevel = level; entry = node }
   }
 
-  /** Top-k (id, dist) best-first; ef = max(efSearch, k). */
-  def search(q: Array[Float], k: Int, efSearch: Int = 64): Array[(Long, Double)] = {
+  /** Top-k (id, dist) best-first under an arbitrary query-to-stored
+    * distance; ef = max(efSearch, k). */
+  def searchWith(distTo: S => Double, k: Int, efSearch: Int): Array[(Long, Double)] = {
     if (entry < 0) return Array.empty
     var cur = entry
     var l = maxLevel
-    while (l > 0) { cur = greedy(q, cur, l); l -= 1 }
-    beam(q, cur, 0, math.max(efSearch, k))
+    while (l > 0) { cur = greedy(distTo, cur, l); l -= 1 }
+    beam(distTo, cur, 0, math.max(efSearch, k))
     val (xs, ds, bn) = beamSorted()
     val out = new Array[(Long, Double)](math.min(k, bn))
     var i = 0
     while (i < out.length) { out(i) = (ids(xs(i)), ds(i)); i += 1 }
     out
   }
+}
+
+/** Float32-storage HNSW (IndexHNSWFlat, faiss/IndexHNSW.h:152). */
+final class LocalHnsw(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L)
+    extends LocalHnswCore[Array[Float]](m, efConstruction, seed) {
+
+  protected def sdist(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Top-k (id, dist) best-first; ef = max(efSearch, k). */
+  def search(q: Array[Float], k: Int, efSearch: Int = 64): Array[(Long, Double)] =
+    searchWith(s => sdist(q, s), k, efSearch)
+}
+
+/** SQ8-storage HNSW (IndexHNSWSQ, faiss/IndexHNSW.h:168, QT_8bit):
+  * the graph stores 1-byte-per-dim codes and decodes inside the
+  * distance — build distances are symmetric decode-decode, search is
+  * the same asymmetric float-vs-code kernel as the flat SQ8 scan
+  * ([[graft.core.SqKernels.adcL2sq]] arithmetic, term for term), so an
+  * exhaustive-ef search reproduces [[graft.index.SqIndex.search]]
+  * exactly. */
+final class LocalHnswSq(vmin: Array[Double], vdiff: Array[Double],
+    m: Int = 16, efConstruction: Int = 64, seed: Long = 42L)
+    extends LocalHnswCore[Array[Byte]](m, efConstruction, seed) {
+
+  protected def sdist(a: Array[Byte], b: Array[Byte]): Double = {
+    val d = vmin.length
+    var s = 0.0; var i = 0
+    while (i < d) {
+      // decoded difference: the vmin terms cancel
+      val df = ((a(i) & 0xff) - (b(i) & 0xff)) / 255.0 * vdiff(i)
+      s += df * df
+      i += 1
+    }
+    s
+  }
+
+  /** Asymmetric top-k: float query vs decoded codes, identical
+    * arithmetic to SqKernels.adcL2sq (same decode expression, same
+    * accumulation order — bit-equal distances to the flat SQ8 scan). */
+  def search(q: Array[Float], k: Int, efSearch: Int = 64): Array[(Long, Double)] =
+    searchWith(code => {
+      val d = vmin.length
+      var s = 0.0; var i = 0
+      while (i < d) {
+        val dec = vmin(i) + ((code(i) & 0xff) + 0.5) / 255.0 * vdiff(i)
+        val df = q(i).toDouble - dec
+        s += df * df
+        i += 1
+      }
+      s
+    }, k, efSearch)
 }

@@ -70,6 +70,57 @@ object PartitionedHnsw {
           }
         }
       }
+    mergeShards(spark, cand, k, queryId, baseId)
+  }
+
+  /** SQ8-storage variant (IndexHNSWSQ, faiss/IndexHNSW.h:168): trains
+    * the per-dimension SQ8 range on the base, encodes once, and each
+    * partition builds its graph OVER THE CODES ([[LocalHnswSq]] —
+    * d bytes per stored vector instead of 4d, decode inside the
+    * distance). Search is the same asymmetric ADC kernel as the flat
+    * SQ8 scan, so efSearch >= partition size reproduces
+    * [[graft.index.SqIndex.search]] exactly; at 100 TB the win is 4×
+    * less scan IO AND 4× smaller per-executor graphs. */
+  def knnJoinSq(queries: DataFrame, base: DataFrame, k: Int,
+      m: Int = 16, efConstruction: Int = 64, efSearch: Int = 64,
+      queryId: String = "qid", queryVec: String = "qvec",
+      baseId: String = "id", baseVec: String = "vec",
+      rangeStat: String = "minmax", rsArg: Double = 0.0): DataFrame = {
+    val spark = base.sparkSession
+    val qArr: Array[(Long, Array[Float])] = queries
+      .select(col(queryId).cast("long"), col(queryVec))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bq = spark.sparkContext.broadcast(qArr)
+    val (vmin, vdiff) =
+      graft.index.SqIndex.trainRange(base, baseVec, rangeStat, rsArg)
+    import org.apache.spark.sql.graft.shim
+    val codes = base.select(col(baseId).cast("long"), shim.col(
+      graft.core.SQEncode(shim.expr(col(baseVec)), vmin, vdiff)))
+    val target = spark.sparkContext.defaultParallelism
+    val spread =
+      if (codes.rdd.getNumPartitions >= target) codes
+      else codes.repartition(target)
+    val cand = spread.rdd.mapPartitionsWithIndex { (pi, it) =>
+      val rows = it.map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val g = new LocalHnswSq(vmin, vdiff, m, efConstruction, seed = 42L + pi)
+        rows.foreach { case (id, code) => g.add(id, code) }
+        bq.value.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, k, efSearch).iterator.map { case (id, d) => Row(qid, id, d) }
+        }
+      }
+    }
+    mergeShards(spark, cand, k, queryId, baseId)
+  }
+
+  /** IndexShards result merge: bounded-heap top-k over the union of
+    * per-partition candidates (only <= k rows per (partition, query)
+    * reach the shuffle). */
+  private def mergeShards(spark: org.apache.spark.sql.SparkSession,
+      cand: org.apache.spark.rdd.RDD[Row], k: Int,
+      queryId: String, baseId: String): DataFrame = {
     val candDf = spark.createDataFrame(cand,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("_qid", org.apache.spark.sql.types.LongType, nullable = false),

@@ -74,6 +74,16 @@ class IoFactorySpec extends SparkTestBase {
     assert(IndexFactory.codeSize("ZnLattice16x10_8", 64) == 32)
     assert(IndexFactory.codeSize("HNSW16", 64) == 256)
     assert(IndexFactory.codeSize("NSG16", 64) == 256)
+    // HNSW over SQ8 code storage (IndexHNSWSQ): generous ef makes it
+    // equal the flat SQ8 ADC scan on this tiny base
+    val hsq = IndexFactory.build(b, "id", "vec", "HNSW16,SQ8")
+    val wantSq = graft.index.SqIndex.build(b, "id", "vec").search(q, 3)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotSq = hsq.search(q, 3).select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotSq == wantSq, "HNSW16,SQ8 on tiny base should equal flat SQ8")
+    assert(IndexFactory.codeSize("HNSW16,SQ8", 64) == 64)
   }
 
   test("factory PCA16,IVF4,Flat and L2norm,SQ8 build and search") {

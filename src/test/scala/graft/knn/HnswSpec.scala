@@ -43,6 +43,62 @@ class HnswSpec extends SparkTestBase {
     assert(recall >= 0.9, s"recall $recall < 0.9")
   }
 
+  test("LocalHnswSq: exact-degenerate equals brute-force ADC over codes") {
+    val rnd = new scala.util.Random(11)
+    val d = 8
+    val pts = Array.fill(300)(Array.fill(d)(rnd.nextFloat()))
+    // minmax range per dim, as SqIndex.trainRange would compute
+    val vmin = Array.tabulate(d)(i => pts.map(_(i).toDouble).min)
+    val vmax = Array.tabulate(d)(i => pts.map(_(i).toDouble).max)
+    val vdiff = Array.tabulate(d)(i => vmax(i) - vmin(i))
+    def enc(v: Array[Float]): Array[Byte] = Array.tabulate(d) { i =>
+      var xi = 0.0
+      if (vdiff(i) != 0.0) {
+        xi = (v(i).toDouble - vmin(i)) / vdiff(i)
+        if (xi < 0) xi = 0; if (xi > 1) xi = 1
+      }
+      (255.0 * xi).toInt.toByte
+    }
+    def adc(q: Array[Float], c: Array[Byte]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) {
+        val dec = vmin(i) + ((c(i) & 0xff) + 0.5) / 255.0 * vdiff(i)
+        val df = q(i).toDouble - dec; s += df * df; i += 1
+      }
+      s
+    }
+    val g = new LocalHnswSq(vmin, vdiff, m = 8, efConstruction = 64, seed = 1L)
+    val codes = pts.map(enc)
+    codes.zipWithIndex.foreach { case (c, i) => g.add(i.toLong, c) }
+    val q = Array.fill(d)(rnd.nextFloat())
+    val got = g.search(q, 5, efSearch = 300).toSeq
+    val want = codes.zipWithIndex
+      .map { case (c, i) => (adc(q, c), i.toLong) }
+      .sortBy(t => (t._1, t._2)).take(5).map(t => (t._2, t._1)).toSeq
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("PartitionedHnsw.knnJoinSq: exhaustive ef reproduces the flat SQ8 scan") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = (0 until 3000).map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat())))
+      .toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .repartition(4)
+      .cache()
+    val queries = base.filter(col("id") % 300 === 0)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val flat = graft.index.SqIndex.build(base, "id", "vec")
+      .search(queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val graph = PartitionedHnsw
+      .knnJoinSq(queries, base, 10, m = 16, efConstruction = 64, efSearch = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    base.unpersist()
+    assert(graph == flat)
+  }
+
   test("PartitionedHnsw: deterministic across runs on a fixed partitioning") {
     val spark0 = spark
     import spark0.implicits._
