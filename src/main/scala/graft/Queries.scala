@@ -1821,6 +1821,35 @@ object Queries {
              |  FROM coded q JOIN coded b ON q.bucket = b.bucket
              |  WHERE q.vec_id < 10 AND b.vec_id >= 10) t WHERE "rank" <= 3""".stripMargin)),
 
+    // §2.11 IndexBinaryMultiHash (faiss/IndexBinaryHash.h:83,
+    // factory BHash4x8): 4 hash tables on disjoint 8-bit ranges of the
+    // 64-bit sign code; a query probes its bucket in every table and
+    // the deduplicated candidate union is Hamming-verified. The oracle
+    // replays the per-table keys, the EXISTS-a-colliding-table
+    // candidate set, and the (hd, id) ranking.
+    ("bhash_multi_search", (s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"),
+        sign_bits(col("embedding")).as("qcode"))
+      val b = e.filter(col("vec_id") >= 10).select(col("vec_id").as("id"),
+        sign_bits(col("embedding")).as("code"))
+      graft.index.BinaryFlat.multiHashSearch(q, b, 3, nhash = 4, b = 8)
+    },
+      Some("""WITH keys AS (SELECT vec_id, t, list_aggregate(list_transform(range(1, 9),
+             |    i -> CASE WHEN embedding[t*8 + i] >= 0 THEN (2^(i-1))::BIGINT ELSE 0 END), 'sum') AS key
+             |  FROM embeddings, range(0, 4) r(t)),
+             |cand AS (SELECT DISTINCT q.vec_id AS qid, b.vec_id AS id
+             |  FROM keys q JOIN keys b ON q.t = b.t AND q.key = b.key
+             |  WHERE q.vec_id < 10 AND b.vec_id >= 10),
+             |hd AS (SELECT c.qid, c.id,
+             |    (SELECT count(*) FROM range(1, 65) r(kk)
+             |     WHERE (qe.embedding[kk] >= 0) <> (be.embedding[kk] >= 0)) AS hd
+             |  FROM cand c JOIN embeddings qe ON qe.vec_id = c.qid
+             |  JOIN embeddings be ON be.vec_id = c.id)
+             |SELECT qid, "rank", id, hd FROM (
+             |  SELECT qid, id, hd, row_number() OVER (PARTITION BY qid ORDER BY hd, id) AS "rank"
+             |  FROM hd) w WHERE "rank" <= 3""".stripMargin)),
+
     // §2.8 Hamming range search over packed codes
     ("hamming_range", (s: SparkSession, dir: String) => {
       val e = emb(s, dir)

@@ -212,6 +212,29 @@ case class BitPrefix(child: Expression, b: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** b-bit slice [start, start+b) of a packed binary code as a bucket id
+  * (IndexBinaryMultiHash, faiss/IndexBinaryHash.h:83: hash table t
+  * keys on its own disjoint bit range of the code; BitPrefix is the
+  * start=0 special case). */
+case class BitSlice(child: Expression, start: Int, b: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(start >= 0 && b >= 1 && b <= 63, "bit slice must fit a positive long")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bit_slice"
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    var h = 0L
+    var i = 0
+    while (i < b) {
+      val j = start + i
+      h |= (((bytes(j >> 3) >> (j & 7)) & 1).toLong) << i
+      i += 1
+    }
+    h
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Spectral-hash signature: bit_i = floor((y_i - c_i) * freq) & 1,
   * packed little-endian (bit i at position i) into one BIGINT
   * (faiss IndexIVFSpectralHash.cpp:146-160 binarize_with_freq, with

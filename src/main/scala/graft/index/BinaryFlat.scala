@@ -56,6 +56,43 @@ object BinaryFlat {
       .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
         col("_r.id").as(baseId), col("_r.dist").cast("long").as("hd"))
 
+  /** Multi-hash bucketed Hamming kNN (IndexBinaryMultiHash,
+    * faiss/IndexBinaryHash.h:83): `nhash` independent tables, table t
+    * keyed on the disjoint bit range [t*b, (t+1)*b) of the code. A
+    * query probes its bucket in EVERY table; candidates are the
+    * deduplicated union — recall grows with nhash (a neighbor is found
+    * unless it differs in all n key ranges) while each table stays as
+    * selective as a single-table BHash<b>. Dataflow: the base is
+    * exploded nhash× into (table, key) rows and equi-joined against
+    * the broadcast queries — the same key-bucketed shuffle shape as
+    * the MinHash LSH band join, no cross join at any scale. */
+  def multiHashSearch(queries: DataFrame, base: DataFrame, k: Int,
+      nhash: Int, b: Int,
+      queryId: String = "qid", queryCode: String = "qcode",
+      baseId: String = "id", baseCode: String = "code"): DataFrame = {
+    import org.apache.spark.sql.graft.shim
+    def keys(c: org.apache.spark.sql.Column) = explode(array(
+      (0 until nhash).map(t => struct(lit(t).as("t"),
+        shim.col(graft.core.BitSlice(shim.expr(c), t * b, b)).as("key"))): _*))
+    val bk = base
+      .select(col(baseId), col(baseCode), keys(col(baseCode)).as("_tk"))
+      .select(col(baseId), col(baseCode), col("_tk.t").as("_t"), col("_tk.key").as("_key"))
+    val qk = queries
+      .select(col(queryId), col(queryCode), keys(col(queryCode)).as("_tk"))
+      .select(col(queryId), col(queryCode), col("_tk.t").as("_t"), col("_tk.key").as("_key"))
+    bk.join(broadcast(qk), Seq("_t", "_key"))
+      .select(col(queryId), col(baseId),
+        hamming_dist(col(queryCode), col(baseCode)).cast("double").as("_d"))
+      // dedup the union across tables (a pair can collide in several)
+      .groupBy(col(queryId), col(baseId))
+      .agg(min(col("_d")).as("_d"))
+      .groupBy(col(queryId))
+      .agg(topk(col("_d"), col(baseId), k, asc = true).as("_tk"))
+      .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+      .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
+        col("_r.id").as(baseId), col("_r.dist").cast("long").as("hd"))
+  }
+
   /** Hamming range search (hamming_range_search, hamming.h:175). */
   def rangeJoin(queries: DataFrame, base: DataFrame, maxHamming: Long,
       queryId: String = "qid", queryCode: String = "qcode",

@@ -367,14 +367,13 @@ object IndexFactory {
 
   private val BIvf = "BIVF(\\d+)".r
   private val BHash = "BHash(\\d+)".r
+  private val BHashMulti = "BHash(\\d+)x(\\d+)".r
   private val BHnsw = "BHNSW(\\d+)".r
 
   /** index_binary_factory analog (index_factory.cpp:889): grammar
-    * BFlat | BIVF<nlist> | BHash<b>. BHNSW / BHash<n>x<b> multi-hash
-    * are rejected with the SURVEY §7 graph-build rationale (the
-    * per-partition HNSW accelerator is the capability answer on the
-    * float side). `nbits` is the code width in bits (the `d` of
-    * index_binary_factory). */
+    * BFlat | BIVF<nlist> | BHash<b> | BHash<n>x<b> (multi-hash,
+    * IndexBinaryMultiHash) | BHNSW<m>. `nbits` is the code width in
+    * bits (the `d` of index_binary_factory). */
   def buildBinary(df: DataFrame, idCol: String, codeCol: String, nbits: Int,
       desc: String, niter: Int = 4, seed: Long = 1234L): BinaryBuilt = {
     val data = df.select(col(idCol).as("id"), col(codeCol).as("code"))
@@ -389,6 +388,17 @@ object IndexFactory {
         new BinaryBuilt {
           def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qcode: String) =
             idx.search(q, k, math.max(nprobe, 1), qid, qcode)
+        }
+      case BHashMulti(n, b) =>
+        // IndexBinaryMultiHash (faiss/IndexBinaryHash.h:83): n tables
+        // on disjoint bit ranges, candidate union, Hamming verify
+        val (nn, bb) = (n.toInt, b.toInt)
+        require(nn * bb <= nbits,
+          s"BHash${nn}x$bb needs $nn*$bb <= $nbits code bits")
+        new BinaryBuilt {
+          def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qcode: String) =
+            BinaryFlat.multiHashSearch(q, data, k, nn, bb,
+              queryId = qid, queryCode = qcode)
         }
       case BHash(b) =>
         val bb = b.toInt
@@ -419,7 +429,8 @@ object IndexFactory {
                 col("dist").cast("long").as("hd"))
         }
       case other => throw new IllegalArgumentException(
-        s"unsupported binary factory '$other' (multi-hash BHash<n>x<b>: SURVEY §7)")
+        s"unsupported binary factory '$other' " +
+          "(BFlat | BIVF<nlist> | BHash<b> | BHash<n>x<b> | BHNSW<m>)")
     }
   }
 }

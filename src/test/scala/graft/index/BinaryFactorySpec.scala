@@ -60,10 +60,27 @@ class BinaryFactorySpec extends SparkTestBase {
       results(BinaryFlat.knnJoin(q, codes, 32)))
   }
 
-  test("multi-hash BHash<n>x<b> is rejected with the survey rationale") {
+  test("multi-hash BHash4x8: superset of single-table candidates, self at 0") {
+    val built = IndexFactory.buildBinary(codes, "id", "code", 64, "BHash4x8")
+    val top = built.search(q, 1).filter(col("rank") === 1)
+      .select("qid", "id", "hd").collect()
+    assert(top.length == 5)
+    assert(top.forall(_.getLong(2) == 0L))
+    // table 0 keys on the same bit range as BHash8: every single-table
+    // bucket-mate must appear among the multi-hash candidates, so at
+    // equal k the multi-hash hd can only be <= the single-table hd
+    val single = IndexFactory.buildBinary(codes, "id", "code", 64, "BHash8")
+      .search(q, 3).groupBy("qid").agg(max(col("hd")).as("h1"))
+    val multi = built.search(q, 3).groupBy("qid").agg(max(col("hd")).as("hn"))
+    val joined = single.join(multi, "qid")
+      .filter(col("hn") > col("h1")).count()
+    assert(joined == 0, "multi-hash recall fell below the single-table path")
+  }
+
+  test("multi-hash BHash9x8 over a 64-bit code is rejected") {
     val e = intercept[IllegalArgumentException] {
-      IndexFactory.buildBinary(codes, "id", "code", 64, "BHash4x8")
+      IndexFactory.buildBinary(codes, "id", "code", 64, "BHash9x8")
     }
-    assert(e.getMessage.contains("SURVEY"))
+    assert(e.getMessage.contains("code bits"))
   }
 }
