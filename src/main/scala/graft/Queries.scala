@@ -1850,6 +1850,34 @@ object Queries {
              |  SELECT qid, id, hd, row_number() OVER (PARTITION BY qid ORDER BY hd, id) AS "rank"
              |  FROM hd) w WHERE "rank" <= 3""".stripMargin)),
 
+    // IndexBinaryFromFloat (faiss/IndexBinaryFromFloat.h:26): binary
+    // index backed by a FLOAT index — codes unpack to ±1 floats
+    // (binary_to_real), an IVF float index searches them, and
+    // round(L2²/4) is EXACT Hamming (each mismatching bit contributes
+    // 4). nprobe = nlist makes the inner IVF exact, so the oracle is
+    // the flat Hamming ranking.
+    ("binary_from_float_search", (s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      val codes = e.filter(col("vec_id") >= 10).select(col("vec_id").as("id"),
+        sign_bits(col("embedding")).as("code"))
+      val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"),
+        sign_bits(col("embedding")).as("qcode"))
+      val bff = cached(s"bff4:$dir") {
+        graft.index.IndexFactory.buildBinaryFromFloat(
+          codes, "id", "code", 64, "IVF4,Flat", niter = 3)
+      }
+      bff.search(q, 3, nprobe = 4)
+    },
+      Some("""SELECT qid, "rank", id, hd FROM (
+             |  SELECT q.vec_id AS qid, b.vec_id AS id,
+             |    (SELECT count(*) FROM range(1, 65) r(kk)
+             |     WHERE (q.embedding[kk] >= 0) <> (b.embedding[kk] >= 0)) AS hd,
+             |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |      (SELECT count(*) FROM range(1, 65) r(kk)
+             |       WHERE (q.embedding[kk] >= 0) <> (b.embedding[kk] >= 0)), b.vec_id) AS "rank"
+             |  FROM embeddings q CROSS JOIN embeddings b
+             |  WHERE q.vec_id < 10 AND b.vec_id >= 10) t WHERE "rank" <= 3""".stripMargin)),
+
     // §2.8 Hamming range search over packed codes
     ("hamming_range", (s: SparkSession, dir: String) => {
       val e = emb(s, dir)
@@ -2032,6 +2060,28 @@ object Queries {
              |losers AS (SELECT DISTINCT j FROM jac WHERE inter/(tot-inter) >= 0.8)
              |SELECT doc_id, lang, n_chars FROM documents
              |WHERE doc_id NOT IN (SELECT j FROM losers)""".stripMargin)),
+
+    // near-dup connected components (the duplicate-CLUSTER view the
+    // keep-first policy collapses): distributed min-label propagation
+    // over the verified pair set — each iteration shuffles only the
+    // edge set, never the corpus. The oracle replays the minhash chain
+    // and computes min-reachable-id per doc via a recursive CTE
+    // (transitive closure over the symmetric edge set — exact on the
+    // shallow near-dup graph, where min-label converges long before
+    // maxIter).
+    ("neardup_components", (s: SparkSession, dir: String) =>
+      Dedup.nearDupComponents(docsDf(s, dir).select(col("doc_id")),
+          nearDups08(s, dir), "doc_id")
+        .select(col("id").as("doc_id"), col("component")),
+      Some(s"""WITH RECURSIVE ${minhashChainSql("documents")},
+              |pairs AS (SELECT i, j FROM jac WHERE inter/(tot-inter) >= 0.8),
+              |edges AS (SELECT i AS a, j AS b FROM pairs
+              |          UNION ALL SELECT j AS a, i AS b FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+              |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""".stripMargin)),
 
     // exact n-gram Jaccard via inverted shingle index (no cross join)
     ("ngram_jaccard_pairs", (s: SparkSession, dir: String) =>

@@ -433,4 +433,30 @@ object IndexFactory {
           "(BFlat | BIVF<nlist> | BHash<b> | BHash<n>x<b> | BHNSW<m>)")
     }
   }
+
+  /** IndexBinaryFromFloat (faiss/IndexBinaryFromFloat.h:26): a binary
+    * index backed by ANY float index from the float factory grammar.
+    * Codes unpack to ±1 float vectors (binary_to_real,
+    * faiss/utils/utils.cpp:634), the float index adds/searches them,
+    * and reported distances are round(L2²/4) — EXACT Hamming, since
+    * each mismatching bit contributes (±2)² = 4 to the squared L2
+    * (IndexBinaryFromFloat.cpp:72). Queries are symmetric: codes and
+    * vectors are the same thing, as in the reference. */
+  def buildBinaryFromFloat(df: DataFrame, idCol: String, codeCol: String,
+      nbits: Int, floatDesc: String, niter: Int = 4,
+      seed: Long = 1234L): BinaryBuilt = {
+    def pm1(c: Column) = transform(
+      shim.col(graft.core.UnpackBits(shim.expr(c), nbits)),
+      x => x * 2 - 1).cast("array<float>")
+    val data = df.select(col(idCol).as("id"), pm1(col(codeCol)).as("vec"))
+    val inner = build(data, "id", "vec", floatDesc, niter, seed)
+    new BinaryBuilt {
+      def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qcode: String) = {
+        val qf = q.select(col(qid), pm1(col(qcode)).as("qvec"))
+        inner.search(qf, k, nprobe, qid, "qvec")
+          .select(col(qid), col("rank"), col("id"),
+            round(col("dist") / 4).cast("long").as("hd"))
+      }
+    }
+  }
 }

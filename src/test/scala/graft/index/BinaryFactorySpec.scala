@@ -77,6 +77,20 @@ class BinaryFactorySpec extends SparkTestBase {
     assert(joined == 0, "multi-hash recall fell below the single-table path")
   }
 
+  test("IndexBinaryFromFloat over exact-degenerate IVF equals flat Hamming") {
+    // codes -> ±1 floats -> float IVF(nprobe=nlist, exact) -> /4 = hd
+    val bff = IndexFactory.buildBinaryFromFloat(
+      codes, "id", "code", 64, "IVF4,Flat", niter = 3)
+    val got = bff.search(q, 5, nprobe = 4)
+    assert(results(got) == results(BinaryFlat.knnJoin(q, codes, 5)))
+    // distances are EXACT Hamming, not an approximation
+    val hd = got.select("qid", "id", "hd").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val flat = BinaryFlat.knnJoin(q, codes, 5).select("qid", "id", "hd")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(hd == flat)
+  }
+
   test("multi-hash BHash9x8 over a 64-bit code is rejected") {
     val e = intercept[IllegalArgumentException] {
       IndexFactory.buildBinary(codes, "id", "code", 64, "BHash9x8")
