@@ -132,6 +132,18 @@ object Queries {
       graft.cluster.ProgressiveDimKMeans.fitWithTransform(emb(s, dir), "embedding",
         k = 8, levels = Seq(8, 24, 64), niterPerLevel = 3)
     }
+  /** PCA to 16 dims trained on the full embeddings table (PCAMatrix,
+    * faiss/VectorTransform.h:124; centering folded into the bias). */
+  private def pca16(s: SparkSession, dir: String): graft.transform.Linear =
+    cached(s"pca16:$dir") {
+      graft.transform.Transforms.pca(emb(s, dir), "embedding", 16)
+    }
+  /** ITQ rotation to 32 bits (ITQMatrix, faiss/VectorTransform.h:178:
+    * PCA then iterative Procrustes toward the sign codes). */
+  private def itq32(s: SparkSession, dir: String): graft.transform.Linear =
+    cached(s"itq32:$dir") {
+      graft.transform.Opq.trainItq(emb(s, dir), "embedding", 32, iters = 5)
+    }
   /** Documents corpus with planted exact duplicates (id + 100000):
     * guarantees the simhash near-dup query returns rows at any sf. */
   private def simhashCorpus(s: SparkSession, dir: String): DataFrame =
@@ -214,7 +226,7 @@ object Queries {
     ivfpqr8(s, dir); twoLayer16(s, dir); ivfsh8(s, dir); km8(s, dir)
     twoLevel12(s, dir); pdk8(s, dir); bivf8(s, dir); rqModel16(s, dir)
     prqModel(s, dir); imi16(s, dir); sqMeanstd(s, dir); ivfrq8(s, dir)
-    kmSph8(s, dir); znLat16(s, dir)
+    kmSph8(s, dir); znLat16(s, dir); pca16(s, dir); itq32(s, dir)
     ()
   }
 
@@ -263,6 +275,8 @@ object Queries {
     val (prot, pmodel) = pdk8(s, dir)
     OracleAux.write(dir, "pdk_rot", OracleAux.linearDf(s, prot))
     OracleAux.write(dir, "pdk_centroids", OracleAux.centroidsDf(s, pmodel.centroids))
+    OracleAux.write(dir, "pca16", OracleAux.linearDf(s, pca16(s, dir)))
+    OracleAux.write(dir, "itq32", OracleAux.linearDf(s, itq32(s, dir)))
     OracleAux.write(dir, "simhash_codes",
       simhashCorpus(s, dir).select(col("doc_id").as("cid"),
         simhash64(TF.tokenize(col("text"))).as("code")))
@@ -1498,6 +1512,53 @@ object Queries {
               |  SELECT e.vec_id, r.d,
               |    (list_aggregate(list_transform(list_zip(r.r::DOUBLE[], e.embedding::DOUBLE[]), p -> p[1]*p[2]), 'sum'))::REAL AS yv
               |  FROM embeddings e CROSS JOIN read_parquet('$AUX/rot64/*.parquet') r) t GROUP BY vec_id),
+              |hd AS (SELECT q.vec_id AS qid, b.vec_id AS id,
+              |    len(list_filter(list_zip(q.bv, b.bv), p -> p[1] <> p[2]))::BIGINT AS hd
+              |  FROM bits q JOIN bits b ON q.vec_id < 10 AND b.vec_id >= 10)
+              |SELECT qid, "rank", id, hd FROM (
+              |  SELECT qid, id, hd, row_number() OVER (PARTITION BY qid ORDER BY hd, id) AS "rank" FROM hd) w
+              |WHERE "rank" <= 10""".stripMargin)),
+
+    // §2.9 PCAMatrix as a DIRECT oracle row (canonical #63; previously
+    // ScalaTest-only): kNN in the PCA-16 space. The oracle replays the
+    // trained projection from the pca16 sidecar (double mat-vec + bias,
+    // float32 cast — the Linear output contract, pdk_rot precedent)
+    // then the exact L2 ranking.
+    ("pca_knn", (s: SparkSession, dir: String) => {
+      val p = pca16(s, dir)
+      Knn.knnJoin(
+        qDf(s, dir, 10).withColumn("qvec", p.applyCol(col("qvec"))),
+        bDf(s, dir, 10).withColumn("vec", p.applyCol(col("vec"))), 5)
+        .withColumn("dist", r4("dist"))
+    },
+      Some(s"""WITH rot AS (SELECT d, r::DOUBLE[] AS r, bias FROM read_parquet('$AUX/pca16/*.parquet')),
+              |rv AS (SELECT vec_id, list(yv ORDER BY d) AS v FROM (
+              |  SELECT e.vec_id, r.d,
+              |    ((list_aggregate(list_transform(list_zip(r.r, e.embedding::DOUBLE[]), p -> p[1]*p[2]), 'sum')) + r.bias::DOUBLE)::REAL AS yv
+              |  FROM embeddings e CROSS JOIN rot r) t GROUP BY vec_id),
+              |dd AS (SELECT q.vec_id AS qid, b.vec_id AS id,
+              |    list_aggregate(list_transform(list_zip(q.v::DOUBLE[], b.v::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
+              |  FROM rv q CROSS JOIN rv b WHERE q.vec_id < 10 AND b.vec_id >= 10)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM dd) w
+              |WHERE "rank" <= 5""".stripMargin)),
+
+    // §2.9 ITQMatrix as a DIRECT oracle row (canonical #65; previously
+    // ScalaTest-only): sign-binarize under the trained ITQ rotation,
+    // then Hamming kNN — the lsh_search replay with the itq32 sidecar
+    // (which folds PCA + Procrustes rotation + centering bias).
+    ("itq_lsh_search", (s: SparkSession, dir: String) => {
+      val it = itq32(s, dir)
+      val enc = (c: org.apache.spark.sql.Column) => sign_bits(it.applyCol(c))
+      val q = qDf(s, dir, 10).select(col("qid"), enc(col("qvec")).as("qcode"))
+      val b = bDf(s, dir, 10).select(col("id"), enc(col("vec")).as("code"))
+      graft.index.BinaryFlat.knnJoin(q, b, 10)
+    },
+      Some(s"""WITH rot AS (SELECT d, r::DOUBLE[] AS r, bias FROM read_parquet('$AUX/itq32/*.parquet')),
+              |bits AS (SELECT vec_id, list((yv >= 0) ORDER BY d) AS bv FROM (
+              |  SELECT e.vec_id, r.d,
+              |    ((list_aggregate(list_transform(list_zip(r.r, e.embedding::DOUBLE[]), p -> p[1]*p[2]), 'sum')) + r.bias::DOUBLE)::REAL AS yv
+              |  FROM embeddings e CROSS JOIN rot r) t GROUP BY vec_id),
               |hd AS (SELECT q.vec_id AS qid, b.vec_id AS id,
               |    len(list_filter(list_zip(q.bv, b.bv), p -> p[1] <> p[2]))::BIGINT AS hd
               |  FROM bits q JOIN bits b ON q.vec_id < 10 AND b.vec_id >= 10)
