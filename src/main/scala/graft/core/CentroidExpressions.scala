@@ -64,16 +64,29 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]],
   * later task and row reuses it) — the dataflow stand-in for the
   * reference's single trained quantizer object. */
 private[graft] object CentroidHnswCache {
+  /** Bounded LRU: the working set is one graph per LIVE IVF index, so
+    * a long session building many indexes no longer accumulates one
+    * (potentially nlist ~ 1M-sized) graph per index forever. Evicting
+    * a still-used graph is safe — the next touch rebuilds it. */
+  private val MaxEntries = 8
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.knn.LocalHnsw]()
+    new java.util.LinkedHashMap[String, graft.knn.LocalHnsw](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, graft.knn.LocalHnsw]): Boolean =
+        size() > MaxEntries
+    }
   def get(key: String, centroids: Array[Array[Float]], m: Int,
-      efConstruction: Int): graft.knn.LocalHnsw =
-    cache.computeIfAbsent(key, _ => {
+      efConstruction: Int): graft.knn.LocalHnsw = cache.synchronized {
+    val existing = cache.get(key)
+    if (existing != null) existing
+    else {
       val g = new graft.knn.LocalHnsw(m, efConstruction, seed = 42L)
       var i = 0
       while (i < centroids.length) { g.add(i.toLong, centroids(i)); i += 1 }
+      cache.put(key, g)
       g
-    })
+    }
+  }
 }
 
 /** HNSW-accelerated probe-list computation — the coarse quantizer of

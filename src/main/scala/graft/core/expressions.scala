@@ -33,6 +33,27 @@ case class VecDistance(left: Expression, right: Expression, metric: String,
   override def dataType: DataType = DoubleType
   override def prettyName: String = s"vec_$metric"
 
+  // "jaccard"/"hamming" are the fork's FLOAT metrics here; binary
+  // callers historically reached popcount kernels through these names,
+  // so fail analysis with a pointer instead of a runtime cast error
+  // (or, worse, a silently inverted ordering).
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else if (left.dataType == BinaryType || right.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_$metric operates on array<float> vectors; for packed " +
+          "BinaryType codes use hamming_dist / jaccard_dist (popcount kernels)")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_$metric expects (array<float>, array<float>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
   private val kernel = "graft.core.VecKernels"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -33,11 +33,19 @@ class IvfRqIndex(
     val centDf = centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "_cent")
       .select(col("list_no"), col("_cent").cast("array<float>").as("_cent"))
-    val probes = queries.select(col(queryId), col(queryVec),
+    val probesPlan = queries.select(col(queryId), col(queryVec),
       explode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
         math.min(nprobe, nlist), "l2sq"))).as("_p"))
       .select(col(queryId), col(queryVec), col("_p.list_no").as("list_no"))
-    val probed = probes.select("list_no").distinct().collect().map(_.getInt(0))
+    // collect ONCE (≤ queries × nprobe rows — the same driver-
+    // collectable contract as the broadcast-NLJ query side) and build
+    // BOTH the static pruning set and the broadcast table from the
+    // collected rows, instead of executing the coarse-assign subplan
+    // twice (driver distinct + broadcast join).
+    val probeRows = probesPlan.collect()
+    val probed = probeRows.map(r => r.getInt(r.fieldIndex("list_no"))).distinct
+    val probes = s.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
     codes.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
       .join(broadcast(centDf), "list_no")
       .join(broadcast(probes), "list_no")

@@ -129,10 +129,16 @@ object Polysemous {
         w(i)(j) * e * e
       }
       // hill-climb: accept any swap that lowers the total cost. A
-      // swap of (u, v) only changes terms involving u or v.
+      // swap of (u, v) only changes terms involving u or v, so a
+      // sweep is O(n³) pair-delta work — fine at the default ksub=16,
+      // minutes of driver CPU at 256. Scale the sweep budget to hold
+      // total work at the default's order (exact behavior preserved
+      // for ksub <= 16, where the cap equals maxSweeps).
+      val sweepCap = math.max(1,
+        (maxSweeps.toLong * 16 * 16 * 16 / (n.toLong * n * n)).toInt)
       var improved = true
       var sweeps = 0
-      while (improved && sweeps < maxSweeps) {
+      while (improved && sweeps < sweepCap) {
         improved = false
         for (u <- 0 until n; v <- u + 1 until n) {
           var before = 0.0
