@@ -3069,6 +3069,37 @@ object Queries {
       Some(s"""SELECT count(*)::BIGINT AS n_queries, true AS recall_ge_085
               |FROM ($bigVecSql) v WHERE id % 9973 = 1""".stripMargin)),
 
+    // NSG over SQ8 code storage (IndexNSGSQ, faiss/IndexNSG.h:91,
+    // factory "NSG32,SQ8"): each partition's NSG stores 1-byte-per-dim
+    // codes and decodes inside the distance (LocalNsgSq). Exact-
+    // degenerate gate: searchL >= any partition's size seeds the full
+    // pool over a CONNECTED graph, so the asymmetric ADC ranking must
+    // equal the flat SQ8 scan bit-for-bit — the same decode-replay
+    // oracle as hnsw_sq_search (both degenerate to the identical flat
+    // SQ8 ADC ranking: same trained range, same codes, same kernel).
+    ("nsg_sq_search", (s: SparkSession, dir: String) =>
+      graft.knn.PartitionedNsg.knnJoinSq(
+        qDf(s, dir, 10), bDf(s, dir, 10), 5,
+        gk = 32, r = 32, buildL = 64, searchL = 4096)
+        .withColumn("dist", r4("dist")),
+      Some("""WITH dims AS (
+             |  SELECT list(mn ORDER BY i) AS vmn, list(mx - mn ORDER BY i) AS vd FROM (
+             |    SELECT i, min(e) AS mn, max(e) AS mx
+             |    FROM (SELECT unnest(embedding::DOUBLE[]) AS e, generate_subscripts(embedding, 1) AS i
+             |          FROM embeddings WHERE vec_id >= 10) u GROUP BY i) t),
+             |dec AS (SELECT vec_id AS id,
+             |  list_transform(embedding::DOUBLE[], (x, i) ->
+             |    vmn[i] + (floor(255 * (CASE WHEN vd[i] = 0 THEN 0
+             |      ELSE least(greatest((x - vmn[i]) / vd[i], 0), 1) END)) + 0.5) / 255 * vd[i]) AS dv
+             |  FROM embeddings, dims WHERE vec_id >= 10),
+             |qd AS (SELECT q.vec_id AS qid, b.id AS id,
+             |  list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], b.dv),
+             |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
+             |  FROM embeddings q CROSS JOIN dec b WHERE q.vec_id < 10)
+             |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+             |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank"
+             |  FROM qd) w WHERE "rank" <= 5""".stripMargin)),
+
     // NSG approximate regime at 600k-row scale: driver gate is mean
     // recall@10 vs the exact flat search >= 0.9 (same pattern as
     // hnsw_partition_search; the oracle re-derives the query count and

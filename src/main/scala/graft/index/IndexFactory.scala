@@ -217,6 +217,15 @@ object IndexFactory {
         q.withColumn(qvec, chain.applyCol(col(qvec))), base, k,
         r = r, searchL = math.max(96, 4 * k), queryId = qid, queryVec = qvec)
   }
+  /** Per-partition NSG shards over SQ8 code storage (NSG<R>,SQ8 —
+    * IndexNSGSQ, faiss/IndexNSG.h:91). */
+  private final class NsgSqBuilt(base: DataFrame, chain: VecTransform, r: Int)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      graft.knn.PartitionedNsg.knnJoinSq(
+        q.withColumn(qvec, chain.applyCol(col(qvec))), base, k,
+        r = r, searchL = math.max(96, 4 * k), queryId = qid, queryVec = qvec)
+  }
 
   /** Train the whole pipeline on `df` (id, vec) and return a
     * searchable index. */
@@ -341,6 +350,10 @@ object IndexFactory {
         new HnswSqBuilt(data, chain, m.toInt)
       case NsgTok(rr) :: tl if tl.isEmpty || tl == List("Flat") =>
         new NsgBuilt(data, chain, rr.toInt)
+      // NSG<R>,SQ8 (IndexNSGSQ, faiss/IndexNSG.h:91): graph shards
+      // whose storage is SQ8 codes, decoded inside the distance
+      case NsgTok(rr) :: "SQ8" :: Nil =>
+        new NsgSqBuilt(data, chain, rr.toInt)
       // ZnLattice<M>x<r2>_<nbit> (index_factory.cpp:536, IndexLattice):
       // a pure codec in the reference (search throws); searchable here
       // through the reconstruction-distance scan like the flat AQs

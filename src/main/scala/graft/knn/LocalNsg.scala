@@ -8,10 +8,16 @@ package graft.knn
   * semantics (faiss/IndexNNDescent.h:23) under the same IndexShards
   * re-expression as [[LocalHnsw]].
   *
+  * Generic in the STORED vector representation `S` (the reference's
+  * storage/graph split, faiss/IndexNSG.h:30 `storage` field):
+  * [[LocalNsg]] stores float32 (IndexNSGFlat), [[LocalNsgSq]] stores
+  * 1-byte-per-dim SQ8 codes decoded inside the distance (IndexNSGSQ,
+  * faiss/IndexNSG.h:91) — same split as [[LocalHnswCore]].
+  *
   * Algorithm re-derived from faiss/impl/NSG.cpp:
   *  - init kNN graph (faiss/IndexNSG.cpp build_type 0/1: brute force
   *    or NNDescent): brute force for small partitions, otherwise a
-  *    [[LocalHnsw]] bootstrap — the reference only needs an
+  *    [[LocalHnswCore]] bootstrap — the reference only needs an
   *    APPROXIMATE kNN graph here (NNDescent's output is approximate
   *    too), and the HNSW bootstrap is the already-tested local
   *    machinery with the same contract.
@@ -40,25 +46,34 @@ package graft.knn
   * Deterministic given (ids, vecs, parameters): all ties break on
   * (dist, node index) and the only RNG is fixed-seeded per search.
   * Single-threaded by design — a Spark partition IS the parallel unit.
+  *
+  * The graph is built lazily on first search (abstract distance
+  * methods may close over subclass state, which is not yet initialized
+  * while the superclass constructor runs).
   */
-final class LocalNsg(
-    ids: Array[Long], vecs: Array[Array[Float]],
-    gk: Int = 32, r: Int = 32, buildL: Int = 64, c: Int = 100,
-    prune: Boolean = true, seed: Long = 42L) {
+abstract class LocalNsgCore[S <: AnyRef](
+    ids: Array[Long], vecs: Array[S],
+    gk: Int, r: Int, buildL: Int, c: Int,
+    prune: Boolean, seed: Long) {
+
+  /** Stored-vs-stored distance (graph construction). */
+  protected def sdist(a: S, b: S): Double
+  /** Float-query-vs-stored distance (search; for quantized storage
+    * this is the SAME asymmetric kernel as the flat scan, term for
+    * term, so exhaustive searchL reproduces the flat ranking). */
+  protected def qdist(q: Array[Float], s: S): Double
+  /** Decode to float32 — used once, for the navigating-point centroid. */
+  protected def decode(s: S): Array[Float]
+  /** Bootstrap graph for the approximate init-kNN phase (large n). */
+  protected def newBootstrap(seed: Long): LocalHnswCore[S]
 
   private val n = vecs.length
   require(n > 0, "empty partition")
 
   def size: Int = n
 
-  private def dist(a: Array[Float], b: Array[Float]): Double = {
-    var s = 0.0; var i = 0
-    while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
-    s
-  }
-
   // ---- 1. initial kNN graph (degree <= gk, self excluded) -------------
-  private val knnG: Array[Array[Int]] = {
+  private lazy val knnG: Array[Array[Int]] = {
     val k = math.min(gk, n - 1)
     if (k <= 0) Array.fill(n)(Array.emptyIntArray)
     else if (n <= 2048) {
@@ -66,7 +81,7 @@ final class LocalNsg(
       Array.tabulate(n) { i =>
         val ds = new Array[Double](n)
         var j = 0
-        while (j < n) { ds(j) = if (j == i) Double.MaxValue else dist(vecs(i), vecs(j)); j += 1 }
+        while (j < n) { ds(j) = if (j == i) Double.MaxValue else sdist(vecs(i), vecs(j)); j += 1 }
         val idx = Array.range(0, n)
         // partial selection: k smallest by (dist, idx)
         val out = new Array[Int](k)
@@ -86,23 +101,23 @@ final class LocalNsg(
     } else {
       // HNSW bootstrap (stands in for IndexNSG.cpp build_type 1
       // NNDescent: any high-recall approximate kNN graph works)
-      val h = new LocalHnsw(m = 16, efConstruction = 64, seed = seed)
+      val h = newBootstrap(seed)
       var i = 0
       while (i < n) { h.add(i.toLong, vecs(i)); i += 1 }
       Array.tabulate(n) { q =>
-        h.search(vecs(q), k + 1, efSearch = math.max(64, k + 16))
+        h.searchWith(s => sdist(vecs(q), s), k + 1, efSearch = math.max(64, k + 16))
           .iterator.map(_._1.toInt).filter(_ != q).take(k).toArray
       }
     }
   }
 
   // ---- 2. navigating point (exact medoid vs centroid) -----------------
-  private val enterpoint: Int = {
-    val d = vecs(0).length
+  private lazy val enterpoint: Int = {
+    val d = decode(vecs(0)).length
     val center = new Array[Float](d)
     var i = 0
     while (i < n) {
-      val v = vecs(i); var j = 0
+      val v = decode(vecs(i)); var j = 0
       while (j < d) { center(j) += v(j); j += 1 }
       i += 1
     }
@@ -111,7 +126,7 @@ final class LocalNsg(
     var best = 0; var bd = Double.MaxValue
     i = 0
     while (i < n) {
-      val dd = dist(center, vecs(i))
+      val dd = qdist(center, vecs(i))
       if (dd < bd) { bd = dd; best = i }
       i += 1
     }
@@ -147,8 +162,9 @@ final class LocalNsg(
   /** Best-first search over `graph` from `ep` with pool size `poolSize`.
     * Returns the pool size used; pool arrays hold ascending results.
     * When `collect` is non-null, every visited (node, dist) is appended
-    * (the sync_prune candidate set, NSG.cpp:360-388). */
-  private def searchOnGraph(graph: Array[Array[Int]], q: Array[Float],
+    * (the sync_prune candidate set, NSG.cpp:360-388). `distTo` is the
+    * distance from the (implicit) query to a stored vector. */
+  private def searchOnGraph(graph: Array[Array[Int]], distTo: S => Double,
       ep: Int, poolSize: Int, collect: java.util.ArrayList[(Int, Double)]): Int = {
     val ps = math.min(poolSize, n)
     if (poolD.length < ps + 1) {
@@ -184,7 +200,7 @@ final class LocalNsg(
     i = 0
     while (i < num) {
       val id = init(i)
-      val d = dist(q, vecs(id))
+      val d = distTo(vecs(id))
       poolInsert(size, ps, d, id)
       size = math.min(size + 1, ps)
       if (collect ne null) collect.add((id, d))
@@ -203,7 +219,7 @@ final class LocalNsg(
           val id = nbrs(t)
           if (id >= 0 && !visited.get(id)) {
             visited.set(id)
-            val d = dist(q, vecs(id))
+            val d = distTo(vecs(id))
             if (collect ne null) collect.add((id, d))
             val pos = poolInsert(size, ps, d, id)
             if (pos < size || size < ps) {
@@ -248,7 +264,7 @@ final class LocalNsg(
         var t = 0
         while (!occlude && t < cnt) {
           if (out(t) == p) occlude = true
-          else if (dist(vecs(out(t)), vecs(p)) < dqp) occlude = true  // MRNG rule, NSG.cpp:441
+          else if (sdist(vecs(out(t)), vecs(p)) < dqp) occlude = true  // MRNG rule, NSG.cpp:441
           t += 1
         }
         if (!occlude) { out(cnt) = p; outD(cnt) = dqp; cnt += 1 }
@@ -257,128 +273,131 @@ final class LocalNsg(
     cnt
   }
 
-  if (prune && n > 1) {
-    val outBuf = new Array[Int](r)
-    val outD = new Array[Double](r)
-    var q = 0
-    while (q < n) {
-      val pool = new java.util.ArrayList[(Int, Double)](buildL * 4)
-      searchOnGraph(knnG, vecs(q), enterpoint, buildL, pool)
-      // also offer q's own kNN neighbors (NSG.cpp:413-421)
-      val kn = knnG(q)
-      var i = 0
-      while (i < kn.length) { pool.add((kn(i), dist(vecs(q), vecs(kn(i))))); i += 1 }
-      val cnt = mrngSelect(q, pool, outBuf, outD)
-      i = 0
-      while (i < cnt) { finalA(q * capR + i) = outBuf(i); i += 1 }
-      degrees(q) = cnt
-      q += 1
-    }
-    // add_reverse_links (NSG.cpp:462)
-    q = 0
-    while (q < n) {
-      var i = 0
-      while (i < degrees(q)) {
-        val des = finalA(q * capR + i)
-        var dup = false
-        var j = 0
-        while (!dup && j < degrees(des)) { if (finalA(des * capR + j) == q) dup = true; j += 1 }
-        if (!dup) {
-          if (degrees(des) < r) {
-            finalA(des * capR + degrees(des)) = q
-            degrees(des) += 1
-          } else {
-            // full: re-prune des's R+1 candidates by the same rule
-            val pool = new java.util.ArrayList[(Int, Double)](r + 1)
-            var t = 0
-            while (t < degrees(des)) {
-              val nb = finalA(des * capR + t)
-              pool.add((nb, dist(vecs(des), vecs(nb)))); t += 1
-            }
-            pool.add((q, dist(vecs(des), vecs(q))))
-            val cnt = mrngSelect(des, pool, outBuf, outD)
-            t = 0
-            while (t < cnt) { finalA(des * capR + t) = outBuf(t); t += 1 }
-            t = cnt
-            while (t < r) { finalA(des * capR + t) = -1; t += 1 }
-            degrees(des) = cnt
-          }
-        }
-        i += 1
-      }
-      q += 1
-    }
-    // tree_grow (NSG.cpp:542): connect every node to the enterpoint tree
-    val reached = new java.util.BitSet(n)
-    def dfs(root: Int): Unit = {
-      val stack = new java.util.ArrayDeque[Integer]()
-      stack.push(root); reached.set(root)
-      while (!stack.isEmpty) {
-        val node = stack.peek().intValue()
-        var next = -1
-        var i2 = 0
-        while (next < 0 && i2 < degrees(node)) {
-          val id = finalA(node * capR + i2)
-          if (id >= 0 && !reached.get(id)) next = id
-          i2 += 1
-        }
-        if (next < 0) stack.pop()
-        else { reached.set(next); stack.push(next) }
-      }
-    }
-    dfs(enterpoint)
-    var unreachedFrom = 0
-    var continueGrow = reached.cardinality() < n
-    while (continueGrow) {
-      // first unreached node (attach_unlinked, NSG.cpp:600)
-      var id = -1
-      var i2 = unreachedFrom
-      while (id < 0 && i2 < n) { if (!reached.get(i2)) id = i2; i2 += 1 }
-      if (id < 0) continueGrow = false
-      else {
-        unreachedFrom = id
-        // nearest REACHED node with spare degree, via graph search on
-        // the final graph (searchL pool), else linear fallback
+  /** Lazily-forced build (see class doc: subclass distance state). */
+  private lazy val built: Unit = {
+    if (prune && n > 1) {
+      val outBuf = new Array[Int](r)
+      val outD = new Array[Double](r)
+      var q = 0
+      while (q < n) {
         val pool = new java.util.ArrayList[(Int, Double)](buildL * 4)
-        searchOnGraph(snapshotView(), vecs(id), enterpoint, buildL, pool)
-        val arr = pool.toArray(new Array[(Int, Double)](pool.size()))
-        java.util.Arrays.sort(arr, new java.util.Comparator[(Int, Double)] {
-          def compare(a: (Int, Double), b: (Int, Double)): Int = {
-            val cc = java.lang.Double.compare(a._2, b._2)
-            if (cc != 0) cc else Integer.compare(a._1, b._1)
-          }
-        })
-        var node = -1
-        var t = 0
-        while (node < 0 && t < arr.length) {
-          val cand = arr(t)._1
-          if (cand != id && reached.get(cand) && degrees(cand) < capR) node = cand
-          t += 1
-        }
-        if (node < 0) {
-          // fallback: any reached node with spare degree; else steal the
-          // enterpoint's last slot (degree invariant beats optimality)
-          var t2 = 0
-          while (node < 0 && t2 < n) {
-            if (t2 != id && reached.get(t2) && degrees(t2) < capR) node = t2
-            t2 += 1
-          }
-          if (node < 0) { node = enterpoint; degrees(node) = capR - 1 }
-        }
-        finalA(node * capR + degrees(node)) = id
-        degrees(node) += 1
-        dfs(node)
-        continueGrow = reached.cardinality() < n
+        searchOnGraph(knnG, s => sdist(vecs(q), s), enterpoint, buildL, pool)
+        // also offer q's own kNN neighbors (NSG.cpp:413-421)
+        val kn = knnG(q)
+        var i = 0
+        while (i < kn.length) { pool.add((kn(i), sdist(vecs(q), vecs(kn(i))))); i += 1 }
+        val cnt = mrngSelect(q, pool, outBuf, outD)
+        i = 0
+        while (i < cnt) { finalA(q * capR + i) = outBuf(i); i += 1 }
+        degrees(q) = cnt
+        q += 1
       }
-    }
-  } else if (!prune) {
-    var q = 0
-    while (q < n) {
-      val kn = knnG(q)
-      var i = 0
-      while (i < kn.length && i < capR) { finalA(q * capR + i) = kn(i); i += 1 }
-      degrees(q) = math.min(kn.length, capR)
-      q += 1
+      // add_reverse_links (NSG.cpp:462)
+      q = 0
+      while (q < n) {
+        var i = 0
+        while (i < degrees(q)) {
+          val des = finalA(q * capR + i)
+          var dup = false
+          var j = 0
+          while (!dup && j < degrees(des)) { if (finalA(des * capR + j) == q) dup = true; j += 1 }
+          if (!dup) {
+            if (degrees(des) < r) {
+              finalA(des * capR + degrees(des)) = q
+              degrees(des) += 1
+            } else {
+              // full: re-prune des's R+1 candidates by the same rule
+              val pool = new java.util.ArrayList[(Int, Double)](r + 1)
+              var t = 0
+              while (t < degrees(des)) {
+                val nb = finalA(des * capR + t)
+                pool.add((nb, sdist(vecs(des), vecs(nb)))); t += 1
+              }
+              pool.add((q, sdist(vecs(des), vecs(q))))
+              val cnt = mrngSelect(des, pool, outBuf, outD)
+              t = 0
+              while (t < cnt) { finalA(des * capR + t) = outBuf(t); t += 1 }
+              t = cnt
+              while (t < r) { finalA(des * capR + t) = -1; t += 1 }
+              degrees(des) = cnt
+            }
+          }
+          i += 1
+        }
+        q += 1
+      }
+      // tree_grow (NSG.cpp:542): connect every node to the enterpoint tree
+      val reached = new java.util.BitSet(n)
+      def dfs(root: Int): Unit = {
+        val stack = new java.util.ArrayDeque[Integer]()
+        stack.push(root); reached.set(root)
+        while (!stack.isEmpty) {
+          val node = stack.peek().intValue()
+          var next = -1
+          var i2 = 0
+          while (next < 0 && i2 < degrees(node)) {
+            val id = finalA(node * capR + i2)
+            if (id >= 0 && !reached.get(id)) next = id
+            i2 += 1
+          }
+          if (next < 0) stack.pop()
+          else { reached.set(next); stack.push(next) }
+        }
+      }
+      dfs(enterpoint)
+      var unreachedFrom = 0
+      var continueGrow = reached.cardinality() < n
+      while (continueGrow) {
+        // first unreached node (attach_unlinked, NSG.cpp:600)
+        var id = -1
+        var i2 = unreachedFrom
+        while (id < 0 && i2 < n) { if (!reached.get(i2)) id = i2; i2 += 1 }
+        if (id < 0) continueGrow = false
+        else {
+          unreachedFrom = id
+          // nearest REACHED node with spare degree, via graph search on
+          // the final graph (searchL pool), else linear fallback
+          val pool = new java.util.ArrayList[(Int, Double)](buildL * 4)
+          searchOnGraph(snapshotView(), s => sdist(vecs(id), s), enterpoint, buildL, pool)
+          val arr = pool.toArray(new Array[(Int, Double)](pool.size()))
+          java.util.Arrays.sort(arr, new java.util.Comparator[(Int, Double)] {
+            def compare(a: (Int, Double), b: (Int, Double)): Int = {
+              val cc = java.lang.Double.compare(a._2, b._2)
+              if (cc != 0) cc else Integer.compare(a._1, b._1)
+            }
+          })
+          var node = -1
+          var t = 0
+          while (node < 0 && t < arr.length) {
+            val cand = arr(t)._1
+            if (cand != id && reached.get(cand) && degrees(cand) < capR) node = cand
+            t += 1
+          }
+          if (node < 0) {
+            // fallback: any reached node with spare degree; else steal the
+            // enterpoint's last slot (degree invariant beats optimality)
+            var t2 = 0
+            while (node < 0 && t2 < n) {
+              if (t2 != id && reached.get(t2) && degrees(t2) < capR) node = t2
+              t2 += 1
+            }
+            if (node < 0) { node = enterpoint; degrees(node) = capR - 1 }
+          }
+          finalA(node * capR + degrees(node)) = id
+          degrees(node) += 1
+          dfs(node)
+          continueGrow = reached.cardinality() < n
+        }
+      }
+    } else if (!prune) {
+      var q = 0
+      while (q < n) {
+        val kn = knnG(q)
+        var i = 0
+        while (i < kn.length && i < capR) { finalA(q * capR + i) = kn(i); i += 1 }
+        degrees(q) = math.min(kn.length, capR)
+        q += 1
+      }
     }
   }
 
@@ -387,15 +406,15 @@ final class LocalNsg(
     Array.tabulate(n)(i => java.util.Arrays.copyOfRange(finalA, i * capR, i * capR + degrees(i)))
 
   /** Adjacency view of the final graph for search (built once, after
-    * the constructor body above has finished mutating finalA/degrees —
-    * tree_grow uses snapshotView() precisely so this stays unforced
-    * until the graph is final). */
-  private lazy val finalGraphView: Array[Array[Int]] = snapshotView()
+    * `built` has finished mutating finalA/degrees — tree_grow uses
+    * snapshotView() precisely so this stays unforced until the graph
+    * is final). */
+  private lazy val finalGraphView: Array[Array[Int]] = { built; snapshotView() }
 
   /** Top-k (id, dist) by NSG graph search; pool = max(searchL, k).
     * searchL >= n degenerates to exact (connected graph, full pool). */
   def search(q: Array[Float], k: Int, searchL: Int = 64): Array[(Long, Double)] = {
-    val sz = searchOnGraph(finalGraphView, q, enterpoint, math.max(searchL, k), null)
+    val sz = searchOnGraph(finalGraphView, s => qdist(q, s), enterpoint, math.max(searchL, k), null)
     val out = new Array[(Long, Double)](math.min(k, sz))
     var i = 0
     while (i < out.length) { out(i) = (ids(poolX(i)), poolD(i)); i += 1 }
@@ -404,8 +423,77 @@ final class LocalNsg(
 
   /** Max out-degree (spec support: must be <= R in pruned mode). */
   def maxDegree: Int = {
+    built
     var m = 0; var i = 0
     while (i < n) { if (degrees(i) > m) m = degrees(i); i += 1 }
     m
   }
+}
+
+/** Float32-storage NSG (IndexNSGFlat, faiss/IndexNSG.h:83). */
+final class LocalNsg(
+    ids: Array[Long], vecs: Array[Array[Float]],
+    gk: Int = 32, r: Int = 32, buildL: Int = 64, c: Int = 100,
+    prune: Boolean = true, seed: Long = 42L)
+    extends LocalNsgCore[Array[Float]](ids, vecs, gk, r, buildL, c, prune, seed) {
+
+  protected def sdist(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+    s
+  }
+  protected def qdist(q: Array[Float], s: Array[Float]): Double = sdist(q, s)
+  protected def decode(s: Array[Float]): Array[Float] = s
+  protected def newBootstrap(sd: Long): LocalHnswCore[Array[Float]] =
+    new LocalHnsw(m = 16, efConstruction = 64, seed = sd)
+}
+
+/** SQ8-storage NSG (IndexNSGSQ, faiss/IndexNSG.h:91, QT_8bit): the
+  * graph stores 1-byte-per-dim codes and decodes inside the distance —
+  * build distances are symmetric decode-decode (the vmin terms
+  * cancel), search is the same asymmetric float-vs-code kernel as the
+  * flat SQ8 scan ([[graft.core.SqKernels.adcL2sq]] arithmetic, term
+  * for term), so an exhaustive-searchL search reproduces
+  * [[graft.index.SqIndex.search]] exactly — the same contract as
+  * [[LocalHnswSq]]. */
+final class LocalNsgSq(vmin: Array[Double], vdiff: Array[Double],
+    ids: Array[Long], codes: Array[Array[Byte]],
+    gk: Int = 32, r: Int = 32, buildL: Int = 64, c: Int = 100,
+    prune: Boolean = true, seed: Long = 42L)
+    extends LocalNsgCore[Array[Byte]](ids, codes, gk, r, buildL, c, prune, seed) {
+
+  protected def sdist(a: Array[Byte], b: Array[Byte]): Double = {
+    val d = vmin.length
+    var s = 0.0; var i = 0
+    while (i < d) {
+      // decoded difference: the vmin terms cancel
+      val df = ((a(i) & 0xff) - (b(i) & 0xff)) / 255.0 * vdiff(i)
+      s += df * df
+      i += 1
+    }
+    s
+  }
+  protected def qdist(q: Array[Float], code: Array[Byte]): Double = {
+    val d = vmin.length
+    var s = 0.0; var i = 0
+    while (i < d) {
+      val dec = vmin(i) + ((code(i) & 0xff) + 0.5) / 255.0 * vdiff(i)
+      val df = q(i).toDouble - dec
+      s += df * df
+      i += 1
+    }
+    s
+  }
+  protected def decode(code: Array[Byte]): Array[Float] = {
+    val d = vmin.length
+    val out = new Array[Float](d)
+    var i = 0
+    while (i < d) {
+      out(i) = (vmin(i) + ((code(i) & 0xff) + 0.5) / 255.0 * vdiff(i)).toFloat
+      i += 1
+    }
+    out
+  }
+  protected def newBootstrap(sd: Long): LocalHnswCore[Array[Byte]] =
+    new LocalHnswSq(vmin, vdiff, m = 16, efConstruction = 64, seed = sd)
 }

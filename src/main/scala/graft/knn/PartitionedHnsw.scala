@@ -117,8 +117,8 @@ object PartitionedHnsw {
 
   /** IndexShards result merge: bounded-heap top-k over the union of
     * per-partition candidates (only <= k rows per (partition, query)
-    * reach the shuffle). */
-  private def mergeShards(spark: org.apache.spark.sql.SparkSession,
+    * reach the shuffle). Shared with [[PartitionedNsg]]. */
+  private[knn] def mergeShards(spark: org.apache.spark.sql.SparkSession,
       cand: org.apache.spark.rdd.RDD[Row], k: Int,
       queryId: String, baseId: String): DataFrame = {
     val candDf = spark.createDataFrame(cand,

@@ -66,16 +66,48 @@ object PartitionedNsg {
           }
         }
       }
-    val candDf = spark.createDataFrame(cand,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("_qid", org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("_id", org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("_dist", org.apache.spark.sql.types.DoubleType, nullable = false))))
-    candDf
-      .groupBy(col("_qid").as(queryId))
-      .agg(topk(col("_dist"), col("_id"), k, asc = true).as("_tk"))
-      .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
-      .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
-        col("_r.id").as(baseId), col("_r.dist").as("dist"))
+    PartitionedHnsw.mergeShards(spark, cand, k, queryId, baseId)
+  }
+
+  /** SQ8-storage variant (IndexNSGSQ, faiss/IndexNSG.h:91): trains the
+    * per-dimension SQ8 range on the base, encodes once, and each
+    * partition builds its NSG OVER THE CODES ([[LocalNsgSq]] — d bytes
+    * per stored vector instead of 4d, decode inside the distance).
+    * Search is the same asymmetric ADC kernel as the flat SQ8 scan, so
+    * searchL >= partition size reproduces
+    * [[graft.index.SqIndex.search]] exactly — the same
+    * exact-degenerate contract as [[PartitionedHnsw.knnJoinSq]]. */
+  def knnJoinSq(queries: DataFrame, base: DataFrame, k: Int,
+      gk: Int = 32, r: Int = 32, buildL: Int = 64, searchL: Int = 64,
+      queryId: String = "qid", queryVec: String = "qvec",
+      baseId: String = "id", baseVec: String = "vec",
+      rangeStat: String = "minmax", rsArg: Double = 0.0): DataFrame = {
+    val spark = base.sparkSession
+    val qArr: Array[(Long, Array[Float])] = queries
+      .select(col(queryId).cast("long"), col(queryVec))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bq = spark.sparkContext.broadcast(qArr)
+    val (vmin, vdiff) =
+      graft.index.SqIndex.trainRange(base, baseVec, rangeStat, rsArg)
+    import org.apache.spark.sql.graft.shim
+    val codes = base.select(col(baseId).cast("long"), shim.col(
+      graft.core.SQEncode(shim.expr(col(baseVec)), vmin, vdiff)))
+    val target = spark.sparkContext.defaultParallelism
+    val spread =
+      if (codes.rdd.getNumPartitions >= target) codes
+      else codes.repartition(target)
+    val cand = spread.rdd.mapPartitionsWithIndex { (pi, it) =>
+      val rows = it.map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val g = new LocalNsgSq(vmin, vdiff, rows.map(_._1), rows.map(_._2),
+          gk = gk, r = r, buildL = buildL, seed = 42L + pi)
+        bq.value.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, k, searchL).iterator.map { case (id, d) => Row(qid, id, d) }
+        }
+      }
+    }
+    PartitionedHnsw.mergeShards(spark, cand, k, queryId, baseId)
   }
 }

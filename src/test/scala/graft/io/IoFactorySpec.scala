@@ -84,6 +84,12 @@ class IoFactorySpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gotSq == wantSq, "HNSW16,SQ8 on tiny base should equal flat SQ8")
     assert(IndexFactory.codeSize("HNSW16,SQ8", 64) == 64)
+    // NSG over SQ8 code storage (IndexNSGSQ): same degenerate contract
+    val nsq = IndexFactory.build(b, "id", "vec", "NSG16,SQ8")
+    val gotNsq = nsq.search(q, 3).select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotNsq == wantSq, "NSG16,SQ8 on tiny base should equal flat SQ8")
+    assert(IndexFactory.codeSize("NSG16,SQ8", 64) == 64)
   }
 
   test("factory PCA16,IVF4,Flat and L2norm,SQ8 build and search") {

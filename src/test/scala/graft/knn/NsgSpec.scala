@@ -90,6 +90,92 @@ class NsgSpec extends SparkTestBase {
     assert(recall >= 0.9, s"recall $recall < 0.9")
   }
 
+  test("LocalNsgSq: exact-degenerate equals brute-force ADC over codes") {
+    val rnd = new scala.util.Random(11)
+    val d = 8
+    val pts = mk(300, d, 31)
+    // minmax range per dim, as SqIndex.trainRange would compute
+    val vmin = Array.tabulate(d)(i => pts.map(_(i).toDouble).min)
+    val vmax = Array.tabulate(d)(i => pts.map(_(i).toDouble).max)
+    val vdiff = Array.tabulate(d)(i => vmax(i) - vmin(i))
+    def enc(v: Array[Float]): Array[Byte] = Array.tabulate(d) { i =>
+      var xi = 0.0
+      if (vdiff(i) != 0.0) {
+        xi = (v(i).toDouble - vmin(i)) / vdiff(i)
+        if (xi < 0) xi = 0; if (xi > 1) xi = 1
+      }
+      (255.0 * xi).toInt.toByte
+    }
+    def adc(q: Array[Float], c: Array[Byte]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) {
+        val dec = vmin(i) + ((c(i) & 0xff) + 0.5) / 255.0 * vdiff(i)
+        val df = q(i).toDouble - dec; s += df * df; i += 1
+      }
+      s
+    }
+    val codes = pts.map(enc)
+    val g = new LocalNsgSq(vmin, vdiff, Array.tabulate(300)(_.toLong), codes,
+      gk = 16, r = 16, buildL = 32)
+    for (_ <- 0 until 5) {
+      val q = Array.fill(d)(rnd.nextFloat())
+      val got = g.search(q, 5, searchL = 300).toSeq
+      val want = codes.zipWithIndex
+        .map { case (c, i) => (adc(q, c), i.toLong) }
+        .sortBy(t => (t._1, t._2)).take(5).map(t => (t._2, t._1)).toSeq
+      assert(got == want, s"got $got want $want")
+    }
+  }
+
+  test("LocalNsgSq: SQ8-bootstrap path (n > 2048) keeps recall >= 0.85") {
+    val d = 12
+    val pts = mk(3000, d, 41)  // n > 2048 exercises the LocalHnswSq bootstrap
+    val vmin = Array.tabulate(d)(i => pts.map(_(i).toDouble).min)
+    val vmax = Array.tabulate(d)(i => pts.map(_(i).toDouble).max)
+    val vdiff = Array.tabulate(d)(i => vmax(i) - vmin(i))
+    def enc(v: Array[Float]): Array[Byte] = Array.tabulate(d) { i =>
+      var xi = 0.0
+      if (vdiff(i) != 0.0) {
+        xi = (v(i).toDouble - vmin(i)) / vdiff(i)
+        if (xi < 0) xi = 0; if (xi > 1) xi = 1
+      }
+      (255.0 * xi).toInt.toByte
+    }
+    val g = new LocalNsgSq(vmin, vdiff, Array.tabulate(3000)(_.toLong), pts.map(enc),
+      gk = 32, r = 32, buildL = 64)
+    val rnd = new scala.util.Random(43)
+    var hit = 0; var tot = 0
+    for (_ <- 0 until 20) {
+      val q = Array.fill(d)(rnd.nextFloat())
+      val want = exactTopk(pts, q, 10).toSet
+      val got = g.search(q, 10, searchL = 64).map(_._1).toSet
+      hit += (want intersect got).size; tot += want.size
+    }
+    val recall = hit.toDouble / tot
+    assert(recall >= 0.85, s"recall $recall < 0.85")
+  }
+
+  test("PartitionedNsg.knnJoinSq: exhaustive searchL reproduces the flat SQ8 scan") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = (0 until 3000).map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat())))
+      .toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .repartition(4)
+      .cache()
+    val queries = base.filter(col("id") % 300 === 0)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val flat = graft.index.SqIndex.build(base, "id", "vec")
+      .search(queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val graph = PartitionedNsg
+      .knnJoinSq(queries, base, 10, gk = 32, r = 32, buildL = 64, searchL = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    base.unpersist()
+    assert(graph == flat)
+  }
+
   test("PartitionedNsg: deterministic across runs on a fixed partitioning") {
     val spark0 = spark
     import spark0.implicits._
