@@ -3069,6 +3069,67 @@ object Queries {
       Some(s"""SELECT count(*)::BIGINT AS n_queries, true AS recall_ge_085
               |FROM ($bigVecSql) v WHERE id % 9973 = 1""".stripMargin)),
 
+    // HNSW over PQ code storage (IndexHNSWPQ, faiss/IndexHNSW.h:152,
+    // factory "HNSW16,PQ8"): each partition's graph stores M-byte PQ
+    // codes (LocalHnswPq) — symmetric sdc-table distances for
+    // construction, per-query ADC LUT for search, arithmetic identical
+    // to the flat PQ path (PqKernels.lut + adcFromLut term for term).
+    // Exact-degenerate gate: efSearch >= any partition's size makes
+    // the beam cover the whole graph, so the result must equal the
+    // flat IndexPQ ADC scan bit-for-bit — the pq_adc_search oracle
+    // verbatim (same trained pq16 codebooks sidecar).
+    ("hnsw_pq_search", (s: SparkSession, dir: String) =>
+      graft.knn.PartitionedHnsw.knnJoinPq(
+        qDf(s, dir, 10), bDf(s, dir, 10), 10, pq16(s, dir).model,
+        m = 16, efConstruction = 64, efSearch = 4096)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/pq16_codebooks/*.parquet')),
+              |bsub AS (SELECT vec_id AS id, r.m AS m, embedding[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM embeddings, range(0,8) r(m) WHERE vec_id >= 10),
+              |enc AS (SELECT id, m, j FROM (
+              |  SELECT b.id, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
+              |qsub AS (SELECT vec_id AS qid, r.m AS m, embedding[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM embeddings, range(0,8) r(m) WHERE vec_id < 10),
+              |lut AS (SELECT q.qid, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub q JOIN cb ON cb.m = q.m),
+              |adc AS (SELECT l.qid, e.id, list_aggregate(list(l.pd ORDER BY l.m), 'sum') AS dist
+              |  FROM enc e JOIN lut l ON l.m = e.m AND l.j = e.j GROUP BY l.qid, e.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w
+              |WHERE "rank" <= 10""".stripMargin)),
+
+    // NSG over PQ code storage (IndexNSGPQ, faiss/IndexNSG.h:83,
+    // factory "NSG32,PQ8"): LocalNsgPq — sdc-table build distances,
+    // per-query ADC LUT search. Exact-degenerate gate: searchL >= any
+    // partition's size over the connected graph must equal the flat
+    // IndexPQ ADC scan — the pq_adc_search oracle verbatim (same
+    // trained pq16 codebooks sidecar as hnsw_pq_search).
+    ("nsg_pq_search", (s: SparkSession, dir: String) =>
+      graft.knn.PartitionedNsg.knnJoinPq(
+        qDf(s, dir, 10), bDf(s, dir, 10), 10, pq16(s, dir).model,
+        gk = 32, r = 32, buildL = 64, searchL = 4096)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/pq16_codebooks/*.parquet')),
+              |bsub AS (SELECT vec_id AS id, r.m AS m, embedding[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM embeddings, range(0,8) r(m) WHERE vec_id >= 10),
+              |enc AS (SELECT id, m, j FROM (
+              |  SELECT b.id, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
+              |qsub AS (SELECT vec_id AS qid, r.m AS m, embedding[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM embeddings, range(0,8) r(m) WHERE vec_id < 10),
+              |lut AS (SELECT q.qid, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub q JOIN cb ON cb.m = q.m),
+              |adc AS (SELECT l.qid, e.id, list_aggregate(list(l.pd ORDER BY l.m), 'sum') AS dist
+              |  FROM enc e JOIN lut l ON l.m = e.m AND l.j = e.j GROUP BY l.qid, e.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w
+              |WHERE "rank" <= 10""".stripMargin)),
+
     // NSG over SQ8 code storage (IndexNSGSQ, faiss/IndexNSG.h:91,
     // factory "NSG32,SQ8"): each partition's NSG stores 1-byte-per-dim
     // codes and decodes inside the distance (LocalNsgSq). Exact-

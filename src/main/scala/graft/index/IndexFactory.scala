@@ -209,6 +209,15 @@ object IndexFactory {
         q.withColumn(qvec, chain.applyCol(col(qvec))), base, k,
         m = m, efSearch = math.max(96, 4 * k), queryId = qid, queryVec = qvec)
   }
+  /** Per-partition HNSW shards over PQ code storage (HNSW<M>,PQ<m> —
+    * IndexHNSWPQ, faiss/IndexHNSW.h:152). */
+  private final class HnswPqBuilt(base: DataFrame, chain: VecTransform,
+      m: Int, model: graft.index.PqModel) extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      graft.knn.PartitionedHnsw.knnJoinPq(
+        q.withColumn(qvec, chain.applyCol(col(qvec))), base, k, model,
+        m = m, efSearch = math.max(96, 4 * k), queryId = qid, queryVec = qvec)
+  }
   /** Per-partition NSG shards over Flat storage (NSG<R>[,Flat]). */
   private final class NsgBuilt(base: DataFrame, chain: VecTransform, r: Int)
       extends Built {
@@ -224,6 +233,15 @@ object IndexFactory {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       graft.knn.PartitionedNsg.knnJoinSq(
         q.withColumn(qvec, chain.applyCol(col(qvec))), base, k,
+        r = r, searchL = math.max(96, 4 * k), queryId = qid, queryVec = qvec)
+  }
+  /** Per-partition NSG shards over PQ code storage (NSG<R>,PQ<m> —
+    * IndexNSGPQ, faiss/IndexNSG.h:83). */
+  private final class NsgPqBuilt(base: DataFrame, chain: VecTransform,
+      r: Int, model: graft.index.PqModel) extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      graft.knn.PartitionedNsg.knnJoinPq(
+        q.withColumn(qvec, chain.applyCol(col(qvec))), base, k, model,
         r = r, searchL = math.max(96, 4 * k), queryId = qid, queryVec = qvec)
   }
 
@@ -348,12 +366,24 @@ object IndexFactory {
       // whose storage is SQ8 codes, decoded inside the distance
       case HnswTok(m) :: "SQ8" :: Nil =>
         new HnswSqBuilt(data, chain, m.toInt)
+      // HNSW<M>,PQ<m>[x<ksub>] (IndexHNSWPQ, faiss/IndexHNSW.h:152):
+      // graph shards whose storage is M-byte PQ codes
+      case HnswTok(m) :: Pq(pm, ks) :: Nil =>
+        val model = graft.index.Pq.train(data, "vec", pm.toInt,
+          Option(ks).map(_.toInt).getOrElse(16), niter = niter, seed = seed)
+        new HnswPqBuilt(data, chain, m.toInt, model)
       case NsgTok(rr) :: tl if tl.isEmpty || tl == List("Flat") =>
         new NsgBuilt(data, chain, rr.toInt)
       // NSG<R>,SQ8 (IndexNSGSQ, faiss/IndexNSG.h:91): graph shards
       // whose storage is SQ8 codes, decoded inside the distance
       case NsgTok(rr) :: "SQ8" :: Nil =>
         new NsgSqBuilt(data, chain, rr.toInt)
+      // NSG<R>,PQ<m>[x<ksub>] (IndexNSGPQ, faiss/IndexNSG.h:83):
+      // graph shards whose storage is M-byte PQ codes
+      case NsgTok(rr) :: Pq(pm, ks) :: Nil =>
+        val model = graft.index.Pq.train(data, "vec", pm.toInt,
+          Option(ks).map(_.toInt).getOrElse(16), niter = niter, seed = seed)
+        new NsgPqBuilt(data, chain, rr.toInt, model)
       // ZnLattice<M>x<r2>_<nbit> (index_factory.cpp:536, IndexLattice):
       // a pure codec in the reference (search throws); searchable here
       // through the reconstruction-distance scan like the flat AQs

@@ -335,3 +335,69 @@ final class LocalHnswSq(vmin: Array[Double], vdiff: Array[Double],
       s
     }, k, efSearch)
 }
+
+/** PQ-storage HNSW (IndexHNSWPQ, faiss/IndexHNSW.h:152): the graph
+  * stores M-byte PQ codes. Build distances are symmetric
+  * code-vs-code sums over per-subspace ksub×ksub tables (the
+  * reference's sdc_table, impl/ProductQuantizer.cpp
+  * compute_sdc_table — O(M) per pair after O(M·ksub²·dsub) setup);
+  * search precomputes the per-query ADC LUT with EXACTLY
+  * [[graft.core.PqKernels.lut]]'s arithmetic (float subtraction in
+  * double, subspace-ascending accumulation), so an exhaustive-ef
+  * search reproduces the flat [[graft.index.PqIndex.search]] ADC
+  * ranking bit-for-bit. */
+final class LocalHnswPq(codebooks: Array[Array[Array[Float]]],
+    m: Int = 16, efConstruction: Int = 64, seed: Long = 42L)
+    extends LocalHnswCore[Array[Byte]](m, efConstruction, seed) {
+
+  private val nsub = codebooks.length
+  private val ksub = codebooks(0).length
+  // symmetric sub-distance tables: sdc(mi)(a*ksub + b) = ||cb_a - cb_b||²
+  private val sdc: Array[Array[Double]] = Array.tabulate(nsub) { mi =>
+    val t = new Array[Double](ksub * ksub)
+    var a = 0
+    while (a < ksub) {
+      var b = a + 1
+      while (b < ksub) {
+        val ca = codebooks(mi)(a); val cb = codebooks(mi)(b)
+        var s = 0.0; var i = 0
+        while (i < ca.length) { val d = ca(i).toDouble - cb(i); s += d * d; i += 1 }
+        t(a * ksub + b) = s; t(b * ksub + a) = s
+        b += 1
+      }
+      a += 1
+    }
+    t
+  }
+
+  protected def sdist(a: Array[Byte], b: Array[Byte]): Double = {
+    var s = 0.0; var mi = 0
+    while (mi < nsub) { s += sdc(mi)((a(mi) & 0xff) * ksub + (b(mi) & 0xff)); mi += 1 }
+    s
+  }
+
+  /** Asymmetric top-k via a per-query LUT — same arithmetic as
+    * PqKernels.lut + adcFromLut, term for term. */
+  def search(q: Array[Float], k: Int, efSearch: Int = 64): Array[(Long, Double)] = {
+    val dsub = codebooks(0)(0).length
+    val lut = new Array[Double](nsub * ksub)
+    var mi = 0
+    while (mi < nsub) {
+      val base = mi * dsub
+      var j = 0
+      while (j < ksub) {
+        val c = codebooks(mi)(j)
+        var s = 0.0; var i = 0
+        while (i < dsub) { val d = q(base + i).toDouble - c(i); s += d * d; i += 1 }
+        lut(mi * ksub + j) = s
+        j += 1
+      }
+      mi += 1
+    }
+    searchWith(code => {
+      var s = 0.0; var t = 0
+      while (t < nsub) { s += lut(t * ksub + (code(t) & 0xff)); t += 1 }
+      s
+    }, k, efSearch)
+  }
+}

@@ -413,8 +413,14 @@ abstract class LocalNsgCore[S <: AnyRef](
 
   /** Top-k (id, dist) by NSG graph search; pool = max(searchL, k).
     * searchL >= n degenerates to exact (connected graph, full pool). */
-  def search(q: Array[Float], k: Int, searchL: Int = 64): Array[(Long, Double)] = {
-    val sz = searchOnGraph(finalGraphView, s => qdist(q, s), enterpoint, math.max(searchL, k), null)
+  def search(q: Array[Float], k: Int, searchL: Int = 64): Array[(Long, Double)] =
+    searchDist(s => qdist(q, s), k, searchL)
+
+  /** Top-k under an arbitrary query-to-stored distance (subclasses
+    * override `search` through this to plug per-query LUTs). */
+  protected final def searchDist(distTo: S => Double, k: Int,
+      searchL: Int): Array[(Long, Double)] = {
+    val sz = searchOnGraph(finalGraphView, distTo, enterpoint, math.max(searchL, k), null)
     val out = new Array[(Long, Double)](math.min(k, sz))
     var i = 0
     while (i < out.length) { out(i) = (ids(poolX(i)), poolD(i)); i += 1 }
@@ -496,4 +502,92 @@ final class LocalNsgSq(vmin: Array[Double], vdiff: Array[Double],
   }
   protected def newBootstrap(sd: Long): LocalHnswCore[Array[Byte]] =
     new LocalHnswSq(vmin, vdiff, m = 16, efConstruction = 64, seed = sd)
+}
+
+/** PQ-storage NSG (IndexNSGPQ, faiss/IndexNSG.h:83): the graph stores
+  * M-byte PQ codes. Build distances are symmetric sums over
+  * per-subspace sdc tables; search precomputes the per-query ADC LUT
+  * with exactly [[graft.core.PqKernels.lut]]'s arithmetic, so an
+  * exhaustive-searchL search over the connected graph reproduces the
+  * flat [[graft.index.PqIndex.search]] ADC ranking — the same
+  * contract as [[LocalHnswPq]]. */
+final class LocalNsgPq(codebooks: Array[Array[Array[Float]]],
+    ids: Array[Long], codes: Array[Array[Byte]],
+    gk: Int = 32, r: Int = 32, buildL: Int = 64, c: Int = 100,
+    prune: Boolean = true, seed: Long = 42L)
+    extends LocalNsgCore[Array[Byte]](ids, codes, gk, r, buildL, c, prune, seed) {
+
+  private val nsub = codebooks.length
+  private val ksub = codebooks(0).length
+  private val dsub = codebooks(0)(0).length
+  // symmetric sub-distance tables: sdc(mi)(a*ksub + b) = ||cb_a - cb_b||²
+  private val sdc: Array[Array[Double]] = Array.tabulate(nsub) { mi =>
+    val t = new Array[Double](ksub * ksub)
+    var a = 0
+    while (a < ksub) {
+      var b = a + 1
+      while (b < ksub) {
+        val ca = codebooks(mi)(a); val cb = codebooks(mi)(b)
+        var s = 0.0; var i = 0
+        while (i < ca.length) { val d = ca(i).toDouble - cb(i); s += d * d; i += 1 }
+        t(a * ksub + b) = s; t(b * ksub + a) = s
+        b += 1
+      }
+      a += 1
+    }
+    t
+  }
+
+  protected def sdist(a: Array[Byte], b: Array[Byte]): Double = {
+    var s = 0.0; var mi = 0
+    while (mi < nsub) { s += sdc(mi)((a(mi) & 0xff) * ksub + (b(mi) & 0xff)); mi += 1 }
+    s
+  }
+  protected def qdist(q: Array[Float], code: Array[Byte]): Double = {
+    // per-call exact ADC (used only for the one-time centroid argmin;
+    // bulk search goes through the LUT overload below)
+    var s = 0.0; var mi = 0
+    while (mi < nsub) {
+      val cb = codebooks(mi)(code(mi) & 0xff)
+      var i = 0
+      while (i < dsub) { val d = q(mi * dsub + i).toDouble - cb(i); s += d * d; i += 1 }
+      mi += 1
+    }
+    s
+  }
+  protected def decode(code: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](nsub * dsub)
+    var mi = 0
+    while (mi < nsub) {
+      System.arraycopy(codebooks(mi)(code(mi) & 0xff), 0, out, mi * dsub, dsub)
+      mi += 1
+    }
+    out
+  }
+  protected def newBootstrap(sd: Long): LocalHnswCore[Array[Byte]] =
+    new LocalHnswPq(codebooks, m = 16, efConstruction = 64, seed = sd)
+
+  /** LUT-based top-k: PqKernels.lut + adcFromLut arithmetic term for
+    * term (overrides the generic per-call qdist search path). */
+  override def search(q: Array[Float], k: Int, searchL: Int = 64): Array[(Long, Double)] = {
+    val lut = new Array[Double](nsub * ksub)
+    var mi = 0
+    while (mi < nsub) {
+      val base = mi * dsub
+      var j = 0
+      while (j < ksub) {
+        val cb = codebooks(mi)(j)
+        var s = 0.0; var i = 0
+        while (i < dsub) { val d = q(base + i).toDouble - cb(i); s += d * d; i += 1 }
+        lut(mi * ksub + j) = s
+        j += 1
+      }
+      mi += 1
+    }
+    searchDist(code => {
+      var s = 0.0; var t = 0
+      while (t < nsub) { s += lut(t * ksub + (code(t) & 0xff)); t += 1 }
+      s
+    }, k, searchL)
+  }
 }

@@ -115,6 +115,53 @@ object PartitionedHnsw {
     mergeShards(spark, cand, k, queryId, baseId)
   }
 
+  /** PQ-storage variant (IndexHNSWPQ, faiss/IndexHNSW.h:152): encodes
+    * the base with a pre-trained [[graft.index.PqModel]] and each
+    * partition builds its graph OVER THE M-BYTE CODES ([[LocalHnswPq]]
+    * — symmetric sdc-table distances for construction, per-query ADC
+    * LUT for search). The search arithmetic is PqKernels.lut +
+    * adcFromLut term for term, so efSearch >= partition size
+    * reproduces the flat [[graft.index.PqIndex.search]] ADC ranking
+    * exactly. The model is a parameter (not trained here) so callers
+    * share one trained codebook across index variants — the
+    * reference's quantizer-reuse pattern. */
+  def knnJoinPq(queries: DataFrame, base: DataFrame, k: Int,
+      model: graft.index.PqModel,
+      m: Int = 16, efConstruction: Int = 64, efSearch: Int = 64,
+      queryId: String = "qid", queryVec: String = "qvec",
+      baseId: String = "id", baseVec: String = "vec"): DataFrame = {
+    val spark = base.sparkSession
+    val qArr: Array[(Long, Array[Float])] = queries
+      .select(col(queryId).cast("long"), col(queryVec))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bq = spark.sparkContext.broadcast(qArr)
+    val codes = model.encode(base, baseId, baseVec)
+      .select(col("id").cast("long"), col("code"))
+    val target = spark.sparkContext.defaultParallelism
+    val spread =
+      if (codes.rdd.getNumPartitions >= target) codes
+      else codes.repartition(target)
+    val cb = model.codebooks
+    val cand = spread.rdd.mapPartitionsWithIndex { (pi, it) =>
+      // id-sorted insertion: PQ distances TIE whenever two rows share a
+      // code, and graph tie-breaks use the insertion index — sorting
+      // makes per-partition ties resolve by ascending id, matching the
+      // (dist, id) order of the flat ADC ranking (and the oracle)
+      val rows = it.map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toArray
+        .sortBy(_._1)
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val g = new LocalHnswPq(cb, m, efConstruction, seed = 42L + pi)
+        rows.foreach { case (id, code) => g.add(id, code) }
+        bq.value.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, k, efSearch).iterator.map { case (id, d) => Row(qid, id, d) }
+        }
+      }
+    }
+    mergeShards(spark, cand, k, queryId, baseId)
+  }
+
   /** IndexShards result merge: bounded-heap top-k over the union of
     * per-partition candidates (only <= k rows per (partition, query)
     * reach the shuffle). Shared with [[PartitionedNsg]]. */

@@ -110,4 +110,47 @@ object PartitionedNsg {
     }
     PartitionedHnsw.mergeShards(spark, cand, k, queryId, baseId)
   }
+
+  /** PQ-storage variant (IndexNSGPQ, faiss/IndexNSG.h:83): encodes the
+    * base with a pre-trained [[graft.index.PqModel]] and each
+    * partition builds its NSG OVER THE M-BYTE CODES ([[LocalNsgPq]] —
+    * sdc-table build distances, per-query ADC LUT search). searchL >=
+    * partition size reproduces the flat
+    * [[graft.index.PqIndex.search]] ADC ranking exactly — the same
+    * contract as [[PartitionedHnsw.knnJoinPq]]. */
+  def knnJoinPq(queries: DataFrame, base: DataFrame, k: Int,
+      model: graft.index.PqModel,
+      gk: Int = 32, r: Int = 32, buildL: Int = 64, searchL: Int = 64,
+      queryId: String = "qid", queryVec: String = "qvec",
+      baseId: String = "id", baseVec: String = "vec"): DataFrame = {
+    val spark = base.sparkSession
+    val qArr: Array[(Long, Array[Float])] = queries
+      .select(col(queryId).cast("long"), col(queryVec))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bq = spark.sparkContext.broadcast(qArr)
+    val codes = model.encode(base, baseId, baseVec)
+      .select(col("id").cast("long"), col("code"))
+    val target = spark.sparkContext.defaultParallelism
+    val spread =
+      if (codes.rdd.getNumPartitions >= target) codes
+      else codes.repartition(target)
+    val cb = model.codebooks
+    val cand = spread.rdd.mapPartitionsWithIndex { (pi, it) =>
+      // id-sorted insertion: PQ distances tie whenever rows share a
+      // code; node-index tie-breaks must then resolve by ascending id
+      // to match the (dist, id) order of the flat ADC ranking
+      val rows = it.map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toArray
+        .sortBy(_._1)
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val g = new LocalNsgPq(cb, rows.map(_._1), rows.map(_._2),
+          gk = gk, r = r, buildL = buildL, seed = 42L + pi)
+        bq.value.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, k, searchL).iterator.map { case (id, d) => Row(qid, id, d) }
+        }
+      }
+    }
+    PartitionedHnsw.mergeShards(spark, cand, k, queryId, baseId)
+  }
 }

@@ -90,6 +90,24 @@ class IoFactorySpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gotNsq == wantSq, "NSG16,SQ8 on tiny base should equal flat SQ8")
     assert(IndexFactory.codeSize("NSG16,SQ8", 64) == 64)
+    // HNSW over PQ code storage (IndexHNSWPQ): degenerate vs flat PQ ADC
+    val hpq = IndexFactory.build(b, "id", "vec", "HNSW16,PQ8")
+    val wantPq = {
+      val idx = graft.index.PqIndex.build(b, "id", "vec", m = 8, ksub = 16,
+        niter = 4, seed = 1234L)
+      idx.search(q, 3).select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val gotPq = hpq.search(q, 3).select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPq == wantPq, "HNSW16,PQ8 on tiny base should equal flat PQ ADC")
+    assert(IndexFactory.codeSize("HNSW16,PQ8", 64) == 8)
+    // NSG over PQ code storage (IndexNSGPQ): same degenerate contract
+    val npq = IndexFactory.build(b, "id", "vec", "NSG16,PQ8")
+    val gotNpq = npq.search(q, 3).select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotNpq == wantPq, "NSG16,PQ8 on tiny base should equal flat PQ ADC")
+    assert(IndexFactory.codeSize("NSG16,PQ8", 64) == 8)
   }
 
   test("factory PCA16,IVF4,Flat and L2norm,SQ8 build and search") {

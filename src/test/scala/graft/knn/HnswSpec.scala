@@ -99,6 +99,60 @@ class HnswSpec extends SparkTestBase {
     assert(graph == flat)
   }
 
+  test("LocalHnswPq: exact-degenerate equals brute-force ADC over PQ codes") {
+    val rnd = new scala.util.Random(17)
+    val d = 16; val M = 4; val dsub = d / M; val ksub = 8
+    val pts = Array.fill(300)(Array.fill(d)(rnd.nextFloat()))
+    // random codebooks (training quality is irrelevant to the contract)
+    val cbs = Array.fill(M, ksub, dsub)(rnd.nextFloat())
+    def enc(v: Array[Float]): Array[Byte] = Array.tabulate(M) { mi =>
+      var best = 0; var bd = Double.MaxValue
+      for (j <- 0 until ksub) {
+        var s = 0.0
+        for (i <- 0 until dsub) { val df = v(mi * dsub + i).toDouble - cbs(mi)(j)(i); s += df * df }
+        if (s < bd) { bd = s; best = j }
+      }
+      best.toByte
+    }
+    def adc(q: Array[Float], c: Array[Byte]): Double = {
+      var s = 0.0
+      for (mi <- 0 until M; i <- 0 until dsub) {
+        val df = q(mi * dsub + i).toDouble - cbs(mi)(c(mi) & 0xff)(i); s += df * df
+      }
+      s
+    }
+    val codes = pts.map(enc)
+    val g = new LocalHnswPq(cbs, m = 8, efConstruction = 64, seed = 1L)
+    codes.zipWithIndex.foreach { case (c, i) => g.add(i.toLong, c) }
+    val q = Array.fill(d)(rnd.nextFloat())
+    val got = g.search(q, 5, efSearch = 300).toSeq
+    val want = codes.zipWithIndex
+      .map { case (c, i) => (adc(q, c), i.toLong) }
+      .sortBy(t => (t._1, t._2)).take(5).map(t => (t._2, t._1)).toSeq
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("PartitionedHnsw.knnJoinPq: exhaustive ef reproduces the flat PQ ADC scan") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(29)
+    val base = (0 until 2000).map(i => (i.toLong, Seq.fill(16)(rnd.nextFloat())))
+      .toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .repartition(4)
+      .cache()
+    val queries = base.filter(col("id") % 250 === 0)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val idx = graft.index.PqIndex.build(base, "id", "vec", m = 4, ksub = 16, niter = 4)
+    val flat = idx.search(queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val graph = PartitionedHnsw
+      .knnJoinPq(queries, base, 10, idx.model, m = 16, efConstruction = 64, efSearch = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    base.unpersist()
+    assert(graph == flat)
+  }
+
   test("PartitionedHnsw: deterministic across runs on a fixed partitioning") {
     val spark0 = spark
     import spark0.implicits._

@@ -176,6 +176,61 @@ class NsgSpec extends SparkTestBase {
     assert(graph == flat)
   }
 
+  test("LocalNsgPq: exact-degenerate equals brute-force ADC over PQ codes") {
+    val rnd = new scala.util.Random(53)
+    val d = 16; val M = 4; val dsub = d / M; val ksub = 8
+    val pts = mk(300, d, 59)
+    val cbs = Array.fill(M, ksub, dsub)(rnd.nextFloat())
+    def enc(v: Array[Float]): Array[Byte] = Array.tabulate(M) { mi =>
+      var best = 0; var bd = Double.MaxValue
+      for (j <- 0 until ksub) {
+        var s = 0.0
+        for (i <- 0 until dsub) { val df = v(mi * dsub + i).toDouble - cbs(mi)(j)(i); s += df * df }
+        if (s < bd) { bd = s; best = j }
+      }
+      best.toByte
+    }
+    def adc(q: Array[Float], c: Array[Byte]): Double = {
+      var s = 0.0
+      for (mi <- 0 until M; i <- 0 until dsub) {
+        val df = q(mi * dsub + i).toDouble - cbs(mi)(c(mi) & 0xff)(i); s += df * df
+      }
+      s
+    }
+    val codes = pts.map(enc)
+    val g = new LocalNsgPq(cbs, Array.tabulate(300)(_.toLong), codes,
+      gk = 16, r = 16, buildL = 32)
+    for (_ <- 0 until 5) {
+      val q = Array.fill(d)(rnd.nextFloat())
+      val got = g.search(q, 5, searchL = 300).toSeq
+      val want = codes.zipWithIndex
+        .map { case (c, i) => (adc(q, c), i.toLong) }
+        .sortBy(t => (t._1, t._2)).take(5).map(t => (t._2, t._1)).toSeq
+      assert(got == want, s"got $got want $want")
+    }
+  }
+
+  test("PartitionedNsg.knnJoinPq: exhaustive searchL reproduces the flat PQ ADC scan") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(61)
+    val base = (0 until 2000).map(i => (i.toLong, Seq.fill(16)(rnd.nextFloat())))
+      .toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+      .repartition(4)
+      .cache()
+    val queries = base.filter(col("id") % 250 === 0)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val idx = graft.index.PqIndex.build(base, "id", "vec", m = 4, ksub = 16, niter = 4)
+    val flat = idx.search(queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val graph = PartitionedNsg
+      .knnJoinPq(queries, base, 10, idx.model, gk = 32, r = 32, buildL = 64, searchL = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    base.unpersist()
+    assert(graph == flat)
+  }
+
   test("PartitionedNsg: deterministic across runs on a fixed partitioning") {
     val spark0 = spark
     import spark0.implicits._
