@@ -169,14 +169,21 @@ object Queries {
       val widened =
         if (li.rdd.getNumPartitions >= s.sparkContext.defaultParallelism) li
         else li.repartition(s.sparkContext.defaultParallelism)
+      // single-pass planting: the duplicate copy shares the ORIGINAL
+      // doc's text, so emit both rows from one derivation via an
+      // exploded id-offset instead of a union whose second branch
+      // re-computes all 12 md5s per doc (profiled: halves the most
+      // expensive derivation in the catalog, ~7 s -> ~3.5 s at sf0.1)
       val base = widened
-        .select(did.as("doc_id"), concat_ws(" ", toks: _*).as("text"))
+        .select(did.as("_did"), concat_ws(" ", toks: _*).as("text"))
       // persist: 12 md5s/doc over ~600k docs is the most expensive
       // derivation in the catalog and the minhash pipeline reads the
       // corpus twice (band table + shingle sets) — ~100 MB cached vs
       // re-hashing 7M md5s per pass
-      base.unionByName(
-        base.select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+      base
+        .select(explode(array(lit(0L), lit(1000000000L))).as("_off"),
+          col("_did"), col("text"))
+        .select((col("_did") + col("_off")).as("doc_id"), col("text"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
   private val commentCorpusSql =
