@@ -144,6 +144,16 @@ object Queries {
     cached(s"itq32:$dir") {
       graft.transform.Opq.trainItq(emb(s, dir), "embedding", 32, iters = 5)
     }
+  private def pqfs8(s: SparkSession, dir: String): graft.index.Pq4FastScanIndex =
+    cached(s"pqfs8:$dir") {
+      graft.index.Pq4FastScanIndex.build(bDf(s, dir, 10), "id", "vec",
+        m = 8, niter = 4)
+    }
+  private def ivfpqfs8(s: SparkSession, dir: String): graft.index.IvfPq4FastScanIndex =
+    cached(s"ivfpqfs8:$dir") {
+      graft.index.IvfPq4FastScanIndex.build(bDf(s, dir, 10), "id", "vec",
+        nlist = 8, m = 8, niterCoarse = 4, niterPq = 4)
+    }
   /** Documents corpus with planted exact duplicates (id + 100000):
     * guarantees the simhash near-dup query returns rows at any sf. */
   private def simhashCorpus(s: SparkSession, dir: String): DataFrame =
@@ -234,6 +244,7 @@ object Queries {
     twoLevel12(s, dir); pdk8(s, dir); bivf8(s, dir); rqModel16(s, dir)
     prqModel(s, dir); imi16(s, dir); sqMeanstd(s, dir); ivfrq8(s, dir)
     kmSph8(s, dir); znLat16(s, dir); pca16(s, dir); itq32(s, dir)
+    pqfs8(s, dir); ivfpqfs8(s, dir)
     ()
   }
 
@@ -246,6 +257,11 @@ object Queries {
       OracleAux.centroidsDf(s, ivf16(s, dir).centroids))
     OracleAux.write(dir, "pq16_codebooks",
       OracleAux.codebooksDf(s, pq16(s, dir).model.codebooks))
+    OracleAux.write(dir, "pqfs_codebooks",
+      OracleAux.codebooksDf(s, pqfs8(s, dir).model.codebooks))
+    val ipqfs = ivfpqfs8(s, dir)
+    OracleAux.write(dir, "ivfpqfs_centroids", OracleAux.centroidsDf(s, ipqfs.centroids))
+    OracleAux.write(dir, "ivfpqfs_codebooks", OracleAux.codebooksDf(s, ipqfs.model.codebooks))
     OracleAux.write(dir, "rot64", OracleAux.matrixDf(s, rot64(s, dir).a))
     val (orot, opqm) = opqModel(s, dir)
     OracleAux.write(dir, "opq_rot", OracleAux.matrixDf(s, orot.a))
@@ -1390,6 +1406,81 @@ object Queries {
               |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w
               |WHERE "rank" <= 10""".stripMargin)),
+
+    // §2.11 fast-scan PQ (IndexPQFastScan, faiss/IndexPQFastScan.h:20;
+    // quantize_lut.cpp round_uint8_per_column): 4-bit codes, per-query
+    // LUT affine-quantized to uint8, INTEGER accumulation. The oracle
+    // replays the whole pipeline — encode from the codebook sidecar,
+    // LUT in double arithmetic, quantization (shared a = 255/max_span,
+    // per-subquantizer bias), integer sum — exactly; qdist is integer
+    // on both sides so the ranking compare is arithmetic-exact, and
+    // dist = qdist/a + b is the same two double ops on both sides.
+    ("pq4fs_search", (s: SparkSession, dir: String) =>
+      pqfs8(s, dir).search(qDf(s, dir, 10), 10),
+      Some(s"""WITH cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/pqfs_codebooks/*.parquet')),
+              |bsub AS (SELECT vec_id AS id, r.m AS m, embedding[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM embeddings, range(0,8) r(m) WHERE vec_id >= 10),
+              |enc AS (SELECT id, m, j FROM (
+              |  SELECT b.id, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
+              |qsub AS (SELECT vec_id AS qid, r.m AS m, embedding[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM embeddings, range(0,8) r(m) WHERE vec_id < 10),
+              |lut AS (SELECT q.qid, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub q JOIN cb ON cb.m = q.m),
+              |colstat AS (SELECT qid, m, min(pd) AS mn, max(pd) - min(pd) AS span FROM lut GROUP BY qid, m),
+              |scal AS (SELECT qid, 255.0 / max(span) AS a,
+              |    list_aggregate(list(mn ORDER BY m), 'sum') AS b FROM colstat GROUP BY qid),
+              |lq AS (SELECT l.qid, l.m, l.j, floor((l.pd - cs.mn) * sc.a + 0.5)::BIGINT AS lq
+              |  FROM lut l JOIN colstat cs ON cs.qid = l.qid AND cs.m = l.m
+              |  JOIN scal sc ON sc.qid = l.qid),
+              |acc AS (SELECT l.qid, e.id, sum(l.lq)::BIGINT AS qdist
+              |  FROM enc e JOIN lq l ON l.m = e.m AND l.j = e.j GROUP BY l.qid, e.id)
+              |SELECT w.qid, "rank", id, qdist, round(qdist / sc.a + sc.b, 4) AS dist FROM (
+              |  SELECT qid, id, qdist, row_number() OVER (PARTITION BY qid ORDER BY qdist, id) AS "rank" FROM acc) w
+              |JOIN scal sc ON sc.qid = w.qid WHERE "rank" <= 10""".stripMargin)),
+
+    // §2.11 IVF fast-scan (IndexIVFPQFastScan, non-residual — the
+    // reference default, IndexIVFPQFastScan.cpp:47): probe replay at
+    // nprobe=4 + the same exact quantized-LUT integer replay over the
+    // probed lists' candidates.
+    ("ivfpq4fs_search", (s: SparkSession, dir: String) =>
+      ivfpqfs8(s, dir).search(qDf(s, dir, 10), 10, nprobe = 4),
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfpqfs_centroids/*.parquet')),
+              |cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/ivfpqfs_codebooks/*.parquet')),
+              |qc AS (SELECT q.vec_id AS qid, c.list_no, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
+              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10),
+              |probes AS (SELECT qid, list_no FROM qc WHERE pr <= 4),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |bsub AS (SELECT vec_id AS id, r.m AS m, embedding[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM embeddings, range(0,8) r(m) WHERE vec_id >= 10),
+              |enc AS (SELECT id, m, j FROM (
+              |  SELECT b.id, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
+              |qsub AS (SELECT vec_id AS qid, r.m AS m, embedding[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM embeddings, range(0,8) r(m) WHERE vec_id < 10),
+              |lut AS (SELECT q.qid, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub q JOIN cb ON cb.m = q.m),
+              |colstat AS (SELECT qid, m, min(pd) AS mn, max(pd) - min(pd) AS span FROM lut GROUP BY qid, m),
+              |scal AS (SELECT qid, 255.0 / max(span) AS a,
+              |    list_aggregate(list(mn ORDER BY m), 'sum') AS b FROM colstat GROUP BY qid),
+              |lq AS (SELECT l.qid, l.m, l.j, floor((l.pd - cs.mn) * sc.a + 0.5)::BIGINT AS lq
+              |  FROM lut l JOIN colstat cs ON cs.qid = l.qid AND cs.m = l.m
+              |  JOIN scal sc ON sc.qid = l.qid),
+              |acc AS (SELECT l.qid, e.id, sum(l.lq)::BIGINT AS qdist
+              |  FROM enc e JOIN lq l ON l.m = e.m AND l.j = e.j
+              |  JOIN basg ba ON ba.id = e.id JOIN probes p ON p.qid = l.qid AND p.list_no = ba.list_no
+              |  GROUP BY l.qid, e.id)
+              |SELECT w.qid, "rank", id, qdist, round(qdist / sc.a + sc.b, 4) AS dist FROM (
+              |  SELECT qid, id, qdist, row_number() OVER (PARTITION BY qid ORDER BY qdist, id) AS "rank" FROM acc) w
+              |JOIN scal sc ON sc.qid = w.qid WHERE "rank" <= 10""".stripMargin)),
 
     // §2.11 IVFPQ: residual PQ inside the pruned IVF join. nprobe =
     // nlist here, so the oracle replays coarse assignment (argmin over

@@ -155,3 +155,128 @@ case class PQAdcFromLut(left: Expression, right: Expression, ksub: Int)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Fast-scan kernels (faiss/IndexFastScan.h:29,
+  * faiss/utils/quantize_lut.cpp:74 round_uint8_per_column): 4-bit PQ
+  * codes packed two per byte, and the per-query float LUT
+  * affine-quantized to uint8 so the scan accumulates small integers.
+  * The reference additionally re-blocks the packed codes into
+  * bbs-sized register tiles for SIMD (pq4_fast_scan.h:13-21) — pure
+  * physical layout with no dataflow analog; the capability carried
+  * here is the quantized-LUT integer scan over nibble-packed codes
+  * (half the code bytes, table fits in 4 KiB), which is what changes
+  * the scan's memory story. All float→double arithmetic is kept in
+  * double so the DuckDB oracle can replay the quantization exactly. */
+object Pq4Kernels {
+
+  /** Pack one-code-per-byte PQ codes (ksub ≤ 16) two per byte:
+    * even subquantizer in the low nibble, odd in the high
+    * (pq4_pack_codes, faiss/impl/pq4_fast_scan.h:37 — logical content
+    * only, not the bbs block layout). */
+  def pack(codes: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte]((codes.length + 1) / 2)
+    var i = 0
+    while (i < codes.length) {
+      val nib = codes(i) & 0x0f
+      out(i >> 1) = (out(i >> 1) | (if ((i & 1) == 0) nib else nib << 4)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Quantized LUT (quantize_lut.cpp round_uint8_per_column): per
+    * subquantizer bias = min over its ksub entries, shared scale
+    * a = 255/max_span; entry = floor((pd − bias_m)·a + 0.5).
+    * Returns (lutq bytes [m*ksub+j], a, b = Σ bias_m). */
+  def quantLut(lut: Array[Double], m: Int, ksub: Int): (Array[Byte], Double, Double) = {
+    val mins = new Array[Double](m)
+    var maxSpan = 0.0
+    var mi = 0
+    while (mi < m) {
+      var mn = Double.MaxValue; var mx = Double.MinValue
+      var j = 0
+      while (j < ksub) {
+        val v = lut(mi * ksub + j)
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        j += 1
+      }
+      mins(mi) = mn
+      if (mx - mn > maxSpan) maxSpan = mx - mn
+      mi += 1
+    }
+    val a = if (maxSpan > 0) 255.0 / maxSpan else 1.0
+    var b = 0.0
+    val out = new Array[Byte](m * ksub)
+    mi = 0
+    while (mi < m) {
+      b += mins(mi)
+      var j = 0
+      while (j < ksub) {
+        out(mi * ksub + j) =
+          math.floor((lut(mi * ksub + j) - mins(mi)) * a + 0.5).toInt.toByte
+        j += 1
+      }
+      mi += 1
+    }
+    (out, a, b)
+  }
+
+  /** Integer ADC over packed 4-bit codes: M nibble lookups + adds.
+    * M is implied by lutq length (M·16). */
+  def adcQ(packed: Array[Byte], lutq: Array[Byte]): Long = {
+    val m = lutq.length >> 4
+    var s = 0L
+    var mi = 0
+    while (mi < m) {
+      val byte = packed(mi >> 1) & 0xff
+      val nib = if ((mi & 1) == 0) byte & 0x0f else byte >>> 4
+      s += (lutq((mi << 4) + nib) & 0xff)
+      mi += 1
+    }
+    s
+  }
+}
+
+/** Nibble-pack one-byte-per-code PQ codes (requires ksub ≤ 16). */
+case class Pq4PackCodes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pq4_pack"
+  override def nullSafeEval(v: Any): Any =
+    Pq4Kernels.pack(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-query quantized LUT for fast-scan search: float LUT in double
+  * arithmetic, then uint8 affine quantization. Output struct carries
+  * the scalars needed to map integer scores back to approximate
+  * distances (original ≈ q/a + b). */
+case class Pq4QuantLut(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("lutq", BinaryType, nullable = false),
+    StructField("a", DoubleType, nullable = false),
+    StructField("b", DoubleType, nullable = false)))
+  override def prettyName: String = "pq4_quant_lut"
+  override def nullSafeEval(v: Any): Any = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val lut = PqKernels.lut(v.asInstanceOf[ArrayData], codebooks)
+    val (lutq, a, b) = Pq4Kernels.quantLut(lut, m, ksub)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](lutq, a, b))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** left = packed 4-bit codes (binary), right = quantized LUT bytes. */
+case class Pq4AdcQ(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq4_adc_q"
+  override def nullSafeEval(code: Any, lutq: Any): Any =
+    Pq4Kernels.adcQ(code.asInstanceOf[Array[Byte]], lutq.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -12,7 +12,8 @@ import graft.transform._
   *
   *   [transform,...] [IVF<nlist>, | IMI2x<b>, | Residual<nlist>,] <code>
   *   transform := PCA<d> | PCAW<d> | RR<d> | OPQ<M> | L2norm | Center
-  *   code      := Flat | SQ8 | PQ<M>[x<ksub>] | SH<nbit>x<period>[g|c|m]
+  *   code      := Flat | SQ8 | PQ<M>[x<ksub>] | PQ<M>x4fs[_<bbs>]
+  *              | SH<nbit>x<period>[g|c|m]
   *              | RQ<L>x<nbits> | PRQ<nsplit>x<L>x<nbits>
   *
   * e.g. "Flat", "IVF16,Flat", "PCA32,IVF16,PQ8", "L2norm,SQ8",
@@ -22,10 +23,12 @@ import graft.transform._
   * "Residual16,PQ8" (Index2Layer, index_factory.cpp:280 use_2layer),
   * "RQ2x4" / "PRQ2x2x4" (additive quantizers, beam+ICM encode,
   * reconstruction-distance search — index_factory.cpp aq patterns),
-  * "IVF16,RQ2x4" (IndexIVFResidualQuantizer).
-  * Unsupported reference tokens (HNSW/NSG/fast-scan) are rejected with
-  * the SURVEY §7 rationale: graph builds are non-dataflow; capability
-  * is covered by the IVF path.
+  * "IVF16,RQ2x4" (IndexIVFResidualQuantizer), "PQ8x4fs" /
+  * "IVF16,PQ8x4fs" (fast-scan: quantized-LUT integer scan over
+  * nibble-packed 4-bit codes; the bbs suffix — a SIMD register-block
+  * size — is accepted and ignored), "HNSW32[,SQ8|,PQ8]" /
+  * "NSG32[,SQ8|,PQ8]" (per-partition graph shards over flat or
+  * quantized storage).
   */
 object IndexFactory {
 
@@ -121,6 +124,10 @@ object IndexFactory {
   // coarse grammar, index_factory.cpp:241-291)
   private val IvfHnsw = "IVF(\\d+)_HNSW(\\d+)".r
   private val Pq = "PQ(\\d+)(?:x(\\d+))?".r
+  // PQ<M>x4fs[_<bbs>] (IndexPQFastScan / IndexIVFPQFastScan,
+  // index_factory.cpp fast-scan grammar): bbs is the reference's SIMD
+  // register-block size — accepted and ignored (physical layout only)
+  private val PqFs = "PQ(\\d+)x4fs(?:_(\\d+))?".r
   private val OpqTok = "OPQ(\\d+)".r
   private val Imi = "IMI2x(\\d+)".r
   private val Res = "Residual(\\d+)".r
@@ -189,6 +196,22 @@ object IndexFactory {
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, np,
         qid, qvec, hnswCoarse = Some(math.max(32, 4 * np)))
     }
+  }
+
+  /** Fast-scan PQ (PQ<M>x4fs, IndexPQFastScan): quantized-LUT integer
+    * scan over nibble-packed 4-bit codes. */
+  private final class PqFsBuilt(idx: Pq4FastScanIndex, chain: VecTransform)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, qid, qvec)
+        .drop("qdist")
+  }
+  /** IVF<n>,PQ<M>x4fs (IndexIVFPQFastScan, non-residual). */
+  private final class IvfPqFsBuilt(idx: IvfPq4FastScanIndex, chain: VecTransform)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
+        math.max(nprobe, 1), qid, qvec).drop("qdist")
   }
 
   /** Per-partition HNSW shards over Flat storage (HNSW<M>[,Flat],
@@ -301,6 +324,10 @@ object IndexFactory {
         case "Flat" =>
           new IvfBuilt(IvfIndex.build(data, "id", "vec", nlist.toInt,
             niter = niter, seed = seed), chain)
+        case PqFs(m, _) =>
+          new IvfPqFsBuilt(IvfPq4FastScanIndex.build(data, "id", "vec",
+            nlist.toInt, m.toInt, niterCoarse = niter, niterPq = niter,
+            seed = seed), chain)
         case "SQ8" =>
           new IvfSqBuilt(IvfSqIndex.build(data, "id", "vec", nlist.toInt,
             niter = niter, seed = seed), chain)
@@ -343,6 +370,9 @@ object IndexFactory {
           ksub = 1 << bits.toInt, niter = niter, seed = seed), chain)
       case "Flat" :: Nil => new FlatBuilt(data, chain)
       case "SQ8" :: Nil => new SqBuilt(SqIndex.build(data, "id", "vec"), chain)
+      case PqFs(m, _) :: Nil =>
+        new PqFsBuilt(Pq4FastScanIndex.build(data, "id", "vec", m.toInt,
+          niter = niter, seed = seed), chain)
       case Pq(m, ks) :: Nil =>
         new PqBuilt(PqIndex.build(data, "id", "vec", m.toInt,
           Option(ks).map(_.toInt).getOrElse(16), niter = niter, seed = seed), chain)
@@ -392,8 +422,7 @@ object IndexFactory {
         new FlatBuilt(data.select(col("id"),
           Lattice.decodeCol(lat, Lattice.encodeCol(lat, col("vec"))).as("vec")), chain)
       case other => throw new IllegalArgumentException(
-        s"unsupported factory tail '${other.mkString(",")}' in '$desc' " +
-          "(fast-scan is out of scope: SURVEY §7)")
+        s"unsupported factory tail '${other.mkString(",")}' in '$desc'")
     }
     val result = if (refine) new RefineBuilt(built, data, chain, kFactor = 4) else built
     result.description = desc

@@ -1,0 +1,87 @@
+package graft.index
+
+import graft.SparkTestBase
+import graft.core.Pq4Kernels
+import graft.knn.Knn
+import graft.eval.Recall
+import org.apache.spark.sql.functions._
+
+/** Fast-scan PQ family (IndexPQFastScan / IndexIVFPQFastScan,
+  * faiss/IndexFastScan.h:29; LUT quantization quantize_lut.cpp:74). */
+class FastScanSpec extends SparkTestBase {
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").cache()
+  private def q = emb.filter(col("vec_id") < 10)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+  private def b = emb.filter(col("vec_id") >= 10)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private lazy val fs = Pq4FastScanIndex.build(b, "id", "vec", m = 8, niter = 5)
+
+  test("nibble packing round-trips and halves the code width") {
+    val codes = Array[Byte](3, 15, 7, 0, 9)
+    val packed = Pq4Kernels.pack(codes)
+    assert(packed.length == 3)
+    assert((packed(0) & 0x0f) == 3 && ((packed(0) >> 4) & 0x0f) == 15)
+    assert((packed(1) & 0x0f) == 7 && ((packed(1) >> 4) & 0x0f) == 0)
+    assert((packed(2) & 0x0f) == 9)
+  }
+
+  test("quantized LUT: entries in [0,255], dequantized sum within M/(2a) of float ADC") {
+    // hand LUT: 2 subquantizers x 4 entries
+    val lut = Array(1.0, 3.0, 2.0, 5.0, 10.0, 11.0, 14.0, 10.5)
+    val (lutq, a, bBias) = Pq4Kernels.quantLut(lut, m = 2, ksub = 4)
+    assert(a == 255.0 / 4.0)          // max span = 5-1 = 4
+    assert(bBias == 1.0 + 10.0)       // sum of per-subquantizer mins
+    assert(lutq.forall(v => (v & 0xff) <= 255))
+    // exact check of one entry: (3.0 - 1.0) * a + 0.5 floored
+    assert((lutq(1) & 0xff) == math.floor(2.0 * a + 0.5).toInt)
+    // dequantization error bound: each entry off by <= 0.5/a
+    for (c0 <- 0 until 4; c1 <- 0 until 4) {
+      val exact = lut(c0) + lut(4 + c1)
+      val qsum = (lutq(c0) & 0xff) + (lutq(4 + c1) & 0xff)
+      val approx = qsum / a + bBias
+      assert(math.abs(approx - exact) <= 1.0 / a + 1e-9,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("integer ADC equals sum of looked-up quantized entries") {
+    val lut = (0 until 8).flatMap(m => (0 until 16).map(j => (m * j).toDouble)).toArray
+    val (lutq, _, _) = Pq4Kernels.quantLut(lut, m = 8, ksub = 16)
+    val codes = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    val expected = codes.zipWithIndex.map { case (c, m) => lutq(m * 16 + c) & 0xff }.sum
+    assert(Pq4Kernels.adcQ(Pq4Kernels.pack(codes), lutq) == expected)
+  }
+
+  test("fast-scan ranking tracks float ADC ranking (same codes, quantized LUT)") {
+    val exact = PqIndex.build(b, "id", "vec", m = 8, ksub = 16, niter = 5)
+    val viaFs = fs.search(q, 10)
+    val viaAdc = exact.search(q, 10)
+    // the two PQ models are trained identically (same seed/iters), so
+    // overlap measures only LUT-quantization ranking damage
+    val overlap = Recall.mean(viaAdc, viaFs)
+    assert(overlap > 0.8, s"fast-scan vs float-ADC overlap $overlap")
+  }
+
+  test("fast-scan search recall above the lossy-PQ floor vs exact kNN") {
+    val truth = Knn.knnJoin(q, b, 10)
+    val rec = Recall.mean(truth, fs.search(q, 10))
+    assert(rec > 0.15, s"recall $rec")
+  }
+
+  test("IVF fast-scan: nprobe=nlist matches flat fast-scan (same PQ seed)") {
+    val ivf = IvfPq4FastScanIndex.build(b, "id", "vec", nlist = 4, m = 8,
+      niterCoarse = 3, niterPq = 5)
+    val flatTop = fs.search(q, 10).select("qid", "id", "qdist").collect().toSet
+    val ivfTop = ivf.search(q, 10, nprobe = 4).select("qid", "id", "qdist").collect().toSet
+    assert(ivfTop == flatTop)
+  }
+
+  test("factory tokens PQ8x4fs / IVF4,PQ8x4fs / bbs suffix parse and search") {
+    val built = IndexFactory.build(b, "id", "vec", "PQ8x4fs", niter = 3)
+    assert(built.search(q, 5).count() == 50)
+    val ivfB = IndexFactory.build(b, "id", "vec", "IVF4,PQ8x4fs_64", niter = 3)
+    assert(ivfB.search(q, 5, nprobe = 4).count() == 50)
+  }
+}
