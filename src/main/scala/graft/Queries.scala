@@ -144,6 +144,11 @@ object Queries {
     cached(s"itq32:$dir") {
       graft.transform.Opq.trainItq(emb(s, dir), "embedding", 32, iters = 5)
     }
+  private def ivfsq4(s: SparkSession, dir: String): graft.index.IvfSqIndex =
+    cached(s"ivfsq4:$dir") {
+      graft.index.IvfSqIndex.build(bDf(s, dir, 10), "id", "vec",
+        nlist = 16, niter = 4, qtype = "SQ4")
+    }
   private def pqfs8(s: SparkSession, dir: String): graft.index.Pq4FastScanIndex =
     cached(s"pqfs8:$dir") {
       graft.index.Pq4FastScanIndex.build(bDf(s, dir, 10), "id", "vec",
@@ -244,7 +249,7 @@ object Queries {
     twoLevel12(s, dir); pdk8(s, dir); bivf8(s, dir); rqModel16(s, dir)
     prqModel(s, dir); imi16(s, dir); sqMeanstd(s, dir); ivfrq8(s, dir)
     kmSph8(s, dir); znLat16(s, dir); pca16(s, dir); itq32(s, dir)
-    pqfs8(s, dir); ivfpqfs8(s, dir)
+    pqfs8(s, dir); ivfpqfs8(s, dir); ivfsq4(s, dir)
     ()
   }
 
@@ -1945,6 +1950,32 @@ object Queries {
              |  list_transform(embedding::DOUBLE[], (x, i) ->
              |    vmn[i] + (floor(255 * (CASE WHEN vd[i] = 0 THEN 0
              |      ELSE least(greatest((x - vmn[i]) / vd[i], 0), 1) END)) + 0.5) / 255 * vd[i]) AS dv
+             |  FROM embeddings, dims WHERE vec_id >= 10),
+             |qd AS (SELECT q.vec_id AS qid, b.id AS id,
+             |  list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], b.dv),
+             |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
+             |  FROM embeddings q CROSS JOIN dec b WHERE q.vec_id < 10)
+             |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+             |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank"
+             |  FROM qd) w WHERE "rank" <= 5""".stripMargin)),
+
+    // §2.11 IVF + 4-bit scalar quantizer (IndexIVFScalarQuantizer
+    // QT_4bit, impl/ScalarQuantizer.h:32; factory IVF<n>,SQ4).
+    // nprobe = nlist, so the oracle replays the codec exactly:
+    // code = floor(15·clamped), decode = (code + 0.5)/15 over the
+    // base-side minmax range — the SQ8 replay with 15 for 255.
+    ("ivfsq4_search_exact", (s: SparkSession, dir: String) =>
+      ivfsq4(s, dir).search(qDf(s, dir, 10), 5, nprobe = 16)
+        .withColumn("dist", r4("dist")),
+      Some("""WITH dims AS (
+             |  SELECT list(mn ORDER BY i) AS vmn, list(mx - mn ORDER BY i) AS vd FROM (
+             |    SELECT i, min(e) AS mn, max(e) AS mx
+             |    FROM (SELECT unnest(embedding::DOUBLE[]) AS e, generate_subscripts(embedding, 1) AS i
+             |          FROM embeddings WHERE vec_id >= 10) u GROUP BY i) t),
+             |dec AS (SELECT vec_id AS id,
+             |  list_transform(embedding::DOUBLE[], (x, i) ->
+             |    vmn[i] + (floor(15 * (CASE WHEN vd[i] = 0 THEN 0
+             |      ELSE least(greatest((x - vmn[i]) / vd[i], 0), 1) END)) + 0.5) / 15 * vd[i]) AS dv
              |  FROM embeddings, dims WHERE vec_id >= 10),
              |qd AS (SELECT q.vec_id AS qid, b.id AS id,
              |  list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], b.dv),

@@ -243,6 +243,88 @@ object Sq6Kernels {
   }
 }
 
+/** Fused asymmetric L2sq against each packed-code width — the same
+  * single-pass decode-in-the-distance as [[SqKernels.adcL2sq]]
+  * (faiss DCTemplate, impl/ScalarQuantizerDC.h): no materialized
+  * decode array in the scan loop. */
+object SqAdcKernels {
+  def l2sq4(q: ArrayData, code: Array[Byte], vmin: Array[Double],
+      vdiff: Array[Double]): Double = {
+    val d = vmin.length
+    var s = 0.0; var i = 0
+    while (i < d) {
+      val c = (code(i >> 1) >> ((i & 1) << 2)) & 0xf
+      val dec = vmin(i) + (c + 0.5) / 15.0 * vdiff(i)
+      val df = q.getFloat(i).toDouble - dec
+      s += df * df
+      i += 1
+    }
+    s
+  }
+  def l2sq6(q: ArrayData, code: Array[Byte], vmin: Array[Double],
+      vdiff: Array[Double]): Double = {
+    val d = vmin.length
+    var s = 0.0; var i = 0
+    while (i < d) {
+      val base = (i >> 2) * 3
+      val bits = (i & 3) match {
+        case 0 => code(base) & 0x3f
+        case 1 => ((code(base) & 0xc0) >> 6) | ((code(base + 1) & 0x0f) << 2)
+        case 2 => ((code(base + 1) & 0xf0) >> 4) | ((code(base + 2) & 0x03) << 4)
+        case _ => (code(base + 2) & 0xfc) >> 2
+      }
+      val dec = vmin(i) + (bits + 0.5) / 63.0 * vdiff(i)
+      val df = q.getFloat(i).toDouble - dec
+      s += df * df
+      i += 1
+    }
+    s
+  }
+  def l2fp16(q: ArrayData, code: Array[Byte]): Double = {
+    val bb = ByteBuffer.wrap(code)
+    val d = code.length / 2
+    var s = 0.0; var i = 0
+    while (i < d) {
+      val df = q.getFloat(i).toDouble - Fp16Kernels.fromHalf(bb.getShort).toDouble
+      s += df * df
+      i += 1
+    }
+    s
+  }
+}
+
+case class SQ4AdcL2(left: Expression, right: Expression,
+    vmin: Array[Double], vdiff: Array[Double])
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq4_adc_l2sq"
+  override def nullSafeEval(q: Any, c: Any): Any =
+    SqAdcKernels.l2sq4(q.asInstanceOf[ArrayData], c.asInstanceOf[Array[Byte]], vmin, vdiff)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class SQ6AdcL2(left: Expression, right: Expression,
+    vmin: Array[Double], vdiff: Array[Double])
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq6_adc_l2sq"
+  override def nullSafeEval(q: Any, c: Any): Any =
+    SqAdcKernels.l2sq6(q.asInstanceOf[ArrayData], c.asInstanceOf[Array[Byte]], vmin, vdiff)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class Fp16AdcL2(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "fp16_adc_l2sq"
+  override def nullSafeEval(q: Any, c: Any): Any =
+    SqAdcKernels.l2fp16(q.asInstanceOf[ArrayData], c.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class SQ6Encode(child: Expression, vmin: Array[Double], vdiff: Array[Double])
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType

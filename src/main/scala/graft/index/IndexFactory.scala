@@ -12,7 +12,8 @@ import graft.transform._
   *
   *   [transform,...] [IVF<nlist>, | IMI2x<b>, | Residual<nlist>,] <code>
   *   transform := PCA<d> | PCAW<d> | RR<d> | OPQ<M> | L2norm | Center
-  *   code      := Flat | SQ8 | PQ<M>[x<ksub>] | PQ<M>x4fs[_<bbs>]
+  *   code      := Flat | SQ8 | SQ4 | SQ6 | SQfp16
+  *              | PQ<M>[x<ksub>] | PQ<M>x4fs[_<bbs>]
   *              | SH<nbit>x<period>[g|c|m]
   *              | RQ<L>x<nbits> | PRQ<nsplit>x<L>x<nbits>
   *
@@ -328,9 +329,13 @@ object IndexFactory {
           new IvfPqFsBuilt(IvfPq4FastScanIndex.build(data, "id", "vec",
             nlist.toInt, m.toInt, niterCoarse = niter, niterPq = niter,
             seed = seed), chain)
-        case "SQ8" =>
+        case "SQ8" | "SQ4" | "SQ6" | "SQfp16" =>
+          // IVF<n>,SQ{8,4,6,fp16} (IndexIVFScalarQuantizer widths,
+          // index_factory.cpp sq_types)
           new IvfSqBuilt(IvfSqIndex.build(data, "id", "vec", nlist.toInt,
-            niter = niter, seed = seed), chain)
+            niter = niter, seed = seed,
+            qtype = code.stripPrefix("SQ") match {
+              case "fp16" => "fp16"; case w => s"SQ$w" }), chain)
         case Pq(m, ks) =>
           new IvfPqBuilt(IvfPqIndex.build(data, "id", "vec", nlist.toInt,
             m.toInt, Option(ks).map(_.toInt).getOrElse(16),
@@ -369,7 +374,9 @@ object IndexFactory {
         new ImiBuilt(ImiIndex.build(data, "id", "vec",
           ksub = 1 << bits.toInt, niter = niter, seed = seed), chain)
       case "Flat" :: Nil => new FlatBuilt(data, chain)
-      case "SQ8" :: Nil => new SqBuilt(SqIndex.build(data, "id", "vec"), chain)
+      case (sq @ ("SQ8" | "SQ4" | "SQ6" | "SQfp16")) :: Nil =>
+        new SqBuilt(SqIndex.build(data, "id", "vec",
+          qtype = if (sq == "SQfp16") "fp16" else sq), chain)
       case PqFs(m, _) :: Nil =>
         new PqFsBuilt(Pq4FastScanIndex.build(data, "id", "vec", m.toInt,
           niter = niter, seed = seed), chain)

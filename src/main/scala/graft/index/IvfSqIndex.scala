@@ -24,7 +24,9 @@ class IvfSqIndex(
     val vdiff: Array[Double],
     val byResidual: Boolean,
     /** (id, list_no, code) */
-    val codes: DataFrame) {
+    val codes: DataFrame,
+    /** quantizer width: SQ8 (default) | SQ4 | SQ6 | fp16. */
+    val qtype: String = "SQ8") {
 
   private def centroidsDf = {
     val spark = codes.sparkSession
@@ -48,8 +50,8 @@ class IvfSqIndex(
     codes.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
       .join(broadcast(probes), "list_no")
       .select(col(queryId), col("id"),
-        shim.col(SQAdcL2(shim.expr(col(queryVec)), shim.expr(col("code")),
-          vmin, vdiff)).as("_dist"))
+        shim.col(SqVariant.adcL2(qtype, shim.expr(col(queryVec)),
+          shim.expr(col("code")), vmin, vdiff)).as("_dist"))
       .groupBy(col(queryId))
       .agg(topk(col("_dist"), col("id"), k, asc = true).as("_tk"))
       .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
@@ -61,7 +63,7 @@ class IvfSqIndex(
 object IvfSqIndex {
   def build(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, niter: Int = 4, seed: Long = 1234L,
-      byResidual: Boolean = false): IvfSqIndex = {
+      byResidual: Boolean = false, qtype: String = "SQ8"): IvfSqIndex = {
     val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val coarse = graft.cluster.KMeans.fit(data, "vec",
       graft.cluster.KMeans.Params(k = nlist, niter = niter, seed = seed))
@@ -79,16 +81,19 @@ object IvfSqIndex {
       else assigned0.select(col("id"), col("list_no"), col("vec").as("enc"))
     val cached = toEncode.cache()
     try {
-      val mm = cached.agg(shim.agg(VecMinMaxAgg(shim.expr(col("enc")))).as("_mm"))
-        .select(col("_mm.mins"), col("_mm.maxs")).collect().head
-      val mins = mm.getSeq[Double](0).toArray
-      val maxs = mm.getSeq[Double](1).toArray
-      val vdiff = mins.indices.map(i => maxs(i) - mins(i)).toArray
+      val (mins, vdiff) =
+        if (SqVariant.needsRange(qtype)) {
+          val mm = cached.agg(shim.agg(VecMinMaxAgg(shim.expr(col("enc")))).as("_mm"))
+            .select(col("_mm.mins"), col("_mm.maxs")).collect().head
+          val mins0 = mm.getSeq[Double](0).toArray
+          val maxs0 = mm.getSeq[Double](1).toArray
+          (mins0, mins0.indices.map(i => maxs0(i) - mins0(i)).toArray)
+        } else (Array.empty[Double], Array.empty[Double])
       val codes = cached.select(col("id"), col("list_no"),
-        shim.col(SQEncode(shim.expr(col("enc")), mins, vdiff)).as("code"))
+        shim.col(SqVariant.encode(qtype, shim.expr(col("enc")), mins, vdiff)).as("code"))
       val mat = codes.cache()
       mat.count()
-      new IvfSqIndex(nlist, coarse.centroids, mins, vdiff, byResidual, mat)
+      new IvfSqIndex(nlist, coarse.centroids, mins, vdiff, byResidual, mat, qtype)
     } finally cached.unpersist()
   }
 }

@@ -17,14 +17,17 @@ class SqIndex(
     val vmin: Array[Double],
     val vdiff: Array[Double],
     /** (id: long, code: binary) */
-    val codes: DataFrame) {
+    val codes: DataFrame,
+    /** quantizer width: SQ8 (default) | SQ4 | SQ6 | fp16
+      * (ScalarQuantizer::QuantizerType, impl/ScalarQuantizer.h:30). */
+    val qtype: String = "SQ8") {
 
   def d: Int = vmin.length
 
   /** Asymmetric kNN (query floats vs stored codes). */
   def search(queries: DataFrame, k: Int,
       queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
-    val dist = shim.col(SQAdcL2(
+    val dist = shim.col(SqVariant.adcL2(qtype,
       shim.expr(col(queryVec)), shim.expr(col("code")), vmin, vdiff))
     codes.crossJoin(broadcast(queries))
       .select(col(queryId), col("id"), dist.as("_dist"))
@@ -38,7 +41,40 @@ class SqIndex(
   /** Lossy reconstruct (sa_decode): (id, vec array<double>). */
   def reconstruct: DataFrame =
     codes.select(col("id"),
-      shim.col(SQDecode(shim.expr(col("code")), vmin, vdiff)).as("vec"))
+      shim.col(SqVariant.decode(qtype,
+        shim.expr(col("code")), vmin, vdiff)).as("vec"))
+}
+
+/** Codec dispatch over the scalar-quantizer widths — the analog of the
+  * reference's select_quantizer (impl/ScalarQuantizer.cpp:613). */
+private[graft] object SqVariant {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  def encode(qtype: String, c: Expression,
+      vmin: Array[Double], vdiff: Array[Double]): Expression = qtype match {
+    case "SQ8" => SQEncode(c, vmin, vdiff)
+    case "SQ4" => SQ4Encode(c, vmin, vdiff)
+    case "SQ6" => SQ6Encode(c, vmin, vdiff)
+    case "fp16" => Fp16Encode(c)
+    case other => throw new IllegalArgumentException(s"unknown SQ type $other")
+  }
+  def decode(qtype: String, c: Expression,
+      vmin: Array[Double], vdiff: Array[Double]): Expression = qtype match {
+    case "SQ8" => SQDecode(c, vmin, vdiff)
+    case "SQ4" => SQ4Decode(c, vmin, vdiff)
+    case "SQ6" => SQ6Decode(c, vmin, vdiff)
+    case "fp16" => Fp16Decode(c)
+    case other => throw new IllegalArgumentException(s"unknown SQ type $other")
+  }
+  def adcL2(qtype: String, q: Expression, c: Expression,
+      vmin: Array[Double], vdiff: Array[Double]): Expression = qtype match {
+    case "SQ8" => SQAdcL2(q, c, vmin, vdiff)
+    case "SQ4" => SQ4AdcL2(q, c, vmin, vdiff)
+    case "SQ6" => SQ6AdcL2(q, c, vmin, vdiff)
+    case "fp16" => Fp16AdcL2(q, c)
+    case other => throw new IllegalArgumentException(s"unknown SQ type $other")
+  }
+  /** fp16 is a pure per-value codec — no trained range. */
+  def needsRange(qtype: String): Boolean = qtype != "fp16"
 }
 
 object SqIndex {
@@ -58,11 +94,14 @@ object SqIndex {
     *                   affine range (ScalarQuantizer.cpp:500-556)
     */
   def build(df: DataFrame, idCol: String, vecCol: String,
-      rangeStat: String = "minmax", rsArg: Double = 0.0): SqIndex = {
-    val (mins, vdiff) = trainRange(df, vecCol, rangeStat, rsArg)
+      rangeStat: String = "minmax", rsArg: Double = 0.0,
+      qtype: String = "SQ8"): SqIndex = {
+    val (mins, vdiff) =
+      if (SqVariant.needsRange(qtype)) trainRange(df, vecCol, rangeStat, rsArg)
+      else (Array.empty[Double], Array.empty[Double])
     val codes = df.select(col(idCol).as("id"),
-      shim.col(SQEncode(shim.expr(col(vecCol)), mins, vdiff)).as("code"))
-    new SqIndex(mins, vdiff, codes)
+      shim.col(SqVariant.encode(qtype, shim.expr(col(vecCol)), mins, vdiff)).as("code"))
+    new SqIndex(mins, vdiff, codes, qtype)
   }
 
   /** (vmin, vdiff) per dimension for the chosen range statistic. All

@@ -25,4 +25,44 @@ class IvfSqSpec extends SparkTestBase {
     assert(resRecall > 0.8, s"residual recall $resRecall")
     truth.unpersist()
   }
+
+  test("SQ4/SQ6/fp16 widths: fused ADC equals L2 to the decoded vector") {
+    for (qtype <- Seq("SQ4", "SQ6", "fp16")) {
+      val idx = SqIndex.build(b, "id", "vec", qtype = qtype)
+      val df = idx.codes.limit(50).crossJoin(broadcast(q.limit(3)))
+        .select(
+          org.apache.spark.sql.graft.shim.col(graft.index.SqVariant.adcL2(qtype,
+            org.apache.spark.sql.graft.shim.expr(col("qvec")),
+            org.apache.spark.sql.graft.shim.expr(col("code")),
+            idx.vmin, idx.vdiff)).as("fused"),
+          aggregate(zip_with(col("qvec").cast("array<double>"),
+            org.apache.spark.sql.graft.shim.col(graft.index.SqVariant.decode(qtype,
+              org.apache.spark.sql.graft.shim.expr(col("code")),
+              idx.vmin, idx.vdiff)).cast("array<double>"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x).as("viaDecode"))
+      df.collect().foreach { r =>
+        assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6,
+          s"$qtype: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+      }
+    }
+  }
+
+  test("recall ordering across widths: fp16 >= SQ8 >= SQ6 >= SQ4 (with slack)") {
+    val truth = Knn.knnJoin(q, b, 10).cache()
+    val rec = Seq("SQ4", "SQ6", "SQ8", "fp16").map { t =>
+      t -> Recall.mean(truth, SqIndex.build(b, "id", "vec", qtype = t).search(q, 10))
+    }.toMap
+    assert(rec("fp16") > 0.95, s"fp16 recall ${rec("fp16")}")
+    assert(rec("SQ8") >= rec("SQ6") - 0.05, s"$rec")
+    assert(rec("SQ6") >= rec("SQ4") - 0.05, s"$rec")
+    assert(rec("SQ4") > 0.5, s"SQ4 recall ${rec("SQ4")}")
+    truth.unpersist()
+  }
+
+  test("IVF variants of each width search and factory tokens parse") {
+    for (tok <- Seq("IVF4,SQ4", "IVF4,SQ6", "IVF4,SQfp16", "SQ4", "SQ6", "SQfp16")) {
+      val built = IndexFactory.build(b, "id", "vec", tok, niter = 2)
+      assert(built.search(q, 5, nprobe = 4).count() == 50, tok)
+    }
+  }
 }
