@@ -1300,6 +1300,75 @@ object Queries {
         s"round(list_aggregate(list_transform(embedding::DOUBLE[], (x, i) -> CASE WHEN (((i-1)::BIGINT >> $j) & 1) = 0 THEN x ELSE -x END), 'sum'), 4) AS y$j")
         .mkString("SELECT vec_id, ", ", ", " FROM embeddings"))),
 
+    // §2.1 fvecs reader/writer round-trip (fvecs_read / fvecs_write,
+    // faiss utils; SURVEY §2.1 row 4): the sf's embeddings are written
+    // to a real little-endian .fvecs file (ordered by vec_id), read
+    // back with the distributed binaryRecords reader, and fingerprinted
+    // per row. The oracle replays the SAME fingerprint from the
+    // parquet source with id = row_number over vec_id — any byte-level
+    // corruption, dim mix-up, or row reorder breaks the hash.
+    ("fvecs_roundtrip", (s: SparkSession, dir: String) => {
+      val path = new java.io.File(
+        s"target/vecs_io_${math.abs(dir.hashCode)}.fvecs").getAbsolutePath
+      val rows = emb(s, dir).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .iterator.map(_.getSeq[Float](0).toArray)
+      graft.io.VecsIO.writeFvecsLocal(path, rows)
+      graft.io.VecsIO.readFvecs(s, path)
+        .select(col("id"),
+          round(element_at(col("vec"), 1), 4).as("y0"),
+          round(aggregate(col("vec").cast("array<double>"), lit(0.0),
+            (a, x) => a + x * x), 4).as("nrm"))
+    },
+      Some("""SELECT row_number() OVER (ORDER BY vec_id) - 1 AS id,
+             |  round(embedding[1], 4) AS y0,
+             |  round(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum'), 4) AS nrm
+             |FROM embeddings""".stripMargin)),
+
+    // §2.1 VectorTransform persistence round-trip (write_VectorTransform
+    // / read_VectorTransform, faiss/impl/index_write.cpp): save a
+    // transform chain, load it back, apply the LOADED transform. Same
+    // deterministic ±1 matrix and oracle as linear_transform — a
+    // persistence bug (row/col swap, bias drop, float corruption)
+    // breaks the value compare.
+    ("transform_io_roundtrip", (s: SparkSession, dir: String) => {
+      val mat = Array.tabulate(4, 64)((j, i) => if (((i >> j) & 1) == 0) 1f else -1f)
+      val path = s"target/transform_io_${math.abs(dir.hashCode)}"
+      graft.io.IndexIO.saveTransform(s, graft.transform.Chain(
+        Seq(graft.transform.Linear(mat))), path)
+      // unwrap to the raw matrix and apply via MatVec so the output
+      // stays double (Linear.applyCol casts to float for chaining,
+      // which would flip the compare schema to float32)
+      val lin = graft.io.IndexIO.loadTransform(s, path) match {
+        case l: graft.transform.Linear => l
+        case graft.transform.Chain(Seq(l: graft.transform.Linear)) => l
+        case other => throw new IllegalStateException(s"unexpected $other")
+      }
+      emb(s, dir).select(col("vec_id"),
+        shim.col(graft.core.MatVec(shim.expr(col("embedding")), lin.a)).as("_y"))
+        .select(col("vec_id"),
+          round(element_at(col("_y"), 1), 4).as("y0"),
+          round(element_at(col("_y"), 2), 4).as("y1"),
+          round(element_at(col("_y"), 3), 4).as("y2"),
+          round(element_at(col("_y"), 4), 4).as("y3"))
+    },
+      Some((0 until 4).map(j =>
+        s"round(list_aggregate(list_transform(embedding::DOUBLE[], (x, i) -> CASE WHEN (((i-1)::BIGINT >> $j) & 1) = 0 THEN x ELSE -x END), 'sum'), 4) AS y$j")
+        .mkString("SELECT vec_id, ", ", ", " FROM embeddings"))),
+
+    // §2.11 index_factory end-to-end (index_factory.cpp:885): the
+    // factory-built "IVF16,Flat" trains with the same deterministic
+    // seed/iters as the memoized ivf16, so its centroids — and
+    // therefore the nprobe=4 search — must match the ivf16 sidecar
+    // replay exactly. Oracle-gates the parser + build + search path.
+    ("factory_ivf_search", (s: SparkSession, dir: String) =>
+      cached(s"factoryIvf:$dir") {
+        graft.index.IndexFactory.build(bDf(s, dir, 10), "id", "vec",
+          "IVF16,Flat", niter = 4)
+      }.search(qDf(s, dir, 10), 10, nprobe = 4)
+        .withColumn("dist", r4("dist")),
+      Some(ivfNprobe4Sql)),
+
     // §2.11 binary flat (BFlat): Hamming kNN over packed sign-bit codes
     ("knn_binary_hamming", (s: SparkSession, dir: String) => {
       val e = emb(s, dir)
