@@ -2540,6 +2540,29 @@ object Queries {
              |  count(*) AS cnt, round(sum(value), 2) AS sv
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // §2.10 SlidingIndexWindow retention (IVFlib SlidingIndexWindow
+    // ::step, faiss/IVFlib.h:61): keep only the newest `keep`
+    // time-partitions of the ingested data. The query derives hourly
+    // partitions from events, retains the newest 3, and aggregates the
+    // survivors; the oracle replays the retention as ORDER BY DESC
+    // LIMIT 3 over the distinct partition keys.
+    ("sliding_index_window", (s: SparkSession, dir: String) => {
+      // events carries nanosecond timestamps; read as long + convert
+      // (the windowedEventCounts pattern)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        .withColumn("part", date_trunc("hour", col("ts")))
+      graft.streaming.StreamingIngest.slidingWindow(ev, "part", keep = 3)
+        .groupBy(col("part"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sv"))
+        .select(unix_timestamp(col("part")).as("part"), col("cnt"), col("sv"))
+    },
+      Some("""WITH ev AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS part, value FROM events),
+             |keep AS (SELECT DISTINCT part FROM ev ORDER BY part DESC LIMIT 3)
+             |SELECT epoch(part)::BIGINT AS part, count(*) AS cnt, round(sum(value), 2) AS sv
+             |FROM ev JOIN keep USING (part) GROUP BY 1""".stripMargin)),
+
     // streaming exactly-once dedup ingest (training-pipeline shape:
     // drop duplicate records by key as they arrive, stateful
     // dropDuplicates); the oracle is the batch count-distinct

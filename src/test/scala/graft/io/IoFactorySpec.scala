@@ -144,10 +144,10 @@ class IoFactorySpec extends SparkTestBase {
     assert(f.description == "IVF8,Flat")
   }
 
-  test("factory rejects unsupported fast-scan with rationale") {
+  test("factory rejects an unknown token with the offending tail in the message") {
     val e = intercept[IllegalArgumentException] {
-      IndexFactory.build(b, "id", "vec", "PQ8x4fs")
+      IndexFactory.build(b, "id", "vec", "NoSuchIndex42")
     }
-    assert(e.getMessage.contains("SURVEY"))
+    assert(e.getMessage.contains("NoSuchIndex42"))
   }
 }
