@@ -61,9 +61,13 @@ object Pq4FastScanIndex {
   def build(df: DataFrame, idCol: String, vecCol: String, m: Int = 8,
       niter: Int = 8, seed: Long = 1234L): Pq4FastScanIndex = {
     val model = Pq.train(df, vecCol, m, ksub = 16, niter = niter, seed = seed)
+    // materialize: encoding is add-time work (compute_codes), not
+    // something every search should redo
     val codes = df.select(col(idCol).as("id"),
       shim.col(Pq4PackCodes(
         PQEncode(shim.expr(col(vecCol)), model.codebooks))).as("code"))
+      .cache()
+    codes.count()
     new Pq4FastScanIndex(model, codes)
   }
 }
@@ -123,6 +127,8 @@ object IvfPq4FastScanIndex {
       .select(col("id"), col("list_no"),
         shim.col(Pq4PackCodes(
           PQEncode(shim.expr(col("vec")), model.codebooks))).as("code"))
+      .cache()
+    codes.count()
     new IvfPq4FastScanIndex(coarse.centroids.length, coarse.centroids, model, codes)
   }
 }

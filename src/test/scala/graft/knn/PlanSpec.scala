@@ -130,6 +130,26 @@ class PlanSpec extends SparkTestBase {
     } finally idx.invlists.unpersist()
   }
 
+  test("fast-scan search keeps the flat-scan shape: broadcast LUTs, partial top-k, one exchange") {
+    val fs = graft.index.Pq4FastScanIndex.build(b, "id", "vec", m = 8, niter = 2)
+    val plan = fs.search(q, 5).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"queries+LUTs not broadcast:\n$plan")
+    assert(plan.toLowerCase.contains("partial_topk"), s"no partial top-k:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$plan")
+  }
+
+  test("IVF fast-scan pushes the probed-list filter below the broadcast probe join") {
+    val ivf = graft.index.IvfPq4FastScanIndex.build(b, "id", "vec", nlist = 8,
+      m = 8, niterCoarse = 2, niterPq = 2)
+    val plan = ivf.search(q, 5, nprobe = 2).queryExecution.executedPlan.toString
+    assert("list_no(#\\d+)? IN \\(".r.findFirstIn(plan).isDefined,
+      s"probed-list filter not pushed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"probe table not broadcast:\n$plan")
+    assert(plan.toLowerCase.contains("partial_topk"), s"no partial top-k:\n$plan")
+  }
+
   test("assign uses the heap aggregate (no window, no sort aggregate)") {
     val plan = Knn.assign(q, b).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "assign must not use a window sort")
