@@ -273,3 +273,110 @@ case class RQIpFromLut(left: Expression, right: Expression, k: Int)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Additive-quantizer fast-scan support
+  * (faiss/IndexAdditiveQuantizerFastScan.h:30, search type
+  * ST_norm_rq2x4 — impl/AdditiveQuantizer.cpp:132-158): the L2
+  * distance qnorm − 2·<q,dec> + ||dec||² is evaluated entirely from a
+  * quantized LUT of M = L + 2 four-bit columns: L columns of
+  * −2·<q, cb[l][j]> plus TWO norm columns holding the scalar
+  * codebooks of a 1-D two-level residual quantizer trained on the
+  * reconstruction norms. One uint8 quantization pass
+  * ([[Pq4Kernels.quantLut]]) covers all columns, so the scan is the
+  * same nibble-packed integer accumulate as PQ fast-scan
+  * ([[Pq4AdcQ]]); norm_scale is fixed at 1 (the reference's default
+  * before estimate_norm_scale sees pathological spans). */
+object Rq4FsKernels {
+  /** Greedy 2-level scalar RQ encode of one norm value against the
+    * norm codebooks (ResidualQuantizer(1, 2, 4) assignment). */
+  def encodeNorm(v: Double, normCb: Array[Array[Double]]): Array[Int] = {
+    val out = new Array[Int](normCb.length)
+    var resid = v
+    var l = 0
+    while (l < normCb.length) {
+      val cb = normCb(l)
+      var best = 0; var bestD = Double.MaxValue
+      var j = 0
+      while (j < cb.length) {
+        val d = math.abs(resid - cb(j))
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      out(l) = best
+      resid -= cb(best)
+      l += 1
+    }
+    out
+  }
+}
+
+/** array<int> codes (AQ levels then norm levels) → nibble-packed
+  * binary, the AQ-side twin of [[Pq4PackCodes]]. */
+case class Rq4PackCodes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "rq4_pack"
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val bytes = new Array[Byte](a.numElements())
+    var i = 0
+    while (i < bytes.length) { bytes(i) = a.getInt(i).toByte; i += 1 }
+    Pq4Kernels.pack(bytes)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** norm value (double) → 2 greedy scalar-RQ code nibbles. */
+case class ScalarRq2Encode(child: Expression, normCb: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "scalar_rq2_encode"
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(Rq4FsKernels.encodeNorm(v.asInstanceOf[Double], normCb))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-query quantized fast-scan LUT over (L AQ columns + 2 norm
+  * columns); struct(lutq, a, b) exactly like [[Pq4QuantLut]]. */
+case class Rq4FsQuantLut(child: Expression,
+    codebooks: Array[Array[Array[Float]]], normCb: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("lutq", BinaryType, nullable = false),
+    StructField("a", DoubleType, nullable = false),
+    StructField("b", DoubleType, nullable = false)))
+  override def prettyName: String = "rq4fs_quant_lut"
+  override def nullSafeEval(v: Any): Any = {
+    val q = v.asInstanceOf[ArrayData]
+    val levels = codebooks.length
+    val k = codebooks(0).length
+    val d = codebooks(0)(0).length
+    val m2 = levels + normCb.length
+    val lut = new Array[Double](m2 * k)
+    var l = 0
+    while (l < levels) {
+      var j = 0
+      while (j < k) {
+        val c = codebooks(l)(j)
+        var s = 0.0; var i = 0
+        while (i < d) { s += q.getFloat(i).toDouble * c(i); i += 1 }
+        lut(l * k + j) = -2.0 * s
+        j += 1
+      }
+      l += 1
+    }
+    var p = 0
+    while (p < normCb.length) {
+      var j = 0
+      while (j < normCb(p).length) {
+        lut((levels + p) * k + j) = normCb(p)(j)
+        j += 1
+      }
+      p += 1
+    }
+    val (lutq, a, b) = Pq4Kernels.quantLut(lut, m2, k)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](lutq, a, b))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

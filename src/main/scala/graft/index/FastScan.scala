@@ -114,6 +114,94 @@ class IvfPq4FastScanIndex(
   }
 }
 
+/** Additive-quantizer fast-scan (IndexAdditiveQuantizerFastScan,
+  * faiss/IndexAdditiveQuantizerFastScan.h:30; factory `RQ<L>x4fs`,
+  * search type ST_norm_rq2x4): RQ codes + a two-nibble scalar-RQ norm
+  * code, scanned as ONE (L+2)-column quantized-LUT integer accumulate
+  * — L columns of −2·<q,cb> and two norm-codebook columns. dist ≈
+  * qnorm + qdist/a + b. norm_scale fixed at 1 (reference default
+  * before estimate_norm_scale). codes: (id, code: packed nibbles). */
+class Rq4FastScanIndex(
+    val model: RqModel,
+    /** scalar norm codebooks [2][16] (AdditiveQuantizer norm_tabs). */
+    val normCb: Array[Array[Double]],
+    val codes: DataFrame) {
+  require(model.k <= 16, s"fast-scan needs 4-bit codes, got k=${model.k}")
+
+  def search(queries: DataFrame, k: Int,
+      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+    val q = queries.select(col(queryId),
+      shim.col(Rq4FsQuantLut(shim.expr(col(queryVec)), model.codebooks, normCb))
+        .as("_ql"),
+      aggregate(col(queryVec).cast("array<double>"), lit(0.0),
+        (a, x) => a + x * x).as("_qn"))
+    codes.crossJoin(broadcast(q))
+      .select(col(queryId),
+        shim.col(Pq4AdcQ(shim.expr(col("code")), shim.expr(col("_ql.lutq"))))
+          .cast("double").as("_d"),
+        col("id"), col("_ql.a").as("_a"), col("_ql.b").as("_b"), col("_qn"))
+      .groupBy(col(queryId))
+      .agg(topk(col("_d"), col("id"), k, asc = true).as("_tk"),
+        first(col("_a")).as("_a"), first(col("_b")).as("_b"),
+        first(col("_qn")).as("_qn"))
+      .select(col(queryId), col("_a"), col("_b"), col("_qn"),
+        posexplode(col("_tk")).as(Seq("_pos", "_r")))
+      .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
+        col("_r.id").as("id"), col("_r.dist").cast("long").as("qdist"),
+        round(col("_qn") + col("_r.dist") / col("_a") + col("_b"), 4).as("dist"))
+  }
+}
+
+object Rq4FastScanIndex {
+  /** Train RQ(levels×4bit) + the 1-D two-level norm RQ
+    * (AdditiveQuantizer::train_norm for ST_norm_rq2x4) and encode
+    * packed codes. Norm codebooks come from exact 1-D k-means per
+    * level over the reconstruction norms (the reference trains an
+    * RQ(1,2,4) in RAM; Clustering1D is its exact-DP sibling). */
+  def build(df: DataFrame, idCol: String, vecCol: String, levels: Int = 2,
+      niter: Int = 6, seed: Long = 1234L, beam: Int = 1,
+      model0: RqModel = null): Rq4FastScanIndex = {
+    val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val model =
+      if (model0 != null) model0
+      else Rq.train(data.select(col("vec")), "vec", levels, 16,
+        niter = niter, seed = seed, beam = beam)
+    val withNorm = data.select(col("id"),
+      model.encodeCol(col("vec"), beam = beam).as("_codes"))
+      .withColumn("_norm", aggregate(
+        model.decodeCol(col("_codes")).cast("array<double>"),
+        lit(0.0), (a, x) => a + x * x))
+      .cache()
+    try {
+      // level 1: exact 1-D k-means on the norms; level 2: on the
+      // level-1 residuals (greedy scalar RQ). Trained on a bounded
+      // deterministic subsample (the Pq.train idiom) so the driver-side
+      // DP never sees more than 64k distinct values at corpus scale.
+      val sample = withNorm
+        .withColumn("_h", xxhash64(col("_norm"), lit(seed)))
+        .orderBy(col("_h")).limit(65536).drop("_h").cache()
+      val l1 = graft.cluster.KMeans1D.fit(sample, "_norm", 16).centroids
+      val resid = sample.withColumn("_r", col("_norm") -
+        element_at(typedlit(l1.toSeq),
+          shim.col(ScalarRq2Encode(shim.expr(col("_norm")), Array(l1)))
+            .getItem(0) + 1))
+      val l2 = graft.cluster.KMeans1D.fit(resid, "_r", 16).centroids
+      sample.unpersist()
+      val normCb = Array(l1, l2)
+      val codes = withNorm.select(col("id"),
+        shim.col(Rq4PackCodes(shim.expr(concat(col("_codes"),
+          ScalarRq2EncodeCol(col("_norm"), normCb))))).as("code"))
+        .cache()
+      codes.count()
+      new Rq4FastScanIndex(model, normCb, codes)
+    } finally withNorm.unpersist()
+  }
+
+  private def ScalarRq2EncodeCol(c: org.apache.spark.sql.Column,
+      normCb: Array[Array[Double]]): org.apache.spark.sql.Column =
+    shim.col(ScalarRq2Encode(shim.expr(c), normCb))
+}
+
 object IvfPq4FastScanIndex {
   def build(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, m: Int = 8,

