@@ -2580,6 +2580,37 @@ object Queries {
         .select(col("doc_id"), TF.fingerprint(col("text")).as("fp")),
       Some("SELECT doc_id, md5(text) AS fp FROM documents")),
 
+    // document fingerprinting, ROLLING-hash variant (winnowing, MOSS —
+    // Schleimer/Wilkerson/Aiken SIGMOD'03): Rabin-Karp rolling hashes
+    // of every 8-char window (base 256 mod 2^31−1, maintained
+    // incrementally), then the rightmost-min of each 4-hash sliding
+    // window. Local + position-aware, so matches of length >= 11 share
+    // a fingerprint — the plagiarism/provenance complement of the
+    // whole-content hash above. The oracle recomputes the exact
+    // integers (2^31 ≡ 1 mod p makes the window constants powers of
+    // two) and replays the winnow as a rightmost-min row_number.
+    ("winnow_fingerprints", (s: SparkSession, dir: String) =>
+      docsDf(s, dir).select(col("doc_id"),
+        explode(shim.col(graft.core.WinnowFingerprints(
+          shim.expr(col("text")), 8, 4))).as("_f"))
+        .select(col("doc_id"), col("_f.pos").cast("long").as("pos"),
+          col("_f.fp").as("fp")),
+      Some("""WITH cst AS (SELECT [33554432, 131072, 512, 2, 16777216, 65536, 256, 1]::BIGINT[] AS c),
+             |ppos AS (SELECT doc_id, text, unnest(range(1, length(text) - 8 + 2)) AS pos FROM documents),
+             |h AS (SELECT doc_id, pos,
+             |    (list_aggregate(list_transform(range(0, 8),
+             |      j -> ord(substring(text, (pos + j)::INT, 1)) * cst.c[(j + 1)::INT]), 'sum')
+             |      % 2147483647)::BIGINT AS fp
+             |  FROM ppos, cst),
+             |nh AS (SELECT doc_id, unnest(range(1, count(*) - 4 + 2)) AS t
+             |  FROM h GROUP BY doc_id),
+             |sel AS (SELECT DISTINCT doc_id, pos, fp FROM (
+             |    SELECT h.doc_id, nh.t, h.pos, h.fp,
+             |      row_number() OVER (PARTITION BY h.doc_id, nh.t ORDER BY h.fp, h.pos DESC) AS rn
+             |    FROM nh JOIN h ON h.doc_id = nh.doc_id AND h.pos BETWEEN nh.t AND nh.t + 3) x
+             |  WHERE rn = 1)
+             |SELECT doc_id, pos, fp FROM sel""".stripMargin)),
+
     // multimodal: opaque binary column -> batched mapPartitions decode
     // (stub) -> typed features; oracle checks the byte-derived fields
     ("multimodal_features", (s: SparkSession, dir: String) => {
