@@ -56,9 +56,13 @@ object IndexFactory {
       case "Flat" => code = Some(4 * dim)
       case "SQ8" => code = Some(dim)
       case "SQ4" => code = Some((dim + 1) / 2)
-      case "FP16" => code = Some(2 * dim)
+      case "SQ6" => code = Some((dim * 6 + 7) / 8)
+      case "FP16" | "SQfp16" => code = Some(2 * dim)
       case Sh(nbit, _, _) => code = Some((nbit.toInt + 7) / 8)
       case Lsh(nb) => code = Some((nb.toInt + 7) / 8)
+      // fast-scan BEFORE plain PQ/RQ: "PQ8x4fs" must not fall to `other`
+      case PqFs(m, _) => code = Some((m.toInt + 1) / 2)
+      case RqFs(lv, _) => code = Some((lv.toInt + 2 + 1) / 2) // + 2-nibble norm code
       case Pq(m, _) => code = Some(m.toInt)
       case RqTok(lv, nb) => code = Some((lv.toInt * nb.toInt + 7) / 8)
       case PrqTok(ns, lv, nb) => code = Some((ns.toInt * lv.toInt * nb.toInt + 7) / 8)

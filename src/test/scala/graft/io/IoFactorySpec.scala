@@ -138,7 +138,12 @@ class IoFactorySpec extends SparkTestBase {
     assert(IndexFactory.codeSize("SQ8", 64) == 64)
     assert(IndexFactory.codeSize("SQ4", 64) == 32)
     assert(IndexFactory.codeSize("FP16", 64) == 128)
+    assert(IndexFactory.codeSize("SQfp16", 64) == 128)
+    assert(IndexFactory.codeSize("SQ6", 64) == 48)
     assert(IndexFactory.codeSize("IVF16,PQ8", 64) == 8)
+    assert(IndexFactory.codeSize("PQ8x4fs", 64) == 4)
+    assert(IndexFactory.codeSize("IVF16,PQ8x4fs_64", 64) == 4)
+    assert(IndexFactory.codeSize("RQ2x4fs", 64) == 2)
     assert(IndexFactory.codeSize("PCA32,IVF16,Flat", 64) == 128)
     val f = IndexFactory.build(b, "id", "vec", "IVF8,Flat")
     assert(f.description == "IVF8,Flat")
