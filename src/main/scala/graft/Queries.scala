@@ -179,7 +179,7 @@ object Queries {
     * unique per doc, so the only >=0.8-Jaccard pairs are the planted
     * copies — the LOAD is real (full shingle/minhash/band join over
     * the corpus), the answer is exactly replayable. */
-  private def commentCorpus(s: SparkSession, dir: String): DataFrame =
+  private[graft] def commentCorpus(s: SparkSession, dir: String): DataFrame =
     cached(s"commentCorpus:$dir") {
       val did = (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
       val toks = (0 until 12).map(i =>

@@ -41,18 +41,21 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow_fingerprints"
 
   override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
-    val n = s.length
+    // hash over CODE POINTS, not UTF-16 units: the SQL oracle's
+    // ord(substring(...)) and length() count code points, so surrogate
+    // pairs must be one symbol on both sides
+    val cp = v.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cp.length
     val numH = n - k + 1
     if (numH < w) return new GenericArrayData(Array.empty[Any])
     val h = new Array[Long](numH)
     var acc = 0L
     var i = 0
-    while (i < k) { acc = (acc * B + s.charAt(i)) % P; i += 1 }
+    while (i < k) { acc = (acc * B + cp(i)) % P; i += 1 }
     h(0) = acc
     i = 1
     while (i < numH) {
-      acc = ((acc - s.charAt(i - 1) * Bk1 % P + P) % P * B + s.charAt(i + k - 1)) % P
+      acc = ((acc - cp(i - 1) * Bk1 % P + P) % P * B + cp(i + k - 1)) % P
       h(i) = acc
       i += 1
     }

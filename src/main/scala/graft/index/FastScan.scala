@@ -31,7 +31,9 @@ import graft.functions.topk
   * broadcast with the probe table.
   */
 class Pq4FastScanIndex(val model: PqModel, val codes: DataFrame) {
-  require(model.ksub <= 16, s"fast-scan needs 4-bit codes, got ksub=${model.ksub}")
+  // exactly 16: Pq4AdcQ derives M from lutq.length >> 4 and strides
+  // 16-entry columns, so a narrower codebook would misalign the scan
+  require(model.ksub == 16, s"fast-scan needs 4-bit codes (ksub=16), got ksub=${model.ksub}")
 
   /** Exact integer replay of the quantized scan: qid, rank, id,
     * qdist (integer score), dist (≈ float ADC distance). */
@@ -126,7 +128,9 @@ class Rq4FastScanIndex(
     /** scalar norm codebooks [2][16] (AdditiveQuantizer norm_tabs). */
     val normCb: Array[Array[Double]],
     val codes: DataFrame) {
-  require(model.k <= 16, s"fast-scan needs 4-bit codes, got k=${model.k}")
+  require(model.k == 16, s"fast-scan needs 4-bit codes (k=16), got k=${model.k}")
+  require(normCb.forall(_.length == 16),
+    s"norm codebooks must be padded to 16 entries, got ${normCb.map(_.length).toSeq}")
 
   def search(queries: DataFrame, k: Int,
       queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
@@ -187,7 +191,13 @@ object Rq4FastScanIndex {
             .getItem(0) + 1))
       val l2 = graft.cluster.KMeans1D.fit(resid, "_r", 16).centroids
       sample.unpersist()
-      val normCb = Array(l1, l2)
+      // KMeans1D returns min(16, distinct values) centroids; pad with
+      // the last centroid so every LUT column is a full 16-entry
+      // stride on BOTH the engine and the oracle-sidecar side
+      // (duplicate entries are argmin/min-neutral)
+      def pad16(a: Array[Double]) =
+        if (a.length >= 16) a else a ++ Array.fill(16 - a.length)(a.last)
+      val normCb = Array(pad16(l1), pad16(l2))
       val codes = withNorm.select(col("id"),
         shim.col(Rq4PackCodes(shim.expr(concat(col("_codes"),
           ScalarRq2EncodeCol(col("_norm"), normCb))))).as("code"))

@@ -22,6 +22,8 @@ class SqIndex(
       * (ScalarQuantizer::QuantizerType, impl/ScalarQuantizer.h:30). */
     val qtype: String = "SQ8") {
 
+  /** Vector dimension — valid for the range-trained widths only; fp16
+    * has no trained range (d is code.length/2 on any codes row). */
   def d: Int = vmin.length
 
   /** Asymmetric kNN (query floats vs stored codes). */

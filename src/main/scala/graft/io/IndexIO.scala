@@ -21,18 +21,30 @@ object IndexIO {
     idx.codes.write.mode("overwrite").parquet(s"$path/codes")
     idx.vmin.indices.map(i => (i, idx.vmin(i), idx.vdiff(i))).toDF("dim", "vmin", "vdiff")
       .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+    // qtype in its own sidecar: fp16 has NO range rows, so the codec
+    // width cannot be inferred from meta
+    Seq(idx.qtype).toDF("qtype")
+      .coalesce(1).write.mode("overwrite").json(s"$path/qtype")
   }
 
   def loadSq(spark: SparkSession, path: String): SqIndex = {
-    val meta = spark.read.json(s"$path/meta")
-      .select(col("dim").cast("int"), col("vmin").cast("double"),
-        col("vdiff").cast("double")).collect()
+    // fp16 indexes have no trained range -> meta is an empty dataset
+    // (no inferable schema)
+    val meta =
+      try spark.read.json(s"$path/meta")
+        .select(col("dim").cast("int"), col("vmin").cast("double"),
+          col("vdiff").cast("double")).collect()
+      catch { case _: org.apache.spark.sql.AnalysisException => Array.empty[org.apache.spark.sql.Row] }
     val d = meta.length
     val vmin = new Array[Double](d); val vdiff = new Array[Double](d)
     meta.foreach { r =>
       vmin(r.getInt(0)) = r.getDouble(1); vdiff(r.getInt(0)) = r.getDouble(2)
     }
-    new SqIndex(vmin, vdiff, spark.read.parquet(s"$path/codes"))
+    // pre-r7 saves have no qtype sidecar -> SQ8
+    val qtype =
+      try spark.read.json(s"$path/qtype").select(col("qtype")).first().getString(0)
+      catch { case _: Throwable => "SQ8" }
+    new SqIndex(vmin, vdiff, spark.read.parquet(s"$path/codes"), qtype)
   }
 
   // ---- PQ -------------------------------------------------------------

@@ -66,7 +66,7 @@ object Dedup {
     * expensive expression in the pipeline and the band table feeds both
     * sides of the self-join — callers persist it for the duration of
     * the candidate join. */
-  private def bandTable(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def bandTable(docs: DataFrame, idCol: String, textCol: String,
       ngram: Int, hashes: Int, bands: Int): DataFrame = {
     require(hashes % bands == 0, "hashes must divide into bands")
     val r = hashes / bands
@@ -77,16 +77,6 @@ object Dedup {
       .filter(col("band_hash").isNotNull)
   }
 
-  // stage accessors for graft.tools.ProfileMinhash (bench-gate
-  // attribution); same code paths, package-visible
-  private[graft] def debugBandTable(docs: DataFrame, idCol: String,
-      textCol: String, ngram: Int, hashes: Int, bands: Int): DataFrame =
-    bandTable(docs, idCol, textCol, ngram, hashes, bands)
-  private[graft] def debugCandidatesFrom(banded: DataFrame): DataFrame =
-    candidatesFrom(banded)
-  private[graft] def debugPairJaccardWith(pairs: DataFrame, sets: DataFrame): DataFrame =
-    pairJaccardWith(pairs, sets)
-
   /** Bucket-grouped candidate generation: ONE hash-shuffle of the band
     * table into (band_id, band_hash) buckets, then in-bucket pair
     * expansion over the sorted id list (codegen'd higher-order
@@ -96,17 +86,19 @@ object Dedup {
     * are bounded by LSH band selectivity; a pathological bucket emits
     * the same O(B²) pairs either way — the quadratic candidate OUTPUT,
     * not the grouping, is the scale limit, exactly as in the
-    * self-join formulation. */
-  private def candidatesFrom(banded: DataFrame): DataFrame = {
+    * self-join formulation. The expansion is TWO chained generators —
+    * (anchor, tail-slice) rows then one explode per tail — so no
+    * single row ever materializes more than O(B) values (a one-shot
+    * flatten would build the whole O(B²) pair array in one row). */
+  private[graft] def candidatesFrom(banded: DataFrame): DataFrame = {
     val ids = col("_ids")
     banded.groupBy(col("band_id"), col("band_hash"))
       .agg(sort_array(collect_list(col("_id"))).as("_ids"))
       .filter(size(ids) >= 2)
-      .select(explode(flatten(transform(ids, (x, i) =>
-        transform(slice(ids, i + lit(2), size(ids) - i - lit(1)),
-          y => struct(x.as("i"), y.as("j"))))))
+      .select(explode(transform(ids, (x, i) =>
+        struct(x.as("i"), slice(ids, i + lit(2), size(ids) - i - lit(1)).as("_tail"))))
         .as("_p"))
-      .select(col("_p.i").as("i"), col("_p.j").as("j"))
+      .select(col("_p.i").as("i"), explode(col("_p._tail")).as("j"))
       // a repeated id inside one bucket (duplicate source ids) would
       // otherwise emit an (x, x) self-pair the old a._id < b._id
       // self-join never produced
@@ -141,7 +133,7 @@ object Dedup {
     out
   }
 
-  private def pairJaccardWith(pairs: DataFrame, sets: DataFrame): DataFrame =
+  private[graft] def pairJaccardWith(pairs: DataFrame, sets: DataFrame): DataFrame =
     pairs
       .join(sets.select(col("_id").as("i"), col("_set").as("_sa")), "i")
       .join(sets.select(col("_id").as("j"), col("_set").as("_sb")), "j")

@@ -29,29 +29,19 @@ object ProfileMinhash {
       r
     }
 
-    // corpus derivation (12 md5-derived tokens per lineitem row, x2)
-    val did = (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
-    val toks = (0 until 12).map(i =>
-      substring(md5(concat(did.cast("string"), lit("_" + i))), 1, 6))
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .filter(col("l_orderkey") % 4 === 0)
-      .repartition(cpus.toInt)
-    val base = li.select(did.as("_did"), concat_ws(" ", toks: _*).as("text"))
-    val corpus = base
-      .select(explode(array(lit(0L), lit(1000000000L))).as("_off"),
-        col("_did"), col("text"))
-      .select((col("_did") + col("_off")).as("doc_id"), col("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // THE catalog's corpus derivation — shared with the bench-gated
+    // query so the profiled stages can never desynchronize from it
+    val corpus = graft.Queries.commentCorpus(spark, dir)
     time("corpus derive+persist") { corpus.count() }
 
     // the stages of Dedup.nearDupPairs, timed individually
     val banded = time("band table (sig+bands)") {
-      val b = Dedup.debugBandTable(corpus, "doc_id", "text", 3, 12, 4)
+      val b = Dedup.bandTable(corpus, "doc_id", "text", 3, 12, 4)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       b.count(); b
     }
     val cand = time("candidate self-join") {
-      val c = Dedup.debugCandidatesFrom(banded)
+      val c = Dedup.candidatesFrom(banded)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       System.err.println(s"[profile]   candidates: ${c.count()}")
       c
@@ -63,7 +53,7 @@ object ProfileMinhash {
       s.count(); s
     }
     time("exact-Jaccard verify") {
-      val out = Dedup.debugPairJaccardWith(cand, sets)
+      val out = Dedup.pairJaccardWith(cand, sets)
         .filter(col("jaccard") >= 0.8)
       System.err.println(s"[profile]   verified pairs: ${out.count()}")
     }

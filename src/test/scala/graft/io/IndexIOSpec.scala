@@ -25,6 +25,17 @@ class IndexIOSpec extends SparkTestBase {
     assert(results(loaded.search(q, 5)) == results(idx.search(q, 5)))
   }
 
+  test("SQ save/load round-trips every quantizer width, including rangeless fp16") {
+    for (qtype <- Seq("SQ4", "SQ6", "fp16")) {
+      val idx = SqIndex.build(b, "id", "vec", qtype = qtype)
+      val dir = java.nio.file.Files.createTempDirectory(s"sqio_$qtype").toString
+      IndexIO.saveSq(idx, dir)
+      val loaded = IndexIO.loadSq(spark, dir)
+      assert(loaded.qtype == qtype, s"qtype lost: ${loaded.qtype}")
+      assert(results(loaded.search(q, 5)) == results(idx.search(q, 5)), qtype)
+    }
+  }
+
   test("PQ index save/load round-trip preserves search results") {
     val idx = PqIndex.build(b, "id", "vec", m = 8, ksub = 16, niter = 3)
     val dir = java.nio.file.Files.createTempDirectory("pqio").toString
