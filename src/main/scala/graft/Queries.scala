@@ -294,6 +294,8 @@ object Queries {
     val ipqb = ivfpqBig(s, dir)
     OracleAux.write(dir, "ivfpqbig_centroids", OracleAux.centroidsDf(s, ipqb.centroids))
     OracleAux.write(dir, "ivfpqbig_codebooks", OracleAux.codebooksDf(s, ipqb.model.codebooks))
+    OracleAux.write(dir, "pqfsbig_codebooks",
+      OracleAux.codebooksDf(s, pqfsBig(s, dir).model.codebooks))
     OracleAux.write(dir, "bivf_centroids",
       OracleAux.bitsDf(s, bivf8(s, dir).centroidBits))
     OracleAux.write(dir, "rq_codebooks",
@@ -464,6 +466,11 @@ object Queries {
     cached(s"ivfpqbig:$dir") {
       graft.index.IvfPqIndex.build(bigVecs(s, dir), "id", "vec",
         nlist = 64, m = 4, ksub = 16, niterCoarse = 4, niterPq = 4)
+    }
+  private def pqfsBig(s: SparkSession, dir: String): graft.index.Pq4FastScanIndex =
+    cached(s"pqfsbig:$dir") {
+      graft.index.Pq4FastScanIndex.build(bigVecs(s, dir), "id", "vec",
+        m = 4, niter = 4)
     }
   private def bivf8(s: SparkSession, dir: String): graft.index.BinaryIvfIndex =
     cached(s"bivf8:$dir") {
@@ -2979,6 +2986,37 @@ object Queries {
               |    list_aggregate(list_transform(list_zip(b.vec::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
               |  FROM v b CROSS JOIN cent c) t WHERE rn = 1)
               |SELECT list_no, count(*)::BIGINT AS n FROM basg GROUP BY list_no""".stripMargin)),
+
+    // fast-scan at scale: 600k rows at TWO bytes/row (4 nibble codes)
+    // vs 32 float bytes — the memory story the fast-scan family exists
+    // for. The oracle replays encode + LUT quantization + the integer
+    // scan over the whole table; qdist is integer-exact at any scale.
+    ("pq4fs_search_big", (s: SparkSession, dir: String) =>
+      pqfsBig(s, dir).search(bigQueries(s, dir), k = 10),
+      Some(s"""WITH v AS ($bigVecSql),
+              |cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/pqfsbig_codebooks/*.parquet')),
+              |bsub AS (SELECT id, r.m AS m, vec[r.m*2+1:r.m*2+2]::DOUBLE[] AS sv
+              |         FROM v, range(0,4) r(m)),
+              |enc AS (SELECT id, m, j FROM (
+              |  SELECT b.id, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
+              |qsub AS (SELECT id AS qid, r.m AS m, vec[r.m*2+1:r.m*2+2]::DOUBLE[] AS sv
+              |         FROM v, range(0,4) r(m) WHERE id % 9973 = 1),
+              |lut AS (SELECT q.qid, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub q JOIN cb ON cb.m = q.m),
+              |colstat AS (SELECT qid, m, min(pd) AS mn, max(pd) - min(pd) AS span FROM lut GROUP BY qid, m),
+              |scal AS (SELECT qid, 255.0 / max(span) AS a,
+              |    list_aggregate(list(mn ORDER BY m), 'sum') AS b FROM colstat GROUP BY qid),
+              |lq AS (SELECT l.qid, l.m, l.j, floor((l.pd - cs.mn) * sc.a + 0.5)::BIGINT AS lq
+              |  FROM lut l JOIN colstat cs ON cs.qid = l.qid AND cs.m = l.m
+              |  JOIN scal sc ON sc.qid = l.qid),
+              |acc AS (SELECT l.qid, e.id, sum(l.lq)::BIGINT AS qdist
+              |  FROM enc e JOIN lq l ON l.m = e.m AND l.j = e.j GROUP BY l.qid, e.id)
+              |SELECT w.qid, "rank", id, qdist, round(qdist / sc.a + sc.b, 4) AS dist FROM (
+              |  SELECT qid, id, qdist, row_number() OVER (PARTITION BY qid ORDER BY qdist, id) AS "rank" FROM acc) w
+              |JOIN scal sc ON sc.qid = w.qid WHERE "rank" <= 10""".stripMargin)),
 
     // IVFPQ at scale (m=4, dsub=2 over d=8): codes are 4 bytes/row vs
     // 32 bytes of floats; oracle replays the full residual-encode +
