@@ -3195,6 +3195,36 @@ object Queries {
               |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 4) AS err
               |FROM dv d JOIN embeddings b ON b.vec_id = d.id""".stripMargin)),
 
+    // ivf_residual_from_quantizer + ivf_residual_add_from_flat_codes
+    // (faiss/IVFlib.h:154,166): the trained RQ's FIRST level becomes
+    // the coarse quantizer and the index is populated from
+    // pre-encoded flat codes alone — list_no = code[0], invlist code =
+    // the tail — without touching a raw vector (the bulk re-ingest
+    // path; codes are 8-32x smaller than vectors). nprobe = nlist, so
+    // the oracle is the pure decode-from-codes scan: dv = cb0[c0] +
+    // cb1[c1] (float adds), exact double distance ranking.
+    ("ivfrq_from_codes_search", (s: SparkSession, dir: String) => {
+      val model = rqModel16(s, dir)
+      val codes = bDf(s, dir, 10).select(col("id"),
+        model.encodeCol(col("vec")).as("codes"))
+      graft.index.IvfRq.addFromFlatCodes(model, codes)
+        .search(qDf(s, dir, 10), 5, nprobe = 16)
+        .withColumn("dist", r4("dist"))
+    },
+      Some(s"""WITH cb AS (SELECT m, j, c FROM read_parquet('$AUX/rq_codebooks/*.parquet')),
+              |codes AS (SELECT id, codes FROM read_parquet('$AUX/rq_codes/*.parquet')),
+              |dec AS (SELECT codes.id,
+              |    list_transform(list_zip(c0.c, c1.c), p -> p[1] + p[2]) AS dv
+              |  FROM codes JOIN cb c0 ON c0.m = 0 AND c0.j = codes.codes[1]
+              |  JOIN cb c1 ON c1.m = 1 AND c1.j = codes.codes[2]),
+              |d AS (SELECT q.vec_id AS qid, dec.id,
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], dec.dv::DOUBLE[]),
+              |      p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
+              |  FROM dec CROSS JOIN embeddings q WHERE q.vec_id < 10)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 5""".stripMargin)),
+
     // IndexIVFResidualQuantizer (faiss/IndexIVFAdditiveQuantizer.h:26,
     // 64): coarse quantizer + beam/ICM-encoded residual codes per
     // list, searched by reconstruction distance (AQ_decompress) over

@@ -77,6 +77,30 @@ object IvfRq {
   /** Coarse k-means + RQ trained on residuals + encode
     * (IndexIVFAdditiveQuantizer::train_encoder / encode_vectors,
     * by_residual always true for the IVF-RQ path). */
+  /** ivf_residual_from_quantizer (faiss/IVFlib.h:154): build the IVF
+    * from an ALREADY-TRAINED residual quantizer — the RQ's first
+    * level becomes the coarse quantizer (nlist = k), the remaining
+    * levels the invlist codes. Decode identity: cb0[c0] + Σ cbl[cl] =
+    * centroid + inner-decode, so search is unchanged. */
+  def fromQuantizer(model: RqModel): (Array[Array[Float]], RqModel) = {
+    require(model.levels >= 2, "need at least one level beyond the coarse")
+    (model.codebooks(0),
+      RqModel(model.levels - 1, model.k, model.codebooks.drop(1)))
+  }
+
+  /** ivf_residual_add_from_flat_codes (faiss/IVFlib.h:166): bulk-load
+    * PRE-ENCODED full RQ codes — the first-level code IS the coarse
+    * assignment, so population never touches a raw vector (the 100 TB
+    * re-ingest path: codes are bytes, vectors are 8-32× bigger). */
+  def addFromFlatCodes(model: RqModel, codes: DataFrame,
+      idCol: String = "id", codesCol: String = "codes"): IvfRqIndex = {
+    val (centroids, inner) = fromQuantizer(model)
+    val df = codes.select(col(idCol).as("id"),
+      element_at(col(codesCol), 1).as("list_no"),
+      slice(col(codesCol), 2, model.levels - 1).as("code"))
+    new IvfRqIndex(centroids.length, centroids, inner, df)
+  }
+
   def build(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, levels: Int = 2, k: Int = 16,
       niterCoarse: Int = 6, niterRq: Int = 5,

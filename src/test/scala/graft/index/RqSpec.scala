@@ -9,6 +9,28 @@ class RqSpec extends SparkTestBase {
 
   private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").cache()
 
+  test("addFromFlatCodes: bulk-loaded IVF-RQ reconstructs the full RQ decode without vectors") {
+    val base = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val model = Rq.train(base.select(col("vec")), "vec", levels = 2, k = 16, niter = 3)
+    val codes = base.select(col("id"), model.encodeCol(col("vec")).as("codes"))
+    val ivf = IvfRq.addFromFlatCodes(model, codes)
+    assert(ivf.nlist == 16)
+    // reconstruct (centroid + inner decode) == full-model decode
+    val viaIvf = ivf.reconstruct.select(col("id"), col("vec"))
+    val direct = codes.select(col("id"), model.decodeCol(col("codes")).as("vec"))
+    val diff = viaIvf.join(direct.withColumnRenamed("vec", "dvec"), "id")
+      .select(aggregate(zip_with(col("vec").cast("array<double>"),
+        col("dvec").cast("array<double>"), (x, y) => abs(x - y)),
+        lit(0.0), (a, x) => a + x).as("e"))
+      .agg(max(col("e"))).collect().head.getDouble(0)
+    assert(diff == 0.0, s"decode mismatch $diff")
+    // and a full-probe search runs over every bulk-loaded code
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    assert(ivf.search(q, 5, nprobe = 16).count() == 25)
+  }
+
   private def totalErr(model: RqModel, beam: Int, icm: Int = 0): Double =
     emb.select(
       aggregate(
