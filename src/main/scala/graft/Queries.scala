@@ -154,6 +154,11 @@ object Queries {
       graft.index.Rq4FastScanIndex.build(bDf(s, dir, 10), "id", "vec",
         levels = 2, model0 = rqModel16(s, dir))
     }
+  private def ivfrqfs8(s: SparkSession, dir: String): graft.index.IvfRq4FastScanIndex =
+    cached(s"ivfrqfs8:$dir") {
+      graft.index.IvfRq4FastScanIndex.fromFlat(rqfs2(s, dir),
+        bDf(s, dir, 10), "id", "vec", nlist = 8, niterCoarse = 4)
+    }
   private def pqfs8(s: SparkSession, dir: String): graft.index.Pq4FastScanIndex =
     cached(s"pqfs8:$dir") {
       graft.index.Pq4FastScanIndex.build(bDf(s, dir, 10), "id", "vec",
@@ -255,6 +260,7 @@ object Queries {
     prqModel(s, dir); imi16(s, dir); sqMeanstd(s, dir); ivfrq8(s, dir)
     kmSph8(s, dir); znLat16(s, dir); pca16(s, dir); itq32(s, dir)
     pqfs8(s, dir); ivfpqfs8(s, dir); ivfsq4(s, dir); rqfs2(s, dir)
+    ivfrqfs8(s, dir)
     ()
   }
 
@@ -269,6 +275,8 @@ object Queries {
       OracleAux.codebooksDf(s, pq16(s, dir).model.codebooks))
     OracleAux.write(dir, "pqfs_codebooks",
       OracleAux.codebooksDf(s, pqfs8(s, dir).model.codebooks))
+    OracleAux.write(dir, "ivfrqfs_centroids",
+      OracleAux.centroidsDf(s, ivfrqfs8(s, dir).centroids))
     OracleAux.write(dir, "rq4fs_normcb", {
       import s.implicits._
       val ncb = rqfs2(s, dir).normCb
@@ -1580,6 +1588,67 @@ object Queries {
               |  FROM embeddings WHERE vec_id < 10),
               |acc AS (SELECT l.qid, e.id, sum(l.lq)::BIGINT AS qdist
               |  FROM enc e JOIN lq l ON l.m = e.m AND l.j = e.j GROUP BY l.qid, e.id)
+              |SELECT w.qid, "rank", id, qdist, round(qn.qn + qdist / sc.a + sc.b, 4) AS dist FROM (
+              |  SELECT qid, id, qdist, row_number() OVER (PARTITION BY qid ORDER BY qdist, id) AS "rank" FROM acc) w
+              |JOIN scal sc ON sc.qid = w.qid JOIN qn ON qn.qid = w.qid
+              |WHERE "rank" <= 10""".stripMargin)),
+
+    // §2.11 IVF AQ fast-scan (IndexIVFAdditiveQuantizerFastScan,
+    // non-residual): the flat rq4fs scan behind a coarse-quantizer
+    // probe at nprobe=4 of nlist=8. Oracle = probe replay (centroid
+    // sidecar) + the full rq4fs integer replay with candidates
+    // restricted to the probed lists' base assignment.
+    ("ivfrq4fs_search", (s: SparkSession, dir: String) =>
+      ivfrqfs8(s, dir).search(qDf(s, dir, 10), 10, nprobe = 4),
+      Some(s"""WITH cb AS (SELECT m, j, c FROM read_parquet('$AUX/rq_codebooks/*.parquet')),
+              |codes AS (SELECT id, codes FROM read_parquet('$AUX/rq_codes/*.parquet')),
+              |ncb AS (SELECT l, j, c FROM read_parquet('$AUX/rq4fs_normcb/*.parquet')),
+              |cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfrqfs_centroids/*.parquet')),
+              |probes AS (SELECT qid, list_no FROM (
+              |  SELECT q.vec_id AS qid, c.list_no, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
+              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10) t WHERE pr <= 4),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |dec AS (SELECT codes.id, codes.codes,
+              |    list_transform(list_zip(c0.c, c1.c), p -> p[1] + p[2]) AS dv
+              |  FROM codes JOIN cb c0 ON c0.m = 0 AND c0.j = codes.codes[1]
+              |  JOIN cb c1 ON c1.m = 1 AND c1.j = codes.codes[2]),
+              |nb AS (SELECT id, codes,
+              |    list_aggregate(list_transform(dv::DOUBLE[], x -> x*x), 'sum') AS nv FROM dec),
+              |n1 AS (SELECT id, codes, nv, j AS j1, c AS c1 FROM (
+              |  SELECT nb.id, nb.codes, nb.nv, ncb.j, ncb.c,
+              |    row_number() OVER (PARTITION BY nb.id ORDER BY abs(nb.nv - ncb.c), ncb.j) AS rn
+              |  FROM nb JOIN ncb ON ncb.l = 0) t WHERE rn = 1),
+              |n2 AS (SELECT id, codes, j1, j AS j2 FROM (
+              |  SELECT n1.id, n1.codes, n1.j1, ncb.j,
+              |    row_number() OVER (PARTITION BY n1.id ORDER BY abs((n1.nv - n1.c1) - ncb.c), ncb.j) AS rn
+              |  FROM n1 JOIN ncb ON ncb.l = 1) t WHERE rn = 1),
+              |enc AS (SELECT id, 0 AS m, codes[1] AS j FROM n2
+              |  UNION ALL SELECT id, 1, codes[2] FROM n2
+              |  UNION ALL SELECT id, 2, j1 FROM n2
+              |  UNION ALL SELECT id, 3, j2 FROM n2),
+              |lut AS (SELECT q.vec_id AS qid, cb.m, cb.j,
+              |    -2 * list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], cb.c::DOUBLE[]), p -> p[1]*p[2]), 'sum') AS pd
+              |  FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 10
+              |  UNION ALL
+              |  SELECT q.vec_id AS qid, 2 + ncb.l AS m, ncb.j, ncb.c AS pd
+              |  FROM embeddings q CROSS JOIN ncb WHERE q.vec_id < 10),
+              |colstat AS (SELECT qid, m, min(pd) AS mn, max(pd) - min(pd) AS span FROM lut GROUP BY qid, m),
+              |scal AS (SELECT qid, 255.0 / max(span) AS a,
+              |    list_aggregate(list(mn ORDER BY m), 'sum') AS b FROM colstat GROUP BY qid),
+              |lq AS (SELECT l.qid, l.m, l.j, floor((l.pd - cs.mn) * sc.a + 0.5)::BIGINT AS lq
+              |  FROM lut l JOIN colstat cs ON cs.qid = l.qid AND cs.m = l.m
+              |  JOIN scal sc ON sc.qid = l.qid),
+              |qn AS (SELECT vec_id AS qid,
+              |    list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') AS qn
+              |  FROM embeddings WHERE vec_id < 10),
+              |acc AS (SELECT l.qid, e.id, sum(l.lq)::BIGINT AS qdist
+              |  FROM enc e JOIN lq l ON l.m = e.m AND l.j = e.j
+              |  JOIN basg ba ON ba.id = e.id JOIN probes p ON p.qid = l.qid AND p.list_no = ba.list_no
+              |  GROUP BY l.qid, e.id)
               |SELECT w.qid, "rank", id, qdist, round(qn.qn + qdist / sc.a + sc.b, 4) AS dist FROM (
               |  SELECT qid, id, qdist, row_number() OVER (PARTITION BY qid ORDER BY qdist, id) AS "rank" FROM acc) w
               |JOIN scal sc ON sc.qid = w.qid JOIN qn ON qn.qid = w.qid

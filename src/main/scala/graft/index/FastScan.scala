@@ -212,6 +212,78 @@ object Rq4FastScanIndex {
     shim.col(ScalarRq2Encode(shim.expr(c), normCb))
 }
 
+/** IVF AQ fast-scan (IndexIVFAdditiveQuantizerFastScan,
+  * faiss/IndexIVFAdditiveQuantizerFastScan.h:29) in its non-residual
+  * form: a coarse quantizer prunes lists, the candidates are scored by
+  * the same (L+2)-column quantized-LUT integer scan as the flat
+  * [[Rq4FastScanIndex]] (ONE LUT per query — the residual form would
+  * need per-probe LUTs, trading the broadcast-LUT scan shape for
+  * encoder quality). codes: (id, list_no, code). */
+class IvfRq4FastScanIndex(
+    val nlist: Int,
+    val centroids: Array[Array[Float]],
+    val model: RqModel,
+    val normCb: Array[Array[Double]],
+    val codes: DataFrame) {
+
+  def search(queries: DataFrame, k: Int, nprobe: Int,
+      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+    val probesPlan = queries.select(col(queryId),
+      shim.col(Rq4FsQuantLut(shim.expr(col(queryVec)), model.codebooks, normCb))
+        .as("_ql"),
+      aggregate(col(queryVec).cast("array<double>"), lit(0.0),
+        (a, x) => a + x * x).as("_qn"),
+      explode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
+        math.min(nprobe, nlist), "l2sq"))).as("_p"))
+      .select(col(queryId), col("_ql"), col("_qn"), col("_p.list_no").as("list_no"))
+    val probeRows = probesPlan.collect()
+    val probed = probeRows.map(r => r.getInt(r.fieldIndex("list_no"))).distinct
+    val spark = queries.sparkSession
+    val probeDf = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+    codes.filter(col("list_no").isin(probed.map(Integer.valueOf).toSeq: _*))
+      .join(broadcast(probeDf), "list_no")
+      .select(col(queryId),
+        shim.col(Pq4AdcQ(shim.expr(col("code")), shim.expr(col("_ql.lutq"))))
+          .cast("double").as("_d"),
+        col("id"), col("_ql.a").as("_a"), col("_ql.b").as("_b"), col("_qn"))
+      .groupBy(col(queryId))
+      .agg(topk(col("_d"), col("id"), k, asc = true).as("_tk"),
+        first(col("_a")).as("_a"), first(col("_b")).as("_b"),
+        first(col("_qn")).as("_qn"))
+      .select(col(queryId), col("_a"), col("_b"), col("_qn"),
+        posexplode(col("_tk")).as(Seq("_pos", "_r")))
+      .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
+        col("_r.id").as("id"), col("_r.dist").cast("long").as("qdist"),
+        round(col("_qn") + col("_r.dist") / col("_a") + col("_b"), 4).as("dist"))
+  }
+}
+
+object IvfRq4FastScanIndex {
+  /** Wrap a flat AQ fast-scan index with a coarse quantizer: the
+    * packed codes are UNCHANGED (same scan arithmetic), only grouped
+    * into lists by the coarse assignment. */
+  def fromFlat(flat: Rq4FastScanIndex, df: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, niterCoarse: Int = 6,
+      seed: Long = 1234L): IvfRq4FastScanIndex = {
+    val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val coarse = graft.cluster.KMeans.fit(data, "vec",
+      graft.cluster.KMeans.Params(k = nlist, niter = niterCoarse, seed = seed))
+    val codes = coarse.assign(data, "vec").select(col("id"), col("list_no"))
+      .join(flat.codes, "id")
+      .cache()
+    codes.count()
+    new IvfRq4FastScanIndex(coarse.centroids.length, coarse.centroids,
+      flat.model, flat.normCb, codes)
+  }
+
+  def build(df: DataFrame, idCol: String, vecCol: String, nlist: Int = 16,
+      levels: Int = 2, niterCoarse: Int = 6, niter: Int = 6,
+      seed: Long = 1234L): IvfRq4FastScanIndex =
+    fromFlat(Rq4FastScanIndex.build(df, idCol, vecCol, levels, niter, seed),
+      df, idCol, vecCol, nlist, niterCoarse, seed)
+}
+
 object IvfPq4FastScanIndex {
   def build(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, m: Int = 8,

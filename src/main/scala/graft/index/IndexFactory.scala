@@ -227,6 +227,13 @@ object IndexFactory {
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
         math.max(nprobe, 1), qid, qvec).drop("qdist")
   }
+  /** IVF<n>,RQ<L>x4fs (IndexIVFAdditiveQuantizerFastScan, non-residual). */
+  private final class IvfRqFsBuilt(idx: IvfRq4FastScanIndex, chain: VecTransform)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
+        math.max(nprobe, 1), qid, qvec).drop("qdist")
+  }
 
   /** Per-partition HNSW shards over Flat storage (HNSW<M>[,Flat],
     * index_factory.cpp HNSW grammar; search via PartitionedHnsw). */
@@ -341,6 +348,10 @@ object IndexFactory {
         case PqFs(m, _) =>
           new IvfPqFsBuilt(IvfPq4FastScanIndex.build(data, "id", "vec",
             nlist.toInt, m.toInt, niterCoarse = niter, niterPq = niter,
+            seed = seed), chain)
+        case RqFs(lv, _) =>
+          new IvfRqFsBuilt(IvfRq4FastScanIndex.build(data, "id", "vec",
+            nlist.toInt, lv.toInt, niterCoarse = niter, niter = niter,
             seed = seed), chain)
         case "SQ8" | "SQ4" | "SQ6" | "SQfp16" =>
           // IVF<n>,SQ{8,4,6,fp16} (IndexIVFScalarQuantizer widths,

@@ -102,6 +102,17 @@ class FastScanSpec extends SparkTestBase {
     assert(built.search(q, 5).count() == 50)
   }
 
+  test("IVF AQ fast-scan: nprobe=nlist matches the flat AQ fast-scan exactly") {
+    val flat = Rq4FastScanIndex.build(b, "id", "vec", levels = 2, niter = 3)
+    val ivf = IvfRq4FastScanIndex.fromFlat(flat, b, "id", "vec", nlist = 4,
+      niterCoarse = 3)
+    val flatTop = flat.search(q, 10).select("qid", "id", "qdist").collect().toSet
+    val ivfTop = ivf.search(q, 10, nprobe = 4).select("qid", "id", "qdist").collect().toSet
+    assert(ivfTop == flatTop)
+    val viaFactory = IndexFactory.build(b, "id", "vec", "IVF4,RQ2x4fs", niter = 3)
+    assert(viaFactory.search(q, 5, nprobe = 4).count() == 50)
+  }
+
   test("factory tokens PQ8x4fs / IVF4,PQ8x4fs / bbs suffix parse and search") {
     val built = IndexFactory.build(b, "id", "vec", "PQ8x4fs", niter = 3)
     assert(built.search(q, 5).count() == 50)
