@@ -270,13 +270,24 @@ case class Pq4QuantLut(child: Expression, codebooks: Array[Array[Array[Float]]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** left = packed 4-bit codes (binary), right = quantized LUT bytes. */
+/** left = packed 4-bit codes (binary), right = quantized LUT bytes.
+  * Real codegen (not CodegenFallback): this is the per-candidate scan
+  * loop — at 600k codes × 60 queries the interpreted-eval boxing is
+  * the dominant cost. Emits a static call via MODULE$ (the r06
+  * SpectralBits lesson: janino sees no Scala static forwarders for
+  * clashing names; MODULE$ always resolves). */
 case class Pq4AdcQ(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "pq4_adc_q"
   override def nullSafeEval(code: Any, lutq: Any): Any =
     Pq4Kernels.adcQ(code.asInstanceOf[Array[Byte]], lutq.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) =>
+      s"${ev.value} = graft.core.Pq4Kernels$$.MODULE$$.adcQ($c, $l);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -78,6 +78,18 @@ class CodegenStrictSpec extends AnyFunSuite {
     assert(out(0).getLong(0) == bits(Array(1.0f, 2.0f, 0.5f, -1.0f), Array(0.5f, -2.0f, 1.5f, 0.0f)))
   }
 
+  test("Pq4AdcQ compiles under CODEGEN_ONLY and matches the kernel") {
+    val s = strict
+    import s.implicits._
+    val lut = (0 until 8).flatMap(m => (0 until 16).map(j => (m * j).toDouble)).toArray
+    val (lutq, _, _) = Pq4Kernels.quantLut(lut, 8, 16)
+    val codes = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    val out = Seq((Pq4Kernels.pack(codes), lutq)).toDF("code", "lutq")
+      .select(shim.col(Pq4AdcQ(shim.expr(col("code")), shim.expr(col("lutq")))).as("q"))
+      .collect()
+    assert(out.head.getLong(0) == Pq4Kernels.adcQ(Pq4Kernels.pack(codes), lutq))
+  }
+
   test("CodegenFallback expressions still execute under CODEGEN_ONLY") {
     // CodegenFallback generates a call back into eval() — that IS its
     // codegen contract; this guards that none of them break the
