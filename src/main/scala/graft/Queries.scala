@@ -2001,13 +2001,18 @@ object Queries {
     // reference, Index2Layer.h:53). Both sides DECODE from the
     // engine's stored integer codes in IDENTICAL pure-DOUBLE
     // arithmetic — codebook lookup, coarse-centroid add, error fold —
-    // the exact pattern that greens zn_lattice_roundtrip. The r04-r06
-    // hash-reds came from comparing two float32 stacks (engine
-    // vec_add vs DuckDB ::REAL add) whose 4-dp roundings flip on
-    // boundary values; float reconstruct-vs-decode consistency is
-    // covered by TwoLayerSpec instead. Replaying the chained argmin
-    // ENCODE in SQL stays deliberately avoided (near-tie float32 vs
-    // DOUBLE assignments diverge).
+    // the exact pattern that greens zn_lattice_roundtrip — but the
+    // compared columns are INTEGER-quantized (round(x*1e4) as BIGINT)
+    // rather than 4-dp doubles: Spark's round (BigDecimal→nearest
+    // double) and DuckDB's (nearbyint(x*1e4)/1e4) can disagree by
+    // 1 ulp on the REPRESENTATION of the same 4-dp decimal, which
+    // passes a 6-dp-tolerant compare but flips an exact value hash
+    // (the r04-r06 red). round-to-integer of bit-identical doubles is
+    // semantics-identical on both stacks (half-away-from-zero), so
+    // BIGINTs hash exactly. Float reconstruct-vs-decode consistency
+    // is covered by TwoLayerSpec; replaying the chained argmin ENCODE
+    // in SQL stays deliberately avoided (near-tie float32 vs DOUBLE
+    // assignments diverge).
     ("index2layer_roundtrip", (s: SparkSession, dir: String) => {
       val tl = twoLayer16(s, dir)
       val codes = tl.codes.select(col("id"), col("list_no"),
@@ -2028,11 +2033,11 @@ object Queries {
         .select(col("id"), zip_with(col("cent"), col("dv"), (a, b) => a + b).as("rv"))
         .join(emb(s, dir).select(col("vec_id").as("id"), col("embedding")), "id")
         .select(col("id"),
-          round(element_at(col("rv"), 1), 4).as("d1"),
+          round(element_at(col("rv"), 1) * lit(10000.0)).cast("long").as("d1q"),
           round(aggregate(
             zip_with(col("embedding").cast("array<double>"), col("rv"),
               (x, y) => (x - y) * (x - y)),
-            lit(0.0), (a, x) => a + x), 4).as("err"))
+            lit(0.0), (a, x) => a + x) * lit(10000.0)).cast("long").as("errq"))
     },
       Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/twolayer_centroids/*.parquet')),
               |cb AS (SELECT m, j, c FROM read_parquet('$AUX/twolayer_codebooks/*.parquet')),
@@ -2043,9 +2048,9 @@ object Queries {
               |recon AS (SELECT c0.id,
               |    list_transform(list_zip(ct.c::DOUBLE[], d.dv), p -> p[1] + p[2]) AS rv
               |  FROM codes c0 JOIN cent ct ON ct.list_no = c0.list_no JOIN dec d ON d.id = c0.id)
-              |SELECT r.id, round(r.rv[1], 4) AS d1,
-              |  round(list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], r.rv),
-              |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 4) AS err
+              |SELECT r.id, CAST(round(r.rv[1] * 10000.0) AS BIGINT) AS d1q,
+              |  CAST(round(list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], r.rv),
+              |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') * 10000.0) AS BIGINT) AS errq
               |FROM recon r JOIN embeddings b ON b.vec_id = r.id""".stripMargin)),
 
     // ZnLattice codec roundtrip (faiss/IndexLattice.h:22, codec
@@ -2717,11 +2722,11 @@ object Queries {
     // survivors; the oracle replays the retention as ORDER BY DESC
     // LIMIT 3 over the distinct partition keys.
     ("sliding_index_window", (s: SparkSession, dir: String) => {
-      // events carries nanosecond timestamps; read as long + convert
-      // (the windowedEventCounts pattern)
+      // ts arrives as either nanos-long or native timestamp; normTs
+      // handles both (the windowedEventCounts pattern)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      val ev = graft.streaming.StreamingIngest
+        .normTs(s.read.parquet(s"$dir/events.parquet"))
         .withColumn("part", date_trunc("hour", col("ts")))
       graft.streaming.StreamingIngest.slidingWindow(ev, "part", keep = 3)
         .groupBy(col("part"))

@@ -63,6 +63,18 @@ object StreamingIngest {
           catch { case _: java.io.IOException => () })
     }
 
+  /** The testdata's `ts` column has shipped both as TIMESTAMP(NANOS)
+    * (which Spark only reads as a nanosecond long) and as a native µs
+    * timestamp (read as TIMESTAMP_NTZ); normalize either to a session
+    * TIMESTAMP so windows and epoch casts agree with the DuckDB
+    * oracle's naive-epoch reading (session tz is UTC). */
+  def normTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
   /** Batch-equivalent streaming window aggregation over a parquet
     * events table: readStream → tumbling window agg → memory sink,
     * drained synchronously. Returns the completed result table. */
@@ -70,11 +82,10 @@ object StreamingIngest {
       windowLength: String = "1 hour"): DataFrame = {
     val (srcDir, staged) = stage(eventsParquet)
     try {
-      // the testdata writes TIMESTAMP(NANOS) which Spark only reads as long
+      // nanosAsLong is a no-op unless the file really is TIMESTAMP(NANOS)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = spark.read.parquet(eventsParquet).schema
-      val stream = spark.readStream.schema(schema).parquet(srcDir)
-        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      val stream = normTs(spark.readStream.schema(schema).parquet(srcDir))
       val agg = stream
         .groupBy(window(col("ts"), windowLength), col("event_type"))
         .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
