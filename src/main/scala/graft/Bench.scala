@@ -66,6 +66,15 @@ object Bench {
     def heapMb: Long =
       java.lang.management.ManagementFactory.getMemoryMXBean
         .getHeapMemoryUsage.getUsed >> 20
+    // cumulative JIT compile time: a query whose tight loops run
+    // interpreted because C2 is still chewing a backlog of janino
+    // classes shows a big jit_ms delta (r07 driver run: minhash task
+    // CPU inflated 54x vs an identical-shuffle local run — suspected
+    // compile/deopt churn, this metric decides it from the detail JSON)
+    def jitMs: Long = {
+      val c = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else 0L
+    }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val metrics = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -75,7 +84,15 @@ object Bench {
     // full retrains — the r03 bench collapse (minhash 702s). All cached
     // state at bench scale is small (centroids/codebooks/pair sets);
     // operators unpersist their own large intermediates.
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c — run just those queries (diagnosis runs:
+    // isolates a query from the session history of the full catalog)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(set) => SparkEntry.queries.filter { case (n, _) => set(n) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       require(!results.contains(name), s"duplicate bench query name: $name")
       // JMH-style isolation: collect BEFORE the timer starts so each
       // query's timing pays its own allocation debt, not its
@@ -87,13 +104,14 @@ object Bench {
       // the summed total.
       System.gc()
       val (gc0, task0, spill0, shuf0) = (gcMs, taskMs.get, spillBytes.get, shufBytes.get)
+      val jit0 = jitMs
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case _: Throwable => failed += name }
       val dt = (System.nanoTime() - t0) / 1e9
       results(name) = dt
       metrics(name) =
-        f"""{"sec":$dt%.3f,"gc_ms":${gcMs - gc0},"task_ms":${taskMs.get - task0},"spill_mb":${(spillBytes.get - spill0) >> 20},"shuffle_mb":${(shufBytes.get - shuf0) >> 20},"heap_mb":$heapMb}"""
+        f"""{"sec":$dt%.3f,"gc_ms":${gcMs - gc0},"jit_ms":${jitMs - jit0},"task_ms":${taskMs.get - task0},"spill_mb":${(spillBytes.get - spill0) >> 20},"shuffle_mb":${(shufBytes.get - shuf0) >> 20},"heap_mb":$heapMb}"""
       // progress to stderr only; stdout carries nothing but the JSON line
       System.err.println(f"[bench] $name%-28s $dt%8.2f s  ${metrics(name)}")
     }

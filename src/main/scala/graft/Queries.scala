@@ -2004,8 +2004,9 @@ object Queries {
     // the exact pattern that greens zn_lattice_roundtrip — but the
     // compared columns are INTEGER-quantized (round(x*1e4) as BIGINT)
     // rather than 4-dp doubles: Spark's round (BigDecimal→nearest
-    // double) and DuckDB's (nearbyint(x*1e4)/1e4) can disagree by
-    // 1 ulp on the REPRESENTATION of the same 4-dp decimal, which
+    // double) and DuckDB's (round(x*1e4)/1e4 — std::round,
+    // half-away-from-zero; ADVICE r07) can disagree by 1 ulp on the
+    // REPRESENTATION of the same 4-dp decimal, which
     // passes a 6-dp-tolerant compare but flips an exact value hash
     // (the r04-r06 red). round-to-integer of bit-identical doubles is
     // semantics-identical on both stacks (half-away-from-zero), so

@@ -69,11 +69,10 @@ object Dedup {
   private[graft] def bandTable(docs: DataFrame, idCol: String, textCol: String,
       ngram: Int, hashes: Int, bands: Int): DataFrame = {
     require(hashes % bands == 0, "hashes must divide into bands")
-    val r = hashes / bands
-    val sig = widen(docs).select(col(idCol).as("_id"),
-      minhashSignature(shingleSet(col(textCol), ngram), hashes).as("_sig"))
-    sig.select(col("_id"),
-      posexplode(lshBandHashes(col("_sig"), bands, r)).as(Seq("band_id", "band_hash")))
+    val bh = widen(docs).select(col(idCol).as("_id"),
+      minhashBands(col(textCol), ngram, hashes, bands).as("_bh"))
+    bh.select(col("_id"),
+      posexplode(col("_bh")).as(Seq("band_id", "band_hash")))
       .filter(col("band_hash").isNotNull)
   }
 

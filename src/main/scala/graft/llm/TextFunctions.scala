@@ -30,8 +30,17 @@ object TextFunctions {
       .otherwise(array())
   }
 
-  /** Distinct shingle set (the Jaccard universe). */
-  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+  /** Distinct shingle set (the Jaccard universe). Computed by the
+    * fused [[graft.core.ShingleSetK]] kernel — semantically identical
+    * to `array_distinct(shingles(text, n))` but a single codegen'd
+    * invokestatic instead of an interpreted
+    * split→transform→array_distinct tree (the r07 driver bench showed
+    * that tree's cost varying 54× across sessions on JIT
+    * deopt/recompile luck). */
+  def shingleSet(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.shim
+    shim.col(graft.core.ShingleSetK(shim.expr(text), n))
+  }
 
   /** MinHash signature: one md5 per shingle (hex prefix → 60-bit int,
     * reduced mod [[graft.core.MinHashSig.M]], computed by the
@@ -55,6 +64,17 @@ object TextFunctions {
       b => md5(concat_ws("|",
         slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>"))))
 
+  /** Fused text → LSH band hashes ([[graft.core.MinHashBandsK]]):
+    * one codegen'd kernel call per row equivalent to
+    * `lshBandHashes(minhashSignature(shingleSet(text, ngram), hashes),
+    * bands, hashes/bands)` — the whole signature pipeline in a single
+    * stable compiled loop. The oracle SQL replaying the chain is
+    * unchanged. */
+  def minhashBands(text: Column, ngram: Int, hashes: Int, bands: Int): Column = {
+    import org.apache.spark.sql.graft.shim
+    shim.col(graft.core.MinHashBandsK(shim.expr(text), ngram, hashes, bands))
+  }
+
   /** Document fingerprint (content hash). */
   def fingerprint(text: Column): Column = md5(text)
 
@@ -76,6 +96,14 @@ object TextFunctions {
     * tokens, and stopword presence (n-gram/stopword heuristics in the
     * C4/Gopher tradition; exact formula is ours, deterministic). */
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.shim
+    shim.col(graft.core.QualityScoreK(shim.expr(text), stopwords))
+  }
+
+  /** The builtin-composed form of [[qualityScore]] (kept as the
+    * executable spec the kernel is tested against; the kernel uses the
+    * same double arithmetic in the same order). */
+  def qualityScoreBuiltin(text: Column, stopwords: Seq[String]): Column = {
     val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
     val swScore = least(stopwordRatio(text, stopwords) * 5.0, lit(1.0))
     val tokScore = when(avgTokenLength(text) <= 8.0, 1.0).otherwise(0.5)

@@ -71,7 +71,10 @@ object StreamingIngest {
   def normTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        // exact integer division: `/` would promote the ns long (~2^60,
+        // above 2^53) to DOUBLE and the truncating cast back could land
+        // 1 µs off; `div` stays in integer arithmetic (ADVICE r07)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df.withColumn("ts", col("ts").cast("timestamp"))
     }
 

@@ -1,0 +1,106 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.shim
+
+/** The fused text kernels ([[graft.core.TextKernels]]) against the
+  * builtin-expression chains they replace — the chains ARE the
+  * executable spec (and stay what the DuckDB oracle replays), so
+  * equivalence here is what keeps the oracle green after the fusion. */
+class TextKernelsSpec extends SparkTestBase {
+
+  import graft.llm.{TextFunctions => TF}
+
+  // tricky shapes: empty text, 1 token, exactly n tokens, consecutive
+  // spaces (empty tokens), trailing/leading spaces, repeated shingles,
+  // unicode, long doc
+  private val docs = Seq(
+    "",
+    "one",
+    "a b c",
+    "a b c d e",
+    "a  b c",        // empty middle token
+    " a b c",        // leading empty token
+    "a b c ",        // trailing empty token
+    "x y x y x y x", // repeated shingles collapse in the set
+    "héllo wörld héllo wörld héllo",
+    (1 to 200).map(i => s"tok${i % 37}").mkString(" ")
+  )
+
+  private def df = {
+    import spark.implicits._
+    docs.toDF("text")
+  }
+
+  private def builtinShingleSet(text: org.apache.spark.sql.Column, n: Int) =
+    array_distinct(TF.shingles(text, n))
+
+  test("ShingleSetK == array_distinct(shingles) builtin chain") {
+    val got = df.select(
+      TF.shingleSet(col("text"), 3).as("k"),
+      builtinShingleSet(col("text"), 3).as("b"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"kernel ${r.getSeq[String](0)} != builtin ${r.getSeq[String](1)}")
+    }
+  }
+
+  test("MinHashBandsK == lshBandHashes(minhashSignature(shingleSet)) chain") {
+    val chain = TF.lshBandHashes(
+      TF.minhashSignature(builtinShingleSet(col("text"), 3), 12), 4, 3)
+    val got = df.select(
+      TF.minhashBands(col("text"), 3, 12, 4).as("k"), chain.as("b")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"kernel ${r.getSeq[String](0)} != chain ${r.getSeq[String](1)}")
+    }
+  }
+
+  test("QualityScoreK == builtin quality formula, bit-exact") {
+    val got = df.filter(length(col("text")) > 0).select(
+      TF.qualityScore(col("text"), TF.EnStopwords).as("k"),
+      TF.qualityScoreBuiltin(col("text"), TF.EnStopwords).as("b")).collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"kernel ${r.getDouble(0)} != builtin ${r.getDouble(1)}")
+    }
+  }
+
+  test("kernels hold on the real documents table (sf0.001)") {
+    val real = spark.read.parquet(s"$sf0001/documents.parquet")
+    val sh = real.select(
+      TF.shingleSet(col("text"), 3).as("k"),
+      builtinShingleSet(col("text"), 3).as("b"))
+      .filter(not(col("k") === col("b")))
+    assert(sh.count() == 0, "shingle kernel diverges on real docs")
+    val mb = real.select(
+      TF.minhashBands(col("text"), 3, 12, 4).as("k"),
+      TF.lshBandHashes(
+        TF.minhashSignature(builtinShingleSet(col("text"), 3), 12), 4, 3).as("b"))
+      .filter(not(col("k") === col("b")))
+    assert(mb.count() == 0, "band kernel diverges on real docs")
+  }
+
+  test("kernel expressions stay inside whole-stage codegen (no fallback)") {
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      val out = df.select(
+        TF.shingleSet(col("text"), 3).as("s"),
+        TF.minhashBands(col("text"), 3, 12, 4).as("m"),
+        TF.qualityScore(col("text"), TF.EnStopwords).as("q"))
+        .collect()
+      assert(out.length == docs.length)
+    }
+  }
+
+  private def withSQLConf[T](kv: (String, String)*)(f: => T): T = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
