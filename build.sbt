@@ -30,4 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // default thrashes GC with 32 concurrent tasks (r02 bench collapse).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   "-XX:+UseG1GC",
+  // The 149-query catalog compiles hundreds of large janino stages; the
+  // JDK-17 default 240m code cache then hits UseCodeCacheFlushing, which
+  // evicts warm nmethods and sends hot loops back through the
+  // interpreter/C1 (the wandering 10-50x per-query stalls of the r06/r07
+  // driver benches — 2006 deopts in one 50 s window). 1g keeps every
+  // compiled stage resident for the whole session.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -75,6 +75,19 @@ object Bench {
       val c = java.lang.management.ManagementFactory.getCompilationMXBean
       if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else 0L
     }
+    // JIT code-cache occupancy: the default 240 MB ReservedCodeCacheSize
+    // starts FLUSHING warm nmethods when a pool nears full (JDK 17
+    // UseCodeCacheFlushing default) — hot loops then bounce between
+    // interpreted and recompiled, the exact wandering-stall signature of
+    // the r06/r07 driver runs. This records used/max per query so a
+    // near-full pool is visible in the committed detail JSON.
+    def codeCacheMb: (Long, Long) = {
+      import scala.jdk.CollectionConverters._
+      val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+        .asScala.filter(_.getName.startsWith("CodeHeap"))
+      (pools.map(_.getUsage.getUsed).sum >> 20,
+        pools.map(p => math.max(0L, p.getUsage.getMax)).sum >> 20)
+    }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val metrics = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -110,8 +123,9 @@ object Bench {
       catch { case _: Throwable => failed += name }
       val dt = (System.nanoTime() - t0) / 1e9
       results(name) = dt
+      val (ccUsed, ccMax) = codeCacheMb
       metrics(name) =
-        f"""{"sec":$dt%.3f,"gc_ms":${gcMs - gc0},"jit_ms":${jitMs - jit0},"task_ms":${taskMs.get - task0},"spill_mb":${(spillBytes.get - spill0) >> 20},"shuffle_mb":${(shufBytes.get - shuf0) >> 20},"heap_mb":$heapMb}"""
+        f"""{"sec":$dt%.3f,"gc_ms":${gcMs - gc0},"jit_ms":${jitMs - jit0},"task_ms":${taskMs.get - task0},"spill_mb":${(spillBytes.get - spill0) >> 20},"shuffle_mb":${(shufBytes.get - shuf0) >> 20},"heap_mb":$heapMb,"cc_mb":$ccUsed,"cc_max_mb":$ccMax}"""
       // progress to stderr only; stdout carries nothing but the JSON line
       System.err.println(f"[bench] $name%-28s $dt%8.2f s  ${metrics(name)}")
     }

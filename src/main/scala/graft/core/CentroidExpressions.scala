@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -22,6 +22,34 @@ private[graft] object CentroidKernels {
       case m => throw new IllegalArgumentException(s"centroid metric $m")
     }
   }
+  /** argmin over the centroid table (codegen entry point) */
+  def nearest(a: ArrayData, centroids: Array[Array[Float]], metric: String): InternalRow = {
+    val asc = Metric.ascending(metric)
+    var best = -1; var bestD = if (asc) Double.MaxValue else Double.MinValue
+    var j = 0
+    while (j < centroids.length) {
+      val d = dist(a, centroids(j), metric)
+      if (if (asc) d < bestD else d > bestD) { best = j; bestD = d }
+      j += 1
+    }
+    InternalRow(best, bestD)
+  }
+  /** top-nprobe centroids best-first (codegen entry point) */
+  def nearestK(a: ArrayData, centroids: Array[Array[Float]], nprobe: Int,
+      metric: String): ArrayData = {
+    val asc = Metric.ascending(metric)
+    val h = new TopKHeap(math.min(nprobe, centroids.length), asc)
+    var j = 0
+    while (j < centroids.length) {
+      h.insert(dist(a, centroids(j), metric), j.toLong)
+      j += 1
+    }
+    val (ids, scores) = h.sorted()
+    val out = new Array[Any](ids.length)
+    var i = 0
+    while (i < ids.length) { out(i) = InternalRow(ids(i).toInt, scores(i)); i += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** The coarse-quantizer assignment: nearest centroid of a small
@@ -34,25 +62,20 @@ private[graft] object CentroidKernels {
   * list_no (faiss argmin semantics).
   */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Float]],
-    metric: String = "l2sq") extends UnaryExpression with CodegenFallback {
+    metric: String = "l2sq") extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("list_no", IntegerType, nullable = false),
     StructField("dist", DoubleType, nullable = false)))
   override def prettyName: String = "nearest_centroid"
 
-  private val asc = Metric.ascending(metric)
+  override def nullSafeEval(v: Any): Any =
+    CentroidKernels.nearest(v.asInstanceOf[ArrayData], centroids, metric)
 
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
-    var best = -1; var bestD = if (asc) Double.MaxValue else Double.MinValue
-    var j = 0
-    while (j < centroids.length) {
-      val d = CentroidKernels.dist(a, centroids(j), metric)
-      if (if (asc) d < bestD else d > bestD) { best = j; bestD = d }
-      j += 1
-    }
-    InternalRow(best, bestD)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.core.CentroidKernels.nearest($c, $cs, \"$metric\")")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -87,6 +110,17 @@ private[graft] object CentroidHnswCache {
       g
     }
   }
+  /** codegen entry point: graph-walk probe list as an ArrayData */
+  def searchData(a: ArrayData, cacheKey: String, centroids: Array[Array[Float]],
+      nprobe: Int, efSearch: Int, m: Int): ArrayData = {
+    val g = get(cacheKey, centroids, m, efConstruction = 2 * m)
+    val res = g.search(a.toFloatArray(), math.min(nprobe, centroids.length),
+      math.max(efSearch, nprobe))
+    val out = new Array[Any](res.length)
+    var i = 0
+    while (i < res.length) { out(i) = InternalRow(res(i)._1.toInt, res(i)._2); i += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** HNSW-accelerated probe-list computation — the coarse quantizer of
@@ -100,23 +134,21 @@ private[graft] object CentroidHnswCache {
 case class NearestCentroidsHnsw(child: Expression,
     centroids: Array[Array[Float]], nprobe: Int, efSearch: Int,
     m: Int, cacheKey: String)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("list_no", IntegerType, nullable = false),
     StructField("dist", DoubleType, nullable = false))), containsNull = false)
   override def prettyName: String = "nearest_centroids_hnsw"
 
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
-    val g = CentroidHnswCache.get(cacheKey, centroids, m, efConstruction = 2 * m)
-    val q = a.toFloatArray()
-    val res = g.search(q, math.min(nprobe, centroids.length),
-      math.max(efSearch, nprobe))
-    val out = new Array[Any](res.length)
-    var i = 0
-    while (i < res.length) { out(i) = InternalRow(res(i)._1.toInt, res(i)._2); i += 1 }
-    new GenericArrayData(out)
+  override def nullSafeEval(v: Any): Any =
+    CentroidHnswCache.searchData(v.asInstanceOf[ArrayData], cacheKey,
+      centroids, nprobe, efSearch, m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.core.CentroidHnswCache.searchData($c, \"$cacheKey\", $cs, $nprobe, $efSearch, $m)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -127,28 +159,20 @@ case class NearestCentroidsHnsw(child: Expression,
   * array<struct<list_no:int, dist:double>> best-first. */
 case class NearestCentroids(child: Expression, centroids: Array[Array[Float]],
     nprobe: Int, metric: String = "l2sq")
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("list_no", IntegerType, nullable = false),
     StructField("dist", DoubleType, nullable = false))), containsNull = false)
   override def prettyName: String = "nearest_centroids"
 
-  private val asc = Metric.ascending(metric)
+  override def nullSafeEval(v: Any): Any =
+    CentroidKernels.nearestK(v.asInstanceOf[ArrayData], centroids, nprobe, metric)
 
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
-    val h = new TopKHeap(math.min(nprobe, centroids.length), asc)
-    var j = 0
-    while (j < centroids.length) {
-      h.insert(CentroidKernels.dist(a, centroids(j), metric), j.toLong)
-      j += 1
-    }
-    val (ids, scores) = h.sorted()
-    val out = new Array[Any](ids.length)
-    var i = 0
-    while (i < ids.length) { out(i) = InternalRow(ids(i).toInt, scores(i)); i += 1 }
-    new GenericArrayData(out)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.core.CentroidKernels.nearestK($c, $cs, $nprobe, \"$metric\")")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

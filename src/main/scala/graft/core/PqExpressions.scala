@@ -1,7 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -85,51 +85,68 @@ object PqKernels {
     }
     s
   }
-}
-
-/** Assignment of one subvector within subspace `left` (int m) to its
-  * nearest codebook entry — the per-subspace Lloyd assign step. */
-case class PQSubAssign(left: Expression, right: Expression,
-    codebooks: Array[Array[Array[Float]]])
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = IntegerType
-  override def prettyName: String = "pq_sub_assign"
-  override def nullSafeEval(m: Any, sub: Any): Any = {
-    val mi = m.asInstanceOf[Int]
-    val a = sub.asInstanceOf[ArrayData]
-    val cb = codebooks(mi)
+  // codegen entry points (generated code assigns ArrayData / InternalRow)
+  def decodeData(code: Array[Byte], cb: Array[Array[Array[Float]]]): ArrayData =
+    new GenericArrayData(decode(code, cb))
+  def lutData(q: ArrayData, cb: Array[Array[Array[Float]]]): ArrayData =
+    new GenericArrayData(lut(q, cb))
+  def subAssign(mi: Int, sub: ArrayData, cb: Array[Array[Array[Float]]]): Int = {
+    val cbm = cb(mi)
     var best = 0; var bestD = Double.MaxValue
     var j = 0
-    while (j < cb.length) {
-      val c = cb(j)
+    while (j < cbm.length) {
+      val c = cbm(j)
       var s = 0.0; var i = 0
       while (i < c.length) {
-        val d = a.getFloat(i).toDouble - c(i); s += d * d; i += 1
+        val d = sub.getFloat(i).toDouble - c(i); s += d * d; i += 1
       }
       if (s < bestD) { bestD = s; best = j }
       j += 1
     }
     best
   }
+}
+
+/** Assignment of one subvector within subspace `left` (int m) to its
+  * nearest codebook entry — the per-subspace Lloyd assign step. */
+case class PQSubAssign(left: Expression, right: Expression,
+    codebooks: Array[Array[Array[Float]]])
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "pq_sub_assign"
+  override def nullSafeEval(m: Any, sub: Any): Any =
+    PqKernels.subAssign(m.asInstanceOf[Int], sub.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev, (m, sub) => s"graft.core.PqKernels.subAssign($m, $sub, $cb)")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
 case class PQEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "pq_encode"
   override def nullSafeEval(v: Any): Any =
     PqKernels.encode(v.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.core.PqKernels.encode($c, $cb)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class PQDecode(child: Expression, codebooks: Array[Array[Array[Float]]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def prettyName: String = "pq_decode"
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(PqKernels.decode(v.asInstanceOf[Array[Byte]], codebooks))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.core.PqKernels.decodeData($c, $cb)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -137,21 +154,27 @@ case class PQDecode(child: Expression, codebooks: Array[Array[Array[Float]]])
   * the query side of the join — faiss use_precomputed_table spirit,
   * IndexIVFPQ.h:49). */
 case class PQLut(child: Expression, codebooks: Array[Array[Array[Float]]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "pq_lut"
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(PqKernels.lut(v.asInstanceOf[ArrayData], codebooks))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.core.PqKernels.lutData($c, $cb)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** left = code (binary), right = lut (array<double>). */
 case class PQAdcFromLut(left: Expression, right: Expression, ksub: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc"
   override def nullSafeEval(code: Any, lut: Any): Any =
     PqKernels.adcFromLut(code.asInstanceOf[Array[Byte]], lut.asInstanceOf[ArrayData], ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (code, lut) => s"graft.core.PqKernels.adcFromLut($code, $lut, $ksub)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -236,15 +259,27 @@ object Pq4Kernels {
     }
     s
   }
+  /** codegen entry point: fused float LUT + uint8 quantization as the
+    * (lutq, a, b) struct row */
+  def quantLutRow(q: ArrayData,
+      cb: Array[Array[Array[Float]]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val m = cb.length
+    val ksub = cb(0).length
+    val (lutq, a, b) = quantLut(PqKernels.lut(q, cb), m, ksub)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](lutq, a, b))
+  }
 }
 
 /** Nibble-pack one-byte-per-code PQ codes (requires ksub ≤ 16). */
 case class Pq4PackCodes(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "pq4_pack"
   override def nullSafeEval(v: Any): Any =
     Pq4Kernels.pack(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Pq4Kernels.pack($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -253,19 +288,17 @@ case class Pq4PackCodes(child: Expression)
   * the scalars needed to map integer scores back to approximate
   * distances (original ≈ q/a + b). */
 case class Pq4QuantLut(child: Expression, codebooks: Array[Array[Array[Float]]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("lutq", BinaryType, nullable = false),
     StructField("a", DoubleType, nullable = false),
     StructField("b", DoubleType, nullable = false)))
   override def prettyName: String = "pq4_quant_lut"
-  override def nullSafeEval(v: Any): Any = {
-    val m = codebooks.length
-    val ksub = codebooks(0).length
-    val lut = PqKernels.lut(v.asInstanceOf[ArrayData], codebooks)
-    val (lutq, a, b) = Pq4Kernels.quantLut(lut, m, ksub)
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](lutq, a, b))
+  override def nullSafeEval(v: Any): Any =
+    Pq4Kernels.quantLutRow(v.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.core.Pq4Kernels.quantLutRow($c, $cb)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -139,6 +139,9 @@ object SqKernels {
     }
     s
   }
+  /** codegen entry point (generated code assigns an ArrayData) */
+  def decodeData(code: Array[Byte], vmin: Array[Double], vdiff: Array[Double]): ArrayData =
+    new GenericArrayData(decode(code, vmin, vdiff))
 }
 
 /** SQ4 codec (faiss Codec4bit, ScalarQuantizer.cpp:93-101): 4-bit
@@ -173,23 +176,36 @@ object Sq4Kernels {
     }
     out
   }
+  /** codegen entry point (generated code assigns an ArrayData) */
+  def decodeData(code: Array[Byte], vmin: Array[Double], vdiff: Array[Double]): ArrayData =
+    new GenericArrayData(decode(code, vmin, vdiff))
 }
 
 case class SQ4Encode(child: Expression, vmin: Array[Double], vdiff: Array[Double])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "sq4_encode"
   override def nullSafeEval(v: Any): Any =
     Sq4Kernels.encode(v.asInstanceOf[ArrayData], vmin, vdiff)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("vmin", vmin, "double[]")
+    val df = ctx.addReferenceObj("vdiff", vdiff, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.core.Sq4Kernels.encode($c, $mn, $df)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class SQ4Decode(child: Expression, vmin: Array[Double], vdiff: Array[Double])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "sq4_decode"
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(Sq4Kernels.decode(v.asInstanceOf[Array[Byte]], vmin, vdiff))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("vmin", vmin, "double[]")
+    val df = ctx.addReferenceObj("vdiff", vdiff, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.core.Sq4Kernels.decodeData($c, $mn, $df)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -241,6 +257,9 @@ object Sq6Kernels {
     }
     out
   }
+  /** codegen entry point (generated code assigns an ArrayData) */
+  def decodeData(code: Array[Byte], vmin: Array[Double], vdiff: Array[Double]): ArrayData =
+    new GenericArrayData(decode(code, vmin, vdiff))
 }
 
 /** Fused asymmetric L2sq against each packed-code width — the same
@@ -295,51 +314,73 @@ object SqAdcKernels {
 
 case class SQ4AdcL2(left: Expression, right: Expression,
     vmin: Array[Double], vdiff: Array[Double])
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sq4_adc_l2sq"
   override def nullSafeEval(q: Any, c: Any): Any =
     SqAdcKernels.l2sq4(q.asInstanceOf[ArrayData], c.asInstanceOf[Array[Byte]], vmin, vdiff)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("vmin", vmin, "double[]")
+    val df = ctx.addReferenceObj("vdiff", vdiff, "double[]")
+    defineCodeGen(ctx, ev, (q, c) => s"graft.core.SqAdcKernels.l2sq4($q, $c, $mn, $df)")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
 case class SQ6AdcL2(left: Expression, right: Expression,
     vmin: Array[Double], vdiff: Array[Double])
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sq6_adc_l2sq"
   override def nullSafeEval(q: Any, c: Any): Any =
     SqAdcKernels.l2sq6(q.asInstanceOf[ArrayData], c.asInstanceOf[Array[Byte]], vmin, vdiff)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("vmin", vmin, "double[]")
+    val df = ctx.addReferenceObj("vdiff", vdiff, "double[]")
+    defineCodeGen(ctx, ev, (q, c) => s"graft.core.SqAdcKernels.l2sq6($q, $c, $mn, $df)")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
 case class Fp16AdcL2(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "fp16_adc_l2sq"
   override def nullSafeEval(q: Any, c: Any): Any =
     SqAdcKernels.l2fp16(q.asInstanceOf[ArrayData], c.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (q, c) => s"graft.core.SqAdcKernels.l2fp16($q, $c)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
 case class SQ6Encode(child: Expression, vmin: Array[Double], vdiff: Array[Double])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "sq6_encode"
   override def nullSafeEval(v: Any): Any =
     Sq6Kernels.encode(v.asInstanceOf[ArrayData], vmin, vdiff)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("vmin", vmin, "double[]")
+    val df = ctx.addReferenceObj("vdiff", vdiff, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.core.Sq6Kernels.encode($c, $mn, $df)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class SQ6Decode(child: Expression, vmin: Array[Double], vdiff: Array[Double])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "sq6_decode"
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(Sq6Kernels.decode(v.asInstanceOf[Array[Byte]], vmin, vdiff))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("vmin", vmin, "double[]")
+    val df = ctx.addReferenceObj("vdiff", vdiff, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.core.Sq6Kernels.decodeData($c, $mn, $df)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -395,62 +436,78 @@ object Fp16Kernels {
     while (i < out.length) { out(i) = fromHalf(bb.getShort); i += 1 }
     out
   }
+  /** codegen entry point (generated code assigns an ArrayData) */
+  def decodeData(code: Array[Byte]): ArrayData = new GenericArrayData(decode(code))
 }
 
-case class Fp16Encode(child: Expression) extends UnaryExpression with CodegenFallback {
+case class Fp16Encode(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "fp16_encode"
   override def nullSafeEval(v: Any): Any = Fp16Kernels.encode(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Fp16Kernels.encode($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-case class Fp16Decode(child: Expression) extends UnaryExpression with CodegenFallback {
+case class Fp16Decode(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def prettyName: String = "fp16_decode"
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(Fp16Kernels.decode(v.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Fp16Kernels.decodeData($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class SQEncode(child: Expression, vmin: Array[Double], vdiff: Array[Double])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "sq8_encode"
   override def nullSafeEval(v: Any): Any =
     SqKernels.encode(v.asInstanceOf[ArrayData], vmin, vdiff)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("vmin", vmin, "double[]")
+    val df = ctx.addReferenceObj("vdiff", vdiff, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.core.SqKernels.encode($c, $mn, $df)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class SQDecode(child: Expression, vmin: Array[Double], vdiff: Array[Double])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "sq8_decode"
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(SqKernels.decode(v.asInstanceOf[Array[Byte]], vmin, vdiff))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("vmin", vmin, "double[]")
+    val df = ctx.addReferenceObj("vdiff", vdiff, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.core.SqKernels.decodeData($c, $mn, $df)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** dist(query float vec, SQ8 code) without materializing the decode. */
 case class SQAdcL2(left: Expression, right: Expression,
     vmin: Array[Double], vdiff: Array[Double])
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sq8_adc_l2sq"
   override def nullSafeEval(q: Any, c: Any): Any =
     SqKernels.adcL2sq(q.asInstanceOf[ArrayData], c.asInstanceOf[Array[Byte]], vmin, vdiff)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("vmin", vmin, "double[]")
+    val df = ctx.addReferenceObj("vdiff", vdiff, "double[]")
+    defineCodeGen(ctx, ev, (q, c) => s"graft.core.SqKernels.adcL2sq($q, $c, $mn, $df)")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
 /** Dense mat-vec y = A x (+ b): the LinearTransform core
   * (faiss/VectorTransform.h:73). Output double for oracle parity. */
-case class MatVec(child: Expression, matrix: Array[Array[Float]],
-    bias: Array[Float] = null)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def prettyName: String = "mat_vec"
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
+object MatVecKernels {
+  def apply(a: ArrayData, matrix: Array[Array[Float]], bias: Array[Float]): ArrayData = {
     val dOut = matrix.length
     val out = new Array[Double](dOut)
     var j = 0
@@ -466,6 +523,20 @@ case class MatVec(child: Expression, matrix: Array[Array[Float]],
       j += 1
     }
     new GenericArrayData(out)
+  }
+}
+
+case class MatVec(child: Expression, matrix: Array[Array[Float]],
+    bias: Array[Float] = null)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mat_vec"
+  override def nullSafeEval(v: Any): Any =
+    MatVecKernels(v.asInstanceOf[ArrayData], matrix, bias)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("matrix", matrix, "float[][]")
+    val b = ctx.addReferenceObj("bias", bias, "float[]")
+    defineCodeGen(ctx, ev, c => s"graft.core.MatVecKernels.apply($c, $m, $b)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

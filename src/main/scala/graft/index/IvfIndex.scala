@@ -54,9 +54,12 @@ class IvfIndex(
           math.min(nprobe, nlist), metric)
     }
     queries.select(col(queryId), col(queryVec),
-      explode(shim.col(sel)).as("_p"))
+      posexplode(shim.col(sel)).as(Seq("_pr", "_p")))
       .select(col(queryId), col(queryVec),
-        col("_p.list_no").as("list_no"), col("_p.dist").as("coarse_dist"))
+        col("_p.list_no").as("list_no"), col("_p.dist").as("coarse_dist"),
+        // 0-based probe rank (closest centroid first): lets a sweep
+        // reconstruct the nprobe=j candidate set as `pr < j`
+        col("_pr").as("pr"))
   }
 
   /** Distinct lists any query probes at this nprobe (the scan set). */
@@ -64,6 +67,16 @@ class IvfIndex(
       queryId: String = "qid", queryVec: String = "qvec"): Array[Int] =
     probes(queries, nprobe, queryId, queryVec)
       .select("list_no").distinct().collect().map(_.getInt(0))
+
+  /** Each probed list's minimum probe rank over the query set at
+    * nprobe=npMax — reconstructs the probed-list union of ANY smaller
+    * nprobe (list in scan set at np iff min rank < np) without
+    * re-running the coarse quantization per operating point. */
+  def probedListMinRank(queries: DataFrame, npMax: Int,
+      queryId: String = "qid", queryVec: String = "qvec"): Array[(Int, Int)] =
+    probes(queries, npMax, queryId, queryVec)
+      .groupBy("list_no").agg(min(col("pr")).as("_pr"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
 
   /** kNN search over the probed lists (search_preassigned,
     * faiss/IndexIVF.cpp:398-683). Output (qid, rank, id, dist).
@@ -125,6 +138,39 @@ class IvfIndex(
             col("_r.id").as("id"), col("_r.dist").as("dist"))
       }
     agg
+  }
+
+  /** Operating-point sweep (faiss ParameterSpace::explore,
+    * AutoTune.cpp:446-521): the per-query top-k at EVERY requested
+    * nprobe, from ONE scan at max(nprobes). Each candidate carries the
+    * probe rank `pr` of its list for that query, so the nprobe=j
+    * candidate set is exactly `pr < j` — searching the sweep points
+    * one by one would rescan the same lists |nprobes| times for
+    * identical results (the reference re-runs the index per operating
+    * point because its scan is in-memory; at 100 TB each rescan is a
+    * full pruned read, so deriving all points from one read is the
+    * dataflow-correct shape). Output (np, qid, rank, id, dist),
+    * bit-identical per np to `search(queries, k, np)`. */
+  def searchSweep(queries: DataFrame, k: Int, nprobes: Seq[Int],
+      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+    val sess = queries.sparkSession
+    val npMax = nprobes.max
+    val pr = probes(queries, npMax, queryId, queryVec)
+    val probed = pr.select("list_no").distinct().collect().map(_.getInt(0))
+    val lists = invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
+    val cand = lists.join(broadcast(pr), "list_no")
+      .select(col(queryId), col("pr"), col("id"),
+        vec_dist(col(queryVec), col("vec"), metric).as("_dist"))
+    import sess.implicits._
+    // tiny nprobe axis: broadcast theta-join fans each candidate out to
+    // only the sweep points whose probe budget includes its list
+    val nps = broadcast(nprobes.toDF("np"))
+    cand.join(nps, col("pr") < col("np"))
+      .groupBy(col("np"), col(queryId))
+      .agg(topk(col("_dist"), col("id"), k, Metric.ascending(metric)).as("_tk"))
+      .select(col("np"), col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+      .select(col("np"), col(queryId), (col("_pos") + 1).cast("long").as("rank"),
+        col("_r.id").as("id"), col("_r.dist").as("dist"))
   }
 
   /** IVF range search (faiss/IndexIVF.cpp:690-795): same pruning,

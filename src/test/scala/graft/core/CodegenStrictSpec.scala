@@ -90,6 +90,73 @@ class CodegenStrictSpec extends AnyFunSuite {
     assert(out.head.getLong(0) == Pq4Kernels.adcQ(Pq4Kernels.pack(codes), lutq))
   }
 
+  test("SQ codec expressions compile under CODEGEN_ONLY (r08 conversion)") {
+    val vmin = Array(-1.0, -2.0, 0.0, -1.0)
+    val vdiff = Array(3.0, 4.0, 3.0, 5.0)
+    val enc = df.select(col("a"),
+      shim.col(SQEncode(shim.expr(col("a")), vmin, vdiff)).as("c8"),
+      shim.col(SQ4Encode(shim.expr(col("a")), vmin, vdiff)).as("c4"),
+      shim.col(SQ6Encode(shim.expr(col("a")), vmin, vdiff)).as("c6"),
+      shim.col(Fp16Encode(shim.expr(col("a")))).as("ch"))
+    val out = enc.select(
+      shim.col(SQDecode(shim.expr(col("c8")), vmin, vdiff)).as("d8"),
+      shim.col(SQ4Decode(shim.expr(col("c4")), vmin, vdiff)).as("d4"),
+      shim.col(SQ6Decode(shim.expr(col("c6")), vmin, vdiff)).as("d6"),
+      shim.col(Fp16Decode(shim.expr(col("ch")))).as("dh"),
+      shim.col(SQAdcL2(shim.expr(col("a")), shim.expr(col("c8")), vmin, vdiff)).as("a8"),
+      shim.col(SQ4AdcL2(shim.expr(col("a")), shim.expr(col("c4")), vmin, vdiff)).as("a4"),
+      shim.col(SQ6AdcL2(shim.expr(col("a")), shim.expr(col("c6")), vmin, vdiff)).as("a6"),
+      shim.col(Fp16AdcL2(shim.expr(col("a")), shim.expr(col("ch")))).as("ah"))
+      .collect()
+    assert(out.length == 2)
+    // the ADC distance must equal L2(query, decode(code)) exactly
+    val r = out.head
+    val d8 = r.getSeq[Double](0)
+    val q = Array(1.0f, 2.0f, 0.5f, -1.0f)
+    val ref = q.zip(d8).map { case (x, y) => (x - y) * (x - y) }.sum
+    assert(math.abs(r.getDouble(4) - ref) < 1e-12)
+  }
+
+  test("MatVec compiles under CODEGEN_ONLY (r08 conversion)") {
+    val m = Array(Array(1.0f, 0.0f, 0.0f, 0.0f), Array(0.5f, 0.5f, 0.0f, 0.0f))
+    val out = df.select(shim.col(MatVec(shim.expr(col("a")), m)).as("y")).collect()
+    assert(out.head.getSeq[Double](0).head == 1.0)
+    val outB = df.select(shim.col(
+      MatVec(shim.expr(col("a")), m, Array(1.0f, -1.0f))).as("y")).collect()
+    assert(outB.head.getSeq[Double](0).head == 2.0)
+  }
+
+  test("PQ expressions compile under CODEGEN_ONLY (r08 conversion)") {
+    val s = strict
+    import s.implicits._
+    // 2 subspaces x 4 centroids x 2 dims
+    val cb = Array.tabulate(2, 4, 2)((m, j, i) => (m + j * 2 + i).toFloat)
+    val enc = df.select(col("a"),
+      shim.col(PQEncode(shim.expr(col("a")), cb)).as("code"),
+      shim.col(PQLut(shim.expr(col("a")), cb)).as("lut"))
+    val out = enc.select(
+      shim.col(PQDecode(shim.expr(col("code")), cb)).as("dec"),
+      shim.col(PQAdcFromLut(shim.expr(col("code")), shim.expr(col("lut")), 4)).as("adc"),
+      shim.col(Pq4PackCodes(shim.expr(col("code")))).as("packed"),
+      shim.col(Pq4QuantLut(shim.expr(col("a")), cb)).as("qlut"),
+      shim.col(PQSubAssign(shim.expr(lit(0)), shim.expr(slice(col("a"), 1, 2)), cb)).as("sa"))
+      .collect()
+    assert(out.length == 2)
+    assert(out.head.getAs[Array[Byte]]("packed").length == 1)
+  }
+
+  test("centroid probe expressions compile under CODEGEN_ONLY (r08 conversion)") {
+    val cents = Array(Array(1.0f, 2.0f, 0.5f, -1.0f), Array(0.0f, 0.0f, 3.0f, 4.0f))
+    val out = df.select(
+      shim.col(NearestCentroid(shim.expr(col("a")), cents)).as("nc"),
+      shim.col(NearestCentroids(shim.expr(col("a")), cents, 2)).as("ncs"),
+      shim.col(NearestCentroidsHnsw(shim.expr(col("a")), cents, 1, 8, 4, "cg-test"))
+        .as("nch")).collect()
+    assert(out.head.getStruct(0).getInt(0) == 0) // row 0 IS centroid 0
+    assert(out(1).getStruct(0).getInt(0) == 1)
+    assert(out.head.getStruct(0).getDouble(1) == 0.0)
+  }
+
   test("CodegenFallback expressions still execute under CODEGEN_ONLY") {
     // CodegenFallback generates a call back into eval() — that IS its
     // codegen contract; this guards that none of them break the
