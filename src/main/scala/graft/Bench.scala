@@ -14,6 +14,12 @@ object Bench {
       // (janino compiles of the big minhash/codec classes run seconds
       // each — the source of the r02/r03 wandering per-query stalls).
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // high-cardinality collect_list aggregates (the LSH band-bucket
+      // grouping: ~1 band hash per input row) otherwise hit
+      // ObjectHashAggregate's 128-entry sort-based fallback and SORT
+      // the whole band table per task; entries are (long key, tiny id
+      // list), so a few million hashed entries per task is cheap
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.sql.maxPlanStringLength", "8192")
       // async block/shuffle cleanup: the blocking cleaner serializes
       // against job submission through the dispatcher and produced

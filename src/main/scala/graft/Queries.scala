@@ -410,14 +410,19 @@ object Queries {
         round(col("l_tax") * 100).cast("long"))
       // widen before hashing: the sf0.1 lineitem parquet arrives as a
       // couple of file splits, which would run the 600k md5 derivations
-      // on as few cores (same fix as Dedup.widen)
+      // on as few cores (same fix as Dedup.widen). Project to the 8
+      // consumed columns FIRST so the widening shuffle moves only the
+      // bytes the derivation reads.
       val src = {
-        val li = lineitem(s, dir)
+        val li = lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
         val target = s.sparkContext.defaultParallelism
         if (li.rdd.getNumPartitions >= target) li else li.repartition(target)
       }
       val df = src.select(
-        conv(substring(md5(key), 1, 15), 16, 10).cast("long").as("id"),
+        graft.llm.TextFunctions.fingerprint60(key).as("id"),
         array(
           col("l_quantity") / 50.0,
           col("l_extendedprice") / 100000.0,

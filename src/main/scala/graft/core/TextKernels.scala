@@ -1,6 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -91,10 +92,10 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
-  /** The [[MinHashSig]] base hash of one byte span: md5, first 15 hex
-    * digits (= bytes 0..6 + high nibble of byte 7) as a 60-bit int,
-    * mod [[MinHashSig.M]]. */
-  private def baseHash(md: java.security.MessageDigest,
+  /** First 15 hex digits of md5 (= bytes 0..6 + high nibble of byte
+    * 7) as a 60-bit long — the `conv(substring(md5(x),1,15),16,10)`
+    * value without materializing the 32-char hex string. */
+  private def md5Prefix60(md: java.security.MessageDigest,
       bytes: Array[Byte], off: Int, len: Int): Long = {
     md.reset()
     md.update(bytes, off, len)
@@ -102,9 +103,22 @@ object TextKernels {
     var h = 0L
     var b = 0
     while (b < 7) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
-    h = (h << 4) | ((dig(7) >> 4) & 0xfL)
-    h % MinHashSig.M
+    (h << 4) | ((dig(7) >> 4) & 0xfL)
   }
+
+  /** [[md5Prefix60]] over a whole UTF8String (the 60-bit content-hash
+    * id derivation used by the at-scale derived vector table; parity
+    * with DuckDB's `('0x' || substr(md5(x),1,15))::BIGINT`). */
+  def md5Prefix60(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    md5Prefix60(md5Local.get(), bytes, 0, bytes.length)
+  }
+
+  /** The [[MinHashSig]] base hash of one byte span: [[md5Prefix60]]
+    * mod [[MinHashSig.M]]. */
+  private def baseHash(md: java.security.MessageDigest,
+      bytes: Array[Byte], off: Int, len: Int): Long =
+    md5Prefix60(md, bytes, off, len) % MinHashSig.M
 
   /** Fused text → LSH band hashes: shingle (distinct spans), base-hash
     * each distinct shingle once, min-reduce the `hashes` permutations,
@@ -144,6 +158,13 @@ object TextKernels {
         i += 1
       }
     }
+    new GenericArrayData(bandsFromSig(md, sig, hashes, bands))
+  }
+
+  /** Band md5 hex strings from a min-reduced signature (shared tail of
+    * [[minhashBands]] / [[minhashBandsAndSet]]). */
+  private def bandsFromSig(md: java.security.MessageDigest,
+      sig: Array[Long], hashes: Int, bands: Int): Array[Any] = {
     val r = hashes / bands
     val sb = new java.lang.StringBuilder(r * 11)
     val out = new Array[Any](bands)
@@ -172,6 +193,145 @@ object TextKernels {
       }
       out(b) = UTF8String.fromBytes(hex)
       b += 1
+    }
+    out
+  }
+
+  /** The band md5s of [[bandsFromSig]] truncated to their 60-bit
+    * prefixes — candidate generation only needs band-hash EQUALITY,
+    * and long keys make the band-bucket aggregate hash/sort 8-byte
+    * values instead of 32-char hex strings. A 60-bit band collision
+    * adds a spurious candidate pair that the exact-Jaccard verify
+    * then rejects, so the verified pair set is unchanged. */
+  private def bandsFromSigLong(md: java.security.MessageDigest,
+      sig: Array[Long], hashes: Int, bands: Int): Array[Long] = {
+    val r = hashes / bands
+    val sb = new java.lang.StringBuilder(r * 11)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var k = 0
+      var first = true
+      while (k < r) {
+        val v = sig(b * r + k)
+        if (v != Long.MaxValue) {
+          if (!first) sb.append('|')
+          sb.append(v)
+          first = false
+        }
+        k += 1
+      }
+      md.reset()
+      val dig = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var d = 0
+      while (d < 7) { h = (h << 8) | (dig(d) & 0xffL); d += 1 }
+      out(b) = (h << 4) | ((dig(7) >> 4) & 0xfL)
+      b += 1
+    }
+    out
+  }
+
+  /** Fused text → (60-bit LSH band hashes, SORTED distinct 60-bit
+    * shingle hashes) in one pass. The near-dup verify only needs
+    * shingle-set sizes and intersection counts; representing each
+    * distinct shingle by its full [[md5Prefix60]] value (the same md5
+    * the minhash base hash reduces mod M) lets the verify join ship
+    * 8-byte longs instead of shingle strings and intersect by a
+    * branch-free sorted merge instead of per-row string hash sets.
+    * Two distinct shingles colliding in 60 bits (P ≈ n²·2⁻⁶¹ per doc)
+    * would shrink the set by one — negligible against the 4-dp
+    * rounding of the reported Jaccard. Band hashes are likewise the
+    * 60-bit md5 prefixes ([[bandsFromSigLong]]). */
+  def minhashBandsAndHashSet(text: UTF8String, ngram: Int,
+      hashes: Int, bands: Int): InternalRow = {
+    val md = md5Local.get()
+    val bytes = text.getBytes
+    val offs = tokenOffsets(bytes, 0, bytes.length)
+    val nTok = offs.length / 2
+    val sig = new Array[Long](hashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var hashSet: Array[Long] = Array.emptyLongArray
+    if (nTok >= ngram) {
+      val nSh = nTok - ngram + 1
+      val seen = new java.util.HashSet[UTF8String](nSh * 2)
+      val hs = new Array[Long](nSh)
+      var nh = 0
+      var i = 0
+      while (i < nSh) {
+        val s = offs(2 * i)
+        val e = offs(2 * (i + ngram - 1) + 1)
+        if (seen.add(UTF8String.fromBytes(bytes, s, e - s))) {
+          val full = md5Prefix60(md, bytes, s, e - s)
+          hs(nh) = full; nh += 1
+          val h = full % MinHashSig.M
+          var j = 0
+          while (j < hashes) {
+            val p = (h * MinHashSig.a(j) + MinHashSig.b(j)) % MinHashSig.P
+            if (p < sig(j)) sig(j) = p
+            j += 1
+          }
+        }
+        i += 1
+      }
+      hashSet = java.util.Arrays.copyOf(hs, nh)
+      java.util.Arrays.sort(hashSet)
+      // drop adjacent duplicates (distinct shingles colliding in 60
+      // bits): keeps the array a strict set so the merge intersect is
+      // exact set arithmetic
+      var w = 0
+      var r = 0
+      while (r < hashSet.length) {
+        if (w == 0 || hashSet(r) != hashSet(w - 1)) { hashSet(w) = hashSet(r); w += 1 }
+        r += 1
+      }
+      if (w != hashSet.length) hashSet = java.util.Arrays.copyOf(hashSet, w)
+    }
+    new GenericInternalRow(Array[Any](
+      ArrayData.toArrayData(bandsFromSigLong(md, sig, hashes, bands)),
+      ArrayData.toArrayData(hashSet)))
+  }
+
+  /** |a ∩ b| for two SORTED distinct long arrays: single merge pass,
+    * no per-row hash set. */
+  def sortedLongIntersect(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  /** All ordered pair tails of a SORTED id list: struct(i, tail) per
+    * anchor (last anchor's empty tail omitted) — the bucket pair
+    * expansion `transform(ids, (x, k) -> struct(x, slice(ids, k+2,
+    * n-k-1)))` as ONE codegen'd call instead of an interpreted
+    * higher-order-function tree (ArrayTransform/Slice are
+    * CodegenFallback; profiled as the hottest stage of the at-scale
+    * near-dup candidate join). Same O(B) values per emitted struct,
+    * same O(B²) total per bucket — the quadratic candidate OUTPUT is
+    * inherent to LSH bucketing. */
+  def pairTails(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      val tail = new Array[Long](n - 1 - i)
+      var k = 0
+      while (k < tail.length) { tail(k) = ids.getLong(i + 1 + k); k += 1 }
+      out(i) = new GenericInternalRow(Array[Any](
+        ids.getLong(i), ArrayData.toArrayData(tail)))
+      i += 1
     }
     new GenericArrayData(out)
   }
@@ -228,6 +388,68 @@ case class MinHashBandsK(child: Expression, ngram: Int, hashes: Int, bands: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.core.TextKernels.minhashBands($c, $ngram, $hashes, $bands)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `minhash_bands_hashset(text, ngram, hashes, bands)`: fused shingle
+  * → (60-bit band hashes, sorted distinct 60-bit shingle hashes),
+  * codegen'd (see [[TextKernels.minhashBandsAndHashSet]]). */
+case class MinHashBandsHashSetK(child: Expression, ngram: Int, hashes: Int, bands: Int)
+    extends UnaryExpression {
+  require(hashes % bands == 0, "hashes must divide into bands")
+  override def dataType: DataType = StructType(Seq(
+    StructField("bands", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sh", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "minhash_bands_hashset"
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.minhashBandsAndHashSet(v.asInstanceOf[UTF8String], ngram, hashes, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.core.TextKernels.minhashBandsAndHashSet($c, $ngram, $hashes, $bands)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `sorted_long_intersect(a, b)`: |a ∩ b| of two sorted distinct long
+  * arrays by one merge pass, codegen'd. */
+case class SortedLongIntersectK(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_long_intersect"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.sortedLongIntersect(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.core.TextKernels.sortedLongIntersect($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `pair_tails(ids)`: bucket pair expansion over a sorted long id
+  * list, codegen'd (see [[TextKernels.pairTails]]). */
+case class PairTailsK(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("i", LongType, nullable = false),
+    StructField("tail", ArrayType(LongType, containsNull = false), nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "pair_tails"
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.pairTails(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextKernels.pairTails($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `md5_prefix60(text)`: first 60 bits of md5 as a long —
+  * `conv(substring(md5(x), 1, 15), 16, 10)::long` without the
+  * intermediate hex string, substring, or base-16 parse (DuckDB
+  * parity: `('0x' || substr(md5(x), 1, 15))::BIGINT`). */
+case class Md5Prefix60K(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix60"
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.md5Prefix60(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextKernels.md5Prefix60($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

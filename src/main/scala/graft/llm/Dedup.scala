@@ -37,12 +37,24 @@ object Dedup {
 
   /** CPU-bound text kernels (shingling, per-shingle hashing) must not
     * inherit the input's file-split parallelism: a corpus that arrives
-    * as few parquet files would hash on as few cores. Widen to at
-    * least the cluster's default parallelism; inputs that are already
-    * wider (the 100 TB case) pass through unchanged. */
+    * as few parquet files would hash on as few cores. A shuffle-free
+    * lineage (scan/project/filter/generate/union) is repartitioned to
+    * the cluster's default parallelism; a lineage that already
+    * contains a shuffle (repartition/aggregate/join/…) passes through
+    * unchanged — it runs at `spark.sql.shuffle.partitions`, which is
+    * sized for the cluster, and repartitioning again would only add a
+    * shuffle. Decided from the ANALYZED plan, never by executing:
+    * `df.rdd.getNumPartitions` under AQE materializes every upstream
+    * stage just to count partitions (profiled as a whole redundant
+    * corpus-derivation job per pipeline). */
   private def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val shuffled = df.queryExecution.analyzed.collectFirst {
+      case _: Aggregate | _: Join | _: RepartitionOperation | _: Window |
+          _: Distinct | _: Deduplicate | _: GlobalLimit | _: Sort => ()
+    }.isDefined
+    if (shuffled) df
+    else df.repartition(df.sparkSession.sparkContext.defaultParallelism)
   }
 
   /** Exact duplicate groups on `key`: one representative (min id) per
@@ -90,14 +102,20 @@ object Dedup {
     * single row ever materializes more than O(B) values (a one-shot
     * flatten would build the whole O(B²) pair array in one row). */
   private[graft] def candidatesFrom(banded: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.shim
     val ids = col("_ids")
     banded.groupBy(col("band_id"), col("band_hash"))
       .agg(sort_array(collect_list(col("_id"))).as("_ids"))
       .filter(size(ids) >= 2)
-      .select(explode(transform(ids, (x, i) =>
-        struct(x.as("i"), slice(ids, i + lit(2), size(ids) - i - lit(1)).as("_tail"))))
-        .as("_p"))
-      .select(col("_p.i").as("i"), explode(col("_p._tail")).as("j"))
+      // pair expansion as ONE codegen'd kernel call per bucket
+      // (graft.core.PairTailsK) — the equivalent
+      // `transform(ids, (x, k) -> struct(x, slice(ids, ...)))` chain
+      // runs interpreted (ArrayTransform/Slice are CodegenFallback)
+      // and profiled as the hottest stage of the at-scale near-dup
+      // candidate join
+      .select(explode(shim.col(
+        graft.core.PairTailsK(shim.expr(ids)))).as("_p"))
+      .select(col("_p.i").as("i"), explode(col("_p.tail")).as("j"))
       // a repeated id inside one bucket (duplicate source ids) would
       // otherwise emit an (x, x) self-pair the old a._id < b._id
       // self-join never produced
@@ -150,15 +168,37 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, ngram: Int = 3, hashes: Int = 12,
       bands: Int = 4): DataFrame = {
-    val banded = bandTable(docs, idCol, textCol, ngram, hashes, bands).persist(Disk)
+    import org.apache.spark.sql.graft.shim
+    // ONE tokenize+shingle pass feeds both the candidate join (bands)
+    // and the exact-Jaccard verify; the previous bandTable + separate
+    // shingleSet formulation scanned, repartitioned, and shingled the
+    // corpus twice. The verify set is the doc's SORTED distinct 60-bit
+    // shingle hashes — 8-byte longs through the cache and the pair
+    // join instead of shingle strings, intersected by a merge pass
+    // (graft.core.SortedLongIntersectK) instead of a per-row string
+    // hash set.
+    val base = widen(docs).select(col(idCol).as("_id"),
+      minhashBandsAndHashSet(col(textCol), ngram, hashes, bands).as("_bs"))
+      .persist(Disk)
+    val banded = base.select(col("_id"),
+      posexplode(col("_bs.bands")).as(Seq("band_id", "band_hash")))
     val cand = candidatesFrom(banded).persist(Disk)
-    val sets = widen(docs).select(col(idCol).as("_id"),
-      shingleSet(col(textCol), ngram).as("_set")).persist(Disk)
-    val out = pairJaccardWith(cand, sets)
+    val sets = base.select(col("_id"), col("_bs.sh").as("_set"))
+    val inter = shim.col(graft.core.SortedLongIntersectK(
+      shim.expr(col("_sa")), shim.expr(col("_sb")))).cast("double")
+    val out = cand
+      .join(sets.select(col("_id").as("i"), col("_set").as("_sa")), "i")
+      .join(sets.select(col("_id").as("j"), col("_set").as("_sb")), "j")
+      .withColumn("_inter", inter)
+      .withColumn("_union",
+        (size(col("_sa")) + size(col("_sb"))).cast("double") - col("_inter"))
+      .withColumn("jaccard",
+        when(col("_union") > 0, col("_inter") / col("_union")).otherwise(0.0))
+      .select(col("i"), col("j"), col("jaccard"))
       .filter(col("jaccard") >= threshold)
       .persist(Disk)
     out.count()            // force while intermediates are still cached
-    Seq(banded, cand, sets).foreach(_.unpersist(false))
+    Seq(base, cand).foreach(_.unpersist(false))
     out
   }
 

@@ -75,8 +75,27 @@ object TextFunctions {
     shim.col(graft.core.MinHashBandsK(shim.expr(text), ngram, hashes, bands))
   }
 
+  /** Fused text → struct(bands, sh)
+    * ([[graft.core.MinHashBandsHashSetK]]): the LSH band hashes AND
+    * the sorted distinct 60-bit shingle-hash set from ONE
+    * tokenize+shingle pass — the near-dup pipeline consumes both, and
+    * computing them separately costs a second scan + repartition +
+    * shingle pass over the corpus. */
+  def minhashBandsAndHashSet(text: Column, ngram: Int, hashes: Int, bands: Int): Column = {
+    import org.apache.spark.sql.graft.shim
+    shim.col(graft.core.MinHashBandsHashSetK(shim.expr(text), ngram, hashes, bands))
+  }
+
   /** Document fingerprint (content hash). */
   def fingerprint(text: Column): Column = md5(text)
+
+  /** 60-bit md5-prefix content hash as a long
+    * ([[graft.core.Md5Prefix60K]]; DuckDB parity:
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`). */
+  def fingerprint60(text: Column): Column = {
+    import org.apache.spark.sql.graft.shim
+    shim.col(graft.core.Md5Prefix60K(shim.expr(text)))
+  }
 
   /** Fraction of tokens found in `stopwords`. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {

@@ -69,6 +69,66 @@ class TextKernelsSpec extends SparkTestBase {
     }
   }
 
+  test("MinHashBandsHashSetK == (60-bit MinHashBandsK, hashed ShingleSetK) pair") {
+    val got = df.select(
+      TF.minhashBandsAndHashSet(col("text"), 3, 12, 4).as("bs"),
+      transform(TF.minhashBands(col("text"), 3, 12, 4),
+        h => conv(substring(h, 1, 15), 16, 10).cast("long")).as("mb"),
+      array_sort(transform(TF.shingleSet(col("text"), 3),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("sh"))
+      .select(col("bs.bands"), col("bs.sh"), col("mb"), col("sh"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](2),
+        s"fused bands ${r.getSeq[Long](0)} != ${r.getSeq[Long](2)}")
+      assert(r.getSeq[Long](1) == r.getSeq[Long](3),
+        s"fused shingle hashes ${r.getSeq[Long](1)} != ${r.getSeq[Long](3)}")
+    }
+  }
+
+  test("SortedLongIntersectK == size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.shim
+    val pairs = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(4L), Seq(4L)),
+      (Seq(1L, 2L, 3L), Seq(7L, 8L)),
+      (Seq(Long.MinValue, 0L, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue))
+    ).toDF("a", "b")
+    val inter = shim.col(graft.core.SortedLongIntersectK(
+      shim.expr(col("a")), shim.expr(col("b"))))
+    val got = pairs.select(inter.as("k"),
+      size(array_intersect(col("a"), col("b"))).as("s")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("PairTailsK == transform/slice pair-expansion chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.shim
+    val buckets = Seq(Seq(1L, 2L), Seq(3L, 5L, 5L, 9L), Seq(7L),
+      Seq.empty[Long], (1L to 20L).toSeq).toDF("_ids")
+    val ids = col("_ids")
+    def expand(c: org.apache.spark.sql.Column) =
+      buckets.select(explode(c).as("_p"))
+        .select(col("_p.i").as("i"), explode(col("_p.tail")).as("j"))
+        .filter(col("i") < col("j")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val kernel = expand(shim.col(graft.core.PairTailsK(shim.expr(ids))))
+    val chain = expand(transform(ids, (x, i) =>
+      struct(x.as("i"), slice(ids, i + lit(2), size(ids) - i - lit(1)).as("tail"))))
+    assert(kernel == chain)
+  }
+
+  test("Md5Prefix60K == conv(substring(md5, 1, 15), 16, 10) builtin chain") {
+    val got = df.select(
+      TF.fingerprint60(col("text")).as("k"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("b"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"md5 prefix kernel ${r.getLong(0)} != builtin ${r.getLong(1)}"))
+  }
+
   test("kernels hold on the real documents table (sf0.001)") {
     val real = spark.read.parquet(s"$sf0001/documents.parquet")
     val sh = real.select(
@@ -89,6 +149,8 @@ class TextKernelsSpec extends SparkTestBase {
       val out = df.select(
         TF.shingleSet(col("text"), 3).as("s"),
         TF.minhashBands(col("text"), 3, 12, 4).as("m"),
+        TF.minhashBandsAndHashSet(col("text"), 3, 12, 4).as("bs"),
+        TF.fingerprint60(col("text")).as("f60"),
         TF.qualityScore(col("text"), TF.EnStopwords).as("q"))
         .collect()
       assert(out.length == docs.length)
