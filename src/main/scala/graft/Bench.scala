@@ -33,6 +33,14 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // Uncounted warmup: pays one-time session/scheduler/codegen startup
     // so per-query timings measure the queries, not JVM init.
+    // KernelWarmup first: spin every hot static kernel past the C2
+    // compile threshold so the first query to consume one at scale
+    // doesn't run it interpreted while the compiler queue drains (the
+    // r06/r07 wandering 2-30x first-touch stalls).
+    try graft.core.KernelWarmup.run()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] kernel warmup failed: ${e.getMessage}")
+    }
     try SparkEntry.queries.headOption.foreach { case (_, fn) => fn(spark, sfDir).count() }
     catch { case _: Throwable => () }
     // Train the small session-memoized models up front. Keeps the 2x
