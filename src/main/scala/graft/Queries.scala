@@ -520,6 +520,21 @@ object Queries {
     }
   private def docsDf(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
+  /** Embeddings with planted exact duplicates (vec_id + 10000): the
+    * corpus the embedding near-dup and semantic-dedup queries run on
+    * (guarantees >= 0.95-cosine pairs exist at any sf). */
+  private def doubledEmb(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    e.unionByName(
+      e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+  }
+  /** The verified >= 0.95-cosine embedding near-dup pair set, shared
+    * by the pair-listing and semantic-dedup queries (same
+    * run-once-per-session contract as [[nearDups08]]). */
+  private def embPairs95(s: SparkSession, dir: String): DataFrame =
+    cached(s"embpairs95:$dir") {
+      Dedup.embeddingNearDups(doubledEmb(s, dir), "vec_id", "embedding", 0.95)
+    }
   /** The one MinHash-LSH near-dup pipeline at the catalog's standard
     * parameters, shared by every query that consumes its verified
     * pairs (candidates, corpus dedup) — the signature+band+verify
@@ -2546,13 +2561,8 @@ object Queries {
              |FROM csh c JOIN bsh b ON b.sh = c.sh GROUP BY c.doc_id""".stripMargin)),
 
     // embedding near-dup (cosine >= 0.95) on the doubled corpus
-    ("embedding_near_dup", (s: SparkSession, dir: String) => {
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val doubled = e.unionByName(
-        e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-      Dedup.embeddingNearDups(doubled, "vec_id", "embedding", 0.95)
-        .withColumn("cos", round(col("cos"), 4))
-    },
+    ("embedding_near_dup", (s: SparkSession, dir: String) =>
+      embPairs95(s, dir).withColumn("cos", round(col("cos"), 4)),
       Some("""WITH u AS (SELECT vec_id, embedding FROM embeddings
              |           UNION ALL SELECT vec_id + 10000, embedding FROM embeddings)
              |SELECT a.vec_id AS i, b.vec_id AS j,
@@ -2560,6 +2570,95 @@ object Queries {
              |FROM u a CROSS JOIN u b
              |WHERE a.vec_id < b.vec_id
              |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95""".stripMargin)),
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): one
+    // representative per connected component of the >= 0.95-cosine
+    // embedding near-dup graph — the cluster-then-keep-one policy, vs
+    // the pairwise keep-first of neardup_dedup_corpus. Components via
+    // distributed min-label propagation over the (small) verified
+    // pair set; the oracle replays them with a recursive CTE.
+    ("semantic_dedup", (s: SparkSession, dir: String) =>
+      Dedup.nearDupComponents(doubledEmb(s, dir).select(col("vec_id")),
+          embPairs95(s, dir), "vec_id")
+        .select(col("component").as("vec_id")).distinct(),
+      Some("""WITH RECURSIVE u AS (SELECT vec_id, embedding FROM embeddings
+             |           UNION ALL SELECT vec_id + 10000, embedding FROM embeddings),
+             |pairs AS (SELECT a.vec_id AS i, b.vec_id AS j
+             |          FROM u a CROSS JOIN u b WHERE a.vec_id < b.vec_id
+             |            AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95),
+             |edges AS (SELECT i AS a, j AS b FROM pairs
+             |          UNION ALL SELECT j AS a, i AS b FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT vec_id, vec_id FROM u
+             |  UNION
+             |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+             |SELECT DISTINCT min_r AS vec_id
+             |FROM (SELECT id, min(r) AS min_r FROM reach GROUP BY id) c""".stripMargin)),
+
+    // unigram-LM quality score (the CCNet/KenLM perplexity-proxy
+    // filter): corpus unigram frequencies -> per-token negative log
+    // likelihood -> per-doc average. Two grouped shuffles (token
+    // counts, per-doc agg) + one equi-join on token — every step
+    // scales like a word count. Per-token nll is rounded to 4 dp
+    // BEFORE the per-doc sum so both engines aggregate identical
+    // quantities.
+    ("unigram_logprob", (s: SparkSession, dir: String) => {
+      val toks = docsDf(s, dir)
+        .select(col("doc_id"), explode(TF.tokenize(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val vocab = counts
+        .crossJoin(broadcast(counts.agg(sum(col("c")).as("T"))))
+        .select(col("tok"), round(-log(col("c") / col("T")), 4).as("nll"))
+      toks.join(vocab, "tok")
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("nll")) / count(lit(1)), 2).as("avg_nll"),
+          count(lit(1)).as("n_tokens"))
+    },
+      Some("""WITH tk AS (SELECT doc_id, tok
+             |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+             |        WHERE length(tok) > 0),
+             |counts AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+             |tot AS (SELECT sum(c)::DOUBLE AS T FROM counts),
+             |vocab AS (SELECT tok, round(-ln(c / T), 4) AS nll FROM counts, tot)
+             |SELECT doc_id, round(sum(nll) / count(*), 2) AS avg_nll,
+             |  count(*)::BIGINT AS n_tokens
+             |FROM tk JOIN vocab USING (tok) GROUP BY doc_id""".stripMargin)),
+
+    // TF-IDF keyword extraction: top-3 terms per document by
+    // tf·ln(N/df), ranked on the 2-dp-rounded weight with a lexical
+    // tie-break so near-equal weights order identically in both
+    // engines. Term and document frequencies are grouped shuffles;
+    // the corpus size joins in as a broadcast scalar.
+    ("tfidf_top_terms", (s: SparkSession, dir: String) => {
+      val toks = docsDf(s, dir)
+        .select(col("doc_id"), explode(TF.tokenize(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = docsDf(s, dir).agg(count(lit(1)).as("N"))
+      val w = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+        .withColumn("w", round(col("tf") * log(col("N") / col("df")), 2))
+      import org.apache.spark.sql.expressions.Window
+      w.withColumn("rank", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("w").desc, col("tok").asc)).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("tok"), col("w"))
+    },
+      Some("""WITH tk AS (SELECT doc_id, tok
+             |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+             |        WHERE length(tok) > 0),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+             |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+             |n AS (SELECT count(*)::DOUBLE AS N FROM documents),
+             |w AS (SELECT doc_id, tok, round(tf * ln(N / df), 2) AS w
+             |      FROM tf JOIN dfreq USING (tok), n)
+             |SELECT doc_id, "rank", tok, w FROM (
+             |  SELECT doc_id, tok, w,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, tok ASC) AS "rank"
+             |  FROM w) r
+             |WHERE "rank" <= 3""".stripMargin)),
 
     // simhash near-dup pairs over a corpus with planted exact
     // duplicates. 8 chunks of 8 bits with maxHamming=7 make the
