@@ -169,6 +169,14 @@ object Queries {
       graft.index.IvfPq4FastScanIndex.build(bDf(s, dir, 10), "id", "vec",
         nlist = 8, m = 8, niterCoarse = 4, niterPq = 4)
     }
+  /** Residual IVFPQ fast-scan bulk-loaded from [[ivfpq8]] (the
+    * IndexIVFPQFastScan(const IndexIVFPQ&) path): shares its
+    * centroid/codebook sidecars, so the oracle replays residual
+    * encode + LUT quantization from the same trained state. */
+  private def ivfpqfsr8(s: SparkSession, dir: String): graft.index.IvfPq4FastScanRIndex =
+    cached(s"ivfpqfsr8:$dir") {
+      graft.index.IvfPq4FastScanRIndex.fromIvfPq(ivfpq8(s, dir))
+    }
   /** Documents corpus with planted exact duplicates (id + 100000):
     * guarantees the simhash near-dup query returns rows at any sf. */
   private def simhashCorpus(s: SparkSession, dir: String): DataFrame =
@@ -260,7 +268,7 @@ object Queries {
     prqModel(s, dir); imi16(s, dir); sqMeanstd(s, dir); ivfrq8(s, dir)
     kmSph8(s, dir); znLat16(s, dir); pca16(s, dir); itq32(s, dir)
     pqfs8(s, dir); ivfpqfs8(s, dir); ivfsq4(s, dir); rqfs2(s, dir)
-    ivfrqfs8(s, dir)
+    ivfrqfs8(s, dir); ivfpqfsr8(s, dir)
     ()
   }
 
@@ -1714,6 +1722,58 @@ object Queries {
               |SELECT w.qid, "rank", id, qdist, round(qdist / sc.a + sc.b, 4) AS dist FROM (
               |  SELECT qid, id, qdist, row_number() OVER (PARTITION BY qid ORDER BY qdist, id) AS "rank" FROM acc) w
               |JOIN scal sc ON sc.qid = w.qid WHERE "rank" <= 10""".stripMargin)),
+
+    // Residual IVFPQ fast-scan (IVF8,PQ8x4fsr — by_residual = true,
+    // bulk-loaded from the trained ivfpq8 via the
+    // IndexIVFPQFastScan(const IndexIVFPQ&) path, so the oracle reads
+    // the SAME centroid/codebook sidecars): per-(query, probed-list)
+    // quantized LUT over the float32 residual, integer ADC, candidates
+    // ranked on the dequantized qdist/a + b (the reference's per-list
+    // normalizers applied before the cross-list merge).
+    ("ivfpq4fsr_search", (s: SparkSession, dir: String) =>
+      ivfpqfsr8(s, dir).search(qDf(s, dir, 10), 10, nprobe = 4),
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfpq_centroids/*.parquet')),
+              |cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/ivfpq_codebooks/*.parquet')),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |bres AS (SELECT a.id, a.list_no,
+              |    list_transform(list_zip(b.embedding, c.c), p -> p[1] - p[2]) AS res
+              |  FROM basg a JOIN embeddings b ON b.vec_id = a.id JOIN cent c ON c.list_no = a.list_no),
+              |bsub AS (SELECT id, list_no, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM bres, range(0,8) r(m)),
+              |enc AS (SELECT id, list_no, m, j FROM (
+              |  SELECT b.id, b.list_no, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
+              |qc AS (SELECT q.vec_id AS qid, c.list_no, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
+              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10),
+              |probes AS (SELECT qid, list_no FROM qc WHERE pr <= 4),
+              |qres AS (SELECT q.vec_id AS qid, p.list_no,
+              |    list_transform(list_zip(q.embedding, c.c), x -> x[1] - x[2]) AS res
+              |  FROM embeddings q JOIN probes p ON p.qid = q.vec_id
+              |  JOIN cent c ON c.list_no = p.list_no),
+              |qsub AS (SELECT qid, list_no, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM qres, range(0,8) r(m)),
+              |lut AS (SELECT q.qid, q.list_no, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub q JOIN cb ON cb.m = q.m),
+              |colstat AS (SELECT qid, list_no, m, min(pd) AS mn, max(pd) - min(pd) AS span
+              |  FROM lut GROUP BY qid, list_no, m),
+              |scal AS (SELECT qid, list_no, 255.0 / max(span) AS a,
+              |    list_aggregate(list(mn ORDER BY m), 'sum') AS b FROM colstat GROUP BY qid, list_no),
+              |lq AS (SELECT l.qid, l.list_no, l.m, l.j, floor((l.pd - cs.mn) * sc.a + 0.5)::BIGINT AS lq
+              |  FROM lut l JOIN colstat cs ON cs.qid = l.qid AND cs.list_no = l.list_no AND cs.m = l.m
+              |  JOIN scal sc ON sc.qid = l.qid AND sc.list_no = l.list_no),
+              |acc AS (SELECT l.qid, e.id, sum(l.lq)::DOUBLE / any_value(sc.a) + any_value(sc.b) AS dist
+              |  FROM enc e JOIN lq l ON l.list_no = e.list_no AND l.m = e.m AND l.j = e.j
+              |  JOIN scal sc ON sc.qid = l.qid AND sc.list_no = e.list_no
+              |  GROUP BY l.qid, e.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM acc) w
+              |WHERE "rank" <= 10""".stripMargin)),
 
     // §2.11 IVFPQ: residual PQ inside the pruned IVF join. nprobe =
     // nlist here, so the oracle replays coarse assignment (argmin over

@@ -284,6 +284,86 @@ object IvfRq4FastScanIndex {
       df, idCol, vecCol, nlist, niterCoarse, seed)
 }
 
+/** IVFPQFastScan with `by_residual = true` (factory suffix `r`:
+  * `IVF<n>,PQ<M>x4fsr`, index_factory.cpp:328-335; the reference
+  * non-default that trades the shared-LUT scan for residual-encoding
+  * accuracy). Codes are nibble-packed PQ codes of the RESIDUAL
+  * (vector − its list centroid), so the quantized LUT is per
+  * (query, probed list) — still tiny (nq·nprobe·(16·M+16) bytes) and
+  * broadcast with the probe table; the scan arithmetic is the same
+  * integer [[graft.core.Pq4AdcQ]]. Because each list has its own
+  * affine (a, b), candidates are ranked on the DEQUANTIZED
+  * approximate distance qdist/a + b — the reference's per-list
+  * `normalizers` applied before the cross-list heap merge
+  * (IndexIVFFastScan.cpp). */
+class IvfPq4FastScanRIndex(
+    val nlist: Int,
+    val centroids: Array[Array[Float]],
+    val model: PqModel,
+    /** (id, list_no, code) — packed residual codes. */
+    val codes: DataFrame) {
+
+  def search(queries: DataFrame, k: Int, nprobe: Int,
+      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    import graft.functions.vec_sub
+    val centDf = centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "centroid")
+      .select(col("list_no"), col("centroid").cast("array<float>").as("centroid"))
+    // per (query, probed list): float32 residual -> double LUT ->
+    // uint8 quantization, one collected pass builds both the static
+    // pruning set and the broadcast probe table
+    val probesPlan = queries.select(col(queryId), col(queryVec),
+      explode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
+        math.min(nprobe, nlist), "l2sq"))).as("_p"))
+      .select(col(queryId), col(queryVec), col("_p.list_no").as("list_no"))
+      .join(broadcast(centDf), "list_no")
+      .select(col(queryId), col("list_no"),
+        shim.col(Pq4QuantLut(
+          shim.expr(vec_sub(col(queryVec), col("centroid"))),
+          model.codebooks)).as("_ql"))
+    val probeRows = probesPlan.collect()
+    val probed = probeRows.map(r => r.getInt(r.fieldIndex("list_no"))).distinct
+    val probeDf = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+    codes.filter(col("list_no").isin(probed.map(Integer.valueOf).toSeq: _*))
+      .join(broadcast(probeDf), "list_no")
+      .select(col(queryId), col("id"),
+        (shim.col(Pq4AdcQ(shim.expr(col("code")), shim.expr(col("_ql.lutq"))))
+          .cast("double") / col("_ql.a") + col("_ql.b")).as("_dist"))
+      .groupBy(col(queryId))
+      .agg(topk(col("_dist"), col("id"), k, asc = true).as("_tk"))
+      .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+      .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
+        col("_r.id").as("id"), round(col("_r.dist"), 4).as("dist"))
+  }
+}
+
+object IvfPq4FastScanRIndex {
+  /** Bulk-load from a trained residual IVFPQ (the reference's
+    * IndexIVFPQFastScan(const IndexIVFPQ&) constructor,
+    * IndexIVFPQFastScan.cpp): same centroids, same codebooks, the
+    * existing byte-per-code residual codes nibble-packed. Requires
+    * 4-bit codes (ksub = 16). */
+  def fromIvfPq(ivfpq: IvfPqIndex): IvfPq4FastScanRIndex = {
+    require(ivfpq.model.ksub == 16,
+      s"fast-scan needs 4-bit codes (ksub=16), got ksub=${ivfpq.model.ksub}")
+    val codes = ivfpq.codes.select(col("id"), col("list_no"),
+      shim.col(Pq4PackCodes(shim.expr(col("code")))).as("code"))
+      .cache()
+    codes.count()
+    new IvfPq4FastScanRIndex(ivfpq.nlist, ivfpq.centroids, ivfpq.model, codes)
+  }
+
+  /** Train coarse + residual 4-bit PQ from scratch (IVF<n>,PQ<M>x4fsr). */
+  def build(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, m: Int = 8, niterCoarse: Int = 8, niterPq: Int = 6,
+      seed: Long = 1234L): IvfPq4FastScanRIndex =
+    fromIvfPq(IvfPqIndex.build(df, idCol, vecCol, nlist, m, ksub = 16,
+      niterCoarse = niterCoarse, niterPq = niterPq, seed = seed))
+}
+
 object IvfPq4FastScanIndex {
   def build(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, m: Int = 8,

@@ -62,6 +62,7 @@ object IndexFactory {
       case Lsh(nb) => code = Some((nb.toInt + 7) / 8)
       // fast-scan BEFORE plain PQ/RQ: "PQ8x4fs" must not fall to `other`
       case PqFs(m, _) => code = Some((m.toInt + 1) / 2)
+      case PqFsR(m, _) => code = Some((m.toInt + 1) / 2)
       case RqFs(lv, _) => code = Some((lv.toInt + 2 + 1) / 2) // + 2-nibble norm code
       case Pq(m, _) => code = Some(m.toInt)
       case RqTok(lv, nb) => code = Some((lv.toInt * nb.toInt + 7) / 8)
@@ -133,6 +134,9 @@ object IndexFactory {
   // index_factory.cpp fast-scan grammar): bbs is the reference's SIMD
   // register-block size — accepted and ignored (physical layout only)
   private val PqFs = "PQ(\\d+)x4fs(?:_(\\d+))?".r
+  // PQ<M>x4fsr[_<bbs>] (IndexIVFPQFastScan with by_residual = true,
+  // index_factory.cpp:328-335)
+  private val PqFsR = "PQ(\\d+)x4fsr(?:_(\\d+))?".r
   // RQ<L>x4fs[_<bbs>] (IndexAdditiveQuantizerFastScan, ST_norm_rq2x4)
   private val RqFs = "RQ(\\d+)x4fs(?:_(\\d+))?".r
   private val OpqTok = "OPQ(\\d+)".r
@@ -226,6 +230,13 @@ object IndexFactory {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
         math.max(nprobe, 1), qid, qvec).drop("qdist")
+  }
+  /** IVF<n>,PQ<M>x4fsr (IndexIVFPQFastScan, by_residual = true). */
+  private final class IvfPqFsRBuilt(idx: IvfPq4FastScanRIndex, chain: VecTransform)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
+        math.max(nprobe, 1), qid, qvec)
   }
   /** IVF<n>,RQ<L>x4fs (IndexIVFAdditiveQuantizerFastScan, non-residual). */
   private final class IvfRqFsBuilt(idx: IvfRq4FastScanIndex, chain: VecTransform)
@@ -347,6 +358,10 @@ object IndexFactory {
             niter = niter, seed = seed), chain)
         case PqFs(m, _) =>
           new IvfPqFsBuilt(IvfPq4FastScanIndex.build(data, "id", "vec",
+            nlist.toInt, m.toInt, niterCoarse = niter, niterPq = niter,
+            seed = seed), chain)
+        case PqFsR(m, _) =>
+          new IvfPqFsRBuilt(IvfPq4FastScanRIndex.build(data, "id", "vec",
             nlist.toInt, m.toInt, niterCoarse = niter, niterPq = niter,
             seed = seed), chain)
         case RqFs(lv, _) =>

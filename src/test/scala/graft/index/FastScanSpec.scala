@@ -119,4 +119,23 @@ class FastScanSpec extends SparkTestBase {
     val ivfB = IndexFactory.build(b, "id", "vec", "IVF4,PQ8x4fs_64", niter = 3)
     assert(ivfB.search(q, 5, nprobe = 4).count() == 50)
   }
+
+  test("residual fast-scan (x4fsr): bulk-load from IVFPQ, ids match the" +
+    " float-ADC IVFPQ ranking within quantization slack") {
+    val ivfpq = IvfPqIndex.build(b, "id", "vec", nlist = 4, m = 8, ksub = 16,
+      niterCoarse = 3, niterPq = 3)
+    val fsr = IvfPq4FastScanRIndex.fromIvfPq(ivfpq)
+    assert(fsr.codes.select("code").head().getAs[Array[Byte]](0).length == 4)
+    val exact = ivfpq.search(q, 10, nprobe = 4)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = fsr.search(q, 10, nprobe = 4)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same candidates scored through a uint8-quantized LUT: overlap
+    // must be high though ranks near the boundary may swap
+    val overlap = got.intersect(exact).size.toDouble / exact.size
+    assert(overlap >= 0.8, s"fsr/ivfpq top-10 overlap $overlap")
+    val viaFactory = IndexFactory.build(b, "id", "vec", "IVF4,PQ8x4fsr", niter = 3)
+    assert(viaFactory.search(q, 5, nprobe = 4).count() == 50)
+    assert(IndexFactory.codeSize("IVF4,PQ8x4fsr", 64) == 4)
+  }
 }
