@@ -2685,6 +2685,37 @@ object Queries {
              |  count(*)::BIGINT AS n_tokens
              |FROM tk JOIN vocab USING (tok) GROUP BY doc_id""".stripMargin)),
 
+    // unigram-LM scoring at scale: the same pipeline over the 300k-doc
+    // derived corpus — 3.6M token rows through the vocab aggregate and
+    // the token equi-join (the word-count shape the filter has at
+    // 100 TB). The 300k per-doc scores are folded to their 2-dp
+    // histogram so the compared result stays small while every
+    // upstream row is real.
+    ("unigram_logprob_big", (s: SparkSession, dir: String) => {
+      val toks = commentCorpus(s, dir)
+        .select(col("doc_id"), explode(TF.tokenize(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val vocab = counts
+        .crossJoin(broadcast(counts.agg(sum(col("c")).as("T"))))
+        .select(col("tok"), round(-log(col("c") / col("T")), 4).as("nll"))
+      toks.join(vocab, "tok")
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("nll")) / count(lit(1)), 2).as("avg_nll"))
+        .groupBy(col("avg_nll"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+      Some(s"""WITH corpus AS ($commentCorpusSql),
+              |tk AS (SELECT doc_id, tok
+              |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus) t
+              |        WHERE length(tok) > 0),
+              |counts AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+              |tot AS (SELECT sum(c)::DOUBLE AS T FROM counts),
+              |vocab AS (SELECT tok, round(-ln(c / T), 4) AS nll FROM counts, tot),
+              |scored AS (SELECT doc_id, round(sum(nll) / count(*), 2) AS avg_nll
+              |           FROM tk JOIN vocab USING (tok) GROUP BY doc_id)
+              |SELECT avg_nll, count(*)::BIGINT AS n_docs FROM scored GROUP BY avg_nll""".stripMargin)),
+
     // TF-IDF keyword extraction: top-3 terms per document by
     // tf·ln(N/df), ranked on the 2-dp-rounded weight with a lexical
     // tie-break so near-equal weights order identically in both
