@@ -1006,6 +1006,38 @@ object Queries {
         .withColumn("dist", r4("dist")),
       Some(ivfNprobe4Sql)),
 
+    // search_preassigned (faiss/IndexIVF.h:377, the IVFlib big-batch
+    // entry point): kNN over CALLER-PROVIDED (qid, list_no) probe
+    // assignments — the coarse quantizer never runs. The probe rule
+    // here (qid % 16 and (7·qid + 3) % 16) is deliberately NOT the
+    // nearest-centroid set, so a pass proves the engine scanned
+    // exactly the lists it was handed; the oracle replays the same
+    // rule against the sidecar-derived list assignment.
+    ("ivf_search_preassigned", (s: SparkSession, dir: String) => {
+      val q = qDf(s, dir, 10)
+      val probesDf = q
+        .select(col("qid"),
+          explode(array(pmod(col("qid"), lit(16)),
+            pmod(col("qid") * 7 + 3, lit(16)))).as("_l"))
+        .select(col("qid"), col("_l").cast("int").as("list_no"))
+      ivf16(s, dir).searchPreassigned(q, probesDf, k = 10)
+        .withColumn("dist", r4("dist"))
+    },
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivf16_centroids/*.parquet')),
+              |probes AS (SELECT vec_id AS qid, unnest([vec_id % 16, (vec_id*7+3) % 16]) AS list_no
+              |           FROM embeddings WHERE vec_id < 10),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |d AS (SELECT p.qid, a.id,
+              |    list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2 AS dist
+              |  FROM probes p JOIN basg a ON a.list_no = p.list_no
+              |  JOIN embeddings q ON q.vec_id = p.qid JOIN embeddings b ON b.vec_id = a.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 10""".stripMargin)),
+
     // IVF with an HNSW coarse quantizer (the reference's
     // `IVF<n>_HNSW<m>` coarse grammar, index_factory.cpp:241-291):
     // probe selection walks a per-executor HNSW graph over the
@@ -1811,6 +1843,43 @@ object Queries {
               |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w
               |WHERE "rank" <= 10""".stripMargin)),
+
+    // IVFPQ range search (IndexIVFPQ::range_search): every candidate
+    // in the probed lists whose ADC distance over the residual LUT is
+    // under the radius — the filter applies below any aggregation, so
+    // only in-radius rows leave the scan. nprobe = nlist ⇒ the probed
+    // set is the whole base; the oracle replays the full residual
+    // encode + LUT + ADC chain and keeps dist < r.
+    ("ivfpq_range_search", (s: SparkSession, dir: String) =>
+      ivfpq8(s, dir).rangeSearch(qDf(s, dir, 10), radius = 1.3, nprobe = 8)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfpq_centroids/*.parquet')),
+              |cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/ivfpq_codebooks/*.parquet')),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |bres AS (SELECT a.id, a.list_no,
+              |    list_transform(list_zip(b.embedding, c.c), p -> p[1] - p[2]) AS res
+              |  FROM basg a JOIN embeddings b ON b.vec_id = a.id JOIN cent c ON c.list_no = a.list_no),
+              |bsub AS (SELECT id, list_no, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM bres, range(0,8) r(m)),
+              |enc AS (SELECT id, list_no, m, j FROM (
+              |  SELECT b.id, b.list_no, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
+              |qres AS (SELECT q.vec_id AS qid, c.list_no,
+              |    list_transform(list_zip(q.embedding, c.c), p -> p[1] - p[2]) AS res
+              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10),
+              |qsub AS (SELECT qid, list_no, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM qres, range(0,8) r(m)),
+              |lut AS (SELECT q.qid, q.list_no, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub q JOIN cb ON cb.m = q.m),
+              |adc AS (SELECT l.qid, e.id, list_aggregate(list(l.pd ORDER BY l.m), 'sum') AS dist
+              |  FROM enc e JOIN lut l ON l.list_no = e.list_no AND l.m = e.m AND l.j = e.j
+              |  GROUP BY l.qid, e.id)
+              |SELECT qid, id, round(dist, 4) AS dist FROM adc WHERE dist < 1.3""".stripMargin)),
 
     // §2.7 intersect (left_semi) of two id sets
     ("intersect_ids", (s: SparkSession, dir: String) => {

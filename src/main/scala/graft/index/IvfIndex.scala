@@ -140,6 +140,32 @@ class IvfIndex(
     agg
   }
 
+  /** search_preassigned with CALLER-PROVIDED probe assignments
+    * (faiss/IndexIVF.h:377 — the quantizer-already-ran entry point
+    * used by IVFlib's big-batch search and index-merge tooling). The
+    * coarse quantization step is skipped entirely: `probesDf` is a
+    * (queryId, list_no) table naming the lists each query scans.
+    * Identical pruned-join shape to [[search]] — the probed-list union
+    * statically prunes the invlists read, the probe table broadcasts,
+    * one partial-top-k exchange. */
+  def searchPreassigned(queries: DataFrame, probesDf: DataFrame, k: Int,
+      queryId: String = "qid", queryVec: String = "qvec",
+      filter: Option[Column] = None): DataFrame = {
+    val pr = queries.select(col(queryId), col(queryVec))
+      .join(probesDf.select(col(queryId), col("list_no")), queryId)
+    val probed = pr.select("list_no").distinct().collect().map(_.getInt(0))
+    val lists0 = invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
+    val lists = filter.map(lists0.filter).getOrElse(lists0)
+    lists.join(broadcast(pr), "list_no")
+      .select(col(queryId), col("id"),
+        vec_dist(col(queryVec), col("vec"), metric).as("_dist"))
+      .groupBy(col(queryId))
+      .agg(topk(col("_dist"), col("id"), k, Metric.ascending(metric)).as("_tk"))
+      .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+      .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
+        col("_r.id").as("id"), col("_r.dist").as("dist"))
+  }
+
   /** Operating-point sweep (faiss ParameterSpace::explore,
     * AutoTune.cpp:446-521): the per-query top-k at EVERY requested
     * nprobe, from ONE scan at max(nprobes). Each candidate carries the

@@ -248,6 +248,33 @@ class IvfPqIndex(
       .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
         col("_r.id").as("id"), col("_r.dist").as("dist"))
   }
+
+  /** Radius search over the probed lists by ADC distance
+    * (IndexIVFPQ::range_search, faiss/IndexIVFPQ.cpp — the scanner's
+    * range path over the same per-(query, probed-list) residual LUTs
+    * as [[search]]). Returns every (qid, id, dist) with approximate
+    * distance < radius; the filter applies BELOW any aggregation, so
+    * only in-radius rows leave the scan. */
+  def rangeSearch(queries: DataFrame, radius: Double, nprobe: Int,
+      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centDf = centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "centroid")
+      .select(col("list_no"), col("centroid").cast("array<float>").as("centroid"))
+    val probes = queries.select(col(queryId), col(queryVec),
+      explode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
+        math.min(nprobe, nlist), "l2sq"))).as("_p"))
+      .select(col(queryId), col(queryVec), col("_p.list_no").as("list_no"))
+      .join(broadcast(centDf), "list_no")
+      .select(col(queryId), col("list_no"),
+        model.lutCol(vec_sub(col(queryVec), col("centroid"))).as("_lut"))
+    val probed = probes.select("list_no").distinct().collect().map(_.getInt(0))
+    codes.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
+      .join(broadcast(probes), "list_no")
+      .select(col(queryId), col("id"), model.adcCol(col("code"), col("_lut")).as("dist"))
+      .filter(col("dist") < radius)
+  }
 }
 
 /** True IVFPQR (faiss/IndexIVFPQR.h:19): a SECOND product quantizer
