@@ -2957,6 +2957,65 @@ object Queries {
              |  WHERE rn = 1)
              |SELECT doc_id, pos, fp FROM sel""".stripMargin)),
 
+    // cross-document copied-span detection: two docs share a winnow
+    // fingerprint iff they share a character span of length >= 11
+    // (w + k - 1 = 4 + 8 - 1), so counting shared distinct
+    // fingerprints per pair finds copied passages — the
+    // provenance/contamination complement of whole-doc near-dup. The
+    // inverted fingerprint index is an equi-join with a max-df cap on
+    // hot fingerprints (the ngramJaccardPairs skew guard): no
+    // all-pairs work at any scale.
+    ("winnow_shared_spans", (s: SparkSession, dir: String) => {
+      val fps = docsDf(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), explode(shim.col(graft.core.WinnowFingerprints(
+          shim.expr(col("text")), 8, 4))).as("_f"))
+        .select(col("doc_id"), col("_f.fp").as("fp")).distinct()
+      val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= 20)
+      val pruned = fps.join(rare.select("fp"), "fp")
+      pruned.select(col("fp"), col("doc_id").as("i"))
+        .join(pruned.select(col("fp"), col("doc_id").as("j")), "fp")
+        .filter(col("i") < col("j"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+    },
+      Some("""WITH cst AS (SELECT [33554432, 131072, 512, 2, 16777216, 65536, 256, 1]::BIGINT[] AS c),
+             |docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+             |ppos AS (SELECT doc_id, text, unnest(range(1, length(text) - 8 + 2)) AS pos FROM docs),
+             |h AS (SELECT doc_id, pos,
+             |    (list_aggregate(list_transform(range(0, 8),
+             |      j -> ord(substring(text, (pos + j)::INT, 1)) * cst.c[(j + 1)::INT]), 'sum')
+             |      % 2147483647)::BIGINT AS fp
+             |  FROM ppos, cst),
+             |nh AS (SELECT doc_id, unnest(range(1, count(*) - 4 + 2)) AS t
+             |  FROM h GROUP BY doc_id),
+             |sel AS (SELECT DISTINCT doc_id, fp FROM (
+             |    SELECT h.doc_id, nh.t, h.pos, h.fp,
+             |      row_number() OVER (PARTITION BY h.doc_id, nh.t ORDER BY h.fp, h.pos DESC) AS rn
+             |    FROM nh JOIN h ON h.doc_id = nh.doc_id AND h.pos BETWEEN nh.t AND nh.t + 3) x
+             |  WHERE rn = 1),
+             |rare AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 20)
+             |SELECT a.doc_id AS i, b.doc_id AS j, count(*)::BIGINT AS shared
+             |FROM sel a JOIN rare USING (fp) JOIN sel b ON b.fp = a.fp AND a.doc_id < b.doc_id
+             |GROUP BY i, j HAVING count(*) >= 2""".stripMargin)),
+
+    // deterministic content-hash corpus split (train/val): the
+    // split of every production corpus pipeline — stable under
+    // re-sharding and re-ingestion because it keys on content
+    // identity, not row order. Output: per-(lang, split) counts.
+    ("corpus_split", (s: SparkSession, dir: String) =>
+      docsDf(s, dir)
+        .select(col("lang"),
+          when(pmod(TF.fingerprint60(col("doc_id").cast("string")), lit(10)) < 9,
+            "train").otherwise("val").as("split"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs")),
+      Some("""SELECT lang,
+             |  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10 < 9
+             |    THEN 'train' ELSE 'val' END AS split,
+             |  count(*)::BIGINT AS n_docs
+             |FROM documents GROUP BY lang, split""".stripMargin)),
+
     // multimodal: opaque binary column -> batched mapPartitions decode
     // (stub) -> typed features; oracle checks the byte-derived fields
     ("multimodal_features", (s: SparkSession, dir: String) => {
