@@ -146,10 +146,16 @@ class TextKernelsSpec extends SparkTestBase {
 
   test("kernel expressions stay inside whole-stage codegen (no fallback)") {
     withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      import org.apache.spark.sql.graft.shim
+      val bs = TF.minhashBandsAndHashSet(col("text"), 3, 12, 4)
       val out = df.select(
         TF.shingleSet(col("text"), 3).as("s"),
         TF.minhashBands(col("text"), 3, 12, 4).as("m"),
-        TF.minhashBandsAndHashSet(col("text"), 3, 12, 4).as("bs"),
+        bs.as("bs"),
+        shim.col(graft.core.SortedLongIntersectK(
+          shim.expr(bs.getField("sh")), shim.expr(bs.getField("sh")))).as("ix"),
+        shim.col(graft.core.PairTailsK(
+          shim.expr(typedlit(Seq(1L, 2L, 3L))))).as("pt"),
         TF.fingerprint60(col("text")).as("f60"),
         TF.qualityScore(col("text"), TF.EnStopwords).as("q"))
         .collect()
