@@ -1038,6 +1038,48 @@ object Queries {
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
               |WHERE "rank" <= 10""".stripMargin)),
 
+    // range_search_preassigned (contrib/ivf_tools.py:57): radius
+    // search over the same caller-provided probe rule — together with
+    // ivf_search_preassigned this covers the whole preassigned
+    // ivf_tools trio (add/search/range_search).
+    ("ivf_range_preassigned", (s: SparkSession, dir: String) => {
+      val q = qDf(s, dir, 10)
+      val probesDf = q
+        .select(col("qid"),
+          explode(array(pmod(col("qid"), lit(16)),
+            pmod(col("qid") * 7 + 3, lit(16)))).as("_l"))
+        .select(col("qid"), col("_l").cast("int").as("list_no"))
+      ivf16(s, dir).rangeSearchPreassigned(q, probesDf, radius = 1.45)
+        .withColumn("dist", r4("dist"))
+    },
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivf16_centroids/*.parquet')),
+              |probes AS (SELECT vec_id AS qid, unnest([vec_id % 16, (vec_id*7+3) % 16]) AS list_no
+              |           FROM embeddings WHERE vec_id < 10),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1)
+              |SELECT p.qid, a.id,
+              |    round(list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2, 4) AS dist
+              |  FROM probes p JOIN basg a ON a.list_no = p.list_no
+              |  JOIN embeddings q ON q.vec_id = p.qid JOIN embeddings b ON b.vec_id = a.id
+              |  WHERE list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2 < 1.45""".stripMargin)),
+
+    // add_preassigned (contrib/ivf_tools.py:9): append vectors with an
+    // externally computed list assignment (no quantizer run), then
+    // search at nprobe = nlist — the result must be the exact kNN over
+    // the UNION of base and added vectors, which the oracle computes
+    // directly (the added vectors' arbitrary list placement cannot
+    // change an all-lists scan).
+    ("ivf_add_preassigned", (s: SparkSession, dir: String) => {
+      val q = qDf(s, dir, 10)
+      val extra = q.select(col("qid").as("id"), col("qvec").as("vec"),
+        pmod(col("qid"), lit(16)).cast("int").as("list_no"))
+      ivf16(s, dir).addPreassigned(extra).search(q, k = 10, nprobe = 16)
+        .withColumn("dist", r4("dist"))
+    },
+      Some(knnOracle(dL2, "q.vec_id < 10", "true", 10))),
+
     // IVF with an HNSW coarse quantizer (the reference's
     // `IVF<n>_HNSW<m>` coarse grammar, index_factory.cpp:241-291):
     // probe selection walks a per-executor HNSW graph over the

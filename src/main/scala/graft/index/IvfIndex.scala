@@ -221,6 +221,35 @@ class IvfIndex(
   /** merge_from (faiss/Index.h:273-282): same centroids required
     * (check_compatible_for_merge analog = same nlist/d/metric); ids
     * optionally shifted. */
+  /** range_search_preassigned (contrib/ivf_tools.py:57): radius
+    * search over CALLER-PROVIDED (queryId, list_no) probe
+    * assignments — the quantizer never runs; the in-radius filter
+    * applies below any aggregation. Output (qid, id, dist). */
+  def rangeSearchPreassigned(queries: DataFrame, probesDf: DataFrame,
+      radius: Double, queryId: String = "qid",
+      queryVec: String = "qvec"): DataFrame = {
+    val pr = queries.select(col(queryId), col(queryVec))
+      .join(probesDf.select(col(queryId), col("list_no")), queryId)
+    val probed = pr.select("list_no").distinct().collect().map(_.getInt(0))
+    invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
+      .join(broadcast(pr), "list_no")
+      .select(col(queryId), col("id"),
+        vec_dist(col(queryVec), col("vec"), metric).as("dist"))
+      .filter(if (Metric.ascending(metric)) col("dist") < radius
+        else col("dist") > radius)
+  }
+
+  /** add_preassigned (contrib/ivf_tools.py:9): append vectors whose
+    * list assignment was computed externally — no quantizer run. The
+    * assignment IS a `list_no` column here, so this is a bare union;
+    * exposed as the explicit API the reference's big-batch ingest
+    * tooling expects. Immutable rewrite like [[mergeFrom]]. */
+  def addPreassigned(df: DataFrame, idCol: String = "id",
+      vecCol: String = "vec", listCol: String = "list_no"): IvfIndex =
+    new IvfIndex(d, metric, nlist, centroids,
+      invlists.unionByName(df.select(col(idCol).as("id"),
+        col(vecCol).as("vec"), col(listCol).cast("int").as("list_no"))))
+
   def mergeFrom(other: IvfIndex, addId: Long = 0L): IvfIndex = {
     require(other.d == d && other.metric == metric && other.nlist == nlist,
       "incompatible indexes (d/metric/nlist differ)")
