@@ -2806,15 +2806,26 @@ object Queries {
       val toks = commentCorpus(s, dir)
         .select(col("doc_id"), explode(TF.tokenize(col("text"))).as("tok"))
         .filter(length(col("tok")) > 0)
+      // corpus size T = |toks| (== sum of the per-token counts): a
+      // driver-side scalar, so the counts aggregate runs ONCE instead
+      // of once for the vocab and once for the total. The explode
+      // itself is NOT persisted: it is a narrow 12-substring map over
+      // the already-cached corpus, cheaper to recompute per pass than
+      // to write 3.6M rows through the block store.
+      val t = toks.count().toDouble
       val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
       val vocab = counts
-        .crossJoin(broadcast(counts.agg(sum(col("c")).as("T"))))
-        .select(col("tok"), round(-log(col("c") / col("T")), 4).as("nll"))
-      toks.join(vocab, "tok")
+        .select(col("tok"), round(-log(col("c") / t), 4).as("nll"))
+      // shuffle-hash, not sort-merge: at any scale the join should
+      // hash the vocab side per partition rather than SORT millions of
+      // token strings on both sides (broadcast is wrong here — the
+      // vocabulary grows with the corpus)
+      val out = toks.join(vocab.hint("shuffle_hash"), "tok")
         .groupBy(col("doc_id"))
         .agg(round(sum(col("nll")) / count(lit(1)), 2).as("avg_nll"))
         .groupBy(col("avg_nll"))
         .agg(count(lit(1)).as("n_docs"))
+      out
     },
       Some(s"""WITH corpus AS ($commentCorpusSql),
               |tk AS (SELECT doc_id, tok
