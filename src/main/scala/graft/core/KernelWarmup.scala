@@ -33,7 +33,6 @@ object KernelWarmup {
 
   def run(): Unit = synchronized {
     if (ran) return
-    ran = true
     val rnd = new java.util.Random(42)
     val d = 8
     val fa = Array.fill(d)(rnd.nextFloat())
@@ -116,5 +115,9 @@ object KernelWarmup {
     }
 
     sink = s
+    // only a COMPLETED warmup disables re-runs: a throw mid-way must
+    // leave the next call free to retry, not silently run the whole
+    // session on cold kernels
+    ran = true
   }
 }

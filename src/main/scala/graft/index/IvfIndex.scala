@@ -150,20 +150,29 @@ class IvfIndex(
     * one partial-top-k exchange. */
   def searchPreassigned(queries: DataFrame, probesDf: DataFrame, k: Int,
       queryId: String = "qid", queryVec: String = "qvec",
-      filter: Option[Column] = None): DataFrame = {
-    val pr = queries.select(col(queryId), col(queryVec))
-      .join(probesDf.select(col(queryId), col("list_no")), queryId)
-    val probed = pr.select("list_no").distinct().collect().map(_.getInt(0))
-    val lists0 = invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
-    val lists = filter.map(lists0.filter).getOrElse(lists0)
-    lists.join(broadcast(pr), "list_no")
-      .select(col(queryId), col("id"),
-        vec_dist(col(queryVec), col("vec"), metric).as("_dist"))
+      filter: Option[Column] = None): DataFrame =
+    preassignedCandidates(queries, probesDf, queryId, queryVec, filter)
       .groupBy(col(queryId))
       .agg(topk(col("_dist"), col("id"), k, Metric.ascending(metric)).as("_tk"))
       .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
       .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
         col("_r.id").as("id"), col("_r.dist").as("dist"))
+
+  /** Shared scan head of the preassigned entry points: statically
+    * prune the invlists to the probed set (derived from probesDf
+    * ALONE — enumerating it must not execute the queries side), then
+    * the broadcast equi-join + distance. */
+  private def preassignedCandidates(queries: DataFrame, probesDf: DataFrame,
+      queryId: String, queryVec: String, filter: Option[Column]): DataFrame = {
+    val probed = probesDf.select(col("list_no").cast("int"))
+      .distinct().collect().map(_.getInt(0))
+    val pr = queries.select(col(queryId), col(queryVec))
+      .join(probesDf.select(col(queryId), col("list_no")), queryId)
+    val lists0 = invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
+    val lists = filter.map(lists0.filter).getOrElse(lists0)
+    lists.join(broadcast(pr), "list_no")
+      .select(col(queryId), col("id"),
+        vec_dist(col(queryVec), col("vec"), metric).as("_dist"))
   }
 
   /** Operating-point sweep (faiss ParameterSpace::explore,
@@ -218,26 +227,17 @@ class IvfIndex(
     * faiss/IVFlib.h:62) — list_no is just a column here. */
   def listAssignments: DataFrame = invlists.select(col("id"), col("list_no"))
 
-  /** merge_from (faiss/Index.h:273-282): same centroids required
-    * (check_compatible_for_merge analog = same nlist/d/metric); ids
-    * optionally shifted. */
   /** range_search_preassigned (contrib/ivf_tools.py:57): radius
     * search over CALLER-PROVIDED (queryId, list_no) probe
     * assignments — the quantizer never runs; the in-radius filter
     * applies below any aggregation. Output (qid, id, dist). */
   def rangeSearchPreassigned(queries: DataFrame, probesDf: DataFrame,
       radius: Double, queryId: String = "qid",
-      queryVec: String = "qvec"): DataFrame = {
-    val pr = queries.select(col(queryId), col(queryVec))
-      .join(probesDf.select(col(queryId), col("list_no")), queryId)
-    val probed = pr.select("list_no").distinct().collect().map(_.getInt(0))
-    invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
-      .join(broadcast(pr), "list_no")
-      .select(col(queryId), col("id"),
-        vec_dist(col(queryVec), col("vec"), metric).as("dist"))
-      .filter(if (Metric.ascending(metric)) col("dist") < radius
-        else col("dist") > radius)
-  }
+      queryVec: String = "qvec"): DataFrame =
+    preassignedCandidates(queries, probesDf, queryId, queryVec, None)
+      .filter(if (Metric.ascending(metric)) col("_dist") < radius
+        else col("_dist") > radius)
+      .select(col(queryId), col("id"), col("_dist").as("dist"))
 
   /** add_preassigned (contrib/ivf_tools.py:9): append vectors whose
     * list assignment was computed externally — no quantizer run. The
@@ -248,8 +248,21 @@ class IvfIndex(
       vecCol: String = "vec", listCol: String = "list_no"): IvfIndex =
     new IvfIndex(d, metric, nlist, centroids,
       invlists.unionByName(df.select(col(idCol).as("id"),
-        col(vecCol).as("vec"), col(listCol).cast("int").as("list_no"))))
+        col(vecCol).as("vec"),
+        // fail fast on an out-of-range assignment (add_core's list-id
+        // assert): a vector stored in a list no probe set can reach
+        // would be silent recall loss. Plan-embedded assertion — no
+        // extra validation job, one comparison per ingested row.
+        when(col(listCol) >= 0 && col(listCol) < nlist,
+          col(listCol).cast("int"))
+          .otherwise(raise_error(concat(
+            lit(s"add_preassigned: list_no out of [0, $nlist): "),
+            col(listCol).cast("string"))))
+          .as("list_no"))))
 
+  /** merge_from (faiss/Index.h:273-282): same centroids required
+    * (check_compatible_for_merge analog = same nlist/d/metric); ids
+    * optionally shifted. */
   def mergeFrom(other: IvfIndex, addId: Long = 0L): IvfIndex = {
     require(other.d == d && other.metric == metric && other.nlist == nlist,
       "incompatible indexes (d/metric/nlist differ)")

@@ -225,28 +225,41 @@ class IvfPqIndex(
     val codes: DataFrame) {
 
   def search(queries: DataFrame, k: Int, nprobe: Int,
-      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+      queryId: String = "qid", queryVec: String = "qvec"): DataFrame =
+    adcCandidates(queries, nprobe, queryId, queryVec)
+      .groupBy(col(queryId))
+      .agg(topk(col("_dist"), col("id"), k, asc = true).as("_tk"))
+      .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+      .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
+        col("_r.id").as("id"), col("_r.dist").as("dist"))
+
+  /** Shared ADC scan head of [[search]] / [[rangeSearch]]: the
+    * per-(query, probed-list) residual LUT plan is executed ONCE
+    * (collected rows build both the static pruning set and the
+    * broadcast probe table — the fast-scan single-execution idiom),
+    * then the pruned codes join scores every candidate. */
+  private def adcCandidates(queries: DataFrame, nprobe: Int,
+      queryId: String, queryVec: String): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val centDf = centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "centroid")
       .select(col("list_no"), col("centroid").cast("array<float>").as("centroid"))
-    val probes = queries.select(col(queryId), col(queryVec),
+    val probesPlan = queries.select(col(queryId), col(queryVec),
       explode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
         math.min(nprobe, nlist), "l2sq"))).as("_p"))
       .select(col(queryId), col(queryVec), col("_p.list_no").as("list_no"))
       .join(broadcast(centDf), "list_no")
       .select(col(queryId), col("list_no"),
         model.lutCol(vec_sub(col(queryVec), col("centroid"))).as("_lut"))
-    val probed = probes.select("list_no").distinct().collect().map(_.getInt(0))
-    codes.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
-      .join(broadcast(probes), "list_no")
-      .select(col(queryId), col("id"), model.adcCol(col("code"), col("_lut")).as("_dist"))
-      .groupBy(col(queryId))
-      .agg(topk(col("_dist"), col("id"), k, asc = true).as("_tk"))
-      .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
-      .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
-        col("_r.id").as("id"), col("_r.dist").as("dist"))
+    val probeRows = probesPlan.collect()
+    val probed = probeRows.map(r => r.getInt(r.fieldIndex("list_no"))).distinct
+    val probeDf = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+    codes.filter(col("list_no").isin(probed.map(Integer.valueOf).toSeq: _*))
+      .join(broadcast(probeDf), "list_no")
+      .select(col(queryId), col("id"),
+        model.adcCol(col("code"), col("_lut")).as("_dist"))
   }
 
   /** Radius search over the probed lists by ADC distance
@@ -256,25 +269,10 @@ class IvfPqIndex(
     * distance < radius; the filter applies BELOW any aggregation, so
     * only in-radius rows leave the scan. */
   def rangeSearch(queries: DataFrame, radius: Double, nprobe: Int,
-      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
-    val spark = queries.sparkSession
-    import spark.implicits._
-    val centDf = centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "centroid")
-      .select(col("list_no"), col("centroid").cast("array<float>").as("centroid"))
-    val probes = queries.select(col(queryId), col(queryVec),
-      explode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
-        math.min(nprobe, nlist), "l2sq"))).as("_p"))
-      .select(col(queryId), col(queryVec), col("_p.list_no").as("list_no"))
-      .join(broadcast(centDf), "list_no")
-      .select(col(queryId), col("list_no"),
-        model.lutCol(vec_sub(col(queryVec), col("centroid"))).as("_lut"))
-    val probed = probes.select("list_no").distinct().collect().map(_.getInt(0))
-    codes.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
-      .join(broadcast(probes), "list_no")
-      .select(col(queryId), col("id"), model.adcCol(col("code"), col("_lut")).as("dist"))
-      .filter(col("dist") < radius)
-  }
+      queryId: String = "qid", queryVec: String = "qvec"): DataFrame =
+    adcCandidates(queries, nprobe, queryId, queryVec)
+      .filter(col("_dist") < radius)
+      .select(col(queryId), col("id"), col("_dist").as("dist"))
 }
 
 /** True IVFPQR (faiss/IndexIVFPQR.h:19): a SECOND product quantizer

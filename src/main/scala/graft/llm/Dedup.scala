@@ -53,8 +53,17 @@ object Dedup {
       case _: Aggregate | _: Join | _: RepartitionOperation | _: Window |
           _: Distinct | _: Deduplicate | _: GlobalLimit | _: Sort => ()
     }.isDefined
-    if (shuffled) df
-    else df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    if (shuffled) df // runs at spark.sql.shuffle.partitions — cluster-sized
+    else {
+      // shuffle-free lineage: no exchanges means AQE has no query
+      // stages to materialize, so .rdd here is a pure plan conversion
+      // (file scans know their split count statically) — the job-free
+      // case of the partition-count check. An input already wider than
+      // the target (the many-split 100 TB case) passes through; only a
+      // genuinely narrow scan pays the widening shuffle.
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    }
   }
 
   /** Exact duplicate groups on `key`: one representative (min id) per
