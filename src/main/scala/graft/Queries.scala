@@ -3092,6 +3092,28 @@ object Queries {
              |  count(*) AS cnt, round(sum(value), 2) AS sv
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // §2.10 session-window streaming aggregation (session_window —
+    // sessionization): per-user inactivity-gap sessions with exact-µs
+    // session starts; the oracle replays the island detection with a
+    // lag() break column and a running sum (break iff the inter-event
+    // gap is >= the session gap, matching session_window's
+    // strictly-inside merge rule).
+    ("stream_session_window", (s: SparkSession, dir: String) =>
+      graft.streaming.StreamingIngest.sessionizedEventCounts(
+        s, s"$dir/events.parquet", gap = "12 hours", maxUser = 40),
+      Some("""WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 40),
+             |wm AS (SELECT max(ts) AS m FROM e),
+             |b AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL
+             |        OR ts - lag(ts) OVER w >= INTERVAL 12 HOUR THEN 1 ELSE 0 END AS brk
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (SELECT user_id, ts, value,
+             |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM b)
+             |SELECT user_id, epoch_us(min(ts))::BIGINT AS session_start,
+             |  count(*)::BIGINT AS n_events, round(sum(value), 2) AS sv
+             |FROM s, wm GROUP BY user_id, sid, wm.m
+             |HAVING max(ts) + INTERVAL 12 HOUR <= wm.m""".stripMargin)),
+
     // §2.10 SlidingIndexWindow retention (IVFlib SlidingIndexWindow
     // ::step, faiss/IVFlib.h:61): keep only the newest `keep`
     // time-partitions of the ingested data. The query derives hourly

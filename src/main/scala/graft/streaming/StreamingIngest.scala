@@ -125,6 +125,42 @@ object StreamingIngest {
     } finally unstage(staged)
   }
 
+  /** Session-window streaming aggregation (Structured Streaming
+    * `session_window` — the event-sessionization primitive of every
+    * activity pipeline): a user's events group into sessions
+    * separated by >= `gap` of inactivity (an event extends the
+    * session iff it lands strictly inside previous-event-ts + gap,
+    * so a gap-exactly-apart event starts a NEW session). Per session:
+    * first-event timestamp (exact µs), event count, value sum.
+    * Session windows only support APPEND output: a session is emitted
+    * once the event-time watermark passes its end (last event + gap) —
+    * the honest streaming semantics, where still-open sessions flush
+    * on later data. The batch equivalent is therefore "sessions
+    * closed before the corpus watermark", which the oracle replays
+    * with the same last-event + gap <= max(ts) cutoff. */
+  def sessionizedEventCounts(spark: SparkSession, eventsParquet: String,
+      gap: String = "12 hours", maxUser: Long = Long.MaxValue): DataFrame = {
+    val (srcDir, staged) = stage(eventsParquet)
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(eventsParquet).schema
+      val stream = normTs(spark.readStream.schema(schema).parquet(srcDir))
+        .filter(col("user_id") < maxUser)
+        .withWatermark("ts", "0 seconds")
+      val agg = stream
+        .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sv"))
+      val name = s"graft_sessions_${System.identityHashCode(stream)}"
+      val q = agg.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start"),
+          col("n_events"), col("sv"))
+    } finally unstage(staged)
+  }
+
   /** Custom per-key streaming state via flatMapGroupsWithState (the
     * KeyValueGroupedDataset custom-state surface — arbitrary state
     * machines the built-in aggs can't express; at scale the state
