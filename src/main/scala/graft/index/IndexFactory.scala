@@ -51,7 +51,7 @@ object IndexFactory {
       case Pca(_, t) => dim = t.toInt
       case Rr(t) => dim = t.toInt
       case OpqTok(_) => ()
-      case "L2norm" | "Center" | "RFlat" => ()
+      case "L2norm" | "Center" | "RFlat" | "IDMap" | "IDMap2" => ()
       case Ivf(_) | IvfHnsw(_, _) | Imi(_) | Res(_) => ()
       case "Flat" => code = Some(4 * dim)
       case "SQ8" => code = Some(dim)
@@ -304,7 +304,13 @@ object IndexFactory {
     * searchable index. */
   def build(df: DataFrame, idCol: String, vecCol: String, desc: String,
       niter: Int = 4, seed: Long = 1234L): Built = {
-    val tokens = desc.split(",").map(_.trim).filter(_.nonEmpty).toList
+    // IDMap / IDMap2 prefixes (index_factory.cpp:742,750) are no-ops
+    // here: every index stores arbitrary 64-bit ids natively (SURVEY
+    // §2 row 46 — id-as-column), and reconstruction-by-id (IDMap2's
+    // reason to exist) is a plain join. Accepted for factory-string
+    // compatibility, stripped before parsing.
+    val tokens = desc.split(",").map(_.trim).filter(_.nonEmpty)
+      .filterNot(t => t == "IDMap" || t == "IDMap2").toList
     require(tokens.nonEmpty, s"empty factory string '$desc'")
 
     var data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))

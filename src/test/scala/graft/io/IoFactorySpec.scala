@@ -145,6 +145,10 @@ class IoFactorySpec extends SparkTestBase {
     assert(IndexFactory.codeSize("IVF16,PQ8x4fs_64", 64) == 4)
     assert(IndexFactory.codeSize("RQ2x4fs", 64) == 2)
     assert(IndexFactory.codeSize("PCA32,IVF16,Flat", 64) == 128)
+    // IDMap / IDMap2 prefixes are accepted no-ops (ids are native)
+    assert(IndexFactory.codeSize("IDMap,IVF16,Flat", 64) == 256)
+    assert(IndexFactory.build(b, "id", "vec", "IDMap2,IVF4,Flat")
+      .search(q, 5, nprobe = 4).count() == q.count() * 5)
     val f = IndexFactory.build(b, "id", "vec", "IVF8,Flat")
     assert(f.description == "IVF8,Flat")
   }
