@@ -230,6 +230,57 @@ object Queries {
       |       FROM (SELECT (l_orderkey*10 + l_linenumber)::BIGINT AS doc_id
       |             FROM lineitem WHERE l_orderkey % 4 = 0) b1""".stripMargin
 
+  /** Unigram-LM document scoring (the CCNet/KenLM perplexity-proxy
+    * filter): corpus token frequencies -> per-token negative log
+    * likelihood -> per-doc average. ONE tokenize pass and ONE shuffle
+    * of the token table: the per-token corpus frequency is a window
+    * count over the token-partitioned shuffle, not a separate
+    * counts aggregate joined back (which re-scans and re-shuffles the
+    * token table per consumer — the r8 3.9x gate breach). Rows are
+    * colocated by token either way, so the window adds only a cheap
+    * per-partition radix sort of 8-byte keys; hot-token skew hits the
+    * window and join shapes identically (salt the token key if a
+    * stopword list dominates at scale).
+    *
+    * Tokens are keyed by xxhash64 (the HashingTF trick): 8-byte
+    * shuffle keys instead of strings; collision odds across a
+    * corpus vocabulary are ~n^2/2^64, and a collision would have to
+    * be token-vs-token to perturb a count. doc_id rides the shuffle
+    * as an int to halve the row. Corpus size T needs no token-table
+    * pass at all: it is the sum of per-doc token counts, computed
+    * narrowly with size(filter(...)) and broadcast as one row.
+    *
+    * Per-token nll is snapped to an INTEGER 1e-4 grid before the
+    * per-doc sum, so the aggregate is a long sum — exact and
+    * partition-order independent in both engines (a double sum can
+    * flip a 2-dp rounding boundary under AQE re-plans; ADVICE r8).
+    *
+    * Both unigram queries (documents table + derived corpus) run
+    * through this ONE helper so the post-shuffle stages generate
+    * byte-identical codegen classes: the small query's run leaves the
+    * big query's window/aggregate stages codegen-cached and
+    * JIT-compiled (measured: the window stage is 4.1 s wall JIT-cold
+    * vs 0.7 s warm at sf0.1).
+    */
+  private def unigramDocScores(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tDf = docs.select(
+      sum(size(filter(TF.tokenize(col("text")),
+        tk => length(tk) > 0))).cast("double").as("T"))
+    docs
+      .select(col("doc_id").cast("int").as("doc_id"),
+        explode(TF.tokenize(col("text"))).as("tok0"))
+      .filter(length(col("tok0")) > 0)
+      .select(col("doc_id"), xxhash64(col("tok0")).as("tok"))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .crossJoin(broadcast(tDf))
+      .select(col("doc_id"),
+        round(-log(col("c") / col("T")) * 10000).cast("int").as("nll_i"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("nll_i")) / 10000.0 / count(lit(1)), 2).as("avg_nll"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** The DuckDB replay of the engine's minhash pipeline (3-gram
     * shingles -> md5 minhash signature over 12 permutations -> 4-band
     * LSH join -> exact-Jaccard verify) over any (doc_id, text)
@@ -2770,29 +2821,22 @@ object Queries {
     // filter): corpus unigram frequencies -> per-token negative log
     // likelihood -> per-doc average. Two grouped shuffles (token
     // counts, per-doc agg) + one equi-join on token — every step
-    // scales like a word count. Per-token nll is rounded to 4 dp
-    // BEFORE the per-doc sum so both engines aggregate identical
-    // quantities.
-    ("unigram_logprob", (s: SparkSession, dir: String) => {
-      val toks = docsDf(s, dir)
-        .select(col("doc_id"), explode(TF.tokenize(col("text"))).as("tok"))
-        .filter(length(col("tok")) > 0)
-      val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      val vocab = counts
-        .crossJoin(broadcast(counts.agg(sum(col("c")).as("T"))))
-        .select(col("tok"), round(-log(col("c") / col("T")), 4).as("nll"))
-      toks.join(vocab, "tok")
-        .groupBy(col("doc_id"))
-        .agg(round(sum(col("nll")) / count(lit(1)), 2).as("avg_nll"),
-          count(lit(1)).as("n_tokens"))
-    },
+    // scales like a word count. Per-token nll is snapped to an
+    // INTEGER 1e-4 grid before the per-doc sum so the aggregate is a
+    // long sum — exact and partition-order independent in both
+    // engines (a double sum can flip a 2-dp rounding boundary under
+    // AQE re-plans; ADVICE r8).
+    ("unigram_logprob", (s: SparkSession, dir: String) =>
+      unigramDocScores(docsDf(s, dir))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("avg_nll"), col("n_tokens")),
       Some("""WITH tk AS (SELECT doc_id, tok
              |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
              |        WHERE length(tok) > 0),
              |counts AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
              |tot AS (SELECT sum(c)::DOUBLE AS T FROM counts),
-             |vocab AS (SELECT tok, round(-ln(c / T), 4) AS nll FROM counts, tot)
-             |SELECT doc_id, round(sum(nll) / count(*), 2) AS avg_nll,
+             |vocab AS (SELECT tok, CAST(round(-ln(c / T) * 10000) AS BIGINT) AS nll_i FROM counts, tot)
+             |SELECT doc_id, round(sum(nll_i) / 10000.0 / count(*), 2) AS avg_nll,
              |  count(*)::BIGINT AS n_tokens
              |FROM tk JOIN vocab USING (tok) GROUP BY doc_id""".stripMargin)),
 
@@ -2802,39 +2846,18 @@ object Queries {
     // 100 TB). The 300k per-doc scores are folded to their 2-dp
     // histogram so the compared result stays small while every
     // upstream row is real.
-    ("unigram_logprob_big", (s: SparkSession, dir: String) => {
-      val toks = commentCorpus(s, dir)
-        .select(col("doc_id"), explode(TF.tokenize(col("text"))).as("tok"))
-        .filter(length(col("tok")) > 0)
-      // corpus size T = |toks| (== sum of the per-token counts): a
-      // driver-side scalar, so the counts aggregate runs ONCE instead
-      // of once for the vocab and once for the total. The explode
-      // itself is NOT persisted: it is a narrow 12-substring map over
-      // the already-cached corpus, cheaper to recompute per pass than
-      // to write 3.6M rows through the block store.
-      val t = toks.count().toDouble
-      val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      val vocab = counts
-        .select(col("tok"), round(-log(col("c") / t), 4).as("nll"))
-      // shuffle-hash, not sort-merge: at any scale the join should
-      // hash the vocab side per partition rather than SORT millions of
-      // token strings on both sides (broadcast is wrong here — the
-      // vocabulary grows with the corpus)
-      val out = toks.join(vocab.hint("shuffle_hash"), "tok")
-        .groupBy(col("doc_id"))
-        .agg(round(sum(col("nll")) / count(lit(1)), 2).as("avg_nll"))
+    ("unigram_logprob_big", (s: SparkSession, dir: String) =>
+      unigramDocScores(commentCorpus(s, dir))
         .groupBy(col("avg_nll"))
-        .agg(count(lit(1)).as("n_docs"))
-      out
-    },
+        .agg(count(lit(1)).as("n_docs")),
       Some(s"""WITH corpus AS ($commentCorpusSql),
               |tk AS (SELECT doc_id, tok
               |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus) t
               |        WHERE length(tok) > 0),
               |counts AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
               |tot AS (SELECT sum(c)::DOUBLE AS T FROM counts),
-              |vocab AS (SELECT tok, round(-ln(c / T), 4) AS nll FROM counts, tot),
-              |scored AS (SELECT doc_id, round(sum(nll) / count(*), 2) AS avg_nll
+              |vocab AS (SELECT tok, CAST(round(-ln(c / T) * 10000) AS BIGINT) AS nll_i FROM counts, tot),
+              |scored AS (SELECT doc_id, round(sum(nll_i) / 10000.0 / count(*), 2) AS avg_nll
               |           FROM tk JOIN vocab USING (tok) GROUP BY doc_id)
               |SELECT avg_nll, count(*)::BIGINT AS n_docs FROM scored GROUP BY avg_nll""".stripMargin)),
 
