@@ -2246,8 +2246,10 @@ object Queries {
     // the exact pattern that greens zn_lattice_roundtrip — but the
     // compared columns are INTEGER-quantized (round(x*1e4) as BIGINT)
     // rather than 4-dp doubles: Spark's round (BigDecimal→nearest
-    // double) and DuckDB's (round(x*1e4)/1e4 — std::round,
-    // half-away-from-zero; ADVICE r07) can disagree by 1 ulp on the
+    // double) and DuckDB's (decimal-corrected double rounding,
+    // half-away-from-zero at the requested digit — verified
+    // round(2.675::DOUBLE,2)=2.68, so NOT a naive std::round(x*1e2);
+    // ADVICE r07/r08) can disagree by 1 ulp on the
     // REPRESENTATION of the same 4-dp decimal, which
     // passes a 6-dp-tolerant compare but flips an exact value hash
     // (the r04-r06 red). round-to-integer of bit-identical doubles is

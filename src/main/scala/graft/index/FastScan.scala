@@ -86,21 +86,17 @@ class IvfPq4FastScanIndex(
   def search(queries: DataFrame, k: Int, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
     // LUT computed ONCE per query (pre-explode), replicated over the
-    // probe rows by the generator; collect once and build both the
-    // static pruning set and the broadcast table from the same rows
-    // (the IvfRq single-execution idiom)
+    // probe rows by the generator; only distinct list ids cross the
+    // driver (static pruning), the LUT-bearing probe rows stay
+    // cluster-side inside the broadcast (Probes.probedListIds).
     val probesPlan = queries.select(col(queryId),
       shim.col(Pq4QuantLut(shim.expr(col(queryVec)), model.codebooks)).as("_ql"),
       explode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
         math.min(nprobe, nlist), "l2sq"))).as("_p"))
       .select(col(queryId), col("_ql"), col("_p.list_no").as("list_no"))
-    val probeRows = probesPlan.collect()
-    val probed = probeRows.map(r => r.getInt(r.fieldIndex("list_no"))).distinct
-    val spark = queries.sparkSession
-    val probeDf = spark.createDataFrame(
-      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+    val probed = Probes.probedListIds(probesPlan)
     codes.filter(col("list_no").isin(probed.map(Integer.valueOf).toSeq: _*))
-      .join(broadcast(probeDf), "list_no")
+      .join(broadcast(probesPlan), "list_no")
       .select(col(queryId),
         shim.col(Pq4AdcQ(shim.expr(col("code")), shim.expr(col("_ql.lutq"))))
           .cast("double").as("_d"),
@@ -236,13 +232,9 @@ class IvfRq4FastScanIndex(
       explode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
         math.min(nprobe, nlist), "l2sq"))).as("_p"))
       .select(col(queryId), col("_ql"), col("_qn"), col("_p.list_no").as("list_no"))
-    val probeRows = probesPlan.collect()
-    val probed = probeRows.map(r => r.getInt(r.fieldIndex("list_no"))).distinct
-    val spark = queries.sparkSession
-    val probeDf = spark.createDataFrame(
-      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+    val probed = Probes.probedListIds(probesPlan)
     codes.filter(col("list_no").isin(probed.map(Integer.valueOf).toSeq: _*))
-      .join(broadcast(probeDf), "list_no")
+      .join(broadcast(probesPlan), "list_no")
       .select(col(queryId),
         shim.col(Pq4AdcQ(shim.expr(col("code")), shim.expr(col("_ql.lutq"))))
           .cast("double").as("_d"),
@@ -303,6 +295,11 @@ class IvfPq4FastScanRIndex(
     /** (id, list_no, code) — packed residual codes. */
     val codes: DataFrame) {
 
+  /** Release the cached packed-codes table. fromIvfPq caches it
+    * (add-time work); an index discarded without close() pins that
+    * storage until session end (ADVICE r8). */
+  def close(): Unit = codes.unpersist(blocking = false)
+
   def search(queries: DataFrame, k: Int, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
     val spark = queries.sparkSession
@@ -312,8 +309,9 @@ class IvfPq4FastScanRIndex(
       .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "centroid")
       .select(col("list_no"), col("centroid").cast("array<float>").as("centroid"))
     // per (query, probed list): float32 residual -> double LUT ->
-    // uint8 quantization, one collected pass builds both the static
-    // pruning set and the broadcast probe table
+    // uint8 quantization; only distinct list ids cross the driver
+    // (static pruning), the per-probe LUTs stay cluster-side inside
+    // the broadcast (Probes.probedListIds).
     val probesPlan = queries.select(col(queryId), col(queryVec),
       explode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
         math.min(nprobe, nlist), "l2sq"))).as("_p"))
@@ -323,12 +321,9 @@ class IvfPq4FastScanRIndex(
         shim.col(Pq4QuantLut(
           shim.expr(vec_sub(col(queryVec), col("centroid"))),
           model.codebooks)).as("_ql"))
-    val probeRows = probesPlan.collect()
-    val probed = probeRows.map(r => r.getInt(r.fieldIndex("list_no"))).distinct
-    val probeDf = spark.createDataFrame(
-      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+    val probed = Probes.probedListIds(probesPlan)
     codes.filter(col("list_no").isin(probed.map(Integer.valueOf).toSeq: _*))
-      .join(broadcast(probeDf), "list_no")
+      .join(broadcast(probesPlan), "list_no")
       .select(col(queryId), col("id"),
         (shim.col(Pq4AdcQ(shim.expr(col("code")), shim.expr(col("_ql.lutq"))))
           .cast("double") / col("_ql.a") + col("_ql.b")).as("_dist"))

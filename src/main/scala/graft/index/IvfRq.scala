@@ -37,18 +37,14 @@ class IvfRqIndex(
       explode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
         math.min(nprobe, nlist), "l2sq"))).as("_p"))
       .select(col(queryId), col(queryVec), col("_p.list_no").as("list_no"))
-    // collect ONCE (≤ queries × nprobe rows — the same driver-
-    // collectable contract as the broadcast-NLJ query side) and build
-    // BOTH the static pruning set and the broadcast table from the
-    // collected rows, instead of executing the coarse-assign subplan
-    // twice (driver distinct + broadcast join).
-    val probeRows = probesPlan.collect()
-    val probed = probeRows.map(r => r.getInt(r.fieldIndex("list_no"))).distinct
-    val probes = s.createDataFrame(
-      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+    // only the distinct probed list ids cross the driver (static
+    // pruning of the codes scan); the probe rows themselves — query
+    // vectors replicated per probe — stay cluster-side inside the
+    // broadcast (Probes.probedListIds, VERDICT r8).
+    val probed = Probes.probedListIds(probesPlan)
     codes.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
       .join(broadcast(centDf), "list_no")
-      .join(broadcast(probes), "list_no")
+      .join(broadcast(probesPlan), "list_no")
       .select(col(queryId), col("id"),
         l2sq(col(queryVec),
           vec_add(col("_cent"), model.decodeCol(col("code")))).as("_dist"))

@@ -233,11 +233,11 @@ class IvfPqIndex(
       .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
         col("_r.id").as("id"), col("_r.dist").as("dist"))
 
-  /** Shared ADC scan head of [[search]] / [[rangeSearch]]: the
-    * per-(query, probed-list) residual LUT plan is executed ONCE
-    * (collected rows build both the static pruning set and the
-    * broadcast probe table — the fast-scan single-execution idiom),
-    * then the pruned codes join scores every candidate. */
+  /** Shared ADC scan head of [[search]] / [[rangeSearch]]: only the
+    * distinct probed list ids cross the driver (static pruning of the
+    * codes scan); the per-(query, probed-list) residual LUT rows stay
+    * cluster-side inside the broadcast (Probes.probedListIds), then
+    * the pruned codes join scores every candidate. */
   private def adcCandidates(queries: DataFrame, nprobe: Int,
       queryId: String, queryVec: String): DataFrame = {
     val spark = queries.sparkSession
@@ -252,12 +252,9 @@ class IvfPqIndex(
       .join(broadcast(centDf), "list_no")
       .select(col(queryId), col("list_no"),
         model.lutCol(vec_sub(col(queryVec), col("centroid"))).as("_lut"))
-    val probeRows = probesPlan.collect()
-    val probed = probeRows.map(r => r.getInt(r.fieldIndex("list_no"))).distinct
-    val probeDf = spark.createDataFrame(
-      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+    val probed = Probes.probedListIds(probesPlan)
     codes.filter(col("list_no").isin(probed.map(Integer.valueOf).toSeq: _*))
-      .join(broadcast(probeDf), "list_no")
+      .join(broadcast(probesPlan), "list_no")
       .select(col(queryId), col("id"),
         model.adcCol(col("code"), col("_lut")).as("_dist"))
   }

@@ -63,6 +63,23 @@ object StreamingIngest {
           catch { case _: java.io.IOException => () })
     }
 
+  /** Scoped `spark.sql.legacy.parquet.nanosAsLong=true` (needed to
+    * READ a TIMESTAMP(NANOS) parquet schema at all): restores the
+    * previous value after the streaming drain instead of mutating the
+    * session for good (ADVICE r8 — the sibling helpers leaked it).
+    * Safe to scope this tightly: every helper drains its query
+    * synchronously inside `f`, and the returned memory-sink table no
+    * longer touches parquet. */
+  private def withNanosAsLong[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** The testdata's `ts` column has shipped both as TIMESTAMP(NANOS)
     * (which Spark only reads as a nanosecond long) and as a native µs
     * timestamp (read as TIMESTAMP_NTZ); normalize either to a session
@@ -84,9 +101,8 @@ object StreamingIngest {
   def windowedEventCounts(spark: SparkSession, eventsParquet: String,
       windowLength: String = "1 hour"): DataFrame = {
     val (srcDir, staged) = stage(eventsParquet)
-    try {
-      // nanosAsLong is a no-op unless the file really is TIMESTAMP(NANOS)
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is a no-op unless the file really is TIMESTAMP(NANOS)
+    try withNanosAsLong(spark) {
       val schema = spark.read.parquet(eventsParquet).schema
       val stream = normTs(spark.readStream.schema(schema).parquet(srcDir))
       val agg = stream
@@ -112,8 +128,7 @@ object StreamingIngest {
   def dedupIngest(spark: SparkSession, eventsParquet: String,
       keys: Seq[String]): DataFrame = {
     val (srcDir, staged) = stage(eventsParquet)
-    try {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try withNanosAsLong(spark) {
       val schema = spark.read.parquet(eventsParquet).schema
       val stream = spark.readStream.schema(schema).parquet(srcDir)
         .dropDuplicates(keys)
@@ -141,8 +156,7 @@ object StreamingIngest {
   def sessionizedEventCounts(spark: SparkSession, eventsParquet: String,
       gap: String = "12 hours", maxUser: Long = Long.MaxValue): DataFrame = {
     val (srcDir, staged) = stage(eventsParquet)
-    try {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try withNanosAsLong(spark) {
       val schema = spark.read.parquet(eventsParquet).schema
       val stream = normTs(spark.readStream.schema(schema).parquet(srcDir))
         .filter(col("user_id") < maxUser)
@@ -174,8 +188,7 @@ object StreamingIngest {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val (srcDir, staged) = stage(eventsParquet)
-    try {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try withNanosAsLong(spark) {
       val schema = spark.read.parquet(eventsParquet).schema
       val stream = spark.readStream.schema(schema).parquet(srcDir)
         .filter(col("user_id") < maxUser)

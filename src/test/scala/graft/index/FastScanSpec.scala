@@ -138,4 +138,37 @@ class FastScanSpec extends SparkTestBase {
     assert(viaFactory.search(q, 5, nprobe = 4).count() == 50)
     assert(IndexFactory.codeSize("IVF4,PQ8x4fsr", 64) == 4)
   }
+
+  test("IVF fast-scan probe side: LUT rows are broadcast from the plan," +
+    " never collected to a driver-local relation (VERDICT r8)") {
+    // With the r8 idiom the per-query quantized LUTs were collected and
+    // re-shipped as a LocalTableScan — the first driver OOM at a 100x
+    // query table. Now only distinct list_no ints are collected; the
+    // LUT-bearing probe subplan must appear INSIDE the broadcast
+    // exchange, so the plan has no local relation at all.
+    val ivf = IvfPq4FastScanIndex.build(b, "id", "vec", nlist = 4, m = 8,
+      niterCoarse = 3, niterPq = 3)
+    val plan = ivf.search(q, 5, nprobe = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"no broadcast:\n$plan")
+    assert(!plan.contains("LocalTableScan"),
+      s"probe rows collected to a local relation:\n$plan")
+  }
+
+  test("x4fsr probe side: only the centroid table is driver-local," +
+    " per-(query,list) residual LUTs stay in the broadcast plan") {
+    val ivfpq = IvfPqIndex.build(b, "id", "vec", nlist = 4, m = 8, ksub = 16,
+      niterCoarse = 3, niterPq = 3)
+    val fsr = IvfPq4FastScanRIndex.fromIvfPq(ivfpq)
+    val plan = fsr.search(q, 5, nprobe = 2).queryExecution.executedPlan.toString
+    // local relations may appear (the nlist-bounded centroid table,
+    // possibly rendered once per adaptive subplan), but none may carry
+    // the per-(query,list) LUT column — that would mean probe rows
+    // were collected through the driver again
+    val lutLocals = plan.linesIterator
+      .filter(_.contains("LocalTableScan")).filter(_.contains("_ql"))
+    assert(lutLocals.isEmpty,
+      s"LUT-bearing local relation in plan:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastQueryStage"),
+      s"no broadcast:\n$plan")
+  }
 }

@@ -41,4 +41,36 @@ class WatermarkSpec extends SparkTestBase {
         s"got $rows")
     } finally q.stop()
   }
+
+  test("session window closing EXACTLY at the watermark is emitted (<= eviction," +
+    " the comparator the batch oracle replays)") {
+    // ADVICE r8: stream_session_window's oracle parity at an
+    // exact-equality session end (last_ts + gap == watermark) rode on
+    // an assumption about Spark's append-mode eviction comparator that
+    // the testdata never exercised. Pin it: user 1's single event at
+    // 00:00 with a 10-minute gap ends its session at 00:10; user 2's
+    // event at exactly 00:10 drives the watermark (delay 0s) to 00:10.
+    // The no-data batch after the drain must emit user 1's session
+    // (end <= watermark) and must NOT emit user 2's (end 00:20 > wm) —
+    // the same `last + gap <= max(ts)` cutoff the DuckDB oracle uses.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Timestamp, Long)]
+    val agg = ms.toDF().select(col("_1").as("ts"), col("_2").as("user_id"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "10 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val name = "graft_session_boundary_test"
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      ms.addData((Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 00:10:00"), 2L))
+      q.processAllAvailable()
+      val users = spark.table(name).select("user_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(users == Set(1L),
+        s"expected exactly user 1's boundary session emitted, got $users")
+    } finally q.stop()
+  }
 }
