@@ -319,7 +319,7 @@ object Queries {
     prqModel(s, dir); imi16(s, dir); sqMeanstd(s, dir); ivfrq8(s, dir)
     kmSph8(s, dir); znLat16(s, dir); pca16(s, dir); itq32(s, dir)
     pqfs8(s, dir); ivfpqfs8(s, dir); ivfsq4(s, dir); rqfs2(s, dir)
-    ivfrqfs8(s, dir); ivfpqfsr8(s, dir)
+    ivfrqfs8(s, dir); ivfpqfsr8(s, dir); rcq16(s, dir); opq32Ivfpq(s, dir)
     ()
   }
 
@@ -372,6 +372,19 @@ object Queries {
     OracleAux.write(dir, "rq_codes",
       emb(s, dir).filter(col("vec_id") >= 10).select(col("vec_id").as("id"),
         rqModel16(s, dir).encodeCol(col("embedding")).as("codes")))
+    // ICM-encoded (LSQ) codes over the same codebooks — the oracle
+    // verifies decode-from-codes (the prq/index2layer pattern)
+    OracleAux.write(dir, "lsq_codes", lsqCodes(s, dir))
+    // RCQ coarse codebooks: the oracle enumerates the codeword sums
+    // (exact at the rcq16 full beam) to replay assign + probes
+    OracleAux.write(dir, "rcq_codebooks",
+      OracleAux.codebooksDf(s, rcq16(s, dir).model.codebooks))
+    // OPQ8_32,IVF16,PQ8 pipeline stages
+    val (o32p, o32r, o32idx) = opq32Ivfpq(s, dir)
+    OracleAux.write(dir, "opq32_pca", OracleAux.linearDf(s, o32p))
+    OracleAux.write(dir, "opq32_rot", OracleAux.matrixDf(s, o32r.a))
+    OracleAux.write(dir, "opq32_centroids", OracleAux.centroidsDf(s, o32idx.centroids))
+    OracleAux.write(dir, "opq32_codebooks", OracleAux.codebooksDf(s, o32idx.model.codebooks))
     OracleAux.write(dir, "imi_codebooks",
       OracleAux.codebooksDf(s, imi16(s, dir).model.codebooks))
     OracleAux.write(dir, "kmeans8_centroids",
@@ -568,6 +581,42 @@ object Queries {
       graft.index.IvfRq.build(bDf(s, dir, 10), "id", "vec",
         nlist = 8, levels = 2, k = 16, niterCoarse = 4, niterRq = 4,
         beam = 2, icmIters = 1)
+    }
+  /** LSQ codes (IndexLocalSearchQuantizer, IndexAdditiveQuantizer.h:119):
+    * the rq16 codebooks ENCODED by iterated conditional modes
+    * (LocalSearchQuantizer::icm_encode — RqKernels.encodeIcm) instead
+    * of beam search; decode/search are the shared AQ paths. */
+  private def lsqCodes(s: SparkSession, dir: String): DataFrame =
+    cached(s"lsqcodes:$dir") {
+      bDf(s, dir, 10).select(col("id"),
+        rqModel16(s, dir).encodeCol(col("vec"), beam = 1, icmIters = 2).as("codes"))
+    }
+  /** IVF16(RCQ2x2),Flat at FULL beam (16 = nlist = 4^2): assignment
+    * and probe selection degenerate to the exact argmin over the
+    * enumerated codeword sums, so the oracle can replay them from the
+    * codebooks sidecar. */
+  private def rcq16(s: SparkSession, dir: String): graft.index.IvfRcqFlatIndex =
+    cached(s"rcq16:$dir") {
+      graft.index.IvfRcq.build(bDf(s, dir, 10), "id", "vec",
+        levels = 2, bits = 2, beam = 16, niter = 4)
+    }
+  /** The OPQ8_32,IVF16,PQ8 pipeline (dimension-changing OPQ prefix,
+    * reference tests/test_factory.py OPQ16_64 form): PCA 64→32, OPQ
+    * rotation in the reduced space, residual IVFPQ — the exact steps
+    * IndexFactory takes for the same string at niter = 4, held as
+    * pieces so the sidecars can replay each stage. */
+  private def opq32Ivfpq(s: SparkSession, dir: String):
+      (graft.transform.Linear, graft.transform.Linear, graft.index.IvfPqIndex) =
+    cached(s"opq32ivfpq:$dir") {
+      val base = bDf(s, dir, 10)
+      val p = graft.transform.Transforms.pca(base, "vec", 32)
+      val reduced = base.withColumn("vec", p.applyCol(col("vec")))
+      val (rot, _) = graft.transform.Opq.trainOpq(reduced, "vec", 8,
+        ksub = 16, outerIters = 2, pqIters = 4)
+      val rotated = reduced.withColumn("vec", rot.applyCol(col("vec")))
+      val idx = graft.index.IvfPqIndex.build(rotated, "id", "vec",
+        nlist = 16, m = 8, ksub = 16, niterCoarse = 4, niterPq = 4)
+      (p, rot, idx)
     }
   /** ZnLattice16x10_8 over the d=64 embeddings: 16 subvectors of
     * dim 4, sphere r2=10 (nv=144 points, 8-bit lattice code), 8-bit
@@ -2153,6 +2202,60 @@ object Queries {
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w
               |WHERE "rank" <= 10""".stripMargin)),
 
+    // Dimension-CHANGING OPQ prefix (factory OPQ8_32 — OPQMatrix
+    // (d, M, d_out), index_factory.cpp:211; reference test_factory.py
+    // uses OPQ16_64): PCA 64→32, OPQ rotation in the reduced space,
+    // then residual IVFPQ over the 32-dim vectors. The oracle replays
+    // EVERY stage from sidecars: both linear stages (::REAL after each,
+    // matching the engine's per-transform float32 output), coarse
+    // argmin assign, residual PQ encode, per-query residual LUT, ADC.
+    // nprobe = nlist so no probe pruning enters the replay.
+    ("opq32_ivfpq_search", (s: SparkSession, dir: String) => {
+      val (p, rot, idx) = opq32Ivfpq(s, dir)
+      val tq = qDf(s, dir, 10)
+        .withColumn("qvec", rot.applyCol(p.applyCol(col("qvec"))))
+      idx.search(tq, 10, nprobe = 16).withColumn("dist", r4("dist"))
+    },
+      Some(s"""WITH pc AS (SELECT d, r::DOUBLE[] AS r, bias FROM read_parquet('$AUX/opq32_pca/*.parquet')),
+              |rt AS (SELECT d, r::DOUBLE[] AS r FROM read_parquet('$AUX/opq32_rot/*.parquet')),
+              |pv AS (SELECT vec_id, list(yv ORDER BY d) AS v FROM (
+              |  SELECT e.vec_id, p.d,
+              |    ((list_aggregate(list_transform(list_zip(p.r, e.embedding::DOUBLE[]), z -> z[1]*z[2]), 'sum')) + p.bias::DOUBLE)::REAL AS yv
+              |  FROM embeddings e CROSS JOIN pc p) t GROUP BY vec_id),
+              |rv AS (SELECT vec_id, list(yv ORDER BY d) AS v FROM (
+              |  SELECT x.vec_id, r.d,
+              |    (list_aggregate(list_transform(list_zip(r.r, x.v::DOUBLE[]), z -> z[1]*z[2]), 'sum'))::REAL AS yv
+              |  FROM pv x CROSS JOIN rt r) t GROUP BY vec_id),
+              |cent AS (SELECT list_no, c FROM read_parquet('$AUX/opq32_centroids/*.parquet')),
+              |cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/opq32_codebooks/*.parquet')),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.v::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM rv b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |bres AS (SELECT a.id, a.list_no,
+              |    list_transform(list_zip(b.v, c.c), p -> p[1] - p[2]) AS res
+              |  FROM basg a JOIN rv b ON b.vec_id = a.id JOIN cent c ON c.list_no = a.list_no),
+              |bsub2 AS (SELECT id, list_no, r.m AS m, res[r.m*4+1:r.m*4+4]::DOUBLE[] AS sv
+              |         FROM bres, range(0,8) r(m)),
+              |enc2 AS (SELECT id, list_no, m, j FROM (
+              |  SELECT b.id, b.list_no, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub2 b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
+              |qres AS (SELECT q.vec_id AS qid, c.list_no,
+              |    list_transform(list_zip(q.v, c.c), p -> p[1] - p[2]) AS res
+              |  FROM rv q CROSS JOIN cent c WHERE q.vec_id < 10),
+              |qsub2 AS (SELECT qid, list_no, r.m AS m, res[r.m*4+1:r.m*4+4]::DOUBLE[] AS sv
+              |         FROM qres, range(0,8) r(m)),
+              |lut AS (SELECT q.qid, q.list_no, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub2 q JOIN cb ON cb.m = q.m),
+              |adc AS (SELECT l.qid, e.id, list_aggregate(list(l.pd ORDER BY l.m), 'sum') AS dist
+              |  FROM enc2 e JOIN lut l ON l.list_no = e.list_no AND l.m = e.m AND l.j = e.j
+              |  GROUP BY l.qid, e.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w
+              |WHERE "rank" <= 10""".stripMargin)),
+
     // §2.4 two-level clustering (scalable nlist path). Sidecar oracle
     // replays the final assignment (sizes + objective) like kmeans_train.
     ("two_level_centroids", (s: SparkSession, dir: String) => {
@@ -3591,6 +3694,46 @@ object Queries {
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
               |WHERE "rank" <= 10""".stripMargin)),
 
+    // MultiIndexQuantizer2 (faiss/IndexPQ.h:171, search IndexPQ.cpp:
+    // 1042): the cell ranking runs BOTH levels — per-half top-k2
+    // through the assign sub-indexes (k2 = min(nprobe, ksub); flat
+    // exact, the reference default), then the MinSumK combine of the
+    // two k2-lists — instead of enumerating all K² cells. The oracle
+    // replays both levels: per-half dists from the codebooks sidecar,
+    // rn <= k2 per half, pair combine, top-nprobe cells, exact scan.
+    ("imi2_search", (s: SparkSession, dir: String) =>
+      imi16(s, dir).search2(qDf(s, dir, 10), k = 10, nprobe = 4)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/imi_codebooks/*.parquet')),
+              |bh AS (SELECT vec_id AS id, r.m AS m, embedding[r.m*32+1:r.m*32+32]::DOUBLE[] AS sv
+              |       FROM embeddings, range(0,2) r(m) WHERE vec_id >= 10),
+              |benc AS (SELECT id, m, j FROM (
+              |  SELECT b.id, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bh b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
+              |bcell AS (SELECT a0.id, a0.j*16 + a1.j AS cell
+              |  FROM benc a0 JOIN benc a1 ON a0.id = a1.id AND a0.m = 0 AND a1.m = 1),
+              |qh AS (SELECT vec_id AS qid, r.m AS m, embedding[r.m*32+1:r.m*32+32]::DOUBLE[] AS sv
+              |       FROM embeddings, range(0,2) r(m) WHERE vec_id < 10),
+              |qtop AS (SELECT qid, m, j, d FROM (
+              |  SELECT q.qid, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS d,
+              |    row_number() OVER (PARTITION BY q.qid, q.m ORDER BY
+              |      list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM qh q JOIN cb ON cb.m = q.m) t WHERE rn <= 4),
+              |cells AS (SELECT d0.qid, d0.j*16 + d1.j AS cell, d0.d + d1.d AS cd
+              |  FROM qtop d0 JOIN qtop d1 ON d0.qid = d1.qid AND d0.m = 0 AND d1.m = 1),
+              |probes AS (SELECT qid, cell FROM (
+              |  SELECT qid, cell, cd, row_number() OVER (PARTITION BY qid ORDER BY cd, cell) AS pr
+              |  FROM cells) t WHERE pr <= 4),
+              |d AS (SELECT p.qid, bc.id,
+              |    list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2 AS dist
+              |  FROM probes p JOIN bcell bc ON bc.cell = p.cell
+              |  JOIN embeddings q ON q.vec_id = p.qid JOIN embeddings b ON b.vec_id = bc.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 10""".stripMargin)),
+
     // §2.11 Binary IVF (IndexBinaryIVF): Hamming-pruned inverted lists
     // of sign-bit codes. All-integer arithmetic, so the oracle replays
     // assignment, probe selection, and the pruned Hamming top-k
@@ -3757,6 +3900,73 @@ object Queries {
               |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
               |WHERE "rank" <= 10""".stripMargin)),
+
+    // LSQ (IndexLocalSearchQuantizer, IndexAdditiveQuantizer.h:119;
+    // factory LSQ2x4): the rq16 codebooks ENCODED by iterated
+    // conditional modes (icm_encode, impl/LocalSearchQuantizer.cpp:505)
+    // instead of beam search. The ICM descent itself is not
+    // SQL-replayable, so the oracle verifies DECODE-from-codes + the
+    // reconstruction-distance ranking from the engine's integer codes
+    // (the prq/index2layer sidecar pattern).
+    ("lsq_search", (s: SparkSession, dir: String) => {
+      val m = rqModel16(s, dir)
+      val b = lsqCodes(s, dir).select(col("id"), m.decodeCol(col("codes")).as("dv"))
+      val q = qDf(s, dir, 10)
+      b.crossJoin(broadcast(q))
+        .select(col("qid"), col("id"), l2sq(col("qvec"), col("dv")).as("_d"))
+        .groupBy(col("qid"))
+        .agg(topk(col("_d"), col("id"), 5, asc = true).as("_tk"))
+        .select(col("qid"), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+        .select(col("qid"), (col("_pos") + 1).cast("long").as("rank"),
+          col("_r.id").as("id"), round(col("_r.dist"), 4).as("dist"))
+    },
+      Some(s"""WITH cb AS (SELECT m, j, c FROM read_parquet('$AUX/rq_codebooks/*.parquet')),
+              |codes AS (SELECT id, codes FROM read_parquet('$AUX/lsq_codes/*.parquet')),
+              |enc AS (SELECT id, r.m AS m, codes[r.m+1] AS j FROM codes, range(0,2) r(m)),
+              |comp AS (SELECT e.id, generate_subscripts(cb.c, 1) AS i, unnest(cb.c) AS v
+              |  FROM enc e JOIN cb ON cb.m = e.m AND cb.j = e.j),
+              |sumd AS (SELECT id, i, sum(v)::REAL AS v FROM comp GROUP BY id, i),
+              |dv AS (SELECT id, list(v ORDER BY i) AS dv FROM sumd GROUP BY id),
+              |d AS (SELECT q.vec_id AS qid, b.id,
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], b.dv::DOUBLE[]),
+              |      p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
+              |  FROM embeddings q CROSS JOIN dv b WHERE q.vec_id < 10)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 5""".stripMargin)),
+
+    // ResidualCoarseQuantizer as the IVF coarse quantizer
+    // (IndexAdditiveQuantizer.h:193; factory IVF16(RCQ2x2),Flat): the
+    // 16 coarse centroids are codeword sums that are never
+    // materialized — assignment and probe selection run the RQ beam
+    // search at L·beam·k·d cost (core/RqExpressions.scala rcqTopLists).
+    // At FULL beam (16 = nlist) both degenerate to the exact argmin
+    // over the enumerated sums, which the oracle replays from the
+    // codebooks sidecar: enumerate cents, argmin-assign the base,
+    // top-4 probe lists per query, exact distance over probed lists.
+    ("ivf_rcq_search", (s: SparkSession, dir: String) =>
+      rcq16(s, dir).search(qDf(s, dir, 10), k = 5, nprobe = 4)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/rcq_codebooks/*.parquet')),
+              |cents AS (SELECT c0.j*4 + c1.j AS list_no,
+              |    list_transform(list_zip(c0.c, c1.c), p -> p[1] + p[2]) AS cent
+              |  FROM cb c0 JOIN cb c1 ON c0.m = 0 AND c1.m = 1),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.cent), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cents c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |probes AS (SELECT qid, list_no FROM (
+              |  SELECT q.vec_id AS qid, c.list_no, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], c.cent), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10) t WHERE rn <= 4),
+              |d AS (SELECT p.qid, a.id,
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+              |      p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
+              |  FROM probes p JOIN basg a ON a.list_no = p.list_no
+              |  JOIN embeddings q ON q.vec_id = p.qid JOIN embeddings b ON b.vec_id = a.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 5""".stripMargin)),
 
     // RQ reconstruction-distance search (the SDC-style use of the
     // additive code): rank base by ||q - decode(encode(b))||².

@@ -59,6 +59,19 @@ object RqKernels {
     * real data (RqSpec asserts this). */
   def encodeBeam(a: ArrayData, cb: Array[Array[Array[Float]]], beam: Int): Array[Int] = {
     if (beam <= 1) return encode(a, cb)
+    beamFinal(a, cb, beam)._1(0) // selection kept best-first
+  }
+
+  /** The FULL final beam of the beam-search encode: (codes, dists)
+    * best-first, dists = complete-path squared reconstruction errors.
+    * This is the coarse search of ResidualCoarseQuantizer
+    * (faiss/IndexAdditiveQuantizer.h:193, ResidualCoarseQuantizer::
+    * search refine_beam path): the surviving beam entries ARE the
+    * candidate coarse cells. With beam = k^L every path survives, so
+    * the beam degenerates to the exact argmin over all enumerated
+    * codeword sums. */
+  def beamFinal(a: ArrayData, cb: Array[Array[Array[Float]]],
+      beam: Int): (Array[Array[Int]], Array[Double]) = {
     val L = cb.length
     val d = cb(0)(0).length
     val k = cb(0).length
@@ -66,6 +79,7 @@ object RqKernels {
     var nBeam = 1
     var codes = Array.ofDim[Int](1, 0)
     var res = Array(Array.tabulate(d)(a.getFloat))
+    var dists = Array(0.0)
     var l = 0
     while (l < L) {
       val nCand = nBeam * k
@@ -115,9 +129,32 @@ object RqKernels {
         s2 += 1
       }
       codes = nextCodes; res = nextRes; nBeam = keep
+      dists = java.util.Arrays.copyOf(selDist, keep)
       l += 1
     }
-    codes(0) // selection kept best-first
+    (codes, dists)
+  }
+
+  /** Top-nprobe coarse lists from the final beam, radix-packed:
+    * list_no = Σ_l code_l · k^(L-1-l) — the virtual-centroid id of
+    * ResidualCoarseQuantizer (nlist = k^L centroids that are never
+    * materialized; assignment costs L·beam·k·d instead of nlist·d).
+    * Rows are InternalRow(list_no: int, dist: double), best-first. */
+  def rcqTopLists(a: ArrayData, cb: Array[Array[Array[Float]]],
+      beam: Int, nprobe: Int): ArrayData = {
+    val (codes, dists) = beamFinal(a, cb, math.max(beam, nprobe))
+    val k = cb(0).length
+    val n = math.min(nprobe, codes.length)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      var listNo = 0
+      var l = 0
+      while (l < codes(i).length) { listNo = listNo * k + codes(i)(l); l += 1 }
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(listNo, dists(i))
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** ICM (iterated-conditional-modes) refinement — the encoding loop
@@ -207,6 +244,26 @@ case class RQEncode(child: Expression, codebooks: Array[Array[Array[Float]]],
     new GenericArrayData(
       if (icmIters == 0) RqKernels.encodeBeam(v.asInstanceOf[ArrayData], codebooks, beam)
       else RqKernels.encodeIcm(v.asInstanceOf[ArrayData], codebooks, beam, icmIters))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Top-nprobe coarse lists of a ResidualCoarseQuantizer
+  * (faiss/IndexAdditiveQuantizer.h:193; ResidualCoarseQuantizer::
+  * search): the `beam`-wide beam search over the RQ codebooks, with
+  * the surviving complete paths radix-packed into virtual-centroid
+  * ids. Returns array<struct<list_no:int, dist:double>> best-first —
+  * the [[NearestCentroids]] contract, at L·beam·k·d cost instead of
+  * nlist·d. beam >= k^L degenerates to the exact argmin. */
+case class RcqTopLists(child: Expression, codebooks: Array[Array[Array[Float]]],
+    beam: Int, nprobe: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(beam >= 1 && nprobe >= 1, "beam and nprobe must be >= 1")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("list_no", IntegerType, nullable = false),
+    StructField("dist", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = s"rcq_top_lists_b${beam}_n$nprobe"
+  override def nullSafeEval(v: Any): Any =
+    RqKernels.rcqTopLists(v.asInstanceOf[ArrayData], codebooks, beam, nprobe)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

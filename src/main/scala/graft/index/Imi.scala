@@ -49,6 +49,62 @@ class ImiIndex(
       .agg(topk(col("_cd"), col("_cell").cast("long"), nprobe, asc = true).as("_tk"))
       .select(col(queryId), col(queryVec), explode(col("_tk")).as("_r"))
       .select(col(queryId), col(queryVec), col("_r.id").cast("int").as("cell"))
+    scanCells(probes, k, queryId, queryVec, metric)
+  }
+
+  /** MultiIndexQuantizer2 search (faiss/IndexPQ.h:171 — "the PQ
+    * assignment is performed by sub-indexes";
+    * MultiIndexQuantizer2::search, IndexPQ.cpp:1042): instead of
+    * ranking all K² cells from the two LUTs, each HALF-SPACE runs its
+    * own top-k2 search through its assign sub-index (k2 =
+    * min(nprobe, ksub), the reference's k2; the default sub-index is
+    * an exact flat scan of the K half-centroids, which the LUT is),
+    * and the cell ranking is the min-sum combine of the two k2-lists
+    * (the reference's MinSumK) — k2·k2 candidate sums instead of K².
+    * Same top-nprobe cells as [[search]] (min-sum over per-half top-k2
+    * is exhaustive for any final rank <= k2), then the identical
+    * pruned cell scan. */
+  def search2(queries: DataFrame, k: Int, nprobe: Int,
+      queryId: String = "qid", queryVec: String = "qvec",
+      metric: String = "l2sq"): DataFrame = {
+    val kl = lit(ksub)
+    val k2 = math.min(math.max(nprobe, 1), ksub)
+    // level 1: per-half top-k2 through the assign sub-index (LUT =
+    // the flat scan of that half's centroids); ties on lower j
+    val halfTop = queries
+      .select(col(queryId), col(queryVec), model.lutCol(col(queryVec)).as("_lut"))
+      .select(col(queryId), col(queryVec), explode(sequence(lit(0), lit(1))).as("_m"),
+        col("_lut"))
+      .select(col(queryId), col(queryVec), col("_m"),
+        posexplode(slice(col("_lut"), col("_m") * kl + 1, kl)).as(Seq("_j", "_hd")))
+      .groupBy(col(queryId), col("_m"))
+      .agg(first(col(queryVec)).as(queryVec),
+        topk(col("_hd"), col("_j").cast("long"), k2, asc = true).as("_tk"))
+      .select(col(queryId), col(queryVec), col("_m"), explode(col("_tk")).as("_r"))
+      .select(col(queryId), col(queryVec), col("_m"),
+        col("_r.id").cast("int").as("_j"), col("_r.dist").as("_hd"))
+    // level 2: MinSumK — combine the two k2-lists, keep the nprobe
+    // best cells
+    val h0 = halfTop.filter(col("_m") === 0)
+      .select(col(queryId), col(queryVec), col("_j").as("_j0"), col("_hd").as("_d0"))
+    val h1 = halfTop.filter(col("_m") === 1)
+      .select(col(queryId), col("_j").as("_j1"), col("_hd").as("_d1"))
+    val probes = h0.join(h1, Seq(queryId))
+      .select(col(queryId), col(queryVec),
+        (col("_j0") * kl + col("_j1")).as("_cell"),
+        (col("_d0") + col("_d1")).as("_cd"))
+      .groupBy(col(queryId))
+      .agg(first(col(queryVec)).as(queryVec),
+        topk(col("_cd"), col("_cell").cast("long"), nprobe, asc = true).as("_tk"))
+      .select(col(queryId), col(queryVec), explode(col("_tk")).as("_r"))
+      .select(col(queryId), col(queryVec), col("_r.id").cast("int").as("cell"))
+    scanCells(probes, k, queryId, queryVec, metric)
+  }
+
+  /** Shared pruned cell scan: static cell pruning + broadcast probes +
+    * exact distance + partial/merge top-k. */
+  private def scanCells(probes: DataFrame, k: Int,
+      queryId: String, queryVec: String, metric: String): DataFrame = {
     val probed = probes.select("cell").distinct().collect().map(_.getInt(0))
     invlists.filter(col("cell").isin(probed.map(Integer.valueOf): _*))
       .join(broadcast(probes), "cell")

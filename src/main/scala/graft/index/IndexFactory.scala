@@ -10,12 +10,13 @@ import graft.transform._
   * DSL (faiss index_factory, faiss/index_factory.cpp:885; grammar
   * SURVEY §2.11). Supported grammar (comma-separated):
   *
-  *   [transform,...] [IVF<nlist>, | IMI2x<b>, | Residual<nlist>,] <code>
-  *   transform := PCA<d> | PCAW<d> | RR<d> | OPQ<M> | L2norm | Center
+  *   [transform,...] [IVF<nlist>[(RCQ<a>x<b>)], | IMI2x<b>, | Residual<nlist>,] <code>
+  *   transform := PCA[W][R]<d> | RR<d> | OPQ<M>[_<d>] | L2norm | Center
   *   code      := Flat | SQ8 | SQ4 | SQ6 | SQfp16
   *              | PQ<M>[x<ksub>] | PQ<M>x4fs[_<bbs>]
   *              | SH<nbit>x<period>[g|c|m]
   *              | RQ<L>x<nbits> | RQ<L>x4fs[_<bbs>] | PRQ<nsplit>x<L>x<nbits>
+  *              | LSQ<L>x<nbits> | PLSQ<nsplit>x<L>x<nbits>
   *
   * e.g. "Flat", "IVF16,Flat", "PCA32,IVF16,PQ8", "L2norm,SQ8",
   * "IVF16,SH32x1.0m" (spectral hash; g/c/m = global/centroid/median
@@ -48,11 +49,11 @@ object IndexFactory {
     var dim = d
     var code: Option[Int] = None
     desc.split(",").map(_.trim).foreach {
-      case Pca(_, t) => dim = t.toInt
+      case Pca(_, _, t) => dim = t.toInt
       case Rr(t) => dim = t.toInt
-      case OpqTok(_) => ()
+      case OpqTok(_, t) => if (t != null) dim = t.toInt
       case "L2norm" | "Center" | "RFlat" | "IDMap" | "IDMap2" => ()
-      case Ivf(_) | IvfHnsw(_, _) | Imi(_) | Res(_) => ()
+      case Ivf(_) | IvfHnsw(_, _) | IvfRcqTok(_, _, _) | Imi(_) | Res(_) => ()
       case "Flat" => code = Some(4 * dim)
       case "SQ8" => code = Some(dim)
       case "SQ4" => code = Some((dim + 1) / 2)
@@ -67,6 +68,8 @@ object IndexFactory {
       case Pq(m, _) => code = Some(m.toInt)
       case RqTok(lv, nb) => code = Some((lv.toInt * nb.toInt + 7) / 8)
       case PrqTok(ns, lv, nb) => code = Some((ns.toInt * lv.toInt * nb.toInt + 7) / 8)
+      case LsqTok(lv, nb) => code = Some((lv.toInt * nb.toInt + 7) / 8)
+      case PlsqTok(ns, lv, nb) => code = Some((ns.toInt * lv.toInt * nb.toInt + 7) / 8)
       case HnswTok(_) | NsgTok(_) => code = Some(4 * dim)  // Flat storage
       case ZnTok(m, r2v, nbit) =>
         val lat = new graft.core.LatticeCodec(dim, m.toInt, nbit.toInt, r2v.toInt,
@@ -123,9 +126,16 @@ object IndexFactory {
     }
   }
 
-  private val Pca = "PCA(W?)(\\d+)".r
+  // PCA(W?)(R?)<d> (index_factory.cpp:197): W = whitening, R = a
+  // random rotation AFTER the reduction (PCAMatrix random_rotation —
+  // balances variance across the kept components)
+  private val Pca = "PCA(W?)(R?)(\\d+)".r
   private val Rr = "RR(\\d+)".r
   private val Ivf = "IVF(\\d+)".r
+  // IVF<nlist>(RCQ<levels>x<bits>): ResidualCoarseQuantizer as the
+  // coarse quantizer (index_factory.cpp:241-291 coarse grammar;
+  // IndexAdditiveQuantizer.h:193) — nlist must equal 2^(levels*bits)
+  private val IvfRcqTok = "IVF(\\d+)\\(RCQ(\\d+)x(\\d+)\\)".r
   // IVF<nlist>_HNSW<m>: HNSW-accelerated coarse quantizer (reference
   // coarse grammar, index_factory.cpp:241-291)
   private val IvfHnsw = "IVF(\\d+)_HNSW(\\d+)".r
@@ -139,8 +149,19 @@ object IndexFactory {
   private val PqFsR = "PQ(\\d+)x4fsr(?:_(\\d+))?".r
   // RQ<L>x4fs[_<bbs>] (IndexAdditiveQuantizerFastScan, ST_norm_rq2x4)
   private val RqFs = "RQ(\\d+)x4fs(?:_(\\d+))?".r
-  private val OpqTok = "OPQ(\\d+)".r
+  // OPQ<M>[_<d>] (index_factory.cpp:211, OPQMatrix(d, M, d_out)):
+  // the optional _<d> is a dimension-CHANGING OPQ — reduce to d_out
+  // (PCA-initialized in the reference when d2 < d) then rotate
+  private val OpqTok = "OPQ(\\d+)(?:_(\\d+))?".r
   private val Imi = "IMI2x(\\d+)".r
+  // LSQ<L>x<nbits> / PLSQ<nsplit>x<L>x<nbits> (index_factory.cpp
+  // aq_templates; faiss/IndexAdditiveQuantizer.h:119 IndexLocalSearch-
+  // Quantizer): additive quantizer whose ENCODER is iterated
+  // conditional modes (LocalSearchQuantizer::icm_encode,
+  // impl/LocalSearchQuantizer.cpp:505) — here the RQ/PRQ codebooks
+  // with the ICM refinement sweeps of RqKernels.encodeIcm
+  private val LsqTok = "LSQ(\\d+)x(\\d+)".r
+  private val PlsqTok = "PLSQ(\\d+)x(\\d+)x(\\d+)".r
   private val Res = "Residual(\\d+)".r
   private val Sh = "SH(\\d+)x([-0-9.eE]+)([gcm])?".r
   private val Lsh = "LSH(\\d+)".r
@@ -179,6 +200,13 @@ object IndexFactory {
         math.max(nprobe, 1), qid, qvec)
   }
   private final class IvfRqBuilt(idx: IvfRqIndex, chain: VecTransform)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
+        math.max(nprobe, 1), qid, qvec)
+  }
+  /** IVF<n>(RCQ<a>x<b>),Flat: ResidualCoarseQuantizer coarse. */
+  private final class IvfRcqBuilt(idx: IvfRcqFlatIndex, chain: VecTransform)
       extends Built {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
@@ -318,10 +346,18 @@ object IndexFactory {
     var rest = tokens
     var done = false
     while (!done) rest match {
-      case Pca(w, dOut) :: tl =>
+      case Pca(w, r, dOut) :: tl =>
         val t = Transforms.pca(data, "vec", dOut.toInt, whiten = w == "W")
         transforms += t
         data = data.withColumn("vec", t.applyCol(col("vec")))
+        if (r == "R") {
+          // PCAR (PCAMatrix random_rotation): a random rotation in the
+          // REDUCED space after the projection, balancing variance
+          // across the kept components
+          val rr = Transforms.randomRotation(dOut.toInt, seed)
+          transforms += rr
+          data = data.withColumn("vec", rr.applyCol(col("vec")))
+        }
         rest = tl
       case Rr(dd) :: tl =>
         val t = Transforms.randomRotation(dd.toInt, seed)
@@ -337,7 +373,16 @@ object IndexFactory {
         transforms += t
         data = data.withColumn("vec", t.applyCol(col("vec")))
         rest = tl
-      case OpqTok(m) :: tl =>
+      case OpqTok(m, dOut) :: tl =>
+        // OPQ<M>_<d>: the reference's dimension-changing OPQMatrix
+        // PCA-initializes when d_out < d (VectorTransform.cpp
+        // OPQMatrix::train) — here the explicit composition PCA(d_out)
+        // then OPQ rotation in the reduced space
+        if (dOut != null) {
+          val p = Transforms.pca(data, "vec", dOut.toInt)
+          transforms += p
+          data = data.withColumn("vec", p.applyCol(col("vec")))
+        }
         val (rot, _) = graft.transform.Opq.trainOpq(data, "vec", m.toInt,
           ksub = 16, outerIters = 2, pqIters = niter, seed = seed)
         transforms += rot
@@ -355,6 +400,14 @@ object IndexFactory {
     }
 
     val built = core match {
+      case IvfRcqTok(nlist, lv, nb) :: "Flat" :: Nil =>
+        // IVF<nlist>(RCQ<levels>x<bits>),Flat: nlist is redundant in
+        // the grammar (= 2^(levels*bits)) but must agree, as in the
+        // reference parser
+        require(nlist.toInt == (1 << (lv.toInt * nb.toInt)),
+          s"IVF$nlist(RCQ${lv}x$nb): nlist must equal 2^(${lv}*$nb)")
+        new IvfRcqBuilt(IvfRcq.build(data, "id", "vec", lv.toInt, nb.toInt,
+          beam = 4, niter = niter, seed = seed), chain)
       case IvfHnsw(nlist, _) :: "Flat" :: Nil =>
         new IvfHnswBuilt(IvfIndex.build(data, "id", "vec", nlist.toInt,
           niter = niter, seed = seed), chain)
@@ -399,6 +452,13 @@ object IndexFactory {
           new IvfRqBuilt(IvfRq.build(data, "id", "vec", nlist.toInt,
             lv.toInt, 1 << nb.toInt, niterCoarse = niter, niterRq = niter,
             beam = 2, icmIters = 1, seed = seed), chain)
+        case LsqTok(lv, nb) =>
+          // IVF<nlist>,LSQ<L>x<nbits> (IndexIVFLocalSearchQuantizer,
+          // IndexIVFAdditiveQuantizer.h:77): the same residual AQ
+          // lists, encoded by ICM sweeps instead of beam search
+          new IvfRqBuilt(IvfRq.build(data, "id", "vec", nlist.toInt,
+            lv.toInt, 1 << nb.toInt, niterCoarse = niter, niterRq = niter,
+            beam = 1, icmIters = 3, seed = seed), chain)
         case other => throw new IllegalArgumentException(
           s"unsupported IVF code '$other' in '$desc'")
       }
@@ -443,6 +503,22 @@ object IndexFactory {
           lv.toInt, 1 << nb.toInt, niter = niter, seed = seed, beam = 2)
         new FlatBuilt(data.select(col("id"),
           model.roundtripCol(col("vec"), beam = 2, icmIters = 1).as("vec")), chain)
+      // LSQ<L>x<nb> / PLSQ<ns>x<L>x<nb> (IndexLocalSearchQuantizer /
+      // IndexProductLocalSearchQuantizer, IndexAdditiveQuantizer.h:119,
+      // :171): the AQ codebooks with the ICM encoder (icm_encode,
+      // impl/LocalSearchQuantizer.cpp:505 — RqKernels.encodeIcm is the
+      // deterministic-descent core), searched like the other flat AQs
+      // by reconstruction distance
+      case LsqTok(lv, nb) :: Nil =>
+        val model = Rq.train(data.select(col("vec")), "vec",
+          lv.toInt, 1 << nb.toInt, niter = niter, seed = seed, beam = 1)
+        new FlatBuilt(data.select(col("id"),
+          model.roundtripCol(col("vec"), beam = 1, icmIters = 3).as("vec")), chain)
+      case PlsqTok(ns, lv, nb) :: Nil =>
+        val model = Prq.train(data.select(col("vec")), "vec", ns.toInt,
+          lv.toInt, 1 << nb.toInt, niter = niter, seed = seed, beam = 1)
+        new FlatBuilt(data.select(col("id"),
+          model.roundtripCol(col("vec"), beam = 1, icmIters = 3).as("vec")), chain)
       // graph indexes over Flat storage (per-partition shards, SURVEY
       // §7: the scalable re-expression of IndexHNSW / IndexNSG)
       case HnswTok(m) :: tl if tl.isEmpty || tl == List("Flat") =>

@@ -26,6 +26,22 @@ class ImiSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("MIQ2 search2 (per-half sub-index top-k2 + MinSumK) == search (r9)") {
+    // MultiIndexQuantizer2 (IndexPQ.h:171): the two-level cell ranking
+    // must select the same probe cells as the K² enumeration — min-sum
+    // over per-half top-k2 is exhaustive for any final rank <= k2
+    val idx = ImiIndex.build(b, "id", "vec", ksub = 4, niter = 3)
+    for (np <- Seq(1, 3, idx.nlist)) {
+      val got = idx.search2(q, k = 5, nprobe = np)
+        .select("qid", "rank", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = idx.search(q, k = 5, nprobe = np)
+        .select("qid", "rank", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"nprobe=$np")
+    }
+  }
+
   test("cells cover 0 until K*K and partition the base") {
     val idx = ImiIndex.build(b, "id", "vec", ksub = 4, niter = 3)
     val cells = idx.invlists.select("cell").collect().map(_.getInt(0))

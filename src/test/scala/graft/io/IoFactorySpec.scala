@@ -55,6 +55,53 @@ class IoFactorySpec extends SparkTestBase {
     assert(IndexFactory.codeSize("IVF8,RQ2x4", 64) == 1)
   }
 
+  test("factory LSQ/PLSQ tokens: ICM encoder, AQ reconstruction search (r9)") {
+    // LSQ<L>x<nb> / PLSQ<ns>x<L>x<nb> (IndexAdditiveQuantizer.h:119)
+    val lsq = IndexFactory.build(b, "id", "vec", "LSQ2x4")
+    assert(lsq.search(q, 3).count() == 15)
+    val plsq = IndexFactory.build(b, "id", "vec", "PLSQ2x2x4")
+    assert(plsq.search(q, 3).count() == 15)
+    val ivflsq = IndexFactory.build(b, "id", "vec", "IVF8,LSQ2x4")
+    assert(ivflsq.search(q, 3, nprobe = 8).count() == 15)
+    assert(IndexFactory.codeSize("LSQ2x4", 64) == 1)
+    assert(IndexFactory.codeSize("PLSQ2x2x4", 64) == 2)
+    assert(IndexFactory.codeSize("IVF8,LSQ2x4", 64) == 1)
+  }
+
+  test("factory IVF16(RCQ2x2),Flat: RCQ coarse, exact at full probe (r9)") {
+    val f = IndexFactory.build(b, "id", "vec", "IVF16(RCQ2x2),Flat")
+    // probing every virtual list makes the pruned scan exact
+    val got = f.search(q, 5, nprobe = 16).select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Knn.knnJoin(q, b, 5).select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(IndexFactory.codeSize("IVF16(RCQ2x2),Flat", 64) == 256)
+    // nlist must agree with 2^(levels*bits), as in the reference parser
+    intercept[IllegalArgumentException] {
+      IndexFactory.build(b, "id", "vec", "IVF8(RCQ2x2),Flat")
+    }
+  }
+
+  test("factory OPQ<M>_<d> and PCAR<d> transform forms (r9)") {
+    // OPQ8_32: dimension-changing OPQ (OPQMatrix(d, M, d_out),
+    // index_factory.cpp:211; test_factory.py's OPQ16_64 form)
+    assert(IndexFactory.codeSize("OPQ8_32,IVF16,PQ8", 64) == 8)
+    assert(IndexFactory.codeSize("OPQ8_32,Flat", 64) == 128)
+    assert(IndexFactory.codeSize("PCAR32,Flat", 64) == 128)
+    val f = IndexFactory.build(b, "id", "vec", "OPQ8_32,IVF4,PQ8", niter = 2)
+    assert(f.search(q, 5, nprobe = 4).count() == q.count() * 5)
+    // PCAR<d>: PCA then a random rotation in the reduced space —
+    // rotation preserves distances, so exact search results match PCA's
+    val pr = IndexFactory.build(b, "id", "vec", "PCAR16,Flat")
+    val pc = IndexFactory.build(b, "id", "vec", "PCA16,Flat")
+    val got = pr.search(q, 5).select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pc.search(q, 5).select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("factory graph indexes HNSW16 / NSG16 and ZnLattice codec") {
     // graph shards over Flat storage: generous search pool on this
     // tiny base makes them exact
