@@ -11,7 +11,7 @@ import graft.transform._
   * SURVEY §2.11). Supported grammar (comma-separated):
   *
   *   [transform,...] [IVF<nlist>[(RCQ<a>x<b>)], | IMI2x<b>, | Residual<nlist>,] <code>
-  *   transform := PCA[W][R]<d> | RR<d> | OPQ<M>[_<d>] | L2norm | Center
+  *   transform := PCA[W][R]<d> | RR<d> | OPQ<M>[_<d>] | Pad<d> | L2norm | Center
   *   code      := Flat | SQ8 | SQ4 | SQ6 | SQfp16
   *              | PQ<M>[x<ksub>] | PQ<M>x4fs[_<bbs>]
   *              | SH<nbit>x<period>[g|c|m]
@@ -52,6 +52,7 @@ object IndexFactory {
       case Pca(_, _, t) => dim = t.toInt
       case Rr(t) => dim = t.toInt
       case OpqTok(_, t) => if (t != null) dim = t.toInt
+      case PadTok(t) => dim = math.max(dim, t.toInt)
       case "L2norm" | "Center" | "RFlat" | "IDMap" | "IDMap2" => ()
       case Ivf(_) | IvfHnsw(_, _) | IvfRcqTok(_, _, _) | Imi(_) | Res(_) => ()
       case "Flat" => code = Some(4 * dim)
@@ -161,6 +162,11 @@ object IndexFactory {
   // impl/LocalSearchQuantizer.cpp:505) — here the RQ/PRQ codebooks
   // with the ICM refinement sweeps of RqKernels.encodeIcm
   private val LsqTok = "LSQ(\\d+)x(\\d+)".r
+  // Pad<d> (index_factory.cpp:216): RemapDimensionsTransform(d,
+  // max(d, d_out), false) — identity on the first d dims, zero-fill
+  // beyond (pads the vector up for downstream codes that need a
+  // divisible dimension)
+  private val PadTok = "Pad(\\d+)".r
   private val PlsqTok = "PLSQ(\\d+)x(\\d+)x(\\d+)".r
   private val Res = "Residual(\\d+)".r
   private val Sh = "SH(\\d+)x([-0-9.eE]+)([gcm])?".r
@@ -370,6 +376,13 @@ object IndexFactory {
         rest = tl
       case "Center" :: tl =>
         val t = Centering.train(data, "vec")
+        transforms += t
+        data = data.withColumn("vec", t.applyCol(col("vec")))
+        rest = tl
+      case PadTok(dOut) :: tl =>
+        val dIn = data.select(size(col("vec"))).first().getInt(0)
+        val n = math.max(dOut.toInt, dIn)
+        val t = Remap(Array.tabulate(n)(i => if (i < dIn) i else -1))
         transforms += t
         data = data.withColumn("vec", t.applyCol(col("vec")))
         rest = tl

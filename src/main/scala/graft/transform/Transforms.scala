@@ -48,11 +48,13 @@ case class Linear(a: Array[Array[Float]], b: Array[Float] = null) extends VecTra
 
 /** Dimension selection/permutation (RemapDimensionsTransform,
   * VectorTransform.h:257) — a 0/1 row-per-output matrix would also do,
-  * but element selection is cheaper. `indices` are 0-based input dims. */
+  * but element selection is cheaper. `indices` are 0-based input dims;
+  * -1 emits a ZERO component (the transform's padding convention,
+  * used by the `Pad<d>` factory form, index_factory.cpp:216). */
 case class Remap(indices: Array[Int]) extends VecTransform {
   def applyCol(c: Column): Column = {
     val idx = array(indices.map(i => lit(i + 1)): _*)
-    transform(idx, i => element_at(c, i))
+    transform(idx, i => when(i === 0, lit(0.0f)).otherwise(element_at(c, i)))
   }
 }
 

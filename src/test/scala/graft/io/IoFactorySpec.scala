@@ -83,6 +83,20 @@ class IoFactorySpec extends SparkTestBase {
     }
   }
 
+  test("factory Pad<d>: zero-fill remap, L2 results unchanged (r9)") {
+    // Pad<d> (index_factory.cpp:216): identity on the first d dims,
+    // zeros beyond — L2 distances are unchanged, so exact search must
+    // return the same ids as unpadded Flat
+    assert(IndexFactory.codeSize("Pad128,Flat", 64) == 512)
+    assert(IndexFactory.codeSize("Pad32,Flat", 64) == 256) // never shrinks
+    val f = IndexFactory.build(b, "id", "vec", "Pad72,Flat")
+    val got = f.search(q, 5).select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Knn.knnJoin(q, b, 5).select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("factory OPQ<M>_<d> and PCAR<d> transform forms (r9)") {
     // OPQ8_32: dimension-changing OPQ (OPQMatrix(d, M, d_out),
     // index_factory.cpp:211; test_factory.py's OPQ16_64 form)
