@@ -1426,6 +1426,48 @@ object Queries {
              |  round(sum((x-dv)*(x-dv)), 8) AS err
              |FROM hv GROUP BY vec_id""".stripMargin)),
 
+    // IndexRowwiseMinMax (faiss/IndexRowwiseMinMax.h:34; factory
+    // prefix `MinMax,`): rowwise scale to [0,1], fp32 (scaler, minv)
+    // coefficients, SQfp16 inner codec, decode rescales. A vector
+    // CODEC in the reference (search throws) — the oracle replays the
+    // whole chain per element: row min/max, fp32 coefficient
+    // rounding, the float32 scaled value, IEEE-half re-derivation
+    // (the fp16_roundtrip formula) and the rescale.
+    ("minmax_roundtrip", (s: SparkSession, dir: String) => {
+      val src = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val dec = graft.index.MinMaxCodec
+        .roundtripDf(src, "vec_id", "embedding", "SQfp16", fp16Coeffs = false)
+        .withColumnRenamed("id", "vec_id").withColumnRenamed("vec", "_dv")
+      src.join(dec, "vec_id")
+        .select(col("vec_id"),
+          round(element_at(col("_dv"), 1), 6).as("d1"),
+          round(aggregate(
+            zip_with(col("embedding").cast("array<double>"), col("_dv"),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x), 6).as("err"))
+    },
+      Some("""WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             |    unnest(embedding::DOUBLE[]) AS x FROM embeddings),
+             |mm AS (SELECT vec_id, min(x) AS mn,
+             |    CAST(max(x) - min(x) AS REAL)::DOUBLE AS sc0 FROM el GROUP BY vec_id),
+             |mm2 AS (SELECT vec_id, mn, CASE WHEN sc0 = 0 THEN 1.0 ELSE sc0 END AS sc FROM mm),
+             |sv AS (SELECT e.vec_id, e.i, e.x, m.mn, m.sc,
+             |    CAST((e.x - m.mn) / m.sc AS REAL)::DOUBLE AS s
+             |  FROM el e JOIN mm2 m USING (vec_id)),
+             |ee AS (SELECT sv.vec_id, sv.i, sv.x, sv.mn, sv.sc, sv.s, abs(sv.s) AS axs,
+             |    max(t.e) AS ex
+             |  FROM sv LEFT JOIN range(-45,16) t(e) ON power(2.0, t.e) <= abs(sv.s)
+             |  GROUP BY sv.vec_id, sv.i, sv.x, sv.mn, sv.sc, sv.s),
+             |hv AS (SELECT vec_id, i, x, mn, sc,
+             |  CASE WHEN axs < power(2.0, -25) THEN 0.0
+             |       WHEN ex >= -14 THEN sign(s) * floor(axs / power(2.0, ex-10) + 0.5) * power(2.0, ex-10)
+             |       ELSE sign(s) * floor(axs * power(2.0, 24) + 0.5) * power(2.0, -24) END AS hval
+             |  FROM ee),
+             |dec AS (SELECT vec_id, i, x, sc * hval + mn AS dv FROM hv)
+             |SELECT vec_id, round(max(CASE WHEN i = 1 THEN dv END), 6) AS d1,
+             |  round(sum((x-dv)*(x-dv)), 6) AS err
+             |FROM dec GROUP BY vec_id""".stripMargin)),
+
     // §2.11 SQ8 asymmetric (ADC) kNN search
     ("sq8_knn", (s: SparkSession, dir: String) => {
       val sq = graft.index.SqIndex.build(bDf(s, dir, 10), "id", "vec")
@@ -3270,6 +3312,20 @@ object Queries {
     // dropDuplicates); the oracle is the batch count-distinct
     ("stream_dedup_ingest", (s: SparkSession, dir: String) =>
       graft.streaming.StreamingIngest.dedupIngest(
+        s, s"$dir/events.parquet", Seq("user_id", "event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_unique_users")),
+      Some("""SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_unique_users
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // watermark-BOUNDED streaming dedup (dropDuplicatesWithinWatermark
+    // — the 100 TB ingest shape: per-key state is dropped once the
+    // watermark passes first-seen + delay instead of growing with
+    // every key ever seen). The staged file drains as one batch, so
+    // every duplicate key dedups while its state is live and the
+    // result is exactly batch-distinct.
+    ("stream_dedup_watermark", (s: SparkSession, dir: String) =>
+      graft.streaming.StreamingIngest.dedupIngestWithinWatermark(
         s, s"$dir/events.parquet", Seq("user_id", "event_type"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_unique_users")),

@@ -11,7 +11,7 @@ import graft.transform._
   * SURVEY §2.11). Supported grammar (comma-separated):
   *
   *   [transform,...] [IVF<nlist>[(RCQ<a>x<b>)], | IMI2x<b>, | Residual<nlist>,] <code>
-  *   transform := PCA[W][R]<d> | RR<d> | OPQ<M>[_<d>] | Pad<d> | L2norm | Center
+  *   transform := PCA[W][R]<d> | RR[<d>] | OPQ<M>[_<d>] | ITQ[<d>] | Pad<d> | L2norm | Center
   *   code      := Flat | SQ8 | SQ4 | SQ6 | SQfp16
   *              | PQ<M>[x<ksub>] | PQ<M>x4fs[_<bbs>]
   *              | SH<nbit>x<period>[g|c|m]
@@ -48,12 +48,18 @@ object IndexFactory {
   def codeSize(desc: String, d: Int): Int = {
     var dim = d
     var code: Option[Int] = None
+    // MinMax wrappers prepend per-row (scaler, minv): fp32 = 8 bytes,
+    // fp16 = 4 bytes (IndexRowwiseMinMax.h:28-31)
+    var extra = 0
     desc.split(",").map(_.trim).foreach {
       case Pca(_, _, t) => dim = t.toInt
-      case Rr(t) => dim = t.toInt
+      case Rr(t) => if (t.nonEmpty) dim = t.toInt
+      case ItqTok(t) => if (t.nonEmpty) dim = t.toInt
       case OpqTok(_, t) => if (t != null) dim = t.toInt
       case PadTok(t) => dim = math.max(dim, t.toInt)
-      case "L2norm" | "Center" | "RFlat" | "IDMap" | "IDMap2" => ()
+      case "L2norm" | "L2Norm" | "Center" | "RFlat" | "IDMap" | "IDMap2" => ()
+      case "MinMax" => extra += 8
+      case "MinMaxFP16" => extra += 4
       case Ivf(_) | IvfHnsw(_, _) | IvfRcqTok(_, _, _) | Imi(_) | Res(_) => ()
       case "Flat" => code = Some(4 * dim)
       case "SQ8" => code = Some(dim)
@@ -78,7 +84,8 @@ object IndexFactory {
         code = Some(lat.codeSize)
       case other => throw new IllegalArgumentException(s"unknown token $other")
     }
-    code.getOrElse(throw new IllegalArgumentException(s"no code token in '$desc'"))
+    code.map(_ + extra)
+      .getOrElse(throw new IllegalArgumentException(s"no code token in '$desc'"))
   }
 
   private final class FlatBuilt(base: DataFrame, chain: VecTransform)
@@ -131,7 +138,11 @@ object IndexFactory {
   // random rotation AFTER the reduction (PCAMatrix random_rotation —
   // balances variance across the kept components)
   private val Pca = "PCA(W?)(R?)(\\d+)".r
-  private val Rr = "RR(\\d+)".r
+  // RR[<d>] (index_factory.cpp:205): bare RR keeps the input dim
+  private val Rr = "RR(\\d*)".r
+  // ITQ[<d>] (index_factory.cpp:208, ITQTransform): PCA (when <d> is
+  // given) + the iterative-quantization rotation of Opq.trainItq
+  private val ItqTok = "ITQ(\\d*)".r
   private val Ivf = "IVF(\\d+)".r
   // IVF<nlist>(RCQ<levels>x<bits>): ResidualCoarseQuantizer as the
   // coarse quantizer (index_factory.cpp:241-291 coarse grammar;
@@ -366,11 +377,20 @@ object IndexFactory {
         }
         rest = tl
       case Rr(dd) :: tl =>
-        val t = Transforms.randomRotation(dd.toInt, seed)
+        val n = if (dd.nonEmpty) dd.toInt
+          else data.select(size(col("vec"))).first().getInt(0)
+        val t = Transforms.randomRotation(n, seed)
         transforms += t
         data = data.withColumn("vec", t.applyCol(col("vec")))
         rest = tl
-      case "L2norm" :: tl =>
+      case ItqTok(dd) :: tl =>
+        val n = if (dd.nonEmpty) dd.toInt
+          else data.select(size(col("vec"))).first().getInt(0)
+        val t = graft.transform.Opq.trainItq(data, "vec", n, seed = seed)
+        transforms += t
+        data = data.withColumn("vec", t.applyCol(col("vec")))
+        rest = tl
+      case ("L2norm" | "L2Norm") :: tl =>
         transforms += Normalization
         data = data.withColumn("vec", Normalization.applyCol(col("vec")))
         rest = tl
@@ -492,6 +512,16 @@ object IndexFactory {
         new ImiBuilt(ImiIndex.build(data, "id", "vec",
           ksub = 1 << bits.toInt, niter = niter, seed = seed), chain)
       case "Flat" :: Nil => new FlatBuilt(data, chain)
+      // MinMax[FP16],<SQ8|SQfp16> (IndexRowwiseMinMax[FP16],
+      // index_factory.cpp:811): a vector codec in the reference
+      // (search throws) — searchable here through the
+      // reconstruction-distance scan over the decoded rows, the
+      // ZnLattice/flat-AQ pattern
+      case (mm @ ("MinMax" | "MinMaxFP16")) :: inner :: Nil
+          if inner == "SQ8" || inner == "SQfp16" =>
+        new FlatBuilt(MinMaxCodec.roundtripDf(data, "id", "vec", inner,
+          fp16Coeffs = mm == "MinMaxFP16")
+          .select(col("id"), col("vec").cast("array<float>").as("vec")), chain)
       case (sq @ ("SQ8" | "SQ4" | "SQ6" | "SQfp16")) :: Nil =>
         new SqBuilt(SqIndex.build(data, "id", "vec",
           qtype = if (sq == "SQfp16") "fp16" else sq), chain)

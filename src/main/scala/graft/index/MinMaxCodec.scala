@@ -1,0 +1,69 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.shim
+import graft.core.{Fp16Decode, Fp16Encode}
+
+/** IndexRowwiseMinMax / IndexRowwiseMinMaxFP16
+  * (faiss/IndexRowwiseMinMax.h:34; factory prefix `MinMax,` /
+  * `MinMaxFP16,`, index_factory.cpp:811): scale every ROW to [0,1]
+  * before the inner codec and keep (scaler, minv) in front of the
+  * code — decode rescales `x = scaler * inner_decode + minv`. The
+  * coefficients are stored fp32 (8 extra bytes/vector) or fp16
+  * (4 extra bytes). A vector CODEC in the reference — search throws
+  * (IndexRowwiseMinMax.cpp:361) — so, like the other codec indexes
+  * (ZnLattice, Index2Layer), it is searchable here only through the
+  * reconstruction-distance scan over the decoded vectors.
+  *
+  * Everything is column arithmetic: per-row min/max, the fp32/fp16
+  * coefficient rounding, the scaled fp16/SQ8 inner round-trip and the
+  * rescale all run inside one projection — no joins, no shuffles, no
+  * trained state except the inner SQ8's O(d) range.
+  */
+object MinMaxCodec {
+
+  /** Round a scalar double column through IEEE half (the fp16
+    * coefficient storage of MinMaxFP16). */
+  private def fp16Round(c: Column): Column =
+    element_at(shim.col(Fp16Decode(Fp16Encode(
+      shim.expr(array(c.cast("float")))))), 1).cast("double")
+
+  /** Per-row (minv, scaler) coefficient columns after their storage
+    * rounding. A constant row (scaler 0) falls back to scaler 1 so
+    * the division is defined; it decodes exactly either way. */
+  private def coeffs(vec: Column, fp16Coeffs: Boolean): (Column, Column) = {
+    val mnRaw = array_min(vec).cast("double")
+    val scRaw = array_max(vec).cast("double") - mnRaw
+    val mn = if (fp16Coeffs) fp16Round(mnRaw) else mnRaw // fp32 minv = the float input value, exact
+    val sc0 = if (fp16Coeffs) fp16Round(scRaw) else scRaw.cast("float").cast("double")
+    (mn, when(sc0 === 0d, lit(1d)).otherwise(sc0))
+  }
+
+  /** decode(encode(vec)) as array<double>, with an `SQfp16` or `SQ8`
+    * inner codec. SQ8 trains its per-dim range on the SCALED rows
+    * (one aggregation), exactly as the wrapper trains its sub-index
+    * on the scaled dataset (IndexRowwiseMinMax.h train()). */
+  def roundtripDf(df: DataFrame, idCol: String, vecCol: String,
+      inner: String, fp16Coeffs: Boolean): DataFrame = {
+    val (mn, sc) = coeffs(col(vecCol), fp16Coeffs)
+    val scaled = transform(col(vecCol),
+      x => ((x.cast("double") - mn) / sc).cast("float"))
+    val base = df.select(col(idCol).as("id"), mn.as("_mn"), sc.as("_sc"),
+      scaled.as("_scaled"))
+    val dec: Column = inner match {
+      case "SQfp16" =>
+        shim.col(Fp16Decode(Fp16Encode(shim.expr(col("_scaled")))))
+          .cast("array<double>")
+      case "SQ8" =>
+        val (mins, vdiff) = SqIndex.trainRange(base, "_scaled")
+        shim.col(SqVariant.decode("SQ8",
+          SqVariant.encode("SQ8", shim.expr(col("_scaled")),
+            mins, vdiff), mins, vdiff))
+      case other =>
+        throw new IllegalArgumentException(s"MinMax inner '$other' unsupported")
+    }
+    base.select(col("id"),
+      transform(dec, h => h * col("_sc") + col("_mn")).as("vec"))
+  }
+}

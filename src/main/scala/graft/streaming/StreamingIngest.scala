@@ -140,6 +140,32 @@ object StreamingIngest {
     } finally unstage(staged)
   }
 
+  /** Watermark-BOUNDED streaming dedup
+    * (`dropDuplicatesWithinWatermark`): like [[dedupIngest]] but the
+    * per-key state is dropped once the event-time watermark passes
+    * first-seen + delay — the shape that holds at 100 TB, where
+    * unbounded dropDuplicates state would grow with every distinct
+    * key ever seen while this keeps only the active window's keys in
+    * the state store. Duplicates within `delay` of the first
+    * occurrence are guaranteed dropped; the single-batch drain of a
+    * staged file dedups everything (state lives for the whole batch),
+    * making the result exactly batch-distinct for the oracle. */
+  def dedupIngestWithinWatermark(spark: SparkSession, eventsParquet: String,
+      keys: Seq[String], delay: String = "10000 hours"): DataFrame = {
+    val (srcDir, staged) = stage(eventsParquet)
+    try withNanosAsLong(spark) {
+      val schema = spark.read.parquet(eventsParquet).schema
+      val stream = normTs(spark.readStream.schema(schema).parquet(srcDir))
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(keys)
+      val name = s"graft_dedup_wm_${System.identityHashCode(stream)}"
+      val q = stream.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
+    } finally unstage(staged)
+  }
+
   /** Session-window streaming aggregation (Structured Streaming
     * `session_window` — the event-sessionization primitive of every
     * activity pipeline): a user's events group into sessions

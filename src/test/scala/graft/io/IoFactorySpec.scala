@@ -1,7 +1,7 @@
 package graft.io
 
 import graft.SparkTestBase
-import graft.index.IndexFactory
+import graft.index.{IndexFactory, MinMaxCodec}
 import graft.knn.Knn
 import org.apache.spark.sql.functions._
 
@@ -81,6 +81,45 @@ class IoFactorySpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       IndexFactory.build(b, "id", "vec", "IVF8(RCQ2x2),Flat")
     }
+  }
+
+  test("factory MinMax[FP16] codec wrapper (r9)") {
+    // IndexRowwiseMinMax[FP16] (index_factory.cpp:811): rowwise [0,1]
+    // scaling around an inner codec; +8 (fp32) / +4 (fp16) coefficient
+    // bytes. Codec-only in the reference; reconstruction-scan here.
+    assert(IndexFactory.codeSize("MinMax,SQ8", 64) == 72)
+    assert(IndexFactory.codeSize("MinMaxFP16,SQ8", 64) == 68)
+    assert(IndexFactory.codeSize("MinMax,SQfp16", 64) == 136)
+    for (desc <- Seq("MinMax,SQfp16", "MinMaxFP16,SQ8")) {
+      val f = IndexFactory.build(b, "id", "vec", desc)
+      assert(f.search(q, 5).count() == q.count() * 5, desc)
+    }
+    // the decoded rows stay close: roundtrip error per element is
+    // bounded by the inner step times the row scale
+    val dec = MinMaxCodec.roundtripDf(b, "id", "vec", "SQfp16", fp16Coeffs = false)
+    val joined = b.join(dec.withColumnRenamed("vec", "dv"), "id")
+      .select(aggregate(zip_with(col("vec").cast("array<double>"), col("dv"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x).as("err"))
+    val maxErr = joined.agg(max(col("err"))).head().getDouble(0)
+    assert(maxErr < 1e-3, s"roundtrip err $maxErr")
+  }
+
+  test("factory ITQ[<d>], bare RR and L2Norm spelling (r9)") {
+    // rotations preserve L2, so exact search under RR / full-dim ITQ
+    // must match plain Flat
+    val want = Knn.knnJoin(q, b, 5).select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (desc <- Seq("RR,Flat", "ITQ,Flat")) {
+      val got = IndexFactory.build(b, "id", "vec", desc)
+        .search(q, 5).select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, desc)
+    }
+    assert(IndexFactory.codeSize("ITQ32,Flat", 64) == 128)
+    assert(IndexFactory.codeSize("RR,Flat", 64) == 256)
+    assert(IndexFactory.codeSize("L2Norm,SQ8", 64) == 64)
+    assert(IndexFactory.build(b, "id", "vec", "ITQ16,Flat")
+      .search(q, 5).count() == q.count() * 5)
   }
 
   test("factory Pad<d>: zero-fill remap, L2 results unchanged (r9)") {
