@@ -1639,6 +1639,24 @@ object Queries {
         .withColumn("dist", r4("dist")),
       Some(ivfNprobe4Sql)),
 
+    // ,Refine(<code>) factory suffix (IndexRefine, index_factory.cpp:
+    // 664): IVF coarse stage at full probe + a Refine(Flat) re-rank —
+    // exact end to end (Refine(Flat) ≡ RFlat), so the oracle is the
+    // plain exact top-5, proving the whole parse → coarse → k·kFactor
+    // candidates → re-rank composition returns exactly the brute-force
+    // answer.
+    ("factory_refine_search", (s: SparkSession, dir: String) =>
+      cached(s"factoryRefine:$dir") {
+        graft.index.IndexFactory.build(bDf(s, dir, 10), "id", "vec",
+          "IVF8,Flat,Refine(Flat)", niter = 4)
+      }.search(qDf(s, dir, 10), 5, nprobe = 8)
+        .withColumn("dist", r4("dist")),
+      Some(s"""SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT q.vec_id AS qid, b.vec_id AS id, $dL2 AS dist,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $dL2, b.vec_id) AS "rank"
+              |  FROM embeddings q CROSS JOIN embeddings b
+              |  WHERE q.vec_id < 10 AND b.vec_id >= 10) t WHERE "rank" <= 5""".stripMargin)),
+
     // §2.11 binary flat (BFlat): Hamming kNN over packed sign-bit codes
     ("knn_binary_hamming", (s: SparkSession, dir: String) => {
       val e = emb(s, dir)

@@ -190,6 +190,34 @@ object IndexFactory {
   private val NsgTok = "NSG(\\d+)".r
   // ZnLattice<M>x<r2>_<nbit> (index_factory.cpp:536)
   private val ZnTok = "ZnLattice(\\d+)x(\\d+)_(\\d+)".r
+  // ,Refine(<code>) suffix (IndexRefine, index_factory.cpp:664)
+  private val RefineTok = "Refine\\((.+)\\)".r
+
+  /** The refine index's RECONSTRUCTION of the base — what IndexRefine
+    * re-ranks against (compute_distance via the refine sub-index's
+    * codes). Flat is lossless (== RFlat); SQ widths train their range
+    * here; PQ trains its codebooks. */
+  private def refineDecoded(data: DataFrame, inner: String,
+      niter: Int, seed: Long): DataFrame = inner match {
+    case "Flat" => data
+    case sq @ ("SQ8" | "SQ4" | "SQ6" | "SQfp16") =>
+      val qt = if (sq == "SQfp16") "fp16" else sq
+      val (mins, vdiff) =
+        if (SqVariant.needsRange(qt)) SqIndex.trainRange(data, "vec")
+        else (Array.empty[Double], Array.empty[Double])
+      data.select(col("id"),
+        shim.col(SqVariant.decode(qt,
+          SqVariant.encode(qt, shim.expr(col("vec")), mins, vdiff),
+          mins, vdiff)).cast("array<float>").as("vec"))
+    case Pq(m, ks) =>
+      val model = graft.index.Pq.train(data, "vec", m.toInt,
+        Option(ks).map(_.toInt).getOrElse(16), niter = niter, seed = seed)
+      data.select(col("id"),
+        model.decodeCol(shim.col(graft.core.PQEncode(
+          shim.expr(col("vec")), model.codebooks))).cast("array<float>").as("vec"))
+    case other => throw new IllegalArgumentException(
+      s"unsupported Refine inner '$other'")
+  }
 
   /** IndexLSH (faiss/IndexLSH.h:23, factory "LSH[rt]"): seeded random
     * rotation to nbits dims, sign-bit codes, Hamming ranking. */
@@ -426,10 +454,19 @@ object IndexFactory {
     val chain = Chain(transforms.result())
     data = data.cache()
 
-    // ",RFlat" suffix = exact re-rank stage (IndexRefineFlat)
-    val (core, refine) = rest.lastOption match {
-      case Some("RFlat") => (rest.dropRight(1), true)
-      case _ => (rest, false)
+    // ",RFlat" / ",Refine(<code>)" suffix = re-rank stage
+    // (IndexRefineFlat / IndexRefine, faiss/IndexRefine.h:17,69;
+    // factory recursion index_factory.cpp:664). RFlat re-ranks on the
+    // exact vectors; Refine(<code>) re-ranks on the refine codec's
+    // RECONSTRUCTION — the reference's two-index composition, where
+    // the refine index is usually a cheaper-but-better code than the
+    // coarse stage (e.g. "PQ8x4fs,Refine(SQfp16)"). Single-token
+    // refine descriptions only (the comma-split parse).
+    val (core, refineBase) = rest.lastOption match {
+      case Some("RFlat") => (rest.dropRight(1), Some(data))
+      case Some(RefineTok(inner)) =>
+        (rest.dropRight(1), Some(refineDecoded(data, inner, niter, seed)))
+      case _ => (rest, None)
     }
 
     val built = core match {
@@ -598,7 +635,10 @@ object IndexFactory {
       case other => throw new IllegalArgumentException(
         s"unsupported factory tail '${other.mkString(",")}' in '$desc'")
     }
-    val result = if (refine) new RefineBuilt(built, data, chain, kFactor = 4) else built
+    val result = refineBase match {
+      case Some(base) => new RefineBuilt(built, base, chain, kFactor = 4)
+      case None => built
+    }
     result.description = desc
     result
   }

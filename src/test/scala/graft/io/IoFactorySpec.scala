@@ -83,6 +83,27 @@ class IoFactorySpec extends SparkTestBase {
     }
   }
 
+  test("factory Refine(<code>) suffix re-ranks on the refine codec (r9)") {
+    // Refine(Flat) == RFlat: exact re-rank, so full-probe results are
+    // exact regardless of the coarse stage
+    val want = Knn.knnJoin(q, b, 5).select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rf = IndexFactory.build(b, "id", "vec", "IVF8,Flat,Refine(Flat)")
+    val got = rf.search(q, 5, nprobe = 8).select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // Refine(SQfp16): half-precision reconstruction re-rank — near
+    // lossless at this scale, must still be exact on well-separated
+    // neighbors
+    val rs = IndexFactory.build(b, "id", "vec", "PQ8,Refine(SQfp16)")
+    assert(rs.search(q, 5).count() == q.count() * 5)
+    val rp = IndexFactory.build(b, "id", "vec", "SQ8,Refine(PQ8)", niter = 2)
+    assert(rp.search(q, 5).count() == q.count() * 5)
+    intercept[IllegalArgumentException] {
+      IndexFactory.build(b, "id", "vec", "IVF8,Flat,Refine(NoSuch)")
+    }
+  }
+
   test("factory MinMax[FP16] codec wrapper (r9)") {
     // IndexRowwiseMinMax[FP16] (index_factory.cpp:811): rowwise [0,1]
     // scaling around an inner codec; +8 (fp32) / +4 (fp16) coefficient
