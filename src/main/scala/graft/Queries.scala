@@ -3310,20 +3310,72 @@ object Queries {
     // LIMIT 3 over the distinct partition keys.
     ("sliding_index_window", (s: SparkSession, dir: String) => {
       // ts arrives as either nanos-long or native timestamp; normTs
-      // handles both (the windowedEventCounts pattern)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = graft.streaming.StreamingIngest
-        .normTs(s.read.parquet(s"$dir/events.parquet"))
-        .withColumn("part", date_trunc("hour", col("ts")))
-      graft.streaming.StreamingIngest.slidingWindow(ev, "part", keep = 3)
-        .groupBy(col("part"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sv"))
-        .select(unix_timestamp(col("part")).as("part"), col("cnt"), col("sv"))
+      // handles both. The nanosAsLong flag is scoped: the batch read
+      // materializes inside the collect so the conf restore is safe
+      // (the same save/restore the streaming helpers use, ADVICE r8).
+      val out = graft.streaming.StreamingIngest.withNanosAsLong(s) {
+        val ev = graft.streaming.StreamingIngest
+          .normTs(s.read.parquet(s"$dir/events.parquet"))
+          .withColumn("part", date_trunc("hour", col("ts")))
+        val res = graft.streaming.StreamingIngest.slidingWindow(ev, "part", keep = 3)
+          .groupBy(col("part"))
+          .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sv"))
+          .select(unix_timestamp(col("part")).as("part"), col("cnt"), col("sv"))
+        (res.collect().toSeq, res.schema)
+      }
+      s.createDataFrame(s.sparkContext.parallelize(out._1, 1), out._2)
     },
       Some("""WITH ev AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS part, value FROM events),
              |keep AS (SELECT DISTINCT part FROM ev ORDER BY part DESC LIMIT 3)
              |SELECT epoch(part)::BIGINT AS part, count(*) AS cnt, round(sum(value), 2) AS sv
              |FROM ev JOIN keep USING (part) GROUP BY 1""".stripMargin)),
+
+    // §2.10 streaming IVF ingest END TO END (startIngest — the
+    // reference's incremental add loop, IndexIVF.cpp:254, as a
+    // Structured Stream): the embeddings table streams through
+    // foreachBatch coarse-assign+append into a fresh
+    // list_no-partitioned on-disk index, which is then LOADED and
+    // searched at nprobe = nlist — so whatever the per-batch
+    // assignment did, the result must equal the exact brute-force
+    // top-5. The tiny result is collected so the temp index/source
+    // dirs can be removed inside the builder.
+    ("stream_ivf_ingest_search", (s: SparkSession, dir: String) => {
+      import java.nio.file.{Files, Paths}
+      def rmTree(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (Files.exists(p))
+          Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(q => try Files.deleteIfExists(q)
+              catch { case _: java.io.IOException => () })
+      }
+      val model = km8(s, dir)
+      val tmp = Files.createTempDirectory("graft_stream_ivf")
+      val src = Files.createTempDirectory("graft_stream_ivf_src")
+      try {
+        Files.copy(Paths.get(s"$dir/embeddings.parquet"),
+          src.resolve("embeddings.parquet"))
+        val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+        val stream = s.readStream.schema(schema).parquet(src.toString)
+          .filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val q = graft.streaming.StreamingIngest.startIngest(
+          stream, model, s"$tmp/index", s"$tmp/ckpt")
+        try q.processAllAvailable() finally q.stop()
+        val invlists = s.read.parquet(s"$tmp/index/invlists")
+          .select(col("id"), col("vec"), col("list_no").cast("int").as("list_no"))
+        val idx = new graft.index.IvfIndex(model.centroids(0).length, "l2sq",
+          model.centroids.length, model.centroids, invlists)
+        val out = idx.search(qDf(s, dir, 10), 5, nprobe = model.centroids.length)
+          .withColumn("dist", r4("dist"))
+        val rows = out.collect().toSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+      } finally { rmTree(tmp); rmTree(src) }
+    },
+      Some(s"""SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT q.vec_id AS qid, b.vec_id AS id, $dL2 AS dist,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $dL2, b.vec_id) AS "rank"
+              |  FROM embeddings q CROSS JOIN embeddings b
+              |  WHERE q.vec_id < 10 AND b.vec_id >= 10) t WHERE "rank" <= 5""".stripMargin)),
 
     // streaming exactly-once dedup ingest (training-pipeline shape:
     // drop duplicate records by key as they arrive, stateful

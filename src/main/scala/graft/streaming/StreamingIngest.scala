@@ -70,7 +70,7 @@ object StreamingIngest {
     * Safe to scope this tightly: every helper drains its query
     * synchronously inside `f`, and the returned memory-sink table no
     * longer touches parquet. */
-  private def withNanosAsLong[A](spark: SparkSession)(f: => A): A = {
+  private[graft] def withNanosAsLong[A](spark: SparkSession)(f: => A): A = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
