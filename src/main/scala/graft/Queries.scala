@@ -3005,6 +3005,49 @@ object Queries {
              |  count(*)::BIGINT AS n_tokens
              |FROM tk JOIN vocab USING (tok) GROUP BY doc_id""".stripMargin)),
 
+    // bigram-LM quality score (the conditional-probability step up
+    // from unigram_logprob): per-doc average of
+    // -ln(c(w1,w2) / c(w1·)) over adjacent token pairs. Bigrams come
+    // from a NARROW zip of two array slices (no self-join on
+    // position); the bigram counts are one grouped shuffle and the
+    // prefix counts derive from them (sum per w1) — never a second
+    // pass over the corpus. nll on the INTEGER 1e-4 grid like the
+    // unigram queries, so the per-doc sum is exact.
+    ("bigram_logprob", (s: SparkSession, dir: String) => {
+      val toksArr = filter(TF.tokenize(col("text")), t => length(t) > 0)
+      val bigrams = docsDf(s, dir)
+        .select(col("doc_id"), toksArr.as("_t"))
+        .filter(size(col("_t")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("_t"), lit(1), size(col("_t")) - 1),
+          slice(col("_t"), lit(2), size(col("_t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("_bg"))
+        .select(col("doc_id"), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+      val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+      val prob = c12.join(c1, "w1")
+        .select(col("w1"), col("w2"),
+          round(-log(col("c") / col("c1")) * 10000).cast("long").as("nll_i"))
+      bigrams.join(prob, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("nll_i")) / 10000.0 / count(lit(1)), 2).as("avg_nll"),
+          count(lit(1)).as("n_bigrams"))
+    },
+      Some("""WITH tk AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS t
+             |  FROM documents),
+             |bg AS (SELECT doc_id,
+             |    unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+             |  FROM tk WHERE len(t) >= 2),
+             |c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+             |c1 AS (SELECT w1, sum(c) AS c1 FROM c12 GROUP BY w1),
+             |prob AS (SELECT c12.w1, c12.w2,
+             |    CAST(round(-ln(c / c1) * 10000) AS BIGINT) AS nll_i
+             |  FROM c12 JOIN c1 USING (w1))
+             |SELECT doc_id, round(sum(nll_i) / 10000.0 / count(*), 2) AS avg_nll,
+             |  count(*)::BIGINT AS n_bigrams
+             |FROM bg JOIN prob USING (w1, w2) GROUP BY doc_id""".stripMargin)),
+
     // unigram-LM scoring at scale: the same pipeline over the 300k-doc
     // derived corpus — 3.6M token rows through the vocab aggregate and
     // the token equi-join (the word-count shape the filter has at
