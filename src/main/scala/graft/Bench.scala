@@ -182,10 +182,13 @@ object Bench {
       if (d >= 0.5 && cold / d > 1.5 && SparkEntry.queries.contains(name)) {
         System.gc()
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case _: Throwable => () }
+        // a rerun that THROWS must not publish its time-to-failure as
+        // a warm measurement (r9 review) — keep the cold number
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         val warm = (System.nanoTime() - t0) / 1e9
-        if (warm < cold) {
+        if (ok && warm < cold) {
           results(name) = warm
           metrics(name) = metrics(name).dropRight(1) + f""","cold_sec":$cold%.3f}"""
           System.err.println(f"[bench] $name%-28s rerun: cold $cold%.2f s -> warm $warm%.2f s")

@@ -245,10 +245,12 @@ object Queries {
     * Tokens are keyed by xxhash64 (the HashingTF trick): 8-byte
     * shuffle keys instead of strings; collision odds across a
     * corpus vocabulary are ~n^2/2^64, and a collision would have to
-    * be token-vs-token to perturb a count. doc_id rides the shuffle
-    * as an int to halve the row. Corpus size T needs no token-table
-    * pass at all: it is the sum of per-doc token counts, computed
-    * narrowly with size(filter(...)) and broadcast as one row.
+    * be token-vs-token to perturb a count. doc_id stays a LONG — an
+    * int would silently wrap past 2^31 ids, exactly the regime this
+    * word-count shape is meant for (r9 review). Corpus size T needs
+    * no token-table pass at all: it is the sum of per-doc token
+    * counts, computed narrowly with size(filter(...)) and broadcast
+    * as one row.
     *
     * Per-token nll is snapped to an INTEGER 1e-4 grid before the
     * per-doc sum, so the aggregate is a long sum — exact and
@@ -268,7 +270,7 @@ object Queries {
       sum(size(filter(TF.tokenize(col("text")),
         tk => length(tk) > 0))).cast("double").as("T"))
     docs
-      .select(col("doc_id").cast("int").as("doc_id"),
+      .select(col("doc_id").cast("long").as("doc_id"),
         explode(TF.tokenize(col("text"))).as("tok0"))
       .filter(length(col("tok0")) > 0)
       .select(col("doc_id"), xxhash64(col("tok0")).as("tok"))
@@ -3384,13 +3386,7 @@ object Queries {
     // dirs can be removed inside the builder.
     ("stream_ivf_ingest_search", (s: SparkSession, dir: String) => {
       import java.nio.file.{Files, Paths}
-      def rmTree(p: java.nio.file.Path): Unit = {
-        import scala.jdk.CollectionConverters._
-        if (Files.exists(p))
-          Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(q => try Files.deleteIfExists(q)
-              catch { case _: java.io.IOException => () })
-      }
+      import graft.streaming.StreamingIngest.rmTree
       val model = km8(s, dir)
       val tmp = Files.createTempDirectory("graft_stream_ivf")
       val src = Files.createTempDirectory("graft_stream_ivf_src")

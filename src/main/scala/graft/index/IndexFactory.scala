@@ -58,6 +58,9 @@ object IndexFactory {
       case OpqTok(_, t) => if (t != null) dim = t.toInt
       case PadTok(t) => dim = math.max(dim, t.toInt)
       case "L2norm" | "L2Norm" | "Center" | "RFlat" | "IDMap" | "IDMap2" => ()
+      // like RFlat, the Refine(<code>) suffix does not change the CORE
+      // code width (the refine codec's bytes are its own index's)
+      case RefineTok(_) => ()
       case "MinMax" => extra += 8
       case "MinMaxFP16" => extra += 4
       case Ivf(_) | IvfHnsw(_, _) | IvfRcqTok(_, _, _) | Imi(_) | Res(_) => ()

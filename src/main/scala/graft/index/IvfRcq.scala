@@ -35,6 +35,11 @@ class IvfRcqFlatIndex(
 
   def nlist: Int = math.round(math.pow(model.k, model.levels)).toInt
 
+  /** Release the cached invlists. build() caches them (add-time
+    * work); an index discarded without close() pins that storage
+    * until session end (the IvfPq4FastScanRIndex.close contract). */
+  def close(): Unit = invlists.unpersist(blocking = false)
+
   def search(queries: DataFrame, k: Int, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
     // probe beam: the reference's beam_factor (default 4x nprobe,

@@ -47,10 +47,17 @@ object MinMaxCodec {
   def roundtripDf(df: DataFrame, idCol: String, vecCol: String,
       inner: String, fp16Coeffs: Boolean): DataFrame = {
     val (mn, sc) = coeffs(col(vecCol), fp16Coeffs)
-    val scaled = transform(col(vecCol),
-      x => ((x.cast("double") - mn) / sc).cast("float"))
-    val base = df.select(col(idCol).as("id"), mn.as("_mn"), sc.as("_sc"),
-      scaled.as("_scaled"))
+    // project the coefficients FIRST: referencing the min/max
+    // expressions inside the per-element transform() lambda would
+    // re-scan the whole array per element — O(d²) per row (no
+    // common-subexpression elimination across lambda bodies; r9
+    // review)
+    val withCoeffs = df.select(col(idCol).as("id"), col(vecCol).as("_v"),
+      mn.as("_mn"), sc.as("_sc"))
+    val base = withCoeffs.select(col("id"), col("_mn"), col("_sc"),
+      transform(col("_v"),
+        x => ((x.cast("double") - col("_mn")) / col("_sc")).cast("float"))
+        .as("_scaled"))
     val dec: Column = inner match {
       case "SQfp16" =>
         shim.col(Fp16Decode(Fp16Encode(shim.expr(col("_scaled")))))

@@ -58,10 +58,15 @@ object Dedup {
     // shingle/minhash kernels. A join without a broadcast hint plans
     // as a shuffle join on both sides (a stats-based auto-broadcast
     // would pass through unwidened — the conservative pre-r9 behavior).
+    // Decided from the OPTIMIZED plan: only there does
+    // EliminateResolvedHint fold the broadcast() hint into Join.hint —
+    // in the analyzed plan the hint is a separate ResolvedHint node
+    // and Join.hint is always NONE (r9 review). Optimizing plans, not
+    // executes, anything.
     def broadcastHinted(j: Join): Boolean =
       Seq(j.hint.leftHint, j.hint.rightHint).flatten
         .flatMap(_.strategy).contains(BROADCAST)
-    val shuffled = df.queryExecution.analyzed.collectFirst {
+    val shuffled = df.queryExecution.optimizedPlan.collectFirst {
       case _: Aggregate | _: RepartitionByExpression | _: Window |
           _: Distinct | _: Deduplicate | _: GlobalLimit => ()
       case Repartition(_, true, _) => ()

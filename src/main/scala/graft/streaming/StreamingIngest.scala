@@ -55,13 +55,21 @@ object StreamingIngest {
     }
   }
 
-  private def unstage(staged: Option[java.nio.file.Path]): Unit =
-    staged.foreach { d =>
+  /** Best-effort recursive delete; shared by the streaming stagers
+    * and the catalog's temp-index queries. Closes the walk stream
+    * (an open directory fd until GC otherwise; r9 review). */
+  private[graft] def rmTree(d: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(d)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(d)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(p => try java.nio.file.Files.deleteIfExists(p)
           catch { case _: java.io.IOException => () })
+      finally walk.close()
     }
+
+  private def unstage(staged: Option[java.nio.file.Path]): Unit =
+    staged.foreach(rmTree)
 
   /** Scoped `spark.sql.legacy.parquet.nanosAsLong=true` (needed to
     * READ a TIMESTAMP(NANOS) parquet schema at all): restores the
