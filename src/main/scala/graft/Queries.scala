@@ -318,7 +318,8 @@ object Queries {
     pq16(s, dir); rot64(s, dir); opqModel(s, dir); ivfpq8(s, dir)
     ivfpqr8(s, dir); twoLayer16(s, dir); ivfsh8(s, dir); km8(s, dir)
     twoLevel12(s, dir); pdk8(s, dir); bivf8(s, dir); rqModel16(s, dir)
-    prqModel(s, dir); imi16(s, dir); sqMeanstd(s, dir); ivfrq8(s, dir)
+    prqModel(s, dir); imi16(s, dir); imipq16(s, dir); sqMeanstd(s, dir)
+    ivfrq8(s, dir)
     kmSph8(s, dir); znLat16(s, dir); pca16(s, dir); itq32(s, dir)
     pqfs8(s, dir); ivfpqfs8(s, dir); ivfsq4(s, dir); rqfs2(s, dir)
     ivfrqfs8(s, dir); ivfpqfsr8(s, dir); rcq16(s, dir); opq32Ivfpq(s, dir)
@@ -389,6 +390,11 @@ object Queries {
     OracleAux.write(dir, "opq32_codebooks", OracleAux.codebooksDf(s, o32idx.model.codebooks))
     OracleAux.write(dir, "imi_codebooks",
       OracleAux.codebooksDf(s, imi16(s, dir).model.codebooks))
+    val ipqImi = imipq16(s, dir)
+    OracleAux.write(dir, "imipq_coarse_cb",
+      OracleAux.codebooksDf(s, ipqImi.coarse.codebooks))
+    OracleAux.write(dir, "imipq_codebooks",
+      OracleAux.codebooksDf(s, ipqImi.model.codebooks))
     OracleAux.write(dir, "kmeans8_centroids",
       OracleAux.centroidsDf(s, km8(s, dir).centroids))
     OracleAux.write(dir, "kmeans_sph_centroids",
@@ -567,6 +573,13 @@ object Queries {
   private def imi16(s: SparkSession, dir: String): graft.index.ImiIndex =
     cached(s"imi16:$dir") {
       graft.index.ImiIndex.build(bDf(s, dir, 10), "id", "vec", ksub = 16, niter = 4)
+    }
+  /** IMI2x4,PQ8 (IndexIVFPQ over the multi-index coarse — the SIFT1B
+    * flagship composition at test scale, index_factory.cpp:834-878). */
+  private def imipq16(s: SparkSession, dir: String): graft.index.ImiPqIndex =
+    cached(s"imipq16:$dir") {
+      graft.index.ImiPqIndex.build(bDf(s, dir, 10), "id", "vec", ksub = 16,
+        m = 8, pqKsub = 16, niterCoarse = 4, niterPq = 4)
     }
   private def rqModel16(s: SparkSession, dir: String): graft.index.RqModel =
     cached(s"rq16:$dir") {
@@ -3897,6 +3910,68 @@ object Queries {
               |  JOIN embeddings q ON q.vec_id = p.qid JOIN embeddings b ON b.vec_id = bc.id)
               |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 10""".stripMargin)),
+
+    // IMI2x<b>,PQ<m> (IndexIVFPQ over the multi-index coarse — the
+    // SIFT1B flagship composition, index_factory.cpp:834-878;
+    // benchs/README.md:107 IMI2x12,PQ16). The oracle replays the whole
+    // chain from the two codebook sidecars: per-half cell assignment,
+    // float32 residual against the concat half-centroids, residual PQ
+    // encode, the MinSumK probe ranking (per-half top-nprobe + min-sum
+    // combine — never the K² enumeration), per-(query, cell) residual
+    // LUT, and the ADC sum.
+    ("imi_pq_search", (s: SparkSession, dir: String) =>
+      imipq16(s, dir).search(qDf(s, dir, 10), k = 10, nprobe = 8)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH ccb AS (SELECT m, j, c FROM read_parquet('$AUX/imipq_coarse_cb/*.parquet')),
+              |rcb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/imipq_codebooks/*.parquet')),
+              |bh AS (SELECT vec_id AS id, r.m AS m, embedding[r.m*32+1:r.m*32+32]::DOUBLE[] AS sv
+              |       FROM embeddings, range(0,2) r(m) WHERE vec_id >= 10),
+              |benc AS (SELECT id, m, j FROM (
+              |  SELECT b.id, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bh b JOIN ccb cb ON cb.m = b.m) t WHERE rn = 1),
+              |bcell AS (SELECT a0.id, a0.j AS j0, a1.j AS j1, a0.j*16 + a1.j AS cell
+              |  FROM benc a0 JOIN benc a1 ON a0.id = a1.id AND a0.m = 0 AND a1.m = 1),
+              |bres AS (SELECT bc.id, bc.cell,
+              |    list_transform(list_zip(b.embedding, c0.c || c1.c), p -> p[1] - p[2]) AS res
+              |  FROM bcell bc JOIN embeddings b ON b.vec_id = bc.id
+              |  JOIN ccb c0 ON c0.m = 0 AND c0.j = bc.j0
+              |  JOIN ccb c1 ON c1.m = 1 AND c1.j = bc.j1),
+              |bsub AS (SELECT id, cell, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM bres, range(0,8) r(m)),
+              |enc AS (SELECT id, cell, m, j FROM (
+              |  SELECT b.id, b.cell, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN rcb cb ON cb.m = b.m) t WHERE rn = 1),
+              |qh AS (SELECT vec_id AS qid, r.m AS m, embedding[r.m*32+1:r.m*32+32]::DOUBLE[] AS sv
+              |       FROM embeddings, range(0,2) r(m) WHERE vec_id < 10),
+              |qtop AS (SELECT qid, m, j, d FROM (
+              |  SELECT q.qid, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS d,
+              |    row_number() OVER (PARTITION BY q.qid, q.m ORDER BY
+              |      list_aggregate(list_transform(list_zip(q.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM qh q JOIN ccb cb ON cb.m = q.m) t WHERE rn <= 8),
+              |cells AS (SELECT d0.qid, d0.j AS j0, d1.j AS j1, d0.j*16 + d1.j AS cell, d0.d + d1.d AS cd
+              |  FROM qtop d0 JOIN qtop d1 ON d0.qid = d1.qid AND d0.m = 0 AND d1.m = 1),
+              |probes AS (SELECT qid, j0, j1, cell FROM (
+              |  SELECT qid, j0, j1, cell, cd, row_number() OVER (PARTITION BY qid ORDER BY cd, cell) AS pr
+              |  FROM cells) t WHERE pr <= 8),
+              |qres AS (SELECT p.qid, p.cell,
+              |    list_transform(list_zip(q.embedding, c0.c || c1.c), x -> x[1] - x[2]) AS res
+              |  FROM probes p JOIN embeddings q ON q.vec_id = p.qid
+              |  JOIN ccb c0 ON c0.m = 0 AND c0.j = p.j0
+              |  JOIN ccb c1 ON c1.m = 1 AND c1.j = p.j1),
+              |qsub AS (SELECT qid, cell, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM qres, range(0,8) r(m)),
+              |lut AS (SELECT q.qid, q.cell, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub q JOIN rcb cb ON cb.m = q.m),
+              |adc AS (SELECT l.qid, e.id, list_aggregate(list(l.pd ORDER BY l.m), 'sum') AS dist
+              |  FROM enc e JOIN lut l ON l.cell = e.cell AND l.m = e.m AND l.j = e.j
+              |  GROUP BY l.qid, e.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w
               |WHERE "rank" <= 10""".stripMargin)),
 
     // §2.11 Binary IVF (IndexBinaryIVF): Hamming-pruned inverted lists

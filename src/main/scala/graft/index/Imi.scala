@@ -137,3 +137,160 @@ object ImiIndex {
     new ImiIndex(ksub, model, invlists)
   }
 }
+
+/** `IMI2x<b>,PQ<m>` — IVFPQ whose coarse quantizer is the inverted
+  * multi-index (the factory composition index_factory.cpp:834-878;
+  * the SIFT1B flagship config `IMI2x12,PQ16` of benchs/README.md:107).
+  * Cells are the K² cartesian product of the two half-space codebooks;
+  * codes are a product quantizer over the RESIDUAL against the cell
+  * centroid (= the concatenation of the two half-centroids), searched
+  * by per-(query, probed-cell) ADC LUTs — exactly [[IvfPqIndex]] with
+  * [[ImiIndex]]'s probe selection.
+  *
+  * Spark shape: probe selection is the MinSumK two-level ranking of
+  * [[ImiIndex.search2]] (per-half top-nprobe through the half LUT,
+  * then the min-sum combine — O(nprobe²) candidate cells, never the
+  * K² enumeration, which at the reference's IMI2x12 would be 16M cells
+  * per query); residuals come from TWO K-row broadcast joins against
+  * the half-centroid tables, so no K²-row centroid table ever
+  * materializes; the codes scan is statically pruned to the probed
+  * cells and aggregated by the bounded-heap top-k. Optional `ht`
+  * (polysemous Hamming pre-filter on the residual codes,
+  * IndexIVFPQ.h polysemous_ht) and `maxCodes` (per-(query, cell) scan
+  * budget, IndexIVF.h:67-72) expose the SIFT1B operating-point knobs. */
+class ImiPqIndex(
+    val ksub: Int,
+    /** m=2 half-space coarse codebooks. */
+    val coarse: PqModel,
+    /** residual product quantizer. */
+    val model: PqModel,
+    /** (id, cell, code) */
+    val codes: DataFrame) {
+
+  def nlist: Int = ksub * ksub
+
+  private def halfDf(m: Int) = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    coarse.codebooks(m).zipWithIndex.toSeq
+      .map { case (c, j) => (j, c.toSeq) }.toDF(s"_j$m", s"_c$m")
+      .select(col(s"_j$m"), col(s"_c$m").cast("array<float>").as(s"_c$m"))
+  }
+
+  /** Output (qid, rank, id, dist) — ADC distances over the probed
+    * cells' residual codes. */
+  def search(queries: DataFrame, k: Int, nprobe: Int,
+      queryId: String = "qid", queryVec: String = "qvec",
+      ht: Option[Int] = None, maxCodes: Option[Int] = None): DataFrame = {
+    val kl = lit(ksub)
+    val k2 = math.min(math.max(nprobe, 1), ksub)
+    // level 1+2 probe selection (MultiIndexQuantizer2 MinSumK shape,
+    // IndexPQ.cpp:1042): per-half top-k2 from the half LUTs, min-sum
+    // combine, top-nprobe cells by (cell distance, cell)
+    val halfTop = queries
+      .select(col(queryId), col(queryVec), coarse.lutCol(col(queryVec)).as("_lut"))
+      .select(col(queryId), col(queryVec), explode(sequence(lit(0), lit(1))).as("_m"),
+        col("_lut"))
+      .select(col(queryId), col(queryVec), col("_m"),
+        posexplode(slice(col("_lut"), col("_m") * kl + 1, kl)).as(Seq("_j", "_hd")))
+      .groupBy(col(queryId), col("_m"))
+      .agg(first(col(queryVec)).as(queryVec),
+        topk(col("_hd"), col("_j").cast("long"), k2, asc = true).as("_tk"))
+      .select(col(queryId), col(queryVec), col("_m"), explode(col("_tk")).as("_r"))
+      .select(col(queryId), col(queryVec), col("_m"),
+        col("_r.id").cast("int").as("_j"), col("_r.dist").as("_hd"))
+    val h0 = halfTop.filter(col("_m") === 0)
+      .select(col(queryId), col(queryVec), col("_j").as("_j0"), col("_hd").as("_d0"))
+    val h1 = halfTop.filter(col("_m") === 1)
+      .select(col(queryId), col("_j").as("_j1"), col("_hd").as("_d1"))
+    val probeCells = h0.join(h1, Seq(queryId))
+      .select(col(queryId), col(queryVec),
+        (col("_j0") * kl + col("_j1")).as("_cell"),
+        (col("_d0") + col("_d1")).as("_cd"))
+      .groupBy(col(queryId))
+      .agg(first(col(queryVec)).as(queryVec),
+        topk(col("_cd"), col("_cell").cast("long"), nprobe, asc = true).as("_tk"))
+      .select(col(queryId), col(queryVec), explode(col("_tk")).as("_r"))
+      .select(col(queryId), col(queryVec), col("_r.id").cast("int").as("cell"))
+    // per-(query, cell) residual LUT: the cell centroid is the concat
+    // of the two half-centroids — two K-row broadcast joins, never a
+    // K²-row table
+    var probesLut = probeCells
+      .withColumn("_j0", (col("cell") / kl).cast("int"))
+      .withColumn("_j1", pmod(col("cell"), kl).cast("int"))
+      .join(broadcast(halfDf(0)), "_j0")
+      .join(broadcast(halfDf(1)), "_j1")
+      .withColumn("_qres",
+        graft.functions.vec_sub(col(queryVec), concat(col("_c0"), col("_c1"))))
+      .select(col(queryId), col("cell"), col("_qres"),
+        model.lutCol(col("_qres")).as("_lut"))
+    probesLut = ht match {
+      case Some(_) => probesLut.withColumn("_qcode",
+        shim.col(graft.core.PQEncode(shim.expr(col("_qres")), model.codebooks)))
+        .drop("_qres")
+      case None => probesLut.drop("_qres")
+    }
+    // static cell pruning: only distinct cell ints cross the driver
+    // (Probes.probedListIds); the LUT-bearing probe rows broadcast
+    val probed = Probes.probedListIds(probesLut.select(col("cell").as("list_no")))
+    var cand = codes.filter(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*))
+      .join(broadcast(probesLut), "cell")
+    ht.foreach { t =>
+      // polysemous pre-filter (IndexIVFPQ polysemous_ht): Hamming
+      // between the query's PER-CELL residual code and the stored code
+      cand = cand.filter(
+        graft.functions.hamming_dist(col("code"), col("_qcode")) <= t)
+    }
+    var scored = cand.select(col(queryId), col("cell"), col("id"),
+      model.adcCol(col("code"), col("_lut")).as("_dist"))
+    maxCodes.foreach { mc =>
+      // scan budget per (query, cell) before the global top-k
+      scored = scored
+        .groupBy(col(queryId), col("cell"))
+        .agg(topk(col("_dist"), col("id"), mc, asc = true).as("_tk"))
+        .select(col(queryId), col("cell"), explode(col("_tk")).as("_r"))
+        .select(col(queryId), col("cell"),
+          col("_r.id").as("id"), col("_r.dist").as("_dist"))
+    }
+    scored
+      .groupBy(col(queryId))
+      .agg(topk(col("_dist"), col("id"), k, asc = true).as("_tk"))
+      .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+      .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
+        col("_r.id").as("id"), col("_r.dist").as("dist"))
+  }
+}
+
+object ImiPqIndex {
+  /** Train coarse (2-subspace PQ) + residual PQ, encode every row
+    * (IndexIVFPQ::train/add_core with a MultiIndexQuantizer coarse). */
+  def build(df: DataFrame, idCol: String, vecCol: String, ksub: Int = 16,
+      m: Int = 8, pqKsub: Int = 16, niterCoarse: Int = 6, niterPq: Int = 5,
+      seed: Long = 1234L): ImiPqIndex = {
+    val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val coarse = Pq.train(data, "vec", m = 2, ksub = ksub,
+      niter = niterCoarse, seed = seed)
+    val dsub = coarse.dsub
+    val j0 = shim.col(PQSubAssign(shim.expr(lit(0)),
+      shim.expr(slice(col("vec"), 1, dsub)), coarse.codebooks))
+    val j1 = shim.col(PQSubAssign(shim.expr(lit(1)),
+      shim.expr(slice(col("vec"), dsub + 1, dsub)), coarse.codebooks))
+    // residual = vec − concat(cb0[j0], cb1[j1]): the coarse PQ decode
+    // of the cell code — float32, as the reference's residual
+    val assigned = data.select(col("id"), col("vec"),
+      (j0 * ksub + j1).as("cell"),
+      graft.functions.vec_sub(col("vec"), coarse.decodeCol(
+        shim.col(graft.core.PQEncode(shim.expr(col("vec")),
+          coarse.codebooks)))).as("res"))
+      .cache()
+    try {
+      val model = Pq.train(assigned, "res", m, pqKsub, niterPq, seed)
+      val codes = assigned.select(col("id"), col("cell"),
+        shim.col(graft.core.PQEncode(shim.expr(col("res")),
+          model.codebooks)).as("code"))
+      val mat = codes.cache()
+      mat.count()
+      new ImiPqIndex(ksub, coarse, model, mat)
+    } finally assigned.unpersist()
+  }
+}

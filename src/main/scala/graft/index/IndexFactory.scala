@@ -241,6 +241,14 @@ object IndexFactory {
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
         nprobe, queryId = qid, queryVec = qvec)
   }
+  /** IMI2x<b>,PQ<m> (IndexIVFPQ with a MultiIndexQuantizer coarse —
+    * the SIFT1B flagship composition, index_factory.cpp:834-878). */
+  private final class ImiPqBuilt(idx: ImiPqIndex, chain: VecTransform)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
+        math.max(nprobe, 1), queryId = qid, queryVec = qvec)
+  }
   private final class SpectralBuilt(idx: IvfSpectralHashIndex, chain: VecTransform)
       extends Built {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
@@ -551,6 +559,14 @@ object IndexFactory {
         // half-space (faiss index_factory coarse grammar)
         new ImiBuilt(ImiIndex.build(data, "id", "vec",
           ksub = 1 << bits.toInt, niter = niter, seed = seed), chain)
+      case Imi(bits) :: Pq(m, ks) :: Nil =>
+        // IMI2x<b>,PQ<m>[x<ksub>] (IndexIVFPQ over the multi-index
+        // coarse, index_factory.cpp:834-878 — the SIFT1B flagship
+        // config IMI2x12,PQ16 of benchs/README.md:107)
+        new ImiPqBuilt(ImiPqIndex.build(data, "id", "vec",
+          ksub = 1 << bits.toInt, m = m.toInt,
+          pqKsub = Option(ks).map(_.toInt).getOrElse(16),
+          niterCoarse = niter, niterPq = niter, seed = seed), chain)
       case "Flat" :: Nil => new FlatBuilt(data, chain)
       // MinMax[FP16],<SQ8|SQfp16> (IndexRowwiseMinMax[FP16],
       // index_factory.cpp:811): a vector codec in the reference
