@@ -122,6 +122,24 @@ object Queries {
       graft.cluster.KMeans.fit(emb(s, dir).select(col("embedding")), "embedding",
         graft.cluster.KMeans.Params(k = 8, niter = 5, spherical = true))
     }
+  /** Clustering::train_encoded state (Clustering.cpp:271): SQ8 codec
+    * over embeddings + k-means trained DIRECTLY on the codes (decode
+    * inside each iteration's assign — the memory-bounded train path).
+    * Returns (vmin, vdiff, model). */
+  private def kmEnc8(s: SparkSession, dir: String):
+      (Array[Double], Array[Double], graft.cluster.KMeans.Model) =
+    cached(s"kmenc8:$dir") {
+      val e = emb(s, dir)
+      val (mins, vdiff) = graft.index.SqIndex.trainRange(e, "embedding")
+      val codes = e.select(col("vec_id").as("id"),
+        shim.col(graft.index.SqVariant.encode("SQ8",
+          shim.expr(col("embedding")), mins, vdiff)).as("code"))
+      val m = graft.cluster.KMeans.fitEncoded(codes, "code",
+        c => shim.col(graft.index.SqVariant.decode("SQ8",
+          shim.expr(c), mins, vdiff)).cast("array<float>"),
+        graft.cluster.KMeans.Params(k = 8, niter = 5))
+      (mins, vdiff, m)
+    }
   private def twoLevel12(s: SparkSession, dir: String): Array[Array[Float]] =
     cached(s"twolevel12:$dir") {
       graft.cluster.TwoLevelClustering.fit(emb(s, dir), "embedding",
@@ -320,7 +338,8 @@ object Queries {
     twoLevel12(s, dir); pdk8(s, dir); bivf8(s, dir); rqModel16(s, dir)
     prqModel(s, dir); imi16(s, dir); imipq16(s, dir); sqMeanstd(s, dir)
     ivfrq8(s, dir)
-    kmSph8(s, dir); znLat16(s, dir); pca16(s, dir); itq32(s, dir)
+    kmSph8(s, dir); kmEnc8(s, dir); znLat16(s, dir); pca16(s, dir)
+    itq32(s, dir)
     pqfs8(s, dir); ivfpqfs8(s, dir); ivfsq4(s, dir); rqfs2(s, dir)
     ivfrqfs8(s, dir); ivfpqfsr8(s, dir); rcq16(s, dir); opq32Ivfpq(s, dir)
     ()
@@ -397,6 +416,8 @@ object Queries {
       OracleAux.codebooksDf(s, ipqImi.model.codebooks))
     OracleAux.write(dir, "kmeans8_centroids",
       OracleAux.centroidsDf(s, km8(s, dir).centroids))
+    OracleAux.write(dir, "kmeans_enc_centroids",
+      OracleAux.centroidsDf(s, kmEnc8(s, dir)._3.centroids))
     OracleAux.write(dir, "kmeans_sph_centroids",
       OracleAux.centroidsDf(s, kmSph8(s, dir).centroids))
     OracleAux.write(dir, "twolevel_centroids",
@@ -1246,6 +1267,46 @@ object Queries {
               |d AS (SELECT e.vec_id, c.list_no,
               |    list_aggregate(list_transform(list_zip(e.embedding::DOUBLE[], c.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
               |  FROM embeddings e CROSS JOIN cent c),
+              |a AS (SELECT vec_id, list_no, dist FROM (
+              |  SELECT vec_id, list_no, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_no) AS rn FROM d) t
+              |  WHERE rn = 1)
+              |SELECT list_no, count(*)::BIGINT AS n, round(sum(dist), 3) AS obj
+              |FROM a GROUP BY list_no""".stripMargin)),
+
+    // Clustering::train_encoded (Clustering.cpp:271): k-means over
+    // SQ8-ENCODED vectors, decoded inside each iteration's assign —
+    // the memory-bounded train path for huge train sets. Same
+    // assignment-replay oracle as kmeans_train, but over the SQL-
+    // re-derived SQ8 roundtrip (min/max range recomputed in SQL, the
+    // sq8_roundtrip formula, cast through FLOAT to match the engine's
+    // float32 decoded vectors) against the encoded-trained centroid
+    // sidecar — so a model NOT trained on the decoded geometry flips
+    // the rows red.
+    ("kmeans_train_encoded", (s: SparkSession, dir: String) => {
+      val (mins, vdiff, m) = kmEnc8(s, dir)
+      val roundtrip = shim.col(graft.index.SqVariant.decode("SQ8",
+        graft.index.SqVariant.encode("SQ8",
+          shim.expr(col("embedding")), mins, vdiff),
+        mins, vdiff)).cast("array<float>")
+      m.assign(emb(s, dir).select(col("vec_id"), roundtrip.as("vec")), "vec")
+        .groupBy(col("list_no"))
+        .agg(count(lit(1)).as("n"), round(sum(col("centroid_dist")), 3).as("obj"))
+        .select(col("list_no"), col("n"), col("obj"))
+    },
+      Some(s"""WITH cent AS (SELECT list_no, c::DOUBLE[] AS c FROM read_parquet('$AUX/kmeans_enc_centroids/*.parquet')),
+              |dims AS (
+              |  SELECT list(mn ORDER BY i) AS vmn, list(mx - mn ORDER BY i) AS vd FROM (
+              |    SELECT i, min(e) AS mn, max(e) AS mx
+              |    FROM (SELECT unnest(embedding::DOUBLE[]) AS e, generate_subscripts(embedding, 1) AS i
+              |          FROM embeddings) u GROUP BY i) t),
+              |dec AS (SELECT vec_id,
+              |  list_transform(embedding::DOUBLE[], (x, i) ->
+              |    vmn[i] + (floor(255 * (CASE WHEN vd[i] = 0 THEN 0
+              |      ELSE least(greatest((x - vmn[i]) / vd[i], 0), 1) END)) + 0.5) / 255 * vd[i])::FLOAT[]::DOUBLE[] AS dv
+              |  FROM embeddings, dims),
+              |d AS (SELECT e.vec_id, c.list_no,
+              |    list_aggregate(list_transform(list_zip(e.dv, c.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
+              |  FROM dec e CROSS JOIN cent c),
               |a AS (SELECT vec_id, list_no, dist FROM (
               |  SELECT vec_id, list_no, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_no) AS rn FROM d) t
               |  WHERE rn = 1)
@@ -3537,6 +3598,101 @@ object Queries {
               |  WHERE (q.recall > p.recall AND q.f <= p.f)
               |     OR (q.recall >= p.recall AND q.f < p.f))""".stripMargin)),
 
+    // Multi-parameter autotune (ParameterSpace, AutoTune.cpp:347-403):
+    // the (nprobe, ht, max_codes) triple the reference's SIFT1B/Deep1B
+    // operating points are expressed in. ONE candidate scan at
+    // max(nprobes) serves the whole grid; the oracle replays the full
+    // IVFPQ chain (coarse assign, residual encode base AND query,
+    // per-list LUT + ADC, polysemous Hamming between the code pairs,
+    // per-(ht, query, list) scan-budget rank), the grid filters, the
+    // recall/scanned aggregates, and the Pareto dominance filter.
+    ("autotune_pareto_multi", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val pts = graft.tune.AutoTune.exploreMulti(
+        ivfpq8(s, dir), qDf(s, dir, 10), bDf(s, dir, 10), 10,
+        nprobes = Seq(2, 8), hts = Seq(12, 32), maxCodesList = Seq(5, 1000000))
+      graft.tune.AutoTune.paretoFrontM(pts)
+        .map(p => (p.nprobe, p.ht, p.maxCodes,
+          math.rint(p.recall * 1000) / 1000, math.rint(p.scannedFrac * 1000) / 1000))
+        .toDF("nprobe", "ht", "max_codes", "recall", "scanned_frac")
+    },
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfpq_centroids/*.parquet')),
+              |cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/ivfpq_codebooks/*.parquet')),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |bres AS (SELECT a.id, a.list_no,
+              |    list_transform(list_zip(b.embedding, c.c), p -> p[1] - p[2]) AS res
+              |  FROM basg a JOIN embeddings b ON b.vec_id = a.id JOIN cent c ON c.list_no = a.list_no),
+              |bsub AS (SELECT id, list_no, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM bres, range(0,8) r(m)),
+              |enc AS (SELECT id, list_no, m, j FROM (
+              |  SELECT b.id, b.list_no, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
+              |qc AS (SELECT q.vec_id AS qid, c.list_no, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
+              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10),
+              |qres AS (SELECT p.qid, p.list_no, p.pr,
+              |    list_transform(list_zip(q.embedding, c.c), x -> x[1] - x[2]) AS res
+              |  FROM qc p JOIN embeddings q ON q.vec_id = p.qid JOIN cent c ON c.list_no = p.list_no),
+              |qsub AS (SELECT qid, list_no, pr, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM qres, range(0,8) r(m)),
+              |qenc AS (SELECT qid, list_no, m, j FROM (
+              |  SELECT q.qid, q.list_no, q.m, cb.j, row_number() OVER (PARTITION BY q.qid, q.list_no, q.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM qsub q JOIN cb ON cb.m = q.m) t WHERE rn = 1),
+              |lut AS (SELECT q.qid, q.list_no, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub q JOIN cb ON cb.m = q.m),
+              |ham AS (SELECT e.id, qe.qid, e.list_no,
+              |    sum(bit_count(xor(e.j::BIGINT, qe.j::BIGINT)))::INT AS hd
+              |  FROM enc e JOIN qenc qe ON qe.list_no = e.list_no AND qe.m = e.m
+              |  GROUP BY e.id, qe.qid, e.list_no),
+              |cand0 AS (SELECT l.qid, e.list_no, p.pr, e.id,
+              |    list_aggregate(list(l.pd ORDER BY l.m), 'sum') AS dist, any_value(h.hd) AS hd
+              |  FROM enc e JOIN lut l ON l.list_no = e.list_no AND l.m = e.m AND l.j = e.j
+              |  JOIN qc p ON p.qid = l.qid AND p.list_no = e.list_no
+              |  JOIN ham h ON h.id = e.id AND h.qid = l.qid AND h.list_no = e.list_no
+              |  GROUP BY l.qid, e.list_no, p.pr, e.id),
+              |hts AS (SELECT unnest([12, 32]) AS ht),
+              |candh AS (SELECT c.*, h.ht, row_number() OVER (
+              |    PARTITION BY h.ht, c.qid, c.list_no ORDER BY c.dist, c.id) AS rl
+              |  FROM cand0 c JOIN hts h ON c.hd <= h.ht),
+              |grid AS (SELECT n.np, m.mc FROM (SELECT unnest([2, 8]) AS np) n,
+              |  (SELECT unnest([5, 1000000]) AS mc) m),
+              |allc AS (SELECT g.np, c.ht, g.mc, c.qid, c.id, c.dist
+              |  FROM candh c JOIN grid g ON c.pr <= g.np AND c.rl <= g.mc),
+              |scanned AS (SELECT np, ht, mc, count(*)::DOUBLE AS s FROM allc GROUP BY np, ht, mc),
+              |tot AS (SELECT count(*)::DOUBLE *
+              |    (SELECT count(*) FROM embeddings WHERE vec_id < 10) AS t FROM basg),
+              |truth AS (SELECT qid, id FROM (
+              |  SELECT q.vec_id AS qid, b.vec_id AS id,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |      list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2, b.vec_id) AS rk
+              |  FROM embeddings q CROSS JOIN embeddings b
+              |  WHERE q.vec_id < 10 AND b.vec_id >= 10) t WHERE rk <= 10),
+              |approx AS (SELECT np, ht, mc, qid, id FROM (
+              |  SELECT np, ht, mc, qid, id, row_number() OVER (
+              |    PARTITION BY np, ht, mc, qid ORDER BY dist, id) AS rk FROM allc) t WHERE rk <= 10),
+              |nq AS (SELECT count(*)::DOUBLE AS n FROM embeddings WHERE vec_id < 10),
+              |gridh AS (SELECT g.np, h.ht, g.mc FROM grid g, hts h),
+              |inter AS (SELECT a.np, a.ht, a.mc, count(*)::DOUBLE AS i
+              |  FROM approx a JOIN truth t ON t.qid = a.qid AND t.id = a.id
+              |  GROUP BY a.np, a.ht, a.mc),
+              |pts AS (SELECT g.np, g.ht, g.mc,
+              |    coalesce(i.i, 0) / ((SELECT n FROM nq) * 10.0) AS recall,
+              |    coalesce(s.s, 0) / (SELECT t FROM tot) AS f
+              |  FROM gridh g LEFT JOIN inter i USING (np, ht, mc)
+              |  LEFT JOIN scanned s USING (np, ht, mc))
+              |SELECT np AS nprobe, ht, mc AS max_codes,
+              |  round(recall, 3) AS recall, round(f, 3) AS scanned_frac
+              |FROM pts p
+              |WHERE NOT EXISTS (SELECT 1 FROM pts q
+              |  WHERE (q.recall > p.recall AND q.f <= p.f)
+              |     OR (q.recall >= p.recall AND q.f < p.f))""".stripMargin)),
+
     // §2.4 exact 1-D k-means (DP over the value histogram). The DP is
     // exactly optimal, so the oracle can find the SAME optimum a
     // different way: enumerate every (k-1)-boundary segmentation of
@@ -4004,6 +4160,38 @@ object Queries {
               |  SELECT qid, id, hd, row_number() OVER (PARTITION BY qid ORDER BY hd, id) AS "rank" FROM hd) w
               |WHERE "rank" <= 5""".stripMargin)),
 
+    // BIVF<n>_HNSW<m> (index_factory.cpp:895-900): binary IVF whose
+    // probe selection walks an HNSW graph over the 0/1-unpacked
+    // centroids — Hamming == squared L2 on unpacked bits, so the float
+    // graph ranks probes Hamming-correctly. efSearch >= nlist is
+    // exact-degenerate: the oracle is the SAME exact Hamming replay as
+    // bivf_search (probe ranking, pruned scan, integer Hamming top-k).
+    ("bivf_hnsw_search", (s: SparkSession, dir: String) => {
+      val q = qDf(s, dir, 10)
+        .select(col("qid"), sign_bits(col("qvec")).as("qcode"))
+      bivf8(s, dir).search(q, k = 5, nprobe = 2, hnswCoarse = Some(1024))
+    },
+      Some(s"""WITH cent AS (SELECT list_no, bits FROM read_parquet('$AUX/bivf_centroids/*.parquet')),
+              |bbits AS (SELECT vec_id AS id, list_transform(embedding, x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS bits
+              |          FROM embeddings WHERE vec_id >= 10),
+              |qbits AS (SELECT vec_id AS id, list_transform(embedding, x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS bits
+              |          FROM embeddings WHERE vec_id < 10),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.id, c.list_no, row_number() OVER (PARTITION BY b.id ORDER BY
+              |    len(list_filter(list_zip(b.bits, c.bits), p -> p[1] <> p[2])), c.list_no) AS rn
+              |  FROM bbits b CROSS JOIN cent c) t WHERE rn = 1),
+              |probes AS (SELECT qid, list_no FROM (
+              |  SELECT q.id AS qid, c.list_no, row_number() OVER (PARTITION BY q.id ORDER BY
+              |    len(list_filter(list_zip(q.bits, c.bits), p -> p[1] <> p[2])), c.list_no) AS pr
+              |  FROM qbits q CROSS JOIN cent c) t WHERE pr <= 2),
+              |hd AS (SELECT p.qid, a.id,
+              |    len(list_filter(list_zip(qb.bits, bb.bits), p -> p[1] <> p[2]))::BIGINT AS hd
+              |  FROM probes p JOIN basg a ON a.list_no = p.list_no
+              |  JOIN qbits qb ON qb.id = p.qid JOIN bbits bb ON bb.id = a.id)
+              |SELECT qid, "rank", id, hd FROM (
+              |  SELECT qid, id, hd, row_number() OVER (PARTITION BY qid ORDER BY hd, id) AS "rank" FROM hd) w
+              |WHERE "rank" <= 5""".stripMargin)),
+
     // §2.11 residual quantizer roundtrip (IndexAdditiveQuantizer /
     // ResidualQuantizer minimal slice): 2 greedy levels of
     // full-dimension codebooks. The oracle replays the level-by-level
@@ -4325,6 +4513,64 @@ object Queries {
         qDf(s, dir, 10), bDf(s, dir, 10), 10,
         m = 16, efConstruction = 64, efSearch = 4096)
         .withColumn("dist", r4("dist")),
+      Some(knnOracle(dL2, "q.vec_id < 10", "b.vec_id >= 10", 10))),
+
+    // ReconstructFromNeighbors estimate_code + reconstruct
+    // (faiss/IndexHNSW.cpp:796,639; nsq=1, the constructor default):
+    // per vector, the argmin codebook row over reconstruction error
+    // from [self, M neighbors] of the deterministic exact kNN graph.
+    // The oracle replays the WHOLE chain in SQL: the kNN graph, the
+    // beta-weighted vector sums for every codebook row, the error
+    // argmin, and the chosen row's error.
+    ("reconstruct_neighbors_codes", (s: SparkSession, dir: String) => {
+      val base = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val graph = graft.knn.KnnGraph.exact(base, 4)
+      val cb = graft.knn.ReconstructFromNeighbors.smoothingCodebook(4, 4)
+      graft.knn.ReconstructFromNeighbors.encode(base, graph, cb)
+        .select(col("id"), col("code").cast("long").as("code"), r4("err").as("err"))
+    },
+      Some("""WITH g AS (SELECT src, "rank", dst FROM (
+             |  SELECT a.vec_id AS src, b.vec_id AS dst, row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             |    list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[])^2, b.vec_id) AS "rank"
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t WHERE "rank" <= 4),
+             |tblv AS (SELECT g.src AS id, g."rank" AS pos, b.embedding::DOUBLE[] AS nv
+             |         FROM g JOIN embeddings b ON b.vec_id = g.dst
+             |         UNION ALL SELECT vec_id, 0, embedding::DOUBLE[] FROM embeddings),
+             |betas AS (SELECT j FROM range(0,4) r(j)),
+             |contrib AS (SELECT t.id, bt.j,
+             |    list_transform(t.nv, x -> x * CASE WHEN t.pos = 0 THEN 1.0
+             |      WHEN t.pos = bt.j + 1 THEN 0.1
+             |      WHEN t.pos = ((bt.j + 1) % 4) + 1 THEN -0.1 ELSE 0 END) AS wv
+             |  FROM tblv t CROSS JOIN betas bt),
+             |rc AS (SELECT id, j, i, sum(x) AS v FROM (
+             |  SELECT id, j, unnest(wv) AS x, generate_subscripts(wv, 1) AS i FROM contrib) u
+             |  GROUP BY id, j, i),
+             |recon AS (SELECT id, j, list(v ORDER BY i) AS rv FROM rc GROUP BY id, j),
+             |e AS (SELECT r.id, r.j,
+             |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], r.rv),
+             |      p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS err
+             |  FROM recon r JOIN embeddings b ON b.vec_id = r.id)
+             |SELECT id, code, round(err, 4) AS err FROM (
+             |  SELECT id, j AS code, err, row_number() OVER (PARTITION BY id ORDER BY err, j) AS rn
+             |  FROM e) t WHERE rn = 1""".stripMargin)),
+
+    // k_reorder re-rank (ReconstructFromNeighbors, IndexHNSW.cpp:
+    // 334-345): HNSW shortlist re-ranked on neighbor reconstructions.
+    // Exact-degenerate gate: codebook [[1,0,...]] (k=1 — no codes,
+    // IndexHNSW.cpp:846) makes reconstruction == stored vector, and
+    // efSearch covers every partition graph, so the re-ranked result
+    // must equal the flat exact search — proving the shortlist join,
+    // reconstruction distances, and reorder window end-to-end.
+    ("hnsw_reconstruct_rerank", (s: SparkSession, dir: String) => {
+      val q = qDf(s, dir, 10); val b = bDf(s, dir, 10)
+      val graph = graft.knn.KnnGraph.exact(b, 4)
+      val recon = graft.knn.ReconstructFromNeighbors.encode(
+        b, graph, Array(Array(1f, 0f, 0f, 0f, 0f)))
+      val stage1 = graft.knn.PartitionedHnsw.knnJoin(q, b, 10,
+        m = 16, efConstruction = 64, efSearch = 4096)
+      graft.knn.ReconstructFromNeighbors.rerank(stage1, q, recon, kReorder = 10)
+        .withColumn("dist", r4("dist"))
+    },
       Some(knnOracle(dL2, "q.vec_id < 10", "b.vec_id >= 10", 10))),
 
     // per-partition NSG (IndexNSG capability, faiss/IndexNSG.h:26) —

@@ -74,6 +74,48 @@ object KMeans {
     }
   }
 
+  /** Clustering::train_encoded (faiss/Clustering.h:100, .cpp:271):
+    * k-means whose training set is CODEC-ENCODED rows — each Lloyd
+    * iteration decodes inside the assign pipeline instead of
+    * materializing float vectors. This is the memory-bounded train
+    * path for huge train sets: the cached state is the codes
+    * (codeSize bytes/row, e.g. d bytes for SQ8 vs 4d float bytes),
+    * and the subsample hash keys on the code bytes. `decode` maps the
+    * code column to the float vector the distance kernels consume
+    * (e.g. SqVariant.decode, PqModel.decodeCol). Identical arithmetic
+    * to `fit` over the pre-decoded set — the only difference is WHERE
+    * the decode runs. */
+  def fitEncoded(df: DataFrame, codeCol: String, decode: Column => Column,
+      p: Params, init: Option[Array[Array[Float]]] = None): Model = {
+    require(p.metric == "l2sq", "faiss trains the coarse quantizer with L2 (Clustering.cpp)")
+    val codes = df.select(col(codeCol).as("_code")).filter(col("_code").isNotNull)
+    val maxTrain = p.k.toLong * p.maxPointsPerCentroid
+    val total = codes.count()
+    // same hash-threshold subsample as fit, keyed on the code bytes
+    val train0 =
+      if (total > maxTrain) {
+        val buckets = 1L << 30
+        val keep = math.min(buckets,
+          (maxTrain.toDouble / total * buckets).toLong + 1)
+        val sampled =
+          codes.filter(pmod(xxhash64(col("_code"), lit(p.seed)), lit(buckets)) < keep)
+        if (sampled.limit(p.k).count() < p.k) codes.limit(maxTrain.toInt)
+        else sampled
+      } else codes
+    val train = train0.cache()
+    try {
+      // lazy decoded view: every iteration re-reads the cached CODES
+      // and decodes in the scan — float vectors never persist
+      val decoded = train.select(decode(col("_code")).as("vec"))
+      var best: Model = null
+      for (redo <- 0 until p.nredo) {
+        val m = fitOnce(decoded, p, p.seed + redo, init)
+        if (best == null || m.objective < best.objective) best = m
+      }
+      best
+    } finally { train.unpersist() }
+  }
+
   def fit(df: DataFrame, vecCol: String, p: Params,
       init: Option[Array[Array[Float]]] = None): Model = {
     require(p.metric == "l2sq", "faiss trains the coarse quantizer with L2 (Clustering.cpp)")

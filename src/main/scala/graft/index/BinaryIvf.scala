@@ -23,6 +23,10 @@ class BinaryIvfIndex(
     /** (id, code, list_no) */
     val invlists: DataFrame) {
 
+  /** Stable id for the executor-side HNSW coarse-quantizer cache
+    * (the IvfIndex convention). */
+  private val hnswCacheKey = java.util.UUID.randomUUID().toString
+
   private def centDf: DataFrame = {
     val spark = invlists.sparkSession
     import spark.implicits._
@@ -32,18 +36,42 @@ class BinaryIvfIndex(
   }
 
   /** Hamming kNN over the nprobe closest lists. Output
-    * (qid, rank, id, hd). */
+    * (qid, rank, id, hd).
+    *
+    * `hnswCoarse = Some(efSearch)` routes probe selection through a
+    * per-executor HNSW graph over the centroids — the reference's
+    * `BIVF<n>_HNSW<m>` coarse grammar (index_factory.cpp:895-900,
+    * IndexBinaryHNSW as quantizer). Hamming on packed codes equals
+    * squared L2 on the 0/1-unpacked bits (each mismatching bit
+    * contributes exactly 1, the IndexBinaryFromFloat identity), so the
+    * float HNSW walk over unpacked centroids selects Hamming-correct
+    * probes; efSearch >= nlist degenerates to the exact ranking. */
   def search(queries: DataFrame, k: Int, nprobe: Int,
-      queryId: String = "qid", queryCode: String = "qcode"): DataFrame = {
-    val cents = centDf
-    val probes = queries.crossJoin(broadcast(cents))
-      .select(col(queryId), col(queryCode),
-        hamming_dist(col(queryCode), col("ccode")).cast("double").as("_hd"),
-        col("list_no"))
-      .groupBy(col(queryId), col(queryCode))
-      .agg(topk(col("_hd"), col("list_no").cast("long"), nprobe, asc = true).as("_tk"))
-      .select(col(queryId), col(queryCode), explode(col("_tk")).as("_r"))
-      .select(col(queryId), col(queryCode), col("_r.id").cast("int").as("list_no"))
+      queryId: String = "qid", queryCode: String = "qcode",
+      hnswCoarse: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.graft.shim
+    val probes = hnswCoarse match {
+      case Some(ef) =>
+        val nbits = centroidBits.headOption.map(_.length).getOrElse(0)
+        val centF = centroidBits.map(_.map(_.toFloat))
+        val qbits = shim.col(graft.core.UnpackBits(
+          shim.expr(col(queryCode)), nbits)).cast("array<float>")
+        queries.select(col(queryId), col(queryCode),
+          explode(shim.col(graft.core.NearestCentroidsHnsw(
+            shim.expr(qbits), centF, math.min(nprobe, nlist), ef,
+            m = 16, cacheKey = hnswCacheKey))).as("_p"))
+          .select(col(queryId), col(queryCode),
+            col("_p.list_no").as("list_no"))
+      case None =>
+        queries.crossJoin(broadcast(centDf))
+          .select(col(queryId), col(queryCode),
+            hamming_dist(col(queryCode), col("ccode")).cast("double").as("_hd"),
+            col("list_no"))
+          .groupBy(col(queryId), col(queryCode))
+          .agg(topk(col("_hd"), col("list_no").cast("long"), nprobe, asc = true).as("_tk"))
+          .select(col(queryId), col(queryCode), explode(col("_tk")).as("_r"))
+          .select(col(queryId), col(queryCode), col("_r.id").cast("int").as("list_no"))
+    }
     val probed = probes.select("list_no").distinct().collect().map(_.getInt(0))
     invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
       .join(broadcast(probes), "list_no")

@@ -671,14 +671,17 @@ object IndexFactory {
   }
 
   private val BIvf = "BIVF(\\d+)".r
+  // BIVF<n>_HNSW<m>: binary IVF with an HNSW coarse quantizer over the
+  // binarized centroids (index_factory.cpp:895-900)
+  private val BIvfHnsw = "BIVF(\\d+)_HNSW(\\d+)".r
   private val BHash = "BHash(\\d+)".r
   private val BHashMulti = "BHash(\\d+)x(\\d+)".r
   private val BHnsw = "BHNSW(\\d+)".r
 
   /** index_binary_factory analog (index_factory.cpp:889): grammar
-    * BFlat | BIVF<nlist> | BHash<b> | BHash<n>x<b> (multi-hash,
-    * IndexBinaryMultiHash) | BHNSW<m>. `nbits` is the code width in
-    * bits (the `d` of index_binary_factory). */
+    * BFlat | BIVF<nlist>[_HNSW<m>] | BHash<b> | BHash<n>x<b>
+    * (multi-hash, IndexBinaryMultiHash) | BHNSW<m>. `nbits` is the
+    * code width in bits (the `d` of index_binary_factory). */
   def buildBinary(df: DataFrame, idCol: String, codeCol: String, nbits: Int,
       desc: String, niter: Int = 4, seed: Long = 1234L): BinaryBuilt = {
     val data = df.select(col(idCol).as("id"), col(codeCol).as("code"))
@@ -687,6 +690,20 @@ object IndexFactory {
         def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qcode: String) =
           BinaryFlat.knnJoin(q, data, k, queryId = qid, queryCode = qcode)
       }
+      case BIvfHnsw(nlist, _) =>
+        // same trained index as BIVF<n>; only probe selection changes
+        // (HNSW walk over unpacked centroids — Hamming == L2² on 0/1
+        // bits). efSearch scales with nprobe; on small nlist it covers
+        // the whole graph and is exact, the IvfHnswBuilt convention.
+        val idx = BinaryIvfIndex.buildFromCodes(data, "id", "code", nbits,
+          nlist.toInt, niter = niter, seed = seed)
+        new BinaryBuilt {
+          def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qcode: String) = {
+            val np = math.max(nprobe, 1)
+            idx.search(q, k, np, qid, qcode,
+              hnswCoarse = Some(math.max(32, 4 * np)))
+          }
+        }
       case BIvf(nlist) =>
         val idx = BinaryIvfIndex.buildFromCodes(data, "id", "code", nbits,
           nlist.toInt, niter = niter, seed = seed)
@@ -735,7 +752,7 @@ object IndexFactory {
         }
       case other => throw new IllegalArgumentException(
         s"unsupported binary factory '$other' " +
-          "(BFlat | BIVF<nlist> | BHash<b> | BHash<n>x<b> | BHNSW<m>)")
+          "(BFlat | BIVF<nlist>[_HNSW<m>] | BHash<b> | BHash<n>x<b> | BHNSW<m>)")
     }
   }
 

@@ -259,6 +259,41 @@ class IvfPqIndex(
         model.adcCol(col("code"), col("_lut")).as("_dist"))
   }
 
+  /** Per-candidate sweep table for multi-parameter autotune
+    * (faiss ParameterSpace, AutoTune.cpp:347-403): every ADC candidate
+    * of the npMax probe budget, carrying the coordinates each tuning
+    * axis filters on — probe rank `pr` (nprobe axis), polysemous
+    * Hamming distance `ham` between the stored code and the query's
+    * PER-LIST residual code (ht axis, IndexIVFPQ polysemous_ht), and
+    * the ADC distance `dist` (max_codes ranks within (query, list) on
+    * it). ONE pruned scan serves every (nprobe, ht, max_codes) grid
+    * point; re-searching per point would rescan identical lists
+    * |grid| times (the searchSweep argument, IvfIndex.scala:178). */
+  def sweepCandidates(queries: DataFrame, npMax: Int,
+      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centDf = centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "centroid")
+      .select(col("list_no"), col("centroid").cast("array<float>").as("centroid"))
+    val probesPlan = queries.select(col(queryId), col(queryVec),
+      posexplode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
+        math.min(npMax, nlist), "l2sq"))).as(Seq("_pr", "_p")))
+      .select(col(queryId), col(queryVec), col("_pr").as("pr"),
+        col("_p.list_no").as("list_no"))
+      .join(broadcast(centDf), "list_no")
+      .withColumn("_qres", vec_sub(col(queryVec), col("centroid")))
+      .select(col(queryId), col("list_no"), col("pr"),
+        model.lutCol(col("_qres")).as("_lut"),
+        shim.col(PQEncode(shim.expr(col("_qres")), model.codebooks)).as("_qcode"))
+    val probed = Probes.probedListIds(probesPlan)
+    codes.filter(col("list_no").isin(probed.map(Integer.valueOf).toSeq: _*))
+      .join(broadcast(probesPlan), "list_no")
+      .select(col(queryId), col("list_no"), col("pr"), col("id"),
+        model.adcCol(col("code"), col("_lut")).as("dist"),
+        hamming_dist(col("code"), col("_qcode")).as("ham"))
+  }
+
   /** Radius search over the probed lists by ADC distance
     * (IndexIVFPQ::range_search, faiss/IndexIVFPQ.cpp — the scanner's
     * range path over the same per-(query, probed-list) residual LUTs

@@ -59,4 +59,89 @@ object AutoTune {
       !points.exists(q => (q.recall > p.recall && q.scannedFrac <= p.scannedFrac) ||
         (q.recall >= p.recall && q.scannedFrac < p.scannedFrac))
     }.sortBy(_.scannedFrac)
+
+  /** A (nprobe, ht, max_codes) operating point — the triple the
+    * reference's Deep1B/SIFT1B autotune sweeps (ParameterSpace
+    * initialization, AutoTune.cpp:347-403: nprobe :370, ht :376-380,
+    * max_codes :388). `scannedFrac` is the fraction of stored codes
+    * whose ADC distance the grid point actually evaluates — the
+    * deterministic stand-in for the reference's ndis perf counter. */
+  case class OperatingPointM(nprobe: Int, ht: Int, maxCodes: Int,
+      recall: Double, scannedFrac: Double)
+
+  /** Multi-parameter explore over an IVFPQ index (ParameterSpace::
+    * explore on the 3-axis grid). ONE pruned candidate scan at
+    * max(nprobes) yields every grid point: each candidate carries its
+    * probe rank (nprobe axis), its polysemous Hamming distance to the
+    * query's per-list residual code (ht axis), and its ADC distance
+    * (ranked within (query, list) for the max_codes scan budget) —
+    * the reference re-runs the index per grid point because its scan
+    * is in-memory; at 100 TB each re-run is a full pruned read, so
+    * deriving the grid from one read is the dataflow-correct shape.
+    * `hts` values ≥ the code bit width and `maxCodes` values ≥ the
+    * largest list degenerate to unfiltered axes (the reference's
+    * parameter-off convention). */
+  def exploreMulti(idx: graft.index.IvfPqIndex, queries: DataFrame,
+      base: DataFrame, k: Int, nprobes: Seq[Int], hts: Seq[Int],
+      maxCodesList: Seq[Int]): Seq[OperatingPointM] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val sess = queries.sparkSession
+    import sess.implicits._
+    val truth = Knn.knnJoin(queries, base, k).cache()
+    val total = idx.codes.count().toDouble
+    val nq = queries.count().toDouble
+    val cand = idx.sweepCandidates(queries, nprobes.max).cache()
+    try {
+      // ht is a per-candidate predicate, so the in-list scan-budget
+      // rank must be computed per ht value (a looser filter admits
+      // more better-ranked candidates); the ht axis is tiny, so the
+      // fan-out is |hts| × candidates
+      val candH = cand.join(broadcast(hts.toDF("ht")), col("ham") <= col("ht"))
+        .withColumn("_rl", row_number().over(
+          Window.partitionBy(col("ht"), col("qid"), col("list_no"))
+            .orderBy(col("dist"), col("id"))))
+      val grid = broadcast(
+        (for (np <- nprobes; mc <- maxCodesList) yield (np, mc)).toDF("np", "mc"))
+      val all = candH.join(grid, col("pr") < col("np") && col("_rl") <= col("mc"))
+        .cache()
+      try {
+        val scanned = all.groupBy("np", "ht", "mc")
+          .agg(count(lit(1)).as("_s"))
+          .collect().map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3)))
+          .toMap
+        val inter = all
+          .groupBy("np", "ht", "mc", "qid")
+          .agg(graft.functions.topk(col("dist"), col("id"), k, asc = true).as("_tk"))
+          .select(col("np"), col("ht"), col("mc"), col("qid"),
+            explode(col("_tk")).as("_r"))
+          .select(col("np"), col("ht"), col("mc"), col("qid"),
+            col("_r.id").as("id"))
+          .join(truth.select("qid", "id"), Seq("qid", "id"))
+          .groupBy("np", "ht", "mc").agg(count(lit(1)).as("_i"))
+          .collect().map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3)))
+          .toMap
+        for (np <- nprobes; ht <- hts; mc <- maxCodesList) yield {
+          val key = (np, ht, mc)
+          OperatingPointM(np, ht, mc,
+            // average per-query recall == total hits / (nq * k): every
+            // query has exactly k truth rows, so the flat ratio and the
+            // per-query mean agree (and zero-candidate queries count 0)
+            inter.getOrElse(key, 0L) / (nq * k),
+            // per-QUERY average scan share (the reference's ndis is
+            // summed over the batch): nprobe=nlist + open ht/max_codes
+            // ⇒ exactly 1.0
+            scanned.getOrElse(key, 0L) / (nq * total))
+        }
+      } finally all.unpersist()
+    } finally { truth.unpersist(); cand.unpersist() }
+  }
+
+  /** Pareto front on the 3-axis points (same dominance as
+    * [[paretoFront]]: recall up, cost down). */
+  def paretoFrontM(points: Seq[OperatingPointM]): Seq[OperatingPointM] =
+    points.filter { p =>
+      !points.exists(q => (q.recall > p.recall && q.scannedFrac <= p.scannedFrac) ||
+        (q.recall >= p.recall && q.scannedFrac < p.scannedFrac))
+    }.sortBy(p => (p.scannedFrac, p.recall, p.nprobe, p.ht, p.maxCodes))
 }

@@ -30,6 +30,18 @@ class BinaryFactorySpec extends SparkTestBase {
       results(BinaryFlat.knnJoin(q, codes, 5)))
   }
 
+  test("BIVF_HNSW coarse (index_factory.cpp:895-900): exact-degenerate == BIVF") {
+    // efSearch (= max(32, 4*np)) >= nlist=4 covers the whole centroid
+    // graph, so the HNSW walk must select the exact Hamming probe set
+    // and reproduce the plain BIVF result at every nprobe
+    val plain = IndexFactory.buildBinary(codes, "id", "code", 64, "BIVF4", niter = 3)
+    val hnsw = IndexFactory.buildBinary(codes, "id", "code", 64, "BIVF4_HNSW8", niter = 3)
+    for (np <- Seq(1, 2, 4)) {
+      assert(results(hnsw.search(q, 5, nprobe = np)) ==
+        results(plain.search(q, 5, nprobe = np)), s"nprobe=$np")
+    }
+  }
+
   test("BHash buckets by bit prefix; every query finds itself") {
     val built = IndexFactory.buildBinary(codes, "id", "code", 64, "BHash8")
     val top = built.search(q, 1, nprobe = 1)

@@ -56,6 +56,25 @@ class IvfSpec extends SparkTestBase {
     ic.centroids.foreach(_.foreach(x => assert(x == math.round(x).toFloat)))
   }
 
+  test("train_encoded (Clustering.cpp:271): codes-train == decode-then-train") {
+    // k-means over SQ8-encoded vectors must produce EXACTLY the model
+    // that training on the pre-decoded float vectors produces — the
+    // only difference is where the decode runs (inside each
+    // iteration's scan vs materialized), never the arithmetic
+    import org.apache.spark.sql.graft.shim
+    val (mins, vdiff) = SqIndex.trainRange(b, "vec")
+    val codes = b.select(col("id"),
+      shim.col(SqVariant.encode("SQ8", shim.expr(col("vec")), mins, vdiff)).as("code"))
+    def dec(c: org.apache.spark.sql.Column) =
+      shim.col(SqVariant.decode("SQ8", shim.expr(c), mins, vdiff)).cast("array<float>")
+    val p = KMeans.Params(k = 4, niter = 3)
+    val enc = KMeans.fitEncoded(codes, "code", dec, p)
+    val plain = KMeans.fit(codes.select(dec(col("code")).as("vec")), "vec", p)
+    assert(enc.centroids.map(_.toSeq).toSeq == plain.centroids.map(_.toSeq).toSeq)
+    assert(enc.objective == plain.objective)
+    assert(enc.sizes.toSeq == plain.sizes.toSeq)
+  }
+
   test("kmeans objective decreases and covers all points") {
     val m = KMeans.fit(b, "vec", KMeans.Params(k = 8, niter = 5))
     assert(m.sizes.sum == b.count())

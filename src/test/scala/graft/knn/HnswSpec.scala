@@ -170,4 +170,43 @@ class HnswSpec extends SparkTestBase {
     base.unpersist()
     assert(a == b)
   }
+
+  test("ReconstructFromNeighbors: identity codebook rerank is a no-op; " +
+      "lossy codebook keeps recall (IndexHNSW.cpp:620-860)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val b = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val graph = KnnGraph.exact(b, 4).cache()
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stage1 = PartitionedHnsw.knnJoin(q, b, 10,
+      m = 16, efConstruction = 64, efSearch = 4096)
+    // k = 1, beta = [1, 0, ...]: reconstruction == stored vector, so
+    // the reorder must reproduce the shortlist's exact ranking
+    val identity = ReconstructFromNeighbors.encode(
+      b, graph, Array(Array(1f, 0f, 0f, 0f, 0f)))
+    assert(resultSet(ReconstructFromNeighbors.rerank(stage1, q, identity, 10)) ==
+      resultSet(stage1))
+    assert(identity.filter(col("err") > 1e-12).count() == 0,
+      "identity reconstruction must have zero error")
+    // lossy smoothing codebook: estimate_code picks a REAL argmin
+    // (several rows in use) and reranked recall@10 stays useful
+    val lossy = ReconstructFromNeighbors.encode(
+      b, graph, ReconstructFromNeighbors.smoothingCodebook(4, 4)).cache()
+    assert(lossy.select("code").distinct().count() >= 2,
+      "smoothing codebook should select more than one row across the base")
+    val reranked = resultSet(ReconstructFromNeighbors.rerank(stage1, q, lossy, 10))
+    val orig = resultSet(stage1)
+    // k_reorder never changes the candidate SET, only the order
+    // (IndexHNSW.cpp:334-345 resorts the shortlist in place)
+    assert(reranked.map { case (a, _, c) => (a, c) } ==
+      orig.map { case (a, _, c) => (a, c) })
+    // ...and a lossy reconstruction really does move some ranks
+    assert(reranked != orig,
+      "smoothing reconstruction should reorder at least one shortlist")
+    lossy.unpersist(); graph.unpersist()
+  }
 }

@@ -75,4 +75,42 @@ class MiscSpec extends SparkTestBase {
     val front = AutoTune.paretoFront(pts)
     assert(front.nonEmpty && front.size <= pts.size)
   }
+
+  test("multi-parameter autotune: (nprobe, ht, max_codes) grid from one scan") {
+    val b = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val idx = graft.index.IvfPqIndex.build(b, "id", "vec",
+      nlist = 8, m = 8, ksub = 16, niterCoarse = 3, niterPq = 3)
+    val pts = AutoTune.exploreMulti(idx, q, b, 10,
+      nprobes = Seq(2, 8), hts = Seq(12, 32), maxCodesList = Seq(5, 1000000))
+    assert(pts.size == 8)
+    val byKey = pts.map(p => ((p.nprobe, p.ht, p.maxCodes), p)).toMap
+    // degenerate axes (ht >= code bits, max_codes >= largest list)
+    // must reproduce the plain IVFPQ search of the same nprobe
+    val open = byKey((8, 32, 1000000))
+    val adcTop = idx.search(q, 10, nprobe = 8)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = graft.knn.Knn.knnJoin(q, b, 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcRecall = (adcTop intersect truth).size.toDouble / truth.size
+    assert(math.abs(open.recall - adcRecall) < 1e-9,
+      s"grid(8, open, open).recall=${open.recall} != search recall $adcRecall")
+    assert(math.abs(open.scannedFrac - 1.0) < 1e-9,
+      "nprobe=nlist with open filters scans every code")
+    // each axis only REMOVES candidates: recall and cost are
+    // monotone in every coordinate (AutoTune.cpp's grid ordering)
+    for (np <- Seq(2, 8); ht <- Seq(12, 32); mc <- Seq(5, 1000000)) {
+      val p = byKey((np, ht, mc))
+      assert(p.scannedFrac <= byKey((8, ht, mc)).scannedFrac + 1e-12)
+      assert(p.scannedFrac <= byKey((np, 32, mc)).scannedFrac + 1e-12)
+      assert(p.scannedFrac <= byKey((np, ht, 1000000)).scannedFrac + 1e-12)
+    }
+    val front = AutoTune.paretoFrontM(pts)
+    assert(front.nonEmpty && front.size <= pts.size)
+    // the fully-open point has max recall, so it (or an equal-recall
+    // cheaper point) survives dominance
+    assert(front.map(_.recall).max >= pts.map(_.recall).max - 1e-12)
+  }
 }
