@@ -119,6 +119,11 @@ object Bench {
       case Some(set) => SparkEntry.queries.filter { case (n, _) => set(n) }
       case None => SparkEntry.queries
     }
+    // Queries whose timed run populated a Queries.cached memo entry:
+    // they did one-off build/train work a warm rerun would not repeat
+    // (the *_build_big family and any first-touch of a big model), so
+    // the stabilization rerun below must keep their COLD time.
+    val nonIdempotent = scala.collection.mutable.Set.empty[String]
     selected.foreach { case (name, fn) =>
       require(!results.contains(name), s"duplicate bench query name: $name")
       // JMH-style isolation: collect BEFORE the timer starts so each
@@ -132,10 +137,12 @@ object Bench {
       System.gc()
       val (gc0, task0, spill0, shuf0) = (gcMs, taskMs.get, spillBytes.get, shufBytes.get)
       val jit0 = jitMs
+      val miss0 = Queries.memoMissCount
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case _: Throwable => failed += name }
       val dt = (System.nanoTime() - t0) / 1e9
+      if (Queries.memoMissCount != miss0) nonIdempotent += name
       results(name) = dt
       val (ccUsed, ccMax) = codeCacheMb
       metrics(name) =
@@ -179,7 +186,14 @@ object Bench {
     // across machines. Cheap: only borderline queries re-run.
     duckTimes.foreach { case (name, d) =>
       val cold = results.getOrElse(name, 0.0)
-      if (d >= 0.5 && cold / d > 1.5 && SparkEntry.queries.contains(name)) {
+      // skip: (a) queries whose cold run did memoized build work the
+      // rerun would not repeat (gating the memoized rerun understates
+      // build queries — ADVICE r9 medium); (b) queries that FAILED —
+      // their `results` time is time-to-failure, and a flaky rerun
+      // success must not publish a warm time for a query reported
+      // failed (ADVICE r9 low)
+      if (d >= 0.5 && cold / d > 1.5 && SparkEntry.queries.contains(name) &&
+          !nonIdempotent.contains(name) && !failed.contains(name)) {
         System.gc()
         val t0 = System.nanoTime()
         // a rerun that THROWS must not publish its time-to-failure as

@@ -52,8 +52,16 @@ object Queries {
     * and Bench run many queries in one session; rebuilding the same
     * index per query would redo identical kmeans jobs). */
   private val memo = scala.collection.concurrent.TrieMap.empty[String, Any]
+  /** Monotone count of memo MISSES (actual computations). Bench takes
+    * a per-query delta: a timed run that populated a memo entry did
+    * one-off build/train work a warm rerun would NOT repeat, so its
+    * gate-borderline rerun must be skipped (ADVICE r9 — publishing the
+    * memoized rerun as the gated time understates build queries). */
+  private val memoMisses = new java.util.concurrent.atomic.AtomicLong
+  def memoMissCount: Long = memoMisses.get
   private def cached[T](key: String)(f: => T): T =
-    memo.getOrElseUpdate(key, f.asInstanceOf[Any]).asInstanceOf[T]
+    memo.getOrElseUpdate(key,
+      { memoMisses.incrementAndGet(); f.asInstanceOf[Any] }).asInstanceOf[T]
 
   private def ivf16(s: SparkSession, dir: String): IvfIndex =
     cached(s"ivf16:$dir") {
@@ -3480,6 +3488,12 @@ object Queries {
           model.centroids.length, model.centroids, invlists)
         val out = idx.search(qDf(s, dir, 10), 5, nprobe = model.centroids.length)
           .withColumn("dist", r4("dist"))
+        // BOUNDED collect, deliberately: the temp-dir invlists are
+        // deleted in the finally below, so the ≤ k·nq (= 50-row) final
+        // result must be materialized off them before returning. This
+        // idiom is only safe because the collected set is the already-
+        // top-k'd OUTPUT — never copy it onto a query whose result
+        // scales with the data (VERDICT r9 #3).
         val rows = out.collect().toSeq
         s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
       } finally { rmTree(tmp); rmTree(src) }

@@ -144,14 +144,28 @@ object RqKernels {
       beam: Int, nprobe: Int): ArrayData = {
     val (codes, dists) = beamFinal(a, cb, math.max(beam, nprobe))
     val k = cb(0).length
+    // re-sort the final beam by (dist, packed list_no) before the
+    // nprobe truncation: beamFinal's insertion order ties by beam
+    // GENERATION order (parent rank, then j), but the probe compare
+    // downstream (and the ivf_rcq_search oracle) ties by list_no — an
+    // exact double-distance tie across distinct cells (duplicate or
+    // symmetric vectors) would otherwise order probes differently
+    // (ADVICE r9)
+    val packed = Array.tabulate(codes.length) { i =>
+      var listNo = 0
+      var l = 0
+      while (l < codes(i).length) { listNo = listNo * k + codes(i)(l); l += 1 }
+      listNo
+    }
+    val order = Array.tabulate(codes.length)(identity).sortWith { (x, y) =>
+      dists(x) < dists(y) || (dists(x) == dists(y) && packed(x) < packed(y))
+    }
     val n = math.min(nprobe, codes.length)
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      var listNo = 0
-      var l = 0
-      while (l < codes(i).length) { listNo = listNo * k + codes(i)(l); l += 1 }
-      out(i) = org.apache.spark.sql.catalyst.InternalRow(listNo, dists(i))
+      val src = order(i)
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(packed(src), dists(src))
       i += 1
     }
     new GenericArrayData(out)

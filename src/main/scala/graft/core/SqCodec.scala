@@ -385,8 +385,17 @@ case class SQ6Decode(child: Expression, vmin: Array[Double], vdiff: Array[Double
 }
 
 /** fp16 codec (faiss QT_fp16, ScalarQuantizer.cpp QuantizerFP16 /
-  * utils/fp16.h): IEEE 754 half precision with round-to-nearest-even.
-  * No SQL analog — verified by Fp16Spec round-trip bounds. */
+  * utils/fp16.h): IEEE 754 half-precision format with
+  * round-to-nearest, ties UP in magnitude (the `+ 0x1000` bit-add
+  * below has no even-fixup). DELIBERATE divergence from the
+  * reference's hardware RNE: ties-up is exactly what the DuckDB
+  * oracles' `floor(y + 0.5)` grid replays (fp16_roundtrip /
+  * minmax_roundtrip), so values landing exactly on a half-precision
+  * tie round identically on both sides; under RNE they would differ
+  * by a full half-ulp — far beyond the compare tolerance (ADVICE r9).
+  * Exact-tie parity with faiss itself is seeded-float-parity
+  * territory (SURVEY §7 non-goal); every non-tie value matches. The
+  * tie direction is pinned by SqCodecSpec. */
 object Fp16Kernels {
   def toHalf(f: Float): Short = {
     val bits = java.lang.Float.floatToIntBits(f)

@@ -40,6 +40,17 @@ object IndexFactory {
     /** Canonical factory string (reverse_index_factory,
       * contrib/factory_tools.py:76). Set by [[build]]. */
     var description: String = ""
+    /** Cleanup hooks registered by [[build]] (the transform-chain base
+      * cache) and by wrappers over cache-backed indexes (x4fsr packed
+      * codes, RCQ invlists). */
+    private[index] var onClose: List[() => Unit] = Nil
+    /** Release session-lifetime cached state. A Built discarded
+      * without close() pins its cached DataFrames (the transformed
+      * base + any index-held packed-code/invlist cache) until session
+      * end (ADVICE r9 — the factory x4fsr contract). Idempotent; the
+      * index is unusable afterwards only in the sense that searches
+      * recompute what was cached. */
+    def close(): Unit = { onClose.foreach(f => f()); onClose = Nil }
   }
 
   /** Bytes per stored vector for a factory string at dimension d
@@ -49,9 +60,17 @@ object IndexFactory {
     var dim = d
     var code: Option[Int] = None
     // MinMax wrappers prepend per-row (scaler, minv): fp32 = 8 bytes,
-    // fp16 = 4 bytes (IndexRowwiseMinMax.h:28-31)
+    // fp16 = 4 bytes (IndexRowwiseMinMax.h:28-31). Only the inner
+    // codecs build() supports are sized — reporting a size for a
+    // description the factory cannot build would let callers plan
+    // storage for an index that later throws (ADVICE r9)
+    val toks = desc.split(",").map(_.trim)
+    toks.headOption.filter(t => t == "MinMax" || t == "MinMaxFP16").foreach { mm =>
+      require(toks.drop(1).toSeq == Seq("SQ8") || toks.drop(1).toSeq == Seq("SQfp16"),
+        s"$mm supports only SQ8/SQfp16 inners (as build() does), got '$desc'")
+    }
     var extra = 0
-    desc.split(",").map(_.trim).foreach {
+    toks.foreach {
       case Pca(_, _, t) => dim = t.toInt
       case Rr(t) => if (t.nonEmpty) dim = t.toInt
       case ItqTok(t) => if (t.nonEmpty) dim = t.toInt
@@ -262,7 +281,7 @@ object IndexFactory {
         math.max(nprobe, 1), qid, qvec)
   }
   /** IVF<n>(RCQ<a>x<b>),Flat: ResidualCoarseQuantizer coarse. */
-  private final class IvfRcqBuilt(idx: IvfRcqFlatIndex, chain: VecTransform)
+  private final class IvfRcqBuilt(val idx: IvfRcqFlatIndex, chain: VecTransform)
       extends Built {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
@@ -316,7 +335,7 @@ object IndexFactory {
         math.max(nprobe, 1), qid, qvec).drop("qdist")
   }
   /** IVF<n>,PQ<M>x4fsr (IndexIVFPQFastScan, by_residual = true). */
-  private final class IvfPqFsRBuilt(idx: IvfPq4FastScanRIndex, chain: VecTransform)
+  private final class IvfPqFsRBuilt(val idx: IvfPq4FastScanRIndex, chain: VecTransform)
       extends Built {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
@@ -659,6 +678,14 @@ object IndexFactory {
       case None => built
     }
     result.description = desc
+    // close() releases the transform-chain base cache plus any
+    // cache-backed index state (x4fsr packed codes, RCQ invlists)
+    result.onClose = (() => { data.unpersist(blocking = false); () }) ::
+      (built match {
+        case b: IvfPqFsRBuilt => List(() => b.idx.close())
+        case b: IvfRcqBuilt => List(() => b.idx.close())
+        case _ => Nil
+      })
     result
   }
 

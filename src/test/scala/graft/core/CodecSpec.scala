@@ -24,6 +24,23 @@ class CodecSpec extends AnyFunSuite {
     assert(Fp16Kernels.fromHalf(Fp16Kernels.toHalf(-1e6f)).isNegInfinity)
   }
 
+  test("fp16 exact ties round UP in magnitude (the oracle's floor(y+0.5) grid)") {
+    // 1 + 2^-11 sits exactly between half-precision neighbors 1 and
+    // 1 + 2^-10. The codec's `+ 0x1000` bit-add rounds ties AWAY from
+    // zero — matching the DuckDB oracles' floor(y + 0.5) replay; RNE
+    // (the reference's hardware conversion) would pick 1.0 here and
+    // break the hash compare by half an ulp (ADVICE r9 — this pins
+    // the documented tie direction).
+    val tie = 1.00048828125f // 1 + 2^-11, exact in float32
+    assert(Fp16Kernels.fromHalf(Fp16Kernels.toHalf(tie)) == 1.0009765625f)
+    assert(Fp16Kernels.fromHalf(Fp16Kernels.toHalf(-tie)) == -1.0009765625f)
+    // a tie in the subnormal range (grain 2^-24 below 2^-14):
+    // 3 * 2^-25 is exactly between 2^-24 and 2^-23
+    val sub = java.lang.Math.scalb(3f, -25)
+    assert(Fp16Kernels.fromHalf(Fp16Kernels.toHalf(sub)) ==
+      java.lang.Math.scalb(1f, -23))
+  }
+
   test("fp16 encode/decode arrays") {
     val v = vec(33)
     val dec = Fp16Kernels.decode(Fp16Kernels.encode(new GenericArrayData(v)))

@@ -171,4 +171,20 @@ class FastScanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastQueryStage"),
       s"no broadcast:\n$plan")
   }
+
+  test("factory x4fsr Built.close() is wired, idempotent, and keeps searches valid") {
+    // ADVICE r9: factory-built x4fsr indexes cache packed codes with a
+    // close() contract the Built wrapper never honored — a discarded
+    // build pinned a session-lifetime cached DataFrame. close() now
+    // releases the cache (and the transform-chain base cache); later
+    // searches simply recompute.
+    val built = IndexFactory.build(b, "id", "vec", "IVF4,PQ8x4fsr", niter = 2)
+    def res() = built.search(q, 3, nprobe = 4)
+      .select("qid", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = res()
+    built.close()
+    built.close() // idempotent
+    assert(res() == before, "post-close search must recompute identically")
+  }
 }
