@@ -393,6 +393,11 @@ object Queries {
     OracleAux.write(dir, "ivfpqbig_codebooks", OracleAux.codebooksDf(s, ipqb.model.codebooks))
     OracleAux.write(dir, "pqfsbig_codebooks",
       OracleAux.codebooksDf(s, pqfsBig(s, dir).model.codebooks))
+    val ipqImiBig = imipqBig(s, dir)
+    OracleAux.write(dir, "imipqbig_coarse_cb",
+      OracleAux.codebooksDf(s, ipqImiBig.coarse.codebooks))
+    OracleAux.write(dir, "imipqbig_codebooks",
+      OracleAux.codebooksDf(s, ipqImiBig.model.codebooks))
     OracleAux.write(dir, "bivf_centroids",
       OracleAux.bitsDf(s, bivf8(s, dir).centroidBits))
     OracleAux.write(dir, "rq_codebooks",
@@ -593,6 +598,14 @@ object Queries {
     cached(s"pqfsbig:$dir") {
       graft.index.Pq4FastScanIndex.build(bigVecs(s, dir), "id", "vec",
         m = 4, niter = 4)
+    }
+  /** IMI2x3,PQ4 at scale (the SIFT1B flagship composition on the
+    * 600k-row derived table): 64 cartesian cells from two 8-entry
+    * half-space codebooks, 4-byte residual PQ codes. */
+  private def imipqBig(s: SparkSession, dir: String): graft.index.ImiPqIndex =
+    cached(s"imipqbig:$dir") {
+      graft.index.ImiPqIndex.build(bigVecs(s, dir), "id", "vec",
+        ksub = 8, m = 4, pqKsub = 16, niterCoarse = 4, niterPq = 4)
     }
   private def bivf8(s: SparkSession, dir: String): graft.index.BinaryIvfIndex =
     cached(s"bivf8:$dir") {
@@ -3612,6 +3625,67 @@ object Queries {
               |  WHERE (q.recall > p.recall AND q.f <= p.f)
               |     OR (q.recall >= p.recall AND q.f < p.f))""".stripMargin)),
 
+    // k_factor autotune axis (ParameterSpace "k_factor"/"k_factor_rf",
+    // AutoTune.cpp:347,397) over the SQ8 + exact-re-rank composite:
+    // ONE stage-1 ADC ranking at max(k_factors) + ONE exact-distance
+    // join serve every point (the k_factor = f candidate set is the
+    // stage-1 rank prefix <= k·f). The oracle replays SQ8 train/
+    // decode, the ADC ranking, the prefix subsets, the exact re-rank,
+    // recall vs the exact truth, and the Pareto dominance filter.
+    ("autotune_pareto_refine", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val pts = graft.tune.AutoTune.exploreKFactor(
+        qDf(s, dir, 10), bDf(s, dir, 10), 10, Seq(1, 2, 4, 8))
+      graft.tune.AutoTune.paretoFrontKf(pts)
+        .map(p => (p.kFactor, math.rint(p.recall * 1000) / 1000,
+          math.rint(p.rerankedFrac * 1000) / 1000))
+        .toDF("k_factor", "recall", "reranked_frac")
+    },
+      Some("""WITH dims AS (
+             |  SELECT list(mn ORDER BY i) AS vmn, list(mx - mn ORDER BY i) AS vd FROM (
+             |    SELECT i, min(e) AS mn, max(e) AS mx
+             |    FROM (SELECT unnest(embedding::DOUBLE[]) AS e, generate_subscripts(embedding, 1) AS i
+             |          FROM embeddings WHERE vec_id >= 10) u GROUP BY i) t),
+             |dec AS (SELECT vec_id AS id,
+             |  list_transform(embedding::DOUBLE[], (x, i) ->
+             |    vmn[i] + (floor(255 * (CASE WHEN vd[i] = 0 THEN 0
+             |      ELSE least(greatest((x - vmn[i]) / vd[i], 0), 1) END)) + 0.5) / 255 * vd[i]) AS dv
+             |  FROM embeddings, dims WHERE vec_id >= 10),
+             |s1 AS (SELECT qid, id, rn FROM (
+             |  SELECT q.vec_id AS qid, b.id,
+             |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |      list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], b.dv),
+             |        p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), b.id) AS rn
+             |  FROM embeddings q CROSS JOIN dec b WHERE q.vec_id < 10) t WHERE rn <= 80),
+             |kfs AS (SELECT unnest([1, 2, 4, 8]) AS kf),
+             |cand AS (SELECT k.kf, s.qid, s.id,
+             |    list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2 AS dist
+             |  FROM s1 s JOIN kfs k ON s.rn <= k.kf * 10
+             |  JOIN embeddings q ON q.vec_id = s.qid
+             |  JOIN embeddings b ON b.vec_id = s.id),
+             |approx AS (SELECT kf, qid, id FROM (
+             |  SELECT kf, qid, id, row_number() OVER (PARTITION BY kf, qid ORDER BY dist, id) AS rk
+             |  FROM cand) t WHERE rk <= 10),
+             |truth AS (SELECT qid, id FROM (
+             |  SELECT q.vec_id AS qid, b.vec_id AS id,
+             |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |      list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2, b.vec_id) AS rk
+             |  FROM embeddings q CROSS JOIN embeddings b
+             |  WHERE q.vec_id < 10 AND b.vec_id >= 10) t WHERE rk <= 10),
+             |nq AS (SELECT count(*)::DOUBLE AS n FROM embeddings WHERE vec_id < 10),
+             |nb AS (SELECT count(*)::DOUBLE AS n FROM embeddings WHERE vec_id >= 10),
+             |inter AS (SELECT a.kf, count(*)::DOUBLE AS i
+             |  FROM approx a JOIN truth t ON t.qid = a.qid AND t.id = a.id GROUP BY a.kf),
+             |pts AS (SELECT k.kf,
+             |    coalesce(i.i, 0) / ((SELECT n FROM nq) * 10.0) AS recall,
+             |    least(10.0 * k.kf, (SELECT n FROM nb)) / (SELECT n FROM nb) AS f
+             |  FROM kfs k LEFT JOIN inter i USING (kf))
+             |SELECT kf AS k_factor, round(recall, 3) AS recall, round(f, 3) AS reranked_frac
+             |FROM pts p
+             |WHERE NOT EXISTS (SELECT 1 FROM pts q
+             |  WHERE (q.recall > p.recall AND q.f <= p.f)
+             |     OR (q.recall >= p.recall AND q.f < p.f))""".stripMargin)),
+
     // Multi-parameter autotune (ParameterSpace, AutoTune.cpp:347-403):
     // the (nprobe, ht, max_codes) triple the reference's SIFT1B/Deep1B
     // operating points are expressed in. ONE candidate scan at
@@ -4002,6 +4076,84 @@ object Queries {
               |  FROM qsub q JOIN cb ON cb.m = q.m),
               |adc AS (SELECT l.qid, e.id, list_aggregate(list(l.pd ORDER BY l.m), 'sum') AS dist
               |  FROM enc e JOIN lut l ON l.list_no = e.list_no AND l.m = e.m AND l.j = e.j
+              |  GROUP BY l.qid, e.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w
+              |WHERE "rank" <= 10""".stripMargin)),
+
+    // IMI+PQ build at scale, timed apart from search (see
+    // ivf_build_big): per-half coarse assignment + residual PQ encode
+    // over all 600k rows. Output = the cell histogram; the oracle
+    // replays both half-space argmins from the coarse sidecar.
+    ("imi_pq_build_big", (s: SparkSession, dir: String) =>
+      imipqBig(s, dir).codes
+        .groupBy(col("cell")).agg(count(lit(1)).as("n")),
+      Some(s"""WITH v AS ($bigVecSql),
+              |ccb AS (SELECT m, j, c FROM read_parquet('$AUX/imipqbig_coarse_cb/*.parquet')),
+              |bh AS (SELECT id, r.m AS m, vec[r.m*4+1:r.m*4+4]::DOUBLE[] AS sv
+              |       FROM v, range(0,2) r(m)),
+              |benc AS (SELECT id, m, j FROM (
+              |  SELECT b.id, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bh b JOIN ccb cb ON cb.m = b.m) t WHERE rn = 1),
+              |bcell AS (SELECT a0.id, (a0.j*8 + a1.j)::INT AS cell
+              |  FROM benc a0 JOIN benc a1 ON a0.id = a1.id AND a0.m = 0 AND a1.m = 1)
+              |SELECT cell, count(*)::BIGINT AS n FROM bcell GROUP BY cell""".stripMargin)),
+
+    // IMI+PQ search at scale (the SIFT1B flagship composition shape —
+    // IMI2x12,PQ16 scaled to the 600k derived table as IMI2x3,PQ4):
+    // MinSumK probe ranking, statically pruned cell scan, residual ADC.
+    // The oracle replays the full chain from the two codebook sidecars.
+    ("imi_pq_search_big", (s: SparkSession, dir: String) =>
+      imipqBig(s, dir).search(bigQueries(s, dir), k = 10, nprobe = 8)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH v AS ($bigVecSql),
+              |ccb AS (SELECT m, j, c FROM read_parquet('$AUX/imipqbig_coarse_cb/*.parquet')),
+              |rcb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/imipqbig_codebooks/*.parquet')),
+              |bh AS (SELECT id, r.m AS m, vec[r.m*4+1:r.m*4+4]::DOUBLE[] AS sv
+              |       FROM v, range(0,2) r(m)),
+              |benc AS (SELECT id, m, j FROM (
+              |  SELECT b.id, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bh b JOIN ccb cb ON cb.m = b.m) t WHERE rn = 1),
+              |bcell AS (SELECT a0.id, a0.j AS j0, a1.j AS j1, a0.j*8 + a1.j AS cell
+              |  FROM benc a0 JOIN benc a1 ON a0.id = a1.id AND a0.m = 0 AND a1.m = 1),
+              |bres AS (SELECT bc.id, bc.cell,
+              |    list_transform(list_zip(b.vec, c0.c || c1.c), p -> p[1] - p[2]) AS res
+              |  FROM bcell bc JOIN v b ON b.id = bc.id
+              |  JOIN ccb c0 ON c0.m = 0 AND c0.j = bc.j0
+              |  JOIN ccb c1 ON c1.m = 1 AND c1.j = bc.j1),
+              |bsub AS (SELECT id, cell, r.m AS m, res[r.m*2+1:r.m*2+2]::DOUBLE[] AS sv
+              |         FROM bres, range(0,4) r(m)),
+              |enc AS (SELECT id, cell, m, j FROM (
+              |  SELECT b.id, b.cell, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN rcb cb ON cb.m = b.m) t WHERE rn = 1),
+              |qh AS (SELECT id AS qid, r.m AS m, vec[r.m*4+1:r.m*4+4]::DOUBLE[] AS sv
+              |       FROM v, range(0,2) r(m) WHERE id % 9973 = 1),
+              |qtop AS (SELECT qid, m, j, d FROM (
+              |  SELECT q.qid, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS d,
+              |    row_number() OVER (PARTITION BY q.qid, q.m ORDER BY
+              |      list_aggregate(list_transform(list_zip(q.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM qh q JOIN ccb cb ON cb.m = q.m) t WHERE rn <= 8),
+              |cells AS (SELECT d0.qid, d0.j AS j0, d1.j AS j1, d0.j*8 + d1.j AS cell, d0.d + d1.d AS cd
+              |  FROM qtop d0 JOIN qtop d1 ON d0.qid = d1.qid AND d0.m = 0 AND d1.m = 1),
+              |probes AS (SELECT qid, j0, j1, cell FROM (
+              |  SELECT qid, j0, j1, cell, cd, row_number() OVER (PARTITION BY qid ORDER BY cd, cell) AS pr
+              |  FROM cells) t WHERE pr <= 8),
+              |qres AS (SELECT p.qid, p.cell,
+              |    list_transform(list_zip(q.vec, c0.c || c1.c), x -> x[1] - x[2]) AS res
+              |  FROM probes p JOIN v q ON q.id = p.qid
+              |  JOIN ccb c0 ON c0.m = 0 AND c0.j = p.j0
+              |  JOIN ccb c1 ON c1.m = 1 AND c1.j = p.j1),
+              |qsub AS (SELECT qid, cell, r.m AS m, res[r.m*2+1:r.m*2+2]::DOUBLE[] AS sv
+              |         FROM qres, range(0,4) r(m)),
+              |lut AS (SELECT q.qid, q.cell, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub q JOIN rcb cb ON cb.m = q.m),
+              |adc AS (SELECT l.qid, e.id, list_aggregate(list(l.pd ORDER BY l.m), 'sum') AS dist
+              |  FROM enc e JOIN lut l ON l.cell = e.cell AND l.m = e.m AND l.j = e.j
               |  GROUP BY l.qid, e.id)
               |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w

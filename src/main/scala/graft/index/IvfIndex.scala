@@ -64,8 +64,9 @@ class IvfIndex(
 
   /** Distinct lists any query probes at this nprobe (the scan set). */
   def probedListNos(queries: DataFrame, nprobe: Int,
-      queryId: String = "qid", queryVec: String = "qvec"): Array[Int] =
-    probes(queries, nprobe, queryId, queryVec)
+      queryId: String = "qid", queryVec: String = "qvec",
+      hnswCoarse: Option[Int] = None): Array[Int] =
+    probes(queries, nprobe, queryId, queryVec, hnswCoarse)
       .select("list_no").distinct().collect().map(_.getInt(0))
 
   /** Each probed list's minimum probe rank over the query set at

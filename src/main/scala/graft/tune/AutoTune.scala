@@ -144,4 +144,120 @@ object AutoTune {
       !points.exists(q => (q.recall > p.recall && q.scannedFrac <= p.scannedFrac) ||
         (q.recall >= p.recall && q.scannedFrac < p.scannedFrac))
     }.sortBy(p => (p.scannedFrac, p.recall, p.nprobe, p.ht, p.maxCodes))
+
+  /** k_factor operating point (IndexRefine's stage-1 candidate budget
+    * k·k_factor — ParameterSpace axes "k_factor"/"k_factor_rf",
+    * AutoTune.cpp:347,397). `rerankedFrac` = average per-query share
+    * of the base whose exact distance stage 2 computes. */
+  case class OperatingPointKf(kFactor: Int, recall: Double, rerankedFrac: Double)
+
+  /** k_factor sweep over the SQ8 + exact-re-rank composite
+    * ("SQ8,RFlat"). ONE stage-1 ADC ranking at max(kFactors) and ONE
+    * exact-distance join cover every point: the k_factor = f candidate
+    * set is exactly the stage-1 ranks <= k·f, so smaller budgets are
+    * prefix subsets — the reference re-runs the two-stage search per
+    * point (AutoTune.cpp explore); at scale each re-run would rescan
+    * the codes, so deriving the sweep from one scan is the
+    * dataflow-correct shape (the searchSweep argument). */
+  def exploreKFactor(queries: DataFrame, base: DataFrame, k: Int,
+      kFactors: Seq[Int]): Seq[OperatingPointKf] = {
+    import org.apache.spark.sql.functions._
+    val sess = queries.sparkSession
+    import sess.implicits._
+    val truth = Knn.knnJoin(queries, base, k).cache()
+    val n = base.count().toDouble
+    val nq = queries.count().toDouble
+    try {
+      val sq = graft.index.SqIndex.build(base, "id", "vec")
+      val kfMax = kFactors.max
+      // stage 1: ADC ranks; stage 2 exact distances computed ONCE for
+      // the maximal candidate set (queries × k·kfMax rows — an id
+      // equi-join, never a base rescan)
+      val exact = sq.search(queries, k * kfMax)
+        .select(col("qid"), col("rank").as("_r1"), col("id"))
+        .join(base.select(col("id"), col("vec")), "id")
+        .join(broadcast(queries.select(col("qid"), col("qvec"))), "qid")
+        .select(col("qid"), col("_r1"), col("id"),
+          graft.functions.l2sq(col("qvec"), col("vec")).as("_ed"))
+      val kfDf = broadcast(kFactors.toDF("kf"))
+      val inter = exact.join(kfDf, col("_r1") <= col("kf") * k)
+        .groupBy(col("kf"), col("qid"))
+        .agg(graft.functions.topk(col("_ed"), col("id"), k, asc = true).as("_tk"))
+        .select(col("kf"), col("qid"), explode(col("_tk")).as("_r"))
+        .select(col("kf"), col("qid"), col("_r.id").as("id"))
+        .join(truth.select("qid", "id"), Seq("qid", "id"))
+        .groupBy("kf").agg(count(lit(1)).as("_i"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      kFactors.map { kf =>
+        OperatingPointKf(kf,
+          inter.getOrElse(kf, 0L) / (nq * k),
+          math.min(k.toDouble * kf, n) / n)
+      }
+    } finally truth.unpersist()
+  }
+
+  /** Pareto front on the k_factor points. */
+  def paretoFrontKf(points: Seq[OperatingPointKf]): Seq[OperatingPointKf] =
+    points.filter { p =>
+      !points.exists(q => (q.recall > p.recall && q.rerankedFrac <= p.rerankedFrac) ||
+        (q.recall >= p.recall && q.rerankedFrac < p.rerankedFrac))
+    }.sortBy(p => (p.rerankedFrac, p.recall, p.kFactor))
+
+  /** efSearch operating point (ParameterSpace "efSearch",
+    * AutoTune.cpp:403 — the HNSW-coarse walk budget). */
+  case class OperatingPointEf(efSearch: Int, recall: Double, scannedFrac: Double)
+
+  /** efSearch sweep over an IVF index with the HNSW coarse quantizer.
+    * Unlike the filter axes (ht/max_codes) and the prefix axes
+    * (nprobe/k_factor), efSearch CHANGES the probe SETS — a larger
+    * walk budget can select different lists, not a superset — so each
+    * point is necessarily its own pruned scan (the reference re-runs
+    * per point too; the scan is nprobe/nlist of the data either way).
+    * efSearch >= nlist degenerates to the exact coarse ranking. */
+  def exploreEf(idx: IvfIndex, queries: DataFrame, base: DataFrame, k: Int,
+      nprobe: Int, efs: Seq[Int]): Seq[OperatingPointEf] = {
+    import org.apache.spark.sql.functions._
+    val truth = Knn.knnJoin(queries, base, k).cache()
+    val listSizes = idx.invlists.groupBy("list_no").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = listSizes.values.sum.toDouble
+    try {
+      efs.map { ef =>
+        val res = idx.search(queries, k, nprobe, hnswCoarse = Some(ef))
+        val rec = Recall.perQuery(truth, res)
+          .agg(avg(col("recall"))).collect().head.getDouble(0)
+        val probed = idx.probedListNos(queries, nprobe, hnswCoarse = Some(ef))
+        val frac = probed.map(l => listSizes.getOrElse(l, 0L)).sum / total
+        OperatingPointEf(ef, rec, frac)
+      }
+    } finally truth.unpersist()
+  }
+
+  /** ParameterSpace::set_index_parameters string grammar
+    * (faiss/AutoTune.cpp:316 — `"param=val,param=val"`, the runtime
+    * tuning surface every reference bench script drives): parsed into
+    * the typed knobs our search entry points accept. Unknown
+    * parameter names throw, like the reference's FAISS_THROW_FMT. */
+  case class SearchParams(nprobe: Option[Int] = None, ht: Option[Int] = None,
+      maxCodes: Option[Int] = None, kFactor: Option[Int] = None,
+      efSearch: Option[Int] = None)
+
+  def parseParams(s: String): SearchParams = {
+    var p = SearchParams()
+    s.split(",").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+      val parts = kv.split("=", 2)
+      require(parts.length == 2, s"malformed parameter '$kv' (want name=value)")
+      val v = parts(1).trim.toDouble.toInt // reference values are doubles
+      parts(0).trim match {
+        case "nprobe" => p = p.copy(nprobe = Some(v))
+        case "ht" | "max_hamming" => p = p.copy(ht = Some(v))
+        case "max_codes" => p = p.copy(maxCodes = Some(v))
+        case "k_factor" | "k_factor_rf" => p = p.copy(kFactor = Some(v))
+        case "efSearch" => p = p.copy(efSearch = Some(v))
+        case other => throw new IllegalArgumentException(
+          s"could not set parameter $other") // AutoTune.cpp:440 wording
+      }
+    }
+    p
+  }
 }

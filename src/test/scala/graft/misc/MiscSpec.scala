@@ -113,4 +113,46 @@ class MiscSpec extends SparkTestBase {
     // cheaper point) survives dominance
     assert(front.map(_.recall).max >= pts.map(_.recall).max - 1e-12)
   }
+
+  test("k_factor axis (AutoTune.cpp:347): prefix subsets, monotone recall") {
+    val b = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val pts = AutoTune.exploreKFactor(q, b, 10, Seq(1, 2, 4, 8))
+    assert(pts.map(_.kFactor) == Seq(1, 2, 4, 8))
+    // a larger stage-1 budget can only ADD candidates to the exact
+    // re-rank, so recall is nondecreasing in k_factor
+    assert(pts.map(_.recall).sliding(2).forall { case Seq(a, c) => c >= a - 1e-9 })
+    assert(pts.map(_.rerankedFrac).sliding(2).forall { case Seq(a, c) => c >= a })
+    val front = AutoTune.paretoFrontKf(pts)
+    assert(front.nonEmpty && front.map(_.recall).max >= pts.map(_.recall).max - 1e-12)
+  }
+
+  test("efSearch axis (AutoTune.cpp:403): ef >= nlist degenerates to exact probes") {
+    val b = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val idx = IvfIndex.build(b, "id", "vec", nlist = 8, niter = 3)
+    val pts = AutoTune.exploreEf(idx, q, b, 10, nprobe = 8, efs = Seq(4, 1024))
+    // ef >= nlist covers the whole centroid graph: exact probe set at
+    // nprobe = nlist -> every list scanned, recall 1
+    val exactPt = pts.find(_.efSearch == 1024).get
+    assert(math.abs(exactPt.recall - 1.0) < 1e-9, s"recall ${exactPt.recall}")
+    assert(math.abs(exactPt.scannedFrac - 1.0) < 1e-9)
+    // the tight walk budget scans at most as much
+    assert(pts.find(_.efSearch == 4).get.scannedFrac <= 1.0 + 1e-12)
+  }
+
+  test("ParameterSpace string grammar (AutoTune.cpp:316)") {
+    val p = AutoTune.parseParams("nprobe=16,ht=52,max_codes=10000,k_factor=2,efSearch=64")
+    assert(p == AutoTune.SearchParams(Some(16), Some(52), Some(10000), Some(2), Some(64)))
+    // the reference accepts double-typed values ("nprobe=4.0")
+    assert(AutoTune.parseParams("nprobe=4.0").nprobe.contains(4))
+    assert(AutoTune.parseParams("").isInstanceOf[AutoTune.SearchParams])
+    intercept[IllegalArgumentException] {
+      AutoTune.parseParams("quantizer_efSearch_bogus=3")
+    }
+  }
 }
