@@ -344,8 +344,8 @@ object Queries {
     pq16(s, dir); rot64(s, dir); opqModel(s, dir); ivfpq8(s, dir)
     ivfpqr8(s, dir); twoLayer16(s, dir); ivfsh8(s, dir); km8(s, dir)
     twoLevel12(s, dir); pdk8(s, dir); bivf8(s, dir); rqModel16(s, dir)
-    prqModel(s, dir); imi16(s, dir); imipq16(s, dir); sqMeanstd(s, dir)
-    ivfrq8(s, dir)
+    prqModel(s, dir); imi16(s, dir); imipq16(s, dir); imisq16(s, dir)
+    sqMeanstd(s, dir); ivfrq8(s, dir)
     kmSph8(s, dir); kmEnc8(s, dir); znLat16(s, dir); pca16(s, dir)
     itq32(s, dir)
     pqfs8(s, dir); ivfpqfs8(s, dir); ivfsq4(s, dir); rqfs2(s, dir)
@@ -427,6 +427,8 @@ object Queries {
       OracleAux.codebooksDf(s, ipqImi.coarse.codebooks))
     OracleAux.write(dir, "imipq_codebooks",
       OracleAux.codebooksDf(s, ipqImi.model.codebooks))
+    OracleAux.write(dir, "imisq_coarse_cb",
+      OracleAux.codebooksDf(s, imisq16(s, dir).coarse.codebooks))
     OracleAux.write(dir, "kmeans8_centroids",
       OracleAux.centroidsDf(s, km8(s, dir).centroids))
     OracleAux.write(dir, "kmeans_enc_centroids",
@@ -622,6 +624,13 @@ object Queries {
     cached(s"imipq16:$dir") {
       graft.index.ImiPqIndex.build(bDf(s, dir, 10), "id", "vec", ksub = 16,
         m = 8, pqKsub = 16, niterCoarse = 4, niterPq = 4)
+    }
+  /** IMI2x4,SQ8 (IndexIVFScalarQuantizer over the multi-index coarse
+    * — the grammar composes IMI with any IVF code). */
+  private def imisq16(s: SparkSession, dir: String): graft.index.ImiSqIndex =
+    cached(s"imisq16:$dir") {
+      graft.index.ImiSqIndex.build(bDf(s, dir, 10), "id", "vec", ksub = 16,
+        qtype = "SQ8", niterCoarse = 4)
     }
   private def rqModel16(s: SparkSession, dir: String): graft.index.RqModel =
     cached(s"rq16:$dir") {
@@ -3397,6 +3406,45 @@ object Queries {
              |  count(*)::BIGINT AS n_docs
              |FROM documents GROUP BY lang, split""".stripMargin)),
 
+    // Stratified (topic-balanced) corpus sampling — the cluster-then-
+    // cap resampling step of large-scale dataset curation: k-means
+    // clusters over the embedding column, then a deterministic
+    // content-hash cap per cluster (keep iff hash(id) mod n_c < cap,
+    // expected cap rows/cluster; clusters under the cap keep all).
+    // At 100 TB this is a map-side assign expression + a hash filter —
+    // no shuffle beyond the 8-row size/stat aggregates. id_sum is the
+    // integer-exact witness of the exact kept SET. The oracle replays
+    // assignment from the centroid sidecar, the per-cluster counts,
+    // and the same md5-hash cap.
+    ("corpus_stratified_sample", (s: SparkSession, dir: String) => {
+      val m = km8(s, dir)
+      val assigned = m.assign(
+        emb(s, dir).select(col("vec_id"), col("embedding")), "embedding")
+        .select(col("vec_id"), col("list_no"))
+      val sizes = assigned.groupBy("list_no")
+        .agg(count(lit(1)).as("n_total"))
+      val keep = pmod(TF.fingerprint60(col("vec_id").cast("string")),
+        col("n_total")) < lit(40)
+      assigned.join(broadcast(sizes), "list_no")
+        .groupBy(col("list_no"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(keep, col("vec_id")).otherwise(0L)).as("id_sum"))
+    },
+      Some(s"""WITH cent AS (SELECT list_no, c::DOUBLE[] AS c FROM read_parquet('$AUX/kmeans8_centroids/*.parquet')),
+              |a AS (SELECT vec_id, list_no FROM (
+              |  SELECT e.vec_id, c.list_no, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(e.embedding::DOUBLE[], c.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+              |sz AS (SELECT list_no, count(*)::BIGINT AS n_total FROM a GROUP BY list_no),
+              |k AS (SELECT a.vec_id, a.list_no, sz.n_total,
+              |    (('0x' || substr(md5(a.vec_id::VARCHAR), 1, 15))::BIGINT % sz.n_total) < 40 AS keep
+              |  FROM a JOIN sz USING (list_no))
+              |SELECT list_no, count(*)::BIGINT AS n_total,
+              |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+              |  sum(CASE WHEN keep THEN vec_id ELSE 0 END)::BIGINT AS id_sum
+              |FROM k GROUP BY list_no""".stripMargin)),
+
     // multimodal: opaque binary column -> batched mapPartitions decode
     // (stub) -> typed features; oracle checks the byte-derived fields
     ("multimodal_features", (s: SparkSession, dir: String) => {
@@ -4295,6 +4343,57 @@ object Queries {
               |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w
               |WHERE "rank" <= 10""".stripMargin)),
+
+    // IMI2x<b>,SQ<w> (IndexIVFScalarQuantizer over the multi-index
+    // coarse — the grammar composes IMI with any IVF code,
+    // index_factory.cpp:834-878). by_residual = false: codes are the
+    // shared-range SQ8 quantization of the RAW vectors, so the oracle
+    // replays cell assignment + MinSumK probes from the coarse
+    // sidecar, the SQ8 range/encode/decode from the base itself (the
+    // sq8_knn formula), and the pruned asymmetric ADC top-k.
+    ("imi_sq_search", (s: SparkSession, dir: String) =>
+      imisq16(s, dir).search(qDf(s, dir, 10), k = 5, nprobe = 8)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH ccb AS (SELECT m, j, c FROM read_parquet('$AUX/imisq_coarse_cb/*.parquet')),
+              |bh AS (SELECT vec_id AS id, r.m AS m, embedding[r.m*32+1:r.m*32+32]::DOUBLE[] AS sv
+              |       FROM embeddings, range(0,2) r(m) WHERE vec_id >= 10),
+              |benc AS (SELECT id, m, j FROM (
+              |  SELECT b.id, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bh b JOIN ccb cb ON cb.m = b.m) t WHERE rn = 1),
+              |bcell AS (SELECT a0.id, a0.j*16 + a1.j AS cell
+              |  FROM benc a0 JOIN benc a1 ON a0.id = a1.id AND a0.m = 0 AND a1.m = 1),
+              |dims AS (
+              |  SELECT list(mn ORDER BY i) AS vmn, list(mx - mn ORDER BY i) AS vd FROM (
+              |    SELECT i, min(e) AS mn, max(e) AS mx
+              |    FROM (SELECT unnest(embedding::DOUBLE[]) AS e, generate_subscripts(embedding, 1) AS i
+              |          FROM embeddings WHERE vec_id >= 10) u GROUP BY i) t),
+              |dec AS (SELECT vec_id AS id,
+              |  list_transform(embedding::DOUBLE[], (x, i) ->
+              |    vmn[i] + (floor(255 * (CASE WHEN vd[i] = 0 THEN 0
+              |      ELSE least(greatest((x - vmn[i]) / vd[i], 0), 1) END)) + 0.5) / 255 * vd[i]) AS dv
+              |  FROM embeddings, dims WHERE vec_id >= 10),
+              |qh AS (SELECT vec_id AS qid, r.m AS m, embedding[r.m*32+1:r.m*32+32]::DOUBLE[] AS sv
+              |       FROM embeddings, range(0,2) r(m) WHERE vec_id < 10),
+              |qtop AS (SELECT qid, m, j, d FROM (
+              |  SELECT q.qid, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS d,
+              |    row_number() OVER (PARTITION BY q.qid, q.m ORDER BY
+              |      list_aggregate(list_transform(list_zip(q.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM qh q JOIN ccb cb ON cb.m = q.m) t WHERE rn <= 8),
+              |cells AS (SELECT d0.qid, d0.j*16 + d1.j AS cell, d0.d + d1.d AS cd
+              |  FROM qtop d0 JOIN qtop d1 ON d0.qid = d1.qid AND d0.m = 0 AND d1.m = 1),
+              |probes AS (SELECT qid, cell FROM (
+              |  SELECT qid, cell, cd, row_number() OVER (PARTITION BY qid ORDER BY cd, cell) AS pr
+              |  FROM cells) t WHERE pr <= 8),
+              |d AS (SELECT p.qid, bc.id,
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], b.dv),
+              |      x -> (x[1]-x[2])*(x[1]-x[2])), 'sum') AS dist
+              |  FROM probes p JOIN bcell bc ON bc.cell = p.cell
+              |  JOIN embeddings q ON q.vec_id = p.qid JOIN dec b ON b.id = bc.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 5""".stripMargin)),
 
     // §2.11 Binary IVF (IndexBinaryIVF): Hamming-pruned inverted lists
     // of sign-bit codes. All-integer arithmetic, so the oracle replays

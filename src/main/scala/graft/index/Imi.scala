@@ -158,6 +158,46 @@ object ImiIndex {
   * (polysemous Hamming pre-filter on the residual codes,
   * IndexIVFPQ.h polysemous_ht) and `maxCodes` (per-(query, cell) scan
   * budget, IndexIVF.h:67-72) expose the SIFT1B operating-point knobs. */
+/** Shared IMI probe selection: the MinSumK two-level cell ranking
+  * (MultiIndexQuantizer2::search, IndexPQ.cpp:1042) — per-half top-k2
+  * through the half LUTs (k2 = min(nprobe, ksub)), min-sum combine,
+  * top-nprobe cells by (cell distance, cell). O(nprobe²) candidate
+  * cells, never the K² enumeration (at the reference's IMI2x12 that
+  * would be 16M cells per query). */
+private[index] object ImiProbes {
+  /** Output (queryId, queryVec, cell). */
+  def minSumK(queries: DataFrame, coarse: PqModel, ksub: Int, nprobe: Int,
+      queryId: String, queryVec: String): DataFrame = {
+    val kl = lit(ksub)
+    val k2 = math.min(math.max(nprobe, 1), ksub)
+    val halfTop = queries
+      .select(col(queryId), col(queryVec), coarse.lutCol(col(queryVec)).as("_lut"))
+      .select(col(queryId), col(queryVec), explode(sequence(lit(0), lit(1))).as("_m"),
+        col("_lut"))
+      .select(col(queryId), col(queryVec), col("_m"),
+        posexplode(slice(col("_lut"), col("_m") * kl + 1, kl)).as(Seq("_j", "_hd")))
+      .groupBy(col(queryId), col("_m"))
+      .agg(first(col(queryVec)).as(queryVec),
+        topk(col("_hd"), col("_j").cast("long"), k2, asc = true).as("_tk"))
+      .select(col(queryId), col(queryVec), col("_m"), explode(col("_tk")).as("_r"))
+      .select(col(queryId), col(queryVec), col("_m"),
+        col("_r.id").cast("int").as("_j"), col("_r.dist").as("_hd"))
+    val h0 = halfTop.filter(col("_m") === 0)
+      .select(col(queryId), col(queryVec), col("_j").as("_j0"), col("_hd").as("_d0"))
+    val h1 = halfTop.filter(col("_m") === 1)
+      .select(col(queryId), col("_j").as("_j1"), col("_hd").as("_d1"))
+    h0.join(h1, Seq(queryId))
+      .select(col(queryId), col(queryVec),
+        (col("_j0") * kl + col("_j1")).as("_cell"),
+        (col("_d0") + col("_d1")).as("_cd"))
+      .groupBy(col(queryId))
+      .agg(first(col(queryVec)).as(queryVec),
+        topk(col("_cd"), col("_cell").cast("long"), nprobe, asc = true).as("_tk"))
+      .select(col(queryId), col(queryVec), explode(col("_tk")).as("_r"))
+      .select(col(queryId), col(queryVec), col("_r.id").cast("int").as("cell"))
+  }
+}
+
 class ImiPqIndex(
     val ksub: Int,
     /** m=2 half-space coarse codebooks. */
@@ -183,35 +223,8 @@ class ImiPqIndex(
       queryId: String = "qid", queryVec: String = "qvec",
       ht: Option[Int] = None, maxCodes: Option[Int] = None): DataFrame = {
     val kl = lit(ksub)
-    val k2 = math.min(math.max(nprobe, 1), ksub)
-    // level 1+2 probe selection (MultiIndexQuantizer2 MinSumK shape,
-    // IndexPQ.cpp:1042): per-half top-k2 from the half LUTs, min-sum
-    // combine, top-nprobe cells by (cell distance, cell)
-    val halfTop = queries
-      .select(col(queryId), col(queryVec), coarse.lutCol(col(queryVec)).as("_lut"))
-      .select(col(queryId), col(queryVec), explode(sequence(lit(0), lit(1))).as("_m"),
-        col("_lut"))
-      .select(col(queryId), col(queryVec), col("_m"),
-        posexplode(slice(col("_lut"), col("_m") * kl + 1, kl)).as(Seq("_j", "_hd")))
-      .groupBy(col(queryId), col("_m"))
-      .agg(first(col(queryVec)).as(queryVec),
-        topk(col("_hd"), col("_j").cast("long"), k2, asc = true).as("_tk"))
-      .select(col(queryId), col(queryVec), col("_m"), explode(col("_tk")).as("_r"))
-      .select(col(queryId), col(queryVec), col("_m"),
-        col("_r.id").cast("int").as("_j"), col("_r.dist").as("_hd"))
-    val h0 = halfTop.filter(col("_m") === 0)
-      .select(col(queryId), col(queryVec), col("_j").as("_j0"), col("_hd").as("_d0"))
-    val h1 = halfTop.filter(col("_m") === 1)
-      .select(col(queryId), col("_j").as("_j1"), col("_hd").as("_d1"))
-    val probeCells = h0.join(h1, Seq(queryId))
-      .select(col(queryId), col(queryVec),
-        (col("_j0") * kl + col("_j1")).as("_cell"),
-        (col("_d0") + col("_d1")).as("_cd"))
-      .groupBy(col(queryId))
-      .agg(first(col(queryVec)).as(queryVec),
-        topk(col("_cd"), col("_cell").cast("long"), nprobe, asc = true).as("_tk"))
-      .select(col(queryId), col(queryVec), explode(col("_tk")).as("_r"))
-      .select(col(queryId), col(queryVec), col("_r.id").cast("int").as("cell"))
+    val probeCells = ImiProbes.minSumK(queries, coarse, ksub, nprobe,
+      queryId, queryVec)
     // per-(query, cell) residual LUT: the cell centroid is the concat
     // of the two half-centroids — two K-row broadcast joins, never a
     // K²-row table
@@ -258,6 +271,69 @@ class ImiPqIndex(
       .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
       .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
         col("_r.id").as("id"), col("_r.dist").as("dist"))
+  }
+}
+
+/** `IMI2x<b>,SQ<w>` — IVF scalar-quantized codes under the
+  * multi-index coarse (the factory grammar composes IMI with any IVF
+  * code, index_factory.cpp:834-878; SQ widths per
+  * IndexScalarQuantizer.h:64). Cells via [[ImiIndex]]'s 2-subspace
+  * assignment; codes are the shared-range scalar quantization of the
+  * RAW vectors (by_residual = false — IndexIVFScalarQuantizer's
+  * default), searched with [[ImiProbes.minSumK]] probe selection and
+  * the asymmetric SQ ADC distance over the statically pruned cells. */
+class ImiSqIndex(
+    val ksub: Int,
+    val coarse: PqModel,
+    val vmin: Array[Double],
+    val vdiff: Array[Double],
+    val qtype: String,
+    /** (id, cell, code) */
+    val codes: DataFrame) {
+
+  def nlist: Int = ksub * ksub
+
+  def search(queries: DataFrame, k: Int, nprobe: Int,
+      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+    val probes = ImiProbes.minSumK(queries, coarse, ksub, nprobe,
+      queryId, queryVec)
+    val probed = Probes.probedListIds(probes.select(col("cell").as("list_no")))
+    codes.filter(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*))
+      .join(broadcast(probes), "cell")
+      .select(col(queryId), col("id"),
+        shim.col(SqVariant.adcL2(qtype, shim.expr(col(queryVec)),
+          shim.expr(col("code")), vmin, vdiff)).as("_dist"))
+      .groupBy(col(queryId))
+      .agg(topk(col("_dist"), col("id"), k, asc = true).as("_tk"))
+      .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+      .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
+        col("_r.id").as("id"), col("_r.dist").as("dist"))
+  }
+}
+
+object ImiSqIndex {
+  def build(df: DataFrame, idCol: String, vecCol: String, ksub: Int = 16,
+      qtype: String = "SQ8", niterCoarse: Int = 6,
+      seed: Long = 1234L): ImiSqIndex = {
+    val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val coarse = Pq.train(data, "vec", m = 2, ksub = ksub,
+      niter = niterCoarse, seed = seed)
+    val dsub = coarse.dsub
+    val j0 = shim.col(PQSubAssign(shim.expr(lit(0)),
+      shim.expr(slice(col("vec"), 1, dsub)), coarse.codebooks))
+    val j1 = shim.col(PQSubAssign(shim.expr(lit(1)),
+      shim.expr(slice(col("vec"), dsub + 1, dsub)), coarse.codebooks))
+    val assigned = data.select(col("id"), col("vec"),
+      (j0 * ksub + j1).as("cell"))
+    val (mins, vdiff) =
+      if (SqVariant.needsRange(qtype)) SqIndex.trainRange(data, "vec")
+      else (Array.empty[Double], Array.empty[Double])
+    val codes = assigned.select(col("id"), col("cell"),
+      shim.col(SqVariant.encode(qtype, shim.expr(col("vec")),
+        mins, vdiff)).as("code"))
+    val mat = codes.cache()
+    mat.count()
+    new ImiSqIndex(ksub, coarse, mins, vdiff, qtype, mat)
   }
 }
 

@@ -268,6 +268,14 @@ object IndexFactory {
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
         math.max(nprobe, 1), queryId = qid, queryVec = qvec)
   }
+  /** IMI2x<b>,SQ<w> (IndexIVFScalarQuantizer with a MultiIndexQuantizer
+    * coarse — the same grammar composition). */
+  private final class ImiSqBuilt(idx: ImiSqIndex, chain: VecTransform)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
+        math.max(nprobe, 1), queryId = qid, queryVec = qvec)
+  }
   private final class SpectralBuilt(idx: IvfSpectralHashIndex, chain: VecTransform)
       extends Built {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
@@ -586,6 +594,14 @@ object IndexFactory {
           ksub = 1 << bits.toInt, m = m.toInt,
           pqKsub = Option(ks).map(_.toInt).getOrElse(16),
           niterCoarse = niter, niterPq = niter, seed = seed), chain)
+      case Imi(bits) :: (sq @ ("SQ8" | "SQ4" | "SQ6" | "SQfp16")) :: Nil =>
+        // IMI2x<b>,SQ<w> (IndexIVFScalarQuantizer over the multi-index
+        // coarse — the grammar composes IMI with any IVF code,
+        // index_factory.cpp:834-878)
+        new ImiSqBuilt(ImiSqIndex.build(data, "id", "vec",
+          ksub = 1 << bits.toInt,
+          qtype = if (sq == "SQfp16") "fp16" else sq,
+          niterCoarse = niter, seed = seed), chain)
       case "Flat" :: Nil => new FlatBuilt(data, chain)
       // MinMax[FP16],<SQ8|SQfp16> (IndexRowwiseMinMax[FP16],
       // index_factory.cpp:811): a vector codec in the reference

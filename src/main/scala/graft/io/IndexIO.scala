@@ -201,6 +201,46 @@ object IndexIO {
         .select(col("id"), col("vec"), col("cell").cast("int")))
   }
 
+  // ---- IMI + PQ (IMI2x<b>,PQ<m> — write_index of the SIFT1B flagship
+  // composition): cell-partitioned residual codes + the two trained
+  // models (2-subspace coarse + residual PQ), both as json sidecars.
+  private def pqModelDf(spark: SparkSession, m: PqModel) = {
+    import spark.implicits._
+    (for (mi <- 0 until m.m; j <- m.codebooks(mi).indices)
+      yield (mi, j, m.codebooks(mi)(j).toSeq, m.ksub, m.dsub))
+      .toDF("m", "j", "centroid", "ksub", "dsub")
+  }
+
+  private def readPqModel(spark: SparkSession, path: String): PqModel = {
+    val cb = spark.read.json(path)
+      .select(col("m").cast("int"), col("j").cast("int"),
+        col("centroid").cast("array<float>"),
+        col("ksub").cast("int"), col("dsub").cast("int")).collect()
+    val mCount = cb.map(_.getInt(0)).max + 1
+    val ksub = cb.head.getInt(3); val dsub = cb.head.getInt(4)
+    val books = Array.ofDim[Array[Float]](mCount, ksub)
+    cb.foreach { r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray }
+    PqModel(mCount, ksub, dsub, books)
+  }
+
+  def saveImiPq(idx: ImiPqIndex, path: String): Unit = {
+    val spark = idx.codes.sparkSession
+    idx.codes.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    pqModelDf(spark, idx.coarse)
+      .coalesce(1).write.mode("overwrite").json(s"$path/coarse")
+    pqModelDf(spark, idx.model)
+      .coalesce(1).write.mode("overwrite").json(s"$path/codebooks")
+  }
+
+  def loadImiPq(spark: SparkSession, path: String): ImiPqIndex = {
+    val coarse = readPqModel(spark, s"$path/coarse")
+    new ImiPqIndex(coarse.ksub, coarse,
+      readPqModel(spark, s"$path/codebooks"),
+      spark.read.parquet(s"$path/codes")
+        .select(col("id"), col("cell").cast("int"), col("code")))
+  }
+
   // ---- IVF spectral hash ----------------------------------------------
   def saveSpectralHash(idx: IvfSpectralHashIndex, path: String): Unit = {
     val spark = idx.codes.sparkSession

@@ -90,6 +90,22 @@ class ImiSpec extends SparkTestBase {
     assert(recall > 0.2, s"R@10 for the true 1-NN = $recall (reference floor 0.2)")
   }
 
+  test("IMI+SQ factory route: nprobe = nlist equals the flat SQ8 search") {
+    // IMI2x2,SQ8 at full probe budget scans every cell, so the result
+    // must equal the flat SQ8 ADC scan exactly (same minmax range over
+    // the same base, same asymmetric ADC kernel) — only the pruning
+    // differs, and at nprobe = nlist it prunes nothing
+    val imisq = IndexFactory.build(b, "id", "vec", "IMI2x2,SQ8", niter = 3)
+    val flat = SqIndex.build(b, "id", "vec")
+    val got = imisq.search(q, k = 5, nprobe = 16)
+      .select("qid", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = flat.search(q, 5)
+      .select("qid", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("IMI+PQ factory route IMI2x2,PQ8 == direct build") {
     val built = IndexFactory.build(b, "id", "vec", "IMI2x2,PQ8", niter = 3)
     val got = built.search(q, k = 5, nprobe = 4)

@@ -92,6 +92,21 @@ class IndexIOSpec extends SparkTestBase {
       results(idx.search(q, 5, nprobe = idx.nlist)))
   }
 
+  test("IMI+PQ save/load round-trip preserves search results (write_index " +
+      "of the SIFT1B flagship composition)") {
+    val idx = graft.index.ImiPqIndex.build(b, "id", "vec", ksub = 4,
+      m = 8, pqKsub = 16, niterCoarse = 3, niterPq = 3)
+    val dir = java.nio.file.Files.createTempDirectory("imipqio").toString
+    IndexIO.saveImiPq(idx, dir)
+    val loaded = IndexIO.loadImiPq(spark, dir)
+    assert(loaded.ksub == idx.ksub)
+    assert(results(loaded.search(q, 5, nprobe = 4)) ==
+      results(idx.search(q, 5, nprobe = 4)))
+    // the ht/max_codes knobs survive the round-trip too
+    assert(results(loaded.search(q, 5, nprobe = 4, ht = Some(64),
+      maxCodes = Some(1 << 20))) == results(idx.search(q, 5, nprobe = 4)))
+  }
+
   test("Spectral-hash index save/load round-trip preserves search results") {
     val idx = graft.index.IvfSpectralHash.build(b, "id", "vec",
       nlist = 4, nbit = 16, period = 1.0, thresholdType = "median", niter = 2)
