@@ -3829,6 +3829,119 @@ object Queries {
               |  WHERE (q.recall > p.recall AND q.f <= p.f)
               |     OR (q.recall >= p.recall AND q.f < p.f))""".stripMargin)),
 
+    // The Deep1B operating-point shape (BASELINE.md: IMI2x14,PQ20
+    // tuned on (nprobe, ht, max_codes) triples; AutoTune.cpp:347-403):
+    // the same 3-axis grid as autotune_pareto_multi but over the IMI
+    // coarse — one MinSumK-probed candidate scan serves every grid
+    // point. The oracle replays the entire imi_pq_search chain PLUS
+    // the query-side residual encode (for the polysemous Hamming),
+    // the per-(ht, query, cell) scan-budget rank, the grid filters,
+    // the recall/scanned aggregates, and the Pareto dominance filter.
+    ("autotune_pareto_imi", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val pts = graft.tune.AutoTune.exploreMultiImi(
+        imipq16(s, dir), qDf(s, dir, 10), bDf(s, dir, 10), 10,
+        nprobes = Seq(2, 8), hts = Seq(12, 32), maxCodesList = Seq(5, 1000000))
+      graft.tune.AutoTune.paretoFrontM(pts)
+        .map(p => (p.nprobe, p.ht, p.maxCodes,
+          math.rint(p.recall * 1000) / 1000, math.rint(p.scannedFrac * 1000) / 1000))
+        .toDF("nprobe", "ht", "max_codes", "recall", "scanned_frac")
+    },
+      Some(s"""WITH ccb AS (SELECT m, j, c FROM read_parquet('$AUX/imipq_coarse_cb/*.parquet')),
+              |rcb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/imipq_codebooks/*.parquet')),
+              |bh AS (SELECT vec_id AS id, r.m AS m, embedding[r.m*32+1:r.m*32+32]::DOUBLE[] AS sv
+              |       FROM embeddings, range(0,2) r(m) WHERE vec_id >= 10),
+              |benc AS (SELECT id, m, j FROM (
+              |  SELECT b.id, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bh b JOIN ccb cb ON cb.m = b.m) t WHERE rn = 1),
+              |bcell AS (SELECT a0.id, a0.j AS j0, a1.j AS j1, a0.j*16 + a1.j AS cell
+              |  FROM benc a0 JOIN benc a1 ON a0.id = a1.id AND a0.m = 0 AND a1.m = 1),
+              |bres AS (SELECT bc.id, bc.cell,
+              |    list_transform(list_zip(b.embedding, c0.c || c1.c), p -> p[1] - p[2]) AS res
+              |  FROM bcell bc JOIN embeddings b ON b.vec_id = bc.id
+              |  JOIN ccb c0 ON c0.m = 0 AND c0.j = bc.j0
+              |  JOIN ccb c1 ON c1.m = 1 AND c1.j = bc.j1),
+              |bsub AS (SELECT id, cell, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM bres, range(0,8) r(m)),
+              |enc AS (SELECT id, cell, m, j FROM (
+              |  SELECT b.id, b.cell, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN rcb cb ON cb.m = b.m) t WHERE rn = 1),
+              |qh AS (SELECT vec_id AS qid, r.m AS m, embedding[r.m*32+1:r.m*32+32]::DOUBLE[] AS sv
+              |       FROM embeddings, range(0,2) r(m) WHERE vec_id < 10),
+              |qtop AS (SELECT qid, m, j, d FROM (
+              |  SELECT q.qid, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS d,
+              |    row_number() OVER (PARTITION BY q.qid, q.m ORDER BY
+              |      list_aggregate(list_transform(list_zip(q.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM qh q JOIN ccb cb ON cb.m = q.m) t WHERE rn <= 8),
+              |cells AS (SELECT d0.qid, d0.j AS j0, d1.j AS j1, d0.j*16 + d1.j AS cell, d0.d + d1.d AS cd
+              |  FROM qtop d0 JOIN qtop d1 ON d0.qid = d1.qid AND d0.m = 0 AND d1.m = 1),
+              |probes AS (SELECT qid, j0, j1, cell, pr FROM (
+              |  SELECT qid, j0, j1, cell, cd, row_number() OVER (PARTITION BY qid ORDER BY cd, cell) AS pr
+              |  FROM cells) t WHERE pr <= 8),
+              |qres AS (SELECT p.qid, p.cell, p.pr,
+              |    list_transform(list_zip(q.embedding, c0.c || c1.c), x -> x[1] - x[2]) AS res
+              |  FROM probes p JOIN embeddings q ON q.vec_id = p.qid
+              |  JOIN ccb c0 ON c0.m = 0 AND c0.j = p.j0
+              |  JOIN ccb c1 ON c1.m = 1 AND c1.j = p.j1),
+              |qsub AS (SELECT qid, cell, pr, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM qres, range(0,8) r(m)),
+              |qenc AS (SELECT qid, cell, m, j FROM (
+              |  SELECT q.qid, q.cell, q.m, cb.j, row_number() OVER (PARTITION BY q.qid, q.cell, q.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM qsub q JOIN rcb cb ON cb.m = q.m) t WHERE rn = 1),
+              |lut AS (SELECT q.qid, q.cell, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub q JOIN rcb cb ON cb.m = q.m),
+              |ham AS (SELECT e.id, qe.qid, e.cell,
+              |    sum(bit_count(xor(e.j::BIGINT, qe.j::BIGINT)))::INT AS hd
+              |  FROM enc e JOIN qenc qe ON qe.cell = e.cell AND qe.m = e.m
+              |  GROUP BY e.id, qe.qid, e.cell),
+              |cand0 AS (SELECT l.qid, e.cell, any_value(p.pr) AS pr, e.id,
+              |    list_aggregate(list(l.pd ORDER BY l.m), 'sum') AS dist, any_value(h.hd) AS hd
+              |  FROM enc e JOIN lut l ON l.cell = e.cell AND l.m = e.m AND l.j = e.j
+              |  JOIN probes p ON p.qid = l.qid AND p.cell = e.cell
+              |  JOIN ham h ON h.id = e.id AND h.qid = l.qid AND h.cell = e.cell
+              |  GROUP BY l.qid, e.cell, e.id),
+              |hts AS (SELECT unnest([12, 32]) AS ht),
+              |candh AS (SELECT c.*, h.ht, row_number() OVER (
+              |    PARTITION BY h.ht, c.qid, c.cell ORDER BY c.dist, c.id) AS rl
+              |  FROM cand0 c JOIN hts h ON c.hd <= h.ht),
+              |grid AS (SELECT n.np, m.mc FROM (SELECT unnest([2, 8]) AS np) n,
+              |  (SELECT unnest([5, 1000000]) AS mc) m),
+              |allc AS (SELECT g.np, c.ht, g.mc, c.qid, c.id, c.dist
+              |  FROM candh c JOIN grid g ON c.pr <= g.np AND c.rl <= g.mc),
+              |scanned AS (SELECT np, ht, mc, count(*)::DOUBLE AS s FROM allc GROUP BY np, ht, mc),
+              |tot AS (SELECT count(*)::DOUBLE *
+              |    (SELECT count(*) FROM embeddings WHERE vec_id < 10) AS t FROM bcell),
+              |truth AS (SELECT qid, id FROM (
+              |  SELECT q.vec_id AS qid, b.vec_id AS id,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |      list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2, b.vec_id) AS rk
+              |  FROM embeddings q CROSS JOIN embeddings b
+              |  WHERE q.vec_id < 10 AND b.vec_id >= 10) t WHERE rk <= 10),
+              |approx AS (SELECT np, ht, mc, qid, id FROM (
+              |  SELECT np, ht, mc, qid, id, row_number() OVER (
+              |    PARTITION BY np, ht, mc, qid ORDER BY dist, id) AS rk FROM allc) t WHERE rk <= 10),
+              |nq AS (SELECT count(*)::DOUBLE AS n FROM embeddings WHERE vec_id < 10),
+              |gridh AS (SELECT g.np, h.ht, g.mc FROM grid g, hts h),
+              |inter AS (SELECT a.np, a.ht, a.mc, count(*)::DOUBLE AS i
+              |  FROM approx a JOIN truth t ON t.qid = a.qid AND t.id = a.id
+              |  GROUP BY a.np, a.ht, a.mc),
+              |pts AS (SELECT g.np, g.ht, g.mc,
+              |    coalesce(i.i, 0) / ((SELECT n FROM nq) * 10.0) AS recall,
+              |    coalesce(s.s, 0) / (SELECT t FROM tot) AS f
+              |  FROM gridh g LEFT JOIN inter i USING (np, ht, mc)
+              |  LEFT JOIN scanned s USING (np, ht, mc))
+              |SELECT np AS nprobe, ht, mc AS max_codes,
+              |  round(recall, 3) AS recall, round(f, 3) AS scanned_frac
+              |FROM pts p
+              |WHERE NOT EXISTS (SELECT 1 FROM pts q
+              |  WHERE (q.recall > p.recall AND q.f <= p.f)
+              |     OR (q.recall >= p.recall AND q.f < p.f))""".stripMargin)),
+
     // §2.4 exact 1-D k-means (DP over the value histogram). The DP is
     // exactly optimal, so the oracle can find the SAME optimum a
     // different way: enumerate every (k-1)-boundary segmentation of

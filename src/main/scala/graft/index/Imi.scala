@@ -193,8 +193,12 @@ private[index] object ImiProbes {
       .groupBy(col(queryId))
       .agg(first(col(queryVec)).as(queryVec),
         topk(col("_cd"), col("_cell").cast("long"), nprobe, asc = true).as("_tk"))
-      .select(col(queryId), col(queryVec), explode(col("_tk")).as("_r"))
-      .select(col(queryId), col(queryVec), col("_r.id").cast("int").as("cell"))
+      // 0-based probe rank (best cell first): lets an autotune sweep
+      // reconstruct the nprobe=j candidate set as `pr < j`, the
+      // IvfIndex.probes convention
+      .select(col(queryId), col(queryVec), posexplode(col("_tk")).as(Seq("pr", "_r")))
+      .select(col(queryId), col(queryVec), col("pr"),
+        col("_r.id").cast("int").as("cell"))
   }
 }
 
@@ -271,6 +275,36 @@ class ImiPqIndex(
       .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
       .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
         col("_r.id").as("id"), col("_r.dist").as("dist"))
+  }
+
+  /** Per-candidate sweep table for multi-parameter autotune over the
+    * IMI coarse — the Deep1B operating-point shape
+    * (`OPQ20_80,IMI2x14,PQ20` tuned on (nprobe, ht, max_codes)
+    * triples, BASELINE.md / AutoTune.cpp:347-403). Same schema as
+    * [[IvfPqIndex.sweepCandidates]] — (qid, list_no, pr, id, dist,
+    * ham) with list_no = IMI cell — so [[graft.tune.AutoTune]]
+    * consumes either coarse family through one code path. */
+  def sweepCandidates(queries: DataFrame, npMax: Int,
+      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+    val kl = lit(ksub)
+    val probesLut = ImiProbes.minSumK(queries, coarse, ksub, npMax,
+      queryId, queryVec)
+      .withColumn("_j0", (col("cell") / kl).cast("int"))
+      .withColumn("_j1", pmod(col("cell"), kl).cast("int"))
+      .join(broadcast(halfDf(0)), "_j0")
+      .join(broadcast(halfDf(1)), "_j1")
+      .withColumn("_qres",
+        graft.functions.vec_sub(col(queryVec), concat(col("_c0"), col("_c1"))))
+      .select(col(queryId), col("cell"), col("pr"),
+        model.lutCol(col("_qres")).as("_lut"),
+        shim.col(graft.core.PQEncode(shim.expr(col("_qres")),
+          model.codebooks)).as("_qcode"))
+    val probed = Probes.probedListIds(probesLut.select(col("cell").as("list_no")))
+    codes.filter(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*))
+      .join(broadcast(probesLut), "cell")
+      .select(col(queryId), col("cell").as("list_no"), col("pr"), col("id"),
+        model.adcCol(col("code"), col("_lut")).as("dist"),
+        graft.functions.hamming_dist(col("code"), col("_qcode")).as("ham"))
   }
 }
 

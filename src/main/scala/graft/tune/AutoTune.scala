@@ -83,15 +83,32 @@ object AutoTune {
     * parameter-off convention). */
   def exploreMulti(idx: graft.index.IvfPqIndex, queries: DataFrame,
       base: DataFrame, k: Int, nprobes: Seq[Int], hts: Seq[Int],
-      maxCodesList: Seq[Int]): Seq[OperatingPointM] = {
+      maxCodesList: Seq[Int]): Seq[OperatingPointM] =
+    exploreMultiFrom(idx.sweepCandidates(queries, nprobes.max),
+      idx.codes.count(), queries, base, k, nprobes, hts, maxCodesList)
+
+  /** [[exploreMulti]] over the IMI coarse (the Deep1B operating-point
+    * shape — IMI2x<b>,PQ<m> tuned on (nprobe, ht, max_codes)): same
+    * sweep-candidate schema, same grid derivation. */
+  def exploreMultiImi(idx: graft.index.ImiPqIndex, queries: DataFrame,
+      base: DataFrame, k: Int, nprobes: Seq[Int], hts: Seq[Int],
+      maxCodesList: Seq[Int]): Seq[OperatingPointM] =
+    exploreMultiFrom(idx.sweepCandidates(queries, nprobes.max),
+      idx.codes.count(), queries, base, k, nprobes, hts, maxCodesList)
+
+  /** Shared grid derivation over a (qid, list_no, pr, id, dist, ham)
+    * sweep-candidate table — one scan serves every grid point. */
+  private def exploreMultiFrom(candidates: DataFrame, totalCodes: Long,
+      queries: DataFrame, base: DataFrame, k: Int, nprobes: Seq[Int],
+      hts: Seq[Int], maxCodesList: Seq[Int]): Seq[OperatingPointM] = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val sess = queries.sparkSession
     import sess.implicits._
     val truth = Knn.knnJoin(queries, base, k).cache()
-    val total = idx.codes.count().toDouble
+    val total = totalCodes.toDouble
     val nq = queries.count().toDouble
-    val cand = idx.sweepCandidates(queries, nprobes.max).cache()
+    val cand = candidates.cache()
     try {
       // ht is a per-candidate predicate, so the in-list scan-budget
       // rank must be computed per ht value (a looser filter admits

@@ -155,6 +155,21 @@ class ImiSpec extends SparkTestBase {
     assert(r1024 >= r256, "recall must not degrade as nprobe grows")
   }
 
+  test("OPQ-prefixed IMI+PQ (the benchs/README.md:151 OPQ8_64,IMI2x13,PQ8 shape)") {
+    // transform prefixes compose with the IMI coarse exactly as with
+    // IVF: OPQ rotates (and here reduces 64→32), the multi-index
+    // cells and residual codes live in the rotated space, queries are
+    // rotated before probe selection. Scaled-down shape of the SIFT1B
+    // 8-byte-code appendix config.
+    val built = IndexFactory.build(b, "id", "vec", "OPQ8_32,IMI2x2,PQ8", niter = 2)
+    assert(built.description == "OPQ8_32,IMI2x2,PQ8")
+    val res = built.search(q, k = 5, nprobe = 16)
+    val rows = res.collect()
+    assert(rows.length == q.count() * 5)
+    // codeSize reproduces the 8-byte appendix anchor at its real dims
+    assert(IndexFactory.codeSize("OPQ8_64,IMI2x13,PQ8", 128) == 8)
+  }
+
   test("IMI+PQ ht/max_codes knobs: degenerate values reproduce the base search") {
     val base = imipq.search(q, k = 5, nprobe = 4)
       .select("qid", "rank", "id").collect()

@@ -150,6 +150,29 @@ class PlanSpec extends SparkTestBase {
     assert(plan.toLowerCase.contains("partial_topk"), s"no partial top-k:\n$plan")
   }
 
+  test("IMI+PQ search: probed-cell filter pushed, probes broadcast, partial top-k") {
+    val idx = graft.index.ImiPqIndex.build(b, "id", "vec", ksub = 4,
+      m = 8, pqKsub = 16, niterCoarse = 2, niterPq = 2)
+    // the MinSumK probe subplan makes this tree longer than the
+    // session's 8192-char render budget — the codes-scan node (where
+    // the pushed filter lives) would be truncated away
+    val prev = spark.conf.get("spark.sql.maxPlanStringLength")
+    spark.conf.set("spark.sql.maxPlanStringLength", "262144")
+    val plan =
+      try idx.search(q, 5, nprobe = 4).queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.maxPlanStringLength", prev)
+    // static cell pruning below the probe join (the 100 TB claim: the
+    // codes scan touches only the probed cells); Spark renders small
+    // in-lists as `IN (...)` and larger ones as `INSET ...`
+    assert("cell(#\\d+)? IN(SET)?[ (]".r.findFirstIn(plan).isDefined,
+      s"probed-cell filter not pushed:\n$plan")
+    // the LUT/qcode-bearing probe table ships as a broadcast, and the
+    // MinSumK probe selection never materializes a K²-row cell table
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"probe table not broadcast:\n$plan")
+    assert(plan.toLowerCase.contains("partial_topk"), s"no partial top-k:\n$plan")
+  }
+
   test("assign uses the heap aggregate (no window, no sort aggregate)") {
     val plan = Knn.assign(q, b).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "assign must not use a window sort")
