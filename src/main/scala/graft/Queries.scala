@@ -2152,6 +2152,56 @@ object Queries {
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w
               |WHERE "rank" <= 10""".stripMargin)),
 
+    // IVFPQ + polysemous Hamming pre-filter (IndexIVFPQ.h:41
+    // polysemous_ht — the filter every SIFT1B/Deep1B operating point
+    // sets): candidates whose stored code is more than ht bits from
+    // the query's per-list residual code are dropped BEFORE the ADC
+    // distance. The oracle replays the full ivfpq chain plus the
+    // query-side residual encode and the integer Hamming filter.
+    ("ivfpq_polysemous_search", (s: SparkSession, dir: String) =>
+      ivfpq8(s, dir).search(qDf(s, dir, 10), 10, nprobe = 8,
+        polysemousHt = Some(16))
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfpq_centroids/*.parquet')),
+              |cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/ivfpq_codebooks/*.parquet')),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |bres AS (SELECT a.id, a.list_no,
+              |    list_transform(list_zip(b.embedding, c.c), p -> p[1] - p[2]) AS res
+              |  FROM basg a JOIN embeddings b ON b.vec_id = a.id JOIN cent c ON c.list_no = a.list_no),
+              |bsub AS (SELECT id, list_no, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM bres, range(0,8) r(m)),
+              |enc AS (SELECT id, list_no, m, j FROM (
+              |  SELECT b.id, b.list_no, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
+              |qres AS (SELECT q.vec_id AS qid, c.list_no,
+              |    list_transform(list_zip(q.embedding, c.c), p -> p[1] - p[2]) AS res
+              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10),
+              |qsub AS (SELECT qid, list_no, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM qres, range(0,8) r(m)),
+              |qenc AS (SELECT qid, list_no, m, j FROM (
+              |  SELECT q.qid, q.list_no, q.m, cb.j, row_number() OVER (PARTITION BY q.qid, q.list_no, q.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM qsub q JOIN cb ON cb.m = q.m) t WHERE rn = 1),
+              |lut AS (SELECT q.qid, q.list_no, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub q JOIN cb ON cb.m = q.m),
+              |ham AS (SELECT e.id, qe.qid, e.list_no,
+              |    sum(bit_count(xor(e.j::BIGINT, qe.j::BIGINT)))::INT AS hd
+              |  FROM enc e JOIN qenc qe ON qe.list_no = e.list_no AND qe.m = e.m
+              |  GROUP BY e.id, qe.qid, e.list_no),
+              |adc AS (SELECT l.qid, e.id, list_aggregate(list(l.pd ORDER BY l.m), 'sum') AS dist
+              |  FROM enc e JOIN lut l ON l.list_no = e.list_no AND l.m = e.m AND l.j = e.j
+              |  JOIN ham h ON h.id = e.id AND h.qid = l.qid AND h.list_no = e.list_no
+              |  WHERE h.hd <= 16
+              |  GROUP BY l.qid, e.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w
+              |WHERE "rank" <= 10""".stripMargin)),
+
     // IVFPQ range search (IndexIVFPQ::range_search): every candidate
     // in the probed lists whose ADC distance over the residual LUT is
     // under the radius — the filter applies below any aggregation, so

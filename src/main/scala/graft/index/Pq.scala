@@ -224,9 +224,14 @@ class IvfPqIndex(
     /** (id, list_no, code) */
     val codes: DataFrame) {
 
+  /** `polysemousHt` = the reference's IndexIVFPQ::polysemous_ht
+    * (IndexIVFPQ.h:41): a Hamming pre-filter between the stored code
+    * and the query's PER-LIST residual code, applied before the ADC
+    * distance leaves the scan. */
   def search(queries: DataFrame, k: Int, nprobe: Int,
-      queryId: String = "qid", queryVec: String = "qvec"): DataFrame =
-    adcCandidates(queries, nprobe, queryId, queryVec)
+      queryId: String = "qid", queryVec: String = "qvec",
+      polysemousHt: Option[Int] = None): DataFrame =
+    adcCandidates(queries, nprobe, queryId, queryVec, polysemousHt)
       .groupBy(col(queryId))
       .agg(topk(col("_dist"), col("id"), k, asc = true).as("_tk"))
       .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
@@ -239,24 +244,34 @@ class IvfPqIndex(
     * cluster-side inside the broadcast (Probes.probedListIds), then
     * the pruned codes join scores every candidate. */
   private def adcCandidates(queries: DataFrame, nprobe: Int,
-      queryId: String, queryVec: String): DataFrame = {
+      queryId: String, queryVec: String,
+      polysemousHt: Option[Int] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val centDf = centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "centroid")
       .select(col("list_no"), col("centroid").cast("array<float>").as("centroid"))
-    val probesPlan = queries.select(col(queryId), col(queryVec),
+    var probesPlan = queries.select(col(queryId), col(queryVec),
       explode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
         math.min(nprobe, nlist), "l2sq"))).as("_p"))
       .select(col(queryId), col(queryVec), col("_p.list_no").as("list_no"))
       .join(broadcast(centDf), "list_no")
-      .select(col(queryId), col("list_no"),
-        model.lutCol(vec_sub(col(queryVec), col("centroid"))).as("_lut"))
+      .withColumn("_qres", vec_sub(col(queryVec), col("centroid")))
+      .select(col(queryId), col("list_no"), col("_qres"),
+        model.lutCol(col("_qres")).as("_lut"))
+    probesPlan = polysemousHt match {
+      case Some(_) => probesPlan.withColumn("_qcode",
+        shim.col(PQEncode(shim.expr(col("_qres")), model.codebooks))).drop("_qres")
+      case None => probesPlan.drop("_qres")
+    }
     val probed = Probes.probedListIds(probesPlan)
-    codes.filter(col("list_no").isin(probed.map(Integer.valueOf).toSeq: _*))
+    var cand = codes.filter(col("list_no").isin(probed.map(Integer.valueOf).toSeq: _*))
       .join(broadcast(probesPlan), "list_no")
-      .select(col(queryId), col("id"),
-        model.adcCol(col("code"), col("_lut")).as("_dist"))
+    polysemousHt.foreach { ht =>
+      cand = cand.filter(hamming_dist(col("code"), col("_qcode")) <= ht)
+    }
+    cand.select(col(queryId), col("id"),
+      model.adcCol(col("code"), col("_lut")).as("_dist"))
   }
 
   /** Per-candidate sweep table for multi-parameter autotune

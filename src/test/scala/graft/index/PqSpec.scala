@@ -101,4 +101,21 @@ class PqSpec extends SparkTestBase {
     assert(rec > 0.1, s"recall $rec")
     assert(res.select("id").collect().forall(_.getLong(0) >= 10))
   }
+
+  test("IVFPQ polysemous_ht (IndexIVFPQ.h:41): open ht == unfiltered; tight ht prunes") {
+    val ivfpq = IvfPqIndex.build(b, "id", "vec", nlist = 8, m = 8, ksub = 16,
+      niterCoarse = 4, niterPq = 4)
+    def res(ht: Option[Int]) = ivfpq.search(q, 10, nprobe = 8, polysemousHt = ht)
+      .select("qid", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // ht = all code bits (8 subquantizers x 4 bits x 2 per-byte max
+    // diff bound = 64 covers any byte-wise Hamming) passes everything
+    assert(res(Some(64)) == res(None))
+    // a tight ht only REMOVES candidates from the ranked pool
+    val tight = ivfpq.search(q, 10, nprobe = 8, polysemousHt = Some(8))
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val openIds = ivfpq.search(q, 10, nprobe = 8)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tight.size <= openIds.length)
+  }
 }
