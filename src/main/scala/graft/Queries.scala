@@ -3456,6 +3456,41 @@ object Queries {
              |  count(*)::BIGINT AS n_docs
              |FROM documents GROUP BY lang, split""".stripMargin)),
 
+    // Sequence packing (the concat-and-chop batching step of every
+    // GPT-style pretraining pipeline): documents concatenate in a
+    // deterministic content-hash order and chop into fixed
+    // context-length sequences; each doc belongs to the sequence its
+    // START offset falls in. Packing is PER HASH BUCKET, not global —
+    // a global order would need a full sort at 100 TB, while bucketed
+    // packing is a window over each bucket's partition (16 parallel
+    // prefix sums here, thousands on a cluster). Output = per-sequence
+    // doc count and token fill, the packing-efficiency stats.
+    ("sequence_packing", (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val ctx = 512
+      val toks = docsDf(s, dir).select(col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tok"),
+        TF.fingerprint60(col("doc_id").cast("string")).as("_h"))
+        .withColumn("bucket", pmod(col("_h"), lit(16)))
+      val w = Window.partitionBy("bucket").orderBy(col("_h"), col("doc_id"))
+      toks
+        .withColumn("_end", sum(col("n_tok")).over(w))
+        .withColumn("seq_id",
+          floor((col("_end") - col("n_tok")) / ctx).cast("long"))
+        .groupBy(col("bucket"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
+    },
+      Some("""WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok,
+             |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h FROM documents),
+             |b AS (SELECT doc_id, n_tok, h, h % 16 AS bucket FROM t),
+             |c AS (SELECT bucket, n_tok,
+             |    sum(n_tok) OVER (PARTITION BY bucket ORDER BY h, doc_id
+             |                     ROWS UNBOUNDED PRECEDING) AS e FROM b),
+             |p AS (SELECT bucket, n_tok, ((e - n_tok) // 512)::BIGINT AS seq_id FROM c)
+             |SELECT bucket, seq_id, count(*)::BIGINT AS n_docs,
+             |  sum(n_tok)::BIGINT AS tok_sum
+             |FROM p GROUP BY bucket, seq_id""".stripMargin)),
+
     // Stratified (topic-balanced) corpus sampling — the cluster-then-
     // cap resampling step of large-scale dataset curation: k-means
     // clusters over the embedding column, then a deterministic
