@@ -52,16 +52,25 @@ object Queries {
     * and Bench run many queries in one session; rebuilding the same
     * index per query would redo identical kmeans jobs). */
   private val memo = scala.collection.concurrent.TrieMap.empty[String, Any]
-  /** Monotone count of memo MISSES (actual computations). Bench takes
-    * a per-query delta: a timed run that populated a memo entry did
-    * one-off build/train work a warm rerun would NOT repeat, so its
-    * gate-borderline rerun must be skipped (ADVICE r9 — publishing the
-    * memoized rerun as the gated time understates build queries). */
-  private val memoMisses = new java.util.concurrent.atomic.AtomicLong
-  def memoMissCount: Long = memoMisses.get
+  /** Cumulative wall time spent COMPUTING memo entries (misses only).
+    * Bench takes a per-query delta: a timed run that populated a memo
+    * entry did one-off build/train work a warm rerun would NOT
+    * repeat, so the gate-borderline rerun publishes `warm + missCost`
+    * — the same-work-profile reconstruction (ADVICE r9: gating the
+    * memoized rerun alone understates build-bearing queries). Helpers
+    * that persist+count eagerly have their execution captured here;
+    * helpers that return lazy plans cost ~0 here but the rerun
+    * recomputes them anyway — either way the sum reflects the cold
+    * run's work profile. */
+  private val memoMissNanos = new java.util.concurrent.atomic.AtomicLong
+  def memoMissNanosTotal: Long = memoMissNanos.get
   private def cached[T](key: String)(f: => T): T =
-    memo.getOrElseUpdate(key,
-      { memoMisses.incrementAndGet(); f.asInstanceOf[Any] }).asInstanceOf[T]
+    memo.getOrElseUpdate(key, {
+      val t0 = System.nanoTime()
+      val v = f.asInstanceOf[Any]
+      memoMissNanos.addAndGet(System.nanoTime() - t0)
+      v
+    }).asInstanceOf[T]
 
   private def ivf16(s: SparkSession, dir: String): IvfIndex =
     cached(s"ivf16:$dir") {
@@ -3753,6 +3762,62 @@ object Queries {
               |  FROM pl JOIN lsz l USING (list_no) GROUP BY np),
               |pts AS (SELECT r.np, r.recall, f.f FROM rec r JOIN frac f USING (np))
               |SELECT np AS nprobe, round(recall, 3) AS recall, round(f, 3) AS scanned_frac
+              |FROM pts p
+              |WHERE NOT EXISTS (SELECT 1 FROM pts q
+              |  WHERE (q.recall > p.recall AND q.f <= p.f)
+              |     OR (q.recall >= p.recall AND q.f < p.f))""".stripMargin)),
+
+    // OneRecallAtRCriterion (AutoTune.h:44) — the R@R criterion of the
+    // SIFT1B/Deep1B tables: fraction of queries whose TRUE 1-NN lands
+    // in the top R, per nprobe operating point (vs autotune_pareto's
+    // IntersectionCriterion). Same one-scan sweep; the oracle replays
+    // the 1-NN truth, the sweep, the per-point hit counts, and the
+    // Pareto filter.
+    ("autotune_pareto_1r", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val pts = graft.tune.AutoTune.explore1RecallAtR(
+        ivf8(s, dir), qDf(s, dir, 10), bDf(s, dir, 10), r = 10,
+        nprobes = Seq(1, 2, 4, 8))
+      graft.tune.AutoTune.paretoFront(pts)
+        .map(p => (p.nprobe, math.rint(p.recall * 1000) / 1000,
+          math.rint(p.scannedFrac * 1000) / 1000))
+        .toDF("nprobe", "recall_at_r", "scanned_frac")
+    },
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivf8_centroids/*.parquet')),
+              |nps AS (SELECT unnest([1, 2, 4, 8]) AS np),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |lsz AS (SELECT list_no, count(*)::DOUBLE AS sz FROM basg GROUP BY list_no),
+              |tot AS (SELECT sum(sz) AS t FROM lsz),
+              |qc AS (SELECT q.vec_id AS qid, c.list_no, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
+              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10),
+              |truth1 AS (SELECT qid, id FROM (
+              |  SELECT q.vec_id AS qid, b.vec_id AS id,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |      list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2, b.vec_id) AS rk
+              |  FROM embeddings q CROSS JOIN embeddings b
+              |  WHERE q.vec_id < 10 AND b.vec_id >= 10) t WHERE rk <= 1),
+              |cand AS (SELECT n.np, p.qid, a.id,
+              |    list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2 AS dist
+              |  FROM nps n JOIN qc p ON p.pr <= n.np
+              |  JOIN basg a ON a.list_no = p.list_no
+              |  JOIN embeddings q ON q.vec_id = p.qid
+              |  JOIN embeddings b ON b.vec_id = a.id),
+              |approx AS (SELECT np, qid, id FROM (
+              |  SELECT np, qid, id, row_number() OVER (PARTITION BY np, qid ORDER BY dist, id) AS rk
+              |  FROM cand) t WHERE rk <= 10),
+              |nq AS (SELECT count(*)::DOUBLE AS n FROM embeddings WHERE vec_id < 10),
+              |hits AS (SELECT a.np, count(*)::DOUBLE AS h
+              |  FROM approx a JOIN truth1 t ON t.qid = a.qid AND t.id = a.id GROUP BY a.np),
+              |pl AS (SELECT DISTINCT n.np, p.list_no FROM nps n JOIN qc p ON p.pr <= n.np),
+              |frac AS (SELECT np, sum(l.sz) / (SELECT t FROM tot) AS f
+              |  FROM pl JOIN lsz l USING (list_no) GROUP BY np),
+              |pts AS (SELECT n.np, coalesce(h.h, 0) / (SELECT n FROM nq) AS recall, f.f
+              |  FROM nps n LEFT JOIN hits h USING (np) JOIN frac f USING (np))
+              |SELECT np AS nprobe, round(recall, 3) AS recall_at_r, round(f, 3) AS scanned_frac
               |FROM pts p
               |WHERE NOT EXISTS (SELECT 1 FROM pts q
               |  WHERE (q.recall > p.recall AND q.f <= p.f)

@@ -222,10 +222,18 @@ class ImiPqIndex(
   }
 
   /** Output (qid, rank, id, dist) — ADC distances over the probed
-    * cells' residual codes. */
+    * cells' residual codes.
+    * @param broadcastQueries true (default) broadcasts the LUT-bearing
+    *        probe table (small query sets); false leaves it to a
+    *        shuffle equi-join on cell — the right plan when the query
+    *        set itself is huge (the IvfIndex.search convention: the
+    *        probe rows carry nq·nprobe LUTs of 16·M doubles, which
+    *        must not ship as one broadcast at full-corpus nq). Static
+    *        cell pruning applies either way. */
   def search(queries: DataFrame, k: Int, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec",
-      ht: Option[Int] = None, maxCodes: Option[Int] = None): DataFrame = {
+      ht: Option[Int] = None, maxCodes: Option[Int] = None,
+      broadcastQueries: Boolean = true): DataFrame = {
     val kl = lit(ksub)
     val probeCells = ImiProbes.minSumK(queries, coarse, ksub, nprobe,
       queryId, queryVec)
@@ -249,9 +257,11 @@ class ImiPqIndex(
     }
     // static cell pruning: only distinct cell ints cross the driver
     // (Probes.probedListIds); the LUT-bearing probe rows broadcast
+    // (or shuffle-join for huge query sets)
     val probed = Probes.probedListIds(probesLut.select(col("cell").as("list_no")))
+    val probeSide = if (broadcastQueries) broadcast(probesLut) else probesLut
     var cand = codes.filter(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*))
-      .join(broadcast(probesLut), "cell")
+      .join(probeSide, "cell")
     ht.foreach { t =>
       // polysemous pre-filter (IndexIVFPQ polysemous_ht): Hamming
       // between the query's PER-CELL residual code and the stored code

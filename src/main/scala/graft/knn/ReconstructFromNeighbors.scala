@@ -4,7 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** ReconstructFromNeighbors (faiss/IndexHNSW.h:24-81, IndexHNSW.cpp:
-  * 620-860): approximate each stored vector as a codebook-weighted
+  * 620-860; the fork's ReconstructFromNeighbors2, IndexHNSWfast.h:16,
+  * is a field-for-field copy over HNSWfast — this covers both):
+  * approximate each stored vector as a codebook-weighted
   * combination of ITSELF and its M graph neighbors —
   * `recon_i = beta[code_i][0]·vec_i + Σ_m beta[code_i][m+1]·nbr_im` —
   * and re-rank a search shortlist on the reconstructions

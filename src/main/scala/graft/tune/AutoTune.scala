@@ -53,6 +53,37 @@ object AutoTune {
     } finally { truth.unpersist() }
   }
 
+  /** OneRecallAtRCriterion (faiss/AutoTune.h:44): the fraction of
+    * queries whose TRUE nearest neighbor appears in the top R results
+    * — the criterion behind every SIFT1B/Deep1B "R@1/R@10/R@100"
+    * table (explore's default is the IntersectionCriterion,
+    * AutoTune.h:56: |approx ∩ exact|/k). Same one-scan sweep shape as
+    * [[explore]]; only the evaluation differs. */
+  def explore1RecallAtR(idx: IvfIndex, queries: DataFrame, base: DataFrame,
+      r: Int, nprobes: Seq[Int]): Seq[OperatingPoint] = {
+    import org.apache.spark.sql.functions._
+    val sess = queries.sparkSession
+    import sess.implicits._
+    val truth1 = Knn.knnJoin(queries, base, 1).select("qid", "id").cache()
+    val listSizes = idx.invlists.groupBy("list_no").count()
+      .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+    val total = listSizes.values.sum.toDouble
+    val nq = queries.count().toDouble
+    try {
+      val sweep = idx.searchSweep(queries, r, nprobes)
+      val hits = sweep.select("np", "qid", "id")
+        .join(truth1, Seq("qid", "id"))
+        .groupBy("np").agg(count(lit(1)).as("_h")) // ≤1 hit per (np, qid)
+        .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+      val minRank = idx.probedListMinRank(queries, nprobes.max)
+      nprobes.map { np =>
+        val frac = minRank.collect { case (l, pr) if pr < np =>
+          listSizes.getOrElse(l, 0L) }.sum / total
+        OperatingPoint(np, hits.getOrElse(np, 0L) / nq, frac)
+      }
+    } finally truth1.unpersist()
+  }
+
   /** Pareto-optimal subset: no other point has >= recall at <= cost. */
   def paretoFront(points: Seq[OperatingPoint]): Seq[OperatingPoint] =
     points.filter { p =>

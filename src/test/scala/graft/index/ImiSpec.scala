@@ -106,6 +106,19 @@ class ImiSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("IMI+PQ huge-query-set plan (broadcastQueries=false) is result-identical") {
+    // the equi-join-on-cell plan for full-corpus query sets (the
+    // IvfIndex.search convention) must produce the same rows as the
+    // broadcast plan — only the exchange strategy differs
+    val bcast = imipq.search(q, k = 5, nprobe = 4)
+      .select("qid", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val shuffled = imipq.search(q, k = 5, nprobe = 4, broadcastQueries = false)
+      .select("qid", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(shuffled == bcast)
+  }
+
   test("IMI+PQ factory route IMI2x2,PQ8 == direct build") {
     val built = IndexFactory.build(b, "id", "vec", "IMI2x2,PQ8", niter = 3)
     val got = built.search(q, k = 5, nprobe = 4)

@@ -114,6 +114,26 @@ class MiscSpec extends SparkTestBase {
     assert(front.map(_.recall).max >= pts.map(_.recall).max - 1e-12)
   }
 
+  test("OneRecallAtRCriterion (AutoTune.h:44): exact at nprobe=nlist, >= intersection") {
+    val b = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val idx = IvfIndex.build(b, "id", "vec", nlist = 8, niter = 3)
+    val oneR = AutoTune.explore1RecallAtR(idx, q, b, r = 10, nprobes = Seq(2, 8))
+    val inter = AutoTune.explore(idx, q, b, 10, Seq(2, 8))
+    // nprobe = nlist is the exact search: the true 1-NN is always in
+    // its own top-10
+    assert(math.abs(oneR.last.recall - 1.0) < 1e-9)
+    // finding just the 1-NN in top-R is typically easier than matching
+    // the whole top-k set (deterministic on this fixture — data,
+    // seeds, and training are all fixed, so this pins the relation as
+    // a regression, not as a theorem)
+    oneR.zip(inter).foreach { case (a, c) =>
+      assert(a.recall >= c.recall - 1e-9, s"np=${a.nprobe}: ${a.recall} < ${c.recall}")
+    }
+  }
+
   test("k_factor axis (AutoTune.cpp:347): prefix subsets, monotone recall") {
     val b = emb.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
