@@ -1172,6 +1172,31 @@ object Queries {
               |FROM embeddings q CROSS JOIN embeddings b
               |WHERE q.vec_id < 20 AND b.vec_id >= 20 AND $dL2 < 1.45""".stripMargin)),
 
+    // range_search_with_parameters (faiss/IVFlib.h:46): the radius
+    // scan under the same knobs search_with_parameters takes — an
+    // IDSelector pushed inside the scan and the per-(query, list)
+    // max_codes scan budget (capped BEFORE the radius predicate, as
+    // the reference caps codes scanned, not results). The oracle
+    // replays assignment from the centroid sidecar, the id filter,
+    // the per-list budget rank, and the radius cut.
+    ("ivf_range_params", (s: SparkSession, dir: String) =>
+      ivf16(s, dir).rangeSearch(qDf(s, dir, 10), radius = 1.5, nprobe = 16,
+        filter = Some(pmod(col("id"), lit(3)) === 0), maxCodes = Some(3))
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivf16_centroids/*.parquet')),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10 AND b.vec_id % 3 = 0) t WHERE rn = 1),
+              |d AS (SELECT q.vec_id AS qid, a.list_no, a.id,
+              |    list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2 AS dist
+              |  FROM embeddings q CROSS JOIN basg a JOIN embeddings b ON b.vec_id = a.id
+              |  WHERE q.vec_id < 10),
+              |capped AS (SELECT qid, id, dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid, list_no ORDER BY dist, id) AS rn
+              |  FROM d) t WHERE rn <= 3)
+              |SELECT qid, id, round(dist, 4) AS dist FROM capped WHERE dist < 1.5""".stripMargin)),
+
     // §2.3 the real approximate path (nprobe << nlist). Oracle reads
     // the trained-centroid sidecar, re-derives per-query probe lists
     // (4 nearest centroids), base-list assignment, and the pruned

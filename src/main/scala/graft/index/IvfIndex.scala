@@ -210,18 +210,34 @@ class IvfIndex(
   }
 
   /** IVF range search (faiss/IndexIVF.cpp:690-795): same pruning,
-    * radius predicate instead of top-k. */
+    * radius predicate instead of top-k. `filter` is the IDSelector
+    * pushed inside the scan and `maxCodes` the per-(query, list) scan
+    * budget — range_search_with_parameters (faiss/IVFlib.h:46) takes
+    * the identical knobs search_with_parameters does. */
   def rangeSearch(queries: DataFrame, radius: Double, nprobe: Int,
-      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+      queryId: String = "qid", queryVec: String = "qvec",
+      filter: Option[Column] = None,
+      maxCodes: Option[Int] = None): DataFrame = {
     val pr = probes(queries, nprobe, queryId, queryVec)
     val probed = pr.select("list_no").distinct().collect().map(_.getInt(0))
-    val lists = invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
-    val pred =
-      if (Metric.ascending(metric)) col("dist") < radius else col("dist") > radius
-    lists.join(broadcast(pr), "list_no")
-      .select(col(queryId), col("id"),
+    val lists0 = invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
+    val lists = filter.map(lists0.filter).getOrElse(lists0)
+    val asc = Metric.ascending(metric)
+    val pred = if (asc) col("dist") < radius else col("dist") > radius
+    var cand = lists.join(broadcast(pr), "list_no")
+      .select(col(queryId), col("list_no"), col("id"),
         vec_dist(col(queryVec), col("vec"), metric).as("dist"))
-      .filter(pred)
+    maxCodes.foreach { mc =>
+      // scan budget per (query, list) BEFORE the radius predicate
+      // (the reference caps codes scanned, not results returned)
+      cand = cand
+        .groupBy(col(queryId), col("list_no"))
+        .agg(topk(col("dist"), col("id"), mc, asc).as("_tk"))
+        .select(col(queryId), col("list_no"), explode(col("_tk")).as("_r"))
+        .select(col(queryId), col("list_no"),
+          col("_r.id").as("id"), col("_r.dist").as("dist"))
+    }
+    cand.select(col(queryId), col("id"), col("dist")).filter(pred)
   }
 
   /** Which list each base id landed in (search_centroid,
