@@ -64,12 +64,22 @@ object Queries {
     * run's work profile. */
   private val memoMissNanos = new java.util.concurrent.atomic.AtomicLong
   def memoMissNanosTotal: Long = memoMissNanos.get
+  // nesting depth per thread: a helper that misses and internally
+  // misses ANOTHER helper must count the outer elapsed time once, not
+  // outer + inner (the outer timer already contains the inner work)
+  private val missDepth = new ThreadLocal[Integer] {
+    override def initialValue: Integer = 0
+  }
   private def cached[T](key: String)(f: => T): T =
     memo.getOrElseUpdate(key, {
+      val outer = missDepth.get == 0
+      missDepth.set(missDepth.get + 1)
       val t0 = System.nanoTime()
-      val v = f.asInstanceOf[Any]
-      memoMissNanos.addAndGet(System.nanoTime() - t0)
-      v
+      try {
+        val v = f.asInstanceOf[Any]
+        if (outer) memoMissNanos.addAndGet(System.nanoTime() - t0)
+        v
+      } finally missDepth.set(missDepth.get - 1)
     }).asInstanceOf[T]
 
   private def ivf16(s: SparkSession, dir: String): IvfIndex =

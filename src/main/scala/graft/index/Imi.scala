@@ -67,37 +67,11 @@ class ImiIndex(
   def search2(queries: DataFrame, k: Int, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec",
       metric: String = "l2sq"): DataFrame = {
-    val kl = lit(ksub)
-    val k2 = math.min(math.max(nprobe, 1), ksub)
-    // level 1: per-half top-k2 through the assign sub-index (LUT =
-    // the flat scan of that half's centroids); ties on lower j
-    val halfTop = queries
-      .select(col(queryId), col(queryVec), model.lutCol(col(queryVec)).as("_lut"))
-      .select(col(queryId), col(queryVec), explode(sequence(lit(0), lit(1))).as("_m"),
-        col("_lut"))
-      .select(col(queryId), col(queryVec), col("_m"),
-        posexplode(slice(col("_lut"), col("_m") * kl + 1, kl)).as(Seq("_j", "_hd")))
-      .groupBy(col(queryId), col("_m"))
-      .agg(first(col(queryVec)).as(queryVec),
-        topk(col("_hd"), col("_j").cast("long"), k2, asc = true).as("_tk"))
-      .select(col(queryId), col(queryVec), col("_m"), explode(col("_tk")).as("_r"))
-      .select(col(queryId), col(queryVec), col("_m"),
-        col("_r.id").cast("int").as("_j"), col("_r.dist").as("_hd"))
-    // level 2: MinSumK — combine the two k2-lists, keep the nprobe
-    // best cells
-    val h0 = halfTop.filter(col("_m") === 0)
-      .select(col(queryId), col(queryVec), col("_j").as("_j0"), col("_hd").as("_d0"))
-    val h1 = halfTop.filter(col("_m") === 1)
-      .select(col(queryId), col("_j").as("_j1"), col("_hd").as("_d1"))
-    val probes = h0.join(h1, Seq(queryId))
-      .select(col(queryId), col(queryVec),
-        (col("_j0") * kl + col("_j1")).as("_cell"),
-        (col("_d0") + col("_d1")).as("_cd"))
-      .groupBy(col(queryId))
-      .agg(first(col(queryVec)).as(queryVec),
-        topk(col("_cd"), col("_cell").cast("long"), nprobe, asc = true).as("_tk"))
-      .select(col(queryId), col(queryVec), explode(col("_tk")).as("_r"))
-      .select(col(queryId), col(queryVec), col("_r.id").cast("int").as("cell"))
+    // both levels live in the shared [[ImiProbes.minSumK]] (one
+    // implementation for search2, ImiPqIndex and ImiSqIndex — a probe
+    // tie-break fix reaches all of them); the probe rank is unused here
+    val probes = ImiProbes.minSumK(queries, model, ksub, nprobe,
+      queryId, queryVec).drop("pr")
     scanCells(probes, k, queryId, queryVec, metric)
   }
 
@@ -212,6 +186,12 @@ class ImiPqIndex(
     val codes: DataFrame) {
 
   def nlist: Int = ksub * ksub
+
+  /** Release the cached codes table (build() caches it — add-time
+    * work); an index discarded without close() pins that storage
+    * until session end (the x4fsr convention; the factory wires this
+    * into Built.close()). */
+  def close(): Unit = codes.unpersist(blocking = false)
 
   private def halfDf(m: Int) = {
     val spark = codes.sparkSession
@@ -337,13 +317,20 @@ class ImiSqIndex(
 
   def nlist: Int = ksub * ksub
 
+  /** Release the cached codes table (see [[ImiPqIndex.close]]). */
+  def close(): Unit = codes.unpersist(blocking = false)
+
   def search(queries: DataFrame, k: Int, nprobe: Int,
-      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+      queryId: String = "qid", queryVec: String = "qvec",
+      broadcastQueries: Boolean = true): DataFrame = {
     val probes = ImiProbes.minSumK(queries, coarse, ksub, nprobe,
       queryId, queryVec)
     val probed = Probes.probedListIds(probes.select(col("cell").as("list_no")))
+    // broadcastQueries=false: shuffle equi-join for huge query sets
+    // (the ImiPqIndex.search convention)
+    val probeSide = if (broadcastQueries) broadcast(probes) else probes
     codes.filter(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*))
-      .join(broadcast(probes), "cell")
+      .join(probeSide, "cell")
       .select(col(queryId), col("id"),
         shim.col(SqVariant.adcL2(qtype, shim.expr(col(queryVec)),
           shim.expr(col("code")), vmin, vdiff)).as("_dist"))
@@ -390,18 +377,22 @@ object ImiPqIndex {
     val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val coarse = Pq.train(data, "vec", m = 2, ksub = ksub,
       niter = niterCoarse, seed = seed)
-    val dsub = coarse.dsub
-    val j0 = shim.col(PQSubAssign(shim.expr(lit(0)),
-      shim.expr(slice(col("vec"), 1, dsub)), coarse.codebooks))
-    val j1 = shim.col(PQSubAssign(shim.expr(lit(1)),
-      shim.expr(slice(col("vec"), dsub + 1, dsub)), coarse.codebooks))
-    // residual = vec − concat(cb0[j0], cb1[j1]): the coarse PQ decode
-    // of the cell code — float32, as the reference's residual
-    val assigned = data.select(col("id"), col("vec"),
-      (j0 * ksub + j1).as("cell"),
-      graft.functions.vec_sub(col("vec"), coarse.decodeCol(
-        shim.col(graft.core.PQEncode(shim.expr(col("vec")),
-          coarse.codebooks)))).as("res"))
+    // ONE coarse encode per row: the 2-byte cell code yields both the
+    // cell id (byte0·K + byte1) and, through decode, the cell centroid
+    // for the float32 residual — computing the per-subspace argmin
+    // again via PQSubAssign would triple the coarse assignment cost in
+    // the build hot path (r10 review)
+    val byteAt = (c: org.apache.spark.sql.Column, i: Int) =>
+      conv(hex(c.substr(i, 1)), 16, 10).cast("int")
+    val assigned = data
+      .withColumn("_ccode",
+        shim.col(graft.core.PQEncode(shim.expr(col("vec")), coarse.codebooks)))
+      .select(col("id"), col("vec"),
+        (byteAt(col("_ccode"), 1) * ksub + byteAt(col("_ccode"), 2)).as("cell"),
+        // residual = vec − concat(cb0[j0], cb1[j1]) — the coarse PQ
+        // decode of the cell code, float32 as the reference's residual
+        graft.functions.vec_sub(col("vec"),
+          coarse.decodeCol(col("_ccode"))).as("res"))
       .cache()
     try {
       val model = Pq.train(assigned, "res", m, pqKsub, niterPq, seed)

@@ -262,7 +262,7 @@ object IndexFactory {
   }
   /** IMI2x<b>,PQ<m> (IndexIVFPQ with a MultiIndexQuantizer coarse —
     * the SIFT1B flagship composition, index_factory.cpp:834-878). */
-  private final class ImiPqBuilt(idx: ImiPqIndex, chain: VecTransform)
+  private final class ImiPqBuilt(val idx: ImiPqIndex, chain: VecTransform)
       extends Built {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
@@ -270,7 +270,7 @@ object IndexFactory {
   }
   /** IMI2x<b>,SQ<w> (IndexIVFScalarQuantizer with a MultiIndexQuantizer
     * coarse — the same grammar composition). */
-  private final class ImiSqBuilt(idx: ImiSqIndex, chain: VecTransform)
+  private final class ImiSqBuilt(val idx: ImiSqIndex, chain: VecTransform)
       extends Built {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
@@ -700,6 +700,8 @@ object IndexFactory {
       (built match {
         case b: IvfPqFsRBuilt => List(() => b.idx.close())
         case b: IvfRcqBuilt => List(() => b.idx.close())
+        case b: ImiPqBuilt => List(() => b.idx.close())
+        case b: ImiSqBuilt => List(() => b.idx.close())
         case _ => Nil
       })
     result
