@@ -4693,6 +4693,89 @@ object Queries {
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
               |WHERE "rank" <= 5""".stripMargin)),
 
+    // IMI+PQ range search (IndexIVF::range_search under the IMI
+    // coarse): every candidate in the probed cells whose residual-ADC
+    // distance is under the radius — filter below any aggregation.
+    // The oracle replays the imi_pq_search chain with the radius cut.
+    ("imi_pq_range_search", (s: SparkSession, dir: String) =>
+      imipq16(s, dir).rangeSearch(qDf(s, dir, 10), radius = 1.3, nprobe = 8)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH ccb AS (SELECT m, j, c FROM read_parquet('$AUX/imipq_coarse_cb/*.parquet')),
+              |rcb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/imipq_codebooks/*.parquet')),
+              |bh AS (SELECT vec_id AS id, r.m AS m, embedding[r.m*32+1:r.m*32+32]::DOUBLE[] AS sv
+              |       FROM embeddings, range(0,2) r(m) WHERE vec_id >= 10),
+              |benc AS (SELECT id, m, j FROM (
+              |  SELECT b.id, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bh b JOIN ccb cb ON cb.m = b.m) t WHERE rn = 1),
+              |bcell AS (SELECT a0.id, a0.j AS j0, a1.j AS j1, a0.j*16 + a1.j AS cell
+              |  FROM benc a0 JOIN benc a1 ON a0.id = a1.id AND a0.m = 0 AND a1.m = 1),
+              |bres AS (SELECT bc.id, bc.cell,
+              |    list_transform(list_zip(b.embedding, c0.c || c1.c), p -> p[1] - p[2]) AS res
+              |  FROM bcell bc JOIN embeddings b ON b.vec_id = bc.id
+              |  JOIN ccb c0 ON c0.m = 0 AND c0.j = bc.j0
+              |  JOIN ccb c1 ON c1.m = 1 AND c1.j = bc.j1),
+              |bsub AS (SELECT id, cell, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM bres, range(0,8) r(m)),
+              |enc AS (SELECT id, cell, m, j FROM (
+              |  SELECT b.id, b.cell, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN rcb cb ON cb.m = b.m) t WHERE rn = 1),
+              |qh AS (SELECT vec_id AS qid, r.m AS m, embedding[r.m*32+1:r.m*32+32]::DOUBLE[] AS sv
+              |       FROM embeddings, range(0,2) r(m) WHERE vec_id < 10),
+              |qtop AS (SELECT qid, m, j, d FROM (
+              |  SELECT q.qid, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS d,
+              |    row_number() OVER (PARTITION BY q.qid, q.m ORDER BY
+              |      list_aggregate(list_transform(list_zip(q.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM qh q JOIN ccb cb ON cb.m = q.m) t WHERE rn <= 8),
+              |cells AS (SELECT d0.qid, d0.j AS j0, d1.j AS j1, d0.j*16 + d1.j AS cell, d0.d + d1.d AS cd
+              |  FROM qtop d0 JOIN qtop d1 ON d0.qid = d1.qid AND d0.m = 0 AND d1.m = 1),
+              |probes AS (SELECT qid, j0, j1, cell FROM (
+              |  SELECT qid, j0, j1, cell, cd, row_number() OVER (PARTITION BY qid ORDER BY cd, cell) AS pr
+              |  FROM cells) t WHERE pr <= 8),
+              |qres AS (SELECT p.qid, p.cell,
+              |    list_transform(list_zip(q.embedding, c0.c || c1.c), x -> x[1] - x[2]) AS res
+              |  FROM probes p JOIN embeddings q ON q.vec_id = p.qid
+              |  JOIN ccb c0 ON c0.m = 0 AND c0.j = p.j0
+              |  JOIN ccb c1 ON c1.m = 1 AND c1.j = p.j1),
+              |qsub AS (SELECT qid, cell, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM qres, range(0,8) r(m)),
+              |lut AS (SELECT q.qid, q.cell, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub q JOIN rcb cb ON cb.m = q.m),
+              |adc AS (SELECT l.qid, e.id, list_aggregate(list(l.pd ORDER BY l.m), 'sum') AS dist
+              |  FROM enc e JOIN lut l ON l.cell = e.cell AND l.m = e.m AND l.j = e.j
+              |  GROUP BY l.qid, e.id)
+              |SELECT qid, id, round(dist, 4) AS dist FROM adc WHERE dist < 1.3""".stripMargin)),
+
+    // Binary IVF range search (IndexBinaryIVF::range_search): the
+    // Hamming-pruned lists under a radius predicate (inclusive bound,
+    // the BinaryFlat.rangeJoin convention) — all-integer replay.
+    ("bivf_range_search", (s: SparkSession, dir: String) => {
+      val q = qDf(s, dir, 10)
+        .select(col("qid"), sign_bits(col("qvec")).as("qcode"))
+      bivf8(s, dir).rangeSearch(q, maxHamming = 24, nprobe = 2)
+    },
+      Some(s"""WITH cent AS (SELECT list_no, bits FROM read_parquet('$AUX/bivf_centroids/*.parquet')),
+              |bbits AS (SELECT vec_id AS id, list_transform(embedding, x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS bits
+              |          FROM embeddings WHERE vec_id >= 10),
+              |qbits AS (SELECT vec_id AS id, list_transform(embedding, x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS bits
+              |          FROM embeddings WHERE vec_id < 10),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.id, c.list_no, row_number() OVER (PARTITION BY b.id ORDER BY
+              |    len(list_filter(list_zip(b.bits, c.bits), p -> p[1] <> p[2])), c.list_no) AS rn
+              |  FROM bbits b CROSS JOIN cent c) t WHERE rn = 1),
+              |probes AS (SELECT qid, list_no FROM (
+              |  SELECT q.id AS qid, c.list_no, row_number() OVER (PARTITION BY q.id ORDER BY
+              |    len(list_filter(list_zip(q.bits, c.bits), p -> p[1] <> p[2])), c.list_no) AS pr
+              |  FROM qbits q CROSS JOIN cent c) t WHERE pr <= 2)
+              |SELECT p.qid, a.id,
+              |    len(list_filter(list_zip(qb.bits, bb.bits), p -> p[1] <> p[2]))::BIGINT AS hd
+              |  FROM probes p JOIN basg a ON a.list_no = p.list_no
+              |  JOIN qbits qb ON qb.id = p.qid JOIN bbits bb ON bb.id = a.id
+              |  WHERE len(list_filter(list_zip(qb.bits, bb.bits), p -> p[1] <> p[2])) <= 24""".stripMargin)),
+
     // §2.11 Binary IVF (IndexBinaryIVF): Hamming-pruned inverted lists
     // of sign-bit codes. All-integer arithmetic, so the oracle replays
     // assignment, probe selection, and the pruned Hamming top-k

@@ -83,6 +83,30 @@ class BinaryIvfIndex(
       .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
         col("_r.id").as("id"), col("_r.dist").cast("long").as("hd"))
   }
+
+  /** Hamming radius search over the probed lists
+    * (IndexBinaryIVF::range_search, faiss/IndexBinaryIVF.cpp — same
+    * pruning as [[search]], radius predicate instead of top-k;
+    * inclusive bound, the [[BinaryFlat.rangeJoin]] convention).
+    * Output (qid, id, hd). */
+  def rangeSearch(queries: DataFrame, maxHamming: Long, nprobe: Int,
+      queryId: String = "qid", queryCode: String = "qcode"): DataFrame = {
+    val cents = centDf
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col(queryId), col(queryCode),
+        hamming_dist(col(queryCode), col("ccode")).cast("double").as("_hd"),
+        col("list_no"))
+      .groupBy(col(queryId), col(queryCode))
+      .agg(topk(col("_hd"), col("list_no").cast("long"), nprobe, asc = true).as("_tk"))
+      .select(col(queryId), col(queryCode), explode(col("_tk")).as("_r"))
+      .select(col(queryId), col(queryCode), col("_r.id").cast("int").as("list_no"))
+    val probed = probes.select("list_no").distinct().collect().map(_.getInt(0))
+    invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
+      .join(broadcast(probes), "list_no")
+      .select(col(queryId), col("id"),
+        hamming_dist(col(queryCode), col("code")).as("hd"))
+      .filter(col("hd") <= maxHamming)
+  }
 }
 
 object BinaryIvfIndex {

@@ -267,6 +267,30 @@ class ImiPqIndex(
         col("_r.id").as("id"), col("_r.dist").as("dist"))
   }
 
+  /** ADC radius search over the probed cells (IndexIVF::range_search
+    * semantics under the IMI coarse — the filter applies BELOW any
+    * aggregation, the IvfPqIndex.rangeSearch convention). Output
+    * (qid, id, dist) with approximate distance < radius. */
+  def rangeSearch(queries: DataFrame, radius: Double, nprobe: Int,
+      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+    val kl = lit(ksub)
+    val probesLut = ImiProbes.minSumK(queries, coarse, ksub, nprobe,
+      queryId, queryVec)
+      .withColumn("_j0", (col("cell") / kl).cast("int"))
+      .withColumn("_j1", pmod(col("cell"), kl).cast("int"))
+      .join(broadcast(halfDf(0)), "_j0")
+      .join(broadcast(halfDf(1)), "_j1")
+      .select(col(queryId), col("cell"),
+        model.lutCol(graft.functions.vec_sub(col(queryVec),
+          concat(col("_c0"), col("_c1")))).as("_lut"))
+    val probed = Probes.probedListIds(probesLut.select(col("cell").as("list_no")))
+    codes.filter(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*))
+      .join(broadcast(probesLut), "cell")
+      .select(col(queryId), col("id"),
+        model.adcCol(col("code"), col("_lut")).as("dist"))
+      .filter(col("dist") < radius)
+  }
+
   /** Per-candidate sweep table for multi-parameter autotune over the
     * IMI coarse — the Deep1B operating-point shape
     * (`OPQ20_80,IMI2x14,PQ20` tuned on (nprobe, ht, max_codes)
