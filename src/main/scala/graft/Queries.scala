@@ -2246,6 +2246,45 @@ object Queries {
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w
               |WHERE "rank" <= 10""".stripMargin)),
 
+    // IVFPQ lossy reconstruction (reconstruct_from_offset,
+    // faiss/IndexIVFPQ.cpp): centroid + decoded residual, one
+    // broadcast join + in-row decode. The oracle replays assignment,
+    // residual encode, codeword lookup, and the float32 centroid add.
+    ("ivfpq_reconstruct", (s: SparkSession, dir: String) =>
+      ivfpq8(s, dir).reconstruct
+        .join(emb(s, dir).select(col("vec_id").as("id"), col("embedding")), "id")
+        .select(col("id"), round(element_at(col("vec"), 1), 4).as("d1"),
+          round(aggregate(
+            zip_with(col("embedding").cast("array<double>"),
+              col("vec").cast("array<double>"),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x), 4).as("err")),
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfpq_centroids/*.parquet')),
+              |cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/ivfpq_codebooks/*.parquet')),
+              |cbf AS (SELECT m, j, c FROM read_parquet('$AUX/ivfpq_codebooks/*.parquet')),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |bres AS (SELECT a.id, a.list_no,
+              |    list_transform(list_zip(b.embedding, c.c), p -> p[1] - p[2]) AS res
+              |  FROM basg a JOIN embeddings b ON b.vec_id = a.id JOIN cent c ON c.list_no = a.list_no),
+              |bsub AS (SELECT id, list_no, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM bres, range(0,8) r(m)),
+              |enc AS (SELECT id, list_no, m, j FROM (
+              |  SELECT b.id, b.list_no, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
+              |dres AS (SELECT e.id, flatten(list(f.c ORDER BY e.m)) AS dv
+              |  FROM enc e JOIN cbf f ON f.m = e.m AND f.j = e.j GROUP BY e.id),
+              |rec AS (SELECT a.id,
+              |    list_transform(list_zip(c.c, d.dv), p -> p[1] + p[2]) AS rv
+              |  FROM basg a JOIN cent c ON c.list_no = a.list_no JOIN dres d ON d.id = a.id)
+              |SELECT r.id, round(r.rv[1], 4) AS d1,
+              |  round(list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], r.rv::DOUBLE[]),
+              |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 4) AS err
+              |FROM rec r JOIN embeddings b ON b.vec_id = r.id""".stripMargin)),
+
     // IVFPQ range search (IndexIVFPQ::range_search): every candidate
     // in the probed lists whose ADC distance over the residual LUT is
     // under the radius — the filter applies below any aggregation, so
@@ -4692,6 +4731,52 @@ object Queries {
               |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
               |WHERE "rank" <= 5""".stripMargin)),
+
+    // IMI+PQ lossy reconstruction (reconstruct_from_offset under the
+    // IMI coarse): cell centroid (concat of the two half codewords) +
+    // decoded residual — two K-row broadcast joins, in-row decode.
+    ("imi_pq_reconstruct", (s: SparkSession, dir: String) =>
+      imipq16(s, dir).reconstruct
+        .join(emb(s, dir).select(col("vec_id").as("id"), col("embedding")), "id")
+        .select(col("id"), round(element_at(col("vec"), 1), 4).as("d1"),
+          round(aggregate(
+            zip_with(col("embedding").cast("array<double>"),
+              col("vec").cast("array<double>"),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x), 4).as("err")),
+      Some(s"""WITH ccb AS (SELECT m, j, c FROM read_parquet('$AUX/imipq_coarse_cb/*.parquet')),
+              |rcb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/imipq_codebooks/*.parquet')),
+              |rcbf AS (SELECT m, j, c FROM read_parquet('$AUX/imipq_codebooks/*.parquet')),
+              |bh AS (SELECT vec_id AS id, r.m AS m, embedding[r.m*32+1:r.m*32+32]::DOUBLE[] AS sv
+              |       FROM embeddings, range(0,2) r(m) WHERE vec_id >= 10),
+              |benc AS (SELECT id, m, j FROM (
+              |  SELECT b.id, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bh b JOIN ccb cb ON cb.m = b.m) t WHERE rn = 1),
+              |bcell AS (SELECT a0.id, a0.j AS j0, a1.j AS j1
+              |  FROM benc a0 JOIN benc a1 ON a0.id = a1.id AND a0.m = 0 AND a1.m = 1),
+              |bres AS (SELECT bc.id, bc.j0, bc.j1,
+              |    list_transform(list_zip(b.embedding, c0.c || c1.c), p -> p[1] - p[2]) AS res
+              |  FROM bcell bc JOIN embeddings b ON b.vec_id = bc.id
+              |  JOIN ccb c0 ON c0.m = 0 AND c0.j = bc.j0
+              |  JOIN ccb c1 ON c1.m = 1 AND c1.j = bc.j1),
+              |bsub AS (SELECT id, j0, j1, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM bres, range(0,8) r(m)),
+              |enc AS (SELECT id, j0, j1, m, j FROM (
+              |  SELECT b.id, b.j0, b.j1, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN rcb cb ON cb.m = b.m) t WHERE rn = 1),
+              |dres AS (SELECT e.id, any_value(e.j0) AS j0, any_value(e.j1) AS j1,
+              |    flatten(list(f.c ORDER BY e.m)) AS dv
+              |  FROM enc e JOIN rcbf f ON f.m = e.m AND f.j = e.j GROUP BY e.id),
+              |rec AS (SELECT d.id,
+              |    list_transform(list_zip(c0.c || c1.c, d.dv), p -> p[1] + p[2]) AS rv
+              |  FROM dres d JOIN ccb c0 ON c0.m = 0 AND c0.j = d.j0
+              |  JOIN ccb c1 ON c1.m = 1 AND c1.j = d.j1)
+              |SELECT r.id, round(r.rv[1], 4) AS d1,
+              |  round(list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], r.rv::DOUBLE[]),
+              |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 4) AS err
+              |FROM rec r JOIN embeddings b ON b.vec_id = r.id""".stripMargin)),
 
     // IMI+PQ range search (IndexIVF::range_search under the IMI
     // coarse): every candidate in the probed cells whose residual-ADC

@@ -267,6 +267,22 @@ class ImiPqIndex(
         col("_r.id").as("id"), col("_r.dist").as("dist"))
   }
 
+  /** Lossy reconstruction (reconstruct_from_offset under the IMI
+    * coarse): cell centroid (decoded from the cell's two half codes)
+    * + decoded residual — two K-row broadcast joins + in-row decode,
+    * no shuffle. Output (id, vec). */
+  def reconstruct: DataFrame = {
+    val kl = lit(ksub)
+    codes
+      .withColumn("_j0", (col("cell") / kl).cast("int"))
+      .withColumn("_j1", pmod(col("cell"), kl).cast("int"))
+      .join(broadcast(halfDf(0)), "_j0")
+      .join(broadcast(halfDf(1)), "_j1")
+      .select(col("id"),
+        graft.functions.vec_add(concat(col("_c0"), col("_c1")),
+          model.decodeCol(col("code"))).as("vec"))
+  }
+
   /** ADC radius search over the probed cells (IndexIVF::range_search
     * semantics under the IMI coarse — the filter applies BELOW any
     * aggregation, the IvfPqIndex.rangeSearch convention). Output

@@ -309,6 +309,22 @@ class IvfPqIndex(
         hamming_dist(col("code"), col("_qcode")).as("ham"))
   }
 
+  /** Lossy reconstruction (IndexIVFPQ::reconstruct_from_offset,
+    * faiss/IndexIVFPQ.cpp — centroid + decoded residual): one
+    * broadcast centroid join + an in-row decode, no shuffle. Output
+    * (id, vec). */
+  def reconstruct: DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val centDf = centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "centroid")
+      .select(col("list_no"), col("centroid").cast("array<float>").as("centroid"))
+    codes.join(broadcast(centDf), "list_no")
+      .select(col("id"),
+        graft.functions.vec_add(col("centroid"),
+          model.decodeCol(col("code"))).as("vec"))
+  }
+
   /** Radius search over the probed lists by ADC distance
     * (IndexIVFPQ::range_search, faiss/IndexIVFPQ.cpp — the scanner's
     * range path over the same per-(query, probed-list) residual LUTs
