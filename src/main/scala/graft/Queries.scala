@@ -94,6 +94,14 @@ object Queries {
     cached(s"ivfsq16:$dir") {
       graft.index.IvfSqIndex.build(bDf(s, dir, 10), "id", "vec", nlist = 16, niter = 4)
     }
+  /** IVF-SQ with by_residual = true — the reference DEFAULT for
+    * IndexIVFScalarQuantizer (IndexScalarQuantizer.h:64): the shared
+    * range is trained over residuals, which concentrate near 0. */
+  private def ivfsqRes16(s: SparkSession, dir: String): graft.index.IvfSqIndex =
+    cached(s"ivfsqres16:$dir") {
+      graft.index.IvfSqIndex.build(bDf(s, dir, 10), "id", "vec", nlist = 16,
+        niter = 4, byResidual = true)
+    }
   private def pq16(s: SparkSession, dir: String): graft.index.PqIndex =
     cached(s"pq16:$dir") {
       graft.index.PqIndex.build(bDf(s, dir, 10), "id", "vec", m = 8, ksub = 16, niter = 4)
@@ -360,6 +368,7 @@ object Queries {
     * time exactly those builds. */
   def warmTrainedModels(s: SparkSession, dir: String): Unit = {
     ivf16(s, dir); ivf20(s, dir); ivf8(s, dir); ivfsq16(s, dir)
+    ivfsqRes16(s, dir)
     pq16(s, dir); rot64(s, dir); opqModel(s, dir); ivfpq8(s, dir)
     ivfpqr8(s, dir); twoLayer16(s, dir); ivfsh8(s, dir); km8(s, dir)
     twoLevel12(s, dir); pdk8(s, dir); bivf8(s, dir); rqModel16(s, dir)
@@ -481,6 +490,8 @@ object Queries {
     OracleAux.write(dir, "sh_centroids", OracleAux.centroidsDf(s, sh.centroids))
     OracleAux.write(dir, "sh_rot", OracleAux.matrixDf(s, sh.vt.a))
     OracleAux.write(dir, "sh_thresh", OracleAux.centroidsDf(s, sh.thresholds))
+    OracleAux.write(dir, "ivfsqres_centroids",
+      OracleAux.centroidsDf(s, ivfsqRes16(s, dir).centroids))
     OracleAux.write(dir, "ivf8_centroids",
       OracleAux.centroidsDf(s, ivf8(s, dir).centroids))
     val sqm = sqMeanstd(s, dir)
@@ -2818,6 +2829,44 @@ object Queries {
              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank"
              |  FROM qd) w WHERE "rank" <= 5""".stripMargin)),
+
+    // IVF-SQ by_residual = true — the DEFAULT IndexIVFScalarQuantizer
+    // form (IndexScalarQuantizer.h:64): the shared per-dim range is
+    // trained over RESIDUALS (vec − centroid), the query side
+    // subtracts the probed centroid before the ADC. nprobe = nlist,
+    // so the oracle replays assignment, the float32 residuals, the
+    // residual-trained range, encode/decode, and the residual ADC.
+    ("ivfsq_residual_search", (s: SparkSession, dir: String) =>
+      ivfsqRes16(s, dir).search(qDf(s, dir, 10), 5, nprobe = 16)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfsqres_centroids/*.parquet')),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |bres AS (SELECT a.id, a.list_no,
+              |    list_transform(list_zip(b.embedding, c.c), p -> p[1] - p[2]) AS res
+              |  FROM basg a JOIN embeddings b ON b.vec_id = a.id JOIN cent c ON c.list_no = a.list_no),
+              |dims AS (
+              |  SELECT list(mn ORDER BY i) AS vmn, list(mx - mn ORDER BY i) AS vd FROM (
+              |    SELECT i, min(e) AS mn, max(e) AS mx
+              |    FROM (SELECT unnest(res::DOUBLE[]) AS e, generate_subscripts(res, 1) AS i
+              |          FROM bres) u GROUP BY i) t),
+              |dec AS (SELECT id, list_no,
+              |  list_transform(res::DOUBLE[], (x, i) ->
+              |    vmn[i] + (floor(255 * (CASE WHEN vd[i] = 0 THEN 0
+              |      ELSE least(greatest((x - vmn[i]) / vd[i], 0), 1) END)) + 0.5) / 255 * vd[i]) AS dv
+              |  FROM bres, dims),
+              |qres AS (SELECT q.vec_id AS qid, c.list_no,
+              |    list_transform(list_zip(q.embedding, c.c), p -> p[1] - p[2]) AS res
+              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10),
+              |qd AS (SELECT qr.qid, b.id,
+              |  list_aggregate(list_transform(list_zip(qr.res::DOUBLE[], b.dv),
+              |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
+              |  FROM dec b JOIN qres qr ON qr.list_no = b.list_no)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank"
+              |  FROM qd) w WHERE "rank" <= 5""".stripMargin)),
 
     // §2.11 IVF + 4-bit scalar quantizer (IndexIVFScalarQuantizer
     // QT_4bit, impl/ScalarQuantizer.h:32; factory IVF<n>,SQ4).

@@ -537,9 +537,12 @@ object IndexFactory {
             seed = seed), chain)
         case "SQ8" | "SQ4" | "SQ6" | "SQfp16" =>
           // IVF<n>,SQ{8,4,6,fp16} (IndexIVFScalarQuantizer widths,
-          // index_factory.cpp sq_types)
+          // index_factory.cpp sq_types). by_residual = true is the
+          // reference ctor default (IndexScalarQuantizer.h:74
+          // encode_residual = true): the shared range trains over
+          // residuals, which concentrate near 0
           new IvfSqBuilt(IvfSqIndex.build(data, "id", "vec", nlist.toInt,
-            niter = niter, seed = seed,
+            niter = niter, seed = seed, byResidual = true,
             qtype = code.stripPrefix("SQ") match {
               case "fp16" => "fp16"; case w => s"SQ$w" }), chain)
         case Pq(m, ks) =>

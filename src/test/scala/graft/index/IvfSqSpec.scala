@@ -65,4 +65,21 @@ class IvfSqSpec extends SparkTestBase {
       assert(built.search(q, 5, nprobe = 4).count() == 50, tok)
     }
   }
+
+  test("factory IVF,SQ8 is the reference's by_residual=true form") {
+    // IndexScalarQuantizer.h:74: encode_residual defaults true — the
+    // factory must build the residual-trained range, matching a
+    // direct byResidual=true build exactly at the same seeds
+    val built = IndexFactory.build(b, "id", "vec", "IVF4,SQ8", niter = 2)
+    val direct = IvfSqIndex.build(b, "id", "vec", nlist = 4, niter = 2,
+      byResidual = true)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(res(built.search(q, 5, nprobe = 4)) == res(direct.search(q, 5, nprobe = 4)))
+    // ...and differs from the non-residual range on this data (the
+    // two forms are genuinely different codecs)
+    val plain = IvfSqIndex.build(b, "id", "vec", nlist = 4, niter = 2)
+    assert(direct.vmin.toSeq != plain.vmin.toSeq)
+  }
 }
