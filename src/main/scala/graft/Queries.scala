@@ -4732,9 +4732,11 @@ object Queries {
 
     // IMI2x<b>,SQ<w> (IndexIVFScalarQuantizer over the multi-index
     // coarse — the grammar composes IMI with any IVF code,
-    // index_factory.cpp:834-878). by_residual = false: codes are the
-    // shared-range SQ8 quantization of the RAW vectors, so the oracle
-    // replays cell assignment + MinSumK probes from the coarse
+    // index_factory.cpp:834-878). This is the EXPLICIT by_residual =
+    // false variant (the factory builds the by_residual=true ctor
+    // default, asserted equal to a direct residual build in ImiSpec):
+    // codes are the shared-range SQ8 quantization of the RAW vectors,
+    // so the oracle replays cell assignment + MinSumK probes from the coarse
     // sidecar, the SQ8 range/encode/decode from the base itself (the
     // sq8_knn formula), and the pruned asymmetric ADC top-k.
     ("imi_sq_search", (s: SparkSession, dir: String) =>

@@ -35,6 +35,20 @@ class BinaryIvfIndex(
       .toDF("list_no", "ccode")
   }
 
+  /** Exact Hamming probe selection (one definition shared by search
+    * and rangeSearch — a tie-break or cast fix must reach both, the
+    * ImiProbes convention). Output (queryId, queryCode, list_no). */
+  private def flatProbes(queries: DataFrame, nprobe: Int,
+      queryId: String, queryCode: String): DataFrame =
+    queries.crossJoin(broadcast(centDf))
+      .select(col(queryId), col(queryCode),
+        hamming_dist(col(queryCode), col("ccode")).cast("double").as("_hd"),
+        col("list_no"))
+      .groupBy(col(queryId), col(queryCode))
+      .agg(topk(col("_hd"), col("list_no").cast("long"), nprobe, asc = true).as("_tk"))
+      .select(col(queryId), col(queryCode), explode(col("_tk")).as("_r"))
+      .select(col(queryId), col(queryCode), col("_r.id").cast("int").as("list_no"))
+
   /** Hamming kNN over the nprobe closest lists. Output
     * (qid, rank, id, hd).
     *
@@ -62,15 +76,7 @@ class BinaryIvfIndex(
             m = 16, cacheKey = hnswCacheKey))).as("_p"))
           .select(col(queryId), col(queryCode),
             col("_p.list_no").as("list_no"))
-      case None =>
-        queries.crossJoin(broadcast(centDf))
-          .select(col(queryId), col(queryCode),
-            hamming_dist(col(queryCode), col("ccode")).cast("double").as("_hd"),
-            col("list_no"))
-          .groupBy(col(queryId), col(queryCode))
-          .agg(topk(col("_hd"), col("list_no").cast("long"), nprobe, asc = true).as("_tk"))
-          .select(col(queryId), col(queryCode), explode(col("_tk")).as("_r"))
-          .select(col(queryId), col(queryCode), col("_r.id").cast("int").as("list_no"))
+      case None => flatProbes(queries, nprobe, queryId, queryCode)
     }
     val probed = probes.select("list_no").distinct().collect().map(_.getInt(0))
     invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
@@ -91,15 +97,7 @@ class BinaryIvfIndex(
     * Output (qid, id, hd). */
   def rangeSearch(queries: DataFrame, maxHamming: Long, nprobe: Int,
       queryId: String = "qid", queryCode: String = "qcode"): DataFrame = {
-    val cents = centDf
-    val probes = queries.crossJoin(broadcast(cents))
-      .select(col(queryId), col(queryCode),
-        hamming_dist(col(queryCode), col("ccode")).cast("double").as("_hd"),
-        col("list_no"))
-      .groupBy(col(queryId), col(queryCode))
-      .agg(topk(col("_hd"), col("list_no").cast("long"), nprobe, asc = true).as("_tk"))
-      .select(col(queryId), col(queryCode), explode(col("_tk")).as("_r"))
-      .select(col(queryId), col(queryCode), col("_r.id").cast("int").as("list_no"))
+    val probes = flatProbes(queries, nprobe, queryId, queryCode)
     val probed = probes.select("list_no").distinct().collect().map(_.getInt(0))
     invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
       .join(broadcast(probes), "list_no")

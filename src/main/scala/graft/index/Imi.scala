@@ -201,6 +201,25 @@ class ImiPqIndex(
       .select(col(s"_j$m"), col(s"_c$m").cast("array<float>").as(s"_c$m"))
   }
 
+  /** Shared probe head of search/rangeSearch/sweepCandidates (one
+    * definition — a cell-decode or residual fix reaches all three, the
+    * ImiProbes convention): MinSumK cell selection, then the
+    * per-(query, cell) float32 residual against the concat of the two
+    * half-centroids — two K-row broadcast joins, never a K²-row table.
+    * Output (queryId, cell, pr, _qres). */
+  private def residualProbes(queries: DataFrame, nprobe: Int,
+      queryId: String, queryVec: String): DataFrame = {
+    val kl = lit(ksub)
+    ImiProbes.minSumK(queries, coarse, ksub, nprobe, queryId, queryVec)
+      .withColumn("_j0", (col("cell") / kl).cast("int"))
+      .withColumn("_j1", pmod(col("cell"), kl).cast("int"))
+      .join(broadcast(halfDf(0)), "_j0")
+      .join(broadcast(halfDf(1)), "_j1")
+      .select(col(queryId), col("cell"), col("pr"),
+        graft.functions.vec_sub(col(queryVec),
+          concat(col("_c0"), col("_c1"))).as("_qres"))
+  }
+
   /** Output (qid, rank, id, dist) — ADC distances over the probed
     * cells' residual codes.
     * @param broadcastQueries true (default) broadcasts the LUT-bearing
@@ -214,26 +233,13 @@ class ImiPqIndex(
       queryId: String = "qid", queryVec: String = "qvec",
       ht: Option[Int] = None, maxCodes: Option[Int] = None,
       broadcastQueries: Boolean = true): DataFrame = {
-    val kl = lit(ksub)
-    val probeCells = ImiProbes.minSumK(queries, coarse, ksub, nprobe,
-      queryId, queryVec)
-    // per-(query, cell) residual LUT: the cell centroid is the concat
-    // of the two half-centroids — two K-row broadcast joins, never a
-    // K²-row table
-    var probesLut = probeCells
-      .withColumn("_j0", (col("cell") / kl).cast("int"))
-      .withColumn("_j1", pmod(col("cell"), kl).cast("int"))
-      .join(broadcast(halfDf(0)), "_j0")
-      .join(broadcast(halfDf(1)), "_j1")
-      .withColumn("_qres",
-        graft.functions.vec_sub(col(queryVec), concat(col("_c0"), col("_c1"))))
-      .select(col(queryId), col("cell"), col("_qres"),
-        model.lutCol(col("_qres")).as("_lut"))
+    var probesLut = residualProbes(queries, nprobe, queryId, queryVec)
+      .withColumn("_lut", model.lutCol(col("_qres")))
     probesLut = ht match {
       case Some(_) => probesLut.withColumn("_qcode",
         shim.col(graft.core.PQEncode(shim.expr(col("_qres")), model.codebooks)))
-        .drop("_qres")
-      case None => probesLut.drop("_qres")
+        .drop("_qres", "pr")
+      case None => probesLut.drop("_qres", "pr")
     }
     // static cell pruning: only distinct cell ints cross the driver
     // (Probes.probedListIds); the LUT-bearing probe rows broadcast
@@ -286,22 +292,17 @@ class ImiPqIndex(
   /** ADC radius search over the probed cells (IndexIVF::range_search
     * semantics under the IMI coarse — the filter applies BELOW any
     * aggregation, the IvfPqIndex.rangeSearch convention). Output
-    * (qid, id, dist) with approximate distance < radius. */
+    * (qid, id, dist) with approximate distance < radius.
+    * `broadcastQueries` as on [[search]]. */
   def rangeSearch(queries: DataFrame, radius: Double, nprobe: Int,
-      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
-    val kl = lit(ksub)
-    val probesLut = ImiProbes.minSumK(queries, coarse, ksub, nprobe,
-      queryId, queryVec)
-      .withColumn("_j0", (col("cell") / kl).cast("int"))
-      .withColumn("_j1", pmod(col("cell"), kl).cast("int"))
-      .join(broadcast(halfDf(0)), "_j0")
-      .join(broadcast(halfDf(1)), "_j1")
-      .select(col(queryId), col("cell"),
-        model.lutCol(graft.functions.vec_sub(col(queryVec),
-          concat(col("_c0"), col("_c1")))).as("_lut"))
+      queryId: String = "qid", queryVec: String = "qvec",
+      broadcastQueries: Boolean = true): DataFrame = {
+    val probesLut = residualProbes(queries, nprobe, queryId, queryVec)
+      .select(col(queryId), col("cell"), model.lutCol(col("_qres")).as("_lut"))
     val probed = Probes.probedListIds(probesLut.select(col("cell").as("list_no")))
+    val probeSide = if (broadcastQueries) broadcast(probesLut) else probesLut
     codes.filter(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*))
-      .join(broadcast(probesLut), "cell")
+      .join(probeSide, "cell")
       .select(col(queryId), col("id"),
         model.adcCol(col("code"), col("_lut")).as("dist"))
       .filter(col("dist") < radius)
@@ -316,15 +317,7 @@ class ImiPqIndex(
     * consumes either coarse family through one code path. */
   def sweepCandidates(queries: DataFrame, npMax: Int,
       queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
-    val kl = lit(ksub)
-    val probesLut = ImiProbes.minSumK(queries, coarse, ksub, npMax,
-      queryId, queryVec)
-      .withColumn("_j0", (col("cell") / kl).cast("int"))
-      .withColumn("_j1", pmod(col("cell"), kl).cast("int"))
-      .join(broadcast(halfDf(0)), "_j0")
-      .join(broadcast(halfDf(1)), "_j1")
-      .withColumn("_qres",
-        graft.functions.vec_sub(col(queryVec), concat(col("_c0"), col("_c1"))))
+    val probesLut = residualProbes(queries, npMax, queryId, queryVec)
       .select(col(queryId), col("cell"), col("pr"),
         model.lutCol(col("_qres")).as("_lut"),
         shim.col(graft.core.PQEncode(shim.expr(col("_qres")),
@@ -342,16 +335,21 @@ class ImiPqIndex(
   * multi-index coarse (the factory grammar composes IMI with any IVF
   * code, index_factory.cpp:834-878; SQ widths per
   * IndexScalarQuantizer.h:64). Cells via [[ImiIndex]]'s 2-subspace
-  * assignment; codes are the shared-range scalar quantization of the
-  * RAW vectors (by_residual = false — IndexIVFScalarQuantizer's
-  * default), searched with [[ImiProbes.minSumK]] probe selection and
-  * the asymmetric SQ ADC distance over the statically pruned cells. */
+  * assignment, searched with [[ImiProbes.minSumK]] probe selection
+  * and the asymmetric SQ ADC over the statically pruned cells.
+  * `byResidual = true` (the IndexIVFScalarQuantizer ctor default,
+  * IndexScalarQuantizer.h:74 — the form the factory builds) scales
+  * the shared range over RESIDUALS against the cell centroid and
+  * subtracts the probed centroid on the query side; false encodes the
+  * raw vectors (the explicit non-residual variant the imi_sq_search
+  * oracle replays). */
 class ImiSqIndex(
     val ksub: Int,
     val coarse: PqModel,
     val vmin: Array[Double],
     val vdiff: Array[Double],
     val qtype: String,
+    val byResidual: Boolean,
     /** (id, cell, code) */
     val codes: DataFrame) {
 
@@ -360,11 +358,32 @@ class ImiSqIndex(
   /** Release the cached codes table (see [[ImiPqIndex.close]]). */
   def close(): Unit = codes.unpersist(blocking = false)
 
+  private def halfDf(m: Int) = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    coarse.codebooks(m).zipWithIndex.toSeq
+      .map { case (c, j) => (j, c.toSeq) }.toDF(s"_j$m", s"_c$m")
+      .select(col(s"_j$m"), col(s"_c$m").cast("array<float>").as(s"_c$m"))
+  }
+
   def search(queries: DataFrame, k: Int, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec",
       broadcastQueries: Boolean = true): DataFrame = {
-    val probes = ImiProbes.minSumK(queries, coarse, ksub, nprobe,
-      queryId, queryVec)
+    val kl = lit(ksub)
+    var probes = ImiProbes.minSumK(queries, coarse, ksub, nprobe,
+      queryId, queryVec).drop("pr")
+    if (byResidual) {
+      // subtract the probed cell centroid before the ADC — the
+      // residual buffer of IndexIVFScalarQuantizer::search
+      probes = probes
+        .withColumn("_j0", (col("cell") / kl).cast("int"))
+        .withColumn("_j1", pmod(col("cell"), kl).cast("int"))
+        .join(broadcast(halfDf(0)), "_j0")
+        .join(broadcast(halfDf(1)), "_j1")
+        .select(col(queryId), col("cell"),
+          graft.functions.vec_sub(col(queryVec),
+            concat(col("_c0"), col("_c1"))).as(queryVec))
+    }
     val probed = Probes.probedListIds(probes.select(col("cell").as("list_no")))
     // broadcastQueries=false: shuffle equi-join for huge query sets
     // (the ImiPqIndex.search convention)
@@ -385,26 +404,34 @@ class ImiSqIndex(
 object ImiSqIndex {
   def build(df: DataFrame, idCol: String, vecCol: String, ksub: Int = 16,
       qtype: String = "SQ8", niterCoarse: Int = 6,
-      seed: Long = 1234L): ImiSqIndex = {
+      byResidual: Boolean = false, seed: Long = 1234L): ImiSqIndex = {
     val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val coarse = Pq.train(data, "vec", m = 2, ksub = ksub,
       niter = niterCoarse, seed = seed)
-    val dsub = coarse.dsub
-    val j0 = shim.col(PQSubAssign(shim.expr(lit(0)),
-      shim.expr(slice(col("vec"), 1, dsub)), coarse.codebooks))
-    val j1 = shim.col(PQSubAssign(shim.expr(lit(1)),
-      shim.expr(slice(col("vec"), dsub + 1, dsub)), coarse.codebooks))
-    val assigned = data.select(col("id"), col("vec"),
-      (j0 * ksub + j1).as("cell"))
-    val (mins, vdiff) =
-      if (SqVariant.needsRange(qtype)) SqIndex.trainRange(data, "vec")
-      else (Array.empty[Double], Array.empty[Double])
-    val codes = assigned.select(col("id"), col("cell"),
-      shim.col(SqVariant.encode(qtype, shim.expr(col("vec")),
-        mins, vdiff)).as("code"))
-    val mat = codes.cache()
-    mat.count()
-    new ImiSqIndex(ksub, coarse, mins, vdiff, qtype, mat)
+    // one coarse encode per row: cell + (optionally) residual from the
+    // same 2-byte code (the ImiPqIndex.build shape)
+    val byteAt = (c: org.apache.spark.sql.Column, i: Int) =>
+      conv(hex(c.substr(i, 1)), 16, 10).cast("int")
+    val assigned = data
+      .withColumn("_ccode",
+        shim.col(graft.core.PQEncode(shim.expr(col("vec")), coarse.codebooks)))
+      .select(col("id"),
+        (byteAt(col("_ccode"), 1) * ksub + byteAt(col("_ccode"), 2)).as("cell"),
+        (if (byResidual)
+          graft.functions.vec_sub(col("vec"), coarse.decodeCol(col("_ccode")))
+        else col("vec")).as("enc"))
+    val cachedEnc = assigned.cache()
+    try {
+      val (mins, vdiff) =
+        if (SqVariant.needsRange(qtype)) SqIndex.trainRange(cachedEnc, "enc")
+        else (Array.empty[Double], Array.empty[Double])
+      val codes = cachedEnc.select(col("id"), col("cell"),
+        shim.col(SqVariant.encode(qtype, shim.expr(col("enc")),
+          mins, vdiff)).as("code"))
+      val mat = codes.cache()
+      mat.count()
+      new ImiSqIndex(ksub, coarse, mins, vdiff, qtype, byResidual, mat)
+    } finally cachedEnc.unpersist()
   }
 }
 

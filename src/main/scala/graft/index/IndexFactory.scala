@@ -139,7 +139,7 @@ object IndexFactory {
         math.max(nprobe, 1), qid, qvec)
   }
 
-  private final class IvfSqBuilt(idx: IvfSqIndex, chain: VecTransform)
+  private final class IvfSqBuilt(val idx: IvfSqIndex, chain: VecTransform)
       extends Built {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
@@ -600,11 +600,12 @@ object IndexFactory {
       case Imi(bits) :: (sq @ ("SQ8" | "SQ4" | "SQ6" | "SQfp16")) :: Nil =>
         // IMI2x<b>,SQ<w> (IndexIVFScalarQuantizer over the multi-index
         // coarse — the grammar composes IMI with any IVF code,
-        // index_factory.cpp:834-878)
+        // index_factory.cpp:834-878). by_residual = true, the same
+        // reference ctor default the IVF<n>,SQ<w> route builds
         new ImiSqBuilt(ImiSqIndex.build(data, "id", "vec",
           ksub = 1 << bits.toInt,
           qtype = if (sq == "SQfp16") "fp16" else sq,
-          niterCoarse = niter, seed = seed), chain)
+          niterCoarse = niter, byResidual = true, seed = seed), chain)
       case "Flat" :: Nil => new FlatBuilt(data, chain)
       // MinMax[FP16],<SQ8|SQfp16> (IndexRowwiseMinMax[FP16],
       // index_factory.cpp:811): a vector codec in the reference
@@ -705,6 +706,7 @@ object IndexFactory {
         case b: IvfRcqBuilt => List(() => b.idx.close())
         case b: ImiPqBuilt => List(() => b.idx.close())
         case b: ImiSqBuilt => List(() => b.idx.close())
+        case b: IvfSqBuilt => List(() => b.idx.close())
         case _ => Nil
       })
     result

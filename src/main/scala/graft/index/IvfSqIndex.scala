@@ -28,6 +28,12 @@ class IvfSqIndex(
     /** quantizer width: SQ8 (default) | SQ4 | SQ6 | fp16. */
     val qtype: String = "SQ8") {
 
+  /** Release the cached codes table (build() caches it); an index
+    * discarded without close() pins that storage until session end
+    * (the x4fsr convention — the factory wires this into
+    * Built.close()). */
+  def close(): Unit = codes.unpersist(blocking = false)
+
   private def centroidsDf = {
     val spark = codes.sparkSession
     import spark.implicits._

@@ -248,9 +248,7 @@ class IvfPqIndex(
       polysemousHt: Option[Int] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val centDf = centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "centroid")
-      .select(col("list_no"), col("centroid").cast("array<float>").as("centroid"))
+    val centDf = Probes.centroidsDf(spark, centroids)
     var probesPlan = queries.select(col(queryId), col(queryVec),
       explode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
         math.min(nprobe, nlist), "l2sq"))).as("_p"))
@@ -288,9 +286,7 @@ class IvfPqIndex(
       queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val centDf = centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "centroid")
-      .select(col("list_no"), col("centroid").cast("array<float>").as("centroid"))
+    val centDf = Probes.centroidsDf(spark, centroids)
     val probesPlan = queries.select(col(queryId), col(queryVec),
       posexplode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
         math.min(npMax, nlist), "l2sq"))).as(Seq("_pr", "_p")))
@@ -316,9 +312,7 @@ class IvfPqIndex(
   def reconstruct: DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
-    val centDf = centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "centroid")
-      .select(col("list_no"), col("centroid").cast("array<float>").as("centroid"))
+    val centDf = Probes.centroidsDf(spark, centroids)
     codes.join(broadcast(centDf), "list_no")
       .select(col("id"),
         graft.functions.vec_add(col("centroid"),
@@ -357,9 +351,7 @@ class IvfPqrIndex(
       queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val centDf = centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "centroid")
-      .select(col("list_no"), col("centroid").cast("array<float>").as("centroid"))
+    val centDf = Probes.centroidsDf(spark, centroids)
     val probes = queries.select(col(queryId), col(queryVec),
       explode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
         math.min(nprobe, nlist), "l2sq"))).as("_p"))
@@ -404,9 +396,7 @@ object IvfPqrIndex {
       graft.cluster.KMeans.Params(k = nlist, niter = niterCoarse, seed = seed))
     val spark = df.sparkSession
     import spark.implicits._
-    val centDf = coarse.centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "centroid")
-      .select(col("list_no"), col("centroid").cast("array<float>").as("centroid"))
+    val centDf = Probes.centroidsDf(spark, coarse.centroids)
     val assigned = coarse.assign(data, "vec")
       .join(broadcast(centDf), "list_no")
       .select(col("id"), col("list_no"), vec_sub(col("vec"), col("centroid")).as("res"))
@@ -442,9 +432,7 @@ object IvfPqIndex {
       graft.cluster.KMeans.Params(k = nlist, niter = niterCoarse, seed = seed))
     val spark = df.sparkSession
     import spark.implicits._
-    val centDf = coarse.centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "centroid")
-      .select(col("list_no"), col("centroid").cast("array<float>").as("centroid"))
+    val centDf = Probes.centroidsDf(spark, coarse.centroids)
     val assigned = coarse.assign(data, "vec")
       .join(broadcast(centDf), "list_no")
       .select(col("id"), col("list_no"), vec_sub(col("vec"), col("centroid")).as("res"))

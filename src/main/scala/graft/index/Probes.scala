@@ -21,4 +21,17 @@ object Probes {
     */
   def probedListIds(probesPlan: DataFrame): Array[Int] =
     probesPlan.select("list_no").distinct().collect().map(_.getInt(0))
+
+  /** The (list_no, centroid: array<float>) table every IVF-family
+    * search embeds as a broadcast — one definition instead of a
+    * per-method literal (r10 review). */
+  def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "centroid")
+      .select(col("list_no"),
+        col("centroid").cast("array<float>").as("centroid"))
+  }
 }

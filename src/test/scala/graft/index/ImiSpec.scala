@@ -90,20 +90,27 @@ class ImiSpec extends SparkTestBase {
     assert(recall > 0.2, s"R@10 for the true 1-NN = $recall (reference floor 0.2)")
   }
 
-  test("IMI+SQ factory route: nprobe = nlist equals the flat SQ8 search") {
-    // IMI2x2,SQ8 at full probe budget scans every cell, so the result
-    // must equal the flat SQ8 ADC scan exactly (same minmax range over
-    // the same base, same asymmetric ADC kernel) — only the pruning
-    // differs, and at nprobe = nlist it prunes nothing
-    val imisq = IndexFactory.build(b, "id", "vec", "IMI2x2,SQ8", niter = 3)
+  test("IMI+SQ: non-residual at nprobe = nlist equals the flat SQ8 search; " +
+      "the factory builds the by_residual reference default") {
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // non-residual IMI2x2,SQ8 at full probe budget scans every cell,
+    // so the result must equal the flat SQ8 ADC scan exactly (same
+    // minmax range over the same base, same asymmetric ADC kernel)
+    val plain = ImiSqIndex.build(b, "id", "vec", ksub = 4, niterCoarse = 3)
     val flat = SqIndex.build(b, "id", "vec")
-    val got = imisq.search(q, k = 5, nprobe = 16)
-      .select("qid", "rank", "id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val want = flat.search(q, 5)
-      .select("qid", "rank", "id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got == want)
+    assert(res(plain.search(q, k = 5, nprobe = 16)) == res(flat.search(q, 5)))
+    // the FACTORY form is by_residual = true (IndexScalarQuantizer.h:74
+    // ctor default, same as the IVF<n>,SQ<w> route) — equal to a
+    // direct residual build, distinct from the non-residual range
+    val built = IndexFactory.build(b, "id", "vec", "IMI2x2,SQ8", niter = 3)
+    val residual = ImiSqIndex.build(b, "id", "vec", ksub = 4,
+      niterCoarse = 3, byResidual = true)
+    assert(res(built.search(q, k = 5, nprobe = 16)) ==
+      res(residual.search(q, k = 5, nprobe = 16)))
+    assert(residual.vmin.toSeq != plain.vmin.toSeq,
+      "residual-trained range must differ from the raw-vector range")
   }
 
   test("IMI+PQ huge-query-set plan (broadcastQueries=false) is result-identical") {
