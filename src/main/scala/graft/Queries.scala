@@ -373,7 +373,7 @@ object Queries {
     ivfpqr8(s, dir); twoLayer16(s, dir); ivfsh8(s, dir); km8(s, dir)
     twoLevel12(s, dir); pdk8(s, dir); bivf8(s, dir); rqModel16(s, dir)
     prqModel(s, dir); imi16(s, dir); imipq16(s, dir); imisq16(s, dir)
-    sqMeanstd(s, dir); ivfrq8(s, dir)
+    imisqRes16(s, dir); sqMeanstd(s, dir); ivfrq8(s, dir)
     kmSph8(s, dir); kmEnc8(s, dir); znLat16(s, dir); pca16(s, dir)
     itq32(s, dir)
     pqfs8(s, dir); ivfpqfs8(s, dir); ivfsq4(s, dir); rqfs2(s, dir)
@@ -457,6 +457,8 @@ object Queries {
       OracleAux.codebooksDf(s, ipqImi.model.codebooks))
     OracleAux.write(dir, "imisq_coarse_cb",
       OracleAux.codebooksDf(s, imisq16(s, dir).coarse.codebooks))
+    OracleAux.write(dir, "imisqres_coarse_cb",
+      OracleAux.codebooksDf(s, imisqRes16(s, dir).coarse.codebooks))
     OracleAux.write(dir, "kmeans8_centroids",
       OracleAux.centroidsDf(s, km8(s, dir).centroids))
     OracleAux.write(dir, "kmeans_enc_centroids",
@@ -661,6 +663,12 @@ object Queries {
     cached(s"imisq16:$dir") {
       graft.index.ImiSqIndex.build(bDf(s, dir, 10), "id", "vec", ksub = 16,
         qtype = "SQ8", niterCoarse = 4)
+    }
+  /** The by_residual=true IMI+SQ form — what the factory builds. */
+  private def imisqRes16(s: SparkSession, dir: String): graft.index.ImiSqIndex =
+    cached(s"imisqres16:$dir") {
+      graft.index.ImiSqIndex.build(bDf(s, dir, 10), "id", "vec", ksub = 16,
+        qtype = "SQ8", niterCoarse = 4, byResidual = true)
     }
   private def rqModel16(s: SparkSession, dir: String): graft.index.RqModel =
     cached(s"rq16:$dir") {
@@ -4884,6 +4892,67 @@ object Queries {
               |  FROM enc e JOIN lut l ON l.cell = e.cell AND l.m = e.m AND l.j = e.j
               |  GROUP BY l.qid, e.id)
               |SELECT qid, id, round(dist, 4) AS dist FROM adc WHERE dist < 1.3""".stripMargin)),
+
+    // IMI2x<b>,SQ<w> with by_residual = true — the form the FACTORY
+    // builds (IndexScalarQuantizer.h:74 ctor default, consistent with
+    // the IVF<n>,SQ<w> route): the shared range trains over residuals
+    // against the cell centroid (concat of the two half codewords),
+    // and the query side subtracts the probed centroid before the
+    // ADC. The oracle replays cell assignment, float32 residuals, the
+    // residual-trained range, encode/decode, MinSumK probes, the
+    // query-side residual, and the residual ADC top-k.
+    ("imi_sq_residual_search", (s: SparkSession, dir: String) =>
+      imisqRes16(s, dir).search(qDf(s, dir, 10), k = 5, nprobe = 8)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH ccb AS (SELECT m, j, c FROM read_parquet('$AUX/imisqres_coarse_cb/*.parquet')),
+              |bh AS (SELECT vec_id AS id, r.m AS m, embedding[r.m*32+1:r.m*32+32]::DOUBLE[] AS sv
+              |       FROM embeddings, range(0,2) r(m) WHERE vec_id >= 10),
+              |benc AS (SELECT id, m, j FROM (
+              |  SELECT b.id, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bh b JOIN ccb cb ON cb.m = b.m) t WHERE rn = 1),
+              |bcell AS (SELECT a0.id, a0.j AS j0, a1.j AS j1, a0.j*16 + a1.j AS cell
+              |  FROM benc a0 JOIN benc a1 ON a0.id = a1.id AND a0.m = 0 AND a1.m = 1),
+              |bres AS (SELECT bc.id, bc.cell,
+              |    list_transform(list_zip(b.embedding, c0.c || c1.c), p -> p[1] - p[2]) AS res
+              |  FROM bcell bc JOIN embeddings b ON b.vec_id = bc.id
+              |  JOIN ccb c0 ON c0.m = 0 AND c0.j = bc.j0
+              |  JOIN ccb c1 ON c1.m = 1 AND c1.j = bc.j1),
+              |dims AS (
+              |  SELECT list(mn ORDER BY i) AS vmn, list(mx - mn ORDER BY i) AS vd FROM (
+              |    SELECT i, min(e) AS mn, max(e) AS mx
+              |    FROM (SELECT unnest(res::DOUBLE[]) AS e, generate_subscripts(res, 1) AS i
+              |          FROM bres) u GROUP BY i) t),
+              |dec AS (SELECT id, cell,
+              |  list_transform(res::DOUBLE[], (x, i) ->
+              |    vmn[i] + (floor(255 * (CASE WHEN vd[i] = 0 THEN 0
+              |      ELSE least(greatest((x - vmn[i]) / vd[i], 0), 1) END)) + 0.5) / 255 * vd[i]) AS dv
+              |  FROM bres, dims),
+              |qh AS (SELECT vec_id AS qid, r.m AS m, embedding[r.m*32+1:r.m*32+32]::DOUBLE[] AS sv
+              |       FROM embeddings, range(0,2) r(m) WHERE vec_id < 10),
+              |qtop AS (SELECT qid, m, j, d FROM (
+              |  SELECT q.qid, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS d,
+              |    row_number() OVER (PARTITION BY q.qid, q.m ORDER BY
+              |      list_aggregate(list_transform(list_zip(q.sv, cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM qh q JOIN ccb cb ON cb.m = q.m) t WHERE rn <= 8),
+              |cells AS (SELECT d0.qid, d0.j AS j0, d1.j AS j1, d0.j*16 + d1.j AS cell, d0.d + d1.d AS cd
+              |  FROM qtop d0 JOIN qtop d1 ON d0.qid = d1.qid AND d0.m = 0 AND d1.m = 1),
+              |probes AS (SELECT qid, j0, j1, cell FROM (
+              |  SELECT qid, j0, j1, cell, cd, row_number() OVER (PARTITION BY qid ORDER BY cd, cell) AS pr
+              |  FROM cells) t WHERE pr <= 8),
+              |qres AS (SELECT p.qid, p.cell,
+              |    list_transform(list_zip(q.embedding, c0.c || c1.c), x -> x[1] - x[2]) AS res
+              |  FROM probes p JOIN embeddings q ON q.vec_id = p.qid
+              |  JOIN ccb c0 ON c0.m = 0 AND c0.j = p.j0
+              |  JOIN ccb c1 ON c1.m = 1 AND c1.j = p.j1),
+              |d AS (SELECT qr.qid, b.id,
+              |    list_aggregate(list_transform(list_zip(qr.res::DOUBLE[], b.dv),
+              |      x -> (x[1]-x[2])*(x[1]-x[2])), 'sum') AS dist
+              |  FROM qres qr JOIN dec b ON b.cell = qr.cell)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 5""".stripMargin)),
 
     // Binary IVF range search (IndexBinaryIVF::range_search): the
     // Hamming-pruned lists under a radius predicate (inclusive bound,
