@@ -1203,28 +1203,35 @@ object Queries {
 
     // range_search_with_parameters (faiss/IVFlib.h:46): the radius
     // scan under the same knobs search_with_parameters takes — an
-    // IDSelector pushed inside the scan and the per-(query, list)
-    // max_codes scan budget (capped BEFORE the radius predicate, as
-    // the reference caps codes scanned, not results). The oracle
-    // replays assignment from the centroid sidecar, the id filter,
-    // the per-list budget rank, and the radius cut.
+    // IDSelector pushed inside the scan and the max_codes budget: a
+    // per-query TOTAL consumed in probe-rank order (IndexIVF.cpp:586
+    // accumulates WHOLE scanned lists and breaks once nscan >=
+    // max_codes), sized on RAW pre-selector list sizes. The oracle
+    // replays assignment from the centroid sidecar, the per-query
+    // probe ranking, the cumulative budget cut, the id filter, and
+    // the radius cut. maxCodes=8 admits ~2-3 lists per query.
     ("ivf_range_params", (s: SparkSession, dir: String) =>
       ivf16(s, dir).rangeSearch(qDf(s, dir, 10), radius = 1.5, nprobe = 16,
-        filter = Some(pmod(col("id"), lit(3)) === 0), maxCodes = Some(3))
+        filter = Some(pmod(col("id"), lit(3)) === 0), maxCodes = Some(8))
         .withColumn("dist", r4("dist")),
       Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivf16_centroids/*.parquet')),
-              |basg AS (SELECT id, list_no FROM (
+              |basg_all AS (SELECT id, list_no FROM (
               |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
               |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
-              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10 AND b.vec_id % 3 = 0) t WHERE rn = 1),
-              |d AS (SELECT q.vec_id AS qid, a.list_no, a.id,
-              |    list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2 AS dist
-              |  FROM embeddings q CROSS JOIN basg a JOIN embeddings b ON b.vec_id = a.id
-              |  WHERE q.vec_id < 10),
-              |capped AS (SELECT qid, id, dist FROM (
-              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid, list_no ORDER BY dist, id) AS rn
-              |  FROM d) t WHERE rn <= 3)
-              |SELECT qid, id, round(dist, 4) AS dist FROM capped WHERE dist < 1.5""".stripMargin)),
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |lsz AS (SELECT list_no, count(*) AS c FROM basg_all GROUP BY list_no),
+              |qc AS (SELECT q.vec_id AS qid, c.list_no, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
+              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10),
+              |cum AS (SELECT p.qid, p.list_no,
+              |    sum(coalesce(l.c, 0)) OVER (PARTITION BY p.qid ORDER BY p.pr) - coalesce(l.c, 0) AS bef
+              |  FROM qc p LEFT JOIN lsz l USING (list_no))
+              |SELECT u.qid, a.id,
+              |  round(list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2, 4) AS dist
+              |FROM cum u JOIN basg_all a USING (list_no)
+              |JOIN embeddings q ON q.vec_id = u.qid JOIN embeddings b ON b.vec_id = a.id
+              |WHERE u.bef < 8 AND a.id % 3 = 0
+              |  AND list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2 < 1.5""".stripMargin)),
 
     // §2.3 the real approximate path (nprobe << nlist). Oracle reads
     // the trained-centroid sidecar, re-derives per-query probe lists
@@ -4021,7 +4028,8 @@ object Queries {
     // max(nprobes) serves the whole grid; the oracle replays the full
     // IVFPQ chain (coarse assign, residual encode base AND query,
     // per-list LUT + ADC, polysemous Hamming between the code pairs,
-    // per-(ht, query, list) scan-budget rank), the grid filters, the
+    // per-query cumulative scan budget in probe-rank order
+    // (IndexIVF.cpp:586)), the grid filters, the
     // recall/scanned aggregates, and the Pareto dominance filter.
     ("autotune_pareto_multi", (s: SparkSession, dir: String) => {
       import s.implicits._
@@ -4074,13 +4082,16 @@ object Queries {
               |  JOIN ham h ON h.id = e.id AND h.qid = l.qid AND h.list_no = e.list_no
               |  GROUP BY l.qid, e.list_no, p.pr, e.id),
               |hts AS (SELECT unnest([12, 32]) AS ht),
-              |candh AS (SELECT c.*, h.ht, row_number() OVER (
-              |    PARTITION BY h.ht, c.qid, c.list_no ORDER BY c.dist, c.id) AS rl
-              |  FROM cand0 c JOIN hts h ON c.hd <= h.ht),
+              |lsz AS (SELECT list_no, count(*) AS c FROM basg GROUP BY list_no),
+              |cum AS (SELECT p.qid, p.list_no,
+              |    sum(coalesce(l.c, 0)) OVER (PARTITION BY p.qid ORDER BY p.pr) - coalesce(l.c, 0) AS bef
+              |  FROM qc p LEFT JOIN lsz l USING (list_no)),
+              |candh AS (SELECT c.*, h.ht FROM cand0 c JOIN hts h ON c.hd <= h.ht),
               |grid AS (SELECT n.np, m.mc FROM (SELECT unnest([2, 8]) AS np) n,
               |  (SELECT unnest([5, 1000000]) AS mc) m),
               |allc AS (SELECT g.np, c.ht, g.mc, c.qid, c.id, c.dist
-              |  FROM candh c JOIN grid g ON c.pr <= g.np AND c.rl <= g.mc),
+              |  FROM candh c JOIN cum u ON u.qid = c.qid AND u.list_no = c.list_no
+              |  JOIN grid g ON c.pr <= g.np AND u.bef < g.mc),
               |scanned AS (SELECT np, ht, mc, count(*)::DOUBLE AS s FROM allc GROUP BY np, ht, mc),
               |tot AS (SELECT count(*)::DOUBLE *
               |    (SELECT count(*) FROM embeddings WHERE vec_id < 10) AS t FROM basg),
@@ -4116,7 +4127,8 @@ object Queries {
     // coarse — one MinSumK-probed candidate scan serves every grid
     // point. The oracle replays the entire imi_pq_search chain PLUS
     // the query-side residual encode (for the polysemous Hamming),
-    // the per-(ht, query, cell) scan-budget rank, the grid filters,
+    // the per-query cumulative scan budget in probe-rank order
+    // (IndexIVF.cpp:586), the grid filters,
     // the recall/scanned aggregates, and the Pareto dominance filter.
     ("autotune_pareto_imi", (s: SparkSession, dir: String) => {
       import s.implicits._
@@ -4187,13 +4199,16 @@ object Queries {
               |  JOIN ham h ON h.id = e.id AND h.qid = l.qid AND h.cell = e.cell
               |  GROUP BY l.qid, e.cell, e.id),
               |hts AS (SELECT unnest([12, 32]) AS ht),
-              |candh AS (SELECT c.*, h.ht, row_number() OVER (
-              |    PARTITION BY h.ht, c.qid, c.cell ORDER BY c.dist, c.id) AS rl
-              |  FROM cand0 c JOIN hts h ON c.hd <= h.ht),
+              |lsz AS (SELECT cell, count(*) AS c FROM bcell GROUP BY cell),
+              |cum AS (SELECT p.qid, p.cell,
+              |    sum(coalesce(l.c, 0)) OVER (PARTITION BY p.qid ORDER BY p.pr) - coalesce(l.c, 0) AS bef
+              |  FROM probes p LEFT JOIN lsz l USING (cell)),
+              |candh AS (SELECT c.*, h.ht FROM cand0 c JOIN hts h ON c.hd <= h.ht),
               |grid AS (SELECT n.np, m.mc FROM (SELECT unnest([2, 8]) AS np) n,
               |  (SELECT unnest([5, 1000000]) AS mc) m),
               |allc AS (SELECT g.np, c.ht, g.mc, c.qid, c.id, c.dist
-              |  FROM candh c JOIN grid g ON c.pr <= g.np AND c.rl <= g.mc),
+              |  FROM candh c JOIN cum u ON u.qid = c.qid AND u.cell = c.cell
+              |  JOIN grid g ON c.pr <= g.np AND u.bef < g.mc),
               |scanned AS (SELECT np, ht, mc, count(*)::DOUBLE AS s FROM allc GROUP BY np, ht, mc),
               |tot AS (SELECT count(*)::DOUBLE *
               |    (SELECT count(*) FROM embeddings WHERE vec_id < 10) AS t FROM bcell),

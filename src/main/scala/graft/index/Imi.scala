@@ -130,8 +130,9 @@ object ImiIndex {
   * materializes; the codes scan is statically pruned to the probed
   * cells and aggregated by the bounded-heap top-k. Optional `ht`
   * (polysemous Hamming pre-filter on the residual codes,
-  * IndexIVFPQ.h polysemous_ht) and `maxCodes` (per-(query, cell) scan
-  * budget, IndexIVF.h:67-72) expose the SIFT1B operating-point knobs. */
+  * IndexIVFPQ.h polysemous_ht) and `maxCodes` (per-query TOTAL scan
+  * budget in probe-rank order, IndexIVF.h:67-72 / IndexIVF.cpp:586)
+  * expose the SIFT1B operating-point knobs. */
 /** Shared IMI probe selection: the MinSumK two-level cell ranking
   * (MultiIndexQuantizer2::search, IndexPQ.cpp:1042) — per-half top-k2
   * through the half LUTs (k2 = min(nprobe, ksub)), min-sum combine,
@@ -238,13 +239,34 @@ class ImiPqIndex(
     probesLut = ht match {
       case Some(_) => probesLut.withColumn("_qcode",
         shim.col(graft.core.PQEncode(shim.expr(col("_qres")), model.codebooks)))
-        .drop("_qres", "pr")
-      case None => probesLut.drop("_qres", "pr")
+        .drop("_qres")
+      case None => probesLut.drop("_qres")
     }
     // static cell pruning: only distinct cell ints cross the driver
     // (Probes.probedListIds); the LUT-bearing probe rows broadcast
     // (or shuffle-join for huge query sets)
-    val probed = Probes.probedListIds(probesLut.select(col("cell").as("list_no")))
+    val probed0 = Probes.probedListIds(probesLut.select(col("cell").as("list_no")))
+    // max_codes = per-query TOTAL scan budget consumed in probe-rank
+    // order (IndexIVF.cpp:586 — whole lists accumulate until the
+    // budget trips; the IvfIndex.budgetProbes semantics): the cell at
+    // probe rank r is scanned iff the raw sizes of the better-ranked
+    // cells sum below the budget. A probe prefilter, never a
+    // per-candidate aggregate.
+    maxCodes.foreach { mc =>
+      import org.apache.spark.sql.expressions.Window
+      val sizes = codes.filter(col("cell").isin(probed0.map(Integer.valueOf).toSeq: _*))
+        .groupBy("cell").agg(count(lit(1)).as("_csz0"))
+      val w = Window.partitionBy(col(queryId)).orderBy(col("pr"))
+      probesLut = probesLut.join(sizes, Seq("cell"), "left")
+        .withColumn("_csz", coalesce(col("_csz0"), lit(0L)))
+        .withColumn("_before", sum(col("_csz")).over(w) - col("_csz"))
+        .filter(col("_before") < mc)
+        .drop("_csz0", "_csz", "_before")
+    }
+    probesLut = probesLut.drop("pr")
+    val probed = if (maxCodes.isDefined)
+      Probes.probedListIds(probesLut.select(col("cell").as("list_no")))
+    else probed0
     val probeSide = if (broadcastQueries) broadcast(probesLut) else probesLut
     var cand = codes.filter(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*))
       .join(probeSide, "cell")
@@ -254,17 +276,8 @@ class ImiPqIndex(
       cand = cand.filter(
         graft.functions.hamming_dist(col("code"), col("_qcode")) <= t)
     }
-    var scored = cand.select(col(queryId), col("cell"), col("id"),
+    val scored = cand.select(col(queryId), col("cell"), col("id"),
       model.adcCol(col("code"), col("_lut")).as("_dist"))
-    maxCodes.foreach { mc =>
-      // scan budget per (query, cell) before the global top-k
-      scored = scored
-        .groupBy(col(queryId), col("cell"))
-        .agg(topk(col("_dist"), col("id"), mc, asc = true).as("_tk"))
-        .select(col(queryId), col("cell"), explode(col("_tk")).as("_r"))
-        .select(col(queryId), col("cell"),
-          col("_r.id").as("id"), col("_r.dist").as("_dist"))
-    }
     scored
       .groupBy(col(queryId))
       .agg(topk(col("_dist"), col("id"), k, asc = true).as("_tk"))

@@ -79,11 +79,35 @@ class IvfIndex(
       .groupBy("list_no").agg(min(col("pr")).as("_pr"))
       .collect().map(r => (r.getInt(0), r.getInt(1)))
 
+  /** max_codes probe-budget filter (IndexIVF::search_preassigned,
+    * faiss/IndexIVF.cpp:586: `nscan` accumulates WHOLE scanned lists
+    * in probe-rank order and the scan breaks once nscan >= max_codes)
+    * — a per-query TOTAL budget, so the list at probe rank r is
+    * scanned iff the RAW sizes of the better-ranked lists sum below
+    * the budget. Sizes are pre-IDSelector (the reference counts
+    * invlists->list_size, not surviving candidates). Expressed as a
+    * probe-table prefilter: whole lists are cut before the scan join
+    * — at scale this PRUNES partitions, where a per-candidate cap
+    * would add an aggregate over every scanned code. */
+  private def budgetProbes(pr: DataFrame, listsRaw: DataFrame, mc: Int,
+      queryId: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = listsRaw.groupBy("list_no").agg(count(lit(1)).as("_lsz"))
+    // pr is unique per (query, list), so the running-sum frame is
+    // well-defined; probed-but-empty lists carry size 0
+    val w = Window.partitionBy(col(queryId)).orderBy(col("pr"))
+    pr.join(sizes, Seq("list_no"), "left")
+      .withColumn("_csz", coalesce(col("_lsz"), lit(0L)))
+      .withColumn("_before", sum(col("_csz")).over(w) - col("_csz"))
+      .filter(col("_before") < mc)
+      .drop("_lsz", "_csz", "_before")
+  }
+
   /** kNN search over the probed lists (search_preassigned,
     * faiss/IndexIVF.cpp:398-683). Output (qid, rank, id, dist).
     * `filter` = IDSelector pushed inside the scan (IndexIVF.h:377).
-    * `maxCodes` caps scanned candidates per (query, list)
-    * (faiss/IndexIVF.h:67-72 max_codes budget). */
+    * `maxCodes` = the per-query TOTAL scan budget consumed in
+    * probe-rank order (faiss/IndexIVF.h:67-72; see [[budgetProbes]]). */
   /** @param broadcastQueries true (default) broadcasts the probe table
     *        (small query sets); false leaves it to a shuffle equi-join
     *        on list_no — the right plan when the query set itself is
@@ -96,26 +120,22 @@ class IvfIndex(
       withCentroid: Boolean = false,
       broadcastQueries: Boolean = true,
       hnswCoarse: Option[Int] = None): DataFrame = {
-    val pr = probes(queries, nprobe, queryId, queryVec, hnswCoarse)
+    val pr0 = probes(queries, nprobe, queryId, queryVec, hnswCoarse)
     // The probed-list set is tiny (≤ queries × nprobe ints): collecting
     // it turns the invlists scan into a statically partition-pruned read.
-    val probed = pr.select("list_no").distinct().collect().map(_.getInt(0))
+    val probed0 = pr0.select("list_no").distinct().collect().map(_.getInt(0))
+    val listsRaw = invlists.filter(col("list_no").isin(probed0.map(Integer.valueOf): _*))
+    val pr = maxCodes.map(budgetProbes(pr0, listsRaw, _, queryId)).getOrElse(pr0)
+    // re-prune after the budget cut: lists past the budget drop out of
+    // the scan set entirely
+    val probed = if (maxCodes.isDefined)
+      pr.select("list_no").distinct().collect().map(_.getInt(0)) else probed0
     val lists0 = invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
     val lists = filter.map(lists0.filter).getOrElse(lists0)
     val prSide = if (broadcastQueries) broadcast(pr) else pr
-    var cand = lists.join(prSide, "list_no")
+    val cand = lists.join(prSide, "list_no")
       .select(col(queryId), col("list_no"), col("id"),
         vec_dist(col(queryVec), col("vec"), metric).as("_dist"))
-    maxCodes.foreach { mc =>
-      // scan budget per (query, list): keep the mc best candidates of
-      // each probed list before the global top-k
-      cand = cand
-        .groupBy(col(queryId), col("list_no"))
-        .agg(topk(col("_dist"), col("id"), mc, Metric.ascending(metric)).as("_tk"))
-        .select(col(queryId), col("list_no"), explode(col("_tk")).as("_r"))
-        .select(col(queryId), col("list_no"),
-          col("_r.id").as("id"), col("_r.dist").as("_dist"))
-    }
     val agg =
       if (withCentroid) {
         // search_and_return_centroids (faiss/IVFlib.h:74): carry list_no
@@ -211,33 +231,30 @@ class IvfIndex(
 
   /** IVF range search (faiss/IndexIVF.cpp:690-795): same pruning,
     * radius predicate instead of top-k. `filter` is the IDSelector
-    * pushed inside the scan and `maxCodes` the per-(query, list) scan
-    * budget — range_search_with_parameters (faiss/IVFlib.h:46) takes
-    * the identical knobs search_with_parameters does. */
+    * pushed inside the scan and `maxCodes` the per-query TOTAL scan
+    * budget in probe-rank order ([[budgetProbes]]) —
+    * range_search_with_parameters (faiss/IVFlib.h:46) takes the
+    * identical knobs search_with_parameters does. */
   def rangeSearch(queries: DataFrame, radius: Double, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec",
       filter: Option[Column] = None,
       maxCodes: Option[Int] = None): DataFrame = {
-    val pr = probes(queries, nprobe, queryId, queryVec)
-    val probed = pr.select("list_no").distinct().collect().map(_.getInt(0))
+    val pr0 = probes(queries, nprobe, queryId, queryVec)
+    val probed0 = pr0.select("list_no").distinct().collect().map(_.getInt(0))
+    // budget sizes are pre-IDSelector (the reference counts raw
+    // list_size even under a selector)
+    val listsRaw = invlists.filter(col("list_no").isin(probed0.map(Integer.valueOf): _*))
+    val pr = maxCodes.map(budgetProbes(pr0, listsRaw, _, queryId)).getOrElse(pr0)
+    val probed = if (maxCodes.isDefined)
+      pr.select("list_no").distinct().collect().map(_.getInt(0)) else probed0
     val lists0 = invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
     val lists = filter.map(lists0.filter).getOrElse(lists0)
     val asc = Metric.ascending(metric)
     val pred = if (asc) col("dist") < radius else col("dist") > radius
-    var cand = lists.join(broadcast(pr), "list_no")
+    lists.join(broadcast(pr), "list_no")
       .select(col(queryId), col("list_no"), col("id"),
         vec_dist(col(queryVec), col("vec"), metric).as("dist"))
-    maxCodes.foreach { mc =>
-      // scan budget per (query, list) BEFORE the radius predicate
-      // (the reference caps codes scanned, not results returned)
-      cand = cand
-        .groupBy(col(queryId), col("list_no"))
-        .agg(topk(col("dist"), col("id"), mc, asc).as("_tk"))
-        .select(col(queryId), col("list_no"), explode(col("_tk")).as("_r"))
-        .select(col(queryId), col("list_no"),
-          col("_r.id").as("id"), col("_r.dist").as("dist"))
-    }
-    cand.select(col(queryId), col("id"), col("dist")).filter(pred)
+      .select(col(queryId), col("id"), col("dist")).filter(pred)
   }
 
   /** Which list each base id landed in (search_centroid,

@@ -104,14 +104,15 @@ object AutoTune {
     * explore on the 3-axis grid). ONE pruned candidate scan at
     * max(nprobes) yields every grid point: each candidate carries its
     * probe rank (nprobe axis), its polysemous Hamming distance to the
-    * query's per-list residual code (ht axis), and its ADC distance
-    * (ranked within (query, list) for the max_codes scan budget) —
-    * the reference re-runs the index per grid point because its scan
-    * is in-memory; at 100 TB each re-run is a full pruned read, so
-    * deriving the grid from one read is the dataflow-correct shape.
-    * `hts` values ≥ the code bit width and `maxCodes` values ≥ the
-    * largest list degenerate to unfiltered axes (the reference's
-    * parameter-off convention). */
+    * query's per-list residual code (ht axis), and its list's
+    * cumulative scan position in probe-rank order (the max_codes
+    * TOTAL budget, IndexIVF.cpp:586) — the reference re-runs the
+    * index per grid point because its scan is in-memory; at 100 TB
+    * each re-run is a full pruned read, so deriving the grid from one
+    * read is the dataflow-correct shape. `hts` values ≥ the code bit
+    * width and `maxCodes` values ≥ the per-query scanned total
+    * degenerate to unfiltered axes (the reference's parameter-off
+    * convention). */
   def exploreMulti(idx: graft.index.IvfPqIndex, queries: DataFrame,
       base: DataFrame, k: Int, nprobes: Seq[Int], hts: Seq[Int],
       maxCodesList: Seq[Int]): Seq[OperatingPointM] =
@@ -141,17 +142,27 @@ object AutoTune {
     val nq = queries.count().toDouble
     val cand = candidates.cache()
     try {
-      // ht is a per-candidate predicate, so the in-list scan-budget
-      // rank must be computed per ht value (a looser filter admits
-      // more better-ranked candidates); the ht axis is tiny, so the
-      // fan-out is |hts| × candidates
-      val candH = cand.join(broadcast(hts.toDF("ht")), col("ham") <= col("ht"))
-        .withColumn("_rl", row_number().over(
-          Window.partitionBy(col("ht"), col("qid"), col("list_no"))
-            .orderBy(col("dist"), col("id"))))
+      // max_codes = per-query TOTAL scan budget consumed in probe-rank
+      // order (IndexIVF.cpp:586; the IvfIndex.budgetProbes semantics):
+      // the list at rank r is scanned iff the RAW sizes of the
+      // better-ranked lists sum below the budget — independent of ht
+      // (the reference counts scanned codes before the polysemous
+      // filter) and of np (all better-ranked lists are within any
+      // budget that admits this one). Per-(query, list) sizes come
+      // from the candidate table itself: it carries every code of
+      // every probed list.
+      val candB = cand.join(
+        cand.groupBy("qid", "list_no")
+          .agg(count(lit(1)).as("_c"), min(col("pr")).as("_pr"))
+          .withColumn("_before", sum(col("_c")).over(
+            Window.partitionBy(col("qid")).orderBy(col("_pr"))) - col("_c"))
+          .select(col("qid"), col("list_no"), col("_before")),
+        Seq("qid", "list_no"))
+      val candH = candB.join(broadcast(hts.toDF("ht")), col("ham") <= col("ht"))
       val grid = broadcast(
         (for (np <- nprobes; mc <- maxCodesList) yield (np, mc)).toDF("np", "mc"))
-      val all = candH.join(grid, col("pr") < col("np") && col("_rl") <= col("mc"))
+      val all = candH.join(grid,
+        col("pr") < col("np") && col("_before") < col("mc"))
         .cache()
       try {
         val scanned = all.groupBy("np", "ht", "mc")
