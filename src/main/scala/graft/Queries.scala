@@ -822,6 +822,110 @@ object Queries {
        |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
        |WHERE "rank" <= 10""".stripMargin
 
+  /** Full IVFPQ replay at nprobe = nlist over the ivfpq sidecars,
+    * shared by the exact coarse assign (`ivfpq_search`) and its
+    * HNSW-coarse degenerate twin (`ivf_hnsw_pq_search`). */
+  private lazy val ivfpqNprobe8Sql: String =
+    s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfpq_centroids/*.parquet')),
+              |cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/ivfpq_codebooks/*.parquet')),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |bres AS (SELECT a.id, a.list_no,
+              |    list_transform(list_zip(b.embedding, c.c), p -> p[1] - p[2]) AS res
+              |  FROM basg a JOIN embeddings b ON b.vec_id = a.id JOIN cent c ON c.list_no = a.list_no),
+              |bsub AS (SELECT id, list_no, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM bres, range(0,8) r(m)),
+              |enc AS (SELECT id, list_no, m, j FROM (
+              |  SELECT b.id, b.list_no, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
+              |qres AS (SELECT q.vec_id AS qid, c.list_no,
+              |    list_transform(list_zip(q.embedding, c.c), p -> p[1] - p[2]) AS res
+              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10),
+              |qsub AS (SELECT qid, list_no, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM qres, range(0,8) r(m)),
+              |lut AS (SELECT q.qid, q.list_no, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub q JOIN cb ON cb.m = q.m),
+              |adc AS (SELECT l.qid, e.id, list_aggregate(list(l.pd ORDER BY l.m), 'sum') AS dist
+              |  FROM enc e JOIN lut l ON l.list_no = e.list_no AND l.m = e.m AND l.j = e.j
+              |  GROUP BY l.qid, e.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w
+              |WHERE "rank" <= 10""".stripMargin
+
+  /** Quantized-LUT integer fast-scan replay at nprobe=4, shared by
+    * `ivfpq4fs_search` and its HNSW-coarse degenerate twin. */
+  private lazy val ivfpq4fsNprobe4Sql: String =
+    s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfpqfs_centroids/*.parquet')),
+              |cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/ivfpqfs_codebooks/*.parquet')),
+              |qc AS (SELECT q.vec_id AS qid, c.list_no, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
+              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10),
+              |probes AS (SELECT qid, list_no FROM qc WHERE pr <= 4),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |bsub AS (SELECT vec_id AS id, r.m AS m, embedding[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM embeddings, range(0,8) r(m) WHERE vec_id >= 10),
+              |enc AS (SELECT id, m, j FROM (
+              |  SELECT b.id, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
+              |qsub AS (SELECT vec_id AS qid, r.m AS m, embedding[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM embeddings, range(0,8) r(m) WHERE vec_id < 10),
+              |lut AS (SELECT q.qid, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub q JOIN cb ON cb.m = q.m),
+              |colstat AS (SELECT qid, m, min(pd) AS mn, max(pd) - min(pd) AS span FROM lut GROUP BY qid, m),
+              |scal AS (SELECT qid, 255.0 / max(span) AS a,
+              |    list_aggregate(list(mn ORDER BY m), 'sum') AS b FROM colstat GROUP BY qid),
+              |lq AS (SELECT l.qid, l.m, l.j, floor((l.pd - cs.mn) * sc.a + 0.5)::BIGINT AS lq
+              |  FROM lut l JOIN colstat cs ON cs.qid = l.qid AND cs.m = l.m
+              |  JOIN scal sc ON sc.qid = l.qid),
+              |acc AS (SELECT l.qid, e.id, sum(l.lq)::BIGINT AS qdist
+              |  FROM enc e JOIN lq l ON l.m = e.m AND l.j = e.j
+              |  JOIN basg ba ON ba.id = e.id JOIN probes p ON p.qid = l.qid AND p.list_no = ba.list_no
+              |  GROUP BY l.qid, e.id)
+              |SELECT w.qid, "rank", id, qdist, round(qdist / sc.a + sc.b, 4) AS dist FROM (
+              |  SELECT qid, id, qdist, row_number() OVER (PARTITION BY qid ORDER BY qdist, id) AS "rank" FROM acc) w
+              |JOIN scal sc ON sc.qid = w.qid WHERE "rank" <= 10""".stripMargin
+
+  /** by_residual IVF-SQ replay at nprobe = nlist, shared by
+    * `ivfsq_residual_search` and its HNSW-coarse degenerate twin. */
+  private lazy val ivfsqResidualSql: String =
+    s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfsqres_centroids/*.parquet')),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |bres AS (SELECT a.id, a.list_no,
+              |    list_transform(list_zip(b.embedding, c.c), p -> p[1] - p[2]) AS res
+              |  FROM basg a JOIN embeddings b ON b.vec_id = a.id JOIN cent c ON c.list_no = a.list_no),
+              |dims AS (
+              |  SELECT list(mn ORDER BY i) AS vmn, list(mx - mn ORDER BY i) AS vd FROM (
+              |    SELECT i, min(e) AS mn, max(e) AS mx
+              |    FROM (SELECT unnest(res::DOUBLE[]) AS e, generate_subscripts(res, 1) AS i
+              |          FROM bres) u GROUP BY i) t),
+              |dec AS (SELECT id, list_no,
+              |  list_transform(res::DOUBLE[], (x, i) ->
+              |    vmn[i] + (floor(255 * (CASE WHEN vd[i] = 0 THEN 0
+              |      ELSE least(greatest((x - vmn[i]) / vd[i], 0), 1) END)) + 0.5) / 255 * vd[i]) AS dv
+              |  FROM bres, dims),
+              |qres AS (SELECT q.vec_id AS qid, c.list_no,
+              |    list_transform(list_zip(q.embedding, c.c), p -> p[1] - p[2]) AS res
+              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10),
+              |qd AS (SELECT qr.qid, b.id,
+              |  list_aggregate(list_transform(list_zip(qr.res::DOUBLE[], b.dv),
+              |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
+              |  FROM dec b JOIN qres qr ON qr.list_no = b.list_no)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank"
+              |  FROM qd) w WHERE "rank" <= 5""".stripMargin
+
   // ---------------------------------------------------------------------
   // The catalog. Names are stable keys; comments map to SURVEY.md §2 rows.
   // ---------------------------------------------------------------------
@@ -2098,40 +2202,18 @@ object Queries {
     // probed lists' candidates.
     ("ivfpq4fs_search", (s: SparkSession, dir: String) =>
       ivfpqfs8(s, dir).search(qDf(s, dir, 10), 10, nprobe = 4),
-      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfpqfs_centroids/*.parquet')),
-              |cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/ivfpqfs_codebooks/*.parquet')),
-              |qc AS (SELECT q.vec_id AS qid, c.list_no, row_number() OVER (PARTITION BY q.vec_id ORDER BY
-              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
-              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10),
-              |probes AS (SELECT qid, list_no FROM qc WHERE pr <= 4),
-              |basg AS (SELECT id, list_no FROM (
-              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
-              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
-              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
-              |bsub AS (SELECT vec_id AS id, r.m AS m, embedding[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
-              |         FROM embeddings, range(0,8) r(m) WHERE vec_id >= 10),
-              |enc AS (SELECT id, m, j FROM (
-              |  SELECT b.id, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
-              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
-              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
-              |qsub AS (SELECT vec_id AS qid, r.m AS m, embedding[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
-              |         FROM embeddings, range(0,8) r(m) WHERE vec_id < 10),
-              |lut AS (SELECT q.qid, q.m, cb.j,
-              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
-              |  FROM qsub q JOIN cb ON cb.m = q.m),
-              |colstat AS (SELECT qid, m, min(pd) AS mn, max(pd) - min(pd) AS span FROM lut GROUP BY qid, m),
-              |scal AS (SELECT qid, 255.0 / max(span) AS a,
-              |    list_aggregate(list(mn ORDER BY m), 'sum') AS b FROM colstat GROUP BY qid),
-              |lq AS (SELECT l.qid, l.m, l.j, floor((l.pd - cs.mn) * sc.a + 0.5)::BIGINT AS lq
-              |  FROM lut l JOIN colstat cs ON cs.qid = l.qid AND cs.m = l.m
-              |  JOIN scal sc ON sc.qid = l.qid),
-              |acc AS (SELECT l.qid, e.id, sum(l.lq)::BIGINT AS qdist
-              |  FROM enc e JOIN lq l ON l.m = e.m AND l.j = e.j
-              |  JOIN basg ba ON ba.id = e.id JOIN probes p ON p.qid = l.qid AND p.list_no = ba.list_no
-              |  GROUP BY l.qid, e.id)
-              |SELECT w.qid, "rank", id, qdist, round(qdist / sc.a + sc.b, 4) AS dist FROM (
-              |  SELECT qid, id, qdist, row_number() OVER (PARTITION BY qid ORDER BY qdist, id) AS "rank" FROM acc) w
-              |JOIN scal sc ON sc.qid = w.qid WHERE "rank" <= 10""".stripMargin)),
+      Some(ivfpq4fsNprobe4Sql)),
+
+    // `IVF<n>_HNSW<m>,PQ<M>x4fs` — HNSW coarse composed with the
+    // nibble-packed fast-scan code (the factory parses the coarse
+    // independently of the code, index_factory.cpp:253-256). Same
+    // memoized index as ivfpq4fs_search; efSearch = 4096 >= nlist
+    // degenerates the walk to the exact probe set, so the quantized
+    // integer-LUT replay applies verbatim.
+    ("ivf_hnsw_pq4fs_search", (s: SparkSession, dir: String) =>
+      ivfpqfs8(s, dir).search(qDf(s, dir, 10), 10, nprobe = 4,
+        hnswCoarse = Some(4096)),
+      Some(ivfpq4fsNprobe4Sql)),
 
     // Residual IVFPQ fast-scan (IVF8,PQ8x4fsr — by_residual = true,
     // bulk-loaded from the trained ivfpq8 via the
@@ -2192,35 +2274,26 @@ object Queries {
     ("ivfpq_search", (s: SparkSession, dir: String) =>
       ivfpq8(s, dir).search(qDf(s, dir, 10), 10, nprobe = 8)
         .withColumn("dist", r4("dist")),
-      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfpq_centroids/*.parquet')),
-              |cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/ivfpq_codebooks/*.parquet')),
-              |basg AS (SELECT id, list_no FROM (
-              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
-              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
-              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
-              |bres AS (SELECT a.id, a.list_no,
-              |    list_transform(list_zip(b.embedding, c.c), p -> p[1] - p[2]) AS res
-              |  FROM basg a JOIN embeddings b ON b.vec_id = a.id JOIN cent c ON c.list_no = a.list_no),
-              |bsub AS (SELECT id, list_no, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
-              |         FROM bres, range(0,8) r(m)),
-              |enc AS (SELECT id, list_no, m, j FROM (
-              |  SELECT b.id, b.list_no, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
-              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
-              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
-              |qres AS (SELECT q.vec_id AS qid, c.list_no,
-              |    list_transform(list_zip(q.embedding, c.c), p -> p[1] - p[2]) AS res
-              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10),
-              |qsub AS (SELECT qid, list_no, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
-              |         FROM qres, range(0,8) r(m)),
-              |lut AS (SELECT q.qid, q.list_no, q.m, cb.j,
-              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
-              |  FROM qsub q JOIN cb ON cb.m = q.m),
-              |adc AS (SELECT l.qid, e.id, list_aggregate(list(l.pd ORDER BY l.m), 'sum') AS dist
-              |  FROM enc e JOIN lut l ON l.list_no = e.list_no AND l.m = e.m AND l.j = e.j
-              |  GROUP BY l.qid, e.id)
-              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
-              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w
-              |WHERE "rank" <= 10""".stripMargin)),
+      Some(ivfpqNprobe8Sql)),
+
+    // `IVF<n>_HNSW<m>,PQ<m>` — the canonical billion-scale factory
+    // recipe (index_factory.cpp:253-256 parses the coarse quantizer
+    // independently of the code; benchs/bench_all_ivf runs
+    // IVF65536_HNSW32,PQ16): probe selection walks a per-executor
+    // HNSW graph over the centroids instead of the exact O(nlist)
+    // argmin, then the residual-PQ ADC search is unchanged. The
+    // factory trains with the same deterministic seed/iters as the
+    // memoized ivfpq8, and efSearch = max(32, 4·nprobe) >= nlist here
+    // makes the walk cover the whole graph — so the full parse →
+    // build → HNSW-probe → ADC chain must reproduce the ivfpq replay
+    // exactly (the ivf_hnsw_search convention).
+    ("ivf_hnsw_pq_search", (s: SparkSession, dir: String) =>
+      cached(s"factoryIvfHnswPq:$dir") {
+        graft.index.IndexFactory.build(bDf(s, dir, 10), "id", "vec",
+          "IVF8_HNSW16,PQ8", niter = 4)
+      }.search(qDf(s, dir, 10), 10, nprobe = 8)
+        .withColumn("dist", r4("dist")),
+      Some(ivfpqNprobe8Sql)),
 
     // IVFPQ + polysemous Hamming pre-filter (IndexIVFPQ.h:41
     // polysemous_ht — the filter every SIFT1B/Deep1B operating point
@@ -2854,34 +2927,19 @@ object Queries {
     ("ivfsq_residual_search", (s: SparkSession, dir: String) =>
       ivfsqRes16(s, dir).search(qDf(s, dir, 10), 5, nprobe = 16)
         .withColumn("dist", r4("dist")),
-      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfsqres_centroids/*.parquet')),
-              |basg AS (SELECT id, list_no FROM (
-              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
-              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
-              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
-              |bres AS (SELECT a.id, a.list_no,
-              |    list_transform(list_zip(b.embedding, c.c), p -> p[1] - p[2]) AS res
-              |  FROM basg a JOIN embeddings b ON b.vec_id = a.id JOIN cent c ON c.list_no = a.list_no),
-              |dims AS (
-              |  SELECT list(mn ORDER BY i) AS vmn, list(mx - mn ORDER BY i) AS vd FROM (
-              |    SELECT i, min(e) AS mn, max(e) AS mx
-              |    FROM (SELECT unnest(res::DOUBLE[]) AS e, generate_subscripts(res, 1) AS i
-              |          FROM bres) u GROUP BY i) t),
-              |dec AS (SELECT id, list_no,
-              |  list_transform(res::DOUBLE[], (x, i) ->
-              |    vmn[i] + (floor(255 * (CASE WHEN vd[i] = 0 THEN 0
-              |      ELSE least(greatest((x - vmn[i]) / vd[i], 0), 1) END)) + 0.5) / 255 * vd[i]) AS dv
-              |  FROM bres, dims),
-              |qres AS (SELECT q.vec_id AS qid, c.list_no,
-              |    list_transform(list_zip(q.embedding, c.c), p -> p[1] - p[2]) AS res
-              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10),
-              |qd AS (SELECT qr.qid, b.id,
-              |  list_aggregate(list_transform(list_zip(qr.res::DOUBLE[], b.dv),
-              |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
-              |  FROM dec b JOIN qres qr ON qr.list_no = b.list_no)
-              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
-              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank"
-              |  FROM qd) w WHERE "rank" <= 5""".stripMargin)),
+      Some(ivfsqResidualSql)),
+
+    // `IVF<n>_HNSW<m>,SQ<w>` — HNSW coarse composed with the scalar
+    // quantizer code (index_factory.cpp:253-256; by_residual = true,
+    // the IndexIVFScalarQuantizer default). Same memoized index as
+    // ivfsq_residual_search; efSearch = 4096 >= nlist degenerates the
+    // walk to the exact probe set, so the residual-SQ replay applies
+    // verbatim.
+    ("ivf_hnsw_sq_search", (s: SparkSession, dir: String) =>
+      ivfsqRes16(s, dir).search(qDf(s, dir, 10), 5, nprobe = 16,
+        hnswCoarse = Some(4096))
+        .withColumn("dist", r4("dist")),
+      Some(ivfsqResidualSql)),
 
     // §2.11 IVF + 4-bit scalar quantizer (IndexIVFScalarQuantizer
     // QT_4bit, impl/ScalarQuantizer.h:32; factory IVF<n>,SQ4).

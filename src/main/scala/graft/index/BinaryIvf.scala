@@ -62,7 +62,7 @@ class BinaryIvfIndex(
     * probes; efSearch >= nlist degenerates to the exact ranking. */
   def search(queries: DataFrame, k: Int, nprobe: Int,
       queryId: String = "qid", queryCode: String = "qcode",
-      hnswCoarse: Option[Int] = None): DataFrame = {
+      hnswCoarse: Option[Int] = None, hnswM: Int = 16): DataFrame = {
     import org.apache.spark.sql.graft.shim
     val probes = hnswCoarse match {
       case Some(ef) =>
@@ -73,7 +73,7 @@ class BinaryIvfIndex(
         queries.select(col(queryId), col(queryCode),
           explode(shim.col(graft.core.NearestCentroidsHnsw(
             shim.expr(qbits), centF, math.min(nprobe, nlist), ef,
-            m = 16, cacheKey = hnswCacheKey))).as("_p"))
+            m = hnswM, cacheKey = s"$hnswCacheKey:m=$hnswM"))).as("_p"))
           .select(col(queryId), col(queryCode),
             col("_p.list_no").as("list_no"))
       case None => flatProbes(queries, nprobe, queryId, queryCode)

@@ -32,10 +32,21 @@ class ImiIndex(
   def nlist: Int = ksub * ksub
 
   /** Exact-distance search over the nprobe best cells.
-    * Output (qid, rank, id, dist). */
+    * Output (qid, rank, id, dist).
+    *
+    * Guard: above [[ImiIndex.MaxEnumCells]] cells the K² LUT-sum
+    * enumeration below is unreachable — the call routes through the
+    * MinSumK two-level ranking of [[search2]], which selects the SAME
+    * top-nprobe cells (min-sum over per-half top-k2 is exhaustive for
+    * any final rank <= k2, and k2 caps at ksub, making the combine
+    * exhaustive whenever nprobe > ksub). At the reference's IMI2x12
+    * the enumeration would explode 16.7M rows PER QUERY; the guard
+    * makes that plan impossible to reach by accident at scale. */
   def search(queries: DataFrame, k: Int, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec",
       metric: String = "l2sq"): DataFrame = {
+    if (nlist > ImiIndex.MaxEnumCells)
+      return search2(queries, k, nprobe, queryId, queryVec, metric)
     val kl = lit(ksub)
     // per-query cell ranking from the two half-space LUTs
     val probes = queries
@@ -93,6 +104,11 @@ class ImiIndex(
 }
 
 object ImiIndex {
+  /** Cell-count ceiling for [[ImiIndex.search]]'s direct K²
+    * enumeration; beyond it the MinSumK route is forced (same
+    * results, O(nprobe²) candidate cells instead of K²). */
+  val MaxEnumCells = 4096
+
   /** Train the 2-subspace coarse quantizer + assign every row to its
     * cartesian cell. */
   def build(df: DataFrame, idCol: String, vecCol: String, ksub: Int = 16,
@@ -140,6 +156,54 @@ object ImiIndex {
   * cells, never the K² enumeration (at the reference's IMI2x12 that
   * would be 16M cells per query). */
 private[index] object ImiProbes {
+
+  /** (_j<m>, _c<m>) broadcast table of half-space m's centroids — the
+    * shared residual/decode side of every IMI family member (one
+    * definition so a cast or ordering fix reaches all of them). */
+  def halfDf(spark: SparkSession, coarse: PqModel, m: Int): DataFrame = {
+    import spark.implicits._
+    coarse.codebooks(m).zipWithIndex.toSeq
+      .map { case (c, j) => (j, c.toSeq) }.toDF(s"_j$m", s"_c$m")
+      .select(col(s"_j$m"), col(s"_c$m").cast("array<float>").as(s"_c$m"))
+  }
+
+  /** One coarse assignment per row over (…, vec): appends `cell` and
+    * `_cent` (the concatenated half-centroid pair = the cell centroid
+    * residuals subtract). ksub <= 256 runs ONE [[graft.core.PQEncode]]
+    * — the 2-byte cell code yields both the cell id and, through
+    * decode, the centroid (computing the per-subspace argmin twice
+    * would double the coarse cost in the build hot path, r10 review).
+    * ksub > 256 — where PqKernels.encode's byte-per-subspace code
+    * would silently truncate any half index >= 256 mod 256 (the
+    * IMI2x<b> grammar admits b up to the reference's flagship 12+) —
+    * computes the two half argmins as INTS ([[graft.core.PQSubAssign]],
+    * the ImiIndex.build shape) and decodes the centroid through two
+    * K-row broadcast joins. */
+  def assignCells(data: DataFrame, coarse: PqModel, ksub: Int): DataFrame =
+    if (ksub <= 256) {
+      val byteAt = (c: org.apache.spark.sql.Column, i: Int) =>
+        conv(hex(c.substr(i, 1)), 16, 10).cast("int")
+      data.withColumn("_ccode",
+          shim.col(graft.core.PQEncode(shim.expr(col("vec")), coarse.codebooks)))
+        .withColumn("cell",
+          byteAt(col("_ccode"), 1) * ksub + byteAt(col("_ccode"), 2))
+        .withColumn("_cent", coarse.decodeCol(col("_ccode")))
+        .drop("_ccode")
+    } else {
+      val spark = data.sparkSession
+      val dsub = coarse.dsub
+      data
+        .withColumn("_j0", shim.col(PQSubAssign(shim.expr(lit(0)),
+          shim.expr(slice(col("vec"), 1, dsub)), coarse.codebooks)))
+        .withColumn("_j1", shim.col(PQSubAssign(shim.expr(lit(1)),
+          shim.expr(slice(col("vec"), dsub + 1, dsub)), coarse.codebooks)))
+        .withColumn("cell", col("_j0") * ksub + col("_j1"))
+        .join(broadcast(halfDf(spark, coarse, 0)), "_j0")
+        .join(broadcast(halfDf(spark, coarse, 1)), "_j1")
+        .withColumn("_cent", concat(col("_c0"), col("_c1")))
+        .drop("_j0", "_j1", "_c0", "_c1")
+    }
+
   /** Output (queryId, queryVec, cell). */
   def minSumK(queries: DataFrame, coarse: PqModel, ksub: Int, nprobe: Int,
       queryId: String, queryVec: String): DataFrame = {
@@ -194,13 +258,7 @@ class ImiPqIndex(
     * into Built.close()). */
   def close(): Unit = codes.unpersist(blocking = false)
 
-  private def halfDf(m: Int) = {
-    val spark = codes.sparkSession
-    import spark.implicits._
-    coarse.codebooks(m).zipWithIndex.toSeq
-      .map { case (c, j) => (j, c.toSeq) }.toDF(s"_j$m", s"_c$m")
-      .select(col(s"_j$m"), col(s"_c$m").cast("array<float>").as(s"_c$m"))
-  }
+  private def halfDf(m: Int) = ImiProbes.halfDf(codes.sparkSession, coarse, m)
 
   /** Shared probe head of search/rangeSearch/sweepCandidates (one
     * definition — a cell-decode or residual fix reaches all three, the
@@ -371,13 +429,7 @@ class ImiSqIndex(
   /** Release the cached codes table (see [[ImiPqIndex.close]]). */
   def close(): Unit = codes.unpersist(blocking = false)
 
-  private def halfDf(m: Int) = {
-    val spark = codes.sparkSession
-    import spark.implicits._
-    coarse.codebooks(m).zipWithIndex.toSeq
-      .map { case (c, j) => (j, c.toSeq) }.toDF(s"_j$m", s"_c$m")
-      .select(col(s"_j$m"), col(s"_c$m").cast("array<float>").as(s"_c$m"))
-  }
+  private def halfDf(m: Int) = ImiProbes.halfDf(codes.sparkSession, coarse, m)
 
   def search(queries: DataFrame, k: Int, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec",
@@ -421,17 +473,11 @@ object ImiSqIndex {
     val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val coarse = Pq.train(data, "vec", m = 2, ksub = ksub,
       niter = niterCoarse, seed = seed)
-    // one coarse encode per row: cell + (optionally) residual from the
-    // same 2-byte code (the ImiPqIndex.build shape)
-    val byteAt = (c: org.apache.spark.sql.Column, i: Int) =>
-      conv(hex(c.substr(i, 1)), 16, 10).cast("int")
-    val assigned = data
-      .withColumn("_ccode",
-        shim.col(graft.core.PQEncode(shim.expr(col("vec")), coarse.codebooks)))
-      .select(col("id"),
-        (byteAt(col("_ccode"), 1) * ksub + byteAt(col("_ccode"), 2)).as("cell"),
-        (if (byResidual)
-          graft.functions.vec_sub(col("vec"), coarse.decodeCol(col("_ccode")))
+    // one coarse assignment per row (ImiProbes.assignCells: the
+    // encode-once fast path for ksub <= 256, int-argmin beyond)
+    val assigned = ImiProbes.assignCells(data, coarse, ksub)
+      .select(col("id"), col("cell"),
+        (if (byResidual) graft.functions.vec_sub(col("vec"), col("_cent"))
         else col("vec")).as("enc"))
     val cachedEnc = assigned.cache()
     try {
@@ -457,22 +503,11 @@ object ImiPqIndex {
     val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val coarse = Pq.train(data, "vec", m = 2, ksub = ksub,
       niter = niterCoarse, seed = seed)
-    // ONE coarse encode per row: the 2-byte cell code yields both the
-    // cell id (byte0·K + byte1) and, through decode, the cell centroid
-    // for the float32 residual — computing the per-subspace argmin
-    // again via PQSubAssign would triple the coarse assignment cost in
-    // the build hot path (r10 review)
-    val byteAt = (c: org.apache.spark.sql.Column, i: Int) =>
-      conv(hex(c.substr(i, 1)), 16, 10).cast("int")
-    val assigned = data
-      .withColumn("_ccode",
-        shim.col(graft.core.PQEncode(shim.expr(col("vec")), coarse.codebooks)))
-      .select(col("id"), col("vec"),
-        (byteAt(col("_ccode"), 1) * ksub + byteAt(col("_ccode"), 2)).as("cell"),
-        // residual = vec − concat(cb0[j0], cb1[j1]) — the coarse PQ
-        // decode of the cell code, float32 as the reference's residual
-        graft.functions.vec_sub(col("vec"),
-          coarse.decodeCol(col("_ccode"))).as("res"))
+    // one coarse assignment per row (ImiProbes.assignCells); residual
+    // = vec − concat(cb0[j0], cb1[j1]), float32 as the reference's
+    val assigned = ImiProbes.assignCells(data, coarse, ksub)
+      .select(col("id"), col("vec"), col("cell"),
+        graft.functions.vec_sub(col("vec"), col("_cent")).as("res"))
       .cache()
     try {
       val model = Pq.train(assigned, "res", m, pqKsub, niterPq, seed)

@@ -132,18 +132,31 @@ object IndexFactory {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, qid, qvec)
   }
-  private final class IvfPqBuilt(idx: IvfPqIndex, chain: VecTransform)
-      extends Built {
-    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
-      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
-        math.max(nprobe, 1), qid, qvec)
+  /** `hnsw = Some(m)` on the IVF code Builts = the `IVF<n>_HNSW<m>`
+    * coarse of the reference grammar composed with this code
+    * (index_factory.cpp:253-256 parses the coarse independently of
+    * the code): probe selection walks a per-executor degree-m HNSW
+    * graph over the centroids with efSearch = max(32, 4·nprobe) (the
+    * IvfHnswBuilt convention — covers the whole graph on small nlist,
+    * degenerating to exact). */
+  private final class IvfPqBuilt(idx: IvfPqIndex, chain: VecTransform,
+      hnsw: Option[Int] = None) extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
+      val np = math.max(nprobe, 1)
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, np,
+        qid, qvec, hnswCoarse = hnsw.map(_ => math.max(32, 4 * np)),
+        hnswM = hnsw.getOrElse(16))
+    }
   }
 
-  private final class IvfSqBuilt(val idx: IvfSqIndex, chain: VecTransform)
-      extends Built {
-    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
-      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
-        math.max(nprobe, 1), qid, qvec)
+  private final class IvfSqBuilt(val idx: IvfSqIndex, chain: VecTransform,
+      hnsw: Option[Int] = None) extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
+      val np = math.max(nprobe, 1)
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, np,
+        qid, qvec, hnswCoarse = hnsw.map(_ => math.max(32, 4 * np)),
+        hnswM = hnsw.getOrElse(16))
+    }
   }
   /** Refine wrapper: coarse Built + exact re-rank over the
     * (transformed) base (IndexRefineFlat / ",RFlat" suffix). */
@@ -311,12 +324,12 @@ object IndexFactory {
     * instead of the exact O(nlist) argmin — the scale path for large
     * nlist. efSearch scales with nprobe; on small nlist it covers the
     * whole graph and is exact. */
-  private final class IvfHnswBuilt(idx: IvfIndex, chain: VecTransform)
-      extends Built {
+  private final class IvfHnswBuilt(idx: IvfIndex, chain: VecTransform,
+      m: Int = 16) extends Built {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
       val np = math.max(nprobe, 1)
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, np,
-        qid, qvec, hnswCoarse = Some(math.max(32, 4 * np)))
+        qid, qvec, hnswCoarse = Some(math.max(32, 4 * np)), hnswM = m)
     }
   }
 
@@ -336,18 +349,24 @@ object IndexFactory {
         .drop("qdist")
   }
   /** IVF<n>,PQ<M>x4fs (IndexIVFPQFastScan, non-residual). */
-  private final class IvfPqFsBuilt(idx: IvfPq4FastScanIndex, chain: VecTransform)
-      extends Built {
-    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
-      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
-        math.max(nprobe, 1), qid, qvec).drop("qdist")
+  private final class IvfPqFsBuilt(idx: IvfPq4FastScanIndex, chain: VecTransform,
+      hnsw: Option[Int] = None) extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
+      val np = math.max(nprobe, 1)
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, np,
+        qid, qvec, hnswCoarse = hnsw.map(_ => math.max(32, 4 * np)),
+        hnswM = hnsw.getOrElse(16)).drop("qdist")
+    }
   }
   /** IVF<n>,PQ<M>x4fsr (IndexIVFPQFastScan, by_residual = true). */
-  private final class IvfPqFsRBuilt(val idx: IvfPq4FastScanRIndex, chain: VecTransform)
-      extends Built {
-    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
-      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
-        math.max(nprobe, 1), qid, qvec)
+  private final class IvfPqFsRBuilt(val idx: IvfPq4FastScanRIndex, chain: VecTransform,
+      hnsw: Option[Int] = None) extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
+      val np = math.max(nprobe, 1)
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, np,
+        qid, qvec, hnswCoarse = hnsw.map(_ => math.max(32, 4 * np)),
+        hnswM = hnsw.getOrElse(16))
+    }
   }
   /** IVF<n>,RQ<L>x4fs (IndexIVFAdditiveQuantizerFastScan, non-residual). */
   private final class IvfRqFsBuilt(idx: IvfRq4FastScanIndex, chain: VecTransform)
@@ -516,9 +535,40 @@ object IndexFactory {
           s"IVF$nlist(RCQ${lv}x$nb): nlist must equal 2^(${lv}*$nb)")
         new IvfRcqBuilt(IvfRcq.build(data, "id", "vec", lv.toInt, nb.toInt,
           beam = 4, niter = niter, seed = seed), chain)
-      case IvfHnsw(nlist, _) :: "Flat" :: Nil =>
-        new IvfHnswBuilt(IvfIndex.build(data, "id", "vec", nlist.toInt,
-          niter = niter, seed = seed), chain)
+      // IVF<n>_HNSW<m>,<code>: the reference parses the coarse
+      // quantizer independently of the code (index_factory.cpp:253-256
+      // → parse_IndexIVF :293-430), so the HNSW coarse composes with
+      // any IVF code — `IVF65536_HNSW32,PQ16` is THE canonical
+      // billion-scale recipe (benchs/bench_all_ivf). The parsed degree
+      // m reaches the per-executor centroid graph; efSearch follows
+      // the max(32, 4·nprobe) convention and degenerates to exact on
+      // small nlist (the sidecar-oracle gate).
+      case IvfHnsw(nlist, hm) :: code :: Nil => code match {
+        case "Flat" =>
+          new IvfHnswBuilt(IvfIndex.build(data, "id", "vec", nlist.toInt,
+            niter = niter, seed = seed), chain, m = hm.toInt)
+        case PqFs(m, _) =>
+          new IvfPqFsBuilt(IvfPq4FastScanIndex.build(data, "id", "vec",
+            nlist.toInt, m.toInt, niterCoarse = niter, niterPq = niter,
+            seed = seed), chain, hnsw = Some(hm.toInt))
+        case PqFsR(m, _) =>
+          new IvfPqFsRBuilt(IvfPq4FastScanRIndex.build(data, "id", "vec",
+            nlist.toInt, m.toInt, niterCoarse = niter, niterPq = niter,
+            seed = seed), chain, hnsw = Some(hm.toInt))
+        case "SQ8" | "SQ4" | "SQ6" | "SQfp16" =>
+          new IvfSqBuilt(IvfSqIndex.build(data, "id", "vec", nlist.toInt,
+            niter = niter, seed = seed, byResidual = true,
+            qtype = code.stripPrefix("SQ") match {
+              case "fp16" => "fp16"; case w => s"SQ$w" }), chain,
+            hnsw = Some(hm.toInt))
+        case Pq(m, ks) =>
+          new IvfPqBuilt(IvfPqIndex.build(data, "id", "vec", nlist.toInt,
+            m.toInt, Option(ks).map(_.toInt).getOrElse(16),
+            niterCoarse = niter, niterPq = niter, seed = seed), chain,
+            hnsw = Some(hm.toInt))
+        case other => throw new IllegalArgumentException(
+          s"unsupported IVF_HNSW code '$other' in '$desc'")
+      }
       case Ivf(nlist) :: code :: Nil => code match {
         case "Flat" =>
           new IvfBuilt(IvfIndex.build(data, "id", "vec", nlist.toInt,
@@ -740,18 +790,20 @@ object IndexFactory {
         def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qcode: String) =
           BinaryFlat.knnJoin(q, data, k, queryId = qid, queryCode = qcode)
       }
-      case BIvfHnsw(nlist, _) =>
+      case BIvfHnsw(nlist, hm) =>
         // same trained index as BIVF<n>; only probe selection changes
         // (HNSW walk over unpacked centroids — Hamming == L2² on 0/1
-        // bits). efSearch scales with nprobe; on small nlist it covers
-        // the whole graph and is exact, the IvfHnswBuilt convention.
+        // bits). The parsed degree m reaches the coarse graph (the
+        // reference wires it into the IndexBinaryHNSW quantizer);
+        // efSearch scales with nprobe; on small nlist it covers the
+        // whole graph and is exact, the IvfHnswBuilt convention.
         val idx = BinaryIvfIndex.buildFromCodes(data, "id", "code", nbits,
           nlist.toInt, niter = niter, seed = seed)
         new BinaryBuilt {
           def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qcode: String) = {
             val np = math.max(nprobe, 1)
             idx.search(q, k, np, qid, qcode,
-              hnswCoarse = Some(math.max(32, 4 * np)))
+              hnswCoarse = Some(math.max(32, 4 * np)), hnswM = hm.toInt)
           }
         }
       case BIvf(nlist) =>

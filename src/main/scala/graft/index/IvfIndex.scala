@@ -43,12 +43,15 @@ class IvfIndex(
     * row dominates; efSearch >= nlist degenerates to exact. */
   private def probes(queries: DataFrame, nprobe: Int,
       queryId: String, queryVec: String,
-      hnswCoarse: Option[Int] = None): DataFrame = {
+      hnswCoarse: Option[Int] = None, hnswM: Int = 16): DataFrame = {
     val sel = hnswCoarse match {
       case Some(ef) =>
         require(metric == "l2sq", "HNSW coarse quantizer is L2-only (reference semantics)")
+        // m is part of the cache key: the same index searched at two
+        // degrees must not reuse the other's graph
         NearestCentroidsHnsw(shim.expr(col(queryVec)), centroids,
-          math.min(nprobe, nlist), ef, m = 16, cacheKey = hnswCacheKey)
+          math.min(nprobe, nlist), ef, m = hnswM,
+          cacheKey = s"$hnswCacheKey:m=$hnswM")
       case None =>
         NearestCentroids(shim.expr(col(queryVec)), centroids,
           math.min(nprobe, nlist), metric)
@@ -65,8 +68,8 @@ class IvfIndex(
   /** Distinct lists any query probes at this nprobe (the scan set). */
   def probedListNos(queries: DataFrame, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec",
-      hnswCoarse: Option[Int] = None): Array[Int] =
-    probes(queries, nprobe, queryId, queryVec, hnswCoarse)
+      hnswCoarse: Option[Int] = None, hnswM: Int = 16): Array[Int] =
+    probes(queries, nprobe, queryId, queryVec, hnswCoarse, hnswM)
       .select("list_no").distinct().collect().map(_.getInt(0))
 
   /** Each probed list's minimum probe rank over the query set at
@@ -119,8 +122,8 @@ class IvfIndex(
       maxCodes: Option[Int] = None,
       withCentroid: Boolean = false,
       broadcastQueries: Boolean = true,
-      hnswCoarse: Option[Int] = None): DataFrame = {
-    val pr0 = probes(queries, nprobe, queryId, queryVec, hnswCoarse)
+      hnswCoarse: Option[Int] = None, hnswM: Int = 16): DataFrame = {
+    val pr0 = probes(queries, nprobe, queryId, queryVec, hnswCoarse, hnswM)
     // The probed-list set is tiny (≤ queries × nprobe ints): collecting
     // it turns the invlists scan into a statically partition-pruned read.
     val probed0 = pr0.select("list_no").distinct().collect().map(_.getInt(0))

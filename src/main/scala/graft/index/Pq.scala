@@ -224,14 +224,24 @@ class IvfPqIndex(
     /** (id, list_no, code) */
     val codes: DataFrame) {
 
+  /** Per-instance id for the executor-side HNSW coarse-quantizer
+    * cache (the IvfIndex convention). */
+  private val hnswCacheKey = java.util.UUID.randomUUID().toString
+
   /** `polysemousHt` = the reference's IndexIVFPQ::polysemous_ht
     * (IndexIVFPQ.h:41): a Hamming pre-filter between the stored code
     * and the query's PER-LIST residual code, applied before the ADC
-    * distance leaves the scan. */
+    * distance leaves the scan. `hnswCoarse = Some(efSearch)` walks a
+    * per-executor HNSW graph over the centroids instead of the exact
+    * argmin (the `IVF<n>_HNSW<m>,PQ<m>` factory composition —
+    * index_factory.cpp:253 parses the coarse independently of the
+    * code; efSearch >= nlist degenerates to exact). */
   def search(queries: DataFrame, k: Int, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec",
-      polysemousHt: Option[Int] = None): DataFrame =
-    adcCandidates(queries, nprobe, queryId, queryVec, polysemousHt)
+      polysemousHt: Option[Int] = None,
+      hnswCoarse: Option[Int] = None, hnswM: Int = 16): DataFrame =
+    adcCandidates(queries, nprobe, queryId, queryVec, polysemousHt,
+      hnswCoarse, hnswM)
       .groupBy(col(queryId))
       .agg(topk(col("_dist"), col("id"), k, asc = true).as("_tk"))
       .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
@@ -245,13 +255,14 @@ class IvfPqIndex(
     * the pruned codes join scores every candidate. */
   private def adcCandidates(queries: DataFrame, nprobe: Int,
       queryId: String, queryVec: String,
-      polysemousHt: Option[Int] = None): DataFrame = {
+      polysemousHt: Option[Int] = None,
+      hnswCoarse: Option[Int] = None, hnswM: Int = 16): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val centDf = Probes.centroidsDf(spark, centroids)
     var probesPlan = queries.select(col(queryId), col(queryVec),
-      explode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
-        math.min(nprobe, nlist), "l2sq"))).as("_p"))
+      explode(Probes.selExpr(col(queryVec), centroids, nprobe, "l2sq",
+        hnswCoarse, hnswM, hnswCacheKey)).as("_p"))
       .select(col(queryId), col(queryVec), col("_p.list_no").as("list_no"))
       .join(broadcast(centDf), "list_no")
       .withColumn("_qres", vec_sub(col(queryVec), col("centroid")))

@@ -22,6 +22,34 @@ object Probes {
   def probedListIds(probesPlan: DataFrame): Array[Int] =
     probesPlan.select("list_no").distinct().collect().map(_.getInt(0))
 
+  /** Coarse probe-selection expression shared by every IVF-family
+    * code index: the exact O(nlist) argmin ranking
+    * ([[graft.core.NearestCentroids]]) or, under the reference's
+    * `IVF<n>_HNSW<m>` coarse grammar, the per-executor HNSW walk over
+    * the centroids ([[graft.core.NearestCentroidsHnsw]] — the scale
+    * path when nlist is large enough that the exact argmin per query
+    * dominates; efSearch >= nlist degenerates to exact). Returns an
+    * array<struct(list_no, dist)> column ranked best-first. `m` is
+    * folded into the cache key so one index searched at two degrees
+    * never reuses the other's graph. */
+  def selExpr(queryVec: org.apache.spark.sql.Column,
+      centroids: Array[Array[Float]], nprobe: Int, metric: String,
+      hnswCoarse: Option[Int], hnswM: Int,
+      cacheKey: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.shim
+    val np = math.min(nprobe, centroids.length)
+    hnswCoarse match {
+      case Some(ef) =>
+        require(metric == "l2sq",
+          "HNSW coarse quantizer is L2-only (reference semantics)")
+        shim.col(graft.core.NearestCentroidsHnsw(shim.expr(queryVec),
+          centroids, np, ef, m = hnswM, cacheKey = s"$cacheKey:m=$hnswM"))
+      case None =>
+        shim.col(graft.core.NearestCentroids(shim.expr(queryVec),
+          centroids, np, metric))
+    }
+  }
+
   /** The (list_no, centroid: array<float>) table every IVF-family
     * search embeds as a broadcast — one definition instead of a
     * per-method literal (r10 review). */

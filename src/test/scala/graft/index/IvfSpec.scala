@@ -120,4 +120,20 @@ class IvfSpec extends SparkTestBase {
     val full = resultSet(idx.search(q, 5, nprobe = 8))
     assert(capped == full)
   }
+
+  test("factory IVF<n>_HNSW<m>,<code>: HNSW coarse composes with any IVF code") {
+    // The reference parses the coarse quantizer independently of the
+    // code (index_factory.cpp:253-256 -> parse_IndexIVF), so
+    // IVF8_HNSW16,PQ8 must train the SAME model as IVF8,PQ8 (same
+    // seed/iters) and, at efSearch >= nlist (the Built's
+    // max(32, 4*nprobe) covers nlist = 8 at any nprobe), return
+    // bit-identical results to the exact coarse assign.
+    for (code <- Seq("PQ8", "SQ8", "SQfp16", "PQ8x4fs", "PQ8x4fsr")) {
+      val exact = IndexFactory.build(b, "id", "vec", s"IVF8,$code", niter = 3)
+      val hnsw = IndexFactory.build(b, "id", "vec", s"IVF8_HNSW16,$code", niter = 3)
+      val want = resultSet(exact.search(q, 5, nprobe = 8))
+      val got = resultSet(hnsw.search(q, 5, nprobe = 8))
+      assert(got == want, s"IVF8_HNSW16,$code != IVF8,$code")
+    }
+  }
 }
