@@ -1430,7 +1430,19 @@ object Queries {
     // the exact coarse assign: same oracle as ivf_search_nprobe4.
     ("ivf_hnsw_search", (s: SparkSession, dir: String) =>
       ivf16(s, dir).search(qDf(s, dir, 10), k = 10, nprobe = 4,
-        hnswCoarse = Some(4096))
+        coarse = Some(graft.index.Probes.HnswCoarse(4096)))
+        .withColumn("dist", r4("dist")),
+      Some(ivfNprobe4Sql)),
+
+    // IVF with an NSG coarse quantizer (`IVF<n>_NSG<R>`,
+    // index_factory.cpp:258-262 — IndexNSGFlat as quantizer): same
+    // contract as the HNSW coarse, with the walk over a per-executor
+    // NSG graph of the centroids. searchL >= nlist seeds the full
+    // pool, so the probe set — and the result — must be bit-identical
+    // to the exact coarse assign: same oracle as ivf_search_nprobe4.
+    ("ivf_nsg_search", (s: SparkSession, dir: String) =>
+      ivf16(s, dir).search(qDf(s, dir, 10), k = 10, nprobe = 4,
+        coarse = Some(graft.index.Probes.NsgCoarse(4096)))
         .withColumn("dist", r4("dist")),
       Some(ivfNprobe4Sql)),
 
@@ -2212,7 +2224,7 @@ object Queries {
     // integer-LUT replay applies verbatim.
     ("ivf_hnsw_pq4fs_search", (s: SparkSession, dir: String) =>
       ivfpqfs8(s, dir).search(qDf(s, dir, 10), 10, nprobe = 4,
-        hnswCoarse = Some(4096)),
+        coarse = Some(graft.index.Probes.HnswCoarse(4096))),
       Some(ivfpq4fsNprobe4Sql)),
 
     // Residual IVFPQ fast-scan (IVF8,PQ8x4fsr — by_residual = true,
@@ -2937,7 +2949,7 @@ object Queries {
     // verbatim.
     ("ivf_hnsw_sq_search", (s: SparkSession, dir: String) =>
       ivfsqRes16(s, dir).search(qDf(s, dir, 10), 5, nprobe = 16,
-        hnswCoarse = Some(4096))
+        coarse = Some(graft.index.Probes.HnswCoarse(4096)))
         .withColumn("dist", r4("dist")),
       Some(ivfsqResidualSql)),
 

@@ -177,3 +177,68 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Float]],
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Per-executor cache of NSG graphs over an index's centroid table —
+  * the NSG twin of [[CentroidHnswCache]] (one graph per live IVF
+  * index, bounded LRU, first-toucher builds). */
+private[graft] object CentroidNsgCache {
+  private val MaxEntries = 8
+  private val cache =
+    new java.util.LinkedHashMap[String, graft.knn.LocalNsg](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, graft.knn.LocalNsg]): Boolean =
+        size() > MaxEntries
+    }
+  def get(key: String, centroids: Array[Array[Float]], r: Int): graft.knn.LocalNsg =
+    cache.synchronized {
+      val existing = cache.get(key)
+      if (existing != null) existing
+      else {
+        val ids = Array.tabulate(centroids.length)(_.toLong)
+        val g = new graft.knn.LocalNsg(ids, centroids, r = r,
+          buildL = math.max(64, 2 * r))
+        cache.put(key, g)
+        g
+      }
+    }
+  /** codegen entry point: graph-walk probe list as an ArrayData */
+  def searchData(a: ArrayData, cacheKey: String, centroids: Array[Array[Float]],
+      nprobe: Int, searchL: Int, r: Int): ArrayData = {
+    val g = get(cacheKey, centroids, r)
+    val res = g.search(a.toFloatArray(), math.min(nprobe, centroids.length),
+      math.max(searchL, nprobe))
+    val out = new Array[Any](res.length)
+    var i = 0
+    while (i < res.length) { out(i) = InternalRow(res(i)._1.toInt, res(i)._2); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** NSG-accelerated probe-list computation — the coarse quantizer of
+  * the reference's `IVF{n}_NSG{R}` grammar (index_factory.cpp:258-262;
+  * IndexNSGFlat as quantizer). Same contract as
+  * [[NearestCentroidsHnsw]]: searchL >= nlist degenerates to the
+  * exact probe set (the NSG pool seeds every node — the oracle gate),
+  * L2 only. */
+case class NearestCentroidsNsg(child: Expression,
+    centroids: Array[Array[Float]], nprobe: Int, searchL: Int,
+    r: Int, cacheKey: String)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("list_no", IntegerType, nullable = false),
+    StructField("dist", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "nearest_centroids_nsg"
+
+  override def nullSafeEval(v: Any): Any =
+    CentroidNsgCache.searchData(v.asInstanceOf[ArrayData], cacheKey,
+      centroids, nprobe, searchL, r)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.core.CentroidNsgCache.searchData($c, \"$cacheKey\", $cs, $nprobe, $searchL, $r)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

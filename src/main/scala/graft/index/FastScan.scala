@@ -83,14 +83,14 @@ class IvfPq4FastScanIndex(
     val model: PqModel,
     val codes: DataFrame) {
 
-  private val hnswCacheKey = java.util.UUID.randomUUID().toString
+  private val graphCacheKey = java.util.UUID.randomUUID().toString
 
-  /** `hnswCoarse = Some(efSearch)`: HNSW-walk probe selection (the
-    * `IVF<n>_HNSW<m>,PQ<M>x4fs` factory composition; efSearch >=
-    * nlist degenerates to exact). */
+  /** `coarse = Some(HnswCoarse/NsgCoarse)`: graph-walk probe
+    * selection (the `IVF<n>_{HNSW,NSG}<m>,PQ<M>x4fs` factory
+    * compositions; budget >= nlist degenerates to exact). */
   def search(queries: DataFrame, k: Int, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec",
-      hnswCoarse: Option[Int] = None, hnswM: Int = 16): DataFrame = {
+      coarse: Option[Probes.GraphCoarse] = None): DataFrame = {
     // LUT computed ONCE per query (pre-explode), replicated over the
     // probe rows by the generator; only distinct list ids cross the
     // driver (static pruning), the LUT-bearing probe rows stay
@@ -98,7 +98,7 @@ class IvfPq4FastScanIndex(
     val probesPlan = queries.select(col(queryId),
       shim.col(Pq4QuantLut(shim.expr(col(queryVec)), model.codebooks)).as("_ql"),
       explode(Probes.selExpr(col(queryVec), centroids, nprobe, "l2sq",
-        hnswCoarse, hnswM, hnswCacheKey)).as("_p"))
+        coarse, graphCacheKey)).as("_p"))
       .select(col(queryId), col("_ql"), col("_p.list_no").as("list_no"))
     val probed = Probes.probedListIds(probesPlan)
     codes.filter(col("list_no").isin(probed.map(Integer.valueOf).toSeq: _*))
@@ -228,18 +228,18 @@ class IvfRq4FastScanIndex(
     val normCb: Array[Array[Double]],
     val codes: DataFrame) {
 
-  private val hnswCacheKey = java.util.UUID.randomUUID().toString
+  private val graphCacheKey = java.util.UUID.randomUUID().toString
 
   def search(queries: DataFrame, k: Int, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec",
-      hnswCoarse: Option[Int] = None, hnswM: Int = 16): DataFrame = {
+      coarse: Option[Probes.GraphCoarse] = None): DataFrame = {
     val probesPlan = queries.select(col(queryId),
       shim.col(Rq4FsQuantLut(shim.expr(col(queryVec)), model.codebooks, normCb))
         .as("_ql"),
       aggregate(col(queryVec).cast("array<double>"), lit(0.0),
         (a, x) => a + x * x).as("_qn"),
       explode(Probes.selExpr(col(queryVec), centroids, nprobe, "l2sq",
-        hnswCoarse, hnswM, hnswCacheKey)).as("_p"))
+        coarse, graphCacheKey)).as("_p"))
       .select(col(queryId), col("_ql"), col("_qn"), col("_p.list_no").as("list_no"))
     val probed = Probes.probedListIds(probesPlan)
     codes.filter(col("list_no").isin(probed.map(Integer.valueOf).toSeq: _*))
@@ -309,11 +309,11 @@ class IvfPq4FastScanRIndex(
     * storage until session end (ADVICE r8). */
   def close(): Unit = codes.unpersist(blocking = false)
 
-  private val hnswCacheKey = java.util.UUID.randomUUID().toString
+  private val graphCacheKey = java.util.UUID.randomUUID().toString
 
   def search(queries: DataFrame, k: Int, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec",
-      hnswCoarse: Option[Int] = None, hnswM: Int = 16): DataFrame = {
+      coarse: Option[Probes.GraphCoarse] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     import graft.functions.vec_sub
@@ -326,7 +326,7 @@ class IvfPq4FastScanRIndex(
     // the broadcast (Probes.probedListIds).
     val probesPlan = queries.select(col(queryId), col(queryVec),
       explode(Probes.selExpr(col(queryVec), centroids, nprobe, "l2sq",
-        hnswCoarse, hnswM, hnswCacheKey)).as("_p"))
+        coarse, graphCacheKey)).as("_p"))
       .select(col(queryId), col(queryVec), col("_p.list_no").as("list_no"))
       .join(broadcast(centDf), "list_no")
       .select(col(queryId), col("list_no"),

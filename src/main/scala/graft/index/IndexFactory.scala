@@ -82,7 +82,7 @@ object IndexFactory {
       case RefineTok(_) => ()
       case "MinMax" => extra += 8
       case "MinMaxFP16" => extra += 4
-      case Ivf(_) | IvfHnsw(_, _) | IvfRcqTok(_, _, _) | Imi(_) | Res(_) => ()
+      case Ivf(_) | IvfHnsw(_, _) | IvfNsg(_, _) | IvfRcqTok(_, _, _) | Imi(_) | Res(_) => ()
       case "Flat" => code = Some(4 * dim)
       case "SQ8" => code = Some(dim)
       case "SQ4" => code = Some((dim + 1) / 2)
@@ -132,30 +132,38 @@ object IndexFactory {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, qid, qvec)
   }
-  /** `hnsw = Some(m)` on the IVF code Builts = the `IVF<n>_HNSW<m>`
-    * coarse of the reference grammar composed with this code
-    * (index_factory.cpp:253-256 parses the coarse independently of
-    * the code): probe selection walks a per-executor degree-m HNSW
-    * graph over the centroids with efSearch = max(32, 4·nprobe) (the
-    * IvfHnswBuilt convention — covers the whole graph on small nlist,
-    * degenerating to exact). */
+  /** Coarse-graph spec parsed from the factory string — the
+    * `IVF<n>_HNSW<m>` / `IVF<n>_NSG<R>` coarse of the reference
+    * grammar composed with any IVF code (index_factory.cpp:253-262
+    * parses the coarse independently of the code). The search-time
+    * walk budget follows the max(32, 4·nprobe) convention: it covers
+    * the whole graph on small nlist, degenerating to exact (the
+    * sidecar-oracle gate), and scales with nprobe on large nlist. */
+  private sealed trait CoarseGraphSpec {
+    def at(nprobe: Int): Probes.GraphCoarse
+  }
+  private final case class HnswSpec(m: Int) extends CoarseGraphSpec {
+    def at(np: Int) = Probes.HnswCoarse(math.max(32, 4 * np), m)
+  }
+  private final case class NsgSpec(r: Int) extends CoarseGraphSpec {
+    def at(np: Int) = Probes.NsgCoarse(math.max(32, 4 * np), r)
+  }
+
   private final class IvfPqBuilt(idx: IvfPqIndex, chain: VecTransform,
-      hnsw: Option[Int] = None) extends Built {
+      graph: Option[CoarseGraphSpec] = None) extends Built {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
       val np = math.max(nprobe, 1)
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, np,
-        qid, qvec, hnswCoarse = hnsw.map(_ => math.max(32, 4 * np)),
-        hnswM = hnsw.getOrElse(16))
+        qid, qvec, coarse = graph.map(_.at(np)))
     }
   }
 
   private final class IvfSqBuilt(val idx: IvfSqIndex, chain: VecTransform,
-      hnsw: Option[Int] = None) extends Built {
+      graph: Option[CoarseGraphSpec] = None) extends Built {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
       val np = math.max(nprobe, 1)
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, np,
-        qid, qvec, hnswCoarse = hnsw.map(_ => math.max(32, 4 * np)),
-        hnswM = hnsw.getOrElse(16))
+        qid, qvec, coarse = graph.map(_.at(np)))
     }
   }
   /** Refine wrapper: coarse Built + exact re-rank over the
@@ -184,8 +192,12 @@ object IndexFactory {
   // IndexAdditiveQuantizer.h:193) — nlist must equal 2^(levels*bits)
   private val IvfRcqTok = "IVF(\\d+)\\(RCQ(\\d+)x(\\d+)\\)".r
   // IVF<nlist>_HNSW<m>: HNSW-accelerated coarse quantizer (reference
-  // coarse grammar, index_factory.cpp:241-291)
-  private val IvfHnsw = "IVF(\\d+)_HNSW(\\d+)".r
+  // coarse grammar, index_factory.cpp:253-256; empty m defaults to 32
+  // like the reference's hnsw_M)
+  private val IvfHnsw = "IVF(\\d+)_HNSW(\\d*)".r
+  // IVF<nlist>_NSG<R>: NSG-accelerated coarse quantizer
+  // (index_factory.cpp:258-262, IndexNSGFlat as quantizer)
+  private val IvfNsg = "IVF(\\d+)_NSG(\\d+)".r
   private val Pq = "PQ(\\d+)(?:x(\\d+))?".r
   // PQ<M>x4fs[_<bbs>] (IndexPQFastScan / IndexIVFPQFastScan,
   // index_factory.cpp fast-scan grammar): bbs is the reference's SIMD
@@ -319,17 +331,18 @@ object IndexFactory {
         idx.reconstruct, k, queryId = qid, queryVec = qvec)
   }
 
-  /** IVF with an HNSW coarse quantizer (IVF<n>_HNSW<m>,Flat): the
-    * probe selection walks a per-executor graph over the centroids
-    * instead of the exact O(nlist) argmin — the scale path for large
-    * nlist. efSearch scales with nprobe; on small nlist it covers the
-    * whole graph and is exact. */
-  private final class IvfHnswBuilt(idx: IvfIndex, chain: VecTransform,
-      m: Int = 16) extends Built {
+  /** IVF Flat with a graph coarse quantizer
+    * (IVF<n>_{HNSW<m>,NSG<R>},Flat): probe selection walks a
+    * per-executor graph over the centroids instead of the exact
+    * O(nlist) argmin — the scale path for large nlist. The walk
+    * budget scales with nprobe; on small nlist it covers the whole
+    * graph and is exact. */
+  private final class IvfGraphBuilt(idx: IvfIndex, chain: VecTransform,
+      spec: CoarseGraphSpec) extends Built {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
       val np = math.max(nprobe, 1)
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, np,
-        qid, qvec, hnswCoarse = Some(math.max(32, 4 * np)), hnswM = m)
+        qid, qvec, coarse = Some(spec.at(np)))
     }
   }
 
@@ -350,22 +363,20 @@ object IndexFactory {
   }
   /** IVF<n>,PQ<M>x4fs (IndexIVFPQFastScan, non-residual). */
   private final class IvfPqFsBuilt(idx: IvfPq4FastScanIndex, chain: VecTransform,
-      hnsw: Option[Int] = None) extends Built {
+      graph: Option[CoarseGraphSpec] = None) extends Built {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
       val np = math.max(nprobe, 1)
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, np,
-        qid, qvec, hnswCoarse = hnsw.map(_ => math.max(32, 4 * np)),
-        hnswM = hnsw.getOrElse(16)).drop("qdist")
+        qid, qvec, coarse = graph.map(_.at(np))).drop("qdist")
     }
   }
   /** IVF<n>,PQ<M>x4fsr (IndexIVFPQFastScan, by_residual = true). */
   private final class IvfPqFsRBuilt(val idx: IvfPq4FastScanRIndex, chain: VecTransform,
-      hnsw: Option[Int] = None) extends Built {
+      graph: Option[CoarseGraphSpec] = None) extends Built {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
       val np = math.max(nprobe, 1)
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, np,
-        qid, qvec, hnswCoarse = hnsw.map(_ => math.max(32, 4 * np)),
-        hnswM = hnsw.getOrElse(16))
+        qid, qvec, coarse = graph.map(_.at(np)))
     }
   }
   /** IVF<n>,RQ<L>x4fs (IndexIVFAdditiveQuantizerFastScan, non-residual). */
@@ -428,6 +439,40 @@ object IndexFactory {
       graft.knn.PartitionedNsg.knnJoinPq(
         q.withColumn(qvec, chain.applyCol(col(qvec))), base, k, model,
         r = r, searchL = math.max(96, 4 * k), queryId = qid, queryVec = qvec)
+  }
+
+  /** `IVF<n>_{HNSW,NSG}<deg>,<code>` — one dispatch for both graph
+    * coarse quantizers over the codes they compose with (the trained
+    * index is IDENTICAL to the exact-coarse `IVF<n>,<code>` form;
+    * only search-time probe selection changes, so every code route
+    * reuses its plain builder). */
+  private def graphIvf(data: DataFrame, chain: VecTransform, nlist: Int,
+      spec: CoarseGraphSpec, code: String, niter: Int, seed: Long,
+      desc: String): Built = code match {
+    case "Flat" =>
+      new IvfGraphBuilt(IvfIndex.build(data, "id", "vec", nlist,
+        niter = niter, seed = seed), chain, spec)
+    case PqFs(m, _) =>
+      new IvfPqFsBuilt(IvfPq4FastScanIndex.build(data, "id", "vec",
+        nlist, m.toInt, niterCoarse = niter, niterPq = niter,
+        seed = seed), chain, graph = Some(spec))
+    case PqFsR(m, _) =>
+      new IvfPqFsRBuilt(IvfPq4FastScanRIndex.build(data, "id", "vec",
+        nlist, m.toInt, niterCoarse = niter, niterPq = niter,
+        seed = seed), chain, graph = Some(spec))
+    case "SQ8" | "SQ4" | "SQ6" | "SQfp16" =>
+      new IvfSqBuilt(IvfSqIndex.build(data, "id", "vec", nlist,
+        niter = niter, seed = seed, byResidual = true,
+        qtype = code.stripPrefix("SQ") match {
+          case "fp16" => "fp16"; case w => s"SQ$w" }), chain,
+        graph = Some(spec))
+    case Pq(m, ks) =>
+      new IvfPqBuilt(IvfPqIndex.build(data, "id", "vec", nlist,
+        m.toInt, Option(ks).map(_.toInt).getOrElse(16),
+        niterCoarse = niter, niterPq = niter, seed = seed), chain,
+        graph = Some(spec))
+    case other => throw new IllegalArgumentException(
+      s"unsupported graph-coarse IVF code '$other' in '$desc'")
   }
 
   /** Train the whole pipeline on `df` (id, vec) and return a
@@ -535,40 +580,21 @@ object IndexFactory {
           s"IVF$nlist(RCQ${lv}x$nb): nlist must equal 2^(${lv}*$nb)")
         new IvfRcqBuilt(IvfRcq.build(data, "id", "vec", lv.toInt, nb.toInt,
           beam = 4, niter = niter, seed = seed), chain)
-      // IVF<n>_HNSW<m>,<code>: the reference parses the coarse
-      // quantizer independently of the code (index_factory.cpp:253-256
-      // → parse_IndexIVF :293-430), so the HNSW coarse composes with
-      // any IVF code — `IVF65536_HNSW32,PQ16` is THE canonical
-      // billion-scale recipe (benchs/bench_all_ivf). The parsed degree
-      // m reaches the per-executor centroid graph; efSearch follows
-      // the max(32, 4·nprobe) convention and degenerates to exact on
+      // IVF<n>_HNSW<m>,<code> / IVF<n>_NSG<R>,<code>: the reference
+      // parses the coarse quantizer independently of the code
+      // (index_factory.cpp:253-262 → parse_IndexIVF :293-430), so a
+      // graph coarse composes with any IVF code —
+      // `IVF65536_HNSW32,PQ16` is THE canonical billion-scale recipe
+      // (benchs/bench_all_ivf). The parsed degree reaches the
+      // per-executor centroid graph; the walk budget follows the
+      // max(32, 4·nprobe) convention and degenerates to exact on
       // small nlist (the sidecar-oracle gate).
-      case IvfHnsw(nlist, hm) :: code :: Nil => code match {
-        case "Flat" =>
-          new IvfHnswBuilt(IvfIndex.build(data, "id", "vec", nlist.toInt,
-            niter = niter, seed = seed), chain, m = hm.toInt)
-        case PqFs(m, _) =>
-          new IvfPqFsBuilt(IvfPq4FastScanIndex.build(data, "id", "vec",
-            nlist.toInt, m.toInt, niterCoarse = niter, niterPq = niter,
-            seed = seed), chain, hnsw = Some(hm.toInt))
-        case PqFsR(m, _) =>
-          new IvfPqFsRBuilt(IvfPq4FastScanRIndex.build(data, "id", "vec",
-            nlist.toInt, m.toInt, niterCoarse = niter, niterPq = niter,
-            seed = seed), chain, hnsw = Some(hm.toInt))
-        case "SQ8" | "SQ4" | "SQ6" | "SQfp16" =>
-          new IvfSqBuilt(IvfSqIndex.build(data, "id", "vec", nlist.toInt,
-            niter = niter, seed = seed, byResidual = true,
-            qtype = code.stripPrefix("SQ") match {
-              case "fp16" => "fp16"; case w => s"SQ$w" }), chain,
-            hnsw = Some(hm.toInt))
-        case Pq(m, ks) =>
-          new IvfPqBuilt(IvfPqIndex.build(data, "id", "vec", nlist.toInt,
-            m.toInt, Option(ks).map(_.toInt).getOrElse(16),
-            niterCoarse = niter, niterPq = niter, seed = seed), chain,
-            hnsw = Some(hm.toInt))
-        case other => throw new IllegalArgumentException(
-          s"unsupported IVF_HNSW code '$other' in '$desc'")
-      }
+      case IvfHnsw(nlist, hm) :: code :: Nil =>
+        graphIvf(data, chain, nlist.toInt,
+          HnswSpec(if (hm.isEmpty) 32 else hm.toInt), code, niter, seed, desc)
+      case IvfNsg(nlist, r) :: code :: Nil =>
+        graphIvf(data, chain, nlist.toInt, NsgSpec(r.toInt), code, niter,
+          seed, desc)
       case Ivf(nlist) :: code :: Nil => code match {
         case "Flat" =>
           new IvfBuilt(IvfIndex.build(data, "id", "vec", nlist.toInt,

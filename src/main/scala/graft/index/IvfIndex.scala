@@ -3,7 +3,7 @@ package graft.index
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.shim
-import graft.core.{Metric, NearestCentroids, NearestCentroidsHnsw, TopKAgg}
+import graft.core.{Metric, TopKAgg}
 import graft.cluster.KMeans
 import graft.functions.{topk, vec_dist}
 
@@ -31,33 +31,24 @@ class IvfIndex(
 
   import IvfIndex._
 
-  /** Stable id for the executor-side HNSW coarse-quantizer cache:
+  /** Stable id for the executor-side graph coarse-quantizer cache:
     * every task of every search over THIS index reuses one graph. */
-  private val hnswCacheKey = java.util.UUID.randomUUID().toString
+  private val graphCacheKey = java.util.UUID.randomUUID().toString
 
   /** Per-query probe lists: (qid, qvec, list_no, coarse_dist).
-    * `hnswCoarse = Some(efSearch)` routes the coarse quantization
-    * through a per-executor HNSW graph over the centroids (the
-    * reference's `IVF{n}_HNSW{m}` coarse grammar) — the scale path
-    * when nlist is large enough that the exact O(nlist) argmin per
-    * row dominates; efSearch >= nlist degenerates to exact. */
+    * `coarse = Some(HnswCoarse/NsgCoarse)` routes the coarse
+    * quantization through a per-executor graph walk over the
+    * centroids (the reference's `IVF{n}_HNSW{m}` / `IVF{n}_NSG{R}`
+    * coarse grammar) — the scale path when nlist is large enough that
+    * the exact O(nlist) argmin per row dominates; budget >= nlist
+    * degenerates to exact. */
   private def probes(queries: DataFrame, nprobe: Int,
       queryId: String, queryVec: String,
-      hnswCoarse: Option[Int] = None, hnswM: Int = 16): DataFrame = {
-    val sel = hnswCoarse match {
-      case Some(ef) =>
-        require(metric == "l2sq", "HNSW coarse quantizer is L2-only (reference semantics)")
-        // m is part of the cache key: the same index searched at two
-        // degrees must not reuse the other's graph
-        NearestCentroidsHnsw(shim.expr(col(queryVec)), centroids,
-          math.min(nprobe, nlist), ef, m = hnswM,
-          cacheKey = s"$hnswCacheKey:m=$hnswM")
-      case None =>
-        NearestCentroids(shim.expr(col(queryVec)), centroids,
-          math.min(nprobe, nlist), metric)
-    }
+      coarse: Option[Probes.GraphCoarse] = None): DataFrame = {
+    val sel = Probes.selExpr(col(queryVec), centroids, nprobe, metric,
+      coarse, graphCacheKey)
     queries.select(col(queryId), col(queryVec),
-      posexplode(shim.col(sel)).as(Seq("_pr", "_p")))
+      posexplode(sel).as(Seq("_pr", "_p")))
       .select(col(queryId), col(queryVec),
         col("_p.list_no").as("list_no"), col("_p.dist").as("coarse_dist"),
         // 0-based probe rank (closest centroid first): lets a sweep
@@ -68,8 +59,8 @@ class IvfIndex(
   /** Distinct lists any query probes at this nprobe (the scan set). */
   def probedListNos(queries: DataFrame, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec",
-      hnswCoarse: Option[Int] = None, hnswM: Int = 16): Array[Int] =
-    probes(queries, nprobe, queryId, queryVec, hnswCoarse, hnswM)
+      coarse: Option[Probes.GraphCoarse] = None): Array[Int] =
+    probes(queries, nprobe, queryId, queryVec, coarse)
       .select("list_no").distinct().collect().map(_.getInt(0))
 
   /** Each probed list's minimum probe rank over the query set at
@@ -122,8 +113,8 @@ class IvfIndex(
       maxCodes: Option[Int] = None,
       withCentroid: Boolean = false,
       broadcastQueries: Boolean = true,
-      hnswCoarse: Option[Int] = None, hnswM: Int = 16): DataFrame = {
-    val pr0 = probes(queries, nprobe, queryId, queryVec, hnswCoarse, hnswM)
+      coarse: Option[Probes.GraphCoarse] = None): DataFrame = {
+    val pr0 = probes(queries, nprobe, queryId, queryVec, coarse)
     // The probed-list set is tiny (≤ queries × nprobe ints): collecting
     // it turns the invlists scan into a statically partition-pruned read.
     val probed0 = pr0.select("list_no").distinct().collect().map(_.getInt(0))

@@ -42,19 +42,19 @@ class IvfSqIndex(
       .select(col("list_no"), col("centroid").cast("array<float>").as("centroid"))
   }
 
-  /** Per-instance id for the executor-side HNSW coarse cache. */
-  private val hnswCacheKey = java.util.UUID.randomUUID().toString
+  /** Per-instance id for the executor-side graph coarse cache. */
+  private val graphCacheKey = java.util.UUID.randomUUID().toString
 
-  /** `hnswCoarse = Some(efSearch)` walks a per-executor HNSW graph
+  /** `coarse = Some(HnswCoarse/NsgCoarse)` walks a per-executor graph
     * over the centroids instead of the exact argmin (the
-    * `IVF<n>_HNSW<m>,SQ<w>` factory composition; efSearch >= nlist
-    * degenerates to exact). */
+    * `IVF<n>_{HNSW,NSG}<m>,SQ<w>` factory compositions; budget >=
+    * nlist degenerates to exact). */
   def search(queries: DataFrame, k: Int, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec",
-      hnswCoarse: Option[Int] = None, hnswM: Int = 16): DataFrame = {
+      coarse: Option[Probes.GraphCoarse] = None): DataFrame = {
     var probes = queries.select(col(queryId), col(queryVec),
       explode(Probes.selExpr(col(queryVec), centroids, nprobe, "l2sq",
-        hnswCoarse, hnswM, hnswCacheKey)).as("_p"))
+        coarse, graphCacheKey)).as("_p"))
       .select(col(queryId), col(queryVec), col("_p.list_no").as("list_no"))
     if (byResidual)
       probes = probes.join(broadcast(centroidsDf), "list_no")

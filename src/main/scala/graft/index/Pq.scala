@@ -224,24 +224,24 @@ class IvfPqIndex(
     /** (id, list_no, code) */
     val codes: DataFrame) {
 
-  /** Per-instance id for the executor-side HNSW coarse-quantizer
+  /** Per-instance id for the executor-side graph coarse-quantizer
     * cache (the IvfIndex convention). */
-  private val hnswCacheKey = java.util.UUID.randomUUID().toString
+  private val graphCacheKey = java.util.UUID.randomUUID().toString
 
   /** `polysemousHt` = the reference's IndexIVFPQ::polysemous_ht
     * (IndexIVFPQ.h:41): a Hamming pre-filter between the stored code
     * and the query's PER-LIST residual code, applied before the ADC
-    * distance leaves the scan. `hnswCoarse = Some(efSearch)` walks a
-    * per-executor HNSW graph over the centroids instead of the exact
-    * argmin (the `IVF<n>_HNSW<m>,PQ<m>` factory composition —
-    * index_factory.cpp:253 parses the coarse independently of the
-    * code; efSearch >= nlist degenerates to exact). */
+    * distance leaves the scan. `coarse = Some(HnswCoarse/NsgCoarse)` walks a
+    * per-executor graph over the centroids instead of the exact
+    * argmin (the `IVF<n>_{HNSW,NSG}<m>,PQ<m>` factory compositions —
+    * index_factory.cpp:253-262 parses the coarse independently of the
+    * code; budget >= nlist degenerates to exact). */
   def search(queries: DataFrame, k: Int, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec",
       polysemousHt: Option[Int] = None,
-      hnswCoarse: Option[Int] = None, hnswM: Int = 16): DataFrame =
+      coarse: Option[Probes.GraphCoarse] = None): DataFrame =
     adcCandidates(queries, nprobe, queryId, queryVec, polysemousHt,
-      hnswCoarse, hnswM)
+      coarse)
       .groupBy(col(queryId))
       .agg(topk(col("_dist"), col("id"), k, asc = true).as("_tk"))
       .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
@@ -256,13 +256,13 @@ class IvfPqIndex(
   private def adcCandidates(queries: DataFrame, nprobe: Int,
       queryId: String, queryVec: String,
       polysemousHt: Option[Int] = None,
-      hnswCoarse: Option[Int] = None, hnswM: Int = 16): DataFrame = {
+      coarse: Option[Probes.GraphCoarse] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val centDf = Probes.centroidsDf(spark, centroids)
     var probesPlan = queries.select(col(queryId), col(queryVec),
       explode(Probes.selExpr(col(queryVec), centroids, nprobe, "l2sq",
-        hnswCoarse, hnswM, hnswCacheKey)).as("_p"))
+        coarse, graphCacheKey)).as("_p"))
       .select(col(queryId), col(queryVec), col("_p.list_no").as("list_no"))
       .join(broadcast(centDf), "list_no")
       .withColumn("_qres", vec_sub(col(queryVec), col("centroid")))

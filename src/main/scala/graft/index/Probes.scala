@@ -22,28 +22,51 @@ object Probes {
   def probedListIds(probesPlan: DataFrame): Array[Int] =
     probesPlan.select("list_no").distinct().collect().map(_.getInt(0))
 
+  /** A graph-accelerated coarse quantizer for probe selection — the
+    * reference's `IVF<n>_HNSW<m>` / `IVF<n>_NSG<R>` coarse grammar
+    * (index_factory.cpp:253-262), where the per-query centroid argmin
+    * is replaced by a walk over a per-executor graph of the centroids
+    * (the scale path at nlist large enough that the exact O(nlist)
+    * argmin dominates). `budget` is the walk's candidate-pool size
+    * (HNSW efSearch / NSG searchL); budget >= nlist degenerates to
+    * the exact probe set — the oracle-gate convention. */
+  sealed trait GraphCoarse { def budget: Int }
+  /** HNSW walk, degree `m` (IndexHNSWFlat as quantizer). */
+  final case class HnswCoarse(efSearch: Int, m: Int = 32) extends GraphCoarse {
+    def budget: Int = efSearch
+  }
+  /** NSG walk, out-degree `r` (IndexNSGFlat as quantizer). */
+  final case class NsgCoarse(searchL: Int, r: Int = 32) extends GraphCoarse {
+    def budget: Int = searchL
+  }
+
   /** Coarse probe-selection expression shared by every IVF-family
     * code index: the exact O(nlist) argmin ranking
-    * ([[graft.core.NearestCentroids]]) or, under the reference's
-    * `IVF<n>_HNSW<m>` coarse grammar, the per-executor HNSW walk over
-    * the centroids ([[graft.core.NearestCentroidsHnsw]] — the scale
-    * path when nlist is large enough that the exact argmin per query
-    * dominates; efSearch >= nlist degenerates to exact). Returns an
-    * array<struct(list_no, dist)> column ranked best-first. `m` is
-    * folded into the cache key so one index searched at two degrees
-    * never reuses the other's graph. */
+    * ([[graft.core.NearestCentroids]]) or, under a [[GraphCoarse]],
+    * the per-executor graph walk over the centroids
+    * ([[graft.core.NearestCentroidsHnsw]] /
+    * [[graft.core.NearestCentroidsNsg]]; budget >= nlist degenerates
+    * to exact). Returns an array<struct(list_no, dist)> column ranked
+    * best-first. The graph degree is folded into the cache key so one
+    * index searched at two degrees never reuses the other's graph. */
   def selExpr(queryVec: org.apache.spark.sql.Column,
       centroids: Array[Array[Float]], nprobe: Int, metric: String,
-      hnswCoarse: Option[Int], hnswM: Int,
+      coarse: Option[GraphCoarse],
       cacheKey: String): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graft.shim
     val np = math.min(nprobe, centroids.length)
-    hnswCoarse match {
-      case Some(ef) =>
+    coarse match {
+      case Some(g) =>
         require(metric == "l2sq",
-          "HNSW coarse quantizer is L2-only (reference semantics)")
-        shim.col(graft.core.NearestCentroidsHnsw(shim.expr(queryVec),
-          centroids, np, ef, m = hnswM, cacheKey = s"$cacheKey:m=$hnswM"))
+          "graph coarse quantizers are L2-only (reference semantics)")
+        g match {
+          case HnswCoarse(ef, m) =>
+            shim.col(graft.core.NearestCentroidsHnsw(shim.expr(queryVec),
+              centroids, np, ef, m = m, cacheKey = s"$cacheKey:hnsw:m=$m"))
+          case NsgCoarse(sl, r) =>
+            shim.col(graft.core.NearestCentroidsNsg(shim.expr(queryVec),
+              centroids, np, sl, r = r, cacheKey = s"$cacheKey:nsg:r=$r"))
+        }
       case None =>
         shim.col(graft.core.NearestCentroids(shim.expr(queryVec),
           centroids, np, metric))

@@ -282,10 +282,10 @@ object AutoTune {
     val total = listSizes.values.sum.toDouble
     try {
       efs.map { ef =>
-        val res = idx.search(queries, k, nprobe, hnswCoarse = Some(ef))
+        val res = idx.search(queries, k, nprobe, coarse = Some(graft.index.Probes.HnswCoarse(ef)))
         val rec = Recall.perQuery(truth, res)
           .agg(avg(col("recall"))).collect().head.getDouble(0)
-        val probed = idx.probedListNos(queries, nprobe, hnswCoarse = Some(ef))
+        val probed = idx.probedListNos(queries, nprobe, coarse = Some(graft.index.Probes.HnswCoarse(ef)))
         val frac = probed.map(l => listSizes.getOrElse(l, 0L)).sum / total
         OperatingPointEf(ef, rec, frac)
       }

@@ -27,7 +27,7 @@ class IvfSpec extends SparkTestBase {
 
   test("HNSW coarse quantizer: exact-degenerate efSearch reproduces exact probes") {
     val exact = resultSet(idx.search(q, 10, nprobe = 4))
-    val viaHnsw = resultSet(idx.search(q, 10, nprobe = 4, hnswCoarse = Some(1024)))
+    val viaHnsw = resultSet(idx.search(q, 10, nprobe = 4, coarse = Some(Probes.HnswCoarse(1024))))
     assert(viaHnsw == exact,
       "efSearch >= nlist must select the exact probe set and thus the exact result")
   }
@@ -35,7 +35,7 @@ class IvfSpec extends SparkTestBase {
   test("HNSW coarse quantizer: approximate regime keeps recall (and factory token)") {
     val exact = resultSet(idx.search(q, 10, nprobe = 8))
       .map { case (a, _, c) => (a, c) }
-    val approx = resultSet(idx.search(q, 10, nprobe = 8, hnswCoarse = Some(8)))
+    val approx = resultSet(idx.search(q, 10, nprobe = 8, coarse = Some(Probes.HnswCoarse(8))))
       .map { case (a, _, c) => (a, c) }
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall $recall < 0.9 at efSearch=8 over 8 lists")
@@ -121,19 +121,26 @@ class IvfSpec extends SparkTestBase {
     assert(capped == full)
   }
 
-  test("factory IVF<n>_HNSW<m>,<code>: HNSW coarse composes with any IVF code") {
+  test("factory IVF<n>_{HNSW,NSG}<deg>,<code>: graph coarse composes with any IVF code") {
     // The reference parses the coarse quantizer independently of the
-    // code (index_factory.cpp:253-256 -> parse_IndexIVF), so
-    // IVF8_HNSW16,PQ8 must train the SAME model as IVF8,PQ8 (same
-    // seed/iters) and, at efSearch >= nlist (the Built's
-    // max(32, 4*nprobe) covers nlist = 8 at any nprobe), return
-    // bit-identical results to the exact coarse assign.
-    for (code <- Seq("PQ8", "SQ8", "SQfp16", "PQ8x4fs", "PQ8x4fsr")) {
+    // code (index_factory.cpp:253-262 -> parse_IndexIVF), so
+    // IVF8_HNSW16,PQ8 / IVF8_NSG16,PQ8 must train the SAME model as
+    // IVF8,PQ8 (same seed/iters) and, at a walk budget >= nlist (the
+    // Built's max(32, 4*nprobe) covers nlist = 8 at any nprobe),
+    // return bit-identical results to the exact coarse assign.
+    for (coarse <- Seq("HNSW16", "NSG16");
+         code <- Seq("PQ8", "SQ8", "SQfp16", "PQ8x4fs", "PQ8x4fsr", "Flat")) {
       val exact = IndexFactory.build(b, "id", "vec", s"IVF8,$code", niter = 3)
-      val hnsw = IndexFactory.build(b, "id", "vec", s"IVF8_HNSW16,$code", niter = 3)
+      val graph = IndexFactory.build(b, "id", "vec", s"IVF8_$coarse,$code", niter = 3)
       val want = resultSet(exact.search(q, 5, nprobe = 8))
-      val got = resultSet(hnsw.search(q, 5, nprobe = 8))
-      assert(got == want, s"IVF8_HNSW16,$code != IVF8,$code")
+      val got = resultSet(graph.search(q, 5, nprobe = 8))
+      assert(got == want, s"IVF8_$coarse,$code != IVF8,$code")
     }
+  }
+
+  test("IVF<n>_HNSW (no degree) parses with the reference default m = 32") {
+    val f = IndexFactory.build(b, "id", "vec", "IVF8_HNSW,Flat", niter = 3)
+    assert(resultSet(f.search(q, 5, nprobe = 8)) ==
+      resultSet(idx.search(q, 5, nprobe = 8)))
   }
 }
