@@ -118,6 +118,25 @@ object Queries {
       graft.index.IvfPqIndex.build(bDf(s, dir, 10), "id", "vec",
         nlist = 8, m = 8, ksub = 16, niterCoarse = 4, niterPq = 4)
     }
+  /** `IVF16(PQ8x8),Flat` — the generic paren coarse with an IndexPQ
+    * quantizer (index_factory.cpp:263-267): add-time assignment AND
+    * probe selection rank cells by ADC over a PQ of the centroids. */
+  private def parenPq16(s: SparkSession, dir: String): graft.index.IndexFactory.Built =
+    cached(s"parenpq:$dir") {
+      graft.index.IndexFactory.build(bDf(s, dir, 10), "id", "vec",
+        "IVF16(PQ8x8),Flat", niter = 4)
+    }
+  /** The paren-coarse trained state for the sidecar dump — recomputed
+    * through the same deterministic calls the factory route makes
+    * (KMeans.fit k=16/niter=4/seed=1234, CoarsePq over the centroids),
+    * so the dumped values are bit-identical to the searched model. */
+  private def parenPqModel(s: SparkSession, dir: String): (Array[Array[Float]], Array[Array[Array[Float]]]) =
+    cached(s"parenpqmodel:$dir") {
+      val km = graft.cluster.KMeans.fit(bDf(s, dir, 10), "vec",
+        graft.cluster.KMeans.Params(k = 16, niter = 4, seed = 1234L))
+      val (cb, _) = graft.core.CoarsePq.model(km.centroids, 8, 8)
+      (km.centroids, cb)
+    }
   private def ivfpqr8(s: SparkSession, dir: String): graft.index.IvfPqrIndex =
     cached(s"ivfpqr:$dir") {
       graft.index.IvfPqrIndex.build(bDf(s, dir, 10), "id", "vec",
@@ -414,6 +433,9 @@ object Queries {
     OracleAux.write(dir, "ivfpqr_centroids", OracleAux.centroidsDf(s, ipqr.centroids))
     OracleAux.write(dir, "ivfpqr_codebooks1", OracleAux.codebooksDf(s, ipqr.model1.codebooks))
     OracleAux.write(dir, "ivfpqr_codebooks2", OracleAux.codebooksDf(s, ipqr.model2.codebooks))
+    val (ppCents, ppCb) = parenPqModel(s, dir)
+    OracleAux.write(dir, "parenpq_centroids", OracleAux.centroidsDf(s, ppCents))
+    OracleAux.write(dir, "parenpq_codebooks", OracleAux.codebooksDf(s, ppCb))
     OracleAux.write(dir, "ivfbig_centroids",
       OracleAux.centroidsDf(s, ivfBig(s, dir).centroids))
     val ipqb = ivfpqBig(s, dir)
@@ -1445,6 +1467,51 @@ object Queries {
         coarse = Some(graft.index.Probes.NsgCoarse(4096)))
         .withColumn("dist", r4("dist")),
       Some(ivfNprobe4Sql)),
+
+    // Generic parenthesized coarse with an IndexPQ quantizer
+    // (`IVF16(PQ8x8),Flat`, index_factory.cpp:263-267,719): the
+    // quantizer is a PQ trained over the centroid table, so BOTH the
+    // add-time cell assignment and the search-time probe ranking are
+    // ADC distances through the coarse codes (IndexIVF::add_core
+    // assigns through the quantizer). The oracle replays the whole
+    // chain: centroid encode (per-subspace argmin), per-row subspace
+    // LUTs, ordered ADC sums, probe top-4 / assignment top-1, then
+    // exact L2 over the probed lists.
+    ("ivf_paren_pq_search", (s: SparkSession, dir: String) =>
+      parenPq16(s, dir).search(qDf(s, dir, 10), 10, nprobe = 4)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/parenpq_centroids/*.parquet')),
+              |cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/parenpq_codebooks/*.parquet')),
+              |csub AS (SELECT list_no, r.m AS m, c[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv FROM cent, range(0,8) r(m)),
+              |cenc AS (SELECT list_no, m, j FROM (
+              |  SELECT cs.list_no, cs.m, cb.j, row_number() OVER (PARTITION BY cs.list_no, cs.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(cs.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM csub cs JOIN cb ON cb.m = cs.m) t WHERE rn = 1),
+              |qsub AS (SELECT vec_id AS qid, r.m AS m, embedding[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM embeddings, range(0,8) r(m) WHERE vec_id < 10),
+              |qlut AS (SELECT q.qid, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub q JOIN cb ON cb.m = q.m),
+              |qadc AS (SELECT l.qid, e.list_no, list_aggregate(list(l.pd ORDER BY l.m), 'sum') AS adc
+              |  FROM cenc e JOIN qlut l ON l.m = e.m AND l.j = e.j GROUP BY l.qid, e.list_no),
+              |probes AS (SELECT qid, list_no FROM (
+              |  SELECT qid, list_no, row_number() OVER (PARTITION BY qid ORDER BY adc, list_no) AS pr FROM qadc) t WHERE pr <= 4),
+              |bsub AS (SELECT vec_id AS id, r.m AS m, embedding[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM embeddings, range(0,8) r(m) WHERE vec_id >= 10),
+              |blut AS (SELECT b.id, b.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM bsub b JOIN cb ON cb.m = b.m),
+              |badc AS (SELECT l.id, e.list_no, list_aggregate(list(l.pd ORDER BY l.m), 'sum') AS adc
+              |  FROM cenc e JOIN blut l ON l.m = e.m AND l.j = e.j GROUP BY l.id, e.list_no),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT id, list_no, row_number() OVER (PARTITION BY id ORDER BY adc, list_no) AS rn FROM badc) t WHERE rn = 1),
+              |d AS (SELECT p.qid, a.id,
+              |    list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2 AS dist
+              |  FROM probes p JOIN basg a ON a.list_no = p.list_no
+              |  JOIN embeddings q ON q.vec_id = p.qid JOIN embeddings b ON b.vec_id = a.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 10""".stripMargin)),
 
     // §2.7 search_and_return_centroids: list_no as an output column.
     // nprobe = nlist, so the result is the exact top-k plus each

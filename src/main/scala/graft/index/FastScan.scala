@@ -90,7 +90,7 @@ class IvfPq4FastScanIndex(
     * compositions; budget >= nlist degenerates to exact). */
   def search(queries: DataFrame, k: Int, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec",
-      coarse: Option[Probes.GraphCoarse] = None): DataFrame = {
+      coarse: Option[Probes.CoarseQuant] = None): DataFrame = {
     // LUT computed ONCE per query (pre-explode), replicated over the
     // probe rows by the generator; only distinct list ids cross the
     // driver (static pruning), the LUT-bearing probe rows stay
@@ -232,7 +232,7 @@ class IvfRq4FastScanIndex(
 
   def search(queries: DataFrame, k: Int, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec",
-      coarse: Option[Probes.GraphCoarse] = None): DataFrame = {
+      coarse: Option[Probes.CoarseQuant] = None): DataFrame = {
     val probesPlan = queries.select(col(queryId),
       shim.col(Rq4FsQuantLut(shim.expr(col(queryVec)), model.codebooks, normCb))
         .as("_ql"),
@@ -313,7 +313,7 @@ class IvfPq4FastScanRIndex(
 
   def search(queries: DataFrame, k: Int, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec",
-      coarse: Option[Probes.GraphCoarse] = None): DataFrame = {
+      coarse: Option[Probes.CoarseQuant] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     import graft.functions.vec_sub

@@ -82,7 +82,7 @@ object IndexFactory {
       case RefineTok(_) => ()
       case "MinMax" => extra += 8
       case "MinMaxFP16" => extra += 4
-      case Ivf(_) | IvfHnsw(_, _) | IvfNsg(_, _) | IvfRcqTok(_, _, _) | Imi(_) | Res(_) => ()
+      case Ivf(_) | IvfHnsw(_, _) | IvfNsg(_, _) | IvfRcqTok(_, _, _) | IvfParen(_, _) | Imi(_) | Res(_) => ()
       case "Flat" => code = Some(4 * dim)
       case "SQ8" => code = Some(dim)
       case "SQ4" => code = Some((dim + 1) / 2)
@@ -140,13 +140,22 @@ object IndexFactory {
     * the whole graph on small nlist, degenerating to exact (the
     * sidecar-oracle gate), and scales with nprobe on large nlist. */
   private sealed trait CoarseGraphSpec {
-    def at(nprobe: Int): Probes.GraphCoarse
+    def at(nprobe: Int): Option[Probes.CoarseQuant]
+  }
+  /** Exact centroid argmin (`IVF<n>(Flat)` ≡ plain `IVF<n>`). */
+  private case object ExactSpec extends CoarseGraphSpec {
+    def at(np: Int) = None
   }
   private final case class HnswSpec(m: Int) extends CoarseGraphSpec {
-    def at(np: Int) = Probes.HnswCoarse(math.max(32, 4 * np), m)
+    def at(np: Int) = Some(Probes.HnswCoarse(math.max(32, 4 * np), m))
   }
   private final case class NsgSpec(r: Int) extends CoarseGraphSpec {
-    def at(np: Int) = Probes.NsgCoarse(math.max(32, 4 * np), r)
+    def at(np: Int) = Some(Probes.NsgCoarse(math.max(32, 4 * np), r))
+  }
+  /** IndexPQ quantizer (`IVF<n>(PQ<m>[x<k>])`): ADC cell ranking at
+    * every nprobe — no walk budget (approximate by quantization). */
+  private final case class PqAdcSpec(m: Int, ksub: Int) extends CoarseGraphSpec {
+    def at(np: Int) = Some(Probes.PqAdcCoarse(m, ksub))
   }
 
   private final class IvfPqBuilt(idx: IvfPqIndex, chain: VecTransform,
@@ -154,7 +163,7 @@ object IndexFactory {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
       val np = math.max(nprobe, 1)
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, np,
-        qid, qvec, coarse = graph.map(_.at(np)))
+        qid, qvec, coarse = graph.flatMap(_.at(np)))
     }
   }
 
@@ -163,7 +172,7 @@ object IndexFactory {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
       val np = math.max(nprobe, 1)
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, np,
-        qid, qvec, coarse = graph.map(_.at(np)))
+        qid, qvec, coarse = graph.flatMap(_.at(np)))
     }
   }
   /** Refine wrapper: coarse Built + exact re-rank over the
@@ -198,6 +207,13 @@ object IndexFactory {
   // IVF<nlist>_NSG<R>: NSG-accelerated coarse quantizer
   // (index_factory.cpp:258-262, IndexNSGFlat as quantizer)
   private val IvfNsg = "IVF(\\d+)_NSG(\\d+)".r
+  // IVF<nlist>(<sub>): generic parenthesized coarse quantizer
+  // (index_factory.cpp:263-267,719 — any sub-description becomes the
+  // IndexIVF's quantizer). Comma-free sub-descriptions: Flat,
+  // HNSW<m>, NSG<R>, PQ<m>[x<k>]. Matched AFTER the RCQ special case.
+  private val IvfParen = "IVF(\\d+)\\((.+)\\)".r
+  private val HnswSub = "HNSW(\\d*)".r
+  private val NsgSub = "NSG(\\d+)".r
   private val Pq = "PQ(\\d+)(?:x(\\d+))?".r
   // PQ<M>x4fs[_<bbs>] (IndexPQFastScan / IndexIVFPQFastScan,
   // index_factory.cpp fast-scan grammar): bbs is the reference's SIMD
@@ -342,7 +358,7 @@ object IndexFactory {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
       val np = math.max(nprobe, 1)
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, np,
-        qid, qvec, coarse = Some(spec.at(np)))
+        qid, qvec, coarse = spec.at(np))
     }
   }
 
@@ -367,7 +383,7 @@ object IndexFactory {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
       val np = math.max(nprobe, 1)
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, np,
-        qid, qvec, coarse = graph.map(_.at(np))).drop("qdist")
+        qid, qvec, coarse = graph.flatMap(_.at(np))).drop("qdist")
     }
   }
   /** IVF<n>,PQ<M>x4fsr (IndexIVFPQFastScan, by_residual = true). */
@@ -376,7 +392,7 @@ object IndexFactory {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
       val np = math.max(nprobe, 1)
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, np,
-        qid, qvec, coarse = graph.map(_.at(np)))
+        qid, qvec, coarse = graph.flatMap(_.at(np)))
     }
   }
   /** IVF<n>,RQ<L>x4fs (IndexIVFAdditiveQuantizerFastScan, non-residual). */
@@ -473,6 +489,28 @@ object IndexFactory {
         graph = Some(spec))
     case other => throw new IllegalArgumentException(
       s"unsupported graph-coarse IVF code '$other' in '$desc'")
+  }
+
+  /** `IVF<n>(PQ<m>x<k>),Flat` — IndexPQ as the coarse quantizer:
+    * k-means centroids as usual, then a driver-trained PQ over the
+    * centroid table ([[graft.core.CoarsePq]]) ranks cells by ADC for
+    * BOTH add-time assignment (the reference's
+    * quantizer->assign in IndexIVF::add_core) and search-time probe
+    * selection — so the invlists reflect the same approximate
+    * quantizer the probes use. */
+  private def pqAdcIvf(data: DataFrame, chain: VecTransform, nlist: Int,
+      m: Int, ksub: Int, niter: Int, seed: Long): Built = {
+    import org.apache.spark.sql.graft.shim
+    val km = graft.cluster.KMeans.fit(data, "vec",
+      graft.cluster.KMeans.Params(k = nlist, niter = niter, seed = seed))
+    val cents = km.centroids
+    val (cb, codes) = graft.core.CoarsePq.model(cents, m, ksub)
+    val inv = data.select(col("id"), col("vec"),
+      element_at(shim.col(graft.core.NearestCentroidsAdc(
+        shim.expr(col("vec")), cb, codes, 1)), 1)
+        .getField("list_no").as("list_no"))
+    new IvfGraphBuilt(new IvfIndex(cents(0).length, "l2sq", nlist, cents,
+      inv), chain, PqAdcSpec(m, ksub))
   }
 
   /** Train the whole pipeline on `df` (id, vec) and return a
@@ -595,6 +633,33 @@ object IndexFactory {
       case IvfNsg(nlist, r) :: code :: Nil =>
         graphIvf(data, chain, nlist.toInt, NsgSpec(r.toInt), code, niter,
           seed, desc)
+      // IVF<n>(<sub>),<code>: the generic parenthesized coarse
+      // (index_factory.cpp:263-267,719) — the sub-description becomes
+      // the quantizer. Flat ≡ the exact argmin; HNSW/NSG are the
+      // underscore forms' aliases; PQ<m>[x<k>] is an IndexPQ
+      // quantizer: BOTH add-time assignment and search-time probes
+      // rank cells by ADC over a driver-trained PQ of the centroids
+      // (IndexIVF::add_core assigns through the quantizer), so the
+      // oracle replays encode/LUT/ADC on each side. The RCQ form is
+      // matched above (its quantizer trains on data, not centroids).
+      case IvfParen(nlist, sub) :: code :: Nil => sub match {
+        case "Flat" =>
+          graphIvf(data, chain, nlist.toInt, ExactSpec, code, niter, seed, desc)
+        case HnswSub(hm) =>
+          graphIvf(data, chain, nlist.toInt,
+            HnswSpec(if (hm.isEmpty) 32 else hm.toInt), code, niter, seed, desc)
+        case NsgSub(r) =>
+          graphIvf(data, chain, nlist.toInt, NsgSpec(r.toInt), code, niter,
+            seed, desc)
+        case Pq(m, ks) =>
+          require(code == "Flat", s"IVF$nlist(PQ...) composes with Flat " +
+            s"(residual codes would need the quantizer's LOSSY decode " +
+            s"as the cell centroid); got '$code' in '$desc'")
+          pqAdcIvf(data, chain, nlist.toInt, m.toInt,
+            Option(ks).map(_.toInt).getOrElse(16), niter, seed)
+        case other => throw new IllegalArgumentException(
+          s"unsupported paren coarse '$other' in '$desc'")
+      }
       case Ivf(nlist) :: code :: Nil => code match {
         case "Flat" =>
           new IvfBuilt(IvfIndex.build(data, "id", "vec", nlist.toInt,

@@ -44,7 +44,7 @@ class IvfIndex(
     * degenerates to exact. */
   private def probes(queries: DataFrame, nprobe: Int,
       queryId: String, queryVec: String,
-      coarse: Option[Probes.GraphCoarse] = None): DataFrame = {
+      coarse: Option[Probes.CoarseQuant] = None): DataFrame = {
     val sel = Probes.selExpr(col(queryVec), centroids, nprobe, metric,
       coarse, graphCacheKey)
     queries.select(col(queryId), col(queryVec),
@@ -59,7 +59,7 @@ class IvfIndex(
   /** Distinct lists any query probes at this nprobe (the scan set). */
   def probedListNos(queries: DataFrame, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec",
-      coarse: Option[Probes.GraphCoarse] = None): Array[Int] =
+      coarse: Option[Probes.CoarseQuant] = None): Array[Int] =
     probes(queries, nprobe, queryId, queryVec, coarse)
       .select("list_no").distinct().collect().map(_.getInt(0))
 
@@ -113,7 +113,7 @@ class IvfIndex(
       maxCodes: Option[Int] = None,
       withCentroid: Boolean = false,
       broadcastQueries: Boolean = true,
-      coarse: Option[Probes.GraphCoarse] = None): DataFrame = {
+      coarse: Option[Probes.CoarseQuant] = None): DataFrame = {
     val pr0 = probes(queries, nprobe, queryId, queryVec, coarse)
     // The probed-list set is tiny (≤ queries × nprobe ints): collecting
     // it turns the invlists scan into a statically partition-pruned read.

@@ -51,7 +51,7 @@ class IvfSqIndex(
     * nlist degenerates to exact). */
   def search(queries: DataFrame, k: Int, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec",
-      coarse: Option[Probes.GraphCoarse] = None): DataFrame = {
+      coarse: Option[Probes.CoarseQuant] = None): DataFrame = {
     var probes = queries.select(col(queryId), col(queryVec),
       explode(Probes.selExpr(col(queryVec), centroids, nprobe, "l2sq",
         coarse, graphCacheKey)).as("_p"))

@@ -239,7 +239,7 @@ class IvfPqIndex(
   def search(queries: DataFrame, k: Int, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec",
       polysemousHt: Option[Int] = None,
-      coarse: Option[Probes.GraphCoarse] = None): DataFrame =
+      coarse: Option[Probes.CoarseQuant] = None): DataFrame =
     adcCandidates(queries, nprobe, queryId, queryVec, polysemousHt,
       coarse)
       .groupBy(col(queryId))
@@ -256,7 +256,7 @@ class IvfPqIndex(
   private def adcCandidates(queries: DataFrame, nprobe: Int,
       queryId: String, queryVec: String,
       polysemousHt: Option[Int] = None,
-      coarse: Option[Probes.GraphCoarse] = None): DataFrame = {
+      coarse: Option[Probes.CoarseQuant] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val centDf = Probes.centroidsDf(spark, centroids)

@@ -30,7 +30,8 @@ object Probes {
     * argmin dominates). `budget` is the walk's candidate-pool size
     * (HNSW efSearch / NSG searchL); budget >= nlist degenerates to
     * the exact probe set — the oracle-gate convention. */
-  sealed trait GraphCoarse { def budget: Int }
+  sealed trait CoarseQuant
+  sealed trait GraphCoarse extends CoarseQuant { def budget: Int }
   /** HNSW walk, degree `m` (IndexHNSWFlat as quantizer). */
   final case class HnswCoarse(efSearch: Int, m: Int = 32) extends GraphCoarse {
     def budget: Int = efSearch
@@ -39,6 +40,14 @@ object Probes {
   final case class NsgCoarse(searchL: Int, r: Int = 32) extends GraphCoarse {
     def budget: Int = searchL
   }
+  /** IndexPQ as quantizer (`IVF<n>(PQ<m>[x<k>])` paren coarse,
+    * index_factory.cpp:263-267): cells ranked by ADC over a
+    * driver-trained PQ of the centroid table
+    * ([[graft.core.CoarsePq]]) — approximate by quantization, not by
+    * a walk budget, so there is no exact-degenerate knob; the oracle
+    * replays the encode/LUT/ADC arithmetic instead. */
+  final case class PqAdcCoarse(m: Int, ksub: Int = 16, niter: Int = 10,
+      seed: Long = 1234L) extends CoarseQuant
 
   /** Coarse probe-selection expression shared by every IVF-family
     * code index: the exact O(nlist) argmin ranking
@@ -51,14 +60,14 @@ object Probes {
     * index searched at two degrees never reuses the other's graph. */
   def selExpr(queryVec: org.apache.spark.sql.Column,
       centroids: Array[Array[Float]], nprobe: Int, metric: String,
-      coarse: Option[GraphCoarse],
+      coarse: Option[CoarseQuant],
       cacheKey: String): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graft.shim
     val np = math.min(nprobe, centroids.length)
     coarse match {
       case Some(g) =>
         require(metric == "l2sq",
-          "graph coarse quantizers are L2-only (reference semantics)")
+          "non-exact coarse quantizers are L2-only (reference semantics)")
         g match {
           case HnswCoarse(ef, m) =>
             shim.col(graft.core.NearestCentroidsHnsw(shim.expr(queryVec),
@@ -66,6 +75,10 @@ object Probes {
           case NsgCoarse(sl, r) =>
             shim.col(graft.core.NearestCentroidsNsg(shim.expr(queryVec),
               centroids, np, sl, r = r, cacheKey = s"$cacheKey:nsg:r=$r"))
+          case PqAdcCoarse(m, ksub, ni, sd) =>
+            val (cb, codes) = graft.core.CoarsePq.model(centroids, m, ksub, ni, sd)
+            shim.col(graft.core.NearestCentroidsAdc(shim.expr(queryVec),
+              cb, codes, np))
         }
       case None =>
         shim.col(graft.core.NearestCentroids(shim.expr(queryVec),

@@ -143,4 +143,34 @@ class IvfSpec extends SparkTestBase {
     assert(resultSet(f.search(q, 5, nprobe = 8)) ==
       resultSet(idx.search(q, 5, nprobe = 8)))
   }
+
+  test("IVF<n>(<sub>) paren coarse: Flat/HNSW/NSG aliases match their plain forms") {
+    // index_factory.cpp:263-267,719 — any parenthesized sub-description
+    // becomes the quantizer. Flat == exact; HNSW/NSG == the underscore
+    // forms (same trained model, same walk convention).
+    val want = resultSet(
+      IndexFactory.build(b, "id", "vec", "IVF8,PQ8", niter = 3)
+        .search(q, 5, nprobe = 8))
+    for (sub <- Seq("Flat", "HNSW16", "NSG16")) {
+      val f = IndexFactory.build(b, "id", "vec", s"IVF8($sub),PQ8", niter = 3)
+      assert(resultSet(f.search(q, 5, nprobe = 8)) == want, s"IVF8($sub),PQ8")
+    }
+  }
+
+  test("IVF<n>(PQ<m>x<k>) coarse: ADC assignment is consistent between add and probes") {
+    // The PQ quantizer ranks cells by ADC on BOTH sides: at full
+    // nprobe the search must return the exact top-k (every list is
+    // probed regardless of ranking), and at nprobe=1 each base row's
+    // own vector must land in the list the probe ranking puts first
+    // (add assigns through the same quantizer).
+    val f = IndexFactory.build(b, "id", "vec", "IVF8(PQ8x4),Flat", niter = 3)
+    val exact = resultSet(Knn.knnJoin(q, b, 5))
+    assert(resultSet(f.search(q, 5, nprobe = 8)) == exact)
+    // self-query: base vectors as queries at nprobe=1 must find themselves
+    val selfQ = b.limit(20).select(col("id").as("qid"), col("vec").as("qvec"))
+    val got = f.search(selfQ, 1, nprobe = 1)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.forall { case (a, c) => a == c },
+      s"self-lookup through the ADC quantizer must hit its own list")
+  }
 }
