@@ -142,6 +142,16 @@ object Queries {
       graft.index.IvfPqrIndex.build(bDf(s, dir, 10), "id", "vec",
         nlist = 8, m = 8, ksub = 16, niterCoarse = 4, niterPq = 4)
     }
+  /** Residual2x4,PQ8 — the MIQ-first-layer Index2Layer
+    * (index_factory.cpp:270-278); built through the same
+    * deterministic calls as the factory route. */
+  private def resMiq24(s: SparkSession, dir: String): graft.index.MiqTwoLayerIndex =
+    cached(s"resmiq24:$dir") {
+      graft.index.MiqTwoLayerIndex.build(
+        emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")),
+        "id", "vec", mCoarse = 2, nbit = 4, m = 8, ksub = 16,
+        niterCoarse = 4, niterPq = 4)
+    }
   private def twoLayer16(s: SparkSession, dir: String): graft.index.TwoLayerIndex =
     cached(s"twolayer16:$dir") {
       graft.index.TwoLayerIndex.build(
@@ -506,6 +516,19 @@ object Queries {
     // replaying both chained argmins in DOUBLE — near-tie assignments
     // diverge between float32 (engine) and double (SQL replay), which
     // was the only hash-red row through r05.
+    val rmq = resMiq24(s, dir)
+    OracleAux.write(dir, "resmiq_coarse_codebooks",
+      OracleAux.codebooksDf(s, rmq.coarse.codebooks))
+    OracleAux.write(dir, "resmiq_codebooks",
+      OracleAux.codebooksDf(s, rmq.model.codebooks))
+    // (id, j0, j1, code) with the PQ code unpacked to int indices —
+    // the decode-from-codes oracle convention (see twolayer_codes)
+    OracleAux.write(dir, "resmiq_codes",
+      rmq.codes.select(col("id"),
+        (col("cell") / 16).cast("long").cast("int").as("j0"),
+        (col("cell") % 16).cast("int").as("j1"),
+        transform(sequence(lit(1), lit(8)),
+          i => conv(hex(col("code").substr(i, lit(1))), 16, 10).cast("int")).as("code")))
     OracleAux.write(dir, "twolayer_codes",
       tl.codes.select(col("id"), col("list_no"),
         transform(sequence(lit(1), lit(8)),
@@ -2873,6 +2896,66 @@ object Queries {
               |recon AS (SELECT c0.id,
               |    list_transform(list_zip(ct.c::DOUBLE[], d.dv), p -> p[1] + p[2]) AS rv
               |  FROM codes c0 JOIN cent ct ON ct.list_no = c0.list_no JOIN dec d ON d.id = c0.id)
+              |SELECT r.id, CAST(round(r.rv[1] * 10000.0) AS BIGINT) AS d1q,
+              |  CAST(round(list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], r.rv),
+              |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') * 10000.0) AS BIGINT) AS errq
+              |FROM recon r JOIN embeddings b ON b.vec_id = r.id""".stripMargin)),
+
+    // Residual2x4,PQ8 — the MIQ-first-layer 2-layer form
+    // (index_factory.cpp:270-278: `Residual<M>x<nbit>` returns a
+    // MultiIndexQuantizer with nlist = 2^(M*nbit), use_2layer).
+    // Decode-from-codes oracle, the index2layer_roundtrip convention:
+    // both sides reconstruct rv = concat(coarse_cb0[j0], coarse_cb1[j1])
+    // + PQ-decode(code) in DOUBLE from the engine's stored digits and
+    // compare quantized first-dim and reconstruction-error values
+    // (replaying the chained float32 argmin encodes in SQL diverges on
+    // near-ties; TwoLayerSpec proves encode consistency).
+    ("residual_mxn_roundtrip", (s: SparkSession, dir: String) => {
+      val rmq = resMiq24(s, dir)
+      val codes = rmq.codes.select(col("id"),
+        (col("cell") / 16).cast("long").cast("int").as("_j0"),
+        (col("cell") % 16).cast("int").as("_j1"),
+        transform(sequence(lit(1), lit(8)),
+          i => conv(hex(col("code").substr(i, lit(1))), 16, 10).cast("int")).as("code"))
+      val ccbD = OracleAux.codebooksDf(s, rmq.coarse.codebooks)
+      val c0 = ccbD.filter(col("m") === 0)
+        .select(col("j").as("_j0"), col("c").cast("array<double>").as("_c0"))
+      val c1 = ccbD.filter(col("m") === 1)
+        .select(col("j").as("_j1"), col("c").cast("array<double>").as("_c1"))
+      val cbD = OracleAux.codebooksDf(s, rmq.model.codebooks)
+        .select(col("m"), col("j"), col("c").cast("array<double>").as("cc"))
+      val per = codes.select(col("id"), col("_j0"), col("_j1"),
+          posexplode(col("code")))
+        .withColumnRenamed("pos", "m").withColumnRenamed("col", "j")
+      val dec = per.join(broadcast(cbD), Seq("m", "j"))
+        .groupBy("id", "_j0", "_j1")
+        .agg(sort_array(collect_list(struct(col("m"), col("cc")))).as("parts"))
+        .select(col("id"), col("_j0"), col("_j1"),
+          flatten(transform(col("parts"), p => p.getField("cc"))).as("dv"))
+      dec.join(broadcast(c0), "_j0").join(broadcast(c1), "_j1")
+        .select(col("id"),
+          zip_with(concat(col("_c0"), col("_c1")), col("dv"),
+            (a, b) => a + b).as("rv"))
+        .join(emb(s, dir).select(col("vec_id").as("id"), col("embedding")), "id")
+        .select(col("id"),
+          round(element_at(col("rv"), 1) * lit(10000.0)).cast("long").as("d1q"),
+          round(aggregate(
+            zip_with(col("embedding").cast("array<double>"), col("rv"),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x) * lit(10000.0)).cast("long").as("errq"))
+    },
+      Some(s"""WITH ccb AS (SELECT m, j, c FROM read_parquet('$AUX/resmiq_coarse_codebooks/*.parquet')),
+              |cb AS (SELECT m, j, c FROM read_parquet('$AUX/resmiq_codebooks/*.parquet')),
+              |codes AS (SELECT id, j0, j1, code FROM read_parquet('$AUX/resmiq_codes/*.parquet')),
+              |dec AS (SELECT cs.id, flatten(list(cb.c::DOUBLE[] ORDER BY cb.m)) AS dv
+              |  FROM (SELECT id, r.m AS m, code[r.m+1] AS j FROM codes, range(0,8) r(m)) cs
+              |  JOIN cb ON cb.m = cs.m AND cb.j = cs.j GROUP BY cs.id),
+              |recon AS (SELECT c0.id,
+              |    list_transform(list_zip(flatten([h0.c::DOUBLE[], h1.c::DOUBLE[]]), d.dv), p -> p[1] + p[2]) AS rv
+              |  FROM codes c0
+              |  JOIN ccb h0 ON h0.m = 0 AND h0.j = c0.j0
+              |  JOIN ccb h1 ON h1.m = 1 AND h1.j = c0.j1
+              |  JOIN dec d ON d.id = c0.id)
               |SELECT r.id, CAST(round(r.rv[1] * 10000.0) AS BIGINT) AS d1q,
               |  CAST(round(list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], r.rv),
               |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') * 10000.0) AS BIGINT) AS errq

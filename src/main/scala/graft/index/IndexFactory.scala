@@ -82,7 +82,7 @@ object IndexFactory {
       case RefineTok(_) => ()
       case "MinMax" => extra += 8
       case "MinMaxFP16" => extra += 4
-      case Ivf(_) | IvfHnsw(_, _) | IvfNsg(_, _) | IvfRcqTok(_, _, _) | IvfParen(_, _) | Imi(_) | Res(_) => ()
+      case Ivf(_) | IvfHnsw(_, _) | IvfNsg(_, _) | IvfRcqTok(_, _, _) | IvfParen(_, _) | Imi(_) | Res(_) | ResMiq(_, _) => ()
       case "Flat" => code = Some(4 * dim)
       case "SQ8" => code = Some(dim)
       case "SQ4" => code = Some((dim + 1) / 2)
@@ -243,6 +243,9 @@ object IndexFactory {
   private val PadTok = "Pad(\\d+)".r
   private val PlsqTok = "PLSQ(\\d+)x(\\d+)x(\\d+)".r
   private val Res = "Residual(\\d+)".r
+  // Residual<M>x<nbit>: MultiIndexQuantizer first layer for the
+  // 2-layer form (index_factory.cpp:270-278, nlist = 2^(M*nbit))
+  private val ResMiq = "Residual(\\d+)x(\\d+)".r
   private val Sh = "SH(\\d+)x([-0-9.eE]+)([gcm])?".r
   private val Lsh = "LSH(\\d+)".r
   // additive quantizers (index_factory.cpp aq_templates): RQ<L>x<nbits>,
@@ -342,6 +345,17 @@ object IndexFactory {
     * storage). */
   private final class TwoLayerBuilt(idx: TwoLayerIndex, chain: VecTransform)
       extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      Knn.knnJoin(q.withColumn(qvec, chain.applyCol(col(qvec))),
+        idx.reconstruct, k, queryId = qid, queryVec = qvec)
+  }
+  /** Residual<M>x<nbit>,PQ<m> (MIQ-coarse Index2Layer): searched like
+    * [[TwoLayerBuilt]] — exact scan over the decoded storage (the
+    * reference leaves Index2Layer::search unimplemented,
+    * Index2Layer.h:53; the decoded-storage scan is the Spark shape of
+    * "use it as storage"). */
+  private final class MiqTwoLayerBuilt(val idx: MiqTwoLayerIndex,
+      chain: VecTransform) extends Built {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       Knn.knnJoin(q.withColumn(qvec, chain.applyCol(col(qvec))),
         idx.reconstruct, k, queryId = qid, queryVec = qvec)
@@ -714,6 +728,15 @@ object IndexFactory {
         case other => throw new IllegalArgumentException(
           s"unsupported IVF code '$other' in '$desc'")
       }
+      // Residual<M>x<nbit>,PQ<m>: 2-layer with a MultiIndexQuantizer
+      // first layer (index_factory.cpp:270-278). Same sequential
+      // storage as Residual<nlist>, but the cell never materializes a
+      // 2^(M*nbit)-row centroid table.
+      case ResMiq(mc, nb) :: Pq(m, ks) :: Nil =>
+        new MiqTwoLayerBuilt(MiqTwoLayerIndex.build(data, "id", "vec",
+          mc.toInt, nb.toInt, m.toInt,
+          Option(ks).map(_.toInt).getOrElse(16),
+          niterCoarse = niter, niterPq = niter, seed = seed), chain)
       case Res(nlist) :: Pq(m, ks) :: Nil =>
         new TwoLayerBuilt(TwoLayerIndex.build(data, "id", "vec", nlist.toInt,
           m.toInt, Option(ks).map(_.toInt).getOrElse(16),

@@ -71,3 +71,92 @@ object TwoLayerIndex {
     new TwoLayerIndex(nlist, km.centroids, pq, codes)
   }
 }
+
+/** Index2Layer with a MultiIndexQuantizer first layer — the
+  * `Residual<M>x<nbit>,PQ<m>` factory form (index_factory.cpp:270-278:
+  * `Residual([0-9]+)x([0-9]+)` returns a MultiIndexQuantizer with
+  * nlist = 2^(M·nbit) and use_2layer = true). Same sequential-storage
+  * contract as [[TwoLayerIndex]], but the first-layer cell decomposes
+  * into M per-subspace codebook indexes, so the cell centroid is
+  * never materialized as a 2^(M·nbit)-row table: reconstruction
+  * concatenates the M half-centroids through M tiny broadcast joins
+  * (the ImiProbes convention — our cell digit order puts subspace 0
+  * in the HIGH digits, documented engine-wide).
+  */
+class MiqTwoLayerIndex(
+    val mCoarse: Int,
+    val ksub: Int,
+    val coarse: PqModel,
+    val model: PqModel,
+    /** (id, cell, code) — sequential storage, cell = Σ j_m·K^(M-1-m) */
+    val codes: DataFrame) {
+
+  def nlist: Long = {
+    var n = 1L; var i = 0
+    while (i < mCoarse) { n *= ksub; i += 1 }
+    n
+  }
+
+  /** reconstruct_n: concat of the M coarse half-centroids (decoded
+    * from the cell's digits) + the PQ-decoded residual. */
+  def reconstruct: DataFrame = {
+    val s = codes.sparkSession
+    var df = codes
+    var i = 0
+    while (i < mCoarse) {
+      // j_i = (cell / K^(M-1-i)) % K — integer digit extraction
+      var p = 1L; var t = 0
+      while (t < mCoarse - 1 - i) { p *= ksub; t += 1 }
+      df = df.withColumn(s"_j$i", ((col("cell") / p).cast("long") % ksub).cast("int"))
+        .join(broadcast(ImiProbes.halfDf(s, coarse, i)), s"_j$i")
+      i += 1
+    }
+    val cent = concat((0 until mCoarse).map(i => col(s"_c$i")): _*)
+    df.select(col("id"),
+      vec_add(cent, model.decodeCol(col("code"))).as("vec"))
+  }
+}
+
+object MiqTwoLayerIndex {
+
+  /** Train the M-subspace coarse (a PQ over the raw vectors — the
+    * MultiIndexQuantizer) + residual PQ, then encode every row.
+    * Cell assignment runs per-subspace integer argmins
+    * ([[graft.core.PQSubAssign]]) so no half index ever truncates
+    * through a byte code, at any nbit. */
+  def build(df: DataFrame, idCol: String, vecCol: String,
+      mCoarse: Int, nbit: Int, m: Int, ksub: Int = 256,
+      niterCoarse: Int = 5, niterPq: Int = 5,
+      seed: Long = 1234L): MiqTwoLayerIndex = {
+    require(nbit <= 24, s"Residual${mCoarse}x$nbit: nbit too large")
+    val k = 1 << nbit
+    val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val coarse = Pq.train(data, "vec", mCoarse, k, niter = niterCoarse,
+      seed = seed)
+    val dsub = coarse.dsub
+    val s = df.sparkSession
+    var assigned = data
+    for (mm <- 0 until mCoarse)
+      assigned = assigned.withColumn(s"_j$mm",
+        shim.col(graft.core.PQSubAssign(shim.expr(lit(mm)),
+          shim.expr(slice(col("vec"), mm * dsub + 1, dsub)),
+          coarse.codebooks)))
+    val cell = (0 until mCoarse).map(mm => col(s"_j$mm").cast("long"))
+      .reduceLeft((acc, j) => acc * k + j)
+    for (mm <- 0 until mCoarse)
+      assigned = assigned.join(broadcast(ImiProbes.halfDf(s, coarse, mm)), s"_j$mm")
+    val cent = concat((0 until mCoarse).map(mm => col(s"_c$mm")): _*)
+    val residuals = assigned
+      .select(col("id"), cell.as("cell"), vec_sub(col("vec"), cent).as("_res"))
+    val cachedRes = residuals.cache()
+    try {
+      val pq = Pq.train(cachedRes.select(col("_res")), "_res", m, ksub,
+        niter = niterPq, seed = seed)
+      val codes = cachedRes.select(col("id"), col("cell"),
+        shim.col(PQEncode(shim.expr(col("_res")), pq.codebooks)).as("code"))
+        .cache()
+      codes.count()
+      new MiqTwoLayerIndex(mCoarse, k, coarse, pq, codes)
+    } finally cachedRes.unpersist(blocking = false)
+  }
+}

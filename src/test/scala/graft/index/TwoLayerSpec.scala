@@ -54,4 +54,36 @@ class TwoLayerSpec extends SparkTestBase {
     assert(res.groupBy("qid").count().collect().forall(_.getLong(1) == 4))
     assert(IndexFactory.codeSize("Residual8,PQ8", 64) == 8)
   }
+
+  test("Residual2x4,PQ8 (MIQ first layer): cells decompose, PQ refines, factory parses") {
+    // index_factory.cpp:270-278 — MultiIndexQuantizer coarse with
+    // nlist = 2^(2*4) = 256 cells that are never materialized as a
+    // centroid table; reconstruction concatenates the two half
+    // centroids from the cell digits and adds the PQ residual.
+    val idx = MiqTwoLayerIndex.build(data, "id", "vec",
+      mCoarse = 2, nbit = 4, m = 8, ksub = 16, niterCoarse = 3, niterPq = 3)
+    assert(idx.nlist == 256)
+    // cell digits stay in range
+    val cells = idx.codes.select("cell").collect().map(_.getLong(0))
+    assert(cells.forall(c => c >= 0 && c < 256))
+    // full reconstruction beats the coarse-only (concat-half) decode
+    val full = sse(idx.reconstruct.select(col("id"), col("vec").as("rv")))
+    val coarseOnly = {
+      val s = spark
+      val df = idx.codes
+        .withColumn("_j0", (col("cell") / 16).cast("long").cast("int"))
+        .withColumn("_j1", (col("cell") % 16).cast("int"))
+      val h0 = ImiProbes.halfDf(s, idx.coarse, 0)
+      val h1 = ImiProbes.halfDf(s, idx.coarse, 1)
+      sse(df.join(broadcast(h0), "_j0").join(broadcast(h1), "_j1")
+        .select(col("id"), concat(col("_c0"), col("_c1")).as("rv")))
+    }
+    assert(full < coarseOnly, s"MIQ 2-layer sse $full !< coarse sse $coarseOnly")
+    // factory route builds the same model (same seed/iters) and searches
+    val built = IndexFactory.build(data, "id", "vec", "Residual2x4,PQ8", niter = 3)
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    assert(built.search(q, k = 4).groupBy("qid").count()
+      .collect().forall(_.getLong(1) == 4))
+  }
 }
