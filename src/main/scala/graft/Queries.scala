@@ -2961,6 +2961,42 @@ object Queries {
               |    p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') * 10000.0) AS BIGINT) AS errq
               |FROM recon r JOIN embeddings b ON b.vec_id = r.id""".stripMargin)),
 
+    // IndexHNSW2Level (IndexHNSW.h:179; factory "HNSW16,2x4+PQ8",
+    // index_factory.cpp:463-472): an HNSW graph whose storage is the
+    // MIQ-coarse Index2Layer. Exact-degenerate gate (efSearch >= any
+    // partition's size): the graph search must equal the exact kNN
+    // over the DECODED storage. The oracle reconstructs each stored
+    // vector from the resmiq code sidecars with FLOAT-rounded adds —
+    // CAST(cent + dv AS FLOAT) is the engine's float32 vec_add (double
+    // add of two floats rounded once) — then ranks exact L2 in DOUBLE.
+    ("hnsw2level_search", (s: SparkSession, dir: String) =>
+      graft.knn.PartitionedHnsw.knnJoin(
+        qDf(s, dir, 10), resMiq24(s, dir).reconstruct, 10,
+        m = 16, efConstruction = 64, efSearch = 4096)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH ccb AS (SELECT m, j, c FROM read_parquet('$AUX/resmiq_coarse_codebooks/*.parquet')),
+              |cb AS (SELECT m, j, c FROM read_parquet('$AUX/resmiq_codebooks/*.parquet')),
+              |codes AS (SELECT id, j0, j1, code FROM read_parquet('$AUX/resmiq_codes/*.parquet')),
+              |dec AS (SELECT cs.id, flatten(list(cb.c::DOUBLE[] ORDER BY cb.m)) AS dv
+              |  FROM (SELECT id, r.m AS m, code[r.m+1] AS j FROM codes, range(0,8) r(m)) cs
+              |  JOIN cb ON cb.m = cs.m AND cb.j = cs.j GROUP BY cs.id),
+              |recon AS (SELECT c0.id,
+              |    list_transform(list_zip(flatten([h0.c::DOUBLE[], h1.c::DOUBLE[]]), d.dv),
+              |      p -> CAST(CAST(p[1] + p[2] AS FLOAT) AS DOUBLE)) AS rv
+              |  FROM codes c0
+              |  JOIN ccb h0 ON h0.m = 0 AND h0.j = c0.j0
+              |  JOIN ccb h1 ON h1.m = 1 AND h1.j = c0.j1
+              |  JOIN dec d ON d.id = c0.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT q.vec_id AS qid, r.id AS id,
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], r.rv),
+              |      p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |      list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], r.rv),
+              |        p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), r.id) AS "rank"
+              |  FROM embeddings q CROSS JOIN recon r WHERE q.vec_id < 10) w
+              |WHERE "rank" <= 10""".stripMargin)),
+
     // ZnLattice codec roundtrip (faiss/IndexLattice.h:22, codec
     // machinery faiss/impl/lattice_Zn.cpp): vectors encoded as 16
     // (8-bit scale, 8-bit sphere-point) pairs by the enumerative

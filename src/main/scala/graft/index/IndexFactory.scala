@@ -100,6 +100,9 @@ object IndexFactory {
       case LsqTok(lv, nb) => code = Some((lv.toInt * nb.toInt + 7) / 8)
       case PlsqTok(ns, lv, nb) => code = Some((ns.toInt * lv.toInt * nb.toInt + 7) / 8)
       case HnswTok(_) | NsgTok(_) => code = Some(4 * dim)  // Flat storage
+      // 2-layer storage codes: the coarse id is free like Res(_)
+      case TwoLevelMiqCode(_, pm) => code = Some(pm.toInt)
+      case TwoLevelCode(_, pm) => code = Some(pm.toInt)
       case ZnTok(m, r2v, nbit) =>
         val lat = new graft.core.LatticeCodec(dim, m.toInt, nbit.toInt, r2v.toInt,
           new Array[Float](m.toInt), Array.fill(m.toInt)(1.0f))
@@ -253,6 +256,11 @@ object IndexFactory {
   private val RqTok = "RQ(\\d+)x(\\d+)".r
   private val PrqTok = "PRQ(\\d+)x(\\d+)x(\\d+)".r
   private val HnswTok = "HNSW(\\d+)".r
+  // <ncent>+PQ<m> / 2x<nbit>+PQ<m>: IndexHNSW2Level storage codes
+  // (index_factory.cpp:455-472 — Index2Layer as the HNSW's storage,
+  // flat-coarse and MultiIndexQuantizer-coarse forms)
+  private val TwoLevelCode = "(\\d+)\\+PQ(\\d+)".r
+  private val TwoLevelMiqCode = "2x(\\d+)\\+PQ(\\d+)".r
   private val NsgTok = "NSG(\\d+)".r
   // ZnLattice<M>x<r2>_<nbit> (index_factory.cpp:536)
   private val ZnTok = "ZnLattice(\\d+)x(\\d+)_(\\d+)".r
@@ -415,6 +423,16 @@ object IndexFactory {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
         math.max(nprobe, 1), qid, qvec).drop("qdist")
+  }
+
+  /** IndexHNSW2Level (IndexHNSW.h:179): per-partition HNSW shards
+    * over an Index2Layer's decoded storage. */
+  private final class Hnsw2LevelBuilt(recon: DataFrame, chain: VecTransform,
+      m: Int) extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      graft.knn.PartitionedHnsw.knnJoin(
+        q.withColumn(qvec, chain.applyCol(col(qvec))), recon, k,
+        m = m, efSearch = math.max(96, 4 * k), queryId = qid, queryVec = qvec)
   }
 
   /** Per-partition HNSW shards over Flat storage (HNSW<M>[,Flat],
@@ -825,6 +843,21 @@ object IndexFactory {
       // §7: the scalable re-expression of IndexHNSW / IndexNSG)
       case HnswTok(m) :: tl if tl.isEmpty || tl == List("Flat") =>
         new HnswBuilt(data, chain, m.toInt)
+      // HNSW<M>,2x<nbit>+PQ<m> / HNSW<M>,<ncent>+PQ<m>
+      // (IndexHNSW2Level, IndexHNSW.h:179; factory :455-472): graph
+      // shards whose storage is an Index2Layer — searched over the
+      // DECODED storage (identical distances to decode-inside-the-
+      // distance; the decoded projection streams, it is never
+      // materialized beyond each partition's graph build).
+      // MIQ-coarse BEFORE flat-coarse: "2x4+PQ8" must not bind ncent.
+      case HnswTok(m) :: TwoLevelMiqCode(nb, pm) :: Nil =>
+        new Hnsw2LevelBuilt(MiqTwoLayerIndex.build(data, "id", "vec",
+          2, nb.toInt, pm.toInt, ksub = 16, niterCoarse = niter,
+          niterPq = niter, seed = seed).reconstruct, chain, m.toInt)
+      case HnswTok(m) :: TwoLevelCode(ncent, pm) :: Nil =>
+        new Hnsw2LevelBuilt(TwoLayerIndex.build(data, "id", "vec",
+          ncent.toInt, pm.toInt, ksub = 16, niterCoarse = niter,
+          niterPq = niter, seed = seed).reconstruct, chain, m.toInt)
       // HNSW<M>,SQ8 (IndexHNSWSQ, faiss/IndexHNSW.h:168): graph shards
       // whose storage is SQ8 codes, decoded inside the distance
       case HnswTok(m) :: "SQ8" :: Nil =>

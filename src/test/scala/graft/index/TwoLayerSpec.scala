@@ -86,4 +86,28 @@ class TwoLayerSpec extends SparkTestBase {
     assert(built.search(q, k = 4).groupBy("qid").count()
       .collect().forall(_.getLong(1) == 4))
   }
+
+  test("IndexHNSW2Level factory forms: graph over 2-layer storage equals the decoded scan") {
+    // HNSW<M>,<ncent>+PQ<m> and HNSW<M>,2x<nbit>+PQ<m>
+    // (index_factory.cpp:455-472). At this scale every partition's
+    // graph is tiny, so the efSearch budget covers it and the graph
+    // search must equal the exact kNN over the SAME decoded storage
+    // (built with the same seed/iters).
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def rset(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val flatRecon = TwoLayerIndex.build(data, "id", "vec",
+      nlist = 8, m = 8, ksub = 16, niterCoarse = 3, niterPq = 3).reconstruct
+    val miqRecon = MiqTwoLayerIndex.build(data, "id", "vec",
+      mCoarse = 2, nbit = 4, m = 8, ksub = 16,
+      niterCoarse = 3, niterPq = 3).reconstruct
+    for ((tok, recon) <- Seq("HNSW16,8+PQ8" -> flatRecon,
+                             "HNSW16,2x4+PQ8" -> miqRecon)) {
+      val built = IndexFactory.build(data, "id", "vec", tok, niter = 3)
+      val want = rset(graft.knn.Knn.knnJoin(q, recon, 5))
+      assert(rset(built.search(q, k = 5)) == want, tok)
+    }
+  }
 }
