@@ -464,6 +464,16 @@ object Queries {
       OracleAux.codebooksDf(s, rqModel16(s, dir).codebooks))
     // engine-encoded base codes for the LUT search types (ST_LUT_*):
     // the oracle replays decode + LUT arithmetic from these integers
+    OracleAux.write(dir, "rqnorm_cq8", {
+      import s.implicits._
+      rqNormCq(s, dir, 256).zipWithIndex.map { case (c, j) => (j, c) }
+        .toSeq.toDF("j", "c")
+    })
+    OracleAux.write(dir, "rqnorm_cq4", {
+      import s.implicits._
+      rqNormCq(s, dir, 16).zipWithIndex.map { case (c, j) => (j, c) }
+        .toSeq.toDF("j", "c")
+    })
     OracleAux.write(dir, "rq_codes",
       emb(s, dir).filter(col("vec_id") >= 10).select(col("vec_id").as("id"),
         rqModel16(s, dir).encodeCol(col("embedding")).as("codes")))
@@ -720,6 +730,48 @@ object Queries {
       graft.index.Rq.train(emb(s, dir).select(col("embedding")), "embedding",
         levels = 2, k = 16, niter = 4)
     }
+  /** (id, codes, normsq) base table of the AQ LUT search types — RQ
+    * codes + the decoded-vector norm stored at add time. */
+  private def rqNormBase(s: SparkSession, dir: String): DataFrame =
+    cached(s"rqnormbase:$dir") {
+      val rq = rqModel16(s, dir)
+      bDf(s, dir, 10)
+        .select(col("id"), rq.encodeCol(col("vec")).as("codes"))
+        .withColumn("normsq", aggregate(
+          rq.decodeCol(col("codes")).cast("array<double>"),
+          lit(0.0), (a, x) => a + x * x))
+        .cache()
+    }
+  /** Trained [norm_min, norm_max] (AdditiveQuantizer::train_norm). */
+  private def rqNormRange(s: SparkSession, dir: String): (Double, Double) =
+    cached(s"rqnrange:$dir") {
+      graft.index.RqNorms.range(rqNormBase(s, dir), "normsq")
+    }
+  /** cqint<b> 1-D norm codebook (Clustering1D::train_exact). */
+  private def rqNormCq(s: SparkSession, dir: String, k: Int): Array[Double] =
+    cached(s"rqcq$k:$dir") {
+      graft.index.RqNorms.cqCentroids(rqNormBase(s, dir), "normsq", k)
+    }
+  /** Shared engine chain of the quantized-norm AQ search types
+    * (ST_norm_qint8/qint4/cqint8/cqint4): identical to rq_lut_search
+    * except the stored ||x̂||² term goes through `dec`. */
+  private def rqQnormSearch(s: SparkSession, dir: String,
+      dec: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val rq = rqModel16(s, dir)
+    val b = rqNormBase(s, dir).withColumn("nq", dec(col("normsq")))
+    val q = qDf(s, dir, 10).select(col("qid"), rq.lutCol(col("qvec")).as("lut"),
+      aggregate(col("qvec").cast("array<double>"), lit(0.0),
+        (a, x) => a + x * x).as("qn"))
+    b.crossJoin(broadcast(q))
+      .select(col("qid"), col("id"),
+        (col("qn") - lit(2.0) * rq.ipFromLutCol(col("codes"), col("lut"))
+          + col("nq")).as("_d"))
+      .groupBy(col("qid"))
+      .agg(topk(col("_d"), col("id"), 5, asc = true).as("_tk"))
+      .select(col("qid"), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+      .select(col("qid"), (col("_pos") + 1).cast("long").as("rank"),
+        col("_r.id").as("id"), round(col("_r.dist"), 4).as("dist"))
+  }
   private def prqModel(s: SparkSession, dir: String): graft.index.PrqModel =
     cached(s"prq:$dir") {
       graft.index.Prq.train(emb(s, dir).select(col("embedding")), "embedding",
@@ -5599,6 +5651,118 @@ object Queries {
               |        + list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], nb.cv1::DOUBLE[]), p -> p[1]*p[2]), 'sum')))
               |    + nb.normsq AS dist
               |  FROM nb CROSS JOIN embeddings q WHERE q.vec_id < 10)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 5""".stripMargin)),
+
+    // Quantized stored-norm AQ search types (Search_type_t
+    // ST_norm_qint8/qint4/cqint8/cqint4, AdditiveQuantizer.h:58-67):
+    // the same LUT scan as rq_lut_search, with the stored ||x̂||² term
+    // quantized — uniformly over the trained [norm_min, norm_max]
+    // range (encode_qint8/decode_qint8, AdditiveQuantizer.cpp:167-186)
+    // or through a 256/16-entry exact-DP 1-D k-means codebook
+    // (train_norm:124-131 Clustering1D). The oracle replays the whole
+    // chain from the rq_codes sidecar: decode, stored norm, the
+    // clamp/floor qint grid (or the codebook argmin from the cq
+    // sidecar), LUT terms, same formula.
+    ("rq_qnorm_qint8_search", (s: SparkSession, dir: String) => {
+      val (nmin, nmax) = rqNormRange(s, dir)
+      rqQnormSearch(s, dir, graft.index.RqNorms.qintDecode(_, 256, nmin, nmax))
+    },
+      Some(s"""WITH cb AS (SELECT m, j, c FROM read_parquet('$AUX/rq_codebooks/*.parquet')),
+              |codes AS (SELECT id, codes FROM read_parquet('$AUX/rq_codes/*.parquet')),
+              |dec AS (SELECT codes.id, c0.c AS cv0, c1.c AS cv1,
+              |    list_transform(list_zip(c0.c, c1.c), p -> p[1] + p[2]) AS dv
+              |  FROM codes JOIN cb c0 ON c0.m = 0 AND c0.j = codes.codes[1]
+              |  JOIN cb c1 ON c1.m = 1 AND c1.j = codes.codes[2]),
+              |nb AS (SELECT id, cv0, cv1,
+              |    list_aggregate(list_transform(dv::DOUBLE[], x -> x*x), 'sum') AS normsq FROM dec),
+              |nstat AS (SELECT min(normsq) AS nmin, max(normsq) AS nmax FROM nb),
+              |nq AS (SELECT nb.id, nb.cv0, nb.cv1, CASE WHEN ns.nmax = ns.nmin THEN ns.nmin ELSE
+              |    (least(greatest(floor((nb.normsq - ns.nmin)/(ns.nmax - ns.nmin)*256), 0), 255) + 0.5)/256*(ns.nmax - ns.nmin) + ns.nmin END AS nqd
+              |  FROM nb, nstat ns),
+              |d AS (SELECT q.vec_id AS qid, nq.id,
+              |    (list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], q.embedding::DOUBLE[]), p -> p[1]*p[2]), 'sum')
+              |     - 2*(list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], nq.cv0::DOUBLE[]), p -> p[1]*p[2]), 'sum')
+              |        + list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], nq.cv1::DOUBLE[]), p -> p[1]*p[2]), 'sum')))
+              |    + nq.nqd AS dist
+              |  FROM nq CROSS JOIN embeddings q WHERE q.vec_id < 10)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 5""".stripMargin)),
+
+    ("rq_qnorm_qint4_search", (s: SparkSession, dir: String) => {
+      val (nmin, nmax) = rqNormRange(s, dir)
+      rqQnormSearch(s, dir, graft.index.RqNorms.qintDecode(_, 16, nmin, nmax))
+    },
+      Some(s"""WITH cb AS (SELECT m, j, c FROM read_parquet('$AUX/rq_codebooks/*.parquet')),
+              |codes AS (SELECT id, codes FROM read_parquet('$AUX/rq_codes/*.parquet')),
+              |dec AS (SELECT codes.id, c0.c AS cv0, c1.c AS cv1,
+              |    list_transform(list_zip(c0.c, c1.c), p -> p[1] + p[2]) AS dv
+              |  FROM codes JOIN cb c0 ON c0.m = 0 AND c0.j = codes.codes[1]
+              |  JOIN cb c1 ON c1.m = 1 AND c1.j = codes.codes[2]),
+              |nb AS (SELECT id, cv0, cv1,
+              |    list_aggregate(list_transform(dv::DOUBLE[], x -> x*x), 'sum') AS normsq FROM dec),
+              |nstat AS (SELECT min(normsq) AS nmin, max(normsq) AS nmax FROM nb),
+              |nq AS (SELECT nb.id, nb.cv0, nb.cv1, CASE WHEN ns.nmax = ns.nmin THEN ns.nmin ELSE
+              |    (least(greatest(floor((nb.normsq - ns.nmin)/(ns.nmax - ns.nmin)*16), 0), 15) + 0.5)/16*(ns.nmax - ns.nmin) + ns.nmin END AS nqd
+              |  FROM nb, nstat ns),
+              |d AS (SELECT q.vec_id AS qid, nq.id,
+              |    (list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], q.embedding::DOUBLE[]), p -> p[1]*p[2]), 'sum')
+              |     - 2*(list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], nq.cv0::DOUBLE[]), p -> p[1]*p[2]), 'sum')
+              |        + list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], nq.cv1::DOUBLE[]), p -> p[1]*p[2]), 'sum')))
+              |    + nq.nqd AS dist
+              |  FROM nq CROSS JOIN embeddings q WHERE q.vec_id < 10)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 5""".stripMargin)),
+
+    ("rq_qnorm_cqint8_search", (s: SparkSession, dir: String) =>
+      rqQnormSearch(s, dir,
+        graft.index.RqNorms.cqDecode(_, rqNormCq(s, dir, 256))),
+      Some(s"""WITH cb AS (SELECT m, j, c FROM read_parquet('$AUX/rq_codebooks/*.parquet')),
+              |codes AS (SELECT id, codes FROM read_parquet('$AUX/rq_codes/*.parquet')),
+              |dec AS (SELECT codes.id, c0.c AS cv0, c1.c AS cv1,
+              |    list_transform(list_zip(c0.c, c1.c), p -> p[1] + p[2]) AS dv
+              |  FROM codes JOIN cb c0 ON c0.m = 0 AND c0.j = codes.codes[1]
+              |  JOIN cb c1 ON c1.m = 1 AND c1.j = codes.codes[2]),
+              |nb AS (SELECT id, cv0, cv1,
+              |    list_aggregate(list_transform(dv::DOUBLE[], x -> x*x), 'sum') AS normsq FROM dec),
+              |cq AS (SELECT j, c FROM read_parquet('$AUX/rqnorm_cq8/*.parquet')),
+              |nq AS (SELECT id, cv0, cv1, c AS nqd FROM (
+              |  SELECT nb.id, nb.cv0, nb.cv1, cq.c, row_number() OVER (PARTITION BY nb.id ORDER BY abs(nb.normsq - cq.c), cq.j) AS rn
+              |  FROM nb CROSS JOIN cq) t WHERE rn = 1),
+              |d AS (SELECT q.vec_id AS qid, nq.id,
+              |    (list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], q.embedding::DOUBLE[]), p -> p[1]*p[2]), 'sum')
+              |     - 2*(list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], nq.cv0::DOUBLE[]), p -> p[1]*p[2]), 'sum')
+              |        + list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], nq.cv1::DOUBLE[]), p -> p[1]*p[2]), 'sum')))
+              |    + nq.nqd AS dist
+              |  FROM nq CROSS JOIN embeddings q WHERE q.vec_id < 10)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 5""".stripMargin)),
+
+    ("rq_qnorm_cqint4_search", (s: SparkSession, dir: String) =>
+      rqQnormSearch(s, dir,
+        graft.index.RqNorms.cqDecode(_, rqNormCq(s, dir, 16))),
+      Some(s"""WITH cb AS (SELECT m, j, c FROM read_parquet('$AUX/rq_codebooks/*.parquet')),
+              |codes AS (SELECT id, codes FROM read_parquet('$AUX/rq_codes/*.parquet')),
+              |dec AS (SELECT codes.id, c0.c AS cv0, c1.c AS cv1,
+              |    list_transform(list_zip(c0.c, c1.c), p -> p[1] + p[2]) AS dv
+              |  FROM codes JOIN cb c0 ON c0.m = 0 AND c0.j = codes.codes[1]
+              |  JOIN cb c1 ON c1.m = 1 AND c1.j = codes.codes[2]),
+              |nb AS (SELECT id, cv0, cv1,
+              |    list_aggregate(list_transform(dv::DOUBLE[], x -> x*x), 'sum') AS normsq FROM dec),
+              |cq AS (SELECT j, c FROM read_parquet('$AUX/rqnorm_cq4/*.parquet')),
+              |nq AS (SELECT id, cv0, cv1, c AS nqd FROM (
+              |  SELECT nb.id, nb.cv0, nb.cv1, cq.c, row_number() OVER (PARTITION BY nb.id ORDER BY abs(nb.normsq - cq.c), cq.j) AS rn
+              |  FROM nb CROSS JOIN cq) t WHERE rn = 1),
+              |d AS (SELECT q.vec_id AS qid, nq.id,
+              |    (list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], q.embedding::DOUBLE[]), p -> p[1]*p[2]), 'sum')
+              |     - 2*(list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], nq.cv0::DOUBLE[]), p -> p[1]*p[2]), 'sum')
+              |        + list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], nq.cv1::DOUBLE[]), p -> p[1]*p[2]), 'sum')))
+              |    + nq.nqd AS dist
+              |  FROM nq CROSS JOIN embeddings q WHERE q.vec_id < 10)
               |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
               |WHERE "rank" <= 5""".stripMargin)),

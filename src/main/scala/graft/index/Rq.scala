@@ -68,3 +68,50 @@ object Rq {
     RqModel(levels, k, cbs)
   }
 }
+
+/** Stored-norm codecs for the additive-quantizer LUT search types
+  * (Search_type_t, faiss/impl/AdditiveQuantizer.h:58-67): the scan is
+  * d = ||q||² − 2·<q,x̂> + ||x̂||², and these quantize the ||x̂||² term
+  * stored with the codes — `ST_norm_qint8/qint4` uniformly over the
+  * trained [norm_min, norm_max] range (encode_qint8/decode_qint8,
+  * AdditiveQuantizer.cpp:167-186), `ST_norm_cqint8/cqint4` through a
+  * 256/16-entry 1-D k-means codebook (train_norm,
+  * AdditiveQuantizer.cpp:124-131 Clustering1D::train_exact — our
+  * [[graft.cluster.KMeans1D]] exact DP). All arithmetic in DOUBLE
+  * columns (engine convention; the oracle replays the same grid). */
+object RqNorms {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** (norm_min, norm_max) trained over the stored norms
+    * (AdditiveQuantizer::train_norm:113-122). */
+  def range(df: DataFrame, normCol: String): (Double, Double) = {
+    val r = df.agg(min(col(normCol)), max(col(normCol))).first()
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  /** Fused encode+decode of the uniform qint codec: code =
+    * clamp(floor((x−nmin)/(nmax−nmin)·N), 0, N−1), decode =
+    * (code+0.5)/N·(nmax−nmin)+nmin. */
+  def qintDecode(normCol: Column, n: Int, nmin: Double, nmax: Double): Column =
+    if (nmax == nmin) lit(nmin)
+    else (least(greatest(floor((normCol - nmin) / (nmax - nmin) * n),
+      lit(0.0)), lit((n - 1).toDouble)) + 0.5) / n * (nmax - nmin) + nmin
+
+  /** 1-D codebook over the stored norms (cqint<b>): exact-DP k-means,
+    * k capped at the distinct-value count. */
+  def cqCentroids(df: DataFrame, normCol: String, k: Int): Array[Double] = {
+    val distinct = df.select(col(normCol)).distinct().count()
+    graft.cluster.KMeans1D.fit(df, normCol,
+      math.min(k, distinct.toInt)).centroids
+  }
+
+  /** Assign-to-nearest + decode through the cq codebook (encode_qcint
+    * / decode_qcint): first index of the minimal |x−c| (ties to the
+    * lower centroid index, the assign convention). */
+  def cqDecode(normCol: Column, cents: Array[Double]): Column = {
+    val arr = array(cents.map(lit): _*)
+    val difs = transform(arr, c => abs(c - normCol))
+    element_at(arr, array_position(difs, array_min(difs)).cast("int"))
+  }
+}

@@ -148,4 +148,33 @@ class RqSpec extends SparkTestBase {
     assert(e2 <= e1 + 1e-6, s"$e2 > $e1")
     assert(e8 <= e2 + 1e-6, s"$e8 > $e2")
   }
+
+  test("quantized-norm codecs (ST_norm_qint/cqint): error ordering and exact assignment") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val norms = (0 until 200).map(i => (i.toLong, 1.0 + 0.05 * i + (i % 7) * 0.013))
+      .toDF("id", "n")
+    def mse(dec: org.apache.spark.sql.Column): Double =
+      norms.select(pow(col("n") - dec, 2).as("e")).agg(avg("e")).first().getDouble(0)
+    val (nmin, nmax) = RqNorms.range(norms, "n")
+    val e8 = mse(RqNorms.qintDecode(col("n"), 256, nmin, nmax))
+    val e4 = mse(RqNorms.qintDecode(col("n"), 16, nmin, nmax))
+    assert(e8 <= e4, s"qint8 mse $e8 > qint4 mse $e4")
+    val c16 = RqNorms.cqCentroids(norms, "n", 16)
+    val c256 = RqNorms.cqCentroids(norms, "n", 256)
+    val ce4 = mse(RqNorms.cqDecode(col("n"), c16))
+    val ce8 = mse(RqNorms.cqDecode(col("n"), c256))
+    assert(ce8 <= ce4, s"cqint8 mse $ce8 > cqint4 mse $ce4")
+    // codebook assignment decodes to the argmin centroid exactly
+    val got = norms.select(col("n"), RqNorms.cqDecode(col("n"), c16).as("d"))
+      .collect()
+    got.foreach { r =>
+      val n = r.getDouble(0)
+      val want = c16.minBy(c => (math.abs(c - n), c16.indexOf(c)))
+      assert(r.getDouble(1) == want, s"norm $n -> ${r.getDouble(1)} != $want")
+    }
+    // the k-means codebook is no worse than uniform at the same budget
+    assert(ce4 <= e4 + 1e-9, s"cq codebook mse $ce4 > uniform mse $e4")
+  }
 }
