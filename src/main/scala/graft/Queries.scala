@@ -464,6 +464,8 @@ object Queries {
       OracleAux.codebooksDf(s, rqModel16(s, dir).codebooks))
     // engine-encoded base codes for the LUT search types (ST_LUT_*):
     // the oracle replays decode + LUT arithmetic from these integers
+    OracleAux.write(dir, "minmaxpq_codebooks",
+      OracleAux.codebooksDf(s, minmaxPqModel(s, dir).codebooks))
     OracleAux.write(dir, "rqnorm_cq8", {
       import s.implicits._
       rqNormCq(s, dir, 256).zipWithIndex.map { case (c, j) => (j, c) }
@@ -729,6 +731,16 @@ object Queries {
     cached(s"rq16:$dir") {
       graft.index.Rq.train(emb(s, dir).select(col("embedding")), "embedding",
         levels = 2, k = 16, niter = 4)
+    }
+  /** Inner-PQ model of the MinMax,PQ8 wrapper — trained on the scaled
+    * rows through the same deterministic calls roundtripDf makes. */
+  private def minmaxPqModel(s: SparkSession, dir: String): graft.index.PqModel =
+    cached(s"minmaxpq:$dir") {
+      graft.index.Pq.train(
+        graft.index.MinMaxCodec.scaledDf(
+          emb(s, dir).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", fp16Coeffs = false),
+        "_scaled", 8, 16, niter = 4, seed = 1234L)
     }
   /** (id, codes, normsq) base table of the AQ LUT search types — RQ
     * codes + the decoded-vector norm stored at add time. */
@@ -1901,6 +1913,51 @@ object Queries {
              |SELECT vec_id, round(max(CASE WHEN i = 1 THEN dv END), 6) AS d1,
              |  round(sum((x-dv)*(x-dv)), 6) AS err
              |FROM dec GROUP BY vec_id""".stripMargin)),
+
+    // MinMax wrapper with a PQ inner (IndexRowwiseMinMax wraps ANY
+    // index, IndexRowwiseMinMax.h:34; factory "MinMax,PQ8"): per-row
+    // [0,1] scaling, PQ codebooks trained ON THE SCALED ROWS, encode/
+    // decode, rescale. The oracle replays the whole chain: the REAL-
+    // rounded scale coefficients, the scaled subvectors, the encode
+    // argmin against the trained-codebook sidecar, the ordered decode
+    // concat, and the per-element rescale.
+    ("minmax_pq_roundtrip", (s: SparkSession, dir: String) => {
+      val src = emb(s, dir).select(col("vec_id"), col("embedding"))
+      minmaxPqModel(s, dir) // share the memo the sidecar dump reads
+      val dec = graft.index.MinMaxCodec
+        .roundtripDf(src, "vec_id", "embedding", "PQ8", fp16Coeffs = false)
+        .withColumnRenamed("id", "vec_id").withColumnRenamed("vec", "_dv")
+      src.join(dec, "vec_id")
+        .select(col("vec_id"),
+          round(element_at(col("_dv"), 1), 6).as("d1"),
+          round(aggregate(
+            zip_with(col("embedding").cast("array<double>"), col("_dv"),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x), 6).as("err"))
+    },
+      Some(s"""WITH cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/minmaxpq_codebooks/*.parquet')),
+              |el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+              |    unnest(embedding::DOUBLE[]) AS x FROM embeddings),
+              |mm AS (SELECT vec_id, min(x) AS mn,
+              |    CAST(max(x) - min(x) AS REAL)::DOUBLE AS sc0 FROM el GROUP BY vec_id),
+              |mm2 AS (SELECT vec_id, mn, CASE WHEN sc0 = 0 THEN 1.0 ELSE sc0 END AS sc FROM mm),
+              |sv AS (SELECT e.vec_id, e.i,
+              |    CAST((e.x - m.mn) / m.sc AS REAL)::DOUBLE AS s
+              |  FROM el e JOIN mm2 m USING (vec_id)),
+              |sub AS (SELECT vec_id, (i-1)//8 AS m, list(s ORDER BY i) AS svec
+              |  FROM sv GROUP BY vec_id, (i-1)//8),
+              |enc AS (SELECT vec_id, m, j FROM (
+              |  SELECT b.vec_id, b.m, cb.j, row_number() OVER (PARTITION BY b.vec_id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.svec, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM sub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
+              |dec AS (SELECT e.vec_id, flatten(list(cb.c ORDER BY e.m)) AS dv
+              |  FROM enc e JOIN cb ON cb.m = e.m AND cb.j = e.j GROUP BY e.vec_id)
+              |SELECT d.vec_id,
+              |  round(d.dv[1] * m.sc + m.mn, 6) AS d1,
+              |  round(list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], d.dv),
+              |    p -> (p[1] - (p[2]*m.sc + m.mn)) * (p[1] - (p[2]*m.sc + m.mn))), 'sum'), 6) AS err
+              |FROM dec d JOIN mm2 m USING (vec_id)
+              |JOIN embeddings b ON b.vec_id = d.vec_id""".stripMargin)),
 
     // §2.11 SQ8 asymmetric (ADC) kNN search
     ("sq8_knn", (s: SparkSession, dir: String) => {

@@ -53,6 +53,10 @@ object IndexFactory {
     def close(): Unit = { onClose.foreach(f => f()); onClose = Nil }
   }
 
+  /** Inner codecs the MinMax[FP16] wrapper build() constructs
+    * (plus PQ<m>[x<k>] via the Pq token). */
+  private val MinMaxInners = Set("SQ8", "SQ4", "SQ6", "SQfp16")
+
   /** Bytes per stored vector for a factory string at dimension d
     * (get_code_size, contrib/factory_tools.py:10). Transform prefixes
     * may change the effective d (PCA<t>/OPQ keep their output dim). */
@@ -66,8 +70,10 @@ object IndexFactory {
     // storage for an index that later throws (ADVICE r9)
     val toks = desc.split(",").map(_.trim)
     toks.headOption.filter(t => t == "MinMax" || t == "MinMaxFP16").foreach { mm =>
-      require(toks.drop(1).toSeq == Seq("SQ8") || toks.drop(1).toSeq == Seq("SQfp16"),
-        s"$mm supports only SQ8/SQfp16 inners (as build() does), got '$desc'")
+      val inner = toks.drop(1).toSeq
+      require(inner.length == 1 && (MinMaxInners.contains(inner.head) ||
+          Pq.findFirstIn(inner.head).contains(inner.head)),
+        s"$mm supports SQ8/SQ4/SQ6/SQfp16/PQ<m> inners (as build() does), got '$desc'")
     }
     var extra = 0
     toks.foreach {
@@ -795,9 +801,9 @@ object IndexFactory {
       // reconstruction-distance scan over the decoded rows, the
       // ZnLattice/flat-AQ pattern
       case (mm @ ("MinMax" | "MinMaxFP16")) :: inner :: Nil
-          if inner == "SQ8" || inner == "SQfp16" =>
+          if MinMaxInners.contains(inner) || Pq.findFirstIn(inner).contains(inner) =>
         new FlatBuilt(MinMaxCodec.roundtripDf(data, "id", "vec", inner,
-          fp16Coeffs = mm == "MinMaxFP16")
+          fp16Coeffs = mm == "MinMaxFP16", niter = niter, seed = seed)
           .select(col("id"), col("vec").cast("array<float>").as("vec")), chain)
       case (sq @ ("SQ8" | "SQ4" | "SQ6" | "SQfp16")) :: Nil =>
         new SqBuilt(SqIndex.build(data, "id", "vec",

@@ -40,12 +40,12 @@ object MinMaxCodec {
     (mn, when(sc0 === 0d, lit(1d)).otherwise(sc0))
   }
 
-  /** decode(encode(vec)) as array<double>, with an `SQfp16` or `SQ8`
-    * inner codec. SQ8 trains its per-dim range on the SCALED rows
-    * (one aggregation), exactly as the wrapper trains its sub-index
-    * on the scaled dataset (IndexRowwiseMinMax.h train()). */
-  def roundtripDf(df: DataFrame, idCol: String, vecCol: String,
-      inner: String, fp16Coeffs: Boolean): DataFrame = {
+  /** (id, _mn, _sc, _scaled) — the per-row coefficients and the
+    * scaled rows the inner codec trains on and encodes. Exposed so
+    * callers that need the TRAINED inner state (the oracle sidecar
+    * dump) derive it from the identical input the round-trip used. */
+  def scaledDf(df: DataFrame, idCol: String, vecCol: String,
+      fp16Coeffs: Boolean): DataFrame = {
     val (mn, sc) = coeffs(col(vecCol), fp16Coeffs)
     // project the coefficients FIRST: referencing the min/max
     // expressions inside the per-element transform() lambda would
@@ -54,19 +54,39 @@ object MinMaxCodec {
     // review)
     val withCoeffs = df.select(col(idCol).as("id"), col(vecCol).as("_v"),
       mn.as("_mn"), sc.as("_sc"))
-    val base = withCoeffs.select(col("id"), col("_mn"), col("_sc"),
+    withCoeffs.select(col("id"), col("_mn"), col("_sc"),
       transform(col("_v"),
         x => ((x.cast("double") - col("_mn")) / col("_sc")).cast("float"))
         .as("_scaled"))
+  }
+
+  private val PqTok = "PQ(\\d+)(?:x(\\d+))?".r
+
+  /** decode(encode(vec)) as array<double>, with an `SQfp16`,
+    * `SQ8`/`SQ4`/`SQ6` or `PQ<m>[x<k>]` inner codec (the reference
+    * wraps ANY index, IndexRowwiseMinMax.h:34; these are the codec
+    * inners our build() constructs). Trained inners (SQ ranges, PQ
+    * codebooks) train on the SCALED rows, exactly as the wrapper
+    * trains its sub-index on the scaled dataset
+    * (IndexRowwiseMinMax.h train()). */
+  def roundtripDf(df: DataFrame, idCol: String, vecCol: String,
+      inner: String, fp16Coeffs: Boolean,
+      niter: Int = 4, seed: Long = 1234L): DataFrame = {
+    val base = scaledDf(df, idCol, vecCol, fp16Coeffs)
     val dec: Column = inner match {
       case "SQfp16" =>
         shim.col(Fp16Decode(Fp16Encode(shim.expr(col("_scaled")))))
           .cast("array<double>")
-      case "SQ8" =>
+      case "SQ8" | "SQ4" | "SQ6" =>
         val (mins, vdiff) = SqIndex.trainRange(base, "_scaled")
-        shim.col(SqVariant.decode("SQ8",
-          SqVariant.encode("SQ8", shim.expr(col("_scaled")),
+        shim.col(SqVariant.decode(inner,
+          SqVariant.encode(inner, shim.expr(col("_scaled")),
             mins, vdiff), mins, vdiff))
+      case PqTok(m, ks) =>
+        val model = Pq.train(base, "_scaled", m.toInt,
+          Option(ks).map(_.toInt).getOrElse(16), niter = niter, seed = seed)
+        model.decodeCol(shim.col(graft.core.PQEncode(
+          shim.expr(col("_scaled")), model.codebooks))).cast("array<double>")
       case other =>
         throw new IllegalArgumentException(s"MinMax inner '$other' unsupported")
     }

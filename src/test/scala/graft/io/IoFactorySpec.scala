@@ -125,6 +125,29 @@ class IoFactorySpec extends SparkTestBase {
     assert(maxErr < 1e-3, s"roundtrip err $maxErr")
   }
 
+  test("MinMax wrapper composes with SQ4/SQ6/PQ inners (reference wraps any index)") {
+    // IndexRowwiseMinMax.h:34 wraps ANY index; the buildable inner set
+    // now covers the codec family. codeSize = inner bytes + coeffs.
+    assert(IndexFactory.codeSize("MinMax,SQ4", 64) == 32 + 8)
+    assert(IndexFactory.codeSize("MinMaxFP16,SQ6", 64) == 48 + 4)
+    assert(IndexFactory.codeSize("MinMax,PQ8", 64) == 8 + 8)
+    for (desc <- Seq("MinMax,SQ4", "MinMax,SQ6", "MinMax,PQ8", "MinMaxFP16,PQ8x8")) {
+      val f = IndexFactory.build(b, "id", "vec", desc, niter = 2)
+      assert(f.search(q, 5).count() == q.count() * 5, desc)
+    }
+    // a PQ inner at generous budget still reconstructs within the row
+    // scale: per-row error bounded well below the unit-scaled range
+    val dec = MinMaxCodec.roundtripDf(b, "id", "vec", "PQ8", fp16Coeffs = false)
+    val joined = b.join(dec.withColumnRenamed("vec", "dv"), "id")
+      .select(aggregate(zip_with(col("vec").cast("array<double>"), col("dv"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x).as("err"))
+    assert(joined.agg(max(col("err"))).head().getDouble(0) < 64.0)
+    // unsupported inner still throws (the r9 codeSize/build guard)
+    intercept[IllegalArgumentException] {
+      IndexFactory.codeSize("MinMax,RQ2x4", 64)
+    }
+  }
+
   test("factory ITQ[<d>], bare RR and L2Norm spelling (r9)") {
     // rotations preserve L2, so exact search under RR / full-dim ITQ
     // must match plain Flat
