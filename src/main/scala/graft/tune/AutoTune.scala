@@ -312,7 +312,13 @@ object AutoTune {
         case "ht" | "max_hamming" => p = p.copy(ht = Some(v))
         case "max_codes" => p = p.copy(maxCodes = Some(v))
         case "k_factor" | "k_factor_rf" => p = p.copy(kFactor = Some(v))
-        case "efSearch" => p = p.copy(efSearch = Some(v))
+        // "quantizer_<param>": the reference prefixes the coarse
+        // quantizer's own ParameterSpace with "quantizer_"
+        // (AutoTune.cpp:370-372) — for the HNSW/NSG coarse that is
+        // exactly our efSearch walk-budget knob (exploreEf threads it
+        // into the graph coarse of IvfIndex.search)
+        case "efSearch" | "quantizer_efSearch" =>
+          p = p.copy(efSearch = Some(v))
         case other => throw new IllegalArgumentException(
           s"could not set parameter $other") // AutoTune.cpp:440 wording
       }

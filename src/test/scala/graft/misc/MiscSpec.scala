@@ -170,6 +170,11 @@ class MiscSpec extends SparkTestBase {
     assert(p == AutoTune.SearchParams(Some(16), Some(52), Some(10000), Some(2), Some(64)))
     // the reference accepts double-typed values ("nprobe=4.0")
     assert(AutoTune.parseParams("nprobe=4.0").nprobe.contains(4))
+    // quantizer-prefixed form (AutoTune.cpp:370-372): the coarse
+    // quantizer's own parameters, prefixed — maps to the same walk
+    // budget the efSearch axis tunes
+    assert(AutoTune.parseParams("nprobe=8,quantizer_efSearch=64") ==
+      AutoTune.SearchParams(nprobe = Some(8), efSearch = Some(64)))
     assert(AutoTune.parseParams("").isInstanceOf[AutoTune.SearchParams])
     intercept[IllegalArgumentException] {
       AutoTune.parseParams("quantizer_efSearch_bogus=3")
