@@ -334,17 +334,21 @@ object IndexFactory {
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
         math.max(nprobe, 1), queryId = qid, queryVec = qvec)
   }
-  private final class SpectralBuilt(idx: IvfSpectralHashIndex, chain: VecTransform)
-      extends Built {
-    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
-      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
-        math.max(nprobe, 1), qid, qvec)
+  private final class SpectralBuilt(idx: IvfSpectralHashIndex, chain: VecTransform,
+      graph: Option[CoarseGraphSpec] = None) extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
+      val np = math.max(nprobe, 1)
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, np,
+        qid, qvec, coarse = graph.flatMap(_.at(np)))
+    }
   }
-  private final class IvfRqBuilt(idx: IvfRqIndex, chain: VecTransform)
-      extends Built {
-    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
-      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
-        math.max(nprobe, 1), qid, qvec)
+  private final class IvfRqBuilt(idx: IvfRqIndex, chain: VecTransform,
+      graph: Option[CoarseGraphSpec] = None) extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
+      val np = math.max(nprobe, 1)
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, np,
+        qid, qvec, coarse = graph.flatMap(_.at(np)))
+    }
   }
   /** IVF<n>(RCQ<a>x<b>),Flat: ResidualCoarseQuantizer coarse. */
   private final class IvfRcqBuilt(val idx: IvfRcqFlatIndex, chain: VecTransform)
@@ -424,11 +428,13 @@ object IndexFactory {
     }
   }
   /** IVF<n>,RQ<L>x4fs (IndexIVFAdditiveQuantizerFastScan, non-residual). */
-  private final class IvfRqFsBuilt(idx: IvfRq4FastScanIndex, chain: VecTransform)
-      extends Built {
-    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
-      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
-        math.max(nprobe, 1), qid, qvec).drop("qdist")
+  private final class IvfRqFsBuilt(idx: IvfRq4FastScanIndex, chain: VecTransform,
+      graph: Option[CoarseGraphSpec] = None) extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
+      val np = math.max(nprobe, 1)
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, np,
+        qid, qvec, coarse = graph.flatMap(_.at(np))).drop("qdist")
+    }
   }
 
   /** IndexHNSW2Level (IndexHNSW.h:179): per-partition HNSW shards
@@ -525,6 +531,27 @@ object IndexFactory {
         m.toInt, Option(ks).map(_.toInt).getOrElse(16),
         niterCoarse = niter, niterPq = niter, seed = seed), chain,
         graph = Some(spec))
+    case RqFs(lv, _) =>
+      new IvfRqFsBuilt(IvfRq4FastScanIndex.build(data, "id", "vec",
+        nlist, lv.toInt, niterCoarse = niter, niter = niter,
+        seed = seed), chain, graph = Some(spec))
+    case Sh(nbit, period, tt) =>
+      val thresholdType = tt match {
+        case "g" => "global"
+        case "c" => "centroid"
+        case _ => "median"
+      }
+      new SpectralBuilt(IvfSpectralHash.build(data, "id", "vec",
+        nlist, nbit.toInt, period.toDouble, thresholdType,
+        niter = niter, seed = seed), chain, graph = Some(spec))
+    case RqTok(lv, nb) =>
+      new IvfRqBuilt(IvfRq.build(data, "id", "vec", nlist,
+        lv.toInt, 1 << nb.toInt, niterCoarse = niter, niterRq = niter,
+        beam = 2, icmIters = 1, seed = seed), chain, graph = Some(spec))
+    case LsqTok(lv, nb) =>
+      new IvfRqBuilt(IvfRq.build(data, "id", "vec", nlist,
+        lv.toInt, 1 << nb.toInt, niterCoarse = niter, niterRq = niter,
+        beam = 1, icmIters = 3, seed = seed), chain, graph = Some(spec))
     case other => throw new IllegalArgumentException(
       s"unsupported graph-coarse IVF code '$other' in '$desc'")
   }

@@ -26,16 +26,24 @@ class IvfRqIndex(
     /** (id, list_no, code array<int>) */
     val codes: DataFrame) {
 
+  /** Per-instance id for the executor-side graph coarse cache. */
+  private val graphCacheKey = java.util.UUID.randomUUID().toString
+
+  /** `coarse = Some(HnswCoarse/NsgCoarse)` walks a per-executor graph
+    * over the centroids instead of the exact argmin (the
+    * `IVF<n>_{HNSW,NSG}<m>,{RQ,LSQ}...` factory compositions; budget
+    * >= nlist degenerates to exact). */
   def search(queries: DataFrame, k: Int, nprobe: Int,
-      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+      queryId: String = "qid", queryVec: String = "qvec",
+      coarse: Option[Probes.CoarseQuant] = None): DataFrame = {
     val s = queries.sparkSession
     import s.implicits._
     val centDf = centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "_cent")
       .select(col("list_no"), col("_cent").cast("array<float>").as("_cent"))
     val probesPlan = queries.select(col(queryId), col(queryVec),
-      explode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
-        math.min(nprobe, nlist), "l2sq"))).as("_p"))
+      explode(Probes.selExpr(col(queryVec), centroids, nprobe, "l2sq",
+        coarse, graphCacheKey)).as("_p"))
       .select(col(queryId), col(queryVec), col("_p.list_no").as("list_no"))
     // only the distinct probed list ids cross the driver (static
     // pruning of the codes scan); the probe rows themselves — query

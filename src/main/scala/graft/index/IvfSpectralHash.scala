@@ -38,9 +38,15 @@ class IvfSpectralHashIndex(
 
   import IvfSpectralHash.signature
 
-  /** Hamming top-k over the nprobe nearest lists. */
+  /** Per-instance id for the executor-side graph coarse cache. */
+  private val graphCacheKey = java.util.UUID.randomUUID().toString
+
+  /** Hamming top-k over the nprobe nearest lists. `coarse` swaps the
+    * exact centroid argmin for a graph/PQ coarse quantizer (the
+    * `IVF<n>_{HNSW,NSG}<m>,SH...` factory compositions). */
   def search(queries: DataFrame, k: Int, nprobe: Int,
-      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+      queryId: String = "qid", queryVec: String = "qvec",
+      coarse: Option[Probes.CoarseQuant] = None): DataFrame = {
     val s = queries.sparkSession
     import s.implicits._
     val threshDf = thresholds.zipWithIndex.toSeq
@@ -53,8 +59,8 @@ class IvfSpectralHashIndex(
     // signature plan below executes exactly once, inside the join
     // (r04 finding: the full probe plan used to run twice).
     val sel = queries.select(col(queryId), col(queryVec),
-        explode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
-          math.min(nprobe, nlist), "l2sq"))).as("_p"))
+        explode(Probes.selExpr(col(queryVec), centroids, nprobe, "l2sq",
+          coarse, graphCacheKey)).as("_p"))
       .select(col(queryId), col(queryVec), col("_p.list_no").as("list_no"))
     val probed = sel.select("list_no").distinct().collect().map(_.getInt(0))
     val probes = sel

@@ -129,7 +129,8 @@ class IvfSpec extends SparkTestBase {
     // Built's max(32, 4*nprobe) covers nlist = 8 at any nprobe),
     // return bit-identical results to the exact coarse assign.
     for (coarse <- Seq("HNSW16", "NSG16");
-         code <- Seq("PQ8", "SQ8", "SQfp16", "PQ8x4fs", "PQ8x4fsr", "Flat")) {
+         code <- Seq("PQ8", "SQ8", "SQfp16", "PQ8x4fs", "PQ8x4fsr", "Flat",
+           "RQ2x4", "LSQ2x4", "RQ2x4fs", "SH16x2.0m")) {
       val exact = IndexFactory.build(b, "id", "vec", s"IVF8,$code", niter = 3)
       val graph = IndexFactory.build(b, "id", "vec", s"IVF8_$coarse,$code", niter = 3)
       val want = resultSet(exact.search(q, 5, nprobe = 8))
