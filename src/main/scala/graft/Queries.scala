@@ -464,6 +464,12 @@ object Queries {
       OracleAux.codebooksDf(s, rqModel16(s, dir).codebooks))
     // engine-encoded base codes for the LUT search types (ST_LUT_*):
     // the oracle replays decode + LUT arithmetic from these integers
+    OracleAux.write(dir, "parensub_centroids", {
+      import s.implicits._
+      val (cb, _) = graft.core.CoarsePq.model(ivf16(s, dir).centroids, 1, 4)
+      cb(0).zipWithIndex.toSeq.map { case (c, j) => (j, c.toSeq) }.toDF("j", "c")
+        .select(col("j"), col("c").cast("array<float>").as("c"))
+    })
     OracleAux.write(dir, "minmaxpq_codebooks",
       OracleAux.codebooksDf(s, minmaxPqModel(s, dir).codebooks))
     OracleAux.write(dir, "rqnorm_cq8", {
@@ -1554,6 +1560,46 @@ object Queries {
         coarse = Some(graft.index.Probes.NsgCoarse(4096)))
         .withColumn("dist", r4("dist")),
       Some(ivfNprobe4Sql)),
+
+    // Two-level coarse assignment (`IVF<n>(IVF<n2>,Flat)`,
+    // index_factory.cpp:263-267 with an IVF-Flat sub-index as the
+    // quantizer) in the APPROXIMATE regime: the quantizer ranks the
+    // nlist2 = 4 sub-centroids, scans only the centroids of the best
+    // nprobe2 = 2 sub-cells, and the top-nprobe among them become the
+    // probed lists. The oracle replays the whole chain: the sub-cell
+    // assignment of every centroid (argmin over the sub-centroid
+    // sidecar), the query's sub-cell ranking, the pruned centroid
+    // ranking, then the standard exact scan over the probed lists.
+    ("ivf_two_level_search", (s: SparkSession, dir: String) =>
+      ivf16(s, dir).search(qDf(s, dir, 10), k = 10, nprobe = 4,
+        coarse = Some(graft.index.Probes.IvfFlatCoarse(4, 2)))
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivf16_centroids/*.parquet')),
+              |sub AS (SELECT j, c FROM read_parquet('$AUX/parensub_centroids/*.parquet')),
+              |casg AS (SELECT list_no, j FROM (
+              |  SELECT ct.list_no, sb.j, row_number() OVER (PARTITION BY ct.list_no ORDER BY
+              |    list_aggregate(list_transform(list_zip(ct.c::DOUBLE[], sb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), sb.j) AS rn
+              |  FROM cent ct CROSS JOIN sub sb) t WHERE rn = 1),
+              |qcell AS (SELECT qid, j FROM (
+              |  SELECT q.vec_id AS qid, sb.j, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], sb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), sb.j) AS pr
+              |  FROM embeddings q CROSS JOIN sub sb WHERE q.vec_id < 10) t WHERE pr <= 2),
+              |probes AS (SELECT qid, list_no FROM (
+              |  SELECT qc.qid, ct.list_no, row_number() OVER (PARTITION BY qc.qid ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], ct.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), ct.list_no) AS pr
+              |  FROM qcell qc JOIN casg ca ON ca.j = qc.j JOIN cent ct ON ct.list_no = ca.list_no
+              |  JOIN embeddings q ON q.vec_id = qc.qid) t WHERE pr <= 4),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |d AS (SELECT p.qid, a.id,
+              |    list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2 AS dist
+              |  FROM probes p JOIN basg a ON a.list_no = p.list_no
+              |  JOIN embeddings q ON q.vec_id = p.qid JOIN embeddings b ON b.vec_id = a.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 10""".stripMargin)),
 
     // Generic parenthesized coarse with an IndexPQ quantizer
     // (`IVF16(PQ8x8),Flat`, index_factory.cpp:263-267,719): the

@@ -242,3 +242,72 @@ case class NearestCentroidsNsg(child: Expression,
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Two-level probe-list computation — the coarse quantizer is itself
+  * an IVF-Flat over the centroid table (the reference's parenthesized
+  * `IVF<n>(IVF<n2>,Flat)` grammar, index_factory.cpp:263-267: the
+  * quantizer ranks the nlist2 sub-centroids, scans the centroids of
+  * the best nprobe2 sub-cells, and returns the top-nprobe among
+  * them). The big-nlist scale path when even the graph walk's
+  * per-query cost matters: the scan touches ~nprobe2/nlist2 of the
+  * centroid table. nprobe2 >= nlist2 degenerates to the exact
+  * ranking (every sub-cell scanned — the oracle-gate convention);
+  * smaller nprobe2 is the reference's quantizer_nprobe regime. Ties
+  * break on the lower id at both levels (faiss argmin semantics). */
+private[graft] object CentroidIvf2Kernels {
+  def nearestK(a: ArrayData, subCents: Array[Array[Float]],
+      assign: Array[Int], centroids: Array[Array[Float]],
+      nprobe2: Int, nprobe: Int): ArrayData = {
+    val n2 = subCents.length
+    val h2 = new TopKHeap(math.min(nprobe2, n2), asc = true)
+    var j = 0
+    while (j < n2) {
+      h2.insert(CentroidKernels.dist(a, subCents(j), "l2sq"), j.toLong)
+      j += 1
+    }
+    val (cells, _) = h2.sorted()
+    val sel = new Array[Boolean](n2)
+    var c = 0
+    while (c < cells.length) { sel(cells(c).toInt) = true; c += 1 }
+    val h = new TopKHeap(math.min(nprobe, centroids.length), asc = true)
+    var i = 0
+    while (i < centroids.length) {
+      if (sel(assign(i)))
+        h.insert(CentroidKernels.dist(a, centroids(i), "l2sq"), i.toLong)
+      i += 1
+    }
+    val (ids, scores) = h.sorted()
+    val out = new Array[Any](ids.length)
+    var k = 0
+    while (k < ids.length) { out(k) = InternalRow(ids(k).toInt, scores(k)); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** See [[CentroidIvf2Kernels]]. Same output contract as
+  * [[NearestCentroids]] (may return fewer than nprobe rows when the
+  * scanned sub-cells hold fewer centroids). */
+case class NearestCentroidsIvf2(child: Expression,
+    subCents: Array[Array[Float]], assign: Array[Int],
+    centroids: Array[Array[Float]], nprobe2: Int, nprobe: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("list_no", IntegerType, nullable = false),
+    StructField("dist", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "nearest_centroids_ivf2"
+
+  override def nullSafeEval(v: Any): Any =
+    CentroidIvf2Kernels.nearestK(v.asInstanceOf[ArrayData], subCents,
+      assign, centroids, nprobe2, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sc = ctx.addReferenceObj("subCents", subCents, "float[][]")
+    val asg = ctx.addReferenceObj("assign", assign, "int[]")
+    val cs = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.core.CentroidIvf2Kernels.nearestK($c, $sc, $asg, $cs, $nprobe2, $nprobe)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

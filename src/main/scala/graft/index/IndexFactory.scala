@@ -53,6 +53,25 @@ object IndexFactory {
     def close(): Unit = { onClose.foreach(f => f()); onClose = Nil }
   }
 
+  /** Split a factory description on commas NOT inside parentheses —
+    * the reference normalizes parenthesized sub-descriptions before
+    * tokenizing (index_factory.cpp:719 find_matching_parentheses), so
+    * `IVF256(IVF16,Flat),PQ8` is three tokens with the sub-description
+    * intact inside the coarse token. */
+  private def splitTop(desc: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    desc.foreach {
+      case '(' => depth += 1; sb += '('
+      case ')' => depth -= 1; sb += ')'
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    out += sb.toString
+    out.map(_.trim).filter(_.nonEmpty).toArray
+  }
+
   /** Inner codecs the MinMax[FP16] wrapper build() constructs
     * (plus PQ<m>[x<k>] via the Pq token). */
   private val MinMaxInners = Set("SQ8", "SQ4", "SQ6", "SQfp16")
@@ -68,7 +87,7 @@ object IndexFactory {
     // codecs build() supports are sized — reporting a size for a
     // description the factory cannot build would let callers plan
     // storage for an index that later throws (ADVICE r9)
-    val toks = desc.split(",").map(_.trim)
+    val toks = splitTop(desc)
     toks.headOption.filter(t => t == "MinMax" || t == "MinMaxFP16").foreach { mm =>
       val inner = toks.drop(1).toSeq
       require(inner.length == 1 && (MinMaxInners.contains(inner.head) ||
@@ -166,6 +185,15 @@ object IndexFactory {
   private final case class PqAdcSpec(m: Int, ksub: Int) extends CoarseGraphSpec {
     def at(np: Int) = Some(Probes.PqAdcCoarse(m, ksub))
   }
+  /** IVF-Flat quantizer (`IVF<n>(IVF<n2>,Flat)`): nprobe2 scales with
+    * the demanded breadth and degenerates to the exact ranking at
+    * nprobe >= nlist2 (the graph-coarse budget convention; the
+    * reference's default quantizer nprobe is 1, tunable via
+    * quantizer_nprobe). */
+  private final case class Ivf2Spec(nlist2: Int) extends CoarseGraphSpec {
+    def at(np: Int) = Some(Probes.IvfFlatCoarse(nlist2,
+      math.max(1, math.min(nlist2, np))))
+  }
 
   private final class IvfPqBuilt(idx: IvfPqIndex, chain: VecTransform,
       graph: Option[CoarseGraphSpec] = None) extends Built {
@@ -223,6 +251,9 @@ object IndexFactory {
   private val IvfParen = "IVF(\\d+)\\((.+)\\)".r
   private val HnswSub = "HNSW(\\d*)".r
   private val NsgSub = "NSG(\\d+)".r
+  // IVF<n2>[,Flat] inside IVF<n>(...): an IVF-Flat sub-index as the
+  // quantizer (two-level coarse assignment)
+  private val IvfSub = "IVF(\\d+)(?:,Flat)?".r
   private val Pq = "PQ(\\d+)(?:x(\\d+))?".r
   // PQ<M>x4fs[_<bbs>] (IndexPQFastScan / IndexIVFPQFastScan,
   // index_factory.cpp fast-scan grammar): bbs is the reference's SIMD
@@ -587,7 +618,7 @@ object IndexFactory {
     // §2 row 46 — id-as-column), and reconstruction-by-id (IDMap2's
     // reason to exist) is a plain join. Accepted for factory-string
     // compatibility, stripped before parsing.
-    val tokens = desc.split(",").map(_.trim).filter(_.nonEmpty)
+    val tokens = splitTop(desc)
       .filterNot(t => t == "IDMap" || t == "IDMap2").toList
     require(tokens.nonEmpty, s"empty factory string '$desc'")
 
@@ -708,6 +739,13 @@ object IndexFactory {
       // oracle replays encode/LUT/ADC on each side. The RCQ form is
       // matched above (its quantizer trains on data, not centroids).
       case IvfParen(nlist, sub) :: code :: Nil => sub match {
+        // IVF<n2>[,Flat] sub-index: two-level coarse assignment — the
+        // big-nlist recipe where even the graph walk's per-query cost
+        // matters (the quantizer scans ~nprobe2/nlist2 of the
+        // centroid table)
+        case IvfSub(n2) =>
+          graphIvf(data, chain, nlist.toInt, Ivf2Spec(n2.toInt), code,
+            niter, seed, desc)
         case "Flat" =>
           graphIvf(data, chain, nlist.toInt, ExactSpec, code, niter, seed, desc)
         case HnswSub(hm) =>

@@ -48,6 +48,14 @@ object Probes {
     * replays the encode/LUT/ADC arithmetic instead. */
   final case class PqAdcCoarse(m: Int, ksub: Int = 16, niter: Int = 10,
       seed: Long = 1234L) extends CoarseQuant
+  /** IVF-Flat as quantizer (`IVF<n>(IVF<n2>,Flat)` paren coarse):
+    * rank the nlist2 sub-centroids, scan only the centroids of the
+    * best nprobe2 sub-cells ([[graft.core.NearestCentroidsIvf2]]).
+    * nprobe2 >= nlist2 degenerates to the exact ranking; the
+    * sub-clustering is a driver-trained 1-subspace k-means over the
+    * centroid table ([[graft.core.CoarsePq]] with m = 1). */
+  final case class IvfFlatCoarse(nlist2: Int, nprobe2: Int, niter: Int = 10,
+      seed: Long = 1234L) extends CoarseQuant
 
   /** Coarse probe-selection expression shared by every IVF-family
     * code index: the exact O(nlist) argmin ranking
@@ -79,6 +87,12 @@ object Probes {
             val (cb, codes) = graft.core.CoarsePq.model(centroids, m, ksub, ni, sd)
             shim.col(graft.core.NearestCentroidsAdc(shim.expr(queryVec),
               cb, codes, np))
+          case IvfFlatCoarse(n2, np2, ni, sd) =>
+            val (cb, codes) = graft.core.CoarsePq.model(centroids, 1,
+              math.min(n2, centroids.length), ni, sd)
+            shim.col(graft.core.NearestCentroidsIvf2(shim.expr(queryVec),
+              cb(0), codes.map(c => c(0) & 0xff), centroids,
+              math.min(np2, cb(0).length), np))
         }
       case None =>
         shim.col(graft.core.NearestCentroids(shim.expr(queryVec),

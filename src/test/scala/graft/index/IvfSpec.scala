@@ -152,10 +152,26 @@ class IvfSpec extends SparkTestBase {
     val want = resultSet(
       IndexFactory.build(b, "id", "vec", "IVF8,PQ8", niter = 3)
         .search(q, 5, nprobe = 8))
-    for (sub <- Seq("Flat", "HNSW16", "NSG16")) {
+    for (sub <- Seq("Flat", "HNSW16", "NSG16", "IVF4,Flat", "IVF4")) {
+      // IVF4[,Flat]: two-level coarse — at nprobe = 8 >= nlist2 = 4
+      // every sub-cell is scanned, degenerating to the exact ranking
       val f = IndexFactory.build(b, "id", "vec", s"IVF8($sub),PQ8", niter = 3)
       assert(resultSet(f.search(q, 5, nprobe = 8)) == want, s"IVF8($sub),PQ8")
     }
+  }
+
+  test("IVF<n>(IVF<n2>,Flat) two-level coarse: approximate regime prunes but keeps recall") {
+    // nprobe2 = nprobe = 1 scans one sub-cell of the centroid table;
+    // candidates are a subset of the probed lists, recall over the
+    // exact nprobe=1 search stays high (the sub-cell nearly always
+    // contains the globally nearest centroid)
+    val f = IndexFactory.build(b, "id", "vec", "IVF8(IVF4,Flat),Flat", niter = 3)
+    val exact1 = resultSet(idx.search(q, 10, nprobe = 1))
+      .map { case (a, _, c) => (a, c) }
+    val two1 = resultSet(f.search(q, 10, nprobe = 1))
+      .map { case (a, _, c) => (a, c) }
+    val recall = (exact1 intersect two1).size.toDouble / exact1.size
+    assert(recall >= 0.7, s"two-level nprobe=1 recall $recall")
   }
 
   test("IVF<n>(PQ<m>x<k>) coarse: ADC assignment is consistent between add and probes") {
