@@ -742,11 +742,25 @@ object Queries {
     * rows through the same deterministic calls roundtripDf makes. */
   private def minmaxPqModel(s: SparkSession, dir: String): graft.index.PqModel =
     cached(s"minmaxpq:$dir") {
-      graft.index.Pq.train(
-        graft.index.MinMaxCodec.scaledDf(
-          emb(s, dir).select(col("vec_id"), col("embedding")),
-          "vec_id", "embedding", fp16Coeffs = false),
-        "_scaled", 8, 16, niter = 4, seed = 1234L)
+      val scaled = graft.index.MinMaxCodec.scaledDf(
+        emb(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", fp16Coeffs = false)
+      // bounded-sample in-memory training — the reference's k-means
+      // max_points_per_centroid convention (Clustering.h:42: ~256
+      // training points per centroid, never the full add set), so the
+      // sample is a CONSTANT-size collect at any sf and the driver
+      // Lloyd runs in microseconds where the distributed trainer pays
+      // m*niter fixed job overheads. Deterministic: id-ordered prefix
+      // of the id-residue sample, seeded local k-means.
+      val n = scaled.count()
+      val samp = (if (n >= 8192) scaled.filter(pmod(col("id"), lit(8)) === 0)
+        else scaled)
+        .orderBy(col("id")).limit(4096)
+        .select(col("_scaled")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      val (cb, _) = graft.core.CoarsePq.trainEncode(samp, 8, 16,
+        niter = 10, seed = 1234L)
+      graft.index.PqModel(8, 16, samp(0).length / 8, cb)
     }
   /** (id, codes, normsq) base table of the AQ LUT search types — RQ
     * codes + the decoded-vector norm stored at add time. */
@@ -1969,9 +1983,9 @@ object Queries {
     // concat, and the per-element rescale.
     ("minmax_pq_roundtrip", (s: SparkSession, dir: String) => {
       val src = emb(s, dir).select(col("vec_id"), col("embedding"))
-      minmaxPqModel(s, dir) // share the memo the sidecar dump reads
       val dec = graft.index.MinMaxCodec
-        .roundtripDf(src, "vec_id", "embedding", "PQ8", fp16Coeffs = false)
+        .roundtripDf(src, "vec_id", "embedding", "PQ8", fp16Coeffs = false,
+          pqModel = minmaxPqModel(s, dir))
         .withColumnRenamed("id", "vec_id").withColumnRenamed("vec", "_dv")
       src.join(dec, "vec_id")
         .select(col("vec_id"),

@@ -71,7 +71,8 @@ object MinMaxCodec {
     * (IndexRowwiseMinMax.h train()). */
   def roundtripDf(df: DataFrame, idCol: String, vecCol: String,
       inner: String, fp16Coeffs: Boolean,
-      niter: Int = 4, seed: Long = 1234L): DataFrame = {
+      niter: Int = 4, seed: Long = 1234L,
+      pqModel: PqModel = null): DataFrame = {
     val base = scaledDf(df, idCol, vecCol, fp16Coeffs)
     val dec: Column = inner match {
       case "SQfp16" =>
@@ -83,8 +84,12 @@ object MinMaxCodec {
           SqVariant.encode(inner, shim.expr(col("_scaled")),
             mins, vdiff), mins, vdiff))
       case PqTok(m, ks) =>
-        val model = Pq.train(base, "_scaled", m.toInt,
-          Option(ks).map(_.toInt).getOrElse(16), niter = niter, seed = seed)
+        // `pqModel` skips the (expensive) inner training when the
+        // caller already holds the scaled-space model — it MUST come
+        // from the identical scaledDf input/params or decode diverges
+        val model = if (pqModel != null) pqModel
+          else Pq.train(base, "_scaled", m.toInt,
+            Option(ks).map(_.toInt).getOrElse(16), niter = niter, seed = seed)
         model.decodeCol(shim.col(graft.core.PQEncode(
           shim.expr(col("_scaled")), model.codebooks))).cast("array<double>")
       case other =>
