@@ -241,6 +241,24 @@ object IndexIO {
         .select(col("id"), col("cell").cast("int"), col("code")))
   }
 
+  // ---- MIQ-coarse Index2Layer (Residual<M>x<nbit>,PQ<m>) --------------
+  def saveMiqTwoLayer(idx: MiqTwoLayerIndex, path: String): Unit = {
+    val spark = idx.codes.sparkSession
+    idx.codes.write.mode("overwrite").parquet(s"$path/codes")
+    pqModelDf(spark, idx.coarse)
+      .coalesce(1).write.mode("overwrite").json(s"$path/coarse")
+    pqModelDf(spark, idx.model)
+      .coalesce(1).write.mode("overwrite").json(s"$path/codebooks")
+  }
+
+  def loadMiqTwoLayer(spark: SparkSession, path: String): MiqTwoLayerIndex = {
+    val coarse = readPqModel(spark, s"$path/coarse")
+    new MiqTwoLayerIndex(coarse.m, coarse.ksub, coarse,
+      readPqModel(spark, s"$path/codebooks"),
+      spark.read.parquet(s"$path/codes")
+        .select(col("id"), col("cell").cast("long"), col("code")))
+  }
+
   // ---- IVF spectral hash ----------------------------------------------
   def saveSpectralHash(idx: IvfSpectralHashIndex, path: String): Unit = {
     val spark = idx.codes.sparkSession

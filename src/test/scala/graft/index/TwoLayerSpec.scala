@@ -87,6 +87,19 @@ class TwoLayerSpec extends SparkTestBase {
       .collect().forall(_.getLong(1) == 4))
   }
 
+  test("MIQ two-layer save/load round-trip preserves reconstruction") {
+    val idx = MiqTwoLayerIndex.build(data, "id", "vec",
+      mCoarse = 2, nbit = 4, m = 8, ksub = 16, niterCoarse = 3, niterPq = 3)
+    val dir = java.nio.file.Files.createTempDirectory("miq2l").toString
+    graft.io.IndexIO.saveMiqTwoLayer(idx, dir)
+    val loaded = graft.io.IndexIO.loadMiqTwoLayer(spark, dir)
+    assert(loaded.mCoarse == 2 && loaded.ksub == 16 && loaded.nlist == 256)
+    def snap(i: MiqTwoLayerIndex) = i.reconstruct
+      .select(col("id"), round(element_at(col("vec"), 1).cast("double"), 5).as("v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(snap(loaded) == snap(idx))
+  }
+
   test("IndexHNSW2Level factory forms: graph over 2-layer storage equals the decoded scan") {
     // HNSW<M>,<ncent>+PQ<m> and HNSW<M>,2x<nbit>+PQ<m>
     // (index_factory.cpp:455-472). At this scale every partition's
