@@ -1055,6 +1055,44 @@ object Queries {
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank"
               |  FROM qd) w WHERE "rank" <= 5""".stripMargin
 
+  /** Full IVFPQ replay at scale (nprobe=8 over the ivfpqbig
+    * sidecars) — shared by the exact coarse assign
+    * (`ivfpq_search_big`) and its HNSW-coarse degenerate twin. */
+  private lazy val ivfpqBigSql: String =
+    s"""WITH v AS ($bigVecSql),
+              |cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfpqbig_centroids/*.parquet')),
+              |cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/ivfpqbig_codebooks/*.parquet')),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.id, c.list_no, row_number() OVER (PARTITION BY b.id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.vec::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM v b CROSS JOIN cent c) t WHERE rn = 1),
+              |bres AS (SELECT a.id, a.list_no,
+              |    list_transform(list_zip(b.vec, c.c), p -> p[1] - p[2]) AS res
+              |  FROM basg a JOIN v b ON b.id = a.id JOIN cent c ON c.list_no = a.list_no),
+              |bsub AS (SELECT id, list_no, r.m AS m, res[r.m*2+1:r.m*2+2]::DOUBLE[] AS sv
+              |         FROM bres, range(0,4) r(m)),
+              |enc AS (SELECT id, list_no, m, j FROM (
+              |  SELECT b.id, b.list_no, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
+              |qc AS (SELECT q.id AS qid, c.list_no, q.vec, c.c, row_number() OVER (PARTITION BY q.id ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.vec::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
+              |  FROM v q CROSS JOIN cent c WHERE q.id % 9973 = 1),
+              |qres AS (SELECT qid, list_no,
+              |    list_transform(list_zip(vec, c), p -> p[1] - p[2]) AS res
+              |  FROM qc WHERE pr <= 8),
+              |qsub AS (SELECT qid, list_no, r.m AS m, res[r.m*2+1:r.m*2+2]::DOUBLE[] AS sv
+              |         FROM qres, range(0,4) r(m)),
+              |lut AS (SELECT q.qid, q.list_no, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub q JOIN cb ON cb.m = q.m),
+              |adc AS (SELECT l.qid, e.id, list_aggregate(list(l.pd ORDER BY l.m), 'sum') AS dist
+              |  FROM enc e JOIN lut l ON l.list_no = e.list_no AND l.m = e.m AND l.j = e.j
+              |  GROUP BY l.qid, e.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w
+              |WHERE "rank" <= 10""".stripMargin
+
   // ---------------------------------------------------------------------
   // The catalog. Names are stable keys; comments map to SURVEY.md §2 rows.
   // ---------------------------------------------------------------------
@@ -4929,39 +4967,18 @@ object Queries {
     ("ivfpq_search_big", (s: SparkSession, dir: String) =>
       ivfpqBig(s, dir).search(bigQueries(s, dir), k = 10, nprobe = 8)
         .withColumn("dist", r4("dist")),
-      Some(s"""WITH v AS ($bigVecSql),
-              |cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfpqbig_centroids/*.parquet')),
-              |cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/ivfpqbig_codebooks/*.parquet')),
-              |basg AS (SELECT id, list_no FROM (
-              |  SELECT b.id, c.list_no, row_number() OVER (PARTITION BY b.id ORDER BY
-              |    list_aggregate(list_transform(list_zip(b.vec::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
-              |  FROM v b CROSS JOIN cent c) t WHERE rn = 1),
-              |bres AS (SELECT a.id, a.list_no,
-              |    list_transform(list_zip(b.vec, c.c), p -> p[1] - p[2]) AS res
-              |  FROM basg a JOIN v b ON b.id = a.id JOIN cent c ON c.list_no = a.list_no),
-              |bsub AS (SELECT id, list_no, r.m AS m, res[r.m*2+1:r.m*2+2]::DOUBLE[] AS sv
-              |         FROM bres, range(0,4) r(m)),
-              |enc AS (SELECT id, list_no, m, j FROM (
-              |  SELECT b.id, b.list_no, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
-              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
-              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
-              |qc AS (SELECT q.id AS qid, c.list_no, q.vec, c.c, row_number() OVER (PARTITION BY q.id ORDER BY
-              |    list_aggregate(list_transform(list_zip(q.vec::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
-              |  FROM v q CROSS JOIN cent c WHERE q.id % 9973 = 1),
-              |qres AS (SELECT qid, list_no,
-              |    list_transform(list_zip(vec, c), p -> p[1] - p[2]) AS res
-              |  FROM qc WHERE pr <= 8),
-              |qsub AS (SELECT qid, list_no, r.m AS m, res[r.m*2+1:r.m*2+2]::DOUBLE[] AS sv
-              |         FROM qres, range(0,4) r(m)),
-              |lut AS (SELECT q.qid, q.list_no, q.m, cb.j,
-              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
-              |  FROM qsub q JOIN cb ON cb.m = q.m),
-              |adc AS (SELECT l.qid, e.id, list_aggregate(list(l.pd ORDER BY l.m), 'sum') AS dist
-              |  FROM enc e JOIN lut l ON l.list_no = e.list_no AND l.m = e.m AND l.j = e.j
-              |  GROUP BY l.qid, e.id)
-              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
-              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w
-              |WHERE "rank" <= 10""".stripMargin)),
+      Some(ivfpqBigSql)),
+
+    // The HNSW-coarse composition AT SCALE (`IVF64_HNSW32,PQ4` over
+    // the 600k-row corpus): probe selection walks the per-executor
+    // centroid graph instead of the exact argmin — the regime the
+    // composition exists for. efSearch = 4096 >= nlist keeps the walk
+    // exact-degenerate, so the ivfpq replay applies verbatim.
+    ("ivf_hnsw_pq_search_big", (s: SparkSession, dir: String) =>
+      ivfpqBig(s, dir).search(bigQueries(s, dir), k = 10, nprobe = 8,
+        coarse = Some(graft.index.Probes.HnswCoarse(4096)))
+        .withColumn("dist", r4("dist")),
+      Some(ivfpqBigSql)),
 
     // IMI+PQ build at scale, timed apart from search (see
     // ivf_build_big): per-half coarse assignment + residual PQ encode

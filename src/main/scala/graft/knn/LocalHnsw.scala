@@ -47,7 +47,6 @@ abstract class LocalHnswCore[S <: AnyRef: ClassTag](
   private var entry = -1
   private var maxLevel = -1
 
-  private val visited = new java.util.BitSet()
 
   def size: Int = n
 
@@ -113,17 +112,32 @@ abstract class LocalHnswCore[S <: AnyRef: ClassTag](
     cur
   }
 
-  // ---- primitive heaps (shared scratch, resized on demand) ------------
-  // results: max-heap of (dist, node) capped at ef — worst on top
-  private var resD = new Array[Double](0)
-  private var resX = new Array[Int](0)
-  private var resN = 0
-  // frontier: min-heap of (dist, node)
-  private var froD = new Array[Double](64)
-  private var froX = new Array[Int](64)
-  private var froN = 0
+  // ---- primitive heaps (per-THREAD scratch, resized on demand) --------
+  // One graph instance serves CONCURRENT searches when it backs a
+  // coarse quantizer shared across executor threads
+  // (graft.core.CentroidHnswCache): per-instance scratch would let
+  // parallel tasks corrupt each other's beam state — wrong probe sets
+  // under concurrency (found round 11 on the at-scale HNSW-coarse
+  // twin). Builds (add) stay single-threaded by construction: the
+  // cache's first-toucher builds under its lock and the per-partition
+  // graphs build inside one task, so only SEARCH needs isolation.
+  private final class Scratch {
+    // results: max-heap of (dist, node) capped at ef — worst on top
+    var resD = new Array[Double](0)
+    var resX = new Array[Int](0)
+    var resN = 0
+    // frontier: min-heap of (dist, node)
+    var froD = new Array[Double](64)
+    var froX = new Array[Int](64)
+    var froN = 0
+    val visited = new java.util.BitSet()
+  }
+  private val scratch = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
 
-  private def resPush(d: Double, x: Int, ef: Int): Unit = {
+  private def resPush(sc: Scratch, d: Double, x: Int, ef: Int): Unit = {
+    import sc._
     if (resN < ef) {
       var i = resN; resD(i) = d; resX(i) = x; resN += 1
       while (i > 0) {
@@ -150,7 +164,8 @@ abstract class LocalHnswCore[S <: AnyRef: ClassTag](
     }
   }
 
-  private def froPush(d: Double, x: Int): Unit = {
+  private def froPush(sc: Scratch, d: Double, x: Int): Unit = {
+    import sc._
     if (froN == froD.length) {
       froD = java.util.Arrays.copyOf(froD, froN * 2)
       froX = java.util.Arrays.copyOf(froX, froN * 2)
@@ -166,7 +181,8 @@ abstract class LocalHnswCore[S <: AnyRef: ClassTag](
     }
   }
 
-  private def froPop(): Unit = {
+  private def froPop(sc: Scratch): Unit = {
+    import sc._
     froN -= 1
     froD(0) = froD(froN); froX(0) = froX(froN)
     var i = 0
@@ -182,28 +198,28 @@ abstract class LocalHnswCore[S <: AnyRef: ClassTag](
     }
   }
 
-  /** Beam search at `level` from `start`. Fills resD/resX (heap order)
-    * with the <= ef best candidates. */
-  private def beam(distTo: S => Double, start: Int, level: Int, ef: Int): Unit = {
-    if (resD.length < ef) { resD = new Array[Double](ef); resX = new Array[Int](ef) }
-    resN = 0; froN = 0
-    visited.clear()
+  /** Beam search at `level` from `start`. Fills sc.resD/resX (heap
+    * order) with the <= ef best candidates. */
+  private def beam(sc: Scratch, distTo: S => Double, start: Int, level: Int, ef: Int): Unit = {
+    if (sc.resD.length < ef) { sc.resD = new Array[Double](ef); sc.resX = new Array[Int](ef) }
+    sc.resN = 0; sc.froN = 0
+    sc.visited.clear()
     val d0 = distTo(vecs(start))
-    resPush(d0, start, ef); froPush(d0, start); visited.set(start)
-    while (froN > 0) {
-      val cd = froD(0); val cn = froX(0); froPop()
-      if (resN >= ef && cd > resD(0)) { froN = 0 }
+    resPush(sc, d0, start, ef); froPush(sc, d0, start); sc.visited.set(start)
+    while (sc.froN > 0) {
+      val cd = sc.froD(0); val cn = sc.froX(0); froPop(sc)
+      if (sc.resN >= ef && cd > sc.resD(0)) { sc.froN = 0 }
       else {
         val arr = nbrA(cn)(level)
         val used = nbrN(cn)(level)
         var i = 0
         while (i < used) {
           val nd = arr(i)
-          if (!visited.get(nd)) {
-            visited.set(nd)
+          if (!sc.visited.get(nd)) {
+            sc.visited.set(nd)
             val d = distTo(vecs(nd))
-            if (resN < ef || d < resD(0) || (d == resD(0) && nd < resX(0))) {
-              resPush(d, nd, ef); froPush(d, nd)
+            if (sc.resN < ef || d < sc.resD(0) || (d == sc.resD(0) && nd < sc.resX(0))) {
+              resPush(sc, d, nd, ef); froPush(sc, d, nd)
             }
           }
           i += 1
@@ -213,10 +229,10 @@ abstract class LocalHnswCore[S <: AnyRef: ClassTag](
   }
 
   /** Current beam results sorted ascending by (dist, node). */
-  private def beamSorted(): (Array[Int], Array[Double], Int) = {
-    val k = resN
-    val xs = java.util.Arrays.copyOf(resX, k)
-    val ds = java.util.Arrays.copyOf(resD, k)
+  private def beamSorted(sc: Scratch): (Array[Int], Array[Double], Int) = {
+    val k = sc.resN
+    val xs = java.util.Arrays.copyOf(sc.resX, k)
+    val ds = java.util.Arrays.copyOf(sc.resD, k)
     // heap is small: insertion sort by (dist, id)
     var i = 1
     while (i < k) {
@@ -245,9 +261,10 @@ abstract class LocalHnswCore[S <: AnyRef: ClassTag](
     var cur = entry
     var l = maxLevel
     while (l > level) { cur = greedy(distTo, cur, l); l -= 1 }
+    val sc = scratch.get()
     while (l >= 0) {
-      beam(distTo, cur, l, efConstruction)
-      val (bi, _, bn) = beamSorted()
+      beam(sc, distTo, cur, l, efConstruction)
+      val (bi, _, bn) = beamSorted(sc)
       val take = math.min(m, bn)
       val capL = if (l == 0) maxM0 else m
       var t = 0
@@ -272,8 +289,9 @@ abstract class LocalHnswCore[S <: AnyRef: ClassTag](
     var cur = entry
     var l = maxLevel
     while (l > 0) { cur = greedy(distTo, cur, l); l -= 1 }
-    beam(distTo, cur, 0, math.max(efSearch, k))
-    val (xs, ds, bn) = beamSorted()
+    val sc = scratch.get()
+    beam(sc, distTo, cur, 0, math.max(efSearch, k))
+    val (xs, ds, bn) = beamSorted(sc)
     val out = new Array[(Long, Double)](math.min(k, bn))
     var i = 0
     while (i < out.length) { out(i) = (ids(xs(i)), ds(i)); i += 1 }

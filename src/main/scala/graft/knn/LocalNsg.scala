@@ -133,17 +133,29 @@ abstract class LocalNsgCore[S <: AnyRef](
     best
   }
 
-  // ---- search_on_graph scratch ----------------------------------------
-  private val visited = new java.util.BitSet()
-  // sorted candidate pool: ascending (dist, node); flag = not expanded
-  private var poolD = new Array[Double](0)
-  private var poolX = new Array[Int](0)
-  private var poolF = new Array[Boolean](0)
+  // ---- search_on_graph scratch (per THREAD) ---------------------------
+  // One graph instance serves CONCURRENT searches when it backs a
+  // coarse quantizer shared across executor threads
+  // (graft.core.CentroidNsgCache) — per-instance scratch would let
+  // parallel tasks corrupt each other's pools (the round-11 LocalHnsw
+  // finding; same shape here). Builds run single-threaded under the
+  // cache lock / inside one task.
+  private final class Scratch {
+    val visited = new java.util.BitSet()
+    // sorted candidate pool: ascending (dist, node); flag = not expanded
+    var poolD = new Array[Double](0)
+    var poolX = new Array[Int](0)
+    var poolF = new Array[Boolean](0)
+  }
+  private val scratch = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
 
   /** Insert (d,x,unexpanded) into the sorted pool of current size
     * `size` capped at `cap`; returns the insert position (or cap if
     * dropped). Classic NSG insert_into_pool. */
-  private def poolInsert(size: Int, cap: Int, d: Double, x: Int): Int = {
+  private def poolInsert(sc: Scratch, size: Int, cap: Int, d: Double, x: Int): Int = {
+    import sc._
     if (size == cap && (d > poolD(cap - 1) || (d == poolD(cap - 1) && x >= poolX(cap - 1)))) return cap
     // binary search for first position with (dist, id) > (d, x)
     var lo = 0; var hi = size
@@ -164,11 +176,12 @@ abstract class LocalNsgCore[S <: AnyRef](
     * When `collect` is non-null, every visited (node, dist) is appended
     * (the sync_prune candidate set, NSG.cpp:360-388). `distTo` is the
     * distance from the (implicit) query to a stored vector. */
-  private def searchOnGraph(graph: Array[Array[Int]], distTo: S => Double,
+  private def searchOnGraph(sc: Scratch, graph: Array[Array[Int]], distTo: S => Double,
       ep: Int, poolSize: Int, collect: java.util.ArrayList[(Int, Double)]): Int = {
+    import sc._
     val ps = math.min(poolSize, n)
     if (poolD.length < ps + 1) {
-      poolD = new Array[Double](ps + 1); poolX = new Array[Int](ps + 1); poolF = new Array[Boolean](ps + 1)
+      sc.poolD = new Array[Double](ps + 1); sc.poolX = new Array[Int](ps + 1); sc.poolF = new Array[Boolean](ps + 1)
     }
     visited.clear()
     // init ids: enterpoint's neighbors, then deterministic random fill
@@ -201,7 +214,7 @@ abstract class LocalNsgCore[S <: AnyRef](
     while (i < num) {
       val id = init(i)
       val d = distTo(vecs(id))
-      poolInsert(size, ps, d, id)
+      poolInsert(sc, size, ps, d, id)
       size = math.min(size + 1, ps)
       if (collect ne null) collect.add((id, d))
       i += 1
@@ -221,7 +234,7 @@ abstract class LocalNsgCore[S <: AnyRef](
             visited.set(id)
             val d = distTo(vecs(id))
             if (collect ne null) collect.add((id, d))
-            val pos = poolInsert(size, ps, d, id)
+            val pos = poolInsert(sc, size, ps, d, id)
             if (pos < size || size < ps) {
               size = math.min(size + 1, ps)
               if (pos < updated) updated = pos
@@ -281,7 +294,7 @@ abstract class LocalNsgCore[S <: AnyRef](
       var q = 0
       while (q < n) {
         val pool = new java.util.ArrayList[(Int, Double)](buildL * 4)
-        searchOnGraph(knnG, s => sdist(vecs(q), s), enterpoint, buildL, pool)
+        searchOnGraph(scratch.get(), knnG, s => sdist(vecs(q), s), enterpoint, buildL, pool)
         // also offer q's own kNN neighbors (NSG.cpp:413-421)
         val kn = knnG(q)
         var i = 0
@@ -358,7 +371,7 @@ abstract class LocalNsgCore[S <: AnyRef](
           // nearest REACHED node with spare degree, via graph search on
           // the final graph (searchL pool), else linear fallback
           val pool = new java.util.ArrayList[(Int, Double)](buildL * 4)
-          searchOnGraph(snapshotView(), s => sdist(vecs(id), s), enterpoint, buildL, pool)
+          searchOnGraph(scratch.get(), snapshotView(), s => sdist(vecs(id), s), enterpoint, buildL, pool)
           val arr = pool.toArray(new Array[(Int, Double)](pool.size()))
           java.util.Arrays.sort(arr, new java.util.Comparator[(Int, Double)] {
             def compare(a: (Int, Double), b: (Int, Double)): Int = {
@@ -420,10 +433,11 @@ abstract class LocalNsgCore[S <: AnyRef](
     * override `search` through this to plug per-query LUTs). */
   protected final def searchDist(distTo: S => Double, k: Int,
       searchL: Int): Array[(Long, Double)] = {
-    val sz = searchOnGraph(finalGraphView, distTo, enterpoint, math.max(searchL, k), null)
+    val sc = scratch.get()
+    val sz = searchOnGraph(sc, finalGraphView, distTo, enterpoint, math.max(searchL, k), null)
     val out = new Array[(Long, Double)](math.min(k, sz))
     var i = 0
-    while (i < out.length) { out(i) = (ids(poolX(i)), poolD(i)); i += 1 }
+    while (i < out.length) { out(i) = (ids(sc.poolX(i)), sc.poolD(i)); i += 1 }
     out
   }
 
