@@ -3894,6 +3894,42 @@ object Queries {
       Some("""SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
              |  length(text)::BIGINT AS len_chars FROM documents""".stripMargin)),
 
+    // PII redaction — the standard pre-training scrub pass (emails,
+    // phone numbers, IPv4 literals -> type tags). The synthetic corpus
+    // carries no PII, so both sides SEED each document with
+    // deterministic doc_id-derived PII first (the planted-duplicates
+    // convention of simhashCorpus), then redact: match counts and the
+    // md5 of the redacted text must agree, which gates the identical
+    // RE2-subset regexes through Spark's codegen'd regexp engine and
+    // the oracle's. Per-row projection, no shuffle — the 100 TB shape.
+    ("pii_redact", (s: SparkSession, dir: String) => {
+      val seeded = docsDf(s, dir).select(col("doc_id"),
+        concat(lit("email u"), col("doc_id").cast("string"),
+          lit("@ex"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".com tel 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" ip 10.1."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit("."), pmod(col("doc_id") * 7, lit(256)).cast("string"),
+          lit(" "), col("text")).as("t"))
+      seeded.select(col("doc_id"),
+        TF.piiCount(col("t")).cast("long").as("n_pii"),
+        md5(TF.redactPii(col("t"))).as("redacted_md5"))
+    },
+      Some(s"""WITH seeded AS (SELECT doc_id,
+              |  concat('email u', doc_id, '@ex', doc_id % 7, '.com tel 555-',
+              |         lpad((doc_id % 10000)::VARCHAR, 4, '0'),
+              |         ' ip 10.1.', doc_id % 256, '.', (doc_id*7) % 256, ' ', text) AS t
+              |  FROM documents)
+              |SELECT doc_id,
+              |  (len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+              |   + len(regexp_extract_all(t, '\\b555-[0-9]{4}\\b'))
+              |   + len(regexp_extract_all(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')))::BIGINT AS n_pii,
+              |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+              |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+              |    '\\b555-[0-9]{4}\\b', '[PHONE]', 'g'),
+              |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[IP]', 'g')) AS redacted_md5
+              |FROM seeded""".stripMargin)),
+
     // quality signal: within-document 3-gram repetition ratio (the
     // C4/Dolma-style repetitive-text filter) — built-in array
     // functions only, stays inside whole-stage codegen

@@ -130,4 +130,28 @@ object TextFunctions {
   }
 
   val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  // ---- PII redaction ----------------------------------------------------
+  // The standard pre-training scrub pass: emails, simple phone numbers
+  // and IPv4 literals replaced by type tags. Patterns are kept inside
+  // the RE2-compatible subset so the identical regex runs in any ANSI
+  // engine (the oracle replays them verbatim); all matching happens in
+  // codegen'd regexp_replace/regexp_count — no UDFs.
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhone = "\\b555-[0-9]{4}\\b"
+  val PiiIpv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact in a fixed order (email first — its char class contains
+    * '.' digits and would otherwise re-match a redacted IP tag). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmail, "[EMAIL]"),
+        PiiPhone, "[PHONE]"),
+      PiiIpv4, "[IP]")
+
+  /** Total PII matches (pre-redaction) per document. */
+  def piiCount(text: Column): Column =
+    regexp_count(text, lit(PiiEmail)) + regexp_count(text, lit(PiiPhone)) +
+      regexp_count(text, lit(PiiIpv4))
 }
