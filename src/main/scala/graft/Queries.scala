@@ -3894,6 +3894,39 @@ object Queries {
       Some("""SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
              |  length(text)::BIGINT AS len_chars FROM documents""".stripMargin)),
 
+    // CCNet-style line-level boilerplate removal: per-line document
+    // frequency across the corpus -> drop lines above the df
+    // threshold -> ordered reassembly. Both sides SEED each document
+    // with a corpus-wide 8-token header and a per-source 8-token
+    // footer (the corpus has no natural boilerplate), so the header
+    // always crosses the threshold and the footers sit near it — the
+    // one hash shuffle on the line is the shape this op has at 100 TB.
+    ("boilerplate_removal", (s: SparkSession, dir: String) => {
+      val seeded = docsDf(s, dir).select(col("doc_id"),
+        concat(lit("this document is provided under the standard disclaimer "),
+          lit("footer of source "), col("source"),
+          lit(" applies to every document "), col("text")).as("t"))
+      graft.llm.Corpus.dropBoilerplate(seeded, "doc_id", "t",
+        window = 8, maxDfFrac = 0.04)
+        .withColumnRenamed("id", "doc_id")
+    },
+      Some("""WITH seeded AS (SELECT doc_id,
+             |  concat('this document is provided under the standard disclaimer ',
+             |         'footer of source ', source, ' applies to every document ', text) AS t
+             |  FROM documents),
+             |toks AS (SELECT doc_id, string_split(t, ' ') AS t FROM seeded),
+             |c AS (SELECT doc_id, t, ceil(len(t)::DOUBLE / 8)::INT AS nl FROM toks),
+             |lines AS (SELECT doc_id, unnest(range(0, nl)) AS pos, t FROM c),
+             |lv AS (SELECT doc_id, pos, array_to_string(t[pos*8+1 : pos*8+8], ' ') AS line FROM lines),
+             |dfc AS (SELECT line, count(DISTINCT doc_id) AS df FROM lv GROUP BY line),
+             |nd AS (SELECT count(*)::DOUBLE AS n FROM seeded),
+             |dropped AS (SELECT line FROM dfc, nd WHERE df > greatest(1.0, 0.04 * n)),
+             |agg AS (SELECT l.doc_id, count(*)::BIGINT AS n_lines,
+             |    sum(CASE WHEN d.line IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+             |    md5(coalesce(string_agg(CASE WHEN d.line IS NULL THEN l.line END, ' ' ORDER BY l.pos), '')) AS kept_md5
+             |  FROM lv l LEFT JOIN dropped d ON d.line = l.line GROUP BY l.doc_id)
+             |SELECT doc_id, n_lines, n_dropped, kept_md5 FROM agg""".stripMargin)),
+
     // PII redaction — the standard pre-training scrub pass (emails,
     // phone numbers, IPv4 literals -> type tags). The synthetic corpus
     // carries no PII, so both sides SEED each document with

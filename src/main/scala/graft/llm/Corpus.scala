@@ -48,6 +48,40 @@ object Corpus {
     * by definition), never a cross join. The usual pre-training sweep
     * against eval benchmarks expressed as one join + one aggregate.
     */
+  /** CCNet-style line-level boilerplate removal: split every document
+    * into fixed `window`-token lines, count each distinct line's
+    * document frequency across the corpus (one hash shuffle — the
+    * shape this op has at any scale; CCNet dedups paragraphs exactly
+    * this way), drop lines occurring in more than `maxDfFrac` of the
+    * documents, and reassemble the survivors in order. Output
+    * (id, n_lines, n_dropped, kept_text). The corpus has no newlines,
+    * so the fixed token window stands in for the line split — the
+    * dataflow (per-line df + threshold + ordered reassembly) is the
+    * real operator. */
+  def dropBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, maxDfFrac: Double = 0.5): DataFrame = {
+    val nDocs = df.count()
+    val toks = df.select(col(idCol).as("id"), split(col(textCol), " ").as("_t"))
+    val lines = toks.select(col("id"),
+        posexplode(transform(
+          sequence(lit(0), ceil(size(col("_t")).cast("double") / window).cast("int") - 1),
+          i => concat_ws(" ", slice(col("_t"), i * window + 1, lit(window)))))
+          .as(Seq("pos", "line")))
+    val dfCounts = lines.groupBy(col("line"))
+      .agg(countDistinct(col("id")).as("_df"))
+      .filter(col("_df") > math.max(1.0, maxDfFrac * nDocs))
+      .select(col("line"), lit(true).as("_drop"))
+    lines.join(dfCounts, Seq("line"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_drop"), 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(" ", sort_array(collect_list(
+          when(col("_drop").isNull, struct(col("pos"), col("line")))))
+          .getField("line")).as("kept_text"))
+      .select(col("id"), col("n_lines"), col("n_dropped"),
+        md5(col("kept_text")).as("kept_md5"))
+  }
+
   def contaminated(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, ngram: Int = 3): DataFrame = {
     def shingleIndex(df: DataFrame, out: String): DataFrame =
