@@ -299,7 +299,8 @@ object AutoTune {
     * parameter names throw, like the reference's FAISS_THROW_FMT. */
   case class SearchParams(nprobe: Option[Int] = None, ht: Option[Int] = None,
       maxCodes: Option[Int] = None, kFactor: Option[Int] = None,
-      efSearch: Option[Int] = None)
+      efSearch: Option[Int] = None,
+      quantizerNprobe: Option[Int] = None)
 
   def parseParams(s: String): SearchParams = {
     var p = SearchParams()
@@ -319,6 +320,9 @@ object AutoTune {
         // into the graph coarse of IvfIndex.search)
         case "efSearch" | "quantizer_efSearch" =>
           p = p.copy(efSearch = Some(v))
+        // the IVF-Flat quantizer's own nprobe (the IVF<n>(IVF<n2>,...)
+        // two-level coarse — Probes.IvfFlatCoarse.nprobe2)
+        case "quantizer_nprobe" => p = p.copy(quantizerNprobe = Some(v))
         case other => throw new IllegalArgumentException(
           s"could not set parameter $other") // AutoTune.cpp:440 wording
       }

@@ -175,6 +175,7 @@ class MiscSpec extends SparkTestBase {
     // budget the efSearch axis tunes
     assert(AutoTune.parseParams("nprobe=8,quantizer_efSearch=64") ==
       AutoTune.SearchParams(nprobe = Some(8), efSearch = Some(64)))
+    assert(AutoTune.parseParams("quantizer_nprobe=2").quantizerNprobe.contains(2))
     assert(AutoTune.parseParams("").isInstanceOf[AutoTune.SearchParams])
     intercept[IllegalArgumentException] {
       AutoTune.parseParams("quantizer_efSearch_bogus=3")
