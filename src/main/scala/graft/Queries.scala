@@ -464,6 +464,12 @@ object Queries {
       OracleAux.codebooksDf(s, rqModel16(s, dir).codebooks))
     // engine-encoded base codes for the LUT search types (ST_LUT_*):
     // the oracle replays decode + LUT arithmetic from these integers
+    OracleAux.write(dir, "parensub_big_centroids", {
+      import s.implicits._
+      val (cb, _) = graft.core.CoarsePq.model(ivfBig(s, dir).centroids, 1, 8)
+      cb(0).zipWithIndex.toSeq.map { case (c, j) => (j, c.toSeq) }.toDF("j", "c")
+        .select(col("j"), col("c").cast("array<float>").as("c"))
+    })
     OracleAux.write(dir, "parensub_centroids", {
       import s.implicits._
       val (cb, _) = graft.core.CoarsePq.model(ivf16(s, dir).centroids, 1, 4)
@@ -4975,6 +4981,45 @@ object Queries {
               |    list_aggregate(list_transform(list_zip(q.vec::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
               |  FROM v q CROSS JOIN cent c WHERE q.id % 9973 = 1),
               |probes AS (SELECT qid, list_no FROM qc WHERE pr <= 8),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.id, c.list_no, row_number() OVER (PARTITION BY b.id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.vec::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM v b CROSS JOIN cent c) t WHERE rn = 1),
+              |d AS (SELECT p.qid, a.id,
+              |    list_distance(q.vec::DOUBLE[], b.vec::DOUBLE[])^2 AS dist
+              |  FROM probes p JOIN basg a ON a.list_no = p.list_no
+              |  JOIN v q ON q.id = p.qid JOIN v b ON b.id = a.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 10""".stripMargin)),
+
+    // Two-level coarse AT SCALE (`IVF64(IVF8,Flat)` over the 600k-row
+    // corpus, approximate regime nprobe2 = 3 of 8 sub-cells): the
+    // regime the sub-index quantizer exists for — the quantizer scans
+    // ~3/8 of the centroid table per query instead of all of it. The
+    // oracle replays centroid sub-cell assignment, the query's
+    // sub-cell ranking, the pruned centroid ranking and the exact
+    // probed-list scan, all over the big-corpus sidecars.
+    ("ivf_two_level_search_big", (s: SparkSession, dir: String) =>
+      ivfBig(s, dir).search(bigQueries(s, dir), k = 10, nprobe = 8,
+        coarse = Some(graft.index.Probes.IvfFlatCoarse(8, 3)))
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH v AS ($bigVecSql),
+              |cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfbig_centroids/*.parquet')),
+              |sub AS (SELECT j, c FROM read_parquet('$AUX/parensub_big_centroids/*.parquet')),
+              |casg AS (SELECT list_no, j FROM (
+              |  SELECT ct.list_no, sb.j, row_number() OVER (PARTITION BY ct.list_no ORDER BY
+              |    list_aggregate(list_transform(list_zip(ct.c::DOUBLE[], sb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), sb.j) AS rn
+              |  FROM cent ct CROSS JOIN sub sb) t WHERE rn = 1),
+              |qcell AS (SELECT qid, j FROM (
+              |  SELECT q.id AS qid, sb.j, row_number() OVER (PARTITION BY q.id ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.vec::DOUBLE[], sb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), sb.j) AS pr
+              |  FROM v q CROSS JOIN sub sb WHERE q.id % 9973 = 1) t WHERE pr <= 3),
+              |probes AS (SELECT qid, list_no FROM (
+              |  SELECT qc.qid, ct.list_no, row_number() OVER (PARTITION BY qc.qid ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.vec::DOUBLE[], ct.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), ct.list_no) AS pr
+              |  FROM qcell qc JOIN casg ca ON ca.j = qc.j JOIN cent ct ON ct.list_no = ca.list_no
+              |  JOIN v q ON q.id = qc.qid) t WHERE pr <= 8),
               |basg AS (SELECT id, list_no FROM (
               |  SELECT b.id, c.list_no, row_number() OVER (PARTITION BY b.id ORDER BY
               |    list_aggregate(list_transform(list_zip(b.vec::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
