@@ -2834,6 +2834,30 @@ object Queries {
               |  SELECT qid, id, hd, row_number() OVER (PARTITION BY qid ORDER BY hd, id) AS "rank" FROM hd) w
               |WHERE "rank" <= 10""".stripMargin)),
 
+    // Reference LSH spelling with trained thresholds (factory "LSHt",
+    // IndexLSH.cpp:58-97: nbits = d, bit = component >= its
+    // per-component MEDIAN over the training set). Fully replayable
+    // with no sidecar: DuckDB's interpolated median matches Spark's
+    // exact percentile(0.5), the centered value is float-cast before
+    // the sign test (the engine's array<float> codes), and the
+    // Hamming ranking follows the lsh_search replay.
+    ("lsh_threshold_search", (s: SparkSession, dir: String) =>
+      cached(s"lshT:$dir") {
+        graft.index.IndexFactory.build(bDf(s, dir, 10), "id", "vec", "LSHt")
+      }.search(qDf(s, dir, 10), 10),
+      Some("""WITH med AS (SELECT i, median(x) AS md FROM (
+             |  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding::DOUBLE[]) AS x
+             |  FROM embeddings WHERE vec_id >= 10) t GROUP BY i),
+             |bits AS (SELECT vec_id, list((CAST(e.x - m.md AS REAL) >= 0) ORDER BY e.i) AS bv FROM (
+             |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding::DOUBLE[]) AS x
+             |  FROM embeddings) e JOIN med m ON m.i = e.i GROUP BY vec_id),
+             |hd AS (SELECT q.vec_id AS qid, b.vec_id AS id,
+             |    len(list_filter(list_zip(q.bv, b.bv), p -> p[1] <> p[2]))::BIGINT AS hd
+             |  FROM bits q JOIN bits b ON q.vec_id < 10 AND b.vec_id >= 10)
+             |SELECT qid, "rank", id, hd FROM (
+             |  SELECT qid, id, hd, row_number() OVER (PARTITION BY qid ORDER BY hd, id) AS "rank" FROM hd) w
+             |WHERE "rank" <= 10""".stripMargin)),
+
     // §2.9 PCAMatrix as a DIRECT oracle row (canonical #63; previously
     // ScalaTest-only): kNN in the PCA-16 space. The oracle replays the
     // trained projection from the pca16 sidecar (double mat-vec + bias,

@@ -87,7 +87,10 @@ object IndexFactory {
     // codecs build() supports are sized — reporting a size for a
     // description the factory cannot build would let callers plan
     // storage for an index that later throws (ADVICE r9)
-    val toks = splitTop(desc)
+    val toks = splitTop(desc).map {
+      case PqNp(t) => t
+      case t => t
+    }
     toks.headOption.filter(t => t == "MinMax" || t == "MinMaxFP16").foreach { mm =>
       val inner = toks.drop(1).toSeq
       require(inner.length == 1 && (MinMaxInners.contains(inner.head) ||
@@ -108,7 +111,16 @@ object IndexFactory {
       case "MinMax" => extra += 8
       case "MinMaxFP16" => extra += 4
       case Ivf(_) | IvfHnsw(_, _) | IvfNsg(_, _) | IvfRcqTok(_, _, _) | IvfParen(_, _) | Imi(_) | Res(_) | ResMiq(_, _) => ()
-      case "Flat" => code = Some(4 * dim)
+      case "Flat" | "FlatDedup" => code = Some(4 * dim)
+      case PqPlus(m1, m2) => code = Some(m1.toInt + m2.toInt)
+      case AqNorm(_, lv, nb, st) =>
+        val normBytes = st match {
+          case "float" => 4
+          case "qint8" | "cqint8" => 1
+          case _ => 1 // qint4/cqint4: rounded up from the half byte
+        }
+        code = Some((lv.toInt * nb.toInt + 7) / 8 + normBytes)
+      case LshRef(_, _) => code = Some((dim + 7) / 8)
       case "SQ8" => code = Some(dim)
       case "SQ4" => code = Some((dim + 1) / 2)
       case "SQ6" => code = Some((dim * 6 + 7) / 8)
@@ -288,6 +300,22 @@ object IndexFactory {
   private val ResMiq = "Residual(\\d+)x(\\d+)".r
   private val Sh = "SH(\\d+)x([-0-9.eE]+)([gcm])?".r
   private val Lsh = "LSH(\\d+)".r
+  // Reference LSH spelling (IndexLSH.h:23; factory "LSH[r][t]",
+  // index_factory.cpp:528): nbits = d, optional random rotation (r)
+  // and per-component median thresholds (t, IndexLSH::train)
+  private val LshRef = "LSH(r?)(t?)".r
+  // IVF<n>,PQ<M1>+<M2> (IndexIVFPQR, index_factory.cpp:321)
+  private val PqPlus = "PQ(\\d+)\\+(\\d+)".r
+  // RQ/LSQ<L>x<nb>_N<norm>: additive quantizer with an explicit
+  // stored-norm search type (aq_norm_pattern, index_factory.cpp:160;
+  // Search_type_t, AdditiveQuantizer.h:58-67)
+  private val AqNorm = "(RQ|LSQ)(\\d+)x(\\d+)_N(float|qint8|qint4|cqint8|cqint4)".r
+  // PQ token with the reference's `np` suffix (skip polysemous
+  // training, index_factory.cpp:315): our builds never train the
+  // permutation eagerly (Polysemous.optimize runs on demand for the
+  // ht filter), so both spellings build the same index — the suffix
+  // is accepted and normalized away
+  private val PqNp = "(PQ\\d+(?:x\\d+)?)np".r
   // additive quantizers (index_factory.cpp aq_templates): RQ<L>x<nbits>,
   // PRQ<nsplit>x<L>x<nbits>; +IVF via the IVF<nlist>, prefix
   private val RqTok = "RQ(\\d+)x(\\d+)".r
@@ -332,14 +360,31 @@ object IndexFactory {
 
   /** IndexLSH (faiss/IndexLSH.h:23, factory "LSH[rt]"): seeded random
     * rotation to nbits dims, sign-bit codes, Hamming ranking. */
-  private final class LshBuilt(rot: Linear, codes: DataFrame,
-      chain: VecTransform) extends Built {
+  /** IndexLSH: sign bits of the (optionally rotated) components,
+    * optionally centered on trained per-component medians
+    * (IndexLSH.cpp:58-97 train_thresholds). `rot = null` is the
+    * reference's rotate_data = false form. */
+  private final class LshBuilt(rot: Linear, thresholds: Option[Array[Double]],
+      codes: DataFrame, chain: VecTransform) extends Built {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
       val enc = (c: Column) =>
-        graft.functions.sign_bits(rot.applyCol(chain.applyCol(c)))
+        LshBuilt.signBits(rot, thresholds, chain.applyCol(c))
       BinaryFlat.knnJoin(
         q.select(col(qid), enc(col(qvec)).as("_qc")), codes, k,
         queryId = qid, queryCode = "_qc")
+    }
+  }
+  private object LshBuilt {
+    def signBits(rot: Linear, thresholds: Option[Array[Double]],
+        c: Column): Column = {
+      val pre = if (rot != null) rot.applyCol(c) else c
+      val centered = thresholds match {
+        case Some(th) =>
+          zip_with(pre.cast("array<double>"), array(th.map(lit): _*),
+            (x, t) => x - t).cast("array<float>")
+        case None => pre
+      }
+      graft.functions.sign_bits(centered)
     }
   }
 
@@ -371,6 +416,35 @@ object IndexFactory {
       val np = math.max(nprobe, 1)
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, np,
         qid, qvec, coarse = graph.flatMap(_.at(np)))
+    }
+  }
+  /** IVF<n>,PQ<M1>+<M2> (IndexIVFPQR, index_factory.cpp:321). */
+  private final class IvfPqrBuilt(idx: IvfPqrIndex, chain: VecTransform)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
+        math.max(nprobe, 1), qid, qvec)
+  }
+  /** Flat additive quantizer with an explicit stored-norm search type
+    * (`RQ/LSQ<L>x<nb>_N<norm>`): the ST_norm_* LUT scan
+    * d = ||q||² − 2·<q,x̂> + norm(x̂), with the norm term exact
+    * (float) or quantized (qint/cqint — [[RqNorms]] codecs). */
+  private final class RqLutBuilt(model: RqModel, codes: DataFrame,
+      chain: VecTransform) extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
+      val qq = q.withColumn(qvec, chain.applyCol(col(qvec)))
+        .select(col(qid), model.lutCol(col(qvec)).as("_lut"),
+          aggregate(col(qvec).cast("array<double>"), lit(0.0),
+            (a, x) => a + x * x).as("_qn"))
+      codes.crossJoin(broadcast(qq))
+        .select(col(qid), col("id"),
+          (col("_qn") - lit(2.0) * model.ipFromLutCol(col("codes"), col("_lut"))
+            + col("nq")).as("_d"))
+        .groupBy(col(qid))
+        .agg(graft.functions.topk(col("_d"), col("id"), k, asc = true).as("_tk"))
+        .select(col(qid), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+        .select(col(qid), (col("_pos") + 1).cast("long").as("rank"),
+          col("_r.id").as("id"), col("_r.dist").as("dist"))
     }
   }
   private final class IvfRqBuilt(idx: IvfRqIndex, chain: VecTransform,
@@ -618,7 +692,10 @@ object IndexFactory {
     // §2 row 46 — id-as-column), and reconstruction-by-id (IDMap2's
     // reason to exist) is a plain join. Accepted for factory-string
     // compatibility, stripped before parsing.
-    val tokens = splitTop(desc)
+    val tokens = splitTop(desc).map {
+      case PqNp(t) => t
+      case t => t
+    }
       .filterNot(t => t == "IDMap" || t == "IDMap2").toList
     require(tokens.nonEmpty, s"empty factory string '$desc'")
 
@@ -767,6 +844,24 @@ object IndexFactory {
         case "Flat" =>
           new IvfBuilt(IvfIndex.build(data, "id", "vec", nlist.toInt,
             niter = niter, seed = seed), chain)
+        // IVF<n>,FlatDedup (IndexIVFFlatDedup, IndexIVFFlat.h:69):
+        // exact-duplicate vectors stored once — one hash shuffle on
+        // the vector keeping the smallest id (the instances table of
+        // llm/Dedup.exactDedup is the general operator; here only the
+        // canonical copies enter the lists, the reference's add
+        // semantics)
+        case "FlatDedup" =>
+          val uniq = data.groupBy(col("vec"))
+            .agg(min(col("id")).as("id")).select(col("id"), col("vec"))
+          new IvfBuilt(IvfIndex.build(uniq, "id", "vec", nlist.toInt,
+            niter = niter, seed = seed), chain)
+        // IVF<n>,PQ<M1>+<M2> (IndexIVFPQR, index_factory.cpp:321):
+        // residual PQ + second-stage refinement PQ over the first
+        // stage's quantization error
+        case PqPlus(m1, m2) =>
+          new IvfPqrBuilt(IvfPqrIndex.build(data, "id", "vec", nlist.toInt,
+            m = m1.toInt, m2 = m2.toInt, ksub = 16,
+            niterCoarse = niter, niterPq = niter, seed = seed), chain)
         case PqFs(m, _) =>
           new IvfPqFsBuilt(IvfPq4FastScanIndex.build(data, "id", "vec",
             nlist.toInt, m.toInt, niterCoarse = niter, niterPq = niter,
@@ -830,13 +925,53 @@ object IndexFactory {
         new TwoLayerBuilt(TwoLayerIndex.build(data, "id", "vec", nlist.toInt,
           m.toInt, Option(ks).map(_.toInt).getOrElse(16),
           niterCoarse = niter, niterPq = niter, seed = seed), chain)
+      // reference LSH spelling: nbits = d, optional rotation and
+      // trained per-component median thresholds (IndexLSH.cpp:58-97)
+      case LshRef(r, t) :: Nil =>
+        val dd = data.select(size(col("vec"))).first().getInt(0)
+        val rot = if (r == "r") Linear(Transforms.randomRotation(dd, seed).a)
+          else null
+        val pre = (c: Column) => if (rot != null) rot.applyCol(c) else c
+        val th: Option[Array[Double]] =
+          if (t == "t") Some(
+            data.select(posexplode(pre(col("vec"))).as(Seq("_i", "_x")))
+              .groupBy(col("_i"))
+              .agg(expr("percentile(_x, 0.5)").as("_m"))
+              .orderBy(col("_i")).collect().map(_.getDouble(1)))
+          else None
+        val codes = data.select(col("id"),
+          LshBuilt.signBits(rot, th, col("vec")).as("code"))
+        new LshBuilt(rot, th, codes, chain)
+      // RQ/LSQ with an explicit stored-norm search type
+      // (aq_norm_pattern): flat AQ codes + the quantized-norm LUT scan
+      case AqNorm(fam, lv, nb, st) :: Nil =>
+        val (beam, icm) = if (fam == "RQ") (2, 1) else (1, 3)
+        val model = Rq.train(data.select(col("vec")), "vec",
+          lv.toInt, 1 << nb.toInt, niter = niter, seed = seed, beam = beam)
+        val codes0 = data.select(col("id"),
+            model.encodeCol(col("vec"), beam, icm).as("codes"))
+          .withColumn("normsq", aggregate(
+            model.decodeCol(col("codes")).cast("array<double>"),
+            lit(0.0), (a, x) => a + x * x))
+          .cache()
+        val nq: Column = st match {
+          case "float" => col("normsq")
+          case "qint8" | "qint4" =>
+            val (nmin, nmax) = RqNorms.range(codes0, "normsq")
+            RqNorms.qintDecode(col("normsq"),
+              if (st == "qint8") 256 else 16, nmin, nmax)
+          case "cqint8" | "cqint4" =>
+            RqNorms.cqDecode(col("normsq"), RqNorms.cqCentroids(codes0,
+              "normsq", if (st == "cqint8") 256 else 16))
+        }
+        new RqLutBuilt(model, codes0.withColumn("nq", nq), chain)
       case Lsh(nbits) :: Nil =>
         val dd = data.select(size(col("vec"))).first().getInt(0)
         require(nbits.toInt <= dd, s"LSH$nbits > d=$dd")
         val rot = Linear(Transforms.randomRotation(dd, seed).a.take(nbits.toInt))
         val codes = data.select(col("id"),
           graft.functions.sign_bits(rot.applyCol(col("vec"))).as("code"))
-        new LshBuilt(rot, codes, chain)
+        new LshBuilt(rot, None, codes, chain)
       case Imi(bits) :: "Flat" :: Nil =>
         // IMI2x<b> = MultiIndexQuantizer coarse with 2^b centroids per
         // half-space (faiss index_factory coarse grammar)

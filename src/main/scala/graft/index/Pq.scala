@@ -398,10 +398,13 @@ class IvfPqrIndex(
 }
 
 object IvfPqrIndex {
+  /** `m2` = the refinement stage's own subquantizer count (the
+    * reference's `PQ<M1>+<M2>` factory form, index_factory.cpp:321);
+    * <= 0 falls back to `m`. */
   def build(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, m: Int = 8, ksub: Int = 16,
       niterCoarse: Int = 6, niterPq: Int = 5, kFactor: Int = 4,
-      seed: Long = 1234L): IvfPqrIndex = {
+      seed: Long = 1234L, m2: Int = -1): IvfPqrIndex = {
     val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val coarse = graft.cluster.KMeans.fit(data, "vec",
       graft.cluster.KMeans.Params(k = nlist, niter = niterCoarse, seed = seed))
@@ -420,7 +423,8 @@ object IvfPqrIndex {
           shim.col(PQEncode(shim.expr(col("res")), model1.codebooks)))))
         .cache()
       try {
-        val model2 = Pq.train(withErr, "res2", m, ksub, niterPq, seed + 1)
+        val model2 = Pq.train(withErr, "res2", if (m2 > 0) m2 else m,
+          ksub, niterPq, seed + 1)
         val codes = withErr.select(col("id"), col("list_no"),
           shim.col(PQEncode(shim.expr(col("res")), model1.codebooks)).as("code"),
           shim.col(PQEncode(shim.expr(col("res2")), model2.codebooks)).as("code2"))

@@ -148,6 +148,47 @@ class IoFactorySpec extends SparkTestBase {
     }
   }
 
+  test("reference grammar completions: FlatDedup, PQnp, PQ+, _N norms, LSH[r][t]") {
+    // IVF<n>,FlatDedup (IndexIVFFlatDedup): exact-duplicate vectors
+    // stored once under the smallest id
+    val dup = b.union(b.limit(20).withColumn("id", col("id") + 1000000L))
+    val fd = IndexFactory.build(dup, "id", "vec", "IVF4,FlatDedup", niter = 2)
+    val ids = fd.search(q, 5, nprobe = 4).select("id").collect().map(_.getLong(0))
+    assert(ids.forall(_ < 1000000L), "duplicates must collapse to the canonical id")
+    assert(IndexFactory.codeSize("IVF4,FlatDedup", 64) == 256)
+    // PQ np suffix (skip polysemous training) builds the same index
+    val plain = IndexFactory.build(b, "id", "vec", "PQ8", niter = 2)
+      .search(q, 5).select("qid", "id").collect().toSet
+    val np = IndexFactory.build(b, "id", "vec", "PQ8np", niter = 2)
+      .search(q, 5).select("qid", "id").collect().toSet
+    assert(np == plain)
+    assert(IndexFactory.codeSize("IVF8,PQ8np", 64) == 8)
+    // IVF<n>,PQ<M1>+<M2> (IndexIVFPQR)
+    val pqr = IndexFactory.build(b, "id", "vec", "IVF4,PQ4+8", niter = 2)
+    assert(pqr.search(q, 5, nprobe = 4).count() == q.count() * 5)
+    assert(IndexFactory.codeSize("IVF4,PQ4+8", 64) == 12)
+    // AQ stored-norm search types (aq_norm_pattern)
+    for (tok <- Seq("RQ2x4_Nfloat", "RQ2x4_Nqint8", "LSQ2x4_Ncqint4")) {
+      val f = IndexFactory.build(b, "id", "vec", tok, niter = 2)
+      assert(f.search(q, 5).count() == q.count() * 5, tok)
+    }
+    // _Nfloat must rank exactly like the ST_norm_float LUT identity
+    // d = ||q||^2 - 2<q,x> + ||x||^2 = L2 to the decoded vector
+    val viaNorm = IndexFactory.build(b, "id", "vec", "RQ2x4_Nfloat", niter = 2)
+      .search(q, 5).select("qid", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaDecode = IndexFactory.build(b, "id", "vec", "RQ2x4", niter = 2)
+      .search(q, 5).select("qid", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaNorm == viaDecode)
+    // LSH[r][t] reference spellings (nbits = d)
+    for (tok <- Seq("LSH", "LSHr", "LSHt", "LSHrt")) {
+      val f = IndexFactory.build(b, "id", "vec", tok)
+      assert(f.search(q, 5).count() == q.count() * 5, tok)
+      assert(IndexFactory.codeSize(tok, 64) == 8)
+    }
+  }
+
   test("factory ITQ[<d>], bare RR and L2Norm spelling (r9)") {
     // rotations preserve L2, so exact search under RR / full-dim ITQ
     // must match plain Flat
