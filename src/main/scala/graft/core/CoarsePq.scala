@@ -51,6 +51,7 @@ object CoarsePq {
     val d = vecs(0).length
     require(d % m == 0, s"d=$d not divisible by m=$m")
     require(ksub <= n, s"ksub=$ksub > ${n} centroids to train on")
+    require(ksub <= 256, s"coarse-PQ ksub=$ksub > 256 (byte code)")
     val dsub = d / m
     val rng = new java.util.Random(seed)
     val codebooks = Array.ofDim[Array[Array[Float]]](m)
@@ -126,7 +127,6 @@ object CoarsePq {
         codes(r)(mi) = best.toByte
         r += 1
       }
-      require(ksub <= 256, s"coarse-PQ ksub=$ksub > 256 (byte code)")
       codebooks(mi) = cb
       mi += 1
     }

@@ -62,10 +62,14 @@ object Corpus {
       window: Int = 8, maxDfFrac: Double = 0.5): DataFrame = {
     val nDocs = df.count()
     val toks = df.select(col(idCol).as("id"), split(col(textCol), " ").as("_t"))
+    // guard: sequence(0, -1) DESCENDS in Spark, so an empty document
+    // must produce an empty line array (it then simply drops out of
+    // the exploded output, matching the SQL range(0, 0) behavior)
+    val nl = ceil(size(col("_t")).cast("double") / window).cast("int")
     val lines = toks.select(col("id"),
-        posexplode(transform(
-          sequence(lit(0), ceil(size(col("_t")).cast("double") / window).cast("int") - 1),
+        posexplode(when(nl > 0, transform(sequence(lit(0), nl - 1),
           i => concat_ws(" ", slice(col("_t"), i * window + 1, lit(window)))))
+          .otherwise(array().cast("array<string>")))
           .as(Seq("pos", "line")))
     val dfCounts = lines.groupBy(col("line"))
       .agg(countDistinct(col("id")).as("_df"))
