@@ -157,6 +157,23 @@ class CodegenStrictSpec extends AnyFunSuite {
     assert(out.head.getStruct(0).getDouble(1) == 0.0)
   }
 
+  test("round-11 coarse expressions compile under CODEGEN_ONLY") {
+    val cents = Array(Array(1.0f, 2.0f, 0.5f, -1.0f), Array(0.0f, 0.0f, 3.0f, 4.0f))
+    val (pcb, pcodes) = CoarsePq.trainEncode(cents, m = 2, ksub = 2,
+      niter = 3, seed = 1L)
+    val out = df.select(
+      shim.col(NearestCentroidsNsg(shim.expr(col("a")), cents, 1, 8, 4, "cg-nsg"))
+        .as("nsg"),
+      shim.col(NearestCentroidsAdc(shim.expr(col("a")), pcb, pcodes, 1)).as("adc"),
+      shim.col(NearestCentroidsIvf2(shim.expr(col("a")), cents,
+        Array(0, 1), cents, 1, 1)).as("iv2")).collect()
+    assert(out.length == 2)
+    // row 0 is centroid 0: every selector must put it first
+    assert(out.head.getSeq[org.apache.spark.sql.Row](0).head.getInt(0) == 0)
+    assert(out.head.getSeq[org.apache.spark.sql.Row](1).head.getInt(0) == 0)
+    assert(out.head.getSeq[org.apache.spark.sql.Row](2).head.getInt(0) == 0)
+  }
+
   test("CodegenFallback expressions still execute under CODEGEN_ONLY") {
     // CodegenFallback generates a call back into eval() — that IS its
     // codegen contract; this guards that none of them break the
