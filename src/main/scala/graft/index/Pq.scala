@@ -39,12 +39,24 @@ object Pq {
     val d = df.select(size(col(vecCol))).first().getInt(0)
     require(d % m == 0, s"d=$d not divisible by M=$m")
     val dsub = d / m
-    val vecs = df.select(col(vecCol).as("vec")).filter(col("vec").isNotNull)
+    val all = df.select(col(vecCol).as("vec")).filter(col("vec").isNotNull)
+    // Training subsample — the reference's k-means
+    // max_points_per_centroid convention (Clustering.h:36;
+    // ProductQuantizer::train clusters each subspace on <= 256*ksub
+    // points, never the full add set). One TakeOrdered pass replaces
+    // niter full scans at corpus scale; the deterministic xxhash64
+    // order keeps every memoized model reproducible, and the ENCODE
+    // of the full set (the add-time work) is untouched. Oracles read
+    // trained codebooks from sidecars, so the training set is free to
+    // shrink.
+    val maxTrain = 256 * ksub
+    val vecs = all.withColumn("_h", xxhash64(col("vec"), lit(seed)))
+      .orderBy(col("_h")).limit(maxTrain).select("vec").cache()
 
     // init: ksub deterministic sample rows; codebook[mi] = their mi-th
-    // subvectors (random-point init per subspace, one job)
-    val sample = vecs.withColumn("_h", xxhash64(col("vec"), lit(seed)))
-      .orderBy(col("_h")).limit(ksub).select("vec").collect()
+    // subvectors (random-point init per subspace, one job — the first
+    // ksub rows of the same hash-ordered stream)
+    val sample = vecs.limit(ksub).collect()
       .map(_.getSeq[Float](0).toArray)
     var codebooks: Array[Array[Array[Float]]] =
       Array.tabulate(m)(mi => Array.tabulate(math.min(ksub, sample.length))(j =>
@@ -72,6 +84,7 @@ object Pq {
       }
       codebooks = next
     }
+    vecs.unpersist(blocking = false)
     PqModel(m, ksub, dsub, codebooks)
   }
 }
