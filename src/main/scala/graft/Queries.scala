@@ -466,14 +466,14 @@ object Queries {
     // the oracle replays decode + LUT arithmetic from these integers
     OracleAux.write(dir, "parensub_big_centroids", {
       import s.implicits._
-      val (cb, _) = graft.core.CoarsePq.model(ivfBig(s, dir).centroids, 1, 8)
-      cb(0).zipWithIndex.toSeq.map { case (c, j) => (j, c.toSeq) }.toDF("j", "c")
+      val (cb, _) = graft.core.CoarsePq.assignModel(ivfBig(s, dir).centroids, 8)
+      cb.zipWithIndex.toSeq.map { case (c, j) => (j, c.toSeq) }.toDF("j", "c")
         .select(col("j"), col("c").cast("array<float>").as("c"))
     })
     OracleAux.write(dir, "parensub_centroids", {
       import s.implicits._
-      val (cb, _) = graft.core.CoarsePq.model(ivf16(s, dir).centroids, 1, 4)
-      cb(0).zipWithIndex.toSeq.map { case (c, j) => (j, c.toSeq) }.toDF("j", "c")
+      val (cb, _) = graft.core.CoarsePq.assignModel(ivf16(s, dir).centroids, 4)
+      cb.zipWithIndex.toSeq.map { case (c, j) => (j, c.toSeq) }.toDF("j", "c")
         .select(col("j"), col("c").cast("array<float>").as("c"))
     })
     OracleAux.write(dir, "minmaxpq_codebooks",

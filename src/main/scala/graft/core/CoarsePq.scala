@@ -43,6 +43,90 @@ object CoarsePq {
     }
   }
 
+  /** Full-width Lloyd k-means + integer assignment — the sub-cluster
+    * structure of the `IVF<n>(IVF<n2>,Flat)` two-level coarse. Unlike
+    * [[trainEncode]] there is no byte code, so nlist2 is unbounded
+    * (any sub-centroid count the driver can hold). Memoized like
+    * [[model]]. */
+  def assignModel(centroids: Array[Array[Float]], k: Int,
+      niter: Int = 10, seed: Long = 1234L): (Array[Array[Float]], Array[Int]) =
+    assignCache.synchronized {
+      val key = (k, niter, seed)
+      val inner = Option(assignCache.get(centroids)).getOrElse(Map.empty)
+      inner.get(key) match {
+        case Some(mod) => mod
+        case None =>
+          val mod = lloyd(centroids, 0, centroids(0).length,
+            math.min(k, centroids.length), niter, new java.util.Random(seed))
+          assignCache.put(centroids, inner + (key -> mod))
+          mod
+      }
+    }
+  private val assignCache =
+    new java.util.WeakHashMap[Array[Array[Float]], Map[(Int, Int, Long), (Array[Array[Float]], Array[Int])]]()
+
+  /** One subspace's Lloyd k-means over [off, off+dsub): returns the
+    * trained codebook and each row's final integer assignment. */
+  private def lloyd(vecs: Array[Array[Float]], off: Int, dsub: Int,
+      ksub: Int, niter: Int, rng: java.util.Random): (Array[Array[Float]], Array[Int]) = {
+    val n = vecs.length
+    // seeded-shuffle init over the subvectors (distinct rows)
+    val order = Array.range(0, n)
+    var i = n - 1
+    while (i > 0) {
+      val j = rng.nextInt(i + 1)
+      val t = order(i); order(i) = order(j); order(j) = t
+      i -= 1
+    }
+    val cb = Array.tabulate(ksub) { j =>
+      java.util.Arrays.copyOfRange(vecs(order(j)), off, off + dsub)
+    }
+    val assign = new Array[Int](n)
+    def assignAll(): Unit = {
+      var r = 0
+      while (r < n) {
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < ksub) {
+          var s = 0.0; var t = 0
+          val c = cb(j)
+          while (t < dsub) {
+            val dd = vecs(r)(off + t).toDouble - c(t); s += dd * dd; t += 1
+          }
+          if (s < bestD) { bestD = s; best = j }
+          j += 1
+        }
+        assign(r) = best
+        r += 1
+      }
+    }
+    var it = 0
+    while (it < niter) {
+      assignAll()
+      // update; empty clusters keep their previous center
+      val sums = Array.ofDim[Double](ksub, dsub)
+      val cnt = new Array[Int](ksub)
+      var r = 0
+      while (r < n) {
+        val a = assign(r); cnt(a) += 1
+        var t = 0
+        while (t < dsub) { sums(a)(t) += vecs(r)(off + t); t += 1 }
+        r += 1
+      }
+      var j = 0
+      while (j < ksub) {
+        if (cnt(j) > 0) {
+          var t = 0
+          while (t < dsub) { cb(j)(t) = (sums(j)(t) / cnt(j)).toFloat; t += 1 }
+        }
+        j += 1
+      }
+      it += 1
+    }
+    assignAll() // final assignment from the trained codebook
+    (cb, assign)
+  }
+
   /** Per-subspace Lloyd k-means + encode, all in driver memory. */
   def trainEncode(vecs: Array[Array[Float]], m: Int, ksub: Int,
       niter: Int, seed: Long): Model = {
@@ -58,75 +142,9 @@ object CoarsePq {
     val codes = Array.fill(n)(new Array[Byte](m))
     var mi = 0
     while (mi < m) {
-      val off = mi * dsub
-      // seeded-shuffle init over the subvectors (distinct rows)
-      val order = Array.range(0, n)
-      var i = n - 1
-      while (i > 0) {
-        val j = rng.nextInt(i + 1)
-        val t = order(i); order(i) = order(j); order(j) = t
-        i -= 1
-      }
-      val cb = Array.tabulate(ksub) { j =>
-        java.util.Arrays.copyOfRange(vecs(order(j)), off, off + dsub)
-      }
-      val assign = new Array[Int](n)
-      var it = 0
-      while (it < niter) {
-        // assign (argmin, ties to the lower j — faiss convention)
-        var r = 0
-        while (r < n) {
-          var best = 0; var bestD = Double.MaxValue
-          var j = 0
-          while (j < ksub) {
-            var s = 0.0; var t = 0
-            val c = cb(j)
-            while (t < dsub) {
-              val dd = vecs(r)(off + t).toDouble - c(t); s += dd * dd; t += 1
-            }
-            if (s < bestD) { bestD = s; best = j }
-            j += 1
-          }
-          assign(r) = best
-          r += 1
-        }
-        // update; empty clusters keep their previous center
-        val sums = Array.ofDim[Double](ksub, dsub)
-        val cnt = new Array[Int](ksub)
-        r = 0
-        while (r < n) {
-          val a = assign(r); cnt(a) += 1
-          var t = 0
-          while (t < dsub) { sums(a)(t) += vecs(r)(off + t); t += 1 }
-          r += 1
-        }
-        var j = 0
-        while (j < ksub) {
-          if (cnt(j) > 0) {
-            var t = 0
-            while (t < dsub) { cb(j)(t) = (sums(j)(t) / cnt(j)).toFloat; t += 1 }
-          }
-          j += 1
-        }
-        it += 1
-      }
-      // final encode from the trained codebook
+      val (cb, assign) = lloyd(vecs, mi * dsub, dsub, ksub, niter, rng)
       var r = 0
-      while (r < n) {
-        var best = 0; var bestD = Double.MaxValue
-        var j = 0
-        while (j < ksub) {
-          var s = 0.0; var t = 0
-          val c = cb(j)
-          while (t < dsub) {
-            val dd = vecs(r)(off + t).toDouble - c(t); s += dd * dd; t += 1
-          }
-          if (s < bestD) { bestD = s; best = j }
-          j += 1
-        }
-        codes(r)(mi) = best.toByte
-        r += 1
-      }
+      while (r < n) { codes(r)(mi) = assign(r).toByte; r += 1 }
       codebooks(mi) = cb
       mi += 1
     }

@@ -201,7 +201,16 @@ object IndexFactory {
     * the demanded breadth and degenerates to the exact ranking at
     * nprobe >= nlist2 (the graph-coarse budget convention; the
     * reference's default quantizer nprobe is 1, tunable via
-    * quantizer_nprobe). */
+    * quantizer_nprobe).
+    *
+    * DELIBERATE SUBSTITUTION: add-time assignment stays EXACT (the
+    * invlists are independent of any runtime knob), while the
+    * reference's IndexIVF::add_core assigns through the quantizer at
+    * whatever nprobe happens to be set at add time. The structural
+    * quantizers (PQ coarse — no knob, deterministic loss) DO assign
+    * through the quantizer here (pqAdcIvf); only the knob-dependent
+    * one substitutes, and the oracle replays the exact assignment it
+    * actually performs. */
   private final case class Ivf2Spec(nlist2: Int) extends CoarseGraphSpec {
     def at(np: Int) = Some(Probes.IvfFlatCoarse(nlist2,
       math.max(1, math.min(nlist2, np))))
@@ -419,7 +428,7 @@ object IndexFactory {
     }
   }
   /** IVF<n>,PQ<M1>+<M2> (IndexIVFPQR, index_factory.cpp:321). */
-  private final class IvfPqrBuilt(idx: IvfPqrIndex, chain: VecTransform)
+  private final class IvfPqrBuilt(val idx: IvfPqrIndex, chain: VecTransform)
       extends Built {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
@@ -431,6 +440,8 @@ object IndexFactory {
     * (float) or quantized (qint/cqint — [[RqNorms]] codecs). */
   private final class RqLutBuilt(model: RqModel, codes: DataFrame,
       chain: VecTransform) extends Built {
+    /** Release the cached codes+norms table. */
+    private[IndexFactory] def close0(): Unit = codes.unpersist(blocking = false)
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
       val qq = q.withColumn(qvec, chain.applyCol(col(qvec)))
         .select(col(qid), model.lutCol(col(qvec)).as("_lut"),
@@ -545,7 +556,9 @@ object IndexFactory {
   /** IndexHNSW2Level (IndexHNSW.h:179): per-partition HNSW shards
     * over an Index2Layer's decoded storage. */
   private final class Hnsw2LevelBuilt(recon: DataFrame, chain: VecTransform,
-      m: Int) extends Built {
+      m: Int, release: () => Unit = () => ()) extends Built {
+    /** Release the backing 2-layer codes cache. */
+    private[IndexFactory] def close0(): Unit = release()
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       graft.knn.PartitionedHnsw.knnJoin(
         q.withColumn(qvec, chain.applyCol(col(qvec))), recon, k,
@@ -1057,9 +1070,10 @@ object IndexFactory {
       // materialized beyond each partition's graph build).
       // MIQ-coarse BEFORE flat-coarse: "2x4+PQ8" must not bind ncent.
       case HnswTok(m) :: TwoLevelMiqCode(nb, pm) :: Nil =>
-        new Hnsw2LevelBuilt(MiqTwoLayerIndex.build(data, "id", "vec",
+        val tl = MiqTwoLayerIndex.build(data, "id", "vec",
           2, nb.toInt, pm.toInt, ksub = 16, niterCoarse = niter,
-          niterPq = niter, seed = seed).reconstruct, chain, m.toInt)
+          niterPq = niter, seed = seed)
+        new Hnsw2LevelBuilt(tl.reconstruct, chain, m.toInt, () => tl.close())
       case HnswTok(m) :: TwoLevelCode(ncent, pm) :: Nil =>
         new Hnsw2LevelBuilt(TwoLayerIndex.build(data, "id", "vec",
           ncent.toInt, pm.toInt, ksub = 16, niterCoarse = niter,
@@ -1110,6 +1124,10 @@ object IndexFactory {
         case b: ImiPqBuilt => List(() => b.idx.close())
         case b: ImiSqBuilt => List(() => b.idx.close())
         case b: IvfSqBuilt => List(() => b.idx.close())
+        case b: MiqTwoLayerBuilt => List(() => b.idx.close())
+        case b: IvfPqrBuilt => List(() => b.idx.close())
+        case b: RqLutBuilt => List(() => b.close0())
+        case b: Hnsw2LevelBuilt => List(() => b.close0())
         case _ => Nil
       })
     result

@@ -49,9 +49,14 @@ object Pq {
     // of the full set (the add-time work) is untouched. Oracles read
     // trained codebooks from sidecars, so the training set is free to
     // shrink.
+    // repartition after the TakeOrdered limit: the limit's output is a
+    // single partition, which would serialize every Lloyd iteration at
+    // large ksub (256*4096 rows for an IMI2x12 coarse)
     val maxTrain = 256 * ksub
     val vecs = all.withColumn("_h", xxhash64(col("vec"), lit(seed)))
-      .orderBy(col("_h")).limit(maxTrain).select("vec").cache()
+      .orderBy(col("_h")).limit(maxTrain).select("vec")
+      .repartition(math.max(8,
+        df.sparkSession.sparkContext.defaultParallelism / 2)).cache()
 
     // init: ksub deterministic sample rows; codebook[mi] = their mi-th
     // subvectors (random-point init per subspace, one job — the first
@@ -370,6 +375,9 @@ class IvfPqrIndex(
     /** (id, list_no, code, code2) */
     val codes: DataFrame,
     val kFactor: Int = 4) {
+
+  /** Release the cached codes table (the x4fsr convention). */
+  def close(): Unit = codes.unpersist(blocking = false)
 
   def search(queries: DataFrame, k: Int, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {

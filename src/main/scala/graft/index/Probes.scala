@@ -88,11 +88,13 @@ object Probes {
             shim.col(graft.core.NearestCentroidsAdc(shim.expr(queryVec),
               cb, codes, np))
           case IvfFlatCoarse(n2, np2, ni, sd) =>
-            val (cb, codes) = graft.core.CoarsePq.model(centroids, 1,
-              math.min(n2, centroids.length), ni, sd)
+            // integer-assignment sub-clustering: nlist2 is NOT capped
+            // at 256 (no byte code anywhere in this path)
+            val (subCents, assign) = graft.core.CoarsePq.assignModel(
+              centroids, n2, ni, sd)
             shim.col(graft.core.NearestCentroidsIvf2(shim.expr(queryVec),
-              cb(0), codes.map(c => c(0) & 0xff), centroids,
-              math.min(np2, cb(0).length), np))
+              subCents, assign, centroids,
+              math.min(np2, subCents.length), np))
         }
       case None =>
         shim.col(graft.core.NearestCentroids(shim.expr(queryVec),

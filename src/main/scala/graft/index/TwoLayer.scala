@@ -97,6 +97,9 @@ class MiqTwoLayerIndex(
     n
   }
 
+  /** Release the cached codes table (the ImiPqIndex convention). */
+  def close(): Unit = codes.unpersist(blocking = false)
+
   /** reconstruct_n: concat of the M coarse half-centroids (decoded
     * from the cell's digits) + the PQ-decoded residual. */
   def reconstruct: DataFrame = {
@@ -104,10 +107,12 @@ class MiqTwoLayerIndex(
     var df = codes
     var i = 0
     while (i < mCoarse) {
-      // j_i = (cell / K^(M-1-i)) % K — integer digit extraction
+      // j_i = (cell div K^(M-1-i)) % K — INTEGER digit extraction
+      // (Spark's `/` on longs is double division, inexact past 2^53)
       var p = 1L; var t = 0
       while (t < mCoarse - 1 - i) { p *= ksub; t += 1 }
-      df = df.withColumn(s"_j$i", ((col("cell") / p).cast("long") % ksub).cast("int"))
+      df = df.withColumn(s"_j$i",
+        expr(s"(cell div ${p}L) % ${ksub}L").cast("int"))
         .join(broadcast(ImiProbes.halfDf(s, coarse, i)), s"_j$i")
       i += 1
     }
@@ -128,6 +133,9 @@ object MiqTwoLayerIndex {
       mCoarse: Int, nbit: Int, m: Int, ksub: Int = 256,
       niterCoarse: Int = 5, niterPq: Int = 5,
       seed: Long = 1234L): MiqTwoLayerIndex = {
+    // cell = Σ j_m·K^(M-1-m) must fit a Long with headroom
+    require(mCoarse * nbit <= 62,
+      s"Residual${mCoarse}x$nbit: ${mCoarse * nbit} cell bits > 62 (Long)")
     require(nbit <= 24, s"Residual${mCoarse}x$nbit: nbit too large")
     val k = 1 << nbit
     val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))

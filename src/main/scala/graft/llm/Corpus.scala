@@ -54,7 +54,11 @@ object Corpus {
     * shape this op has at any scale; CCNet dedups paragraphs exactly
     * this way), drop lines occurring in more than `maxDfFrac` of the
     * documents, and reassemble the survivors in order. Output
-    * (id, n_lines, n_dropped, kept_text). The corpus has no newlines,
+    * (id, n_lines, n_dropped, kept_md5) — the md5 of the reassembled
+    * text (comparable across engines without shipping full texts);
+    * documents with empty/null text contribute no lines and are
+    * OMITTED from the output (the SQL range(0, 0) behavior). The
+    * corpus has no newlines,
     * so the fixed token window stands in for the line split — the
     * dataflow (per-line df + threshold + ordered reassembly) is the
     * real operator. */

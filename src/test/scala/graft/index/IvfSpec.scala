@@ -160,6 +160,27 @@ class IvfSpec extends SparkTestBase {
     }
   }
 
+  test("parsed quantizer_nprobe drives the two-level coarse knob") {
+    // AutoTune.cpp:370 prefix form -> Probes.IvfFlatCoarse.nprobe2:
+    // at quantizer_nprobe >= nlist2 the ranking is exact, so the
+    // parsed parameters must reproduce the plain search
+    val p = graft.tune.AutoTune.parseParams("nprobe=4,quantizer_nprobe=4")
+    val got = resultSet(idx.search(q, 10, p.nprobe.get,
+      coarse = Some(Probes.IvfFlatCoarse(4, p.quantizerNprobe.get))))
+    assert(got == resultSet(idx.search(q, 10, nprobe = 4)))
+  }
+
+  test("two-level coarse supports nlist2 > 256 (integer sub-assignments, no byte code)") {
+    val rng = new scala.util.Random(5)
+    val cents = Array.fill(600)(Array.fill(8)(rng.nextFloat()))
+    val (subCents, assign) = graft.core.CoarsePq.assignModel(cents, 300, niter = 3)
+    assert(subCents.length == 300 && assign.length == 600)
+    assert(assign.forall(a => a >= 0 && a < 300))
+    // every index in [0, 300) must be representable (no mod-256 wrap):
+    // some assignment lands above 255 with 600 rows over 300 clusters
+    assert(assign.exists(_ > 255), "expected sub-cells above the byte range")
+  }
+
   test("IVF<n>(IVF<n2>,Flat) two-level coarse: approximate regime prunes but keeps recall") {
     // nprobe2 = nprobe = 1 scans one sub-cell of the centroid table;
     // candidates are a subset of the probed lists, recall over the
