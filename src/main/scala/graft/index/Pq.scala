@@ -53,15 +53,17 @@ object Pq {
     // single partition, which would serialize every Lloyd iteration at
     // large ksub (256*4096 rows for an IMI2x12 coarse)
     val maxTrain = 256 * ksub
-    val vecs = all.withColumn("_h", xxhash64(col("vec"), lit(seed)))
-      .orderBy(col("_h")).limit(maxTrain).select("vec")
+    val ordered = all.withColumn("_h", xxhash64(col("vec"), lit(seed)))
+      .orderBy(col("_h")).limit(maxTrain)
+    val vecs = ordered.select("vec")
       .repartition(math.max(8,
         df.sparkSession.sparkContext.defaultParallelism / 2)).cache()
 
     // init: ksub deterministic sample rows; codebook[mi] = their mi-th
     // subvectors (random-point init per subspace, one job — the first
-    // ksub rows of the same hash-ordered stream)
-    val sample = vecs.limit(ksub).collect()
+    // ksub rows of the HASH-ORDERED stream, taken before the
+    // repartition destroys that order)
+    val sample = ordered.limit(ksub).select("vec").collect()
       .map(_.getSeq[Float](0).toArray)
     var codebooks: Array[Array[Array[Float]]] =
       Array.tabulate(m)(mi => Array.tabulate(math.min(ksub, sample.length))(j =>
