@@ -126,6 +126,20 @@ object Queries {
       graft.index.IndexFactory.build(bDf(s, dir, 10), "id", "vec",
         "IVF16(PQ8x8),Flat", niter = 4)
     }
+  /** `IVF16(PQ8x8),PQ8` — the lossy-quantizer composition: residuals
+    * subtract the quantizer's DECODED reconstruction, and adds assign
+    * through it (= exact argmin over the decoded table). Built through
+    * the same deterministic calls as the factory route. */
+  private def parenPqPq16(s: SparkSession, dir: String): graft.index.IvfPqIndex =
+    cached(s"parenpqpq:$dir") {
+      val km = graft.cluster.KMeans.fit(bDf(s, dir, 10), "vec",
+        graft.cluster.KMeans.Params(k = 16, niter = 4, seed = 1234L))
+      val cdec = graft.core.CoarsePq.decodedCentroids(
+        graft.core.CoarsePq.model(km.centroids, 8, 8))
+      graft.index.IvfPqIndex.build(bDf(s, dir, 10), "id", "vec",
+        nlist = 16, m = 8, ksub = 16, niterCoarse = 4, niterPq = 4,
+        centroids0 = cdec)
+    }
   /** The paren-coarse trained state for the sidecar dump — recomputed
     * through the same deterministic calls the factory route makes
     * (KMeans.fit k=16/niter=4/seed=1234, CoarsePq over the centroids),
@@ -476,6 +490,10 @@ object Queries {
       cb.zipWithIndex.toSeq.map { case (c, j) => (j, c.toSeq) }.toDF("j", "c")
         .select(col("j"), col("c").cast("array<float>").as("c"))
     })
+    val ppq = parenPqPq16(s, dir)
+    OracleAux.write(dir, "parenpqpq_cdec", OracleAux.centroidsDf(s, ppq.centroids))
+    OracleAux.write(dir, "parenpqpq_codebooks",
+      OracleAux.codebooksDf(s, ppq.model.codebooks))
     OracleAux.write(dir, "minmaxpq_codebooks",
       OracleAux.codebooksDf(s, minmaxPqModel(s, dir).codebooks))
     OracleAux.write(dir, "rqnorm_cq8", {
@@ -957,12 +975,14 @@ object Queries {
        |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
        |WHERE "rank" <= 10""".stripMargin
 
-  /** Full IVFPQ replay at nprobe = nlist over the ivfpq sidecars,
-    * shared by the exact coarse assign (`ivfpq_search`) and its
-    * HNSW-coarse degenerate twin (`ivf_hnsw_pq_search`). */
-  private lazy val ivfpqNprobe8Sql: String =
-    s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfpq_centroids/*.parquet')),
-              |cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/ivfpq_codebooks/*.parquet')),
+  /** Full IVFPQ replay at nprobe = nlist, parameterized by the
+    * centroid/codebook sidecars — shared by the exact coarse assign
+    * (`ivfpq_search`), its HNSW-coarse degenerate twin, and the
+    * lossy-quantizer composition (whose "centroids" are the decoded
+    * table). */
+  private def ivfpqFullProbeSql(centName: String, cbName: String): String =
+    s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/$centName/*.parquet')),
+              |cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/$cbName/*.parquet')),
               |basg AS (SELECT id, list_no FROM (
               |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
               |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
@@ -990,6 +1010,9 @@ object Queries {
               |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM adc) w
               |WHERE "rank" <= 10""".stripMargin
+
+  private lazy val ivfpqNprobe8Sql: String =
+    ivfpqFullProbeSql("ivfpq_centroids", "ivfpq_codebooks")
 
   /** Quantized-LUT integer fast-scan replay at nprobe=4, shared by
     * `ivfpq4fs_search` and its HNSW-coarse degenerate twin. */
@@ -1618,6 +1641,19 @@ object Queries {
         coarse = Some(graft.index.Probes.NsgCoarse(4096)))
         .withColumn("dist", r4("dist")),
       Some(ivfNprobe4Sql)),
+
+    // `IVF16(PQ8x8),PQ8` — the lossy-quantizer composition
+    // (IndexIVF::add_core assigns through the quantizer; residual =
+    // vec − quantizer.reconstruct(cell) = vec − PQ-DECODE of the cell
+    // code). ADC distance to a code equals the exact squared L2 to
+    // its decode, so the engine builds the residual-PQ index over the
+    // DECODED centroid table and the oracle replays the standard
+    // IVFPQ chain against that table's sidecar — the lossy centroids
+    // appear on BOTH assignment and residual arithmetic.
+    ("ivf_paren_pq_pq_search", (s: SparkSession, dir: String) =>
+      parenPqPq16(s, dir).search(qDf(s, dir, 10), 10, nprobe = 16)
+        .withColumn("dist", r4("dist")),
+      Some(ivfpqFullProbeSql("parenpqpq_cdec", "parenpqpq_codebooks"))),
 
     // Two-level coarse assignment (`IVF<n>(IVF<n2>,Flat)`,
     // index_factory.cpp:263-267 with an IVF-Flat sub-index as the

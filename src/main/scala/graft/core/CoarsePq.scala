@@ -43,6 +43,26 @@ object CoarsePq {
     }
   }
 
+  /** The quantizer's reconstruction of every cell: decode of each
+    * centroid's own code — concat over subspaces of cb(m)(code(m)).
+    * ADC distance to a code IS the exact squared L2 to this decode,
+    * so exact search structures built over the decoded table
+    * reproduce the PQ quantizer's assignment and residual semantics
+    * exactly (the `IVF<n>(PQ<m>),<code>` composition). */
+  def decodedCentroids(model: Model): Array[Array[Float]] = {
+    val (cb, codes) = model
+    val m = cb.length; val dsub = cb(0)(0).length
+    Array.tabulate(codes.length) { i =>
+      val out = new Array[Float](m * dsub)
+      var mi = 0
+      while (mi < m) {
+        System.arraycopy(cb(mi)(codes(i)(mi) & 0xff), 0, out, mi * dsub, dsub)
+        mi += 1
+      }
+      out
+    }
+  }
+
   /** Full-width Lloyd k-means + integer assignment — the sub-cluster
     * structure of the `IVF<n>(IVF<n2>,Flat)` two-level coarse. Unlike
     * [[trainEncode]] there is no byte code, so nlist2 is unbounded

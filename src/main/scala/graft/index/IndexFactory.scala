@@ -844,12 +844,32 @@ object IndexFactory {
         case NsgSub(r) =>
           graphIvf(data, chain, nlist.toInt, NsgSpec(r.toInt), code, niter,
             seed, desc)
-        case Pq(m, ks) =>
-          require(code == "Flat", s"IVF$nlist(PQ...) composes with Flat " +
-            s"(residual codes would need the quantizer's LOSSY decode " +
-            s"as the cell centroid); got '$code' in '$desc'")
-          pqAdcIvf(data, chain, nlist.toInt, m.toInt,
-            Option(ks).map(_.toInt).getOrElse(16), niter, seed)
+        case Pq(m, ks) => code match {
+          case "Flat" =>
+            pqAdcIvf(data, chain, nlist.toInt, m.toInt,
+              Option(ks).map(_.toInt).getOrElse(16), niter, seed)
+          // IVF<n>(PQ<m>),PQ<m2>[x<k2>]: the quantizer's LOSSY
+          // reconstruct becomes the cell centroid the residuals
+          // subtract (IndexIVF::add_core assigns through the
+          // quantizer; reconstruct = PQ decode). ADC to a code is
+          // EXACTLY the exact squared L2 to its decode, so building
+          // the residual-PQ index over the DECODED centroid table
+          // reproduces both sides with no new kernel.
+          case Pq(m2, ks2) =>
+            val km = graft.cluster.KMeans.fit(data, "vec",
+              graft.cluster.KMeans.Params(k = nlist.toInt, niter = niter,
+                seed = seed))
+            val cdec = graft.core.CoarsePq.decodedCentroids(
+              graft.core.CoarsePq.model(km.centroids, m.toInt,
+                Option(ks).map(_.toInt).getOrElse(16)))
+            new IvfPqBuilt(IvfPqIndex.build(data, "id", "vec", nlist.toInt,
+              m2.toInt, Option(ks2).map(_.toInt).getOrElse(16),
+              niterCoarse = niter, niterPq = niter, seed = seed,
+              centroids0 = cdec), chain)
+          case other => throw new IllegalArgumentException(
+            s"IVF$nlist(PQ...) composes with Flat or PQ codes; " +
+            s"got '$other' in '$desc'")
+        }
         case other => throw new IllegalArgumentException(
           s"unsupported paren coarse '$other' in '$desc'")
       }

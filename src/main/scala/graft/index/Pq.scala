@@ -461,17 +461,33 @@ object IvfPqrIndex {
 
 object IvfPqIndex {
   /** Coarse k-means + residual PQ train + encode (IndexIVFPQ::train /
-    * add_core; residual computed against the assigned centroid). */
+    * add_core; residual computed against the assigned centroid).
+    *
+    * `centroids0` replaces the internal k-means with a CALLER-SUPPLIED
+    * centroid table — the lossy-quantizer composition
+    * `IVF<n>(PQ<m>),PQ<m2>`: a PQ quantizer's ADC assignment and its
+    * reconstruct() are EXACTLY the exact argmin over / lookup of the
+    * DECODED centroid table (ADC to a code is the exact squared L2 to
+    * its decode), so building over the decoded centroids reproduces
+    * the reference's assign-through-the-quantizer adds AND its lossy
+    * residuals with no new kernel. */
   def build(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, m: Int = 8, ksub: Int = 16,
-      niterCoarse: Int = 8, niterPq: Int = 6, seed: Long = 1234L): IvfPqIndex = {
+      niterCoarse: Int = 8, niterPq: Int = 6, seed: Long = 1234L,
+      centroids0: Array[Array[Float]] = null): IvfPqIndex = {
     val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val coarse = graft.cluster.KMeans.fit(data, "vec",
-      graft.cluster.KMeans.Params(k = nlist, niter = niterCoarse, seed = seed))
+    val cents =
+      if (centroids0 != null) centroids0
+      else graft.cluster.KMeans.fit(data, "vec",
+        graft.cluster.KMeans.Params(k = nlist, niter = niterCoarse,
+          seed = seed)).centroids
     val spark = df.sparkSession
     import spark.implicits._
-    val centDf = Probes.centroidsDf(spark, coarse.centroids)
-    val assigned = coarse.assign(data, "vec")
+    val centDf = Probes.centroidsDf(spark, cents)
+    val assigned = data
+      .withColumn("_a", shim.col(graft.core.NearestCentroid(
+        shim.expr(col("vec")), cents, "l2sq")))
+      .withColumn("list_no", col("_a.list_no")).drop("_a")
       .join(broadcast(centDf), "list_no")
       .select(col("id"), col("list_no"), vec_sub(col("vec"), col("centroid")).as("res"))
       .cache()
@@ -482,7 +498,7 @@ object IvfPqIndex {
       // materialize codes before unpersisting the residuals
       val matCodes = codes.cache()
       matCodes.count()
-      new IvfPqIndex(nlist, coarse.centroids, model, matCodes)
+      new IvfPqIndex(nlist, cents, model, matCodes)
     } finally { assigned.unpersist() }
   }
 }

@@ -195,6 +195,32 @@ class IvfSpec extends SparkTestBase {
     assert(recall >= 0.7, s"two-level nprobe=1 recall $recall")
   }
 
+  test("IVF<n>(PQ<m>),PQ<m2>: lossy-quantizer residuals via the decoded-table identity") {
+    // ADC distance to a code == exact squared L2 to its decode, so
+    // the factory route == IvfPqIndex built over the decoded centroid
+    // table; verify the identity itself on the probe rankings too.
+    val km = graft.cluster.KMeans.fit(b, "vec",
+      graft.cluster.KMeans.Params(k = 8, niter = 3, seed = 1234L))
+    val model = graft.core.CoarsePq.model(km.centroids, 8, 4)
+    val cdec = graft.core.CoarsePq.decodedCentroids(model)
+    import org.apache.spark.sql.graft.shim
+    def ids(c: org.apache.spark.sql.Column) =
+      q.select(col("qid"), explode(c).as("p"))
+        .select(col("qid"), col("p.list_no"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val viaAdc = ids(shim.col(graft.core.NearestCentroidsAdc(
+      shim.expr(col("qvec")), model._1, model._2, 4)))
+    val viaDec = ids(shim.col(graft.core.NearestCentroids(
+      shim.expr(col("qvec")), cdec, 4, "l2sq")))
+    assert(viaAdc == viaDec, "ADC ranking must equal exact ranking over decodes")
+    // factory route == direct build over the decoded table
+    val f = IndexFactory.build(b, "id", "vec", "IVF8(PQ8x4),PQ8", niter = 3)
+    val direct = IvfPqIndex.build(b, "id", "vec", nlist = 8, m = 8,
+      ksub = 16, niterCoarse = 3, niterPq = 3, centroids0 = cdec)
+    assert(resultSet(f.search(q, 5, nprobe = 8)) ==
+      resultSet(direct.search(q, 5, nprobe = 8)))
+  }
+
   test("IVF<n>(PQ<m>x<k>) coarse: ADC assignment is consistent between add and probes") {
     // The PQ quantizer ranks cells by ADC on BOTH sides: at full
     // nprobe the search must return the exact top-k (every list is
