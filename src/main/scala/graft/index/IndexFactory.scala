@@ -866,8 +866,21 @@ object IndexFactory {
               m2.toInt, Option(ks2).map(_.toInt).getOrElse(16),
               niterCoarse = niter, niterPq = niter, seed = seed,
               centroids0 = cdec), chain)
+          // same decoded-table identity for the SQ widths
+          case sq @ ("SQ8" | "SQ4" | "SQ6" | "SQfp16") =>
+            val km = graft.cluster.KMeans.fit(data, "vec",
+              graft.cluster.KMeans.Params(k = nlist.toInt, niter = niter,
+                seed = seed))
+            val cdec = graft.core.CoarsePq.decodedCentroids(
+              graft.core.CoarsePq.model(km.centroids, m.toInt,
+                Option(ks).map(_.toInt).getOrElse(16)))
+            new IvfSqBuilt(IvfSqIndex.build(data, "id", "vec", nlist.toInt,
+              niter = niter, seed = seed, byResidual = true,
+              qtype = sq.stripPrefix("SQ") match {
+                case "fp16" => "fp16"; case w => s"SQ$w" },
+              centroids0 = cdec), chain)
           case other => throw new IllegalArgumentException(
-            s"IVF$nlist(PQ...) composes with Flat or PQ codes; " +
+            s"IVF$nlist(PQ...) composes with Flat, PQ or SQ codes; " +
             s"got '$other' in '$desc'")
         }
         case other => throw new IllegalArgumentException(

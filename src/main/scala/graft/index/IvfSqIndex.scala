@@ -75,18 +75,30 @@ class IvfSqIndex(
 }
 
 object IvfSqIndex {
+  /** `centroids0` replaces the internal k-means with a caller-supplied
+    * centroid table — the lossy-quantizer composition (see
+    * [[graft.index.IvfPqIndex.build]]: ADC-to-a-code == exact L2 to
+    * its decode, so the decoded table reproduces a PQ quantizer's
+    * assignment and residual semantics exactly). */
   def build(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, niter: Int = 4, seed: Long = 1234L,
-      byResidual: Boolean = false, qtype: String = "SQ8"): IvfSqIndex = {
+      byResidual: Boolean = false, qtype: String = "SQ8",
+      centroids0: Array[Array[Float]] = null): IvfSqIndex = {
     val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val coarse = graft.cluster.KMeans.fit(data, "vec",
-      graft.cluster.KMeans.Params(k = nlist, niter = niter, seed = seed))
+    val cents =
+      if (centroids0 != null) centroids0
+      else graft.cluster.KMeans.fit(data, "vec",
+        graft.cluster.KMeans.Params(k = nlist, niter = niter, seed = seed))
+        .centroids
     val spark = df.sparkSession
     import spark.implicits._
-    val centDf = coarse.centroids.zipWithIndex.toSeq
+    val centDf = cents.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "centroid")
       .select(col("list_no"), col("centroid").cast("array<float>").as("centroid"))
-    val assigned0 = coarse.assign(data, "vec")
+    val assigned0 = data
+      .withColumn("_a", shim.col(graft.core.NearestCentroid(
+        shim.expr(col("vec")), cents, "l2sq")))
+      .withColumn("list_no", col("_a.list_no")).drop("_a")
     val toEncode =
       if (byResidual)
         assigned0.join(broadcast(centDf), "list_no")
@@ -107,7 +119,7 @@ object IvfSqIndex {
         shim.col(SqVariant.encode(qtype, shim.expr(col("enc")), mins, vdiff)).as("code"))
       val mat = codes.cache()
       mat.count()
-      new IvfSqIndex(nlist, coarse.centroids, mins, vdiff, byResidual, mat, qtype)
+      new IvfSqIndex(nlist, cents, mins, vdiff, byResidual, mat, qtype)
     } finally cached.unpersist()
   }
 }

@@ -219,6 +219,12 @@ class IvfSpec extends SparkTestBase {
       ksub = 16, niterCoarse = 3, niterPq = 3, centroids0 = cdec)
     assert(resultSet(f.search(q, 5, nprobe = 8)) ==
       resultSet(direct.search(q, 5, nprobe = 8)))
+    // same identity through the SQ route
+    val fs = IndexFactory.build(b, "id", "vec", "IVF8(PQ8x4),SQ8", niter = 3)
+    val directSq = IvfSqIndex.build(b, "id", "vec", nlist = 8, niter = 3,
+      byResidual = true, centroids0 = cdec)
+    assert(resultSet(fs.search(q, 5, nprobe = 8)) ==
+      resultSet(directSq.search(q, 5, nprobe = 8)))
   }
 
   test("IVF<n>(PQ<m>x<k>) coarse: ADC assignment is consistent between add and probes") {
