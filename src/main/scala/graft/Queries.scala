@@ -1740,6 +1740,24 @@ object Queries {
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
               |WHERE "rank" <= 10""".stripMargin)),
 
+    // IndexShards as an explicit API (faiss/IndexShards.h:27): two
+    // IVF indexes built over DISJOINT halves of the corpus, searched
+    // as one logical index — every shard searched, candidate streams
+    // merged by one more top-k (the same partial/merge aggregate every
+    // single index already uses, one level up). At full probe budget
+    // each shard is exact over its half, so the merge must equal the
+    // exact search over the union — the brute-force oracle verbatim.
+    ("shards_search", (s: SparkSession, dir: String) => {
+      val built = cached(s"shards:$dir") {
+        Seq(0L, 1L).map(p => graft.index.IndexFactory.build(
+          bDf(s, dir, 10).filter(pmod(col("id"), lit(2)) === p),
+          "id", "vec", "IVF4,Flat", niter = 3))
+      }
+      graft.index.Shards.search(built, qDf(s, dir, 10), k = 10, nprobe = 4)
+        .withColumn("dist", r4("dist"))
+    },
+      Some(knnOracle(dL2, "q.vec_id < 10", "b.vec_id >= 10", 10))),
+
     // §2.7 search_and_return_centroids: list_no as an output column.
     // nprobe = nlist, so the result is the exact top-k plus each
     // match's home list from the centroid-sidecar assignment.
