@@ -232,8 +232,9 @@ class IvfIndex(
   def rangeSearch(queries: DataFrame, radius: Double, nprobe: Int,
       queryId: String = "qid", queryVec: String = "qvec",
       filter: Option[Column] = None,
-      maxCodes: Option[Int] = None): DataFrame = {
-    val pr0 = probes(queries, nprobe, queryId, queryVec)
+      maxCodes: Option[Int] = None,
+      coarse: Option[Probes.CoarseQuant] = None): DataFrame = {
+    val pr0 = probes(queries, nprobe, queryId, queryVec, coarse)
     val probed0 = pr0.select("list_no").distinct().collect().map(_.getInt(0))
     // budget sizes are pre-IDSelector (the reference counts raw
     // list_size even under a selector)

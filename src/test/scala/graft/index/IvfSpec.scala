@@ -160,6 +160,19 @@ class IvfSpec extends SparkTestBase {
     }
   }
 
+  test("range search composes with the graph coarse (exact-degenerate budget)") {
+    // range_search under an IVF with a graph coarse quantizer: at a
+    // walk budget covering nlist the probe set is exact, so the
+    // radius results must equal the exact-coarse range search
+    val want = idx.rangeSearch(q, radius = 5.0, nprobe = 4)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (c <- Seq(Probes.HnswCoarse(1024), Probes.NsgCoarse(1024))) {
+      val got = idx.rangeSearch(q, radius = 5.0, nprobe = 4, coarse = Some(c))
+        .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, c.toString)
+    }
+  }
+
   test("parsed quantizer_nprobe drives the two-level coarse knob") {
     // AutoTune.cpp:370 prefix form -> Probes.IvfFlatCoarse.nprobe2:
     // at quantizer_nprobe >= nlist2 the ranking is exact, so the
