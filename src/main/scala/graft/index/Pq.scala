@@ -357,8 +357,9 @@ class IvfPqIndex(
     * distance < radius; the filter applies BELOW any aggregation, so
     * only in-radius rows leave the scan. */
   def rangeSearch(queries: DataFrame, radius: Double, nprobe: Int,
-      queryId: String = "qid", queryVec: String = "qvec"): DataFrame =
-    adcCandidates(queries, nprobe, queryId, queryVec)
+      queryId: String = "qid", queryVec: String = "qvec",
+      coarse: Option[Probes.CoarseQuant] = None): DataFrame =
+    adcCandidates(queries, nprobe, queryId, queryVec, coarse = coarse)
       .filter(col("_dist") < radius)
       .select(col(queryId), col("id"), col("_dist").as("dist"))
 }
