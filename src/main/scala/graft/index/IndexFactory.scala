@@ -696,6 +696,41 @@ object IndexFactory {
       inv), chain, PqAdcSpec(m, ksub))
   }
 
+  /** reverse_index_factory (contrib/factory_tools.py:76): derive the
+    * factory string back from a trained index's STRUCTURE — the
+    * introspection surface benchmark tooling uses to label operating
+    * points. Covers the core index families; a Built keeps its
+    * original string on `description` already, so this exists for
+    * indexes constructed directly. */
+  def reverseIndexFactory(idx: Any): String = idx match {
+    case i: IvfIndex => s"IVF${i.nlist},Flat"
+    case i: IvfPqIndex => s"IVF${i.nlist},PQ${i.model.m}x${i.model.ksub}"
+    case i: IvfPqrIndex =>
+      s"IVF${i.nlist},PQ${i.model1.m}+${i.model2.m}"
+    case i: IvfSqIndex =>
+      val w = if (i.qtype == "fp16") "SQfp16" else i.qtype
+      s"IVF${i.nlist},$w"
+    case i: PqIndex => s"PQ${i.model.m}x${i.model.ksub}"
+    case i: SqIndex => if (i.qtype == "fp16") "SQfp16" else i.qtype
+    case i: TwoLayerIndex => s"Residual${i.nlist},PQ${i.model.m}x${i.model.ksub}"
+    case i: MiqTwoLayerIndex =>
+      val nbit = Integer.numberOfTrailingZeros(i.ksub)
+      s"Residual${i.mCoarse}x$nbit,PQ${i.model.m}x${i.model.ksub}"
+    case i: ImiPqIndex =>
+      val b = Integer.numberOfTrailingZeros(i.ksub)
+      s"IMI2x$b,PQ${i.model.m}x${i.model.ksub}"
+    case i: ImiSqIndex =>
+      val b = Integer.numberOfTrailingZeros(i.ksub)
+      val w = if (i.qtype == "fp16") "SQfp16" else i.qtype
+      s"IMI2x$b,$w"
+    case i: ImiIndex =>
+      s"IMI2x${Integer.numberOfTrailingZeros(i.ksub)},Flat"
+    case i: BinaryIvfIndex => s"BIVF${i.nlist}"
+    case b: Built if b.description != null => b.description
+    case other => throw new IllegalArgumentException(
+      s"cannot derive a factory string for ${other.getClass.getSimpleName}")
+  }
+
   /** Train the whole pipeline on `df` (id, vec) and return a
     * searchable index. */
   def build(df: DataFrame, idCol: String, vecCol: String, desc: String,

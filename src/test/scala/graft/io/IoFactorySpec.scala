@@ -189,6 +189,25 @@ class IoFactorySpec extends SparkTestBase {
     }
   }
 
+  test("reverse_index_factory derives the string back from index structure") {
+    // contrib/factory_tools.py:76 — the introspection benchmark
+    // tooling uses; the derived string must itself parse and size
+    val ivf = graft.index.IvfIndex.build(b, "id", "vec", nlist = 8, niter = 2)
+    assert(IndexFactory.reverseIndexFactory(ivf) == "IVF8,Flat")
+    val ipq = graft.index.IvfPqIndex.build(b, "id", "vec", nlist = 4,
+      m = 8, ksub = 16, niterCoarse = 2, niterPq = 2)
+    assert(IndexFactory.reverseIndexFactory(ipq) == "IVF4,PQ8x16")
+    val built = IndexFactory.build(b, "id", "vec", "IVF8_HNSW16,PQ8", niter = 2)
+    assert(IndexFactory.reverseIndexFactory(built) == "IVF8_HNSW16,PQ8")
+    // every derived string re-parses and has a code size
+    for (idx <- Seq[Any](ivf, ipq)) {
+      val dsc = IndexFactory.reverseIndexFactory(idx)
+      assert(IndexFactory.codeSize(dsc, 64) > 0, dsc)
+      assert(IndexFactory.build(b, "id", "vec", dsc, niter = 2)
+        .search(q, 3).count() == q.count() * 3, dsc)
+    }
+  }
+
   test("factory ITQ[<d>], bare RR and L2Norm spelling (r9)") {
     // rotations preserve L2, so exact search under RR / full-dim ITQ
     // must match plain Flat
