@@ -326,6 +326,35 @@ object IvfIndex {
     * JSON sidecar (read_index/write_index analog,
     * faiss/impl/index_write.cpp — format is parquet+JSON, not the
     * fourcc binary). */
+  /** merge_ondisk (contrib/ondisk.py:13): union many indexes that
+    * share ONE trained quantizer into a single list_no-partitioned
+    * on-disk store and return the merged index backed by it — the
+    * shard-build-then-merge lifecycle of corpus-scale ingestion (each
+    * worker populates its own invlists against the common centroids;
+    * the merge is a write, never a recluster). The returned index
+    * reads from disk, so searches partition-prune the merged store
+    * exactly like any loaded index. */
+  def mergeOnDisk(indexes: Seq[IvfIndex], path: String): IvfIndex = {
+    require(indexes.nonEmpty, "no indexes to merge")
+    val h = indexes.head
+    indexes.tail.foreach { i =>
+      require(i.d == h.d && i.metric == h.metric && i.nlist == h.nlist,
+        "merge_ondisk requires a common trained quantizer")
+      require(java.util.Arrays.deepEquals(
+          i.centroids.asInstanceOf[Array[AnyRef]],
+          h.centroids.asInstanceOf[Array[AnyRef]]),
+        "merge_ondisk requires IDENTICAL centroids (one shared quantizer)")
+    }
+    indexes.map(_.invlists).reduce(_ unionByName _)
+      .repartition(col("list_no"))
+      .write.mode("overwrite").partitionBy("list_no")
+      .parquet(s"$path/invlists")
+    val spark = h.invlists.sparkSession
+    new IvfIndex(h.d, h.metric, h.nlist, h.centroids,
+      spark.read.parquet(s"$path/invlists")
+        .select(col("id"), col("vec"), col("list_no").cast("int")))
+  }
+
   def save(idx: IvfIndex, path: String): Unit = {
     val spark = idx.invlists.sparkSession
     idx.invlists

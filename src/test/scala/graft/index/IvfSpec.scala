@@ -101,6 +101,25 @@ class IvfSpec extends SparkTestBase {
     assert(loaded.nlist == idx.nlist && loaded.d == idx.d && loaded.metric == idx.metric)
   }
 
+  test("merge_ondisk: shard invlists under one quantizer merge to one pruned store") {
+    // contrib/ondisk.py:13 lifecycle: workers populate invlists
+    // against COMMON centroids; the merge is a union write, never a
+    // recluster, and the merged index must search like the original
+    val even = new IvfIndex(idx.d, idx.metric, idx.nlist, idx.centroids,
+      idx.invlists.filter(pmod(col("id"), lit(2)) === 0))
+    val odd = new IvfIndex(idx.d, idx.metric, idx.nlist, idx.centroids,
+      idx.invlists.filter(pmod(col("id"), lit(2)) === 1))
+    val dir = java.nio.file.Files.createTempDirectory("mergeondisk").toString
+    val merged = IvfIndex.mergeOnDisk(Seq(even, odd), dir)
+    assert(resultSet(merged.search(q, 5, nprobe = 8)) ==
+      resultSet(idx.search(q, 5, nprobe = 8)))
+    // incompatible quantizers are refused
+    val other = IvfIndex.build(b, "id", "vec", nlist = 4, niter = 2)
+    intercept[IllegalArgumentException] {
+      IvfIndex.mergeOnDisk(Seq(even, other), dir + "2")
+    }
+  }
+
   test("mergeFrom with id shift = union of invlists") {
     val merged = idx.mergeFrom(idx, addId = 100000L)
     assert(merged.invlists.count() == 2 * idx.invlists.count())
