@@ -703,11 +703,22 @@ object IndexFactory {
     * original string on `description` already, so this exists for
     * indexes constructed directly. */
   def reverseIndexFactory(idx: Any): String = idx match {
-    case i: IvfIndex => s"IVF${i.nlist},Flat"
+    case i: IvfIndex =>
+      // the factory grammar carries no metric (a ctor arg in the
+      // reference too) and always builds l2sq — refuse rather than
+      // mislabel an ip/cosine index
+      require(i.metric == "l2sq",
+        s"factory strings denote l2sq indexes; got metric '${i.metric}'")
+      s"IVF${i.nlist},Flat"
     case i: IvfPqIndex => s"IVF${i.nlist},PQ${i.model.m}x${i.model.ksub}"
     case i: IvfPqrIndex =>
       s"IVF${i.nlist},PQ${i.model1.m}+${i.model2.m}"
     case i: IvfSqIndex =>
+      // the IVF,SQ grammar always means by_residual = true (the
+      // reference ctor default); a non-residual build has no spelling
+      require(i.byResidual,
+        "IVF,SQ factory strings denote by_residual = true; a " +
+        "non-residual IVF-SQ has no factory spelling")
       val w = if (i.qtype == "fp16") "SQfp16" else i.qtype
       s"IVF${i.nlist},$w"
     case i: PqIndex => s"PQ${i.model.m}x${i.model.ksub}"
@@ -720,13 +731,15 @@ object IndexFactory {
       val b = Integer.numberOfTrailingZeros(i.ksub)
       s"IMI2x$b,PQ${i.model.m}x${i.model.ksub}"
     case i: ImiSqIndex =>
+      require(i.byResidual,
+        "IMI2x<b>,SQ factory strings denote by_residual = true")
       val b = Integer.numberOfTrailingZeros(i.ksub)
       val w = if (i.qtype == "fp16") "SQfp16" else i.qtype
       s"IMI2x$b,$w"
     case i: ImiIndex =>
       s"IMI2x${Integer.numberOfTrailingZeros(i.ksub)},Flat"
     case i: BinaryIvfIndex => s"BIVF${i.nlist}"
-    case b: Built if b.description != null => b.description
+    case b: Built if b.description.nonEmpty => b.description
     case other => throw new IllegalArgumentException(
       s"cannot derive a factory string for ${other.getClass.getSimpleName}")
   }
@@ -879,45 +892,41 @@ object IndexFactory {
         case NsgSub(r) =>
           graphIvf(data, chain, nlist.toInt, NsgSpec(r.toInt), code, niter,
             seed, desc)
-        case Pq(m, ks) => code match {
-          case "Flat" =>
-            pqAdcIvf(data, chain, nlist.toInt, m.toInt,
-              Option(ks).map(_.toInt).getOrElse(16), niter, seed)
-          // IVF<n>(PQ<m>),PQ<m2>[x<k2>]: the quantizer's LOSSY
-          // reconstruct becomes the cell centroid the residuals
-          // subtract (IndexIVF::add_core assigns through the
-          // quantizer; reconstruct = PQ decode). ADC to a code is
-          // EXACTLY the exact squared L2 to its decode, so building
-          // the residual-PQ index over the DECODED centroid table
-          // reproduces both sides with no new kernel.
-          case Pq(m2, ks2) =>
+        case Pq(m, ks) =>
+          // IVF<n>(PQ<m>),<code>: the quantizer's LOSSY reconstruct
+          // becomes the cell centroid the residuals subtract
+          // (IndexIVF::add_core assigns through the quantizer;
+          // reconstruct = PQ decode). ADC to a code is EXACTLY the
+          // exact squared L2 to its decode, so the code indexes build
+          // over the DECODED centroid table — one computation shared
+          // by every composition.
+          lazy val cdec = {
             val km = graft.cluster.KMeans.fit(data, "vec",
               graft.cluster.KMeans.Params(k = nlist.toInt, niter = niter,
                 seed = seed))
-            val cdec = graft.core.CoarsePq.decodedCentroids(
+            graft.core.CoarsePq.decodedCentroids(
               graft.core.CoarsePq.model(km.centroids, m.toInt,
                 Option(ks).map(_.toInt).getOrElse(16)))
-            new IvfPqBuilt(IvfPqIndex.build(data, "id", "vec", nlist.toInt,
-              m2.toInt, Option(ks2).map(_.toInt).getOrElse(16),
-              niterCoarse = niter, niterPq = niter, seed = seed,
-              centroids0 = cdec), chain)
-          // same decoded-table identity for the SQ widths
-          case sq @ ("SQ8" | "SQ4" | "SQ6" | "SQfp16") =>
-            val km = graft.cluster.KMeans.fit(data, "vec",
-              graft.cluster.KMeans.Params(k = nlist.toInt, niter = niter,
-                seed = seed))
-            val cdec = graft.core.CoarsePq.decodedCentroids(
-              graft.core.CoarsePq.model(km.centroids, m.toInt,
-                Option(ks).map(_.toInt).getOrElse(16)))
-            new IvfSqBuilt(IvfSqIndex.build(data, "id", "vec", nlist.toInt,
-              niter = niter, seed = seed, byResidual = true,
-              qtype = sq.stripPrefix("SQ") match {
-                case "fp16" => "fp16"; case w => s"SQ$w" },
-              centroids0 = cdec), chain)
-          case other => throw new IllegalArgumentException(
-            s"IVF$nlist(PQ...) composes with Flat, PQ or SQ codes; " +
-            s"got '$other' in '$desc'")
-        }
+          }
+          code match {
+            case "Flat" =>
+              pqAdcIvf(data, chain, nlist.toInt, m.toInt,
+                Option(ks).map(_.toInt).getOrElse(16), niter, seed)
+            case Pq(m2, ks2) =>
+              new IvfPqBuilt(IvfPqIndex.build(data, "id", "vec", nlist.toInt,
+                m2.toInt, Option(ks2).map(_.toInt).getOrElse(16),
+                niterCoarse = niter, niterPq = niter, seed = seed,
+                centroids0 = cdec), chain)
+            case sq @ ("SQ8" | "SQ4" | "SQ6" | "SQfp16") =>
+              new IvfSqBuilt(IvfSqIndex.build(data, "id", "vec", nlist.toInt,
+                niter = niter, seed = seed, byResidual = true,
+                qtype = sq.stripPrefix("SQ") match {
+                  case "fp16" => "fp16"; case w => s"SQ$w" },
+                centroids0 = cdec), chain)
+            case other => throw new IllegalArgumentException(
+              s"IVF$nlist(PQ...) composes with Flat, PQ or SQ codes; " +
+              s"got '$other' in '$desc'")
+          }
         case other => throw new IllegalArgumentException(
           s"unsupported paren coarse '$other' in '$desc'")
       }

@@ -322,18 +322,15 @@ object IvfIndex {
     new IvfIndex(d, metric, nlist, model.centroids, assigned)
   }
 
-  /** Persist as list_no-partitioned parquet + a one-row-per-centroid
-    * JSON sidecar (read_index/write_index analog,
-    * faiss/impl/index_write.cpp — format is parquet+JSON, not the
-    * fourcc binary). */
   /** merge_ondisk (contrib/ondisk.py:13): union many indexes that
     * share ONE trained quantizer into a single list_no-partitioned
     * on-disk store and return the merged index backed by it — the
     * shard-build-then-merge lifecycle of corpus-scale ingestion (each
     * worker populates its own invlists against the common centroids;
-    * the merge is a write, never a recluster). The returned index
-    * reads from disk, so searches partition-prune the merged store
-    * exactly like any loaded index. */
+    * the merge is a write, never a recluster). The store is a FULL
+    * save (invlists + meta sidecar), so a later session reopens it
+    * with [[load]]; the returned index reads from disk, so searches
+    * partition-prune the merged store exactly like any loaded one. */
   def mergeOnDisk(indexes: Seq[IvfIndex], path: String): IvfIndex = {
     require(indexes.nonEmpty, "no indexes to merge")
     val h = indexes.head
@@ -345,16 +342,16 @@ object IvfIndex {
           h.centroids.asInstanceOf[Array[AnyRef]]),
         "merge_ondisk requires IDENTICAL centroids (one shared quantizer)")
     }
-    indexes.map(_.invlists).reduce(_ unionByName _)
-      .repartition(col("list_no"))
-      .write.mode("overwrite").partitionBy("list_no")
-      .parquet(s"$path/invlists")
     val spark = h.invlists.sparkSession
-    new IvfIndex(h.d, h.metric, h.nlist, h.centroids,
-      spark.read.parquet(s"$path/invlists")
-        .select(col("id"), col("vec"), col("list_no").cast("int")))
+    save(new IvfIndex(h.d, h.metric, h.nlist, h.centroids,
+      indexes.map(_.invlists).reduce(_ unionByName _)), path)
+    load(spark, path)
   }
 
+  /** Persist as list_no-partitioned parquet + a one-row-per-centroid
+    * JSON sidecar (read_index/write_index analog,
+    * faiss/impl/index_write.cpp — format is parquet+JSON, not the
+    * fourcc binary). */
   def save(idx: IvfIndex, path: String): Unit = {
     val spark = idx.invlists.sparkSession
     idx.invlists

@@ -86,8 +86,11 @@ object IvfSqIndex {
       centroids0: Array[Array[Float]] = null): IvfSqIndex = {
     val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val cents =
-      if (centroids0 != null) centroids0
-      else graft.cluster.KMeans.fit(data, "vec",
+      if (centroids0 != null) {
+        require(centroids0.length == nlist,
+          s"centroids0 has ${centroids0.length} rows, nlist = $nlist")
+        centroids0
+      } else graft.cluster.KMeans.fit(data, "vec",
         graft.cluster.KMeans.Params(k = nlist, niter = niter, seed = seed))
         .centroids
     val spark = df.sparkSession

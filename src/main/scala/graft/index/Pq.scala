@@ -478,8 +478,11 @@ object IvfPqIndex {
       centroids0: Array[Array[Float]] = null): IvfPqIndex = {
     val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val cents =
-      if (centroids0 != null) centroids0
-      else graft.cluster.KMeans.fit(data, "vec",
+      if (centroids0 != null) {
+        require(centroids0.length == nlist,
+          s"centroids0 has ${centroids0.length} rows, nlist = $nlist")
+        centroids0
+      } else graft.cluster.KMeans.fit(data, "vec",
         graft.cluster.KMeans.Params(k = nlist, niter = niterCoarse,
           seed = seed)).centroids
     val spark = df.sparkSession
