@@ -120,6 +120,19 @@ class IvfSpec extends SparkTestBase {
     }
   }
 
+  test("Shards merges heterogeneous shard types (IndexShards over any same-d indexes)") {
+    // the reference shards any Index sharing d; an IVF shard and a
+    // Flat shard over disjoint halves at full budgets must reproduce
+    // the exact union search
+    val even = IndexFactory.build(b.filter(pmod(col("id"), lit(2)) === 0),
+      "id", "vec", "IVF4,Flat", niter = 3)
+    val odd = IndexFactory.build(b.filter(pmod(col("id"), lit(2)) === 1),
+      "id", "vec", "Flat")
+    val merged = graft.index.Shards.search(Seq(even, odd), q, k = 5, nprobe = 4)
+    val want = resultSet(idx.search(q, 5, nprobe = 8))
+    assert(resultSet(merged) == want)
+  }
+
   test("mergeFrom with id shift = union of invlists") {
     val merged = idx.mergeFrom(idx, addId = 100000L)
     assert(merged.invlists.count() == 2 * idx.invlists.count())
