@@ -60,11 +60,13 @@ class BinaryIvfIndex(
     * contributes exactly 1, the IndexBinaryFromFloat identity), so the
     * float HNSW walk over unpacked centroids selects Hamming-correct
     * probes; efSearch >= nlist degenerates to the exact ranking. */
-  def search(queries: DataFrame, k: Int, nprobe: Int,
-      queryId: String = "qid", queryCode: String = "qcode",
-      hnswCoarse: Option[Int] = None, hnswM: Int = 16): DataFrame = {
+  /** Probe head shared by [[search]] and [[rangeSearch]] — exact
+    * Hamming ranking or the float HNSW walk over unpacked centroids. */
+  private def coarseProbes(queries: DataFrame, nprobe: Int,
+      queryId: String, queryCode: String,
+      hnswCoarse: Option[Int], hnswM: Int): DataFrame = {
     import org.apache.spark.sql.graft.shim
-    val probes = hnswCoarse match {
+    hnswCoarse match {
       case Some(ef) =>
         val nbits = centroidBits.headOption.map(_.length).getOrElse(0)
         val centF = centroidBits.map(_.map(_.toFloat))
@@ -78,6 +80,13 @@ class BinaryIvfIndex(
             col("_p.list_no").as("list_no"))
       case None => flatProbes(queries, nprobe, queryId, queryCode)
     }
+  }
+
+  def search(queries: DataFrame, k: Int, nprobe: Int,
+      queryId: String = "qid", queryCode: String = "qcode",
+      hnswCoarse: Option[Int] = None, hnswM: Int = 16): DataFrame = {
+    val probes = coarseProbes(queries, nprobe, queryId, queryCode,
+      hnswCoarse, hnswM)
     val probed = probes.select("list_no").distinct().collect().map(_.getInt(0))
     invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
       .join(broadcast(probes), "list_no")
@@ -96,8 +105,10 @@ class BinaryIvfIndex(
     * inclusive bound, the [[BinaryFlat.rangeJoin]] convention).
     * Output (qid, id, hd). */
   def rangeSearch(queries: DataFrame, maxHamming: Long, nprobe: Int,
-      queryId: String = "qid", queryCode: String = "qcode"): DataFrame = {
-    val probes = flatProbes(queries, nprobe, queryId, queryCode)
+      queryId: String = "qid", queryCode: String = "qcode",
+      hnswCoarse: Option[Int] = None, hnswM: Int = 16): DataFrame = {
+    val probes = coarseProbes(queries, nprobe, queryId, queryCode,
+      hnswCoarse, hnswM)
     val probed = probes.select("list_no").distinct().collect().map(_.getInt(0))
     invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
       .join(broadcast(probes), "list_no")

@@ -103,6 +103,21 @@ class BinaryFactorySpec extends SparkTestBase {
     assert(hd == flat)
   }
 
+  test("binary IVF range search composes with the HNSW coarse (exact-degenerate)") {
+    // same contract as the float side: efSearch >= nlist walks the
+    // whole centroid graph, so the radius results equal the exact
+    // coarse ranking's
+    val idx = BinaryIvfIndex.buildFromCodes(codes, "id", "code", 64,
+      nlist = 4, niter = 3)
+    def rset(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = rset(idx.rangeSearch(q, maxHamming = 20, nprobe = 2))
+    val got = rset(idx.rangeSearch(q, maxHamming = 20, nprobe = 2,
+      hnswCoarse = Some(1024)))
+    assert(got == want)
+  }
+
   test("multi-hash BHash9x8 over a 64-bit code is rejected") {
     val e = intercept[IllegalArgumentException] {
       IndexFactory.buildBinary(codes, "id", "code", 64, "BHash9x8")
