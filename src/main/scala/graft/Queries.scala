@@ -223,6 +223,15 @@ object Queries {
       graft.cluster.TwoLevelClustering.fit(emb(s, dir), "embedding",
         nlist = 12, niter1 = 3, niter2 = 3)
     }
+  /** Shared quantizer of the distributed_ondisk recipe: two-level
+    * k-means over the base set (the recipe's own scalable train step,
+    * benchs/distributed_ondisk/README.md step 1 +
+    * contrib/clustering.py train_ivf_index_with_2level). */
+  private def ondiskCents16(s: SparkSession, dir: String): Array[Array[Float]] =
+    cached(s"ondisk16:$dir") {
+      graft.cluster.TwoLevelClustering.fit(bDf(s, dir, 10), "vec",
+        nlist = 16, niter1 = 3, niter2 = 3)
+    }
   private def pdk8(s: SparkSession, dir: String): (graft.transform.Linear, graft.cluster.KMeans.Model) =
     cached(s"pdk8:$dir") {
       graft.cluster.ProgressiveDimKMeans.fitWithTransform(emb(s, dir), "embedding",
@@ -462,6 +471,8 @@ object Queries {
     OracleAux.write(dir, "parenpq_codebooks", OracleAux.codebooksDf(s, ppCb))
     OracleAux.write(dir, "ivfbig_centroids",
       OracleAux.centroidsDf(s, ivfBig(s, dir).centroids))
+    OracleAux.write(dir, "ondisk_centroids",
+      OracleAux.centroidsDf(s, ondiskCents16(s, dir)))
     val ipqb = ivfpqBig(s, dir)
     OracleAux.write(dir, "ivfpqbig_centroids", OracleAux.centroidsDf(s, ipqb.centroids))
     OracleAux.write(dir, "ivfpqbig_codebooks", OracleAux.codebooksDf(s, ipqb.model.codebooks))
@@ -954,11 +965,15 @@ object Queries {
        |WHERE "rank" <= $k""".stripMargin
   }
 
-  /** Probe-replay IVF oracle at nprobe=4 over the ivf16 sidecar,
-    * shared by the exact coarse assign (`ivf_search_nprobe4`) and its
-    * HNSW-degenerate twin (`ivf_hnsw_search`). */
-  private lazy val ivfNprobe4Sql: String =
-    s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivf16_centroids/*.parquet')),
+  /** Probe-replay IVF oracle at nprobe=4, parameterized by the
+    * centroid sidecar: shared by the exact coarse assign
+    * (`ivf_search_nprobe4`), its HNSW-degenerate twin
+    * (`ivf_hnsw_search`), and — over the two-level-trained
+    * `ondisk_centroids` sidecar — the distributed_ondisk recipe
+    * (whose merged store must search exactly like a single build
+    * against the same quantizer). */
+  private def ivfNprobe4SqlOver(centName: String): String =
+    s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/$centName/*.parquet')),
        |qc AS (SELECT q.vec_id AS qid, c.list_no, row_number() OVER (PARTITION BY q.vec_id ORDER BY
        |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
        |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10),
@@ -971,6 +986,34 @@ object Queries {
        |    list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2 AS dist
        |  FROM probes p JOIN basg a ON a.list_no = p.list_no
        |  JOIN embeddings q ON q.vec_id = p.qid JOIN embeddings b ON b.vec_id = a.id)
+       |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+       |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+       |WHERE "rank" <= 10""".stripMargin
+
+  private lazy val ivfNprobe4Sql: String = ivfNprobe4SqlOver("ivf16_centroids")
+  private lazy val ondiskNprobe4Sql: String = ivfNprobe4SqlOver("ondisk_centroids")
+
+  /** Probe-replay IVF oracle at nprobe=8 over the big corpus + ivfbig
+    * centroid sidecar — shared by the single-build search
+    * (`ivf_search_big`) and the distributed_ondisk recipe's big twin
+    * (same quantizer ⇒ merged shard-built store must return the
+    * identical top-k: the merge≡single-index invariant of
+    * tests/test_merge.cpp at scale). */
+  private lazy val ivfBigNprobe8Sql: String =
+    s"""WITH v AS ($bigVecSql),
+       |cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfbig_centroids/*.parquet')),
+       |qc AS (SELECT q.id AS qid, c.list_no, row_number() OVER (PARTITION BY q.id ORDER BY
+       |    list_aggregate(list_transform(list_zip(q.vec::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
+       |  FROM v q CROSS JOIN cent c WHERE q.id % 9973 = 1),
+       |probes AS (SELECT qid, list_no FROM qc WHERE pr <= 8),
+       |basg AS (SELECT id, list_no FROM (
+       |  SELECT b.id, c.list_no, row_number() OVER (PARTITION BY b.id ORDER BY
+       |    list_aggregate(list_transform(list_zip(b.vec::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+       |  FROM v b CROSS JOIN cent c) t WHERE rn = 1),
+       |d AS (SELECT p.qid, a.id,
+       |    list_distance(q.vec::DOUBLE[], b.vec::DOUBLE[])^2 AS dist
+       |  FROM probes p JOIN basg a ON a.list_no = p.list_no
+       |  JOIN v q ON q.id = p.qid JOIN v b ON b.id = a.id)
        |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
        |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
        |WHERE "rank" <= 10""".stripMargin
@@ -1541,6 +1584,38 @@ object Queries {
       ivf16(s, dir).search(qDf(s, dir, 10), k = 10, nprobe = 4)
         .withColumn("dist", r4("dist")),
       Some(ivfNprobe4Sql)),
+
+    // §2.7 the distributed_ondisk recipe END TO END
+    // (benchs/distributed_ondisk/README.md:1-30 — the reference's
+    // authoritative 1T-vector ingestion story): (1) train the shared
+    // quantizer with scalable two-level k-means, (2) every data slice
+    // builds its OWN invlists against that one quantizer, (3) merge
+    // the slices into a single on-disk list_no-partitioned store —
+    // a write, never a recluster — then (4) load and search it. The
+    // oracle replays a SINGLE-build IVF search over the same
+    // quantizer sidecar: hash-equality IS the merge≡single-index
+    // invariant of tests/test_merge.cpp. The tiny top-k result is
+    // collected so the temp store can be removed inside the builder
+    // (same bounded-output idiom as stream_ivf_ingest_search).
+    ("distributed_ondisk_recipe", (s: SparkSession, dir: String) => {
+      import java.nio.file.Files
+      import graft.streaming.StreamingIngest.rmTree
+      val cents = ondiskCents16(s, dir)
+      val base = bDf(s, dir, 10)
+      val tmp = Files.createTempDirectory("graft_ondisk_recipe")
+      try {
+        val shards = (0 until 4).map { g =>
+          IvfIndex.build(base.filter(pmod(col("id"), lit(4)) === g),
+            "id", "vec", nlist = 16, centroids0 = cents)
+        }
+        val merged = IvfIndex.mergeOnDisk(shards, s"$tmp/index")
+        val out = merged.search(qDf(s, dir, 10), k = 10, nprobe = 4)
+          .withColumn("dist", r4("dist"))
+        val rows = out.collect().toSeq // bounded: nq x k = 100 rows
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+      } finally rmTree(tmp)
+    },
+      Some(ondiskNprobe4Sql)),
 
     // search_preassigned (faiss/IndexIVF.h:377, the IVFlib big-batch
     // entry point): kNN over CALLER-PROVIDED (qid, list_no) probe
@@ -5053,23 +5128,37 @@ object Queries {
     ("ivf_search_big", (s: SparkSession, dir: String) =>
       ivfBig(s, dir).search(bigQueries(s, dir), k = 10, nprobe = 8)
         .withColumn("dist", r4("dist")),
-      Some(s"""WITH v AS ($bigVecSql),
-              |cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfbig_centroids/*.parquet')),
-              |qc AS (SELECT q.id AS qid, c.list_no, row_number() OVER (PARTITION BY q.id ORDER BY
-              |    list_aggregate(list_transform(list_zip(q.vec::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
-              |  FROM v q CROSS JOIN cent c WHERE q.id % 9973 = 1),
-              |probes AS (SELECT qid, list_no FROM qc WHERE pr <= 8),
-              |basg AS (SELECT id, list_no FROM (
-              |  SELECT b.id, c.list_no, row_number() OVER (PARTITION BY b.id ORDER BY
-              |    list_aggregate(list_transform(list_zip(b.vec::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
-              |  FROM v b CROSS JOIN cent c) t WHERE rn = 1),
-              |d AS (SELECT p.qid, a.id,
-              |    list_distance(q.vec::DOUBLE[], b.vec::DOUBLE[])^2 AS dist
-              |  FROM probes p JOIN basg a ON a.list_no = p.list_no
-              |  JOIN v q ON q.id = p.qid JOIN v b ON b.id = a.id)
-              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
-              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
-              |WHERE "rank" <= 10""".stripMargin)),
+      Some(ivfBigNprobe8Sql)),
+
+    // distributed_ondisk recipe AT SCALE: 4 slices of the 600k-row
+    // corpus each build invlists against the ivfbig quantizer, merge
+    // to one on-disk store, load, search — and must return the top-k
+    // of the SINGLE-build index bit for bit (shared oracle =
+    // ivf_search_big's replay; the merge≡single-index invariant of
+    // tests/test_merge.cpp under real load). This is the 100 TB
+    // ingestion lifecycle measured end to end: per-slice assignment
+    // is one NearestCentroid pass, the merge is a partitioned
+    // parquet write, and the search partition-prunes the merged
+    // store like any loaded index.
+    ("distributed_ondisk_recipe_big", (s: SparkSession, dir: String) => {
+      import java.nio.file.Files
+      import graft.streaming.StreamingIngest.rmTree
+      val single = ivfBig(s, dir)
+      val base = bigVecs(s, dir)
+      val tmp = Files.createTempDirectory("graft_ondisk_recipe_big")
+      try {
+        val shards = (0 until 4).map { g =>
+          IvfIndex.build(base.filter(pmod(col("id"), lit(4)) === g),
+            "id", "vec", nlist = single.nlist, centroids0 = single.centroids)
+        }
+        val merged = IvfIndex.mergeOnDisk(shards, s"$tmp/index")
+        val out = merged.search(bigQueries(s, dir), k = 10, nprobe = 8)
+          .withColumn("dist", r4("dist"))
+        val rows = out.collect().toSeq // bounded: ~60 queries x k
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+      } finally rmTree(tmp)
+    },
+      Some(ivfBigNprobe8Sql)),
 
     // Two-level coarse AT SCALE (`IVF64(IVF8,Flat)` over the 600k-row
     // corpus, approximate regime nprobe2 = 3 of 8 sub-cells): the

@@ -310,16 +310,31 @@ class IvfIndex(
 
 object IvfIndex {
 
-  /** Train + add (IndexIVF lifecycle steps 2-3, SURVEY §3.1). */
+  /** Train + add (IndexIVF lifecycle steps 2-3, SURVEY §3.1).
+    * `centroids0` replaces the internal k-means with a caller-supplied
+    * trained quantizer — the distributed_ondisk shard-build step
+    * (benchs/distributed_ondisk: every slice populates its own
+    * invlists against ONE shared centroid table, so the later merge
+    * is a write, never a recluster). Assignment runs through the same
+    * NearestCentroid expression `KMeans.Model.assign` uses, so a
+    * shard build and a single build place every vector identically. */
   def build(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
-      metric: String = "l2sq", niter: Int = 10, seed: Long = 1234L): IvfIndex = {
+      metric: String = "l2sq", niter: Int = 10, seed: Long = 1234L,
+      centroids0: Array[Array[Float]] = null): IvfIndex = {
     val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val model = KMeans.fit(data, "vec",
-      KMeans.Params(k = nlist, niter = niter, seed = seed))
-    val d = model.centroids.head.length
-    val assigned = model.assign(data, "vec")
-      .select(col("id"), col("vec"), col("list_no"))
-    new IvfIndex(d, metric, nlist, model.centroids, assigned)
+    val centroids =
+      if (centroids0 != null) {
+        require(centroids0.length == nlist,
+          s"centroids0 has ${centroids0.length} rows, nlist = $nlist")
+        centroids0
+      } else KMeans.fit(data, "vec",
+        KMeans.Params(k = nlist, niter = niter, seed = seed)).centroids
+    val d = centroids.head.length
+    val assigned = data
+      .withColumn("_a", shim.col(graft.core.NearestCentroid(
+        shim.expr(col("vec")), centroids, "l2sq")))
+      .select(col("id"), col("vec"), col("_a.list_no").as("list_no"))
+    new IvfIndex(d, metric, nlist, centroids, assigned)
   }
 
   /** merge_ondisk (contrib/ondisk.py:13): union many indexes that

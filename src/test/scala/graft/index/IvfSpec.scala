@@ -120,6 +120,26 @@ class IvfSpec extends SparkTestBase {
     }
   }
 
+  test("distributed_ondisk recipe: shard builds + mergeOnDisk == single build") {
+    // benchs/distributed_ondisk lifecycle end to end: two-level
+    // k-means trains the shared quantizer, every slice builds its own
+    // invlists against it (IvfIndex.build centroids0), mergeOnDisk
+    // unions them into one store — whose search must be bit-identical
+    // to the single build over the same quantizer (test_merge.cpp).
+    val cents = graft.cluster.TwoLevelClustering.fit(b, "vec", nlist = 8,
+      niter1 = 2, niter2 = 2)
+    val single = IvfIndex.build(b, "id", "vec", nlist = 8, centroids0 = cents)
+    val shards = (0 until 3).map { g =>
+      IvfIndex.build(b.filter(pmod(col("id"), lit(3)) === g), "id", "vec",
+        nlist = 8, centroids0 = cents)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ondiskrecipe").toString
+    val merged = IvfIndex.mergeOnDisk(shards, dir)
+    assert(merged.invlists.count() == single.invlists.count())
+    assert(resultSet(merged.search(q, 10, nprobe = 4)) ==
+      resultSet(single.search(q, 10, nprobe = 4)))
+  }
+
   test("Shards merges heterogeneous shard types (IndexShards over any same-d indexes)") {
     // the reference shards any Index sharing d; an IVF shard and a
     // Flat shard over disjoint halves at full budgets must reproduce
