@@ -517,6 +517,24 @@ object Queries {
       rqNormCq(s, dir, 16).zipWithIndex.map { case (c, j) => (j, c) }
         .toSeq.toDF("j", "c")
     })
+    // 2-level norm codecs (rq2x4 greedy / lsq2x4 LSQ-refined): the
+    // oracle replays DECODE ONLY from the engine-encoded code pairs —
+    // the lsq_codes pattern
+    for ((tag, iters) <- Seq(("rq", 0), ("lsq", 3))) {
+      val cb = rqNorm2Cb(s, dir, iters)
+      OracleAux.write(dir, s"rqnorm_${tag}2x4_cb", {
+        import s.implicits._
+        (for (l <- cb.indices; j <- cb(l).indices) yield (l, j, cb(l)(j)))
+          .toDF("l", "j", "c")
+      })
+      val enc =
+        if (iters == 0) graft.index.RqNorms.rq2EncodeCol(col("normsq"), cb)
+        else graft.index.RqNorms.lsq2EncodeCol(col("normsq"), cb)
+      OracleAux.write(dir, s"rqnorm_${tag}2x4_codes",
+        rqNormBase(s, dir).withColumn("_nc", enc)
+          .select(col("id"), element_at(col("_nc"), 1).as("n1"),
+            element_at(col("_nc"), 2).as("n2")))
+    }
     OracleAux.write(dir, "rq_codes",
       emb(s, dir).filter(col("vec_id") >= 10).select(col("vec_id").as("id"),
         rqModel16(s, dir).encodeCol(col("embedding")).as("codes")))
@@ -819,6 +837,14 @@ object Queries {
     cached(s"rqcq$k:$dir") {
       graft.index.RqNorms.cqCentroids(rqNormBase(s, dir), "normsq", k)
     }
+  /** Two-level 1-D norm codebooks over the stored norms —
+    * `lsqIters = 0` is the greedy rq2x4 trainer, `> 0` the
+    * LSQ-refined lsq2x4 one (ST_norm_rq2x4 / ST_norm_lsq2x4). */
+  private def rqNorm2Cb(s: SparkSession, dir: String, lsqIters: Int): Array[Array[Double]] =
+    cached(s"rqn2cb$lsqIters:$dir") {
+      graft.index.RqNorms.norm2Codebooks(rqNormBase(s, dir), "normsq",
+        lsqIters = lsqIters)
+    }
   /** Shared engine chain of the quantized-norm AQ search types
     * (ST_norm_qint8/qint4/cqint8/cqint4): identical to rq_lut_search
     * except the stored ||x̂||² term goes through `dec`. */
@@ -1017,6 +1043,33 @@ object Queries {
        |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
        |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
        |WHERE "rank" <= 10""".stripMargin
+
+  /** Quantized-norm AQ oracle for the 2-level 1-D codecs
+    * (ST_norm_rq2x4 / ST_norm_lsq2x4): the shared rq_codes decode
+    * chain with the stored-norm term DECODED from the engine-encoded
+    * code pairs (`rqnorm_<tag>2x4_codes`) against the codebook
+    * sidecar — nqd = cb1[n1] + cb2[n2]. */
+  private def rqNorm2x4Sql(tag: String): String =
+    s"""WITH cb AS (SELECT m, j, c FROM read_parquet('$AUX/rq_codebooks/*.parquet')),
+       |codes AS (SELECT id, codes FROM read_parquet('$AUX/rq_codes/*.parquet')),
+       |dec AS (SELECT codes.id, c0.c AS cv0, c1.c AS cv1
+       |  FROM codes JOIN cb c0 ON c0.m = 0 AND c0.j = codes.codes[1]
+       |  JOIN cb c1 ON c1.m = 1 AND c1.j = codes.codes[2]),
+       |ncb AS (SELECT l, j, c FROM read_parquet('$AUX/rqnorm_${tag}2x4_cb/*.parquet')),
+       |ncodes AS (SELECT id, n1, n2 FROM read_parquet('$AUX/rqnorm_${tag}2x4_codes/*.parquet')),
+       |nq AS (SELECT d.id, d.cv0, d.cv1, c1.c + c2.c AS nqd
+       |  FROM dec d JOIN ncodes nc ON nc.id = d.id
+       |  JOIN ncb c1 ON c1.l = 0 AND c1.j = nc.n1
+       |  JOIN ncb c2 ON c2.l = 1 AND c2.j = nc.n2),
+       |d AS (SELECT q.vec_id AS qid, nq.id,
+       |    (list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], q.embedding::DOUBLE[]), p -> p[1]*p[2]), 'sum')
+       |     - 2*(list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], nq.cv0::DOUBLE[]), p -> p[1]*p[2]), 'sum')
+       |        + list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], nq.cv1::DOUBLE[]), p -> p[1]*p[2]), 'sum')))
+       |    + nq.nqd AS dist
+       |  FROM nq CROSS JOIN embeddings q WHERE q.vec_id < 10)
+       |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+       |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+       |WHERE "rank" <= 5""".stripMargin
 
   /** Full IVFPQ replay at nprobe = nlist, parameterized by the
     * centroid/codebook sidecars — shared by the exact coarse assign
@@ -6181,6 +6234,57 @@ object Queries {
               |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
               |WHERE "rank" <= 5""".stripMargin)),
+
+    // ST_LUT_nonorm (`RQ2x4_Nnone`, AdditiveQuantizer.h:60): the
+    // inner-product-only LUT mode — similarity = <q,x̂> from L lookups,
+    // no norm stored or read, ranked DESCENDING. Oracle replays the
+    // decode + dot products from the engine's integer codes.
+    ("rq_nonorm_search", (s: SparkSession, dir: String) => {
+      val rq = rqModel16(s, dir)
+      val q = qDf(s, dir, 10).select(col("qid"), rq.lutCol(col("qvec")).as("lut"))
+      rqNormBase(s, dir).crossJoin(broadcast(q))
+        .select(col("qid"), col("id"),
+          rq.ipFromLutCol(col("codes"), col("lut")).as("_d"))
+        .groupBy(col("qid"))
+        .agg(topk(col("_d"), col("id"), 5, asc = false).as("_tk"))
+        .select(col("qid"), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+        .select(col("qid"), (col("_pos") + 1).cast("long").as("rank"),
+          col("_r.id").as("id"), round(col("_r.dist"), 4).as("dist"))
+    },
+      Some(s"""WITH cb AS (SELECT m, j, c FROM read_parquet('$AUX/rq_codebooks/*.parquet')),
+              |codes AS (SELECT id, codes FROM read_parquet('$AUX/rq_codes/*.parquet')),
+              |dec AS (SELECT codes.id, c0.c AS cv0, c1.c AS cv1
+              |  FROM codes JOIN cb c0 ON c0.m = 0 AND c0.j = codes.codes[1]
+              |  JOIN cb c1 ON c1.m = 1 AND c1.j = codes.codes[2]),
+              |d AS (SELECT q.vec_id AS qid, dec.id,
+              |    (list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], dec.cv0::DOUBLE[]), p -> p[1]*p[2]), 'sum')
+              |   + list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], dec.cv1::DOUBLE[]), p -> p[1]*p[2]), 'sum')) AS dist
+              |  FROM dec CROSS JOIN embeddings q WHERE q.vec_id < 10)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist DESC, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 5""".stripMargin)),
+
+    // ST_norm_rq2x4 on the FLAT AQ route (AdditiveQuantizer.h:63; the
+    // packed-LUT twin lives in the 4fs family): the stored norm goes
+    // through a greedy 2-level 1-D RQ. Oracle = decode replay of the
+    // engine-encoded code pairs against the codebook sidecar — the
+    // lsq_codes pattern.
+    ("rq_qnorm_rq2x4_search", (s: SparkSession, dir: String) => {
+      val cb = rqNorm2Cb(s, dir, 0)
+      rqQnormSearch(s, dir, n => graft.index.RqNorms.norm2Decode(
+        graft.index.RqNorms.rq2EncodeCol(n, cb), cb))
+    },
+      Some(rqNorm2x4Sql("rq"))),
+
+    // ST_norm_lsq2x4 (AdditiveQuantizer.h:64): same 2-level codec with
+    // LSQ-refined codebooks and the exact joint 256-pair assignment
+    // (the 1-D fixed point of LocalSearchQuantizer::icm_encode).
+    ("rq_qnorm_lsq2x4_search", (s: SparkSession, dir: String) => {
+      val cb = rqNorm2Cb(s, dir, 3)
+      rqQnormSearch(s, dir, n => graft.index.RqNorms.norm2Decode(
+        graft.index.RqNorms.lsq2EncodeCol(n, cb), cb))
+    },
+      Some(rqNorm2x4Sql("lsq"))),
 
     // per-partition HNSW graph accelerator (IndexHNSWfast capability,
     // IndexShards merge). Approximate + partitioning-dependent, so no

@@ -407,6 +407,38 @@ case class ScalarRq2Encode(child: Expression, normCb: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** norm value (double) → 2 LSQ scalar code nibbles (ST_norm_lsq2x4,
+  * faiss/impl/AdditiveQuantizer.h:64): the code pair minimizing
+  * |v − c1[j1] − c2[j2]| JOINTLY. The reference reaches this with
+  * iterated conditional modes (LocalSearchQuantizer::icm_encode); in
+  * 1-D the 256-pair argmin is exact, deterministic, and is the fixed
+  * point ICM converges to — a deliberate algorithmic substitution.
+  * Ties break to the lexicographically smallest (j1, j2), the
+  * first-found convention of every assign kernel here. */
+case class ScalarLsq2Encode(child: Expression, normCb: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "scalar_lsq2_encode"
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[Double]
+    val cb1 = normCb(0); val cb2 = normCb(1)
+    var best1 = 0; var best2 = 0; var bestD = Double.MaxValue
+    var j1 = 0
+    while (j1 < cb1.length) {
+      val r = x - cb1(j1)
+      var j2 = 0
+      while (j2 < cb2.length) {
+        val d = math.abs(r - cb2(j2))
+        if (d < bestD) { bestD = d; best1 = j1; best2 = j2 }
+        j2 += 1
+      }
+      j1 += 1
+    }
+    new GenericArrayData(Array(best1, best2))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Per-query quantized fast-scan LUT over (L AQ columns + 2 norm
   * columns); struct(lutq, a, b) exactly like [[Pq4QuantLut]]. */
 case class Rq4FsQuantLut(child: Expression,

@@ -318,7 +318,8 @@ object IndexFactory {
   // RQ/LSQ<L>x<nb>_N<norm>: additive quantizer with an explicit
   // stored-norm search type (aq_norm_pattern, index_factory.cpp:160;
   // Search_type_t, AdditiveQuantizer.h:58-67)
-  private val AqNorm = "(RQ|LSQ)(\\d+)x(\\d+)_N(float|qint8|qint4|cqint8|cqint4)".r
+  private val AqNorm =
+    "(RQ|LSQ)(\\d+)x(\\d+)_N(float|qint8|qint4|cqint8|cqint4|rq2x4|lsq2x4|none)".r
   // PQ token with the reference's `np` suffix (skip polysemous
   // training, index_factory.cpp:315): our builds never train the
   // permutation eagerly (Polysemous.optimize runs on demand for the
@@ -437,22 +438,28 @@ object IndexFactory {
   /** Flat additive quantizer with an explicit stored-norm search type
     * (`RQ/LSQ<L>x<nb>_N<norm>`): the ST_norm_* LUT scan
     * d = ||q||² − 2·<q,x̂> + norm(x̂), with the norm term exact
-    * (float) or quantized (qint/cqint — [[RqNorms]] codecs). */
+    * (float), quantized (qint/cqint/rq2x4/lsq2x4 — [[RqNorms]]
+    * codecs), or absent (`_Nnone` = ST_LUT_nonorm,
+    * AdditiveQuantizer.h:60 — the inner-product-only LUT mode:
+    * similarity = <q,x̂> ranked DESCENDING, no norm stored or read). */
   private final class RqLutBuilt(model: RqModel, codes: DataFrame,
-      chain: VecTransform) extends Built {
+      chain: VecTransform, nonorm: Boolean = false) extends Built {
     /** Release the cached codes+norms table. */
     private[IndexFactory] def close0(): Unit = codes.unpersist(blocking = false)
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
-      val qq = q.withColumn(qvec, chain.applyCol(col(qvec)))
-        .select(col(qid), model.lutCol(col(qvec)).as("_lut"),
+      val qq0 = q.withColumn(qvec, chain.applyCol(col(qvec)))
+      val qq =
+        if (nonorm) qq0.select(col(qid), model.lutCol(col(qvec)).as("_lut"))
+        else qq0.select(col(qid), model.lutCol(col(qvec)).as("_lut"),
           aggregate(col(qvec).cast("array<double>"), lit(0.0),
             (a, x) => a + x * x).as("_qn"))
+      val ip = model.ipFromLutCol(col("codes"), col("_lut"))
+      val d = if (nonorm) ip
+        else col("_qn") - lit(2.0) * ip + col("nq")
       codes.crossJoin(broadcast(qq))
-        .select(col(qid), col("id"),
-          (col("_qn") - lit(2.0) * model.ipFromLutCol(col("codes"), col("_lut"))
-            + col("nq")).as("_d"))
+        .select(col(qid), col("id"), d.as("_d"))
         .groupBy(col(qid))
-        .agg(graft.functions.topk(col("_d"), col("id"), k, asc = true).as("_tk"))
+        .agg(graft.functions.topk(col("_d"), col("id"), k, asc = !nonorm).as("_tk"))
         .select(col(qid), posexplode(col("_tk")).as(Seq("_pos", "_r")))
         .select(col(qid), (col("_pos") + 1).cast("long").as("rank"),
           col("_r.id").as("id"), col("_r.dist").as("dist"))
@@ -1044,17 +1051,31 @@ object IndexFactory {
             model.decodeCol(col("codes")).cast("array<double>"),
             lit(0.0), (a, x) => a + x * x))
           .cache()
-        val nq: Column = st match {
-          case "float" => col("normsq")
-          case "qint8" | "qint4" =>
-            val (nmin, nmax) = RqNorms.range(codes0, "normsq")
-            RqNorms.qintDecode(col("normsq"),
-              if (st == "qint8") 256 else 16, nmin, nmax)
-          case "cqint8" | "cqint4" =>
-            RqNorms.cqDecode(col("normsq"), RqNorms.cqCentroids(codes0,
-              "normsq", if (st == "cqint8") 256 else 16))
+        if (st == "none")
+          // ST_LUT_nonorm: the norm is never stored; IP-ranked scan
+          new RqLutBuilt(model, codes0.drop("normsq"), chain, nonorm = true)
+        else {
+          val nq: Column = st match {
+            case "float" => col("normsq")
+            case "qint8" | "qint4" =>
+              val (nmin, nmax) = RqNorms.range(codes0, "normsq")
+              RqNorms.qintDecode(col("normsq"),
+                if (st == "qint8") 256 else 16, nmin, nmax)
+            case "cqint8" | "cqint4" =>
+              RqNorms.cqDecode(col("normsq"), RqNorms.cqCentroids(codes0,
+                "normsq", if (st == "cqint8") 256 else 16))
+            case "rq2x4" =>
+              // ST_norm_rq2x4 on the FLAT AQ route (the 4fs family
+              // carries its packed-LUT twin): greedy 2-level assign
+              val cb = RqNorms.norm2Codebooks(codes0, "normsq", seed)
+              RqNorms.norm2Decode(RqNorms.rq2EncodeCol(col("normsq"), cb), cb)
+            case "lsq2x4" =>
+              // ST_norm_lsq2x4: LSQ-refined codebooks + exact joint assign
+              val cb = RqNorms.norm2Codebooks(codes0, "normsq", seed, lsqIters = 3)
+              RqNorms.norm2Decode(RqNorms.lsq2EncodeCol(col("normsq"), cb), cb)
+          }
+          new RqLutBuilt(model, codes0.withColumn("nq", nq), chain)
         }
-        new RqLutBuilt(model, codes0.withColumn("nq", nq), chain)
       case Lsh(nbits) :: Nil =>
         val dd = data.select(size(col("vec"))).first().getInt(0)
         require(nbits.toInt <= dd, s"LSH$nbits > d=$dd")

@@ -114,4 +114,100 @@ object RqNorms {
     val difs = transform(arr, c => abs(c - normCol))
     element_at(arr, array_position(difs, array_min(difs)).cast("int"))
   }
+
+  /** Two-level 1-D norm codebooks (ST_norm_rq2x4 / ST_norm_lsq2x4,
+    * AdditiveQuantizer.h:63-64): level 1 = exact-DP 1-D k-means over
+    * the stored norms, level 2 = the same over the greedy level-1
+    * residuals — the rq2x4 trainer ([[Rq4FastScanIndex.build]] uses
+    * the identical recipe inline). `lsqIters > 0` then refines both
+    * codebooks LSQ-style (LocalSearchQuantizer::train's alternation,
+    * impl/LocalSearchQuantizer.cpp:180-230): re-encode by the EXACT
+    * joint 256-pair argmin (the 1-D fixed point of icm_encode — see
+    * [[graft.core.ScalarLsq2Encode]]) and update each level's entry
+    * to the mean of (norm − other level's decode) over its assigned
+    * rows. Trained on a bounded deterministic subsample (the
+    * max_points_per_centroid convention), so the refine loop is
+    * driver-side over ≤4096 doubles — never data-sized. Codebooks are
+    * padded to 16 entries (duplicate entries are argmin-neutral) so
+    * engine and oracle sidecars share a fixed stride. */
+  def norm2Codebooks(df: DataFrame, normCol: String, seed: Long = 1234L,
+      lsqIters: Int = 0): Array[Array[Double]] = {
+    val sample = df.select(col(normCol).cast("double").as("_n"))
+      .filter(col("_n").isNotNull)
+      .withColumn("_h", xxhash64(col("_n"), lit(seed)))
+      .orderBy(col("_h")).limit(4096)
+      .select("_n").collect().map(_.getDouble(0))
+    require(sample.nonEmpty, "no norms to train the 2x4 codec on")
+    def km1d(xs: Array[Double]): Array[Double] =
+      graft.cluster.KMeans1D.fitHistogram(
+        xs.groupBy(identity).toArray.map { case (v, g) => (v, g.length.toLong) }
+          .sortBy(_._1), 16).centroids
+    def nearest(cb: Array[Double], x: Double): Int = {
+      var best = 0; var bd = Double.MaxValue; var j = 0
+      while (j < cb.length) {
+        val d = math.abs(x - cb(j)); if (d < bd) { bd = d; best = j }; j += 1
+      }
+      best
+    }
+    val l1 = km1d(sample)
+    var cb1 = l1
+    var cb2 = km1d(sample.map(x => x - l1(nearest(l1, x))))
+    var it = 0
+    while (it < lsqIters) {
+      // exact joint encode of the sample, then per-level conditional
+      // mean update (the LSQ alternation)
+      val enc = sample.map { x =>
+        var b1 = 0; var b2 = 0; var bd = Double.MaxValue
+        var j1 = 0
+        while (j1 < cb1.length) {
+          val r = x - cb1(j1); var j2 = 0
+          while (j2 < cb2.length) {
+            val d = math.abs(r - cb2(j2))
+            if (d < bd) { bd = d; b1 = j1; b2 = j2 }
+            j2 += 1
+          }
+          j1 += 1
+        }
+        (b1, b2)
+      }
+      def update(level: Int, cb: Array[Double], other: Array[Double]): Array[Double] = {
+        val next = cb.clone()
+        val sums = new Array[Double](cb.length)
+        val cnts = new Array[Long](cb.length)
+        var i = 0
+        while (i < sample.length) {
+          val (a, b) = enc(i)
+          val (mine, theirs) = if (level == 0) (a, b) else (b, a)
+          sums(mine) += sample(i) - other(theirs)
+          cnts(mine) += 1
+          i += 1
+        }
+        var j = 0
+        while (j < cb.length) {
+          if (cnts(j) > 0) next(j) = sums(j) / cnts(j); j += 1
+        }
+        next
+      }
+      val n1 = update(0, cb1, cb2)
+      val n2 = update(1, cb2, n1)
+      cb1 = n1; cb2 = n2
+      it += 1
+    }
+    def pad16(a: Array[Double]) =
+      if (a.length >= 16) a else a ++ Array.fill(16 - a.length)(a.last)
+    Array(pad16(cb1), pad16(cb2))
+  }
+
+  /** decode(codes) = cb1[j1] + cb2[j2] over a codes array column. */
+  def norm2Decode(codesCol: Column, cb: Array[Array[Double]]): Column =
+    element_at(array(cb(0).map(lit): _*), element_at(codesCol, 1) + 1) +
+      element_at(array(cb(1).map(lit): _*), element_at(codesCol, 2) + 1)
+
+  /** Greedy 2-level encode column (ST_norm_rq2x4's assign). */
+  def rq2EncodeCol(normCol: Column, cb: Array[Array[Double]]): Column =
+    shim.col(graft.core.ScalarRq2Encode(shim.expr(normCol), cb))
+
+  /** Exact-joint 2-level encode column (ST_norm_lsq2x4's assign). */
+  def lsq2EncodeCol(normCol: Column, cb: Array[Array[Double]]): Column =
+    shim.col(graft.core.ScalarLsq2Encode(shim.expr(normCol), cb))
 }

@@ -167,10 +167,28 @@ class IoFactorySpec extends SparkTestBase {
     val pqr = IndexFactory.build(b, "id", "vec", "IVF4,PQ4+8", niter = 2)
     assert(pqr.search(q, 5, nprobe = 4).count() == q.count() * 5)
     assert(IndexFactory.codeSize("IVF4,PQ4+8", 64) == 12)
-    // AQ stored-norm search types (aq_norm_pattern)
-    for (tok <- Seq("RQ2x4_Nfloat", "RQ2x4_Nqint8", "LSQ2x4_Ncqint4")) {
+    // AQ stored-norm search types (aq_norm_pattern) — now ALL eight
+    // spellings of AdditiveQuantizer.h:58-67
+    for (tok <- Seq("RQ2x4_Nfloat", "RQ2x4_Nqint8", "LSQ2x4_Ncqint4",
+        "RQ2x4_Nrq2x4", "RQ2x4_Nlsq2x4", "LSQ2x4_Nlsq2x4", "RQ2x4_Nnone")) {
       val f = IndexFactory.build(b, "id", "vec", tok, niter = 2)
       assert(f.search(q, 5).count() == q.count() * 5, tok)
+    }
+    // _Nnone is the IP-only LUT mode (ST_LUT_nonorm): its ranking must
+    // equal the exact inner-product ranking over the DECODED vectors
+    // (<q, x̂> distributes over the codeword sum — no approximation)
+    locally {
+      val rq = graft.index.Rq.train(b.select(col("vec")), "vec", 2, 16,
+        niter = 2, seed = 1234L, beam = 2)
+      val dec = b.select(col("id"),
+        rq.decodeCol(rq.encodeCol(col("vec"), 2, 1)).as("vec"))
+      val want = graft.knn.Knn.knnJoin(q, dec, 5, metric = "ip")
+        .select("qid", "rank", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val got = IndexFactory.build(b, "id", "vec", "RQ2x4_Nnone", niter = 2)
+        .search(q, 5).select("qid", "rank", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, "_Nnone must rank by exact <q, decode(codes)>")
     }
     // _Nfloat must rank exactly like the ST_norm_float LUT identity
     // d = ||q||^2 - 2<q,x> + ||x||^2 = L2 to the decoded vector
