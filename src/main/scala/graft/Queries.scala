@@ -126,6 +126,31 @@ object Queries {
       graft.index.IndexFactory.build(bDf(s, dir, 10), "id", "vec",
         "IVF16(PQ8x8),Flat", niter = 4)
     }
+  /** Probe dump of the (nprobe × quantizer_efSearch) autotune grid:
+    * (ef, qid, list_no, pr) at npMax = 8 per walk budget over the
+    * ivfpq8 index. Graph walks are not SQL-replayable, so the oracle
+    * takes these probe SETS as given and re-derives everything
+    * downstream (assignment, codes, LUTs, ADC, recall, fractions,
+    * Pareto) independently. Deterministic: the walk runs over the
+    * memoized index's per-executor graph cache, seeded. */
+  private def hnswTuneProbes(s: SparkSession, dir: String): DataFrame =
+    cached(s"hnswtuneprobes:$dir") {
+      val idx = ivfpq8(s, dir)
+      Seq(2, 4, 1024).map { ef =>
+        idx.sweepCandidates(qDf(s, dir, 10), 8,
+          coarse = Some(graft.index.Probes.HnswCoarse(ef)))
+          .select(lit(ef).as("ef"), col("qid"), col("list_no"), col("pr"))
+          .distinct()
+      }.reduce(_ unionByName _)
+    }
+  /** `IVF16(SQ8),Flat` — the SQ-quantizer paren coarse: assignment
+    * and probe selection rank by exact L2 to the SQ-DECODED centroid
+    * table (the asymmetric-distance identity, core/CoarseSq). */
+  private def parenSq16(s: SparkSession, dir: String): graft.index.IndexFactory.Built =
+    cached(s"parensq:$dir") {
+      graft.index.IndexFactory.build(bDf(s, dir, 10), "id", "vec",
+        "IVF16(SQ8),Flat", niter = 4)
+    }
   /** `IVF16(PQ8x8),PQ8` — the lossy-quantizer composition: residuals
     * subtract the quantizer's DECODED reconstruction, and adds assign
     * through it (= exact argmin over the decoded table). Built through
@@ -469,6 +494,17 @@ object Queries {
     val (ppCents, ppCb) = parenPqModel(s, dir)
     OracleAux.write(dir, "parenpq_centroids", OracleAux.centroidsDf(s, ppCents))
     OracleAux.write(dir, "parenpq_codebooks", OracleAux.codebooksDf(s, ppCb))
+    // RAW centroids under the SQ paren coarse (the oracle re-derives
+    // the range + decode grid from these): the same deterministic
+    // KMeans call the IVF16(SQ8) factory route runs internally —
+    // the parenPqPq16 twin-call convention
+    OracleAux.write(dir, "parensq_centroids",
+      OracleAux.centroidsDf(s, cached(s"parensqcents:$dir") {
+        graft.cluster.KMeans.fit(bDf(s, dir, 10), "vec",
+          graft.cluster.KMeans.Params(k = 16, niter = 4, seed = 1234L))
+          .centroids
+      }))
+    OracleAux.write(dir, "hnswtune_probes", hnswTuneProbes(s, dir))
     OracleAux.write(dir, "ivfbig_centroids",
       OracleAux.centroidsDf(s, ivfBig(s, dir).centroids))
     OracleAux.write(dir, "ondisk_centroids",
@@ -1868,6 +1904,45 @@ object Queries {
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
               |WHERE "rank" <= 10""".stripMargin)),
 
+    // IVF16(SQ8),Flat — the SQ-quantizer paren coarse
+    // (index_factory.cpp:719: ANY factory string inside the parens
+    // becomes the quantizer): an IndexScalarQuantizer assigns by
+    // asymmetric distance query→decode(code), which is the exact L2
+    // to the SQ-decoded centroid, so BOTH add-time assignment and
+    // probe selection rank over the decoded table. The oracle replays
+    // the whole chain from the RAW centroid sidecar: per-dim min/max
+    // range over the centroid training set (train_q1 trains the
+    // quantizer on the cluster centers), the SQ8 encode/decode grid
+    // (float32-rounded like the engine's decoded table), then the
+    // decoded-table IVF search.
+    ("ivf_paren_sq_search", (s: SparkSession, dir: String) =>
+      parenSq16(s, dir).search(qDf(s, dir, 10), 10, nprobe = 4)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/parensq_centroids/*.parquet')),
+              |dims AS (SELECT list(mn ORDER BY i) AS vmn, list(mx - mn ORDER BY i) AS vd FROM (
+              |  SELECT i, min(e) AS mn, max(e) AS mx
+              |  FROM (SELECT unnest(c::DOUBLE[]) AS e, generate_subscripts(c, 1) AS i FROM cent) u GROUP BY i) t),
+              |dec AS (SELECT list_no,
+              |  list_transform(c::DOUBLE[], (x, i) ->
+              |    vmn[i] + (floor(255 * (CASE WHEN vd[i] = 0 THEN 0
+              |      ELSE least(greatest((x - vmn[i]) / vd[i], 0), 1) END)) + 0.5) / 255 * vd[i])::REAL[] AS dc
+              |  FROM cent, dims),
+              |qc AS (SELECT q.vec_id AS qid, dd.list_no, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], dd.dc::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), dd.list_no) AS pr
+              |  FROM embeddings q CROSS JOIN dec dd WHERE q.vec_id < 10),
+              |probes AS (SELECT qid, list_no FROM qc WHERE pr <= 4),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, dd.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], dd.dc::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), dd.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN dec dd WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |d AS (SELECT p.qid, a.id,
+              |    list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2 AS dist
+              |  FROM probes p JOIN basg a ON a.list_no = p.list_no
+              |  JOIN embeddings q ON q.vec_id = p.qid JOIN embeddings b ON b.vec_id = a.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 10""".stripMargin)),
+
     // IndexShards as an explicit API (faiss/IndexShards.h:27): two
     // IVF indexes built over DISJOINT halves of the corpus, searched
     // as one logical index — every shard searched, candidate streams
@@ -2477,6 +2552,51 @@ object Queries {
              |i AS (SELECT t.qid, count(*) AS c FROM t JOIN a ON t.qid = a.qid AND t.id = a.id GROUP BY t.qid)
              |SELECT q.qid, coalesce(c, 0)::BIGINT AS n_intersect, round(coalesce(c, 0)/10.0, 4) AS recall
              |FROM (SELECT DISTINCT qid FROM t) q LEFT JOIN i ON q.qid = i.qid""".stripMargin)),
+
+    // §2.12 range_PR (contrib/evaluation.py:38-130): precision/recall
+    // of a range-search result vs the exact radius scan, distances
+    // ignored — here the half-dim scan plays the approximate side, so
+    // both spurious results (precision < 1) and misses (recall < 1)
+    // occur. Both reference modes: 'overall' pools the counts,
+    // 'average' applies the per-query empty-set conventions then
+    // averages. Oracle replays the set arithmetic per query in SQL.
+    ("range_pr", (s: SparkSession, dir: String) => {
+      val qs = qDf(s, dir, 10)
+      val truth = Knn.rangeJoin(qs, bDf(s, dir, 10), 1.5)
+      val approx = Knn.rangeJoin(
+        qs.withColumn("qvec", slice(col("qvec"), 1, 32)),
+        bDf(s, dir, 10).withColumn("vec", slice(col("vec"), 1, 32)), 1.5)
+      val c = graft.eval.Recall.rangePRCounts(truth, approx, qs)
+      graft.eval.Recall.rangePR(c, "overall").withColumn("mode", lit("overall"))
+        .unionByName(
+          graft.eval.Recall.rangePR(c, "average").withColumn("mode", lit("average")))
+        .select(col("mode"), round(col("precision"), 4).as("precision"),
+          round(col("recall"), 4).as("recall"))
+    },
+      Some(s"""WITH qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10),
+              |gt AS (SELECT q.vec_id AS qid, b.vec_id AS id
+              |  FROM embeddings q CROSS JOIN embeddings b
+              |  WHERE q.vec_id < 10 AND b.vec_id >= 10 AND $dL2 < 1.5),
+              |ap AS (SELECT q.vec_id AS qid, b.vec_id AS id
+              |  FROM embeddings q CROSS JOIN embeddings b
+              |  WHERE q.vec_id < 10 AND b.vec_id >= 10
+              |    AND list_distance(q.embedding[1:32]::DOUBLE[], b.embedding[1:32]::DOUBLE[])^2 < 1.5),
+              |c AS (SELECT qs.qid,
+              |    coalesce(g.c, 0) AS ngt, coalesce(a.c, 0) AS nres, coalesce(i.c, 0) AS ninter
+              |  FROM qs
+              |  LEFT JOIN (SELECT qid, count(*) AS c FROM gt GROUP BY qid) g USING (qid)
+              |  LEFT JOIN (SELECT qid, count(*) AS c FROM ap GROUP BY qid) a USING (qid)
+              |  LEFT JOIN (SELECT gt.qid, count(*) AS c FROM gt JOIN ap ON ap.qid = gt.qid AND ap.id = gt.id GROUP BY gt.qid) i USING (qid))
+              |SELECT 'overall' AS "mode",
+              |  round(CASE WHEN sum(nres) > 0 THEN sum(ninter)*1.0/sum(nres) ELSE 1.0 END, 4) AS "precision",
+              |  round(CASE WHEN sum(ngt) > 0 THEN sum(ninter)*1.0/sum(ngt)
+              |             WHEN sum(nres) = 0 THEN 1.0 ELSE 0.0 END, 4) AS recall
+              |FROM c
+              |UNION ALL
+              |SELECT 'average' AS "mode",
+              |  round(avg(CASE WHEN nres > 0 THEN ninter*1.0/nres ELSE 1.0 END), 4) AS "precision",
+              |  round(avg(CASE WHEN ngt > 0 THEN ninter*1.0/ngt WHEN nres = 0 THEN 1.0 ELSE 0.0 END), 4) AS recall
+              |FROM c""".stripMargin)),
 
     // §2.6 range_search_max_results: radius search with a global cap
     ("range_maxres", (s: SparkSession, dir: String) =>
@@ -4977,6 +5097,86 @@ object Queries {
               |  LEFT JOIN scanned s USING (np, ht, mc))
               |SELECT np AS nprobe, ht, mc AS max_codes,
               |  round(recall, 3) AS recall, round(f, 3) AS scanned_frac
+              |FROM pts p
+              |WHERE NOT EXISTS (SELECT 1 FROM pts q
+              |  WHERE (q.recall > p.recall AND q.f <= p.f)
+              |     OR (q.recall >= p.recall AND q.f < p.f))""".stripMargin)),
+
+    // ParameterSpace over the HNSW-coarse composition (AutoTune.cpp:
+    // 370 adds nprobe plus the quantizer's own space under the
+    // `quantizer_` prefix; :403 adds efSearch for an HNSW quantizer):
+    // the (nprobe × quantizer_efSearch) grid on IVF8_HNSW,PQ8,
+    // Pareto-filtered on (recall, scanned fraction). Graph walks are
+    // not SQL-replayable, so the engine dumps its probe SETS per walk
+    // budget (hnswtune_probes sidecar) and the oracle independently
+    // re-derives everything downstream: exact base assignment, PQ
+    // codes, residual LUTs, ADC ranking, recall vs the exact truth,
+    // scan fractions, and the Pareto dominance filter.
+    ("autotune_pareto_hnsw_coarse", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val pts = graft.tune.AutoTune.exploreQuantizerEf(
+        ivfpq8(s, dir), qDf(s, dir, 10), bDf(s, dir, 10), 5,
+        nprobes = Seq(2, 4, 8), efs = Seq(2, 4, 1024))
+      graft.tune.AutoTune.paretoFrontQef(pts)
+        .map(p => (p.nprobe, p.quantizerEf,
+          math.rint(p.recall * 1000) / 1000,
+          math.rint(p.scannedFrac * 1000) / 1000))
+        .toDF("nprobe", "quantizer_ef", "recall", "scanned_frac")
+    },
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfpq_centroids/*.parquet')),
+              |cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/ivfpq_codebooks/*.parquet')),
+              |prb AS (SELECT ef, qid, list_no, pr FROM read_parquet('$AUX/hnswtune_probes/*.parquet')),
+              |grid AS (SELECT e.ef, n.np FROM (SELECT DISTINCT ef FROM prb) e
+              |  CROSS JOIN (SELECT unnest([2, 4, 8]) AS np) n),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |lsz AS (SELECT list_no, count(*)::DOUBLE AS sz FROM basg GROUP BY list_no),
+              |tot AS (SELECT sum(sz) AS t FROM lsz),
+              |bres AS (SELECT a.id, a.list_no,
+              |    list_transform(list_zip(b.embedding, c.c), p -> p[1] - p[2]) AS res
+              |  FROM basg a JOIN embeddings b ON b.vec_id = a.id JOIN cent c ON c.list_no = a.list_no),
+              |bsub AS (SELECT id, list_no, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM bres, range(0,8) r(m)),
+              |enc AS (SELECT id, list_no, m, j FROM (
+              |  SELECT b.id, b.list_no, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
+              |ql AS (SELECT DISTINCT qid, list_no FROM prb),
+              |qres AS (SELECT ql.qid, ql.list_no,
+              |    list_transform(list_zip(q.embedding, c.c), p -> p[1] - p[2]) AS res
+              |  FROM ql JOIN embeddings q ON q.vec_id = ql.qid JOIN cent c ON c.list_no = ql.list_no),
+              |qsub AS (SELECT qid, list_no, r.m AS m, res[r.m*8+1:r.m*8+8]::DOUBLE[] AS sv
+              |         FROM qres, range(0,8) r(m)),
+              |lut AS (SELECT q.qid, q.list_no, q.m, cb.j,
+              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
+              |  FROM qsub q JOIN cb ON cb.m = q.m),
+              |adc AS (SELECT l.qid, e.list_no, e.id, list_aggregate(list(l.pd ORDER BY l.m), 'sum') AS dist
+              |  FROM enc e JOIN lut l ON l.list_no = e.list_no AND l.m = e.m AND l.j = e.j
+              |  GROUP BY l.qid, e.list_no, e.id),
+              |approx AS (SELECT ef, np, qid, id FROM (
+              |  SELECT g.ef, g.np, a.qid, a.id,
+              |    row_number() OVER (PARTITION BY g.ef, g.np, a.qid ORDER BY a.dist, a.id) AS rk
+              |  FROM grid g JOIN prb p ON p.ef = g.ef AND p.pr < g.np
+              |  JOIN adc a ON a.qid = p.qid AND a.list_no = p.list_no) t WHERE rk <= 5),
+              |truth AS (SELECT qid, id FROM (
+              |  SELECT q.vec_id AS qid, b.vec_id AS id, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |    list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2, b.vec_id) AS rk
+              |  FROM embeddings q CROSS JOIN embeddings b
+              |  WHERE q.vec_id < 10 AND b.vec_id >= 10) t WHERE rk <= 5),
+              |allq AS (SELECT g.ef, g.np, q.vec_id AS qid FROM grid g CROSS JOIN embeddings q WHERE q.vec_id < 10),
+              |inter AS (SELECT a.ef, a.np, a.qid, count(*)::DOUBLE AS i
+              |  FROM approx a JOIN truth t ON t.qid = a.qid AND t.id = a.id
+              |  GROUP BY a.ef, a.np, a.qid),
+              |rec AS (SELECT ef, np, avg(coalesce(i, 0) / 5.0) AS recall
+              |  FROM allq LEFT JOIN inter USING (ef, np, qid) GROUP BY ef, np),
+              |pl AS (SELECT DISTINCT g.ef, g.np, p.list_no
+              |  FROM grid g JOIN prb p ON p.ef = g.ef AND p.pr < g.np),
+              |frac AS (SELECT ef, np, sum(l.sz) / (SELECT t FROM tot) AS f
+              |  FROM pl JOIN lsz l USING (list_no) GROUP BY ef, np),
+              |pts AS (SELECT r.ef, r.np, r.recall, f.f FROM rec r JOIN frac f USING (ef, np))
+              |SELECT np AS nprobe, ef AS quantizer_ef, round(recall, 3) AS recall, round(f, 3) AS scanned_frac
               |FROM pts p
               |WHERE NOT EXISTS (SELECT 1 FROM pts q
               |  WHERE (q.recall > p.recall AND q.f <= p.f)

@@ -102,9 +102,13 @@ object CoarsePq {
       java.util.Arrays.copyOfRange(vecs(order(j)), off, off + dsub)
     }
     val assign = new Array[Int](n)
+    // the dominant cost at large nlist: O(n·ksub·dsub) per round —
+    // rows are independent, so stripe them over the common pool
+    // (deterministic: each row's write is its own argmin; the update
+    // accumulation below stays sequential, so centroids are
+    // bit-reproducible run to run)
     def assignAll(): Unit = {
-      var r = 0
-      while (r < n) {
+      java.util.stream.IntStream.range(0, n).parallel().forEach { r =>
         var best = 0; var bestD = Double.MaxValue
         var j = 0
         while (j < ksub) {
@@ -117,7 +121,6 @@ object CoarsePq {
           j += 1
         }
         assign(r) = best
-        r += 1
       }
     }
     var it = 0
@@ -169,6 +172,68 @@ object CoarsePq {
       mi += 1
     }
     (codebooks, codes)
+  }
+}
+
+/** Driver-side scalar quantizer over an index's CENTROID table — the
+  * `IVF<n>(SQ<w>)` paren coarse (index_factory.cpp:719 accepts any
+  * factory string as the sub-index; an IndexScalarQuantizer quantizer
+  * assigns by ASYMMETRIC distance query → decode(code)). By the same
+  * exact-L2-to-the-decode identity [[CoarsePq]] uses, the composition
+  * is an IVF over the SQ-DECODED centroid table: the quantizer trains
+  * on the centroid set (IndexIVF's train_q1 trains the quantizer on
+  * the cluster centers), so the range stats are the per-dimension
+  * min/max OVER THE CENTROIDS, and the codec arithmetic is
+  * byte-for-byte the engine's Sq/Fp16 kernels. Memoized per centroid
+  * identity like [[CoarsePq.model]]. */
+object CoarseSq {
+
+  private val cache =
+    new java.util.WeakHashMap[Array[Array[Float]], Map[String, Array[Array[Float]]]]()
+
+  def decodedCentroids(centroids: Array[Array[Float]],
+      qtype: String): Array[Array[Float]] = cache.synchronized {
+    val inner = Option(cache.get(centroids)).getOrElse(Map.empty)
+    inner.get(qtype) match {
+      case Some(dec) => dec
+      case None =>
+        val dec = decodeAll(centroids, qtype)
+        cache.put(centroids, inner + (qtype -> dec))
+        dec
+    }
+  }
+
+  private def decodeAll(centroids: Array[Array[Float]],
+      qtype: String): Array[Array[Float]] = {
+    require(centroids.nonEmpty, "empty centroid table")
+    val d = centroids(0).length
+    if (qtype == "fp16")
+      return centroids.map(c => Fp16Kernels.decode(
+        Fp16Kernels.encode(new GenericArrayData(c))))
+    // RS_minmax over the centroid training set (the trainRange
+    // convention of SqIndex at rs = 0)
+    val mins = Array.fill(d)(Double.MaxValue)
+    val maxs = Array.fill(d)(Double.MinValue)
+    centroids.foreach { c =>
+      var i = 0
+      while (i < d) {
+        val x = c(i).toDouble
+        if (x < mins(i)) mins(i) = x
+        if (x > maxs(i)) maxs(i) = x
+        i += 1
+      }
+    }
+    val vdiff = Array.tabulate(d)(i => maxs(i) - mins(i))
+    centroids.map { c =>
+      val a = new GenericArrayData(c)
+      val dec = qtype match {
+        case "SQ8" => SqKernels.decode(SqKernels.encode(a, mins, vdiff), mins, vdiff)
+        case "SQ4" => Sq4Kernels.decode(Sq4Kernels.encode(a, mins, vdiff), mins, vdiff)
+        case "SQ6" => Sq6Kernels.decode(Sq6Kernels.encode(a, mins, vdiff), mins, vdiff)
+        case other => throw new IllegalArgumentException(s"unknown SQ type $other")
+      }
+      dec.map(_.toFloat)
+    }
   }
 }
 

@@ -51,6 +51,22 @@ object IndexFactory {
       * index is unusable afterwards only in the sense that searches
       * recompute what was cached. */
     def close(): Unit = { onClose.foreach(f => f()); onClose = Nil }
+    /** Factory string derived from the wrapper's LIVE STRUCTURE alone
+      * (the reverse_index_factory downcast walk,
+      * contrib/factory_tools.py:76) — None when structure alone does
+      * not determine a spelling. A transform chain is such a case: a
+      * Linear matrix does not say whether it was PCA32 or RR32, so
+      * chain-prefixed wrappers reverse through the stored
+      * description instead. */
+    private[index] def structuralDesc: Option[String] = None
+  }
+
+  /** True when the wrapper carries no transform prefix — the only
+    * regime where a wrapper's own fields fully determine its factory
+    * string. */
+  private def noChain(t: VecTransform): Boolean = t match {
+    case graft.transform.Chain(ts) => ts.isEmpty
+    case _ => false
   }
 
   /** Split a factory description on commas NOT inside parentheses —
@@ -576,6 +592,8 @@ object IndexFactory {
     * index_factory.cpp HNSW grammar; search via PartitionedHnsw). */
   private final class HnswBuilt(base: DataFrame, chain: VecTransform, m: Int)
       extends Built {
+    override private[index] def structuralDesc: Option[String] =
+      if (noChain(chain)) Some(s"HNSW$m,Flat") else None
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       graft.knn.PartitionedHnsw.knnJoin(
         q.withColumn(qvec, chain.applyCol(col(qvec))), base, k,
@@ -585,6 +603,8 @@ object IndexFactory {
     * IndexHNSWSQ, faiss/IndexHNSW.h:168). */
   private final class HnswSqBuilt(base: DataFrame, chain: VecTransform, m: Int)
       extends Built {
+    override private[index] def structuralDesc: Option[String] =
+      if (noChain(chain)) Some(s"HNSW$m,SQ8") else None
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       graft.knn.PartitionedHnsw.knnJoinSq(
         q.withColumn(qvec, chain.applyCol(col(qvec))), base, k,
@@ -594,6 +614,8 @@ object IndexFactory {
     * IndexHNSWPQ, faiss/IndexHNSW.h:152). */
   private final class HnswPqBuilt(base: DataFrame, chain: VecTransform,
       m: Int, model: graft.index.PqModel) extends Built {
+    override private[index] def structuralDesc: Option[String] =
+      if (noChain(chain)) Some(s"HNSW$m,PQ${model.m}x${model.ksub}") else None
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       graft.knn.PartitionedHnsw.knnJoinPq(
         q.withColumn(qvec, chain.applyCol(col(qvec))), base, k, model,
@@ -602,6 +624,8 @@ object IndexFactory {
   /** Per-partition NSG shards over Flat storage (NSG<R>[,Flat]). */
   private final class NsgBuilt(base: DataFrame, chain: VecTransform, r: Int)
       extends Built {
+    override private[index] def structuralDesc: Option[String] =
+      if (noChain(chain)) Some(s"NSG$r,Flat") else None
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       graft.knn.PartitionedNsg.knnJoin(
         q.withColumn(qvec, chain.applyCol(col(qvec))), base, k,
@@ -611,6 +635,8 @@ object IndexFactory {
     * IndexNSGSQ, faiss/IndexNSG.h:91). */
   private final class NsgSqBuilt(base: DataFrame, chain: VecTransform, r: Int)
       extends Built {
+    override private[index] def structuralDesc: Option[String] =
+      if (noChain(chain)) Some(s"NSG$r,SQ8") else None
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       graft.knn.PartitionedNsg.knnJoinSq(
         q.withColumn(qvec, chain.applyCol(col(qvec))), base, k,
@@ -620,6 +646,8 @@ object IndexFactory {
     * IndexNSGPQ, faiss/IndexNSG.h:83). */
   private final class NsgPqBuilt(base: DataFrame, chain: VecTransform,
       r: Int, model: graft.index.PqModel) extends Built {
+    override private[index] def structuralDesc: Option[String] =
+      if (noChain(chain)) Some(s"NSG$r,PQ${model.m}x${model.ksub}") else None
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
       graft.knn.PartitionedNsg.knnJoinPq(
         q.withColumn(qvec, chain.applyCol(col(qvec))), base, k, model,
@@ -746,7 +774,13 @@ object IndexFactory {
     case i: ImiIndex =>
       s"IMI2x${Integer.numberOfTrailingZeros(i.ksub)},Flat"
     case i: BinaryIvfIndex => s"BIVF${i.nlist}"
-    case b: Built if b.description.nonEmpty => b.description
+    // graph-shard wrappers reverse from live structure (degree +
+    // storage-code fields — the downcast walk); chain-prefixed and
+    // composite wrappers carry their spelling in `description`
+    case b: Built =>
+      b.structuralDesc.orElse(Option(b.description).filter(_.nonEmpty))
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot derive a factory string for ${b.getClass.getSimpleName}"))
     case other => throw new IllegalArgumentException(
       s"cannot derive a factory string for ${other.getClass.getSimpleName}")
   }
@@ -932,6 +966,38 @@ object IndexFactory {
                 centroids0 = cdec), chain)
             case other => throw new IllegalArgumentException(
               s"IVF$nlist(PQ...) composes with Flat, PQ or SQ codes; " +
+              s"got '$other' in '$desc'")
+          }
+        // IVF<n>(SQ<w>),<code>: an IndexScalarQuantizer quantizer —
+        // it assigns by asymmetric distance query→decode(code), which
+        // IS the exact L2 to the SQ-decoded centroid, so the code
+        // indexes build over the decoded table (CoarseSq — the same
+        // decoded-table identity the PQ sub-index uses, with the SQ
+        // range trained on the centroid set per train_q1).
+        case sqsub @ ("SQ8" | "SQ4" | "SQ6" | "SQfp16") =>
+          lazy val cdec = {
+            val km = graft.cluster.KMeans.fit(data, "vec",
+              graft.cluster.KMeans.Params(k = nlist.toInt, niter = niter,
+                seed = seed))
+            graft.core.CoarseSq.decodedCentroids(km.centroids,
+              if (sqsub == "SQfp16") "fp16" else sqsub)
+          }
+          code match {
+            case "Flat" =>
+              new IvfBuilt(IvfIndex.build(data, "id", "vec", nlist.toInt,
+                niter = niter, seed = seed, centroids0 = cdec), chain)
+            case Pq(m2, ks2) =>
+              new IvfPqBuilt(IvfPqIndex.build(data, "id", "vec", nlist.toInt,
+                m2.toInt, Option(ks2).map(_.toInt).getOrElse(16),
+                niterCoarse = niter, niterPq = niter, seed = seed,
+                centroids0 = cdec), chain)
+            case sq2 @ ("SQ8" | "SQ4" | "SQ6" | "SQfp16") =>
+              new IvfSqBuilt(IvfSqIndex.build(data, "id", "vec", nlist.toInt,
+                niter = niter, seed = seed, byResidual = true,
+                qtype = if (sq2 == "SQfp16") "fp16" else sq2,
+                centroids0 = cdec), chain)
+            case other => throw new IllegalArgumentException(
+              s"IVF$nlist(SQ...) composes with Flat, PQ or SQ codes; " +
               s"got '$other' in '$desc'")
           }
         case other => throw new IllegalArgumentException(

@@ -314,13 +314,15 @@ class IvfPqIndex(
     * point; re-searching per point would rescan identical lists
     * |grid| times (the searchSweep argument, IvfIndex.scala:178). */
   def sweepCandidates(queries: DataFrame, npMax: Int,
-      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+      queryId: String = "qid", queryVec: String = "qvec",
+      coarse: Option[Probes.CoarseQuant] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val centDf = Probes.centroidsDf(spark, centroids)
     val probesPlan = queries.select(col(queryId), col(queryVec),
-      posexplode(shim.col(NearestCentroids(shim.expr(col(queryVec)), centroids,
-        math.min(npMax, nlist), "l2sq"))).as(Seq("_pr", "_p")))
+      posexplode(Probes.selExpr(col(queryVec), centroids,
+        math.min(npMax, nlist), "l2sq", coarse, graphCacheKey))
+        .as(Seq("_pr", "_p")))
       .select(col(queryId), col(queryVec), col("_pr").as("pr"),
         col("_p.list_no").as("list_no"))
       .join(broadcast(centDf), "list_no")

@@ -292,6 +292,70 @@ object AutoTune {
     } finally truth.unpersist()
   }
 
+  /** (nprobe, quantizer_efSearch) operating point over an IVF-PQ with
+    * the HNSW coarse quantizer — the exact pair the reference's
+    * ParameterSpace tunes on `IVF*_HNSW*` indexes (AutoTune.cpp:370
+    * adds nprobe plus the quantizer's own space under the
+    * `quantizer_` prefix; :403 adds efSearch to an HNSW space). */
+  case class OperatingPointQef(nprobe: Int, quantizerEf: Int,
+      recall: Double, scannedFrac: Double)
+
+  /** Grid explore of (nprobe × quantizer_efSearch) over an IVFPQ with
+    * the HNSW coarse. efSearch CHANGES the probe sets (a larger walk
+    * budget is not a superset — [[exploreEf]]'s argument), so each ef
+    * is its own pruned scan; the nprobe points at a fixed ef ARE
+    * prefixes of that walk's probe ranking, so they all derive from
+    * ONE scan at max(nprobes) via the probe-rank trick
+    * ([[graft.index.IvfIndex.searchSweep]]). Cost = union-over-queries
+    * scanned-code fraction (the [[explore]] convention). */
+  def exploreQuantizerEf(idx: graft.index.IvfPqIndex, queries: DataFrame,
+      base: DataFrame, k: Int, nprobes: Seq[Int],
+      efs: Seq[Int]): Seq[OperatingPointQef] = {
+    import org.apache.spark.sql.functions._
+    val sess = queries.sparkSession
+    import sess.implicits._
+    val truth = Knn.knnJoin(queries, base, k).cache()
+    val listSizes = idx.codes.groupBy("list_no").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = listSizes.values.sum.toDouble
+    val nq = queries.count().toDouble
+    try {
+      efs.flatMap { ef =>
+        val cand = idx.sweepCandidates(queries, nprobes.max,
+          coarse = Some(graft.index.Probes.HnswCoarse(ef))).cache()
+        try {
+          val nps = broadcast(nprobes.toDF("np"))
+          val inter = cand.join(nps, col("pr") < col("np"))
+            .groupBy(col("np"), col("qid"))
+            .agg(graft.functions.topk(col("dist"), col("id"), k, asc = true).as("_tk"))
+            .select(col("np"), col("qid"), explode(col("_tk")).as("_r"))
+            .select(col("np"), col("qid"), col("_r.id").as("id"))
+            .join(truth.select("qid", "id"), Seq("qid", "id"))
+            .groupBy("np").agg(count(lit(1)).as("_i"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          // list scanned at nprobe=np iff its min probe rank over the
+          // query set < np (probedListMinRank semantics)
+          val minRank = cand.groupBy("list_no").agg(min(col("pr")).as("_pr"))
+            .collect().map(r => (r.getInt(0), r.getInt(1)))
+          nprobes.map { np =>
+            val frac = minRank.collect { case (l, pr) if pr < np =>
+              listSizes.getOrElse(l, 0L) }.sum / total
+            // every query has exactly k truth rows, so hits/(nq·k) is
+            // the per-query mean recall (no-candidate queries count 0)
+            OperatingPointQef(np, ef, inter.getOrElse(np, 0L) / (nq * k), frac)
+          }
+        } finally cand.unpersist()
+      }
+    } finally truth.unpersist()
+  }
+
+  /** Pareto front on the (nprobe, quantizer_efSearch) points. */
+  def paretoFrontQef(points: Seq[OperatingPointQef]): Seq[OperatingPointQef] =
+    points.filter { p =>
+      !points.exists(q => (q.recall > p.recall && q.scannedFrac <= p.scannedFrac) ||
+        (q.recall >= p.recall && q.scannedFrac < p.scannedFrac))
+    }.sortBy(p => (p.scannedFrac, p.recall, p.nprobe, p.quantizerEf))
+
   /** ParameterSpace::set_index_parameters string grammar
     * (faiss/AutoTune.cpp:316 — `"param=val,param=val"`, the runtime
     * tuning surface every reference bench script drives): parsed into

@@ -292,6 +292,30 @@ class IvfSpec extends SparkTestBase {
       resultSet(directSq.search(q, 5, nprobe = 8)))
   }
 
+  test("IVF<n>(SQ<w>),<code>: SQ-quantizer coarse via the decoded-table identity") {
+    // index_factory.cpp:719 general paren sub-index: an
+    // IndexScalarQuantizer quantizer assigns by asymmetric distance
+    // query→decode(code) = exact L2 to the SQ-decoded centroid, so
+    // the factory route must equal a direct build over
+    // CoarseSq.decodedCentroids; at full nprobe the ranking is exact
+    // regardless of which lists vectors landed in.
+    val km = graft.cluster.KMeans.fit(b, "vec",
+      graft.cluster.KMeans.Params(k = 8, niter = 3, seed = 1234L))
+    val cdec = graft.core.CoarseSq.decodedCentroids(km.centroids, "SQ8")
+    val f = IndexFactory.build(b, "id", "vec", "IVF8(SQ8),Flat", niter = 3)
+    val direct = IvfIndex.build(b, "id", "vec", nlist = 8, centroids0 = cdec)
+    assert(resultSet(f.search(q, 5, nprobe = 1)) ==
+      resultSet(direct.search(q, 5, nprobe = 1)),
+      "factory route must assign and probe through the decoded table")
+    // full-probe exactness + the other code compositions build+search
+    val exact = resultSet(Knn.knnJoin(q, b, 5))
+    assert(resultSet(f.search(q, 5, nprobe = 8)) == exact)
+    for (tok <- Seq("IVF8(SQ4),PQ8", "IVF8(SQfp16),SQ8", "IVF8(SQ6),Flat")) {
+      val g = IndexFactory.build(b, "id", "vec", tok, niter = 3)
+      assert(g.search(q, 5, nprobe = 8).count() == q.count() * 5, tok)
+    }
+  }
+
   test("IVF<n>(PQ<m>x<k>) coarse: ADC assignment is consistent between add and probes") {
     // The PQ quantizer ranks cells by ADC on BOTH sides: at full
     // nprobe the search must return the exact top-k (every list is

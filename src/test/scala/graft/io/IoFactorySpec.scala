@@ -226,6 +226,29 @@ class IoFactorySpec extends SparkTestBase {
     }
   }
 
+  test("reverse_index_factory: graph wrappers reverse structurally, chains rebuild") {
+    // graph-shard wrappers derive their string from live structure
+    // (degree + storage-code fields, the downcast walk) — the
+    // spelling normalizes bare HNSW<m> to HNSW<m>,Flat
+    assert(IndexFactory.reverseIndexFactory(
+      IndexFactory.build(b, "id", "vec", "HNSW16", niter = 2)) == "HNSW16,Flat")
+    assert(IndexFactory.reverseIndexFactory(
+      IndexFactory.build(b, "id", "vec", "NSG16,PQ8", niter = 2)) == "NSG16,PQ8x16")
+    // round-trip: build -> reverse -> rebuild -> IDENTICAL search
+    // (PCA and k-means are deterministic under the shared seed), for
+    // a transform-prefixed IVF and a graph index over SQ8 codes
+    for (desc <- Seq("PCA32,IVF64,Flat", "HNSW32,SQ8")) {
+      val a = IndexFactory.build(b, "id", "vec", desc, niter = 2)
+      val dsc = IndexFactory.reverseIndexFactory(a)
+      val c = IndexFactory.build(b, "id", "vec", dsc, niter = 2)
+      val ra = a.search(q, 5, nprobe = 64).select("qid", "rank", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val rc = c.search(q, 5, nprobe = 64).select("qid", "rank", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(ra == rc, s"$desc -> $dsc must rebuild to an identical index")
+    }
+  }
+
   test("factory ITQ[<d>], bare RR and L2Norm spelling (r9)") {
     // rotations preserve L2, so exact search under RR / full-dim ITQ
     // must match plain Flat
