@@ -319,34 +319,38 @@ object AutoTune {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = listSizes.values.sum.toDouble
     val nq = queries.count().toDouble
+    // ONE unioned candidate table over all walk budgets: the three
+    // ef-tagged scans evaluate in a single job and the whole grid
+    // reduces with two aggregations (per-ef loops pay Spark's fixed
+    // per-job cost |efs|·|actions| times for identical results)
+    val cand = efs.map { ef =>
+      idx.sweepCandidates(queries, nprobes.max,
+          coarse = Some(graft.index.Probes.HnswCoarse(ef)))
+        .select(lit(ef).as("ef"), col("qid"), col("list_no"), col("pr"),
+          col("id"), col("dist"))
+    }.reduce(_ unionByName _).cache()
     try {
-      efs.flatMap { ef =>
-        val cand = idx.sweepCandidates(queries, nprobes.max,
-          coarse = Some(graft.index.Probes.HnswCoarse(ef))).cache()
-        try {
-          val nps = broadcast(nprobes.toDF("np"))
-          val inter = cand.join(nps, col("pr") < col("np"))
-            .groupBy(col("np"), col("qid"))
-            .agg(graft.functions.topk(col("dist"), col("id"), k, asc = true).as("_tk"))
-            .select(col("np"), col("qid"), explode(col("_tk")).as("_r"))
-            .select(col("np"), col("qid"), col("_r.id").as("id"))
-            .join(truth.select("qid", "id"), Seq("qid", "id"))
-            .groupBy("np").agg(count(lit(1)).as("_i"))
-            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-          // list scanned at nprobe=np iff its min probe rank over the
-          // query set < np (probedListMinRank semantics)
-          val minRank = cand.groupBy("list_no").agg(min(col("pr")).as("_pr"))
-            .collect().map(r => (r.getInt(0), r.getInt(1)))
-          nprobes.map { np =>
-            val frac = minRank.collect { case (l, pr) if pr < np =>
-              listSizes.getOrElse(l, 0L) }.sum / total
-            // every query has exactly k truth rows, so hits/(nq·k) is
-            // the per-query mean recall (no-candidate queries count 0)
-            OperatingPointQef(np, ef, inter.getOrElse(np, 0L) / (nq * k), frac)
-          }
-        } finally cand.unpersist()
+      val nps = broadcast(nprobes.toDF("np"))
+      val inter = cand.join(nps, col("pr") < col("np"))
+        .groupBy(col("ef"), col("np"), col("qid"))
+        .agg(graft.functions.topk(col("dist"), col("id"), k, asc = true).as("_tk"))
+        .select(col("ef"), col("np"), col("qid"), explode(col("_tk")).as("_r"))
+        .select(col("ef"), col("np"), col("qid"), col("_r.id").as("id"))
+        .join(truth.select("qid", "id"), Seq("qid", "id"))
+        .groupBy("ef", "np").agg(count(lit(1)).as("_i"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      // list scanned at (ef, np) iff its min probe rank over the query
+      // set under that walk budget < np (probedListMinRank semantics)
+      val minRank = cand.groupBy("ef", "list_no").agg(min(col("pr")).as("_pr"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+      for (ef <- efs; np <- nprobes) yield {
+        val frac = minRank.collect { case (e, l, pr) if e == ef && pr < np =>
+          listSizes.getOrElse(l, 0L) }.sum / total
+        // every query has exactly k truth rows, so hits/(nq·k) is the
+        // per-query mean recall (no-candidate queries count 0)
+        OperatingPointQef(np, ef, inter.getOrElse((ef, np), 0L) / (nq * k), frac)
       }
-    } finally truth.unpersist()
+    } finally { cand.unpersist(); truth.unpersist() }
   }
 
   /** Pareto front on the (nprobe, quantizer_efSearch) points. */

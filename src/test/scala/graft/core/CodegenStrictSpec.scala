@@ -183,4 +183,25 @@ class CodegenStrictSpec extends AnyFunSuite {
       shim.col(BitPrefix(shim.expr(sign_bits(col("a"))), 3)).as("p")).collect()
     assert(out.length == 2)
   }
+
+  test("round-12 norm encode expressions under CODEGEN_ONLY (+ exact-joint beats greedy)") {
+    // ScalarLsq2Encode (ST_norm_lsq2x4's assign) is a build-time
+    // expression (CodegenFallback like its greedy twin); pin that it
+    // executes under strict codegen AND that the exact joint argmin
+    // never reconstructs worse than the greedy 2-level assign.
+    val cb = Array(Array(0.0, 1.0, 10.0, 11.0), Array(-0.5, 0.0, 0.5, 0.9))
+    val s = strict
+    import s.implicits._
+    val vals = Seq(0.3, 1.45, 9.4, 11.8, 0.95).toDF("v")
+    val rows = vals.select(
+      shim.col(ScalarRq2Encode(shim.expr(col("v")), cb)).as("g"),
+      shim.col(ScalarLsq2Encode(shim.expr(col("v")), cb)).as("e"),
+      col("v")).collect()
+    rows.foreach { r =>
+      val g = r.getSeq[Int](0); val e = r.getSeq[Int](1); val v = r.getDouble(2)
+      val gErr = math.abs(v - cb(0)(g(0)) - cb(1)(g(1)))
+      val eErr = math.abs(v - cb(0)(e(0)) - cb(1)(e(1)))
+      assert(eErr <= gErr + 1e-12, s"joint assign worse than greedy at $v")
+    }
+  }
 }
