@@ -132,7 +132,9 @@ object IndexFactory {
       case AqNorm(_, lv, nb, st) =>
         val normBytes = st match {
           case "float" => 4
+          case "none" => 0 // ST_LUT_nonorm stores NO norm term
           case "qint8" | "cqint8" => 1
+          case "rq2x4" | "lsq2x4" => 1 // two 4-bit scalar-RQ nibbles
           case _ => 1 // qint4/cqint4: rounded up from the half byte
         }
         code = Some((lv.toInt * nb.toInt + 7) / 8 + normBytes)
@@ -1111,16 +1113,20 @@ object IndexFactory {
         val (beam, icm) = if (fam == "RQ") (2, 1) else (1, 3)
         val model = Rq.train(data.select(col("vec")), "vec",
           lv.toInt, 1 << nb.toInt, niter = niter, seed = seed, beam = beam)
-        val codes0 = data.select(col("id"),
-            model.encodeCol(col("vec"), beam, icm).as("codes"))
-          .withColumn("normsq", aggregate(
-            model.decodeCol(col("codes")).cast("array<double>"),
-            lit(0.0), (a, x) => a + x * x))
-          .cache()
-        if (st == "none")
-          // ST_LUT_nonorm: the norm is never stored; IP-ranked scan
-          new RqLutBuilt(model, codes0.drop("normsq"), chain, nonorm = true)
-        else {
+        if (st == "none") {
+          // ST_LUT_nonorm: the norm is never stored (or computed) —
+          // cache the bare codes projection itself so close0's
+          // unpersist releases exactly the cached plan
+          val codes0 = data.select(col("id"),
+            model.encodeCol(col("vec"), beam, icm).as("codes")).cache()
+          new RqLutBuilt(model, codes0, chain, nonorm = true)
+        } else {
+          val codes0 = data.select(col("id"),
+              model.encodeCol(col("vec"), beam, icm).as("codes"))
+            .withColumn("normsq", aggregate(
+              model.decodeCol(col("codes")).cast("array<double>"),
+              lit(0.0), (a, x) => a + x * x))
+            .cache()
           val nq: Column = st match {
             case "float" => col("normsq")
             case "qint8" | "qint4" =>
@@ -1140,7 +1146,15 @@ object IndexFactory {
               val cb = RqNorms.norm2Codebooks(codes0, "normsq", seed, lsqIters = 3)
               RqNorms.norm2Decode(RqNorms.lsq2EncodeCol(col("normsq"), cb), cb)
           }
-          new RqLutBuilt(model, codes0.withColumn("nq", nq), chain)
+          // cache + materialize the FINAL scanned table and release
+          // the stats intermediate: Dataset.unpersist only uncaches a
+          // plan that sameResults the cached root, so handing close0 a
+          // derived Project would leak the cached codes+norms table
+          // (code-review r12 — the pre-existing _N routes had this too)
+          val codesNq = codes0.withColumn("nq", nq).cache()
+          codesNq.count()
+          codes0.unpersist(blocking = false)
+          new RqLutBuilt(model, codesNq, chain)
         }
       case Lsh(nbits) :: Nil =>
         val dd = data.select(size(col("vec"))).first().getInt(0)

@@ -174,6 +174,11 @@ class IoFactorySpec extends SparkTestBase {
       val f = IndexFactory.build(b, "id", "vec", tok, niter = 2)
       assert(f.search(q, 5).count() == q.count() * 5, tok)
     }
+    // storage sizes: nonorm stores NO norm byte, the 2x4 codecs one
+    assert(IndexFactory.codeSize("RQ2x4_Nnone", 64) == 1)
+    assert(IndexFactory.codeSize("RQ2x4_Nfloat", 64) == 5)
+    assert(IndexFactory.codeSize("RQ2x4_Nlsq2x4", 64) == 2)
+    assert(IndexFactory.codeSize("RQ2x4_Nrq2x4", 64) == 2)
     // _Nnone is the IP-only LUT mode (ST_LUT_nonorm): its ranking must
     // equal the exact inner-product ranking over the DECODED vectors
     // (<q, x̂> distributes over the codeword sum — no approximation)
