@@ -151,6 +151,27 @@ object Queries {
       graft.index.IndexFactory.build(bDf(s, dir, 10), "id", "vec",
         "IVF16(SQ8),Flat", niter = 4)
     }
+  /** `IVF16(PCA8,Flat),Flat` — transform-prefixed paren quantizer:
+    * assignment and probes rank in the PCA space (trained on the
+    * cluster centers), distances stay original. */
+  private def parenPca16(s: SparkSession, dir: String): graft.index.IndexFactory.Built =
+    cached(s"parenpca:$dir") {
+      graft.index.IndexFactory.build(bDf(s, dir, 10), "id", "vec",
+        "IVF16(PCA8,Flat),Flat", niter = 4)
+    }
+  /** Twin-call PCA of the `IVF16(PCA8,Flat)` quantizer: the same
+    * deterministic pcaOverCentroids call the factory route runs
+    * internally, over the same deterministic k-means centroids (the
+    * parenPqPq16 twin-call convention). */
+  private def parenPcaLin(s: SparkSession, dir: String): graft.transform.Linear =
+    cached(s"parenpcalin:$dir") {
+      graft.transform.CoarseTransform.pcaOverCentroids(s,
+        cached(s"parensqcents:$dir") {
+          graft.cluster.KMeans.fit(bDf(s, dir, 10), "vec",
+            graft.cluster.KMeans.Params(k = 16, niter = 4, seed = 1234L))
+            .centroids
+        }, 8)
+    }
   /** `IVF16(PQ8x8),PQ8` — the lossy-quantizer composition: residuals
     * subtract the quantizer's DECODED reconstruction, and adds assign
     * through it (= exact argmin over the decoded table). Built through
@@ -505,6 +526,8 @@ object Queries {
           .centroids
       }))
     OracleAux.write(dir, "hnswtune_probes", hnswTuneProbes(s, dir))
+    OracleAux.write(dir, "parenpca_rot",
+      OracleAux.linearDf(s, parenPcaLin(s, dir)))
     OracleAux.write(dir, "ivfbig_centroids",
       OracleAux.centroidsDf(s, ivfBig(s, dir).centroids))
     OracleAux.write(dir, "ondisk_centroids",
@@ -1935,6 +1958,44 @@ object Queries {
               |  SELECT b.vec_id AS id, dd.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
               |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], dd.dc::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), dd.list_no) AS rn
               |  FROM embeddings b CROSS JOIN dec dd WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |d AS (SELECT p.qid, a.id,
+              |    list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2 AS dist
+              |  FROM probes p JOIN basg a ON a.list_no = p.list_no
+              |  JOIN embeddings q ON q.vec_id = p.qid JOIN embeddings b ON b.vec_id = a.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 10""".stripMargin)),
+
+    // IVF16(PCA8,Flat),Flat — the transform-prefixed paren quantizer
+    // (index_factory.cpp:719 with an IndexPreTransform sub-index): the
+    // PCA is trained on the cluster centers (train_q1), assignment AND
+    // probe selection rank ||PCA(x) − PCA(c)||² while candidate
+    // distances stay exact in the original space. The oracle replays
+    // the affine map from the trained-rotation sidecar (the pca_knn
+    // idiom, REAL-rounded like the engine's float chain), then the
+    // transformed assignment, the transformed probe ranking, and the
+    // original-space pruned top-k.
+    ("ivf_paren_pca_search", (s: SparkSession, dir: String) =>
+      parenPca16(s, dir).search(qDf(s, dir, 10), 10, nprobe = 4)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/parensq_centroids/*.parquet')),
+              |rot AS (SELECT d, r::DOUBLE[] AS r, bias FROM read_parquet('$AUX/parenpca_rot/*.parquet')),
+              |tc AS (SELECT list_no, list(yv ORDER BY d) AS v FROM (
+              |  SELECT ct.list_no, r.d,
+              |    ((list_aggregate(list_transform(list_zip(r.r, ct.c::DOUBLE[]), p -> p[1]*p[2]), 'sum')) + r.bias::DOUBLE)::REAL AS yv
+              |  FROM cent ct CROSS JOIN rot r) t GROUP BY list_no),
+              |tv AS (SELECT vec_id, list(yv ORDER BY d) AS v FROM (
+              |  SELECT e.vec_id, r.d,
+              |    ((list_aggregate(list_transform(list_zip(r.r, e.embedding::DOUBLE[]), p -> p[1]*p[2]), 'sum')) + r.bias::DOUBLE)::REAL AS yv
+              |  FROM embeddings e CROSS JOIN rot r) t GROUP BY vec_id),
+              |qc AS (SELECT q.vec_id AS qid, tc.list_no, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(tq.v::DOUBLE[], tc.v::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), tc.list_no) AS pr
+              |  FROM embeddings q JOIN tv tq ON tq.vec_id = q.vec_id CROSS JOIN tc WHERE q.vec_id < 10),
+              |probes AS (SELECT qid, list_no FROM qc WHERE pr <= 4),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, tc.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(tb.v::DOUBLE[], tc.v::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), tc.list_no) AS rn
+              |  FROM embeddings b JOIN tv tb ON tb.vec_id = b.vec_id CROSS JOIN tc WHERE b.vec_id >= 10) t WHERE rn = 1),
               |d AS (SELECT p.qid, a.id,
               |    list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[])^2 AS dist
               |  FROM probes p JOIN basg a ON a.list_no = p.list_no

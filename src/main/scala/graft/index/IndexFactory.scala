@@ -180,6 +180,24 @@ object IndexFactory {
       idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k,
         math.max(nprobe, 1), qid, qvec)
   }
+  /** `IVF<n>(PCA<k>,Flat),Flat` — transform-prefixed quantizer: probe
+    * selection ranks the TRANSFORMED query against the TRANSFORMED
+    * centroid table (the same ranking add-time assignment used), then
+    * the scan runs through searchPreassigned so candidate distances
+    * stay exact in the original space. */
+  private final class TransformedCoarseBuilt(idx: IvfIndex,
+      lin: graft.transform.Linear, tCents: Array[Array[Float]],
+      chain: VecTransform) extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
+      val qq = q.withColumn(qvec, chain.applyCol(col(qvec)))
+      val probesDf = qq.select(col(qid),
+        explode(shim.col(graft.core.NearestCentroids(
+          shim.expr(lin.applyCol(col(qvec))), tCents,
+          math.min(math.max(nprobe, 1), tCents.length), "l2sq"))).as("_p"))
+        .select(col(qid), col("_p.list_no").as("list_no"))
+      idx.searchPreassigned(qq, probesDf, k, qid, qvec)
+    }
+  }
   private final class SqBuilt(idx: SqIndex, chain: VecTransform)
       extends Built {
     def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
@@ -288,6 +306,8 @@ object IndexFactory {
   // IndexIVF's quantizer). Comma-free sub-descriptions: Flat,
   // HNSW<m>, NSG<R>, PQ<m>[x<k>]. Matched AFTER the RCQ special case.
   private val IvfParen = "IVF(\\d+)\\((.+)\\)".r
+  // transform-prefixed paren sub-index (IndexPreTransform quantizer)
+  private val PcaSub = "PCA(\\d+),Flat".r
   private val HnswSub = "HNSW(\\d*)".r
   private val NsgSub = "NSG(\\d+)".r
   // IVF<n2>[,Flat] inside IVF<n>(...): an IVF-Flat sub-index as the
@@ -1002,6 +1022,30 @@ object IndexFactory {
               s"IVF$nlist(SQ...) composes with Flat, PQ or SQ codes; " +
               s"got '$other' in '$desc'")
           }
+        // IVF<n>(PCA<k>,Flat),Flat: transform-prefixed sub-index —
+        // the quantizer is an IndexPreTransform(PCAMatrix, IndexFlat)
+        // trained on the cluster centers (train_q1), so assignment
+        // AND probe selection rank by L2 in the transformed space
+        // while stored vectors and result distances stay original.
+        case PcaSub(kk) =>
+          require(code == "Flat",
+            s"IVF$nlist(PCA<k>,Flat) carries the Flat code; got '$code' in '$desc'")
+          val km = graft.cluster.KMeans.fit(data, "vec",
+            graft.cluster.KMeans.Params(k = nlist.toInt, niter = niter,
+              seed = seed))
+          val lin = graft.transform.CoarseTransform.pcaOverCentroids(
+            data.sparkSession, km.centroids, kk.toInt)
+          val tCents = km.centroids.map(
+            graft.transform.CoarseTransform.applyLin(lin, _))
+          val assigned = data
+            .withColumn("_tv", lin.applyCol(col("vec")))
+            .withColumn("_a", shim.col(graft.core.NearestCentroid(
+              shim.expr(col("_tv")), tCents, "l2sq")))
+            .select(col("id"), col("vec"), col("_a.list_no").as("list_no"))
+          new TransformedCoarseBuilt(
+            new IvfIndex(km.centroids.head.length, "l2sq", nlist.toInt,
+              km.centroids, assigned),
+            lin, tCents, chain)
         case other => throw new IllegalArgumentException(
           s"unsupported paren coarse '$other' in '$desc'")
       }

@@ -129,3 +129,37 @@ object Transforms {
         min(col("e")).as("min"), max(col("e")).as("max"))
       .orderBy("dim")
 }
+
+/** Transform-prefixed coarse quantizer support (the
+  * `IVF<n>(PCA<k>,Flat)` paren sub-index, index_factory.cpp:719: ANY
+  * factory string inside the parens becomes the quantizer — an
+  * IndexPreTransform maps both add-time assignment and search-time
+  * probe ranking through its transform while stored vectors and
+  * result distances stay in the original space). */
+object CoarseTransform {
+
+  /** PCA trained on the CENTROID table — Level1Quantizer::train_q1
+    * trains the quantizer on the cluster centers, so the transform's
+    * statistics come from the nlist-row centroid set (driver-resident
+    * by construction, like [[graft.core.CoarsePq]]'s codebooks). */
+  def pcaOverCentroids(s: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Float]], dOut: Int): Linear = {
+    import s.implicits._
+    val centDf = centroids.toSeq.map(_.toSeq).toDF("c")
+      .select(col("c").cast("array<float>").as("c"))
+    Transforms.pca(centDf, "c", dOut)
+  }
+
+  /** Driver twin of `Linear.applyCol` (MatVec double accumulation +
+    * the float cast), so driver-side transformed centroids are
+    * bit-identical to a plan-side transform of the same rows. */
+  def applyLin(lin: Linear, x: Array[Float]): Array[Float] =
+    Array.tabulate(lin.a.length) { j =>
+      val row = lin.a(j)
+      var s = 0.0
+      var i = 0
+      while (i < row.length) { s += row(i).toDouble * x(i).toDouble; i += 1 }
+      if (lin.b != null) s += lin.b(j).toDouble
+      s.toFloat
+    }
+}

@@ -212,6 +212,31 @@ class IvfSpec extends SparkTestBase {
     }
   }
 
+  test("IVF<n>(PCA<k>,Flat): transform-prefixed quantizer ranks in PCA space") {
+    // index_factory.cpp:719 with an IndexPreTransform sub-index: the
+    // quantizer maps assignment AND probe ranking through the PCA
+    // (trained on the cluster centers, train_q1) while candidate
+    // distances stay exact in the original space. At full nprobe the
+    // result must be the exact top-k regardless of list placement;
+    // at nprobe=1 every base vector finds itself (its own transformed
+    // vector ranks its assigned list first by construction).
+    val f = IndexFactory.build(b, "id", "vec", "IVF8(PCA4,Flat),Flat", niter = 3)
+    assert(resultSet(f.search(q, 5, nprobe = 8)) == resultSet(Knn.knnJoin(q, b, 5)))
+    val selfQ = b.limit(20).select(col("id").as("qid"), col("vec").as("qvec"))
+    val got = f.search(selfQ, 1, nprobe = 1)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.forall { case (a, c) => a == c },
+      "self-lookup through the PCA quantizer must hit its own list")
+    // a genuinely PRUNED probe set still keeps useful recall — a
+    // 4-of-64-dim PCA quantizer is deliberately lossy, so the bar is
+    // the reference's IVF accuracy floor (test_index_accuracy.py:47
+    // asserts > 0.2 at pruned nprobe), not near-exactness
+    val exact1 = resultSet(idx.search(q, 10, nprobe = 8)).map { case (a, _, c) => (a, c) }
+    val pca2 = resultSet(f.search(q, 10, nprobe = 2)).map { case (a, _, c) => (a, c) }
+    val recall = (exact1 intersect pca2).size.toDouble / exact1.size
+    assert(recall > 0.2, s"PCA-coarse nprobe=2 recall $recall")
+  }
+
   test("range search composes with the graph coarse (exact-degenerate budget)") {
     // range_search under an IVF with a graph coarse quantizer: at a
     // walk budget covering nlist the probe set is exact, so the
