@@ -5444,6 +5444,20 @@ object Queries {
         .withColumn("dist", r4("dist")),
       Some(ivfBigNprobe8Sql)),
 
+    // big-batch IVF search (IVFlib's big-batch entry point / the
+    // contrib big_batch_search recipe): when the QUERY SET itself is
+    // corpus-sized, broadcasting the probe table is the wrong plan —
+    // broadcastQueries = false keeps the probe side distributed and
+    // the scan becomes a shuffle equi-join on list_no (partition
+    // pruning still applies). Results are bit-identical to the
+    // broadcast plan, so the oracle is ivf_search_big's verbatim; the
+    // bench contrast shows the alternative 100 TB plan's cost.
+    ("ivf_search_big_batch", (s: SparkSession, dir: String) =>
+      ivfBig(s, dir).search(bigQueries(s, dir), k = 10, nprobe = 8,
+        broadcastQueries = false)
+        .withColumn("dist", r4("dist")),
+      Some(ivfBigNprobe8Sql)),
+
     // distributed_ondisk recipe AT SCALE: 4 slices of the 600k-row
     // corpus each build invlists against the ivfbig quantizer, merge
     // to one on-disk store, load, search — and must return the top-k
