@@ -306,8 +306,9 @@ object IndexFactory {
   // IndexIVF's quantizer). Comma-free sub-descriptions: Flat,
   // HNSW<m>, NSG<R>, PQ<m>[x<k>]. Matched AFTER the RCQ special case.
   private val IvfParen = "IVF(\\d+)\\((.+)\\)".r
-  // transform-prefixed paren sub-index (IndexPreTransform quantizer)
+  // transform-prefixed paren sub-indexes (IndexPreTransform quantizer)
   private val PcaSub = "PCA(\\d+),Flat".r
+  private val RrSub = "RR(\\d+),Flat".r
   private val HnswSub = "HNSW(\\d*)".r
   private val NsgSub = "NSG(\\d+)".r
   // IVF<n2>[,Flat] inside IVF<n>(...): an IVF-Flat sub-index as the
@@ -1027,14 +1028,22 @@ object IndexFactory {
         // trained on the cluster centers (train_q1), so assignment
         // AND probe selection rank by L2 in the transformed space
         // while stored vectors and result distances stay original.
-        case PcaSub(kk) =>
+        case PcaSub(_) | RrSub(_) =>
           require(code == "Flat",
-            s"IVF$nlist(PCA<k>,Flat) carries the Flat code; got '$code' in '$desc'")
+            s"IVF$nlist(<transform>,Flat) carries the Flat code; got '$code' in '$desc'")
           val km = graft.cluster.KMeans.fit(data, "vec",
             graft.cluster.KMeans.Params(k = nlist.toInt, niter = niter,
               seed = seed))
-          val lin = graft.transform.CoarseTransform.pcaOverCentroids(
-            data.sparkSession, km.centroids, kk.toInt)
+          val lin = sub match {
+            case PcaSub(kk) =>
+              graft.transform.CoarseTransform.pcaOverCentroids(
+                data.sparkSession, km.centroids, kk.toInt)
+            case RrSub(kk) =>
+              // seeded dim-reducing rotation (RandomRotationMatrix):
+              // data-independent, the first k rows of a d-orthonormal
+              Linear(Transforms.randomRotation(
+                km.centroids.head.length, seed).a.take(kk.toInt))
+          }
           val tCents = km.centroids.map(
             graft.transform.CoarseTransform.applyLin(lin, _))
           val assigned = data

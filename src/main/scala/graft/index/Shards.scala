@@ -19,12 +19,28 @@ import graft.functions.topk
   */
 object Shards {
 
+  /** `idOffsets` = the successive_ids regime (IndexShards.h:31): when
+    * shards were built over locally-numbered rows (each starting at
+    * 0), shard i's result ids are shifted by offsets(i) — the
+    * cumulative sizes of the shards before it — so the merged result
+    * lives in one contiguous id space, exactly what the reference's
+    * add-time renumbering produces. Omitted = add_with_ids regime
+    * (shards own globally-unique ids). */
   def search(shards: Seq[IndexFactory.Built], queries: DataFrame,
       k: Int, nprobe: Int = 1,
-      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+      queryId: String = "qid", queryVec: String = "qvec",
+      idOffsets: Option[Seq[Long]] = None): DataFrame = {
     require(shards.nonEmpty, "no shards")
-    val cand = shards.map(_.search(queries, k, nprobe, queryId, queryVec)
-        .select(col(queryId), col("id"), col("dist")))
+    idOffsets.foreach(o => require(o.length == shards.length,
+      s"idOffsets has ${o.length} entries for ${shards.length} shards"))
+    val cand = shards.zipWithIndex.map { case (sh, i) =>
+        val r = sh.search(queries, k, nprobe, queryId, queryVec)
+        val id = idOffsets match {
+          case Some(off) => (col("id") + off(i)).as("id")
+          case None => col("id")
+        }
+        r.select(col(queryId), id, col("dist"))
+      }
       .reduce(_ unionByName _)
     cand.groupBy(col(queryId))
       .agg(topk(col("dist"), col("id"), k, asc = true).as("_tk"))

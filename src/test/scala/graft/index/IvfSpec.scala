@@ -153,6 +153,30 @@ class IvfSpec extends SparkTestBase {
     assert(resultSet(merged) == want)
   }
 
+  test("Shards successive_ids renumbers locally-numbered shards (IndexShards.h:31)") {
+    // two shards built over LOCALLY numbered rows (both starting at
+    // 0): successive_ids offsets shard i's result ids by the sizes of
+    // the shards before it, reproducing the global numbering exactly
+    import org.apache.spark.sql.expressions.Window
+    val globl = b.withColumn("gid",
+      row_number().over(Window.orderBy(col("id"))).cast("long") - 1)
+      .select(col("gid"), col("vec")).cache()
+    val n = globl.count()
+    val half = n / 2
+    val s0 = globl.filter(col("gid") < half)
+      .select(col("gid").as("id"), col("vec"))
+    val s1 = globl.filter(col("gid") >= half)
+      .select((col("gid") - half).as("id"), col("vec")) // local 0-based
+    val sh0 = IndexFactory.build(s0, "id", "vec", "Flat")
+    val sh1 = IndexFactory.build(s1, "id", "vec", "Flat")
+    val merged = graft.index.Shards.search(Seq(sh0, sh1), q, k = 5,
+      idOffsets = Some(Seq(0L, half)))
+    val want = resultSet(
+      IndexFactory.build(globl.select(col("gid").as("id"), col("vec")),
+        "id", "vec", "Flat").search(q, 5))
+    assert(resultSet(merged) == want)
+  }
+
   test("mergeFrom with id shift = union of invlists") {
     val merged = idx.mergeFrom(idx, addId = 100000L)
     assert(merged.invlists.count() == 2 * idx.invlists.count())
@@ -227,6 +251,13 @@ class IvfSpec extends SparkTestBase {
       .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.forall { case (a, c) => a == c },
       "self-lookup through the PCA quantizer must hit its own list")
+    // the RR<k> sub-index (seeded dim-reducing rotation) takes the
+    // same route: full-probe exactness + own-list self-lookup
+    val fr = IndexFactory.build(b, "id", "vec", "IVF8(RR4,Flat),Flat", niter = 3)
+    assert(resultSet(fr.search(q, 5, nprobe = 8)) == resultSet(Knn.knnJoin(q, b, 5)))
+    val gotR = fr.search(selfQ, 1, nprobe = 1)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotR.forall { case (a, c) => a == c })
     // a genuinely PRUNED probe set still keeps useful recall — a
     // 4-of-64-dim PCA quantizer is deliberately lossy, so the bar is
     // the reference's IVF accuracy floor (test_index_accuracy.py:47
