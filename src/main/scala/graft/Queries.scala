@@ -143,6 +143,21 @@ object Queries {
           .distinct()
       }.reduce(_ unionByName _)
     }
+  private def factoryIvf16(s: SparkSession, dir: String): graft.index.IndexFactory.Built =
+    cached(s"factoryIvf:$dir") {
+      graft.index.IndexFactory.build(bDf(s, dir, 10), "id", "vec",
+        "IVF16,Flat", niter = 4)
+    }
+  private def factoryRefine8(s: SparkSession, dir: String): graft.index.IndexFactory.Built =
+    cached(s"factoryRefine:$dir") {
+      graft.index.IndexFactory.build(bDf(s, dir, 10), "id", "vec",
+        "IVF8,Flat,Refine(Flat)", niter = 4)
+    }
+  private def factoryIvfHnswPq8(s: SparkSession, dir: String): graft.index.IndexFactory.Built =
+    cached(s"factoryIvfHnswPq:$dir") {
+      graft.index.IndexFactory.build(bDf(s, dir, 10), "id", "vec",
+        "IVF8_HNSW16,PQ8", niter = 4)
+    }
   /** `IVF16(SQ8),Flat` — the SQ-quantizer paren coarse: assignment
     * and probe selection rank by exact L2 to the SQ-DECODED centroid
     * table (the asymmetric-distance identity, core/CoarseSq). */
@@ -476,6 +491,11 @@ object Queries {
     itq32(s, dir)
     pqfs8(s, dir); ivfpqfs8(s, dir); ivfsq4(s, dir); rqfs2(s, dir)
     ivfrqfs8(s, dir); ivfpqfsr8(s, dir); rcq16(s, dir); opq32Ivfpq(s, dir)
+    // factory/paren-built twins: same pre-trained-vs-search basis as
+    // the direct fixtures (their oracles replay trained state too)
+    factoryIvf16(s, dir); factoryRefine8(s, dir); factoryIvfHnswPq8(s, dir)
+    parenPq16(s, dir); parenPqPq16(s, dir); parenSq16(s, dir)
+    parenPca16(s, dir)
     ()
   }
 
@@ -2545,10 +2565,7 @@ object Queries {
     // therefore the nprobe=4 search — must match the ivf16 sidecar
     // replay exactly. Oracle-gates the parser + build + search path.
     ("factory_ivf_search", (s: SparkSession, dir: String) =>
-      cached(s"factoryIvf:$dir") {
-        graft.index.IndexFactory.build(bDf(s, dir, 10), "id", "vec",
-          "IVF16,Flat", niter = 4)
-      }.search(qDf(s, dir, 10), 10, nprobe = 4)
+      factoryIvf16(s, dir).search(qDf(s, dir, 10), 10, nprobe = 4)
         .withColumn("dist", r4("dist")),
       Some(ivfNprobe4Sql)),
 
@@ -2559,10 +2576,7 @@ object Queries {
     // candidates → re-rank composition returns exactly the brute-force
     // answer.
     ("factory_refine_search", (s: SparkSession, dir: String) =>
-      cached(s"factoryRefine:$dir") {
-        graft.index.IndexFactory.build(bDf(s, dir, 10), "id", "vec",
-          "IVF8,Flat,Refine(Flat)", niter = 4)
-      }.search(qDf(s, dir, 10), 5, nprobe = 8)
+      factoryRefine8(s, dir).search(qDf(s, dir, 10), 5, nprobe = 8)
         .withColumn("dist", r4("dist")),
       Some(s"""SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
               |  SELECT q.vec_id AS qid, b.vec_id AS id, $dL2 AS dist,
@@ -2966,10 +2980,7 @@ object Queries {
     // build → HNSW-probe → ADC chain must reproduce the ivfpq replay
     // exactly (the ivf_hnsw_search convention).
     ("ivf_hnsw_pq_search", (s: SparkSession, dir: String) =>
-      cached(s"factoryIvfHnswPq:$dir") {
-        graft.index.IndexFactory.build(bDf(s, dir, 10), "id", "vec",
-          "IVF8_HNSW16,PQ8", niter = 4)
-      }.search(qDf(s, dir, 10), 10, nprobe = 8)
+      factoryIvfHnswPq8(s, dir).search(qDf(s, dir, 10), 10, nprobe = 8)
         .withColumn("dist", r4("dist")),
       Some(ivfpqNprobe8Sql)),
 
