@@ -1034,15 +1034,21 @@ object IndexFactory {
           val km = graft.cluster.KMeans.fit(data, "vec",
             graft.cluster.KMeans.Params(k = nlist.toInt, niter = niter,
               seed = seed))
+          val dIn = km.centroids.head.length
           val lin = sub match {
             case PcaSub(kk) =>
+              // PCAMatrix asserts d_out <= d_in; 0 would make every
+              // transformed distance 0 (degenerate assignment)
+              require(kk.toInt > 0 && kk.toInt <= dIn,
+                s"IVF$nlist(PCA$kk,Flat): d_out must be in [1, $dIn]")
               graft.transform.CoarseTransform.pcaOverCentroids(
                 data.sparkSession, km.centroids, kk.toInt)
             case RrSub(kk) =>
+              require(kk.toInt > 0 && kk.toInt <= dIn,
+                s"IVF$nlist(RR$kk,Flat): d_out must be in [1, $dIn]")
               // seeded dim-reducing rotation (RandomRotationMatrix):
               // data-independent, the first k rows of a d-orthonormal
-              Linear(Transforms.randomRotation(
-                km.centroids.head.length, seed).a.take(kk.toInt))
+              Linear(Transforms.randomRotation(dIn, seed).a.take(kk.toInt))
           }
           val tCents = km.centroids.map(
             graft.transform.CoarseTransform.applyLin(lin, _))
@@ -1203,8 +1209,9 @@ object IndexFactory {
           // the stats intermediate: Dataset.unpersist only uncaches a
           // plan that sameResults the cached root, so handing close0 a
           // derived Project would leak the cached codes+norms table
-          // (code-review r12 — the pre-existing _N routes had this too)
-          val codesNq = codes0.withColumn("nq", nq).cache()
+          // (code-review r12 — the pre-existing _N routes had this
+          // too). normsq is dropped: the scan reads only (codes, nq).
+          val codesNq = codes0.withColumn("nq", nq).drop("normsq").cache()
           codesNq.count()
           codes0.unpersist(blocking = false)
           new RqLutBuilt(model, codesNq, chain)

@@ -319,10 +319,14 @@ object AutoTune {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = listSizes.values.sum.toDouble
     val nq = queries.count().toDouble
-    // ONE unioned candidate table over all walk budgets: the three
-    // ef-tagged scans evaluate in a single job and the whole grid
-    // reduces with two aggregations (per-ef loops pay Spark's fixed
-    // per-job cost |efs|·|actions| times for identical results)
+    // ONE unioned candidate table over all walk budgets: plan
+    // construction still pays |efs| static-pruning collects
+    // (sweepCandidates enumerates each budget's probed lists — the
+    // walk expressions run once there and once in the union's
+    // materialization), but the grid itself reduces with just two
+    // aggregations over the cached union instead of |efs|·|actions|
+    // separate jobs — the fixed per-job cost is what dominated the
+    // per-ef loop this replaced
     val cand = efs.map { ef =>
       idx.sweepCandidates(queries, nprobes.max,
           coarse = Some(graft.index.Probes.HnswCoarse(ef)))
