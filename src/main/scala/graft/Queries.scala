@@ -495,7 +495,14 @@ object Queries {
     // the direct fixtures (their oracles replay trained state too)
     factoryIvf16(s, dir); factoryRefine8(s, dir); factoryIvfHnswPq8(s, dir)
     parenPq16(s, dir); parenPqPq16(s, dir); parenSq16(s, dir)
-    parenPca16(s, dir)
+    parenPca16(s, dir); parenPcaLin(s, dir)
+    // AQ stored-norm codec state + the distributed_ondisk shared
+    // quantizer: their oracles read engine sidecars / replay from the
+    // trained centroid table, so training stays outside the timer
+    rqNormBase(s, dir); rqNormRange(s, dir)
+    rqNormCq(s, dir, 256); rqNormCq(s, dir, 16)
+    rqNorm2Cb(s, dir, 0); rqNorm2Cb(s, dir, 3)
+    ondiskCents16(s, dir)
     ()
   }
 

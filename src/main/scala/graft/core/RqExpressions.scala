@@ -379,6 +379,30 @@ object Rq4FsKernels {
     }
     out
   }
+
+  /** Exact JOINT 2-level argmin over all (j1, j2) pairs — the
+    * ST_norm_lsq2x4 assignment (the 1-D fixed point of
+    * LocalSearchQuantizer::icm_encode; ties to the lexicographically
+    * smallest pair). ONE definition shared by the plan-side
+    * [[ScalarLsq2Encode]] and the driver-side LSQ codebook refinement
+    * ([[graft.index.RqNorms.norm2Codebooks]]) so training assignments
+    * and encode can never drift apart. */
+  def encodeNormJoint(x: Double, cb1: Array[Double],
+      cb2: Array[Double]): (Int, Int) = {
+    var best1 = 0; var best2 = 0; var bestD = Double.MaxValue
+    var j1 = 0
+    while (j1 < cb1.length) {
+      val r = x - cb1(j1)
+      var j2 = 0
+      while (j2 < cb2.length) {
+        val d = math.abs(r - cb2(j2))
+        if (d < bestD) { bestD = d; best1 = j1; best2 = j2 }
+        j2 += 1
+      }
+      j1 += 1
+    }
+    (best1, best2)
+  }
 }
 
 /** array<int> codes (AQ levels then norm levels) → nibble-packed
@@ -420,21 +444,9 @@ case class ScalarLsq2Encode(child: Expression, normCb: Array[Array[Double]])
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "scalar_lsq2_encode"
   override def nullSafeEval(v: Any): Any = {
-    val x = v.asInstanceOf[Double]
-    val cb1 = normCb(0); val cb2 = normCb(1)
-    var best1 = 0; var best2 = 0; var bestD = Double.MaxValue
-    var j1 = 0
-    while (j1 < cb1.length) {
-      val r = x - cb1(j1)
-      var j2 = 0
-      while (j2 < cb2.length) {
-        val d = math.abs(r - cb2(j2))
-        if (d < bestD) { bestD = d; best1 = j1; best2 = j2 }
-        j2 += 1
-      }
-      j1 += 1
-    }
-    new GenericArrayData(Array(best1, best2))
+    val (j1, j2) = Rq4FsKernels.encodeNormJoint(v.asInstanceOf[Double],
+      normCb(0), normCb(1))
+    new GenericArrayData(Array(j1, j2))
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

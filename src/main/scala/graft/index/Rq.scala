@@ -154,22 +154,12 @@ object RqNorms {
     var cb2 = km1d(sample.map(x => x - l1(nearest(l1, x))))
     var it = 0
     while (it < lsqIters) {
-      // exact joint encode of the sample, then per-level conditional
+      // exact joint encode of the sample (the SAME kernel the
+      // plan-side ScalarLsq2Encode runs — training assignments and
+      // encode can never drift apart), then per-level conditional
       // mean update (the LSQ alternation)
-      val enc = sample.map { x =>
-        var b1 = 0; var b2 = 0; var bd = Double.MaxValue
-        var j1 = 0
-        while (j1 < cb1.length) {
-          val r = x - cb1(j1); var j2 = 0
-          while (j2 < cb2.length) {
-            val d = math.abs(r - cb2(j2))
-            if (d < bd) { bd = d; b1 = j1; b2 = j2 }
-            j2 += 1
-          }
-          j1 += 1
-        }
-        (b1, b2)
-      }
+      val enc = sample.map(x =>
+        graft.core.Rq4FsKernels.encodeNormJoint(x, cb1, cb2))
       def update(level: Int, cb: Array[Double], other: Array[Double]): Array[Double] = {
         val next = cb.clone()
         val sums = new Array[Double](cb.length)

@@ -150,16 +150,14 @@ object CoarseTransform {
     Transforms.pca(centDf, "c", dOut)
   }
 
-  /** Driver twin of `Linear.applyCol` (MatVec double accumulation +
-    * the float cast), so driver-side transformed centroids are
-    * bit-identical to a plan-side transform of the same rows. */
+  /** Driver twin of `Linear.applyCol`: the SAME MatVec kernel the
+    * plan expression runs (double accumulation, bias after the
+    * product sum) followed by the same per-element float cast —
+    * delegating rather than re-implementing, so driver-side
+    * transformed centroids can never drift from a plan-side
+    * transform of the same rows. */
   def applyLin(lin: Linear, x: Array[Float]): Array[Float] =
-    Array.tabulate(lin.a.length) { j =>
-      val row = lin.a(j)
-      var s = 0.0
-      var i = 0
-      while (i < row.length) { s += row(i).toDouble * x(i).toDouble; i += 1 }
-      if (lin.b != null) s += lin.b(j).toDouble
-      s.toFloat
-    }
+    graft.core.MatVecKernels.apply(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(x),
+      lin.a, lin.b).toDoubleArray().map(_.toFloat)
 }
