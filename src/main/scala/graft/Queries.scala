@@ -148,6 +148,25 @@ object Queries {
       graft.index.IndexFactory.build(bDf(s, dir, 10), "id", "vec",
         "IVF16,Flat", niter = 4)
     }
+  /** `IVF8,RQ2x4_Nqint8` — the aq_norm clause INSIDE the IVF code
+    * token (index_factory.cpp:293-430): residual-AQ lists searched by
+    * the ST_norm_qint8 LUT scan. */
+  private def ivfRqNorm8(s: SparkSession, dir: String): graft.index.IndexFactory.Built =
+    cached(s"ivfrqnorm8:$dir") {
+      graft.index.IndexFactory.build(bDf(s, dir, 10), "id", "vec",
+        "IVF8,RQ2x4_Nqint8", niter = 4)
+    }
+  /** Twin-call IvfRq of the `IVF8,RQ2x4_Nqint8` factory route: the
+    * same deterministic build (coarse k-means, residual RQ train,
+    * beam-2 + 1-ICM encode) the factory runs internally — the
+    * parenPqPq16 twin-call convention; the oracle sidecars come from
+    * this twin while the catalog query searches the factory Built. */
+  private def ivfRqNormTwin(s: SparkSession, dir: String): graft.index.IvfRqIndex =
+    cached(s"ivfrqnormtwin:$dir") {
+      graft.index.IvfRq.build(bDf(s, dir, 10), "id", "vec", nlist = 8,
+        levels = 2, k = 16, niterCoarse = 4, niterRq = 4, beam = 2,
+        icmIters = 1, seed = 1234L)
+    }
   private def factoryRefine8(s: SparkSession, dir: String): graft.index.IndexFactory.Built =
     cached(s"factoryRefine:$dir") {
       graft.index.IndexFactory.build(bDf(s, dir, 10), "id", "vec",
@@ -503,6 +522,7 @@ object Queries {
     rqNormCq(s, dir, 256); rqNormCq(s, dir, 16)
     rqNorm2Cb(s, dir, 0); rqNorm2Cb(s, dir, 3)
     ondiskCents16(s, dir)
+    ivfRqNorm8(s, dir); ivfRqNormTwin(s, dir)
     ()
   }
 
@@ -718,6 +738,16 @@ object Queries {
     OracleAux.write(dir, "ivfrq_codebooks",
       OracleAux.codebooksDf(s, ivfrq.model.codebooks))
     OracleAux.write(dir, "ivfrq_codes", ivfrq.codes)
+    // IVF-prefixed aq_norm clause (IVF8,RQ2x4_Nqint8): trained state
+    // of the twin-call build — the oracle replays decode, the stored
+    // residual-reconstruction norms, the qint8 grid, probe selection
+    // and the LUT arithmetic from these
+    val ivfrqn = ivfRqNormTwin(s, dir)
+    OracleAux.write(dir, "ivfrqn_centroids",
+      OracleAux.centroidsDf(s, ivfrqn.centroids))
+    OracleAux.write(dir, "ivfrqn_codebooks",
+      OracleAux.codebooksDf(s, ivfrqn.model.codebooks))
+    OracleAux.write(dir, "ivfrqn_codes", ivfrqn.codes)
     // ZnLattice: trained norm ranges, engine-encoded per-subvector
     // integer codes, and the enumerated sphere codebook (the dataflow
     // decode_cache, lattice_Zn.h:163) — the oracle replays DECODE only
@@ -6260,6 +6290,56 @@ object Queries {
               |      p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
               |  FROM probes p JOIN recon r ON r.list_no = p.list_no
               |  JOIN embeddings q ON q.vec_id = p.qid)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 10""".stripMargin)),
+
+    // IVF-prefixed aq_norm clause (`IVF8,RQ2x4_Nqint8`,
+    // index_factory.cpp:293-430 parses _N<norm> inside the IVF code
+    // token; AQInvertedListScannerLUT, IndexIVFAdditiveQuantizer.cpp:
+    // 204): the same residual lists as ivfrq_search, searched by the
+    // per-(query, probed-list) LUT scan with a stored qint8-quantized
+    // residual-reconstruction norm —
+    //   dist = ||q-c||^2 - 2<q-c, x_hat> + qint8(||x_hat||^2).
+    // The catalog query searches the FACTORY-built index (proving the
+    // grammar clause end-to-end); the sidecars come from the
+    // deterministic twin-call build. The oracle replays the WHOLE
+    // chain in SQL: decode-from-codes, the stored norms, the trained
+    // qint8 grid (min/max over all stored norms), probe selection,
+    // float residual queries, per-level LUT dots, the bias+norm
+    // formula, (dist, id)-ascending top-k.
+    ("ivfrq_qnorm_search", (s: SparkSession, dir: String) =>
+      ivfRqNorm8(s, dir).search(qDf(s, dir, 10), 10, nprobe = 4)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfrqn_centroids/*.parquet')),
+              |cb AS (SELECT m, j, c FROM read_parquet('$AUX/ivfrqn_codebooks/*.parquet')),
+              |codes AS (SELECT id, list_no, code FROM read_parquet('$AUX/ivfrqn_codes/*.parquet')),
+              |enc AS (SELECT id, list_no, r.m AS m, code[r.m+1] AS j FROM codes, range(0,2) r(m)),
+              |comp AS (SELECT e.id, generate_subscripts(cb.c, 1) AS i, unnest(cb.c) AS v
+              |  FROM enc e JOIN cb ON cb.m = e.m AND cb.j = e.j),
+              |sumd AS (SELECT id, i, sum(v)::REAL AS v FROM comp GROUP BY id, i),
+              |dv AS (SELECT id, list(v ORDER BY i) AS dv FROM sumd GROUP BY id),
+              |nb AS (SELECT id, list_aggregate(list_transform(dv::DOUBLE[], x -> x*x), 'sum') AS normsq FROM dv),
+              |nstat AS (SELECT min(normsq) AS nmin, max(normsq) AS nmax FROM nb),
+              |nq AS (SELECT nb.id, CASE WHEN ns.nmax = ns.nmin THEN ns.nmin ELSE
+              |    (least(greatest(floor((nb.normsq - ns.nmin)/(ns.nmax - ns.nmin)*256), 0), 255) + 0.5)/256*(ns.nmax - ns.nmin) + ns.nmin END AS nqd
+              |  FROM nb, nstat ns),
+              |probes AS (SELECT qid, list_no, cd FROM (
+              |  SELECT q.vec_id AS qid, c.list_no,
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS cd,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |      list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
+              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10) t WHERE pr <= 4),
+              |qr AS (SELECT p.qid, p.list_no, p.cd,
+              |    list_transform(list_zip(q.embedding, c.c), p2 -> p2[1] - p2[2]) AS res
+              |  FROM probes p JOIN embeddings q ON q.vec_id = p.qid JOIN cent c ON c.list_no = p.list_no),
+              |ip AS (SELECT q.qid, e.id, q.cd,
+              |    sum(list_aggregate(list_transform(list_zip(q.res::DOUBLE[], cb.c::DOUBLE[]), p -> p[1]*p[2]), 'sum')) AS ip
+              |  FROM qr q JOIN enc e ON e.list_no = q.list_no
+              |  JOIN cb ON cb.m = e.m AND cb.j = e.j
+              |  GROUP BY q.qid, e.id, q.cd),
+              |d AS (SELECT ip.qid, ip.id, ip.cd - 2*ip.ip + nq.nqd AS dist
+              |  FROM ip JOIN nq ON nq.id = ip.id)
               |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
               |WHERE "rank" <= 10""".stripMargin)),

@@ -512,6 +512,27 @@ object IndexFactory {
         qid, qvec, coarse = graph.flatMap(_.at(np)))
     }
   }
+  /** `IVF<n>,{RQ|LSQ}<L>x<nb>_N<norm>` — the aq_norm clause INSIDE
+    * the IVF code token (index_factory.cpp:293-430): the same residual
+    * AQ lists as [[IvfRqBuilt]], searched through the
+    * ST_norm_* / ST_LUT_nonorm LUT scan instead of decode
+    * (AQInvertedListScannerLUT, IndexIVFAdditiveQuantizer.cpp:204).
+    * The stored norm is ||decode(code)||² of the RESIDUAL decode,
+    * quantized by the same [[RqNorms]] codecs the flat `_N` route
+    * trains; composes with graph coarse prefixes like every IVF code. */
+  private final class IvfRqNormBuilt(val idx: IvfRqIndex,
+      val codesNq: DataFrame, nonorm: Boolean, chain: VecTransform,
+      graph: Option[CoarseGraphSpec] = None) extends Built {
+    private[IndexFactory] def close0(): Unit = {
+      codesNq.unpersist(blocking = false)
+      idx.codes.unpersist(blocking = false)
+    }
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
+      val np = math.max(nprobe, 1)
+      idx.searchNormLut(q.withColumn(qvec, chain.applyCol(col(qvec))), k, np,
+        codesNq, nonorm, qid, qvec, coarse = graph.flatMap(_.at(np)))
+    }
+  }
   /** IVF<n>(RCQ<a>x<b>),Flat: ResidualCoarseQuantizer coarse. */
   private final class IvfRcqBuilt(val idx: IvfRcqFlatIndex, chain: VecTransform)
       extends Built {
@@ -682,6 +703,52 @@ object IndexFactory {
     * index is IDENTICAL to the exact-coarse `IVF<n>,<code>` form;
     * only search-time probe selection changes, so every code route
     * reuses its plain builder). */
+  /** Shared builder of the IVF-prefixed `_N<norm>` clause (see
+    * [[IvfRqNormBuilt]]): residual-AQ build + add-time norm compute +
+    * the flat route's [[RqNorms]] codec training over the RESIDUAL
+    * reconstruction norms. */
+  private def ivfAqNorm(data: DataFrame, chain: VecTransform, nlist: Int,
+      fam: String, lv: Int, nb: Int, st: String, niter: Int, seed: Long,
+      graph: Option[CoarseGraphSpec] = None): Built = {
+    val (beam, icm) = if (fam == "RQ") (2, 1) else (1, 3)
+    val idx = IvfRq.build(data, "id", "vec", nlist, lv, 1 << nb,
+      niterCoarse = niter, niterRq = niter, beam = beam, icmIters = icm,
+      seed = seed)
+    if (st == "none")
+      // ST_LUT_nonorm: no norm stored or computed — the scan reads the
+      // build's own cached codes table directly
+      new IvfRqNormBuilt(idx, idx.codes, nonorm = true, chain, graph)
+    else {
+      val withN = idx.codes.withColumn("normsq", aggregate(
+        idx.model.decodeCol(col("code")).cast("array<double>"),
+        lit(0.0), (a, x) => a + x * x)).cache()
+      val nq: Column = st match {
+        case "float" => col("normsq")
+        case "qint8" | "qint4" =>
+          val (nmin, nmax) = RqNorms.range(withN, "normsq")
+          RqNorms.qintDecode(col("normsq"),
+            if (st == "qint8") 256 else 16, nmin, nmax)
+        case "cqint8" | "cqint4" =>
+          RqNorms.cqDecode(col("normsq"), RqNorms.cqCentroids(withN,
+            "normsq", if (st == "cqint8") 256 else 16))
+        case "rq2x4" =>
+          val cb = RqNorms.norm2Codebooks(withN, "normsq", seed)
+          RqNorms.norm2Decode(RqNorms.rq2EncodeCol(col("normsq"), cb), cb)
+        case "lsq2x4" =>
+          val cb = RqNorms.norm2Codebooks(withN, "normsq", seed, lsqIters = 3)
+          RqNorms.norm2Decode(RqNorms.lsq2EncodeCol(col("normsq"), cb), cb)
+      }
+      // cache + materialize the FINAL scanned table, then release the
+      // stats intermediate (Dataset.unpersist only uncaches a plan
+      // that sameResults the cached root — the flat _N route's r12
+      // code-review fix applies here verbatim)
+      val codesNq = withN.withColumn("nq", nq).drop("normsq").cache()
+      codesNq.count()
+      withN.unpersist(blocking = false)
+      new IvfRqNormBuilt(idx, codesNq, nonorm = false, chain, graph)
+    }
+  }
+
   private def graphIvf(data: DataFrame, chain: VecTransform, nlist: Int,
       spec: CoarseGraphSpec, code: String, niter: Int, seed: Long,
       desc: String): Built = code match {
@@ -728,6 +795,9 @@ object IndexFactory {
       new IvfRqBuilt(IvfRq.build(data, "id", "vec", nlist,
         lv.toInt, 1 << nb.toInt, niterCoarse = niter, niterRq = niter,
         beam = 1, icmIters = 3, seed = seed), chain, graph = Some(spec))
+    case AqNorm(fam, lv, nb, st) =>
+      ivfAqNorm(data, chain, nlist, fam, lv.toInt, nb.toInt, st,
+        niter, seed, graph = Some(spec))
     case other => throw new IllegalArgumentException(
       s"unsupported graph-coarse IVF code '$other' in '$desc'")
   }
@@ -1133,6 +1203,12 @@ object IndexFactory {
           new IvfRqBuilt(IvfRq.build(data, "id", "vec", nlist.toInt,
             lv.toInt, 1 << nb.toInt, niterCoarse = niter, niterRq = niter,
             beam = 1, icmIters = 3, seed = seed), chain)
+        // IVF<n>,{RQ|LSQ}<L>x<nb>_N<norm>: the aq_norm clause inside
+        // the IVF code token (index_factory.cpp:293-430) — the LUT
+        // scan over residual lists with a stored quantized norm
+        case AqNorm(fam, lv, nb, st) =>
+          ivfAqNorm(data, chain, nlist.toInt, fam, lv.toInt, nb.toInt, st,
+            niter, seed)
         case other => throw new IllegalArgumentException(
           s"unsupported IVF code '$other' in '$desc'")
       }
@@ -1365,6 +1441,7 @@ object IndexFactory {
         case b: MiqTwoLayerBuilt => List(() => b.idx.close())
         case b: IvfPqrBuilt => List(() => b.idx.close())
         case b: RqLutBuilt => List(() => b.close0())
+        case b: IvfRqNormBuilt => List(() => b.close0())
         case b: Hnsw2LevelBuilt => List(() => b.close0())
         case _ => Nil
       })

@@ -63,6 +63,55 @@ class IvfRqIndex(
         col("_r.id").as("id"), col("_r.dist").as("dist"))
   }
 
+  /** The ST_norm_* / ST_LUT_nonorm LUT scan over the SAME residual
+    * lists (AQInvertedListScannerLUT, IndexIVFAdditiveQuantizer.cpp:
+    * 204-244 — the `IVF<n>,RQ<L>x<nb>_N<norm>` factory clause,
+    * index_factory.cpp:293-430): per probed list the query residual
+    * q−c drives a per-(query,list) codeword LUT, and the stored
+    * (possibly quantized) reconstruction norm replaces the decode:
+    *
+    *   ||q − (c + x̂)||² = ||q−c||² − 2<q−c, x̂> + ||x̂||²
+    *                  = coarse_dis − 2·Σ_l LUT[code_l] + norm_q
+    *
+    * `codesNq` is the codes table carrying the decoded quantized norm
+    * (`nq` column, absent in nonorm mode where the formula drops the
+    * last term — ST_LUT_nonorm under L2, still ranked ascending). The
+    * LUT is computed ONCE per (query, probed list) inside the
+    * broadcast probe table (levels·k doubles per row, bounded by
+    * nq·nprobe), so the per-row scan cost is L lookups + one add —
+    * the same integer-light shape as the reference's scan loop; the
+    * base never shuffles. */
+  def searchNormLut(queries: DataFrame, k: Int, nprobe: Int,
+      codesNq: DataFrame, nonorm: Boolean = false,
+      queryId: String = "qid", queryVec: String = "qvec",
+      coarse: Option[Probes.CoarseQuant] = None): DataFrame = {
+    val s = queries.sparkSession
+    import s.implicits._
+    val centDf = centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "_cent")
+      .select(col("list_no"), col("_cent").cast("array<float>").as("_cent"))
+    val probesPlan = queries.select(col(queryId), col(queryVec),
+      explode(Probes.selExpr(col(queryVec), centroids, nprobe, "l2sq",
+        coarse, graphCacheKey)).as("_p"))
+      .select(col(queryId), col(queryVec), col("_p.list_no").as("list_no"))
+      .join(broadcast(centDf), "list_no")
+      .select(col(queryId), col("list_no"),
+        l2sq(col(queryVec), col("_cent")).as("_cd"),
+        model.lutCol(vec_sub(col(queryVec), col("_cent"))).as("_lut"))
+    val probed = Probes.probedListIds(probesPlan)
+    val ip = model.ipFromLutCol(col("code"), col("_lut"))
+    val d = if (nonorm) col("_cd") - lit(2.0) * ip
+      else col("_cd") - lit(2.0) * ip + col("nq")
+    codesNq.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
+      .join(broadcast(probesPlan), "list_no")
+      .select(col(queryId), col("id"), d.as("_dist"))
+      .groupBy(col(queryId))
+      .agg(topk(col("_dist"), col("id"), k, asc = true).as("_tk"))
+      .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+      .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
+        col("_r.id").as("id"), col("_r.dist").as("dist"))
+  }
+
   /** Lossy reconstruction: centroid + decoded residual, shuffle-free. */
   def reconstruct: DataFrame = {
     val s = codes.sparkSession
