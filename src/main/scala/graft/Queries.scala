@@ -362,6 +362,15 @@ object Queries {
     cached(s"ivfpqfsr8:$dir") {
       graft.index.IvfPq4FastScanRIndex.fromIvfPq(ivfpq8(s, dir))
     }
+  /** By-residual IVF AQ fast-scan (`IVF8,RQ2x4fsr`,
+    * IndexIVFAdditiveQuantizerFastScan.cpp:590): residual RQ codes +
+    * the FULL-reconstruction-norm 2x4 codec, one LUT per query plus a
+    * per-probe scalar bias. */
+  private def ivfrqfsr8(s: SparkSession, dir: String): graft.index.IvfRq4FastScanRIndex =
+    cached(s"ivfrqfsr8:$dir") {
+      graft.index.IvfRq4FastScanRIndex.build(bDf(s, dir, 10), "id", "vec",
+        nlist = 8, levels = 2, niterCoarse = 4, niter = 4)
+    }
   /** Documents corpus with planted exact duplicates (id + 100000):
     * guarantees the simhash near-dup query returns rows at any sf. */
   private def simhashCorpus(s: SparkSession, dir: String): DataFrame =
@@ -509,7 +518,8 @@ object Queries {
     kmSph8(s, dir); kmEnc8(s, dir); znLat16(s, dir); pca16(s, dir)
     itq32(s, dir)
     pqfs8(s, dir); ivfpqfs8(s, dir); ivfsq4(s, dir); rqfs2(s, dir)
-    ivfrqfs8(s, dir); ivfpqfsr8(s, dir); rcq16(s, dir); opq32Ivfpq(s, dir)
+    ivfrqfs8(s, dir); ivfpqfsr8(s, dir); ivfrqfsr8(s, dir); rcq16(s, dir)
+    opq32Ivfpq(s, dir)
     // factory/paren-built twins: same pre-trained-vs-search basis as
     // the direct fixtures (their oracles replay trained state too)
     factoryIvf16(s, dir); factoryRefine8(s, dir); factoryIvfHnswPq8(s, dir)
@@ -539,6 +549,21 @@ object Queries {
       OracleAux.codebooksDf(s, pqfs8(s, dir).model.codebooks))
     OracleAux.write(dir, "ivfrqfs_centroids",
       OracleAux.centroidsDf(s, ivfrqfs8(s, dir).centroids))
+    // by-residual AQ fast-scan trained state: the oracle replays the
+    // WHOLE chain (assign, greedy residual encode, reconstruction
+    // norm, norm encode, LUT quantization, integer scan, bias) from
+    // these three sidecars alone
+    val rqfsr = ivfrqfsr8(s, dir)
+    OracleAux.write(dir, "ivfrqfsr_centroids",
+      OracleAux.centroidsDf(s, rqfsr.centroids))
+    OracleAux.write(dir, "ivfrqfsr_codebooks",
+      OracleAux.codebooksDf(s, rqfsr.model.codebooks))
+    OracleAux.write(dir, "ivfrqfsr_normcb", {
+      import s.implicits._
+      val ncb = rqfsr.normCb
+      (for (l <- ncb.indices; j <- ncb(l).indices) yield (l, j, ncb(l)(j)))
+        .toDF("l", "j", "c")
+    })
     OracleAux.write(dir, "rq4fs_normcb", {
       import s.implicits._
       val ncb = rqfs2(s, dir).normCb
@@ -2994,6 +3019,92 @@ object Queries {
               |  GROUP BY l.qid, e.id)
               |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM acc) w
+              |WHERE "rank" <= 10""".stripMargin)),
+
+    // By-residual IVF AQ fast-scan (IVF8,RQ2x4fsr,
+    // IndexIVFAdditiveQuantizerFastScan.cpp:590 + the LUT-math block
+    // :353-403): the RQ encodes RESIDUALS but the stored 2-nibble norm
+    // carries the FULL reconstruction norm ||c + decode(r)||^2, so the
+    // LUT stays one-per-query over q itself and the by-residual part
+    // is a scalar -2<q,c> bias per probed list; candidates rank on the
+    // dequantized q^2 + bias + qdist/a + b. The oracle replays the
+    // ENTIRE chain from three sidecars (centroids, residual codebooks,
+    // norm codebooks): coarse assignment, float32 residuals, the
+    // greedy (beam=1) two-level RQ encode, decode + reconstruction
+    // norm, the greedy 2x4 norm encode, the (L+2)-column LUT, uint8
+    // quantization, probe selection, integer accumulate, bias and
+    // dequantized ranking.
+    ("ivfrq4fsr_search", (s: SparkSession, dir: String) =>
+      ivfrqfsr8(s, dir).search(qDf(s, dir, 10), 10, nprobe = 4),
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfrqfsr_centroids/*.parquet')),
+              |cb AS (SELECT m, j, c FROM read_parquet('$AUX/ivfrqfsr_codebooks/*.parquet')),
+              |ncb AS (SELECT l, j, c FROM read_parquet('$AUX/ivfrqfsr_normcb/*.parquet')),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |bres AS (SELECT a.id, a.list_no,
+              |    list_transform(list_zip(b.embedding, c.c), p -> p[1] - p[2]) AS res
+              |  FROM basg a JOIN embeddings b ON b.vec_id = a.id JOIN cent c ON c.list_no = a.list_no),
+              |e0 AS (SELECT id, list_no, res, j AS j0 FROM (
+              |  SELECT b.id, b.list_no, b.res, cb.j, row_number() OVER (PARTITION BY b.id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.res::DOUBLE[], cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM bres b JOIN cb ON cb.m = 0) t WHERE rn = 1),
+              |r1 AS (SELECT e0.id, e0.list_no, e0.j0,
+              |    list_transform(list_zip(e0.res, c0.c), p -> p[1] - p[2]) AS res1
+              |  FROM e0 JOIN cb c0 ON c0.m = 0 AND c0.j = e0.j0),
+              |e1 AS (SELECT id, list_no, j0, j AS j1 FROM (
+              |  SELECT r.id, r.list_no, r.j0, cb.j, row_number() OVER (PARTITION BY r.id ORDER BY
+              |    list_aggregate(list_transform(list_zip(r.res1::DOUBLE[], cb.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
+              |  FROM r1 r JOIN cb ON cb.m = 1) t WHERE rn = 1),
+              |dec AS (SELECT e1.id, e1.list_no, e1.j0, e1.j1,
+              |    list_transform(list_zip(c0.c, c1.c), p -> p[1] + p[2]) AS dv
+              |  FROM e1 JOIN cb c0 ON c0.m = 0 AND c0.j = e1.j0
+              |  JOIN cb c1 ON c1.m = 1 AND c1.j = e1.j1),
+              |nb AS (SELECT d.id, d.list_no, d.j0, d.j1,
+              |    list_aggregate(list_transform(list_transform(list_zip(c.c, d.dv), p -> (p[1] + p[2])::REAL)::DOUBLE[], x -> x*x), 'sum') AS nv
+              |  FROM dec d JOIN cent c ON c.list_no = d.list_no),
+              |n1 AS (SELECT id, list_no, j0, j1, nv, j AS m1, c AS c1 FROM (
+              |  SELECT nb.id, nb.list_no, nb.j0, nb.j1, nb.nv, ncb.j, ncb.c,
+              |    row_number() OVER (PARTITION BY nb.id ORDER BY abs(nb.nv - ncb.c), ncb.j) AS rn
+              |  FROM nb JOIN ncb ON ncb.l = 0) t WHERE rn = 1),
+              |n2 AS (SELECT id, list_no, j0, j1, m1, j AS m2 FROM (
+              |  SELECT n1.id, n1.list_no, n1.j0, n1.j1, n1.m1, ncb.j,
+              |    row_number() OVER (PARTITION BY n1.id ORDER BY abs((n1.nv - n1.c1) - ncb.c), ncb.j) AS rn
+              |  FROM n1 JOIN ncb ON ncb.l = 1) t WHERE rn = 1),
+              |enc AS (SELECT id, list_no, 0 AS m, j0 AS j FROM n2
+              |  UNION ALL SELECT id, list_no, 1, j1 FROM n2
+              |  UNION ALL SELECT id, list_no, 2, m1 FROM n2
+              |  UNION ALL SELECT id, list_no, 3, m2 FROM n2),
+              |lut AS (SELECT q.vec_id AS qid, cb.m, cb.j,
+              |    -2 * list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], cb.c::DOUBLE[]), p -> p[1]*p[2]), 'sum') AS pd
+              |  FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 10
+              |  UNION ALL
+              |  SELECT q.vec_id AS qid, 2 + ncb.l AS m, ncb.j, ncb.c AS pd
+              |  FROM embeddings q CROSS JOIN ncb WHERE q.vec_id < 10),
+              |colstat AS (SELECT qid, m, min(pd) AS mn, max(pd) - min(pd) AS span FROM lut GROUP BY qid, m),
+              |scal AS (SELECT qid, 255.0 / max(span) AS a,
+              |    list_aggregate(list(mn ORDER BY m), 'sum') AS b FROM colstat GROUP BY qid),
+              |lq AS (SELECT l.qid, l.m, l.j, floor((l.pd - cs.mn) * sc.a + 0.5)::BIGINT AS lq
+              |  FROM lut l JOIN colstat cs ON cs.qid = l.qid AND cs.m = l.m
+              |  JOIN scal sc ON sc.qid = l.qid),
+              |probes AS (SELECT qid, list_no, bias FROM (
+              |  SELECT q.vec_id AS qid, c.list_no,
+              |    -2 * list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], c.c::DOUBLE[]), p -> p[1]*p[2]), 'sum') AS bias,
+              |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |      list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
+              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10) t WHERE pr <= 4),
+              |qn AS (SELECT vec_id AS qid,
+              |    list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') AS qn
+              |  FROM embeddings WHERE vec_id < 10),
+              |acc AS (SELECT l.qid, e.id, any_value(p.bias) AS bias, sum(l.lq)::BIGINT AS qdist
+              |  FROM enc e JOIN lq l ON l.m = e.m AND l.j = e.j
+              |  JOIN probes p ON p.qid = l.qid AND p.list_no = e.list_no
+              |  GROUP BY l.qid, e.id),
+              |d AS (SELECT a.qid, a.id, qn.qn + a.bias + a.qdist / sc.a + sc.b AS dist
+              |  FROM acc a JOIN scal sc ON sc.qid = a.qid JOIN qn ON qn.qid = a.qid)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
               |WHERE "rank" <= 10""".stripMargin)),
 
     // §2.11 IVFPQ: residual PQ inside the pruned IVF join. nprobe =

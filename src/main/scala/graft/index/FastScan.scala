@@ -159,6 +159,35 @@ class Rq4FastScanIndex(
 }
 
 object Rq4FastScanIndex {
+  /** Train the 1-D two-level norm RQ (AdditiveQuantizer::train_norm
+    * for ST_norm_rq2x4) over a norm column: level 1 = exact 1-D
+    * k-means on the norms; level 2 = on the level-1 residuals (greedy
+    * scalar RQ). Trained on a bounded deterministic subsample (the
+    * Pq.train idiom) so the driver-side DP never sees more than 64k
+    * distinct values at corpus scale. Shared by the flat/non-residual
+    * builds (norms of the decode) and the by-residual build (norms of
+    * centroid + decode). */
+  private[index] def trainNormCb(df: DataFrame, normCol: String,
+      seed: Long): Array[Array[Double]] = {
+    val sample = df
+      .withColumn("_h", xxhash64(col(normCol), lit(seed)))
+      .orderBy(col("_h")).limit(65536).drop("_h").cache()
+    val l1 = graft.cluster.KMeans1D.fit(sample, normCol, 16).centroids
+    val resid = sample.withColumn("_r", col(normCol) -
+      element_at(typedlit(l1.toSeq),
+        shim.col(ScalarRq2Encode(shim.expr(col(normCol)), Array(l1)))
+          .getItem(0) + 1))
+    val l2 = graft.cluster.KMeans1D.fit(resid, "_r", 16).centroids
+    sample.unpersist()
+    // KMeans1D returns min(16, distinct values) centroids; pad with
+    // the last centroid so every LUT column is a full 16-entry
+    // stride on BOTH the engine and the oracle-sidecar side
+    // (duplicate entries are argmin/min-neutral)
+    def pad16(a: Array[Double]) =
+      if (a.length >= 16) a else a ++ Array.fill(16 - a.length)(a.last)
+    Array(pad16(l1), pad16(l2))
+  }
+
   /** Train RQ(levels×4bit) + the 1-D two-level norm RQ
     * (AdditiveQuantizer::train_norm for ST_norm_rq2x4) and encode
     * packed codes. Norm codebooks come from exact 1-D k-means per
@@ -179,27 +208,7 @@ object Rq4FastScanIndex {
         lit(0.0), (a, x) => a + x * x))
       .cache()
     try {
-      // level 1: exact 1-D k-means on the norms; level 2: on the
-      // level-1 residuals (greedy scalar RQ). Trained on a bounded
-      // deterministic subsample (the Pq.train idiom) so the driver-side
-      // DP never sees more than 64k distinct values at corpus scale.
-      val sample = withNorm
-        .withColumn("_h", xxhash64(col("_norm"), lit(seed)))
-        .orderBy(col("_h")).limit(65536).drop("_h").cache()
-      val l1 = graft.cluster.KMeans1D.fit(sample, "_norm", 16).centroids
-      val resid = sample.withColumn("_r", col("_norm") -
-        element_at(typedlit(l1.toSeq),
-          shim.col(ScalarRq2Encode(shim.expr(col("_norm")), Array(l1)))
-            .getItem(0) + 1))
-      val l2 = graft.cluster.KMeans1D.fit(resid, "_r", 16).centroids
-      sample.unpersist()
-      // KMeans1D returns min(16, distinct values) centroids; pad with
-      // the last centroid so every LUT column is a full 16-entry
-      // stride on BOTH the engine and the oracle-sidecar side
-      // (duplicate entries are argmin/min-neutral)
-      def pad16(a: Array[Double]) =
-        if (a.length >= 16) a else a ++ Array.fill(16 - a.length)(a.last)
-      val normCb = Array(pad16(l1), pad16(l2))
+      val normCb = trainNormCb(withNorm, "_norm", seed)
       val codes = withNorm.select(col("id"),
         shim.col(Rq4PackCodes(shim.expr(concat(col("_codes"),
           ScalarRq2EncodeCol(col("_norm"), normCb))))).as("code"))
@@ -209,7 +218,7 @@ object Rq4FastScanIndex {
     } finally withNorm.unpersist()
   }
 
-  private def ScalarRq2EncodeCol(c: org.apache.spark.sql.Column,
+  private[index] def ScalarRq2EncodeCol(c: org.apache.spark.sql.Column,
       normCb: Array[Array[Double]]): org.apache.spark.sql.Column =
     shim.col(ScalarRq2Encode(shim.expr(c), normCb))
 }
@@ -283,6 +292,126 @@ object IvfRq4FastScanIndex {
       seed: Long = 1234L): IvfRq4FastScanIndex =
     fromFlat(Rq4FastScanIndex.build(df, idCol, vecCol, levels, niter, seed),
       df, idCol, vecCol, nlist, niterCoarse, seed)
+}
+
+/** IVF AQ fast-scan with `by_residual = true` (factory
+  * `IVF<n>,RQ<L>x4fsr`; IndexIVFAdditiveQuantizerFastScan.cpp:590 and
+  * the LUT-math block :353-403): the RQ encodes RESIDUALS, but the
+  * stored 2-nibble norm code carries the FULL reconstruction norm
+  * ||c + decode(r)||^2 instead of the residual norm — the reference's
+  * trick that keeps ONE LUT per query:
+  *
+  *   d(q, x_hat) = q^2 - 2<q,c> - 2<q,r_hat> + ||x_hat||^2
+  *
+  * so the (L+2)-column quantized-LUT integer scan of the non-residual
+  * form applies unchanged (LUT[m][k] = -2<q, cb[m][k]> over q itself,
+  * norm columns appended), and the by-residual part reduces to a
+  * per-(query, probed-list) SCALAR bias -2<q,c> carried in the
+  * broadcast probe table ("biases" in compute_LUT :425-441). Because
+  * the bias varies per list, candidates are ranked on the DEQUANTIZED
+  * q^2 + bias + qdist/a + b (the IvfPq4FastScanRIndex normalizer
+  * convention); norm_scale fixed at 1 like the flat family.
+  * codes: (id, list_no, code packed [L residual nibbles + 2 norm]). */
+class IvfRq4FastScanRIndex(
+    val nlist: Int,
+    val centroids: Array[Array[Float]],
+    /** residual RQ codebooks. */
+    val model: RqModel,
+    val normCb: Array[Array[Double]],
+    val codes: DataFrame) {
+
+  /** Release the cached packed-codes table (the x4fsr close contract,
+    * ADVICE r8). */
+  def close(): Unit = codes.unpersist(blocking = false)
+
+  private val graphCacheKey = java.util.UUID.randomUUID().toString
+
+  def search(queries: DataFrame, k: Int, nprobe: Int,
+      queryId: String = "qid", queryVec: String = "qvec",
+      coarse: Option[Probes.CoarseQuant] = None): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centDf = centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "_cent")
+      .select(col("list_no"), col("_cent").cast("array<float>").as("_cent"))
+    // ONE quantized LUT + ||q||^2 per query (pre-explode), a scalar
+    // -2<q,c> bias per probe row; only distinct list ids cross the
+    // driver (static pruning), the LUT-bearing probe rows stay
+    // cluster-side inside the broadcast (Probes.probedListIds).
+    val probesPlan = queries.select(col(queryId), col(queryVec),
+      shim.col(Rq4FsQuantLut(shim.expr(col(queryVec)), model.codebooks, normCb))
+        .as("_ql"),
+      aggregate(col(queryVec).cast("array<double>"), lit(0.0),
+        (a, x) => a + x * x).as("_qn"),
+      explode(Probes.selExpr(col(queryVec), centroids, nprobe, "l2sq",
+        coarse, graphCacheKey)).as("_p"))
+      .select(col(queryId), col(queryVec), col("_ql"), col("_qn"),
+        col("_p.list_no").as("list_no"))
+      .join(broadcast(centDf), "list_no")
+      .select(col(queryId), col("list_no"), col("_ql"), col("_qn"),
+        (lit(-2.0) * graft.functions.inner_product(col(queryVec), col("_cent")))
+          .as("_bias"))
+    val probed = Probes.probedListIds(probesPlan)
+    codes.filter(col("list_no").isin(probed.map(Integer.valueOf).toSeq: _*))
+      .join(broadcast(probesPlan), "list_no")
+      .select(col(queryId), col("id"),
+        (col("_qn") + col("_bias") +
+          shim.col(Pq4AdcQ(shim.expr(col("code")), shim.expr(col("_ql.lutq"))))
+            .cast("double") / col("_ql.a") + col("_ql.b")).as("_dist"))
+      .groupBy(col(queryId))
+      .agg(topk(col("_dist"), col("id"), k, asc = true).as("_tk"))
+      .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+      .select(col(queryId), (col("_pos") + 1).cast("long").as("rank"),
+        col("_r.id").as("id"), round(col("_r.dist"), 4).as("dist"))
+  }
+}
+
+object IvfRq4FastScanRIndex {
+  /** Train coarse + residual 4-bit RQ + the full-reconstruction-norm
+    * 2x4 codec, encode packed codes (IVF<n>,RQ<L>x4fsr). */
+  def build(df: DataFrame, idCol: String, vecCol: String, nlist: Int = 16,
+      levels: Int = 2, niterCoarse: Int = 6, niter: Int = 6,
+      seed: Long = 1234L): IvfRq4FastScanRIndex = {
+    import graft.functions.{vec_add, vec_sub}
+    val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val coarse = graft.cluster.KMeans.fit(data, "vec",
+      graft.cluster.KMeans.Params(k = nlist, niter = niterCoarse, seed = seed))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = coarse.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "_cent")
+      .select(col("list_no"), col("_cent").cast("array<float>").as("_cent"))
+    val assigned = coarse.assign(data, "vec")
+      .join(broadcast(centDf), "list_no")
+      .select(col("id"), col("list_no"), col("_cent"),
+        vec_sub(col("vec"), col("_cent")).as("res"))
+      .cache()
+    try {
+      val model = Rq.train(assigned.select(col("res")), "res",
+        levels, 16, niter = niter, seed = seed, beam = 1)
+      // norm stored = ||centroid + decode(residual codes)||^2 — the
+      // FULL reconstruction norm (train_residual :186-207 computes
+      // fvec_norms_L2sqr over decoded_x including the centroid)
+      val withNorm = assigned.select(col("id"), col("list_no"),
+        model.encodeCol(col("res"), beam = 1).as("_codes"),
+        col("_cent"))
+        .withColumn("_norm", aggregate(
+          vec_add(col("_cent"), model.decodeCol(col("_codes")))
+            .cast("array<double>"),
+          lit(0.0), (a, x) => a + x * x))
+        .cache()
+      try {
+        val normCb = Rq4FastScanIndex.trainNormCb(withNorm, "_norm", seed)
+        val codes = withNorm.select(col("id"), col("list_no"),
+          shim.col(Rq4PackCodes(shim.expr(concat(col("_codes"),
+            Rq4FastScanIndex.ScalarRq2EncodeCol(col("_norm"), normCb)))))
+            .as("code"))
+          .cache()
+        codes.count()
+        new IvfRq4FastScanRIndex(nlist, coarse.centroids, model, normCb, codes)
+      } finally withNorm.unpersist()
+    } finally assigned.unpersist()
+  }
 }
 
 /** IVFPQFastScan with `by_residual = true` (factory suffix `r`:

@@ -148,6 +148,7 @@ object IndexFactory {
       // fast-scan BEFORE plain PQ/RQ: "PQ8x4fs" must not fall to `other`
       case PqFs(m, _) => code = Some((m.toInt + 1) / 2)
       case PqFsR(m, _) => code = Some((m.toInt + 1) / 2)
+      case RqFsR(lv, _) => code = Some((lv.toInt + 2 + 1) / 2) // + 2-nibble norm code
       case RqFs(lv, _) => code = Some((lv.toInt + 2 + 1) / 2) // + 2-nibble norm code
       case Pq(m, _) => code = Some(m.toInt)
       case RqTok(lv, nb) => code = Some((lv.toInt * nb.toInt + 7) / 8)
@@ -324,6 +325,10 @@ object IndexFactory {
   private val PqFsR = "PQ(\\d+)x4fsr(?:_(\\d+))?".r
   // RQ<L>x4fs[_<bbs>] (IndexAdditiveQuantizerFastScan, ST_norm_rq2x4)
   private val RqFs = "RQ(\\d+)x4fs(?:_(\\d+))?".r
+  // RQ<L>x4fsr[_<bbs>] (IndexIVFAdditiveQuantizerFastScan with
+  // by_residual = true, index_factory.cpp:328-335 — IVF-prefixed only,
+  // like the reference class)
+  private val RqFsR = "RQ(\\d+)x4fsr(?:_(\\d+))?".r
   // OPQ<M>[_<d>] (index_factory.cpp:211, OPQMatrix(d, M, d_out)):
   // the optional _<d> is a dimension-CHANGING OPQ — reduce to d_out
   // (PCA-initialized in the reference when d2 < d) then rotate
@@ -610,6 +615,18 @@ object IndexFactory {
         qid, qvec, coarse = graph.flatMap(_.at(np)))
     }
   }
+  /** IVF<n>,RQ<L>x4fsr (IndexIVFAdditiveQuantizerFastScan,
+    * by_residual = true — residual codes + full-reconstruction-norm
+    * 2x4 codec, one LUT per query + per-probe scalar bias). */
+  private final class IvfRqFsRBuilt(val idx: IvfRq4FastScanRIndex,
+      chain: VecTransform, graph: Option[CoarseGraphSpec] = None)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
+      val np = math.max(nprobe, 1)
+      idx.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, np,
+        qid, qvec, coarse = graph.flatMap(_.at(np)))
+    }
+  }
   /** IVF<n>,RQ<L>x4fs (IndexIVFAdditiveQuantizerFastScan, non-residual). */
   private final class IvfRqFsBuilt(idx: IvfRq4FastScanIndex, chain: VecTransform,
       graph: Option[CoarseGraphSpec] = None) extends Built {
@@ -774,6 +791,10 @@ object IndexFactory {
         m.toInt, Option(ks).map(_.toInt).getOrElse(16),
         niterCoarse = niter, niterPq = niter, seed = seed), chain,
         graph = Some(spec))
+    case RqFsR(lv, _) =>
+      new IvfRqFsRBuilt(IvfRq4FastScanRIndex.build(data, "id", "vec",
+        nlist, lv.toInt, niterCoarse = niter, niter = niter,
+        seed = seed), chain, graph = Some(spec))
     case RqFs(lv, _) =>
       new IvfRqFsBuilt(IvfRq4FastScanIndex.build(data, "id", "vec",
         nlist, lv.toInt, niterCoarse = niter, niter = niter,
@@ -1164,6 +1185,10 @@ object IndexFactory {
           new IvfPqFsRBuilt(IvfPq4FastScanRIndex.build(data, "id", "vec",
             nlist.toInt, m.toInt, niterCoarse = niter, niterPq = niter,
             seed = seed), chain)
+        case RqFsR(lv, _) =>
+          new IvfRqFsRBuilt(IvfRq4FastScanRIndex.build(data, "id", "vec",
+            nlist.toInt, lv.toInt, niterCoarse = niter, niter = niter,
+            seed = seed), chain)
         case RqFs(lv, _) =>
           new IvfRqFsBuilt(IvfRq4FastScanIndex.build(data, "id", "vec",
             nlist.toInt, lv.toInt, niterCoarse = niter, niter = niter,
@@ -1434,6 +1459,7 @@ object IndexFactory {
     result.onClose = (() => { data.unpersist(blocking = false); () }) ::
       (built match {
         case b: IvfPqFsRBuilt => List(() => b.idx.close())
+        case b: IvfRqFsRBuilt => List(() => b.idx.close())
         case b: IvfRcqBuilt => List(() => b.idx.close())
         case b: ImiPqBuilt => List(() => b.idx.close())
         case b: ImiSqBuilt => List(() => b.idx.close())

@@ -113,6 +113,36 @@ class FastScanSpec extends SparkTestBase {
     assert(viaFactory.search(q, 5, nprobe = 4).count() == 50)
   }
 
+  test("AQ residual fast-scan (RQ2x4fsr): factory build matches the direct" +
+    " build exactly; full-probe search tracks the decompress IVF-RQ ids") {
+    // same deterministic calls underneath -> identical rows
+    val direct = IvfRq4FastScanRIndex.build(b, "id", "vec", nlist = 4,
+      levels = 2, niterCoarse = 3, niter = 3)
+    val viaFactory = IndexFactory.build(b, "id", "vec", "IVF4,RQ2x4fsr", niter = 3)
+    assert(viaFactory.description == "IVF4,RQ2x4fsr")
+    assert(IndexFactory.codeSize("IVF4,RQ2x4fsr", 64) == 2)
+    val d = direct.search(q, 10, nprobe = 4).collect().toSet
+    val f = viaFactory.search(q, 10, nprobe = 4).collect().toSet
+    assert(d == f)
+    // graph-coarse composition degenerates to the exact probe set
+    val g = IndexFactory.build(b, "id", "vec", "IVF4_HNSW16,RQ2x4fsr", niter = 3)
+      .search(q, 10, nprobe = 4).collect().toSet
+    assert(g == d)
+    // quantized+biased ranking stays close to the decompress IVF-RQ
+    // ranking built over the same residual-encode family: at least
+    // half of each top-10 agrees (the quantization-slack convention
+    // of the x4fsr PQ test)
+    val ivfrq = IvfRq.build(b, "id", "vec", nlist = 4, levels = 2, k = 16,
+      niterCoarse = 3, niterRq = 3, beam = 1, icmIters = 0)
+    val exact = ivfrq.search(q, 10, nprobe = 4)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = direct.search(q, 10, nprobe = 4)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = got.intersect(exact).size.toDouble / exact.size
+    assert(overlap >= 0.5, s"fsr vs decompress overlap $overlap")
+    viaFactory.close()
+  }
+
   test("factory tokens PQ8x4fs / IVF4,PQ8x4fs / bbs suffix parse and search") {
     val built = IndexFactory.build(b, "id", "vec", "PQ8x4fs", niter = 3)
     assert(built.search(q, 5).count() == 50)
