@@ -338,6 +338,39 @@ class IvfPqIndex(
         hamming_dist(col("code"), col("_qcode")).as("ham"))
   }
 
+  /** Multi-walk-budget sweep for the (nprobe × quantizer_efSearch)
+    * autotune grid: the union of per-ef HNSW-walk probe rankings
+    * (labeled by `ef`) drives ONE statically-pruned codes scan — plan
+    * construction pays a single probed-list collect instead of one
+    * per budget (the per-ef [[sweepCandidates]] loop this replaces was
+    * the gate-ratio driver of autotune_pareto_hnsw_coarse, VERDICT
+    * r12). Output adds an `ef` column to the [[sweepCandidates]]
+    * shape. */
+  def sweepCandidatesEf(queries: DataFrame, npMax: Int, efs: Seq[Int],
+      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centDf = Probes.centroidsDf(spark, centroids)
+    val probesPlan = efs.map { ef =>
+      queries.select(lit(ef).as("ef"), col(queryId), col(queryVec),
+        posexplode(Probes.selExpr(col(queryVec), centroids,
+          math.min(npMax, nlist), "l2sq",
+          Some(Probes.HnswCoarse(ef)), graphCacheKey))
+          .as(Seq("_pr", "_p")))
+    }.reduce(_ unionByName _)
+      .select(col("ef"), col(queryId), col(queryVec), col("_pr").as("pr"),
+        col("_p.list_no").as("list_no"))
+      .join(broadcast(centDf), "list_no")
+      .withColumn("_qres", vec_sub(col(queryVec), col("centroid")))
+      .select(col("ef"), col(queryId), col("list_no"), col("pr"),
+        model.lutCol(col("_qres")).as("_lut"))
+    val probed = Probes.probedListIds(probesPlan)
+    codes.filter(col("list_no").isin(probed.map(Integer.valueOf).toSeq: _*))
+      .join(broadcast(probesPlan), Seq("list_no"))
+      .select(col("ef"), col(queryId), col("list_no"), col("pr"), col("id"),
+        model.adcCol(col("code"), col("_lut")).as("dist"))
+  }
+
   /** Lossy reconstruction (IndexIVFPQ::reconstruct_from_offset,
     * faiss/IndexIVFPQ.cpp — centroid + decoded residual): one
     * broadcast centroid join + an in-row decode, no shuffle. Output

@@ -319,20 +319,14 @@ object AutoTune {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = listSizes.values.sum.toDouble
     val nq = queries.count().toDouble
-    // ONE unioned candidate table over all walk budgets: plan
-    // construction still pays |efs| static-pruning collects
-    // (sweepCandidates enumerates each budget's probed lists — the
-    // walk expressions run once there and once in the union's
-    // materialization), but the grid itself reduces with just two
-    // aggregations over the cached union instead of |efs|·|actions|
-    // separate jobs — the fixed per-job cost is what dominated the
-    // per-ef loop this replaced
-    val cand = efs.map { ef =>
-      idx.sweepCandidates(queries, nprobes.max,
-          coarse = Some(graft.index.Probes.HnswCoarse(ef)))
-        .select(lit(ef).as("ef"), col("qid"), col("list_no"), col("pr"),
-          col("id"), col("dist"))
-    }.reduce(_ unionByName _).cache()
+    // ONE unioned candidate table over all walk budgets, built by ONE
+    // multi-budget sweep (IvfPqIndex.sweepCandidatesEf): plan
+    // construction pays a single static-pruning collect over the
+    // unioned probe rankings instead of one per ef (VERDICT r12 #7 —
+    // the per-ef sweepCandidates loop's fixed per-job costs were the
+    // gate-ratio driver), and the grid reduces with two aggregations
+    // over the cached union instead of |efs|·|actions| separate jobs
+    val cand = idx.sweepCandidatesEf(queries, nprobes.max, efs).cache()
     try {
       val nps = broadcast(nprobes.toDF("np"))
       val inter = cand.join(nps, col("pr") < col("np"))
