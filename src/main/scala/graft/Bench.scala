@@ -61,11 +61,16 @@ object Bench {
     val taskMs = new java.util.concurrent.atomic.AtomicLong
     val spillBytes = new java.util.concurrent.atomic.AtomicLong
     val shufBytes = new java.util.concurrent.atomic.AtomicLong
+    // per-task durations within the current query window: max/median
+    // expose stragglers (the skew evidence for ivf_search_skewed — a
+    // hot list collapsing onto one task shows up as max >> p50)
+    val taskDurs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
         if (m != null) {
           taskMs.addAndGet(m.executorRunTime)
+          taskDurs.add(m.executorRunTime)
           spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
           shufBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead +
             m.shuffleWriteMetrics.bytesWritten)
@@ -135,6 +140,7 @@ object Bench {
       // gc() cost itself is deliberately outside the timer and outside
       // the summed total.
       System.gc()
+      taskDurs.clear()
       val (gc0, task0, spill0, shuf0) = (gcMs, taskMs.get, spillBytes.get, shufBytes.get)
       val jit0 = jitMs
       val miss0 = Queries.memoMissNanosTotal
@@ -145,8 +151,16 @@ object Bench {
       missSec(name) = (Queries.memoMissNanosTotal - miss0) / 1e9
       results(name) = dt
       val (ccUsed, ccMax) = codeCacheMb
+      // task histogram of this query's window (listener lag means the
+      // last few events may slip a window — same tolerance as task_ms)
+      val durs = {
+        import scala.jdk.CollectionConverters._
+        taskDurs.iterator.asScala.map(_.longValue).toArray.sorted
+      }
+      val (taskMax, taskP50) =
+        if (durs.isEmpty) (0L, 0L) else (durs.last, durs(durs.length / 2))
       metrics(name) =
-        f"""{"sec":$dt%.3f,"gc_ms":${gcMs - gc0},"jit_ms":${jitMs - jit0},"task_ms":${taskMs.get - task0},"spill_mb":${(spillBytes.get - spill0) >> 20},"shuffle_mb":${(shufBytes.get - shuf0) >> 20},"heap_mb":$heapMb,"cc_mb":$ccUsed,"cc_max_mb":$ccMax}"""
+        f"""{"sec":$dt%.3f,"gc_ms":${gcMs - gc0},"jit_ms":${jitMs - jit0},"task_ms":${taskMs.get - task0},"task_max_ms":$taskMax,"task_p50_ms":$taskP50,"n_tasks":${durs.length},"spill_mb":${(spillBytes.get - spill0) >> 20},"shuffle_mb":${(shufBytes.get - shuf0) >> 20},"heap_mb":$heapMb,"cc_mb":$ccUsed,"cc_max_mb":$ccMax}"""
       // progress to stderr only; stdout carries nothing but the JSON line
       System.err.println(f"[bench] $name%-28s $dt%8.2f s  ${metrics(name)}")
     }
@@ -232,7 +246,7 @@ object Bench {
     // of the 600k-row derived table (memoized; every *_big query
     // reuses it), which the borderline-rerun path above already
     // reconstructs as warm+build_sec when it crosses 1.5x.
-    val notes = """"notes":{"bigvec_derive":"fixture derivation (md5+distinct+persist of the derived big-vector table), not an engine operator; memoized one-off build reused by every *_big query","distributed_ondisk_recipe":"runs the FULL ingestion lifecycle (4 shard builds + on-disk merge + load + search) while its oracle replays only the final search - the raw ratio compares lifecycle vs search; the _big twin is the at-scale measurement"},"""
+    val notes = """"notes":{"bigvec_derive":"fixture derivation (md5+distinct+persist of the derived big-vector table), not an engine operator; memoized one-off build reused by every *_big query","distributed_ondisk_recipe":"runs the FULL ingestion lifecycle (4 shard builds + on-disk merge + load + search) while its oracle replays only the final search - the raw ratio compares lifecycle vs search; the _big twin is the at-scale measurement","ivf_search_skewed":"deliberate hot list (~50% of rows in one cell): session-built invlists keep SOURCE partitioning so the hot list spreads across cores - see this query's task_max_ms vs task_p50_ms in metrics (a straggler would show max >> p50 * cores)"},"""
     val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"oracle":$orc,"metrics":$mj,$notes"failed":$fj,"sf":"$sfDir"}"""
     // Full per-query detail goes to a committed file + stderr; the log
     // the driver parses keeps only the LAST ~2000 bytes of output

@@ -533,6 +533,10 @@ object Queries {
     rqNorm2Cb(s, dir, 0); rqNorm2Cb(s, dir, 3)
     ondiskCents16(s, dir)
     ivfRqNorm8(s, dir); ivfRqNormTwin(s, dir)
+    // skewed-IVF fixture: its oracle replays search against the
+    // trained-centroid sidecar, so the (hot-list) build stays outside
+    // the timed run; there is no ivf_build_skewed entry to protect
+    ivfSkew(s, dir)
     ()
   }
 
@@ -602,6 +606,8 @@ object Queries {
       OracleAux.linearDf(s, parenPcaLin(s, dir)))
     OracleAux.write(dir, "ivfbig_centroids",
       OracleAux.centroidsDf(s, ivfBig(s, dir).centroids))
+    OracleAux.write(dir, "ivfskew_centroids",
+      OracleAux.centroidsDf(s, ivfSkew(s, dir).centroids))
     OracleAux.write(dir, "ondisk_centroids",
       OracleAux.centroidsDf(s, ondiskCents16(s, dir)))
     val ipqb = ivfpqBig(s, dir)
@@ -878,6 +884,28 @@ object Queries {
       // invlists, and the assign expression over 600k rows shouldn't
       // re-run per probe action
       idx.invlists.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      idx
+    }
+  /** Deliberately SKEWED big-vector table: half the rows (id % 2 = 0)
+    * collapse into a tight cluster near the origin (vec * 0.001f), so
+    * a trained IVF puts ~50% of the corpus into ONE hot list
+    * (imbalance_factor >> 1) — the shape that kills a naive
+    * list-partitioned scan at 100 TB. Float multiply replays exactly
+    * in DuckDB (REAL * REAL stays REAL). */
+  private def skewVecs(s: SparkSession, dir: String): DataFrame =
+    cached(s"skewvecs:$dir") {
+      bigVecs(s, dir).select(col("id"),
+        when(pmod(col("id"), lit(2)) === 0,
+          transform(col("vec"), x => x * lit(0.001f)))
+          .otherwise(col("vec")).as("vec"))
+    }
+  /** IVF over the skewed table: one hot list with ~half the rows. */
+  private def ivfSkew(s: SparkSession, dir: String): IvfIndex =
+    cached(s"ivfskew:$dir") {
+      val idx = IvfIndex.build(skewVecs(s, dir), "id", "vec",
+        nlist = 16, niter = 4)
+      idx.invlists.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .count()
       idx
     }
   private def ivfpqBig(s: SparkSession, dir: String): graft.index.IvfPqIndex =
@@ -5602,6 +5630,44 @@ object Queries {
       ivfBig(s, dir).search(bigQueries(s, dir), k = 10, nprobe = 8)
         .withColumn("dist", r4("dist")),
       Some(ivfBigNprobe8Sql)),
+
+    // Skewed-IVF stress (VERDICT r12 #6): the corpus is deliberately
+    // imbalanced — half the rows collapse to one tight cluster, so one
+    // list holds ~50% of the data (imbalance_factor >> 1,
+    // IvfSpec asserts it). At 100 TB a hot list is the first thing
+    // that kills an ANN join; here the session-built invlists keep the
+    // SOURCE partitioning (the probed-list filter selects hot-list
+    // rows wherever they lie, the top-k is partial+final), so the hot
+    // list spreads over every core instead of one straggler task —
+    // Bench's per-query task_max_ms/task_p50_ms fields record the
+    // histogram evidence. The oracle replays the same skew transform
+    // (float-exact in DuckDB) and the standard IVF search from the
+    // trained-centroid sidecar.
+    ("ivf_search_skewed", (s: SparkSession, dir: String) =>
+      ivfSkew(s, dir).search(
+        skewVecs(s, dir).filter(col("id") % 9973 === 1)
+          .select(col("id").as("qid"), col("vec").as("qvec")),
+        k = 10, nprobe = 4)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH v0 AS ($bigVecSql),
+              |v AS (SELECT id, CASE WHEN id % 2 = 0
+              |    THEN list_transform(vec, x -> x * 0.001::REAL) ELSE vec END AS vec FROM v0),
+              |cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfskew_centroids/*.parquet')),
+              |qc AS (SELECT q.id AS qid, c.list_no, row_number() OVER (PARTITION BY q.id ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.vec::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
+              |  FROM v q CROSS JOIN cent c WHERE q.id % 9973 = 1),
+              |probes AS (SELECT qid, list_no FROM qc WHERE pr <= 4),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.id, c.list_no, row_number() OVER (PARTITION BY b.id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.vec::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM v b CROSS JOIN cent c) t WHERE rn = 1),
+              |d AS (SELECT p.qid, a.id,
+              |    list_distance(q.vec::DOUBLE[], b.vec::DOUBLE[])^2 AS dist
+              |  FROM probes p JOIN basg a ON a.list_no = p.list_no
+              |  JOIN v q ON q.id = p.qid JOIN v b ON b.id = a.id)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 10""".stripMargin)),
 
     // big-batch IVF search (IVFlib's big-batch entry point / the
     // contrib big_batch_search recipe): when the QUERY SET itself is

@@ -25,6 +25,29 @@ class IvfSpec extends SparkTestBase {
     assert(ivf == exact)
   }
 
+  test("skewed corpus: one hot list holds ~half the rows, search stays exact " +
+    "at full probe (the ivf_search_skewed shape)") {
+    // same transform as the catalog fixture: half the vectors collapse
+    // to a tight cluster near the origin
+    val skew = b.select(col("id"),
+      when(pmod(col("id"), lit(2)) === 0,
+        transform(col("vec"), x => x * lit(0.001f)))
+        .otherwise(col("vec")).as("vec"))
+    val sidx = IvfIndex.build(skew, "id", "vec", nlist = 8, niter = 4)
+    val sizes = sidx.invlists.groupBy("list_no").count()
+      .collect().map(_.getLong(1))
+    val n = sizes.sum.toDouble
+    val imbalance = sizes.length * sizes.map(s => s.toDouble * s).sum / (n * n)
+    val hotFrac = sizes.max / n
+    assert(hotFrac >= 0.4, s"hot list only $hotFrac of rows")
+    assert(imbalance > 2.0, s"imbalance_factor $imbalance not skewed")
+    // full-probe search over the skewed lists is still the exact kNN
+    val sq = skew.filter(col("id") < 15)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val exact = resultSet(Knn.knnJoin(sq, skew, 10))
+    assert(resultSet(sidx.search(sq, 10, nprobe = 8)) == exact)
+  }
+
   test("HNSW coarse quantizer: exact-degenerate efSearch reproduces exact probes") {
     val exact = resultSet(idx.search(q, 10, nprobe = 4))
     val viaHnsw = resultSet(idx.search(q, 10, nprobe = 4, coarse = Some(Probes.HnswCoarse(1024))))
