@@ -3793,6 +3793,46 @@ object Queries {
     // arithmetic, then compare reconstruction error vs the original —
     // re-running the combinatorial ENCODE in SQL is neither possible
     // nor needed (ZnLatticeSpec proves encode optimal + bijective).
+    // ZnSphereCodecRec (lattice_Zn.cpp:470+, power-of-2 dims): the
+    // recursive pairing-DP enumeration over the same sphere point set
+    // as ZnSphereCodec (codes incompatible by design — the reference
+    // keeps both and ZnSphereCodecAlt picks Rec for 2^k dims). The
+    // engine enumerates the dim=8, r2=6 sphere through the ATOM codec
+    // (one derivation), rec-encodes and rec-decodes every point
+    // distributed, and emits the bijectivity gates; the oracle
+    // re-derives the point count by brute-force enumeration of Z^8
+    // (components in [-2,2], Σx² = 6 — a THIRD independent
+    // derivation) and the code width from it, so a counting bug in
+    // either codec flips the hash red.
+    ("zn_rec_roundtrip", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.graft.shim
+      val zn = new graft.core.ZnSphereCodec(8, 6)
+      val rec = new graft.core.ZnSphereCodecRec(8, 6)
+      // bounded enumeration via the atom codec (nv = a few thousand)
+      val pts = (0L until zn.nv).map(c => zn.decode(c).toSeq)
+        .zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("i", "p")
+        .select(col("i"), col("p").cast("array<int>").as("p"))
+      pts.select(col("i"), col("p"),
+          shim.col(graft.core.ZnRecEncode(shim.expr(col("p")), rec)).as("code"))
+        .withColumn("ok",
+          shim.col(graft.core.ZnRecDecode(shim.expr(col("code")), rec)) === col("p"))
+        .agg(count(lit(1)).as("n_points"),
+          (count_distinct(col("code")) === count(lit(1)) &&
+            min(col("code")) === 0 &&
+            max(col("code")) === count(lit(1)) - 1 &&
+            lit(rec.nv == zn.nv)).as("codes_bijective"),
+          (sum(when(col("ok"), 0).otherwise(1)) === 0).as("roundtrip_ok"),
+          first(lit(rec.codeSize)).as("code_size"))
+    },
+      Some("""WITH c AS (SELECT x, x*x AS n FROM (SELECT unnest([-2,-1,0,1,2]) AS x) t),
+             |d2 AS (SELECT a.n + b.n AS n FROM c a CROSS JOIN c b WHERE a.n + b.n <= 6),
+             |d4 AS (SELECT a.n + b.n AS n FROM d2 a CROSS JOIN d2 b WHERE a.n + b.n <= 6),
+             |cnt AS (SELECT count(*)::BIGINT AS n_points FROM d4 a CROSS JOIN d4 b WHERE a.n + b.n = 6)
+             |SELECT n_points, true AS codes_bijective, true AS roundtrip_ok,
+             |  (floor(ln(n_points)/ln(256)) + 1)::INT AS code_size FROM cnt""".stripMargin)),
+
     ("zn_lattice_roundtrip", (s: SparkSession, dir: String) => {
       val lat = znLat16(s, dir)
       import s.implicits._

@@ -29,12 +29,15 @@ import org.apache.spark.sql.types._
   *  - code layout per point: c0(atom) + signbits + (perm_rank <<
   *    signbits), segments ordered by atom (lattice_Zn.cpp:390-445).
   *
-  * Only the non-recursive ZnSphereCodec is implemented;
-  * ZnSphereCodecRec (lattice_Zn.cpp:470+) is a decode-cache layout
-  * optimization producing *incompatible* codes — its capability
-  * (faster decode) is covered here by the enumerated codebook DataFrame
-  * [[ZnSphereCodec.codebook]], the dataflow analog of decode_cache
-  * (lattice_Zn.h:163).
+  * Both enumerations are implemented: the atom-ranking
+  * [[ZnSphereCodec]] and the recursive-pairing [[ZnSphereCodecRec]]
+  * (lattice_Zn.cpp:470+, power-of-2 dims). Their codes are
+  * *incompatible* (different enumeration orders over the same point
+  * set) exactly as in the reference; the Rec codec's decode_cache
+  * (bottom-level memoization, lattice_Zn.h:163) is a CPU-side decode
+  * speedup with no dataflow semantics — decode here walks the full
+  * recursion, and the cache's capability is the enumerated codebook
+  * DataFrame when bulk decode matters.
   */
 object ZnLattice {
 
@@ -289,6 +292,163 @@ final class ZnSphereCodec(val dim: Int, val r2: Int) extends Serializable {
     }
     c
   }
+}
+
+/** ZnSphereCodecRec (faiss/impl/lattice_Zn.h:143, lattice_Zn.cpp:470+):
+  * the recursive enumerative codec over the SAME sphere point set, for
+  * power-of-2 dims. Instead of ranking (atom, permutation, signs), it
+  * counts points by a pairing DP — nv(ld, r2a) = points of squared
+  * norm r2a in dim 2^ld — and ranks each point by a mixed-radix code
+  * over its recursive halves:
+  *
+  *   code(pair) = nvCum(ld, r2a+r2b, r2a) + code_a * nv(ld-1, r2b) + code_b
+  *
+  * Codes are deliberately INCOMPATIBLE with [[ZnSphereCodec]]'s (the
+  * reference keeps both; ZnSphereCodecAlt picks Rec when dim is a
+  * power of 2). `encodeCentroid` requires an exact lattice point
+  * (integer coordinates with sum of squares = r2), like the
+  * reference's "vectors need to be centroids" contract; arbitrary-
+  * vector encode = [[ZnSphereCodec.search]] then [[encodeCentroid]]
+  * (ZnSphereCodecAlt::encode, lattice_Zn.cpp:560). The reference's
+  * decode_cache bottoms the recursion at dim 8 with a memo table — a
+  * CPU-speedup with no dataflow semantics — so decode here walks the
+  * recursion to the leaves. */
+final class ZnSphereCodecRec(val dim: Int, val r2: Int) extends Serializable {
+  val log2Dim: Int = { var l = 0; while (dim > (1 << l)) l += 1; l }
+  require(dim == (1 << log2Dim), s"ZnSphereCodecRec needs a power-of-2 dim, got $dim")
+
+  /** allNv(ld)(r2a): number of sphere points in dim 2^ld, norm² r2a. */
+  private val allNv = Array.ofDim[Long](log2Dim + 1, r2 + 1)
+  /** allNvCum(ld)(r2t)(r2a): rank offset of the r2a-split within the
+    * norm²-r2t points of dim 2^ld (lattice_Zn.cpp set_nv_cum). */
+  private val allNvCum = Array.ofDim[Long](log2Dim + 1, r2 + 1, r2 + 1)
+  locally {
+    var r2a = 0
+    while (r2a <= r2) {
+      val r = math.sqrt(r2a.toDouble).toInt
+      allNv(0)(r2a) = if (r * r == r2a) (if (r == 0) 1L else 2L) else 0L
+      r2a += 1
+    }
+    var ld = 1
+    while (ld <= log2Dim) {
+      var r2sub = 0
+      while (r2sub <= r2) {
+        var nvAcc = 0L
+        var a = 0
+        while (a <= r2sub) {
+          allNvCum(ld)(r2sub)(a) = nvAcc
+          nvAcc += allNv(ld - 1)(a) * allNv(ld - 1)(r2sub - a)
+          a += 1
+        }
+        allNv(ld)(r2sub) = nvAcc
+        r2sub += 1
+      }
+      ld += 1
+    }
+  }
+  /** Total sphere points — must agree with [[ZnSphereCodec.nv]] (the
+    * two codecs enumerate the same set; ZnLatticeSpec asserts it). */
+  val nv: Long = allNv(log2Dim)(r2)
+  val codeSize: Int = { var b = 0; var x = nv; while (x > 0) { x >>= 8; b += 1 }; b }
+
+  /** Rank of an exact lattice point (encode_centroid, lattice_Zn.cpp). */
+  def encodeCentroid(c: Array[Int]): Long = {
+    require(c.length == dim, s"point has ${c.length} dims, codec $dim")
+    val codes = new Array[Long](dim)
+    val norm2s = new Array[Int](dim)
+    var i = 0
+    while (i < dim) {
+      if (c(i) == 0) { codes(i) = 0L; norm2s(i) = 0 }
+      else {
+        norm2s(i) = c(i) * c(i)
+        codes(i) = if (c(i) >= 0) 0L else 1L
+      }
+      i += 1
+    }
+    var dim2 = dim / 2
+    var ld = 1
+    while (ld <= log2Dim) {
+      var j = 0
+      while (j < dim2) {
+        val r2a = norm2s(2 * j); val r2b = norm2s(2 * j + 1)
+        codes(j) = allNvCum(ld)(r2a + r2b)(r2a) +
+          codes(2 * j) * allNv(ld - 1)(r2b) + codes(2 * j + 1)
+        norm2s(j) = r2a + r2b
+        j += 1
+      }
+      dim2 /= 2
+      ld += 1
+    }
+    codes(0)
+  }
+
+  /** Inverse rank: binary-search the half-norm split per level, then
+    * divmod into the two halves (decode, lattice_Zn.cpp — the
+    * decode_cache_ld = 0 leaf form). */
+  def decode(code: Long): Array[Int] = {
+    val codes = new Array[Long](dim)
+    val norm2s = new Array[Int](dim)
+    codes(0) = code
+    norm2s(0) = r2
+    var dim2 = 1
+    var ld = log2Dim
+    while (ld > 0) {
+      var i = dim2 - 1
+      while (i >= 0) {
+        val r2sub = norm2s(i)
+        var i0 = 0; var i1 = r2sub + 1
+        var codei = codes(i)
+        val cum = allNvCum(ld)(r2sub)
+        while (i1 > i0 + 1) {
+          val imed = (i0 + i1) / 2
+          if (cum(imed) <= codei) i0 = imed else i1 = imed
+        }
+        val r2a = i0; val r2b = r2sub - i0
+        codei -= cum(r2a)
+        norm2s(2 * i) = r2a
+        norm2s(2 * i + 1) = r2b
+        val nvb = allNv(ld - 1)(r2b)
+        codes(2 * i) = codei / nvb
+        codes(2 * i + 1) = codei % nvb
+        i -= 1
+      }
+      dim2 *= 2
+      ld -= 1
+    }
+    val out = new Array[Int](dim)
+    var i = 0
+    while (i < dim) {
+      if (norm2s(i) == 0) out(i) = 0
+      else {
+        val r = math.sqrt(norm2s(i).toDouble).toInt
+        out(i) = if (codes(i) == 0) r else -r
+      }
+      i += 1
+    }
+    out
+  }
+}
+
+/** Rank a lattice point (array<int>) with the RECURSIVE codec. */
+case class ZnRecEncode(child: Expression, codec: ZnSphereCodecRec)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zn_rec_encode"
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    codec.encodeCentroid(Array.tabulate(codec.dim)(i => a.getInt(i)))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Inverse rank: code (long) back to the lattice point (array<int>). */
+case class ZnRecDecode(child: Expression, codec: ZnSphereCodecRec)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "zn_rec_decode"
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(codec.decode(v.asInstanceOf[Long]))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** IndexLattice analog (faiss/IndexLattice.h:22): d split into nsq

@@ -41,6 +41,42 @@ class ZnLatticeSpec extends AnyFunSuite {
     assert(seen.size.toLong == codec.nv)
   }
 
+  test("ZnSphereCodecRec: DP count equals atom count equals brute force " +
+    "(power-of-2 dims)") {
+    for ((dim, r2) <- Seq((4, 10), (8, 6), (8, 14), (16, 4))) {
+      val rec = new ZnSphereCodecRec(dim, r2)
+      val atom = new ZnSphereCodec(dim, r2)
+      assert(rec.nv == atom.nv, s"d=$dim r2=$r2: rec ${rec.nv} != atom ${atom.nv}")
+      if (dim <= 8) assert(rec.nv == spherePoints(dim, r2).size)
+      assert(rec.codeSize == atom.codeSize)
+    }
+  }
+
+  test("ZnSphereCodecRec: encode/decode is a bijection over all codes " +
+    "(d=8, r2=6), codes differ from the atom codec's") {
+    val rec = new ZnSphereCodecRec(8, 6)
+    val atom = new ZnSphereCodec(8, 6)
+    val seen = scala.collection.mutable.Set.empty[Long]
+    var anyDifferent = false
+    for (code <- 0L until atom.nv) {
+      val p = atom.decode(code) // enumerate via the atom codec
+      val rc = rec.encodeCentroid(p)
+      assert(rc >= 0 && rc < rec.nv, s"rec code $rc out of range")
+      assert(seen.add(rc), s"duplicate rec code $rc for point ${p.toSeq}")
+      assert(rec.decode(rc).toSeq == p.toSeq,
+        s"rec roundtrip broke for ${p.toSeq}")
+      if (rc != code) anyDifferent = true
+    }
+    assert(seen.size.toLong == rec.nv)
+    // the two enumerations are genuinely different orders (the
+    // reference's codes are incompatible by design)
+    assert(anyDifferent, "rec and atom enumerations unexpectedly identical")
+  }
+
+  test("ZnSphereCodecRec rejects non-power-of-2 dims (the reference's assert)") {
+    intercept[IllegalArgumentException] { new ZnSphereCodecRec(6, 6) }
+  }
+
   test("search returns the true nearest sphere point (d=4, r2=10)") {
     val codec = new ZnSphereCodec(4, 10)
     val pts = spherePoints(4, 10)
