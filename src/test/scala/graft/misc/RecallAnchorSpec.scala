@@ -1,0 +1,127 @@
+package graft.misc
+
+import graft.SparkTestBase
+import graft.index.{IvfIndex, IvfPqIndex, Pq4FastScanIndex, PqIndex}
+import graft.knn.Knn
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Recall anchors reproduced on the reference's OWN synthetic data
+  * constructions (VERDICT r12 #9) — hardware-independent quality
+  * claims the reference asserts in its test suite:
+  *
+  *  - SyntheticDataset / get_dataset_2 (contrib/datasets.py:72,
+  *    tests/common_faiss_tests.py:85): a 10-dim gaussian ellipsoid
+  *    mapped to d dims, per-column frequency-scaled, through sin —
+  *    low intrinsic dimension, curved ("not completely random but
+  *    still challenging to index").
+  *  - Randu10k (tests/common_faiss_tests.py:24): 10k random UNITARY
+  *    d=128 vectors, 1k queries, ground truth = true nearest.
+  *
+  * The generators are re-expressed with a JVM RNG (seeded-numpy
+  * parity is the standing agreed non-goal); the reference's
+  * thresholds are distribution-level by design (its comments give the
+  * expected values well above them), so they must transfer to any
+  * draw from the same construction. */
+class RecallAnchorSpec extends SparkTestBase {
+
+  /** get_dataset_2(d, nt, nb, nq): returns (train, base, queries). */
+  private def syntheticDataset(d: Int, nt: Int, nb: Int, nq: Int,
+      seed: Long = 1338L): (Seq[Array[Float]], Seq[Array[Float]], Seq[Array[Float]]) = {
+    val rs = new java.util.Random(seed)
+    val d1 = 10
+    val n = nb + nt + nq
+    val x = Array.fill(n, d1)(rs.nextGaussian())
+    val b = Array.fill(d1, d)(rs.nextDouble())
+    val scale = Array.fill(d)(rs.nextDouble() * 4 + 0.1)
+    val out = x.map { row =>
+      Array.tabulate(d) { j =>
+        var s = 0.0; var i = 0
+        while (i < d1) { s += row(i) * b(i)(j); i += 1 }
+        math.sin(s * scale(j)).toFloat
+      }
+    }.toSeq
+    (out.take(nt), out.slice(nt, nt + nb), out.drop(nt + nb))
+  }
+
+  /** random_unitary(n, d, seed): normalized gaussians. */
+  private def randUnitary(n: Int, d: Int, seed: Long): Seq[Array[Float]] = {
+    val rs = new java.util.Random(seed)
+    Seq.fill(n) {
+      val v = Array.fill(d)(rs.nextGaussian())
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / norm).toFloat)
+    }
+  }
+
+  private def toDf(rows: Seq[Array[Float]], from: Long = 0L): DataFrame = {
+    import spark.implicits._
+    rows.zipWithIndex.map { case (v, i) => (from + i, v.toSeq) }
+      .toDF("id", "v")
+      .select(col("id"), col("v").cast("array<float>").as("vec"))
+  }
+
+  /** 1-recall@rank: fraction of queries whose TRUE nearest neighbor
+    * appears in the top `rank` results (evalres,
+    * common_faiss_tests.py:46). */
+  private def recallAtRank(gt1: DataFrame, res: DataFrame, rank: Int): Double = {
+    val nq = gt1.count().toDouble
+    res.filter(col("rank") <= rank)
+      .join(gt1.select(col("qid"), col("id")), Seq("qid", "id"))
+      .count() / nq
+  }
+
+  // ---- Randu10k anchors (tests/test_index_accuracy.py) ----------------
+  private lazy val ruBase = toDf(randUnitary(10000, 128, 1L)).cache()
+  private lazy val ruTrain = toDf(randUnitary(10000, 128, 2L))
+  private lazy val ruQ = toDf(randUnitary(1000, 128, 3L))
+    .select(col("id").as("qid"), col("vec").as("qvec")).cache()
+  private lazy val ruGt1 = Knn.knnJoin(ruQ, ruBase, 1).cache()
+
+  test("anchor: IVFFlat(4*sqrt(nb) lists, nprobe=sqrt(nlist)) 1-recall@1 > 0.2 " +
+    "on Randu10k (test_ivf_kmeans, expected ~0.26)") {
+    // ncentroids = 4*sqrt(10000) = 400, kprobe = sqrt(400) = 20
+    val idx = IvfIndex.build(ruBase, "id", "vec", nlist = 400, niter = 8)
+    val r = recallAtRank(ruGt1, idx.search(ruQ, 1, nprobe = 20), 1)
+    info(f"IVFFlat 1-recall@1 = $r%.3f (ref expected ~0.260, threshold 0.2)")
+    assert(r > 0.2, s"1-recall@1 $r <= 0.2")
+  }
+
+  test("anchor: PQ16x8 1-recall@10 > 0.2 on Randu10k (test_IndexPQ, expected ~0.23)") {
+    // M = d/8 = 16 subquantizers, 8 bits each; trained on the separate
+    // train split like ev.launch
+    val model = graft.index.Pq.train(ruTrain, "vec", m = 16, ksub = 256, niter = 6)
+    val idx = new PqIndex(model, model.encode(ruBase, "id", "vec").cache())
+    val r = recallAtRank(ruGt1, idx.search(ruQ, 10), 10)
+    info(f"PQ16 1-recall@10 = $r%.3f (ref expected ~0.230, threshold 0.2)")
+    assert(r > 0.2, s"1-recall@10 $r <= 0.2")
+  }
+
+  test("anchor: IVFPQ(400, PQ16x8, nprobe=20) 1-recall@10 > 0.2 on Randu10k " +
+    "(test_IndexIVFPQ, expected ~0.26)") {
+    val idx = IvfPqIndex.build(ruBase, "id", "vec", nlist = 400, m = 16,
+      ksub = 256, niterCoarse = 6, niterPq = 6)
+    val r = recallAtRank(ruGt1, idx.search(ruQ, 10, nprobe = 20), 10)
+    info(f"IVFPQ 1-recall@10 = $r%.3f (ref expected ~0.26, threshold 0.2)")
+    assert(r > 0.2, s"1-recall@10 $r <= 0.2")
+  }
+
+  // ---- SyntheticDataset anchor (tests/test_fast_scan.py:31) -----------
+  test("anchor: PQ16x4fs recall@1 > 0.6 on SyntheticDataset(32, 2000, 5000, 1000) " +
+    "(test_PQ4_accuracy)") {
+    val (xt, xb, xq) = syntheticDataset(32, 2000, 5000, 1000)
+    val base = toDf(xb).cache()
+    val q = toDf(xq).select(col("id").as("qid"), col("vec").as("qvec"))
+    val gt1 = Knn.knnJoin(q, base, 1)
+    // the reference trains on its train split; our builder trains on
+    // the add set — same distribution, and the train split exists so
+    // the generator matches the reference call shape
+    val idx = Pq4FastScanIndex.build(base, "id", "vec", m = 16, niter = 8)
+    // recall@1 in the reference test is agreement of the TOP-1 id with
+    // the exact top-1 (Iref[:,0] == Ia[:,0])
+    val top1 = idx.search(q, 1).filter(col("rank") === 1)
+    val r = recallAtRank(gt1, top1, 1)
+    info(f"PQ16x4fs recall@1 = $r%.3f (ref threshold 0.6)")
+    assert(r > 0.6, s"recall@1 $r <= 0.6")
+  }
+}
