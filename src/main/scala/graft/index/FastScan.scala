@@ -330,10 +330,7 @@ class IvfRq4FastScanRIndex(
       queryId: String = "qid", queryVec: String = "qvec",
       coarse: Option[Probes.CoarseQuant] = None): DataFrame = {
     val spark = queries.sparkSession
-    import spark.implicits._
-    val centDf = centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "_cent")
-      .select(col("list_no"), col("_cent").cast("array<float>").as("_cent"))
+    val centDf = Probes.centroidsDf(spark, centroids)
     // ONE quantized LUT + ||q||^2 per query (pre-explode), a scalar
     // -2<q,c> bias per probe row; only distinct list ids cross the
     // driver (static pruning), the LUT-bearing probe rows stay
@@ -349,7 +346,7 @@ class IvfRq4FastScanRIndex(
         col("_p.list_no").as("list_no"))
       .join(broadcast(centDf), "list_no")
       .select(col(queryId), col("list_no"), col("_ql"), col("_qn"),
-        (lit(-2.0) * graft.functions.inner_product(col(queryVec), col("_cent")))
+        (lit(-2.0) * graft.functions.inner_product(col(queryVec), col("centroid")))
           .as("_bias"))
     val probed = Probes.probedListIds(probesPlan)
     codes.filter(col("list_no").isin(probed.map(Integer.valueOf).toSeq: _*))
@@ -376,15 +373,11 @@ object IvfRq4FastScanRIndex {
     val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val coarse = graft.cluster.KMeans.fit(data, "vec",
       graft.cluster.KMeans.Params(k = nlist, niter = niterCoarse, seed = seed))
-    val spark = df.sparkSession
-    import spark.implicits._
-    val centDf = coarse.centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "_cent")
-      .select(col("list_no"), col("_cent").cast("array<float>").as("_cent"))
+    val centDf = Probes.centroidsDf(df.sparkSession, coarse.centroids)
     val assigned = coarse.assign(data, "vec")
       .join(broadcast(centDf), "list_no")
-      .select(col("id"), col("list_no"), col("_cent"),
-        vec_sub(col("vec"), col("_cent")).as("res"))
+      .select(col("id"), col("list_no"), col("centroid"),
+        vec_sub(col("vec"), col("centroid")).as("res"))
       .cache()
     try {
       val model = Rq.train(assigned.select(col("res")), "res",
@@ -394,9 +387,9 @@ object IvfRq4FastScanRIndex {
       // fvec_norms_L2sqr over decoded_x including the centroid)
       val withNorm = assigned.select(col("id"), col("list_no"),
         model.encodeCol(col("res"), beam = 1).as("_codes"),
-        col("_cent"))
+        col("centroid"))
         .withColumn("_norm", aggregate(
-          vec_add(col("_cent"), model.decodeCol(col("_codes")))
+          vec_add(col("centroid"), model.decodeCol(col("_codes")))
             .cast("array<double>"),
           lit(0.0), (a, x) => a + x * x))
         .cache()

@@ -86,18 +86,15 @@ class IvfRqIndex(
       queryId: String = "qid", queryVec: String = "qvec",
       coarse: Option[Probes.CoarseQuant] = None): DataFrame = {
     val s = queries.sparkSession
-    import s.implicits._
-    val centDf = centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }.toDF("list_no", "_cent")
-      .select(col("list_no"), col("_cent").cast("array<float>").as("_cent"))
+    val centDf = Probes.centroidsDf(s, centroids)
     val probesPlan = queries.select(col(queryId), col(queryVec),
       explode(Probes.selExpr(col(queryVec), centroids, nprobe, "l2sq",
         coarse, graphCacheKey)).as("_p"))
       .select(col(queryId), col(queryVec), col("_p.list_no").as("list_no"))
       .join(broadcast(centDf), "list_no")
       .select(col(queryId), col("list_no"),
-        l2sq(col(queryVec), col("_cent")).as("_cd"),
-        model.lutCol(vec_sub(col(queryVec), col("_cent"))).as("_lut"))
+        l2sq(col(queryVec), col("centroid")).as("_cd"),
+        model.lutCol(vec_sub(col(queryVec), col("centroid"))).as("_lut"))
     val probed = Probes.probedListIds(probesPlan)
     val ip = model.ipFromLutCol(col("code"), col("_lut"))
     val d = if (nonorm) col("_cd") - lit(2.0) * ip
