@@ -344,6 +344,28 @@ object Queries {
       graft.index.IvfRq4FastScanIndex.fromFlat(rqfs2(s, dir),
         bDf(s, dir, 10), "id", "vec", nlist = 8, niterCoarse = 4)
     }
+  /** `LSQ2x4fs` (IndexLocalSearchQuantizerFastScan): ICM-refined codes
+    * over the same (L+2)-column integer scan. */
+  private def lsqfs2(s: SparkSession, dir: String): graft.index.Rq4FastScanIndex =
+    cached(s"lsqfs2:$dir") {
+      graft.index.Rq4FastScanIndex.build(bDf(s, dir, 10), "id", "vec",
+        levels = 2, niter = 4, icmIters = 3)
+    }
+  /** `PRQ2x2x4fs` (IndexProductResidualQuantizerFastScan): per-split
+    * RQs scanned through zero-padded effective codebooks. */
+  private def prqfs22(s: SparkSession, dir: String): graft.index.Rq4FastScanIndex =
+    cached(s"prqfs22:$dir") {
+      graft.index.Rq4FastScanIndex.build(bDf(s, dir, 10), "id", "vec",
+        levels = 2, niter = 4, nsplit = 2)
+    }
+  /** Twin-call PRQ model of [[prqfs22]] (the same deterministic
+    * Prq.train the builder runs): the oracle-codes sidecar re-runs its
+    * per-split encode, which the EFFECTIVE flat model cannot express. */
+  private def prqfsModel(s: SparkSession, dir: String): graft.index.PrqModel =
+    cached(s"prqfsmodel:$dir") {
+      graft.index.Prq.train(bDf(s, dir, 10).select(col("vec")), "vec",
+        nsplit = 2, levels = 2, k = 16, niter = 4, seed = 1234L, beam = 1)
+    }
   private def pqfs8(s: SparkSession, dir: String): graft.index.Pq4FastScanIndex =
     cached(s"pqfs8:$dir") {
       graft.index.Pq4FastScanIndex.build(bDf(s, dir, 10), "id", "vec",
@@ -519,6 +541,7 @@ object Queries {
     itq32(s, dir)
     pqfs8(s, dir); ivfpqfs8(s, dir); ivfsq4(s, dir); rqfs2(s, dir)
     ivfrqfs8(s, dir); ivfpqfsr8(s, dir); ivfrqfsr8(s, dir); rcq16(s, dir)
+    lsqfs2(s, dir); prqfs22(s, dir); prqfsModel(s, dir)
     opq32Ivfpq(s, dir)
     // factory/paren-built twins: same pre-trained-vs-search basis as
     // the direct fixtures (their oracles replay trained state too)
@@ -553,6 +576,36 @@ object Queries {
       OracleAux.codebooksDf(s, pqfs8(s, dir).model.codebooks))
     OracleAux.write(dir, "ivfrqfs_centroids",
       OracleAux.centroidsDf(s, ivfrqfs8(s, dir).centroids))
+    // LSQ-family fast-scan trained state: codebooks + ICM-encoded int
+    // codes (the twin-call of the builder's own encode; ICM descent is
+    // not SQL-replayable) + norm codebooks — the oracle replays norm
+    // encode, LUT quantization and the integer scan from these
+    val lfs = lsqfs2(s, dir)
+    OracleAux.write(dir, "lsq4fs_codebooks",
+      OracleAux.codebooksDf(s, lfs.model.codebooks))
+    OracleAux.write(dir, "lsq4fs_normcb", {
+      import s.implicits._
+      val ncb = lfs.normCb
+      (for (l <- ncb.indices; j <- ncb(l).indices) yield (l, j, ncb(l)(j)))
+        .toDF("l", "j", "c")
+    })
+    OracleAux.write(dir, "lsq4fs_codes",
+      bDf(s, dir, 10).select(col("id"),
+        lfs.model.encodeCol(col("vec"), 1, 3).as("codes")))
+    // product AQ fast-scan: the EFFECTIVE zero-padded codebooks (the
+    // scan's view) + per-split-encoded int codes via the twin model
+    val pfs = prqfs22(s, dir)
+    OracleAux.write(dir, "prq4fs_codebooks",
+      OracleAux.codebooksDf(s, pfs.model.codebooks))
+    OracleAux.write(dir, "prq4fs_normcb", {
+      import s.implicits._
+      val ncb = pfs.normCb
+      (for (l <- ncb.indices; j <- ncb(l).indices) yield (l, j, ncb(l)(j)))
+        .toDF("l", "j", "c")
+    })
+    OracleAux.write(dir, "prq4fs_codes",
+      bDf(s, dir, 10).select(col("id"),
+        prqfsModel(s, dir).encodeCol(col("vec"), 1, 0).as("codes")))
     // by-residual AQ fast-scan trained state: the oracle replays the
     // WHOLE chain (assign, greedy residual encode, reconstruction
     // norm, norm encode, LUT quantization, integer scan, bias) from
@@ -2900,6 +2953,114 @@ object Queries {
               |  FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 10
               |  UNION ALL
               |  SELECT q.vec_id AS qid, 2 + ncb.l AS m, ncb.j, ncb.c AS pd
+              |  FROM embeddings q CROSS JOIN ncb WHERE q.vec_id < 10),
+              |colstat AS (SELECT qid, m, min(pd) AS mn, max(pd) - min(pd) AS span FROM lut GROUP BY qid, m),
+              |scal AS (SELECT qid, 255.0 / max(span) AS a,
+              |    list_aggregate(list(mn ORDER BY m), 'sum') AS b FROM colstat GROUP BY qid),
+              |lq AS (SELECT l.qid, l.m, l.j, floor((l.pd - cs.mn) * sc.a + 0.5)::BIGINT AS lq
+              |  FROM lut l JOIN colstat cs ON cs.qid = l.qid AND cs.m = l.m
+              |  JOIN scal sc ON sc.qid = l.qid),
+              |qn AS (SELECT vec_id AS qid,
+              |    list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') AS qn
+              |  FROM embeddings WHERE vec_id < 10),
+              |acc AS (SELECT l.qid, e.id, sum(l.lq)::BIGINT AS qdist
+              |  FROM enc e JOIN lq l ON l.m = e.m AND l.j = e.j GROUP BY l.qid, e.id)
+              |SELECT w.qid, "rank", id, qdist, round(qn.qn + qdist / sc.a + sc.b, 4) AS dist FROM (
+              |  SELECT qid, id, qdist, row_number() OVER (PARTITION BY qid ORDER BY qdist, id) AS "rank" FROM acc) w
+              |JOIN scal sc ON sc.qid = w.qid JOIN qn ON qn.qid = w.qid
+              |WHERE "rank" <= 10""".stripMargin)),
+
+    // LSQ-family AQ fast-scan (`LSQ2x4fs`,
+    // IndexLocalSearchQuantizerFastScan, index_factory.cpp:610): the
+    // SAME (L+2)-column quantized-LUT integer scan as rq4fs, with the
+    // codes refined by iterated conditional modes. The ICM descent is
+    // not SQL-replayable, so the oracle takes the engine's integer
+    // codes (twin-call sidecar) and replays EVERYTHING downstream:
+    // decode, reconstruction norms, greedy norm encode, the
+    // -2<q,cb> + norm-codebook LUT, uint8 quantization, integer sum —
+    // qdist integer-exact on both sides.
+    ("lsq4fs_search", (s: SparkSession, dir: String) =>
+      lsqfs2(s, dir).search(qDf(s, dir, 10), 10),
+      Some(s"""WITH cb AS (SELECT m, j, c FROM read_parquet('$AUX/lsq4fs_codebooks/*.parquet')),
+              |codes AS (SELECT id, codes FROM read_parquet('$AUX/lsq4fs_codes/*.parquet')),
+              |ncb AS (SELECT l, j, c FROM read_parquet('$AUX/lsq4fs_normcb/*.parquet')),
+              |dec AS (SELECT codes.id, codes.codes,
+              |    list_transform(list_zip(c0.c, c1.c), p -> p[1] + p[2]) AS dv
+              |  FROM codes JOIN cb c0 ON c0.m = 0 AND c0.j = codes.codes[1]
+              |  JOIN cb c1 ON c1.m = 1 AND c1.j = codes.codes[2]),
+              |nb AS (SELECT id, codes,
+              |    list_aggregate(list_transform(dv::DOUBLE[], x -> x*x), 'sum') AS nv FROM dec),
+              |n1 AS (SELECT id, codes, nv, j AS j1, c AS c1 FROM (
+              |  SELECT nb.id, nb.codes, nb.nv, ncb.j, ncb.c,
+              |    row_number() OVER (PARTITION BY nb.id ORDER BY abs(nb.nv - ncb.c), ncb.j) AS rn
+              |  FROM nb JOIN ncb ON ncb.l = 0) t WHERE rn = 1),
+              |n2 AS (SELECT id, codes, j1, j AS j2 FROM (
+              |  SELECT n1.id, n1.codes, n1.j1, ncb.j,
+              |    row_number() OVER (PARTITION BY n1.id ORDER BY abs((n1.nv - n1.c1) - ncb.c), ncb.j) AS rn
+              |  FROM n1 JOIN ncb ON ncb.l = 1) t WHERE rn = 1),
+              |enc AS (SELECT id, 0 AS m, codes[1] AS j FROM n2
+              |  UNION ALL SELECT id, 1, codes[2] FROM n2
+              |  UNION ALL SELECT id, 2, j1 FROM n2
+              |  UNION ALL SELECT id, 3, j2 FROM n2),
+              |lut AS (SELECT q.vec_id AS qid, cb.m, cb.j,
+              |    -2 * list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], cb.c::DOUBLE[]), p -> p[1]*p[2]), 'sum') AS pd
+              |  FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 10
+              |  UNION ALL
+              |  SELECT q.vec_id AS qid, 2 + ncb.l AS m, ncb.j, ncb.c AS pd
+              |  FROM embeddings q CROSS JOIN ncb WHERE q.vec_id < 10),
+              |colstat AS (SELECT qid, m, min(pd) AS mn, max(pd) - min(pd) AS span FROM lut GROUP BY qid, m),
+              |scal AS (SELECT qid, 255.0 / max(span) AS a,
+              |    list_aggregate(list(mn ORDER BY m), 'sum') AS b FROM colstat GROUP BY qid),
+              |lq AS (SELECT l.qid, l.m, l.j, floor((l.pd - cs.mn) * sc.a + 0.5)::BIGINT AS lq
+              |  FROM lut l JOIN colstat cs ON cs.qid = l.qid AND cs.m = l.m
+              |  JOIN scal sc ON sc.qid = l.qid),
+              |qn AS (SELECT vec_id AS qid,
+              |    list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') AS qn
+              |  FROM embeddings WHERE vec_id < 10),
+              |acc AS (SELECT l.qid, e.id, sum(l.lq)::BIGINT AS qdist
+              |  FROM enc e JOIN lq l ON l.m = e.m AND l.j = e.j GROUP BY l.qid, e.id)
+              |SELECT w.qid, "rank", id, qdist, round(qn.qn + qdist / sc.a + sc.b, 4) AS dist FROM (
+              |  SELECT qid, id, qdist, row_number() OVER (PARTITION BY qid ORDER BY qdist, id) AS "rank" FROM acc) w
+              |JOIN scal sc ON sc.qid = w.qid JOIN qn ON qn.qid = w.qid
+              |WHERE "rank" <= 10""".stripMargin)),
+
+    // Product AQ fast-scan (`PRQ2x2x4fs`,
+    // IndexProductResidualQuantizerFastScan, index_factory.cpp:626):
+    // two independent per-split RQs whose (ns*L+2)-column integer scan
+    // reuses the flat machinery through ZERO-PADDED effective
+    // codebooks (<q, cb_eff[s*L+l][j]> = <q_slice, cb_s[l][j]>). The
+    // oracle reads the effective codebooks + the per-split-encoded
+    // integer codes and replays decode (per-component the zero terms
+    // are exact, so the 2-float round-once argument still holds),
+    // norms, norm encode, the 6-column LUT, quantization and the
+    // integer sum.
+    ("prq4fs_search", (s: SparkSession, dir: String) =>
+      prqfs22(s, dir).search(qDf(s, dir, 10), 10),
+      Some(s"""WITH cb AS (SELECT m, j, c FROM read_parquet('$AUX/prq4fs_codebooks/*.parquet')),
+              |codes AS (SELECT id, codes FROM read_parquet('$AUX/prq4fs_codes/*.parquet')),
+              |ncb AS (SELECT l, j, c FROM read_parquet('$AUX/prq4fs_normcb/*.parquet')),
+              |enc0 AS (SELECT id, r.m AS m, codes[r.m+1] AS j FROM codes, range(0,4) r(m)),
+              |comp AS (SELECT e.id, generate_subscripts(cb.c, 1) AS i, unnest(cb.c) AS v
+              |  FROM enc0 e JOIN cb ON cb.m = e.m AND cb.j = e.j),
+              |sumd AS (SELECT id, i, sum(v)::REAL AS v FROM comp GROUP BY id, i),
+              |dv AS (SELECT id, list(v ORDER BY i) AS dv FROM sumd GROUP BY id),
+              |nb AS (SELECT id, list_aggregate(list_transform(dv::DOUBLE[], x -> x*x), 'sum') AS nv FROM dv),
+              |n1 AS (SELECT id, nv, j AS j1, c AS c1 FROM (
+              |  SELECT nb.id, nb.nv, ncb.j, ncb.c,
+              |    row_number() OVER (PARTITION BY nb.id ORDER BY abs(nb.nv - ncb.c), ncb.j) AS rn
+              |  FROM nb JOIN ncb ON ncb.l = 0) t WHERE rn = 1),
+              |n2 AS (SELECT id, j1, j AS j2 FROM (
+              |  SELECT n1.id, n1.j1, ncb.j,
+              |    row_number() OVER (PARTITION BY n1.id ORDER BY abs((n1.nv - n1.c1) - ncb.c), ncb.j) AS rn
+              |  FROM n1 JOIN ncb ON ncb.l = 1) t WHERE rn = 1),
+              |enc AS (SELECT id, m, j FROM enc0
+              |  UNION ALL SELECT id, 4, j1 FROM n2
+              |  UNION ALL SELECT id, 5, j2 FROM n2),
+              |lut AS (SELECT q.vec_id AS qid, cb.m, cb.j,
+              |    -2 * list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], cb.c::DOUBLE[]), p -> p[1]*p[2]), 'sum') AS pd
+              |  FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 10
+              |  UNION ALL
+              |  SELECT q.vec_id AS qid, 4 + ncb.l AS m, ncb.j, ncb.c AS pd
               |  FROM embeddings q CROSS JOIN ncb WHERE q.vec_id < 10),
               |colstat AS (SELECT qid, m, min(pd) AS mn, max(pd) - min(pd) AS span FROM lut GROUP BY qid, m),
               |scal AS (SELECT qid, 255.0 / max(span) AS a,

@@ -188,34 +188,88 @@ object Rq4FastScanIndex {
     Array(pad16(l1), pad16(l2))
   }
 
+  /** The `_N<norm>` clause on fast-scan tokens (aq_norm_pattern,
+    * index_factory.cpp:610,626): "rq2x4" = greedy two-level 1-D RQ
+    * over the reconstruction norms (ST_norm_rq2x4, the carried
+    * default), "lsq2x4" = LSQ-refined codebooks + the exact joint
+    * 256-pair assignment (ST_norm_lsq2x4). Returns (codebooks,
+    * encode-column builder). */
+  private[index] def normCodec(withNorm: DataFrame, normCol: String,
+      seed: Long, normType: String):
+      (Array[Array[Double]], org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+    normType match {
+      case "rq2x4" =>
+        val cb = trainNormCb(withNorm, normCol, seed)
+        (cb, c => ScalarRq2EncodeCol(c, cb))
+      case "lsq2x4" =>
+        val cb = RqNorms.norm2Codebooks(withNorm, normCol, seed, lsqIters = 3)
+        (cb, c => shim.col(ScalarLsq2Encode(shim.expr(c), cb)))
+      case other => throw new IllegalArgumentException(
+        s"fast-scan norm type must be rq2x4 or lsq2x4, got $other")
+    }
+
   /** Train RQ(levels×4bit) + the 1-D two-level norm RQ
     * (AdditiveQuantizer::train_norm for ST_norm_rq2x4) and encode
     * packed codes. Norm codebooks come from exact 1-D k-means per
     * level over the reconstruction norms (the reference trains an
-    * RQ(1,2,4) in RAM; Clustering1D is its exact-DP sibling). */
+    * RQ(1,2,4) in RAM; Clustering1D is its exact-DP sibling).
+    * `icmIters > 0` = the LSQ-family encoder (`LSQ<L>x4fs`,
+    * IndexLocalSearchQuantizerFastScan — same scan, ICM-refined
+    * codes); `nsplit > 1` = the product forms (`PRQ/PLSQ
+    * <ns>x<L>x4fs`, IndexProductAdditiveQuantizerFastScan): each
+    * split trains an independent RQ, and the SCAN reuses the flat
+    * machinery verbatim through ZERO-PADDED effective codebooks —
+    * <q, cb_eff[s*L+l][j]> = <q_slice_s, cb_s[l][j]>, so the
+    * (ns*L+2)-column integer LUT scan is unchanged. */
   def build(df: DataFrame, idCol: String, vecCol: String, levels: Int = 2,
       niter: Int = 6, seed: Long = 1234L, beam: Int = 1,
-      model0: RqModel = null): Rq4FastScanIndex = {
+      model0: RqModel = null, icmIters: Int = 0, nsplit: Int = 1,
+      normType: String = "rq2x4"): Rq4FastScanIndex = {
     val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val model =
-      if (model0 != null) model0
-      else Rq.train(data.select(col("vec")), "vec", levels, 16,
-        niter = niter, seed = seed, beam = beam)
-    val withNorm = data.select(col("id"),
-      model.encodeCol(col("vec"), beam = beam).as("_codes"))
+    val (model, encCol) =
+      if (nsplit > 1) {
+        val prq = Prq.train(data.select(col("vec")), "vec", nsplit,
+          levels, 16, niter = niter, seed = seed, beam = beam)
+        (effectiveModel(prq), prq.encodeCol(col("vec"), beam, icmIters))
+      } else {
+        val m =
+          if (model0 != null) model0
+          else Rq.train(data.select(col("vec")), "vec", levels, 16,
+            niter = niter, seed = seed, beam = beam)
+        (m, m.encodeCol(col("vec"), beam, icmIters))
+      }
+    val withNorm = data.select(col("id"), encCol.as("_codes"))
       .withColumn("_norm", aggregate(
         model.decodeCol(col("_codes")).cast("array<double>"),
         lit(0.0), (a, x) => a + x * x))
       .cache()
     try {
-      val normCb = trainNormCb(withNorm, "_norm", seed)
+      val (normCb, nEnc) = normCodec(withNorm, "_norm", seed, normType)
       val codes = withNorm.select(col("id"),
         shim.col(Rq4PackCodes(shim.expr(concat(col("_codes"),
-          ScalarRq2EncodeCol(col("_norm"), normCb))))).as("code"))
+          nEnc(col("_norm")))))).as("code"))
         .cache()
       codes.count()
       new Rq4FastScanIndex(model, normCb, codes)
     } finally withNorm.unpersist()
+  }
+
+  /** Zero-padded effective flat model of a product AQ: codebook row
+    * (s*L + l) holds split s's level-l codewords placed at dims
+    * [s*dsub, (s+1)*dsub) and zeros elsewhere, so decode-sums and
+    * query LUTs distribute exactly as in the flat case. Encode still
+    * goes through the per-split [[PrqModel.encodeCol]] (a greedy
+    * argmin over the padded codebooks would NOT factor per split). */
+  private[index] def effectiveModel(prq: PrqModel): RqModel = {
+    val d = prq.nsplit * prq.dsub
+    val eff = prq.sub.zipWithIndex.flatMap { case (m, s) =>
+      m.codebooks.map(_.map { cw =>
+        val row = new Array[Float](d)
+        System.arraycopy(cw, 0, row, s * prq.dsub, prq.dsub)
+        row
+      })
+    }
+    RqModel(prq.nsplit * prq.levels, 16, eff)
   }
 
   private[index] def ScalarRq2EncodeCol(c: org.apache.spark.sql.Column,
@@ -289,8 +343,10 @@ object IvfRq4FastScanIndex {
 
   def build(df: DataFrame, idCol: String, vecCol: String, nlist: Int = 16,
       levels: Int = 2, niterCoarse: Int = 6, niter: Int = 6,
-      seed: Long = 1234L): IvfRq4FastScanIndex =
-    fromFlat(Rq4FastScanIndex.build(df, idCol, vecCol, levels, niter, seed),
+      seed: Long = 1234L, icmIters: Int = 0, nsplit: Int = 1,
+      normType: String = "rq2x4"): IvfRq4FastScanIndex =
+    fromFlat(Rq4FastScanIndex.build(df, idCol, vecCol, levels, niter, seed,
+      icmIters = icmIters, nsplit = nsplit, normType = normType),
       df, idCol, vecCol, nlist, niterCoarse, seed)
 }
 
@@ -364,11 +420,15 @@ class IvfRq4FastScanRIndex(
 }
 
 object IvfRq4FastScanRIndex {
-  /** Train coarse + residual 4-bit RQ + the full-reconstruction-norm
-    * 2x4 codec, encode packed codes (IVF<n>,RQ<L>x4fsr). */
+  /** Train coarse + residual 4-bit AQ + the full-reconstruction-norm
+    * 2x4 codec, encode packed codes (`IVF<n>,RQ<L>x4fsr`; `icmIters`
+    * selects the LSQ-family encoder, `nsplit > 1` the product forms,
+    * `normType` the `_N<norm>` clause — all composing exactly like the
+    * flat [[Rq4FastScanIndex.build]]). */
   def build(df: DataFrame, idCol: String, vecCol: String, nlist: Int = 16,
       levels: Int = 2, niterCoarse: Int = 6, niter: Int = 6,
-      seed: Long = 1234L): IvfRq4FastScanRIndex = {
+      seed: Long = 1234L, icmIters: Int = 0, nsplit: Int = 1,
+      normType: String = "rq2x4"): IvfRq4FastScanRIndex = {
     import graft.functions.{vec_add, vec_sub}
     val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val coarse = graft.cluster.KMeans.fit(data, "vec",
@@ -380,25 +440,33 @@ object IvfRq4FastScanRIndex {
         vec_sub(col("vec"), col("centroid")).as("res"))
       .cache()
     try {
-      val model = Rq.train(assigned.select(col("res")), "res",
-        levels, 16, niter = niter, seed = seed, beam = 1)
+      val (model, encCol) =
+        if (nsplit > 1) {
+          val prq = Prq.train(assigned.select(col("res")), "res", nsplit,
+            levels, 16, niter = niter, seed = seed, beam = 1)
+          (Rq4FastScanIndex.effectiveModel(prq),
+            prq.encodeCol(col("res"), 1, icmIters))
+        } else {
+          val m = Rq.train(assigned.select(col("res")), "res",
+            levels, 16, niter = niter, seed = seed, beam = 1)
+          (m, m.encodeCol(col("res"), 1, icmIters))
+        }
       // norm stored = ||centroid + decode(residual codes)||^2 — the
       // FULL reconstruction norm (train_residual :186-207 computes
       // fvec_norms_L2sqr over decoded_x including the centroid)
       val withNorm = assigned.select(col("id"), col("list_no"),
-        model.encodeCol(col("res"), beam = 1).as("_codes"),
-        col("centroid"))
+        encCol.as("_codes"), col("centroid"))
         .withColumn("_norm", aggregate(
           vec_add(col("centroid"), model.decodeCol(col("_codes")))
             .cast("array<double>"),
           lit(0.0), (a, x) => a + x * x))
         .cache()
       try {
-        val normCb = Rq4FastScanIndex.trainNormCb(withNorm, "_norm", seed)
+        val (normCb, nEnc) =
+          Rq4FastScanIndex.normCodec(withNorm, "_norm", seed, normType)
         val codes = withNorm.select(col("id"), col("list_no"),
           shim.col(Rq4PackCodes(shim.expr(concat(col("_codes"),
-            Rq4FastScanIndex.ScalarRq2EncodeCol(col("_norm"), normCb)))))
-            .as("code"))
+            nEnc(col("_norm")))))).as("code"))
           .cache()
         codes.count()
         new IvfRq4FastScanRIndex(nlist, coarse.centroids, model, normCb, codes)

@@ -105,6 +105,9 @@ object IndexFactory {
     // storage for an index that later throws (ADVICE r9)
     val toks = splitTop(desc).map {
       case PqNp(t) => t
+      // LSCQ = the reference's alternative LSQ spelling
+      // (index_factory.cpp:576 "(LSQ|LSCQ)")
+      case t if t.startsWith("LSCQ") => "LSQ" + t.stripPrefix("LSCQ")
       case t => t
     }
     toks.headOption.filter(t => t == "MinMax" || t == "MinMaxFP16").foreach { mm =>
@@ -148,8 +151,10 @@ object IndexFactory {
       // fast-scan BEFORE plain PQ/RQ: "PQ8x4fs" must not fall to `other`
       case PqFs(m, _) => code = Some((m.toInt + 1) / 2)
       case PqFsR(m, _) => code = Some((m.toInt + 1) / 2)
-      case RqFsR(lv, _) => code = Some((lv.toInt + 2 + 1) / 2) // + 2-nibble norm code
-      case RqFs(lv, _) => code = Some((lv.toInt + 2 + 1) / 2) // + 2-nibble norm code
+      case RqFsR(_, lv, _, _) => code = Some((lv.toInt + 2 + 1) / 2) // + 2-nibble norm code
+      case RqFs(_, lv, _, _) => code = Some((lv.toInt + 2 + 1) / 2) // + 2-nibble norm code
+      case PrqFsR(_, ns, lv, _, _) => code = Some((ns.toInt * lv.toInt + 2 + 1) / 2)
+      case PrqFs(_, ns, lv, _, _) => code = Some((ns.toInt * lv.toInt + 2 + 1) / 2)
       case Pq(m, _) => code = Some(m.toInt)
       case RqTok(lv, nb) => code = Some((lv.toInt * nb.toInt + 7) / 8)
       case PrqTok(ns, lv, nb) => code = Some((ns.toInt * lv.toInt * nb.toInt + 7) / 8)
@@ -324,11 +329,16 @@ object IndexFactory {
   // index_factory.cpp:328-335)
   private val PqFsR = "PQ(\\d+)x4fsr(?:_(\\d+))?".r
   // RQ<L>x4fs[_<bbs>] (IndexAdditiveQuantizerFastScan, ST_norm_rq2x4)
-  private val RqFs = "RQ(\\d+)x4fs(?:_(\\d+))?".r
+  private val RqFs = "(RQ|LSQ)(\\d+)x4fs(?:_(\\d+))?(?:_N(rq2x4|lsq2x4))?".r
+  // (PRQ|PLSQ)<ns>x<L>x4fs[r][_<bbs>][_N<norm>]
+  // (IndexProductAdditiveQuantizerFastScan, index_factory.cpp:381,626):
+  // the product forms, scanned through zero-padded effective codebooks
+  private val PrqFs = "(PRQ|PLSQ)(\\d+)x(\\d+)x4fs(?:_(\\d+))?(?:_N(rq2x4|lsq2x4))?".r
+  private val PrqFsR = "(PRQ|PLSQ)(\\d+)x(\\d+)x4fsr(?:_(\\d+))?(?:_N(rq2x4|lsq2x4))?".r
   // RQ<L>x4fsr[_<bbs>] (IndexIVFAdditiveQuantizerFastScan with
   // by_residual = true, index_factory.cpp:328-335 — IVF-prefixed only,
   // like the reference class)
-  private val RqFsR = "RQ(\\d+)x4fsr(?:_(\\d+))?".r
+  private val RqFsR = "(RQ|LSQ)(\\d+)x4fsr(?:_(\\d+))?(?:_N(rq2x4|lsq2x4))?".r
   // OPQ<M>[_<d>] (index_factory.cpp:211, OPQMatrix(d, M, d_out)):
   // the optional _<d> is a dimension-CHANGING OPQ — reduce to d_out
   // (PCA-initialized in the reference when d2 < d) then rotate
@@ -791,14 +801,26 @@ object IndexFactory {
         m.toInt, Option(ks).map(_.toInt).getOrElse(16),
         niterCoarse = niter, niterPq = niter, seed = seed), chain,
         graph = Some(spec))
-    case RqFsR(lv, _) =>
+    case RqFsR(fam, lv, _, nt) =>
       new IvfRqFsRBuilt(IvfRq4FastScanRIndex.build(data, "id", "vec",
-        nlist, lv.toInt, niterCoarse = niter, niter = niter,
-        seed = seed), chain, graph = Some(spec))
-    case RqFs(lv, _) =>
+        nlist, lv.toInt, niterCoarse = niter, niter = niter, seed = seed,
+        icmIters = if (fam == "LSQ") 3 else 0,
+        normType = Option(nt).getOrElse("rq2x4")), chain, graph = Some(spec))
+    case RqFs(fam, lv, _, nt) =>
       new IvfRqFsBuilt(IvfRq4FastScanIndex.build(data, "id", "vec",
-        nlist, lv.toInt, niterCoarse = niter, niter = niter,
-        seed = seed), chain, graph = Some(spec))
+        nlist, lv.toInt, niterCoarse = niter, niter = niter, seed = seed,
+        icmIters = if (fam == "LSQ") 3 else 0,
+        normType = Option(nt).getOrElse("rq2x4")), chain, graph = Some(spec))
+    case PrqFsR(fam, ns, lv, _, nt) =>
+      new IvfRqFsRBuilt(IvfRq4FastScanRIndex.build(data, "id", "vec",
+        nlist, lv.toInt, niterCoarse = niter, niter = niter, seed = seed,
+        icmIters = if (fam == "PLSQ") 3 else 0, nsplit = ns.toInt,
+        normType = Option(nt).getOrElse("rq2x4")), chain, graph = Some(spec))
+    case PrqFs(fam, ns, lv, _, nt) =>
+      new IvfRqFsBuilt(IvfRq4FastScanIndex.build(data, "id", "vec",
+        nlist, lv.toInt, niterCoarse = niter, niter = niter, seed = seed,
+        icmIters = if (fam == "PLSQ") 3 else 0, nsplit = ns.toInt,
+        normType = Option(nt).getOrElse("rq2x4")), chain, graph = Some(spec))
     case Sh(nbit, period, tt) =>
       val thresholdType = tt match {
         case "g" => "global"
@@ -910,6 +932,9 @@ object IndexFactory {
     // compatibility, stripped before parsing.
     val tokens = splitTop(desc).map {
       case PqNp(t) => t
+      // LSCQ = the reference's alternative LSQ spelling
+      // (index_factory.cpp:576 "(LSQ|LSCQ)")
+      case t if t.startsWith("LSCQ") => "LSQ" + t.stripPrefix("LSCQ")
       case t => t
     }
       .filterNot(t => t == "IDMap" || t == "IDMap2").toList
@@ -1185,14 +1210,28 @@ object IndexFactory {
           new IvfPqFsRBuilt(IvfPq4FastScanRIndex.build(data, "id", "vec",
             nlist.toInt, m.toInt, niterCoarse = niter, niterPq = niter,
             seed = seed), chain)
-        case RqFsR(lv, _) =>
+        case RqFsR(fam, lv, _, nt) =>
           new IvfRqFsRBuilt(IvfRq4FastScanRIndex.build(data, "id", "vec",
             nlist.toInt, lv.toInt, niterCoarse = niter, niter = niter,
-            seed = seed), chain)
-        case RqFs(lv, _) =>
+            seed = seed, icmIters = if (fam == "LSQ") 3 else 0,
+            normType = Option(nt).getOrElse("rq2x4")), chain)
+        case RqFs(fam, lv, _, nt) =>
           new IvfRqFsBuilt(IvfRq4FastScanIndex.build(data, "id", "vec",
             nlist.toInt, lv.toInt, niterCoarse = niter, niter = niter,
-            seed = seed), chain)
+            seed = seed, icmIters = if (fam == "LSQ") 3 else 0,
+            normType = Option(nt).getOrElse("rq2x4")), chain)
+        case PrqFsR(fam, ns, lv, _, nt) =>
+          new IvfRqFsRBuilt(IvfRq4FastScanRIndex.build(data, "id", "vec",
+            nlist.toInt, lv.toInt, niterCoarse = niter, niter = niter,
+            seed = seed, icmIters = if (fam == "PLSQ") 3 else 0,
+            nsplit = ns.toInt,
+            normType = Option(nt).getOrElse("rq2x4")), chain)
+        case PrqFs(fam, ns, lv, _, nt) =>
+          new IvfRqFsBuilt(IvfRq4FastScanIndex.build(data, "id", "vec",
+            nlist.toInt, lv.toInt, niterCoarse = niter, niter = niter,
+            seed = seed, icmIters = if (fam == "PLSQ") 3 else 0,
+            nsplit = ns.toInt,
+            normType = Option(nt).getOrElse("rq2x4")), chain)
         case "SQ8" | "SQ4" | "SQ6" | "SQfp16" =>
           // IVF<n>,SQ{8,4,6,fp16} (IndexIVFScalarQuantizer widths,
           // index_factory.cpp sq_types). by_residual = true is the
@@ -1363,8 +1402,17 @@ object IndexFactory {
       case PqFs(m, _) :: Nil =>
         new PqFsBuilt(Pq4FastScanIndex.build(data, "id", "vec", m.toInt,
           niter = niter, seed = seed), chain)
-      case RqFs(lv, _) :: Nil =>
+      // flat AQ fast-scan families (RQ/LSQ + PRQ/PLSQ products,
+      // index_factory.cpp:610,626) with the optional _N<norm> clause
+      case RqFs(fam, lv, _, nt) :: Nil =>
         new RqFsBuilt(Rq4FastScanIndex.build(data, "id", "vec", lv.toInt,
+          icmIters = if (fam == "LSQ") 3 else 0,
+          normType = Option(nt).getOrElse("rq2x4"),
+          niter = niter, seed = seed), chain)
+      case PrqFs(fam, ns, lv, _, nt) :: Nil =>
+        new RqFsBuilt(Rq4FastScanIndex.build(data, "id", "vec", lv.toInt,
+          icmIters = if (fam == "PLSQ") 3 else 0, nsplit = ns.toInt,
+          normType = Option(nt).getOrElse("rq2x4"),
           niter = niter, seed = seed), chain)
       case Pq(m, ks) :: Nil =>
         new PqBuilt(PqIndex.build(data, "id", "vec", m.toInt,

@@ -143,6 +143,49 @@ class FastScanSpec extends SparkTestBase {
     viaFactory.close()
   }
 
+  test("AQ fast-scan family closure: LSQ/PRQ/PLSQ tokens, _N<norm> clause, " +
+    "LSCQ alias, IVF and fsr compositions") {
+    // LSQ fast-scan: ICM-refined codes, same scan; flat + IVF + fsr
+    for (desc <- Seq("LSQ2x4fs", "IVF4,LSQ2x4fs", "IVF4,LSQ2x4fsr")) {
+      val b = IndexFactory.build(this.b, "id", "vec", desc, niter = 3)
+      assert(b.search(q, 5, nprobe = 4).count() == 50, desc)
+      b.close()
+    }
+    // product forms through zero-padded effective codebooks
+    for (desc <- Seq("PRQ2x2x4fs", "PLSQ2x2x4fs", "IVF4,PRQ2x2x4fs",
+        "IVF4,PRQ2x2x4fsr")) {
+      val b = IndexFactory.build(this.b, "id", "vec", desc, niter = 3)
+      assert(b.search(q, 5, nprobe = 4).count() == 50, desc)
+      b.close()
+    }
+    // the _N<norm> clause selects the norm codec; lsq2x4 must produce
+    // a VALID scan (rows, ranks) and is allowed to reorder vs rq2x4
+    val nlsq = IndexFactory.build(b, "id", "vec", "RQ2x4fs_Nlsq2x4", niter = 3)
+    assert(nlsq.search(q, 5).count() == 50)
+    // LSCQ = the reference's alternative LSQ spelling
+    val lscq = IndexFactory.build(b, "id", "vec", "LSCQ2x4", niter = 3)
+    assert(lscq.description == "LSCQ2x4" && lscq.search(q, 5).count() == 50)
+    assert(IndexFactory.codeSize("LSCQ2x4", 64) == 1)
+    // code widths: ceil((levels + 2 norm nibbles) / 2) bytes
+    assert(IndexFactory.codeSize("LSQ2x4fs", 64) == 2)
+    assert(IndexFactory.codeSize("PRQ2x2x4fs", 64) == 3)
+    assert(IndexFactory.codeSize("IVF4,PLSQ2x2x4fsr", 64) == 3)
+    assert(IndexFactory.codeSize("RQ2x4fs_Nlsq2x4", 64) == 2)
+  }
+
+  test("PRQ fast-scan zero-padded scan equals the flat scan of the same codes") {
+    // IVF at nprobe = nlist must reproduce the flat product scan
+    // exactly (the fromFlat invariant, now over effective codebooks)
+    val flat = Rq4FastScanIndex.build(b, "id", "vec", levels = 2,
+      niter = 3, nsplit = 2)
+    assert(flat.model.levels == 4) // 2 splits x 2 levels
+    val ivf = IvfRq4FastScanIndex.fromFlat(flat, b, "id", "vec", nlist = 4,
+      niterCoarse = 3)
+    val flatTop = flat.search(q, 10).select("qid", "id", "qdist").collect().toSet
+    val ivfTop = ivf.search(q, 10, nprobe = 4).select("qid", "id", "qdist").collect().toSet
+    assert(ivfTop == flatTop)
+  }
+
   test("factory tokens PQ8x4fs / IVF4,PQ8x4fs / bbs suffix parse and search") {
     val built = IndexFactory.build(b, "id", "vec", "PQ8x4fs", niter = 3)
     assert(built.search(q, 5).count() == 50)
