@@ -366,6 +366,50 @@ object Queries {
       graft.index.Prq.train(bDf(s, dir, 10).select(col("vec")), "vec",
         nsplit = 2, levels = 2, k = 16, niter = 4, seed = 1234L, beam = 1)
     }
+  /** `IVF8,PRQ2x2x4` (IndexIVFProductResidualQuantizer,
+    * index_factory.cpp:351): per-split residual AQ lists searched by
+    * decompress through the zero-padded effective model — built by the
+    * SAME deterministic calls the factory route runs (the parenPqPq16
+    * twin-call convention; FastScanSpec asserts factory equality). */
+  private def ivfPrq8(s: SparkSession, dir: String): graft.index.IvfRqIndex =
+    cached(s"ivfprq8:$dir") {
+      val data = bDf(s, dir, 10)
+      val km = graft.cluster.KMeans.fit(data, "vec",
+        graft.cluster.KMeans.Params(k = 8, niter = 4, seed = 1234L))
+      val centDf = graft.index.Probes.centroidsDf(s, km.centroids)
+      val assigned = km.assign(data, "vec")
+        .join(broadcast(centDf), "list_no")
+        .select(col("id"), col("list_no"),
+          graft.functions.vec_sub(col("vec"), col("centroid")).as("res"))
+      val prq = graft.index.Prq.train(assigned.select(col("res")), "res",
+        nsplit = 2, levels = 2, k = 16, niter = 4, seed = 1234L, beam = 2)
+      val codes = assigned.select(col("id"), col("list_no"),
+        prq.encodeCol(col("res"), 2, 1).as("code")).cache()
+      codes.count()
+      new graft.index.IvfRqIndex(8, km.centroids,
+        graft.index.Rq4FastScanIndex.effectiveModel(prq), codes)
+    }
+  /** `IVF8,PCA8,SH` — the reference's spectral-hash spelling with a
+    * REPLACED PCA transform, period absent (simple thresholding) and
+    * the Thresh_global default: factory-built; the twin-call PCA
+    * sidecar feeds the oracle (the parenPcaLin convention). */
+  private def ivfShPca8(s: SparkSession, dir: String): graft.index.IndexFactory.Built =
+    cached(s"ivfshpca8:$dir") {
+      graft.index.IndexFactory.build(bDf(s, dir, 10), "id", "vec",
+        "IVF8,PCA8,SH", niter = 4)
+    }
+  /** Twin-call PCA of the `IVF8,PCA8,SH` route (same deterministic
+    * Transforms.pca call over the same data). */
+  private def ivfShPcaLin(s: SparkSession, dir: String): graft.transform.Linear =
+    cached(s"ivfshpcalin:$dir") {
+      graft.transform.Transforms.pca(bDf(s, dir, 10), "vec", 8)
+    }
+  /** Twin-call coarse centroids of the `IVF8,PCA8,SH` route. */
+  private def ivfShPcaCents(s: SparkSession, dir: String): Array[Array[Float]] =
+    cached(s"ivfshpcacents:$dir") {
+      graft.cluster.KMeans.fit(bDf(s, dir, 10), "vec",
+        graft.cluster.KMeans.Params(k = 8, niter = 4, seed = 1234L)).centroids
+    }
   private def pqfs8(s: SparkSession, dir: String): graft.index.Pq4FastScanIndex =
     cached(s"pqfs8:$dir") {
       graft.index.Pq4FastScanIndex.build(bDf(s, dir, 10), "id", "vec",
@@ -542,6 +586,8 @@ object Queries {
     pqfs8(s, dir); ivfpqfs8(s, dir); ivfsq4(s, dir); rqfs2(s, dir)
     ivfrqfs8(s, dir); ivfpqfsr8(s, dir); ivfrqfsr8(s, dir); rcq16(s, dir)
     lsqfs2(s, dir); prqfs22(s, dir); prqfsModel(s, dir)
+    ivfPrq8(s, dir); ivfShPca8(s, dir); ivfShPcaLin(s, dir)
+    ivfShPcaCents(s, dir)
     opq32Ivfpq(s, dir)
     // factory/paren-built twins: same pre-trained-vs-search basis as
     // the direct fixtures (their oracles replay trained state too)
@@ -816,6 +862,20 @@ object Queries {
     OracleAux.write(dir, "prq_codes",
       emb(s, dir).select(col("vec_id").as("id"),
         prq.encodeCol(col("embedding"), beam = 2, icmIters = 2).as("code")))
+    // IVF product-AQ trained state (effective zero-padded codebooks —
+    // the scan's view; decode replay uses them directly)
+    val iprq = ivfPrq8(s, dir)
+    OracleAux.write(dir, "ivfprq_centroids",
+      OracleAux.centroidsDf(s, iprq.centroids))
+    OracleAux.write(dir, "ivfprq_codebooks",
+      OracleAux.codebooksDf(s, iprq.model.codebooks))
+    OracleAux.write(dir, "ivfprq_codes", iprq.codes)
+    // spectral hash with the replaced PCA transform: the twin-call PCA
+    // (rotation + mean bias) and coarse centroids
+    OracleAux.write(dir, "ivfshpca_rot",
+      OracleAux.linearDf(s, ivfShPcaLin(s, dir)))
+    OracleAux.write(dir, "ivfshpca_centroids",
+      OracleAux.centroidsDf(s, ivfShPcaCents(s, dir)))
     val ivfrq = ivfrq8(s, dir)
     OracleAux.write(dir, "ivfrq_centroids",
       OracleAux.centroidsDf(s, ivfrq.centroids))
@@ -6720,6 +6780,79 @@ object Queries {
               |  FROM ip JOIN nq ON nq.id = ip.id)
               |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 10""".stripMargin)),
+
+    // IVF product-AQ decompress (`IVF8,PRQ2x2x4`,
+    // IndexIVFProductResidualQuantizer, index_factory.cpp:351): two
+    // per-split residual RQs whose decode/search run through the
+    // ZERO-PADDED effective model (the fast-scan closure's trick on
+    // the decompress scan). Oracle = probe replay + decode-from-codes
+    // over the effective codebooks sidecar (the ivfrq_search pattern
+    // at 4 levels; per component only one split's 2 levels are
+    // nonzero, so the float round-once argument still holds).
+    ("ivfprq_search", (s: SparkSession, dir: String) =>
+      ivfPrq8(s, dir).search(qDf(s, dir, 10), 10, nprobe = 4)
+        .withColumn("dist", r4("dist")),
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfprq_centroids/*.parquet')),
+              |cb AS (SELECT m, j, c FROM read_parquet('$AUX/ivfprq_codebooks/*.parquet')),
+              |codes AS (SELECT id, list_no, code FROM read_parquet('$AUX/ivfprq_codes/*.parquet')),
+              |comp AS (SELECT cs.id, generate_subscripts(cb.c, 1) AS i, unnest(cb.c) AS v
+              |  FROM (SELECT id, r.m AS m, code[r.m+1] AS j FROM codes, range(0,4) r(m)) cs
+              |  JOIN cb ON cb.m = cs.m AND cb.j = cs.j),
+              |sumd AS (SELECT id, i, sum(v)::REAL AS v FROM comp GROUP BY id, i),
+              |dv AS (SELECT id, list(v ORDER BY i) AS dv FROM sumd GROUP BY id),
+              |recon AS (SELECT c0.id, c0.list_no,
+              |    list_transform(list_zip(ct.c, d.dv), p -> (p[1] + p[2])::REAL) AS rv
+              |  FROM codes c0 JOIN cent ct ON ct.list_no = c0.list_no JOIN dv d ON d.id = c0.id),
+              |probes AS (SELECT qid, list_no FROM (
+              |  SELECT q.vec_id AS qid, c.list_no, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
+              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10) t WHERE pr <= 4),
+              |d AS (SELECT p.qid, r.id,
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], r.rv::DOUBLE[]),
+              |      p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist
+              |  FROM probes p JOIN recon r ON r.list_no = p.list_no
+              |  JOIN embeddings q ON q.vec_id = p.qid)
+              |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
+              |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
+              |WHERE "rank" <= 10""".stripMargin)),
+
+    // The reference's spectral-hash spelling (`IVF8,PCA8,SH`,
+    // index_factory.cpp:398): IndexIVFSpectralHash with the d->nbit
+    // transform REPLACED by a trained PCA, period ABSENT (the -1e10
+    // simple-thresholding sentinel) and the Thresh_global ctor default
+    // — signatures degenerate to sign bits of the centered projection.
+    // The catalog query searches the FACTORY-built index; the oracle
+    // replays the twin-call PCA (rotation + mean bias, REAL-rounded),
+    // probe selection, the floor((y-0) * 2/period) & 1 bit formula and
+    // the in-list Hamming ranking.
+    ("ivfsh_pca_search", (s: SparkSession, dir: String) =>
+      ivfShPca8(s, dir).search(qDf(s, dir, 10), 10, nprobe = 4),
+      Some(s"""WITH rot AS (SELECT d, r::DOUBLE[] AS r, bias FROM read_parquet('$AUX/ivfshpca_rot/*.parquet')),
+              |cent AS (SELECT list_no, c FROM read_parquet('$AUX/ivfshpca_centroids/*.parquet')),
+              |ry AS (SELECT vec_id, list(yv ORDER BY d) AS y FROM (
+              |  SELECT e.vec_id, r.d,
+              |    (list_aggregate(list_transform(list_zip(r.r, e.embedding::DOUBLE[]), p -> p[1]*p[2]), 'sum') + r.bias)::REAL AS yv
+              |  FROM embeddings e CROSS JOIN rot r) t GROUP BY vec_id),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |probes AS (SELECT qid, list_no FROM (
+              |  SELECT q.vec_id AS qid, c.list_no, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
+              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10) t WHERE pr <= 4),
+              |bbits AS (SELECT a.id, a.list_no,
+              |    list_transform(y.y::DOUBLE[], v -> floor(v * (2.0 / (-1e10)))::BIGINT & 1) AS bits
+              |  FROM basg a JOIN ry y ON y.vec_id = a.id),
+              |qbits AS (SELECT p.qid, p.list_no,
+              |    list_transform(y.y::DOUBLE[], v -> floor(v * (2.0 / (-1e10)))::BIGINT & 1) AS bits
+              |  FROM probes p JOIN ry y ON y.vec_id = p.qid),
+              |hd AS (SELECT q.qid, b.id,
+              |    len(list_filter(list_zip(q.bits, b.bits), p -> p[1] <> p[2]))::BIGINT AS hamming
+              |  FROM qbits q JOIN bbits b ON b.list_no = q.list_no)
+              |SELECT qid, "rank", id, hamming FROM (
+              |  SELECT qid, id, hamming, row_number() OVER (PARTITION BY qid ORDER BY hamming, id) AS "rank" FROM hd) w
               |WHERE "rank" <= 10""".stripMargin)),
 
     // LSQ (IndexLocalSearchQuantizer, IndexAdditiveQuantizer.h:119;

@@ -260,7 +260,7 @@ object Rq4FastScanIndex {
     * query LUTs distribute exactly as in the flat case. Encode still
     * goes through the per-split [[PrqModel.encodeCol]] (a greedy
     * argmin over the padded codebooks would NOT factor per split). */
-  private[index] def effectiveModel(prq: PrqModel): RqModel = {
+  def effectiveModel(prq: PrqModel): RqModel = {
     val d = prq.nsplit * prq.dsub
     val eff = prq.sub.zipWithIndex.flatMap { case (m, s) =>
       m.codebooks.map(_.map { cw =>
@@ -269,7 +269,7 @@ object Rq4FastScanIndex {
         row
       })
     }
-    RqModel(prq.nsplit * prq.levels, 16, eff)
+    RqModel(prq.nsplit * prq.levels, prq.sub(0).k, eff)
   }
 
   private[index] def ScalarRq2EncodeCol(c: org.apache.spark.sql.Column,

@@ -133,20 +133,18 @@ object IndexFactory {
       case "Flat" | "FlatDedup" => code = Some(4 * dim)
       case PqPlus(m1, m2) => code = Some(m1.toInt + m2.toInt)
       case AqNorm(_, lv, nb, st) =>
-        val normBytes = st match {
-          case "float" => 4
-          case "none" => 0 // ST_LUT_nonorm stores NO norm term
-          case "qint8" | "cqint8" => 1
-          case "rq2x4" | "lsq2x4" => 1 // two 4-bit scalar-RQ nibbles
-          case _ => 1 // qint4/cqint4: rounded up from the half byte
-        }
-        code = Some((lv.toInt * nb.toInt + 7) / 8 + normBytes)
+        code = Some((lv.toInt * nb.toInt + 7) / 8 + aqNormBytes(st))
+      case PAqNorm(_, ns, lv, nb, st) =>
+        code = Some((ns.toInt * lv.toInt * nb.toInt + 7) / 8 + aqNormBytes(st))
       case LshRef(_, _) => code = Some((dim + 7) / 8)
       case "SQ8" => code = Some(dim)
       case "SQ4" => code = Some((dim + 1) / 2)
       case "SQ6" => code = Some((dim * 6 + 7) / 8)
       case "FP16" | "SQfp16" => code = Some(2 * dim)
       case Sh(nbit, _, _) => code = Some((nbit.toInt + 7) / 8)
+      // (ITQ|PCA|PCAR)<b> middle tokens are consumed by the transform
+      // cases above; SH[<p>][gcm] sizes to the transformed dim's bits
+      case ShRef(_, _) => code = Some((dim + 7) / 8)
       case Lsh(nb) => code = Some((nb.toInt + 7) / 8)
       // fast-scan BEFORE plain PQ/RQ: "PQ8x4fs" must not fall to `other`
       case PqFs(m, _) => code = Some((m.toInt + 1) / 2)
@@ -362,6 +360,15 @@ object IndexFactory {
   // 2-layer form (index_factory.cpp:270-278, nlist = 2^(M*nbit))
   private val ResMiq = "Residual(\\d+)x(\\d+)".r
   private val Sh = "SH(\\d+)x([-0-9.eE]+)([gcm])?".r
+  // (ITQ|PCA|PCAR)[<b>],SH[<period>][gcm] — the reference's only
+  // spectral-hash spelling (index_factory.cpp:398): an
+  // IndexIVFSpectralHash whose d->nbit transform is REPLACED by a
+  // trained ITQ/PCA/PCA+rotation; period absent = simple thresholding
+  // (the reference's -1e10 sentinel), threshold suffix absent = the
+  // ctor default Thresh_global. The SH<n>x<p> spelling above is this
+  // engine's explicit-nbit variant over the default random rotation.
+  private val ShVt = "(ITQ|PCAR|PCA)(\\d*)".r
+  private val ShRef = "SH([-0-9.eE]*)([gcm])?".r
   private val Lsh = "LSH(\\d+)".r
   // Reference LSH spelling (IndexLSH.h:23; factory "LSH[r][t]",
   // index_factory.cpp:528): nbits = d, optional random rotation (r)
@@ -374,6 +381,9 @@ object IndexFactory {
   // Search_type_t, AdditiveQuantizer.h:58-67)
   private val AqNorm =
     "(RQ|LSQ)(\\d+)x(\\d+)_N(float|qint8|qint4|cqint8|cqint4|rq2x4|lsq2x4|none)".r
+  // product AQs with the stored-norm clause (index_factory.cpp:351,589,599)
+  private val PAqNorm =
+    "(PRQ|PLSQ)(\\d+)x(\\d+)x(\\d+)_N(float|qint8|qint4|cqint8|cqint4|rq2x4|lsq2x4|none)".r
   // PQ token with the reference's `np` suffix (skip polysemous
   // training, index_factory.cpp:315): our builds never train the
   // permutation eagerly (Polysemous.optimize runs on demand for the
@@ -730,17 +740,111 @@ object IndexFactory {
     * index is IDENTICAL to the exact-coarse `IVF<n>,<code>` form;
     * only search-time probe selection changes, so every code route
     * reuses its plain builder). */
+  /** Stored-norm byte width of an `_N<norm>` clause. */
+  private def aqNormBytes(st: String): Int = st match {
+    case "float" => 4
+    case "none" => 0 // ST_LUT_nonorm stores NO norm term
+    case "qint8" | "cqint8" => 1
+    case "rq2x4" | "lsq2x4" => 1 // two 4-bit scalar-RQ nibbles
+    case _ => 1 // qint4/cqint4: rounded up from the half byte
+  }
+
+  /** Quantized-norm column for a cached table carrying `normsq` —
+    * the ST_norm_* codec selection shared by the flat `_N` routes
+    * (RQ/LSQ and the product forms) and the IVF-prefixed clause. */
+  private def normDecodeCol(withNormsq: DataFrame, st: String,
+      seed: Long): Column = st match {
+    case "float" => col("normsq")
+    case "qint8" | "qint4" =>
+      val (nmin, nmax) = RqNorms.range(withNormsq, "normsq")
+      RqNorms.qintDecode(col("normsq"),
+        if (st == "qint8") 256 else 16, nmin, nmax)
+    case "cqint8" | "cqint4" =>
+      RqNorms.cqDecode(col("normsq"), RqNorms.cqCentroids(withNormsq,
+        "normsq", if (st == "cqint8") 256 else 16))
+    case "rq2x4" =>
+      // greedy 2-level 1-D assign (the 4fs family carries its
+      // packed-LUT twin)
+      val cb = RqNorms.norm2Codebooks(withNormsq, "normsq", seed)
+      RqNorms.norm2Decode(RqNorms.rq2EncodeCol(col("normsq"), cb), cb)
+    case "lsq2x4" =>
+      // LSQ-refined codebooks + exact joint assign
+      val cb = RqNorms.norm2Codebooks(withNormsq, "normsq", seed, lsqIters = 3)
+      RqNorms.norm2Decode(RqNorms.lsq2EncodeCol(col("normsq"), cb), cb)
+  }
+
+  /** Shared tail of the flat `_N<norm>` routes: encode, store the
+    * reconstruction norm (unless nonorm), decode it through the codec,
+    * cache the FINAL scanned table (Dataset.unpersist only uncaches a
+    * plan that sameResults the cached root — code-review r12), wrap in
+    * the LUT-scan Built. `model` may be a zero-padded effective
+    * product model (its decode/LUT distribute over the padding). */
+  private def aqNormLut(data: DataFrame, chain: VecTransform,
+      model: RqModel, codesCol: Column, st: String, seed: Long): Built =
+    if (st == "none") {
+      // ST_LUT_nonorm: the norm is never stored (or computed) — cache
+      // the bare codes projection itself so close0's unpersist
+      // releases exactly the cached plan
+      val codes0 = data.select(col("id"), codesCol.as("codes")).cache()
+      new RqLutBuilt(model, codes0, chain, nonorm = true)
+    } else {
+      val codes0 = data.select(col("id"), codesCol.as("codes"))
+        .withColumn("normsq", aggregate(
+          model.decodeCol(col("codes")).cast("array<double>"),
+          lit(0.0), (a, x) => a + x * x))
+        .cache()
+      val codesNq = codes0
+        .withColumn("nq", normDecodeCol(codes0, st, seed))
+        .drop("normsq").cache()
+      codesNq.count()
+      codes0.unpersist(blocking = false)
+      new RqLutBuilt(model, codesNq, chain)
+    }
+
   /** Shared builder of the IVF-prefixed `_N<norm>` clause (see
     * [[IvfRqNormBuilt]]): residual-AQ build + add-time norm compute +
     * the flat route's [[RqNorms]] codec training over the RESIDUAL
     * reconstruction norms. */
+  /** Residual-AQ IVF build over any of the four AQ families: nsplit=1
+    * = the plain RQ/LSQ lists (IvfRq.build); nsplit>1 = the product
+    * forms through the zero-padded effective model — per-split
+    * residual encode, decode/LUT unchanged (the fast-scan closure's
+    * trick applied to the decompress/LUT scans). */
+  private def buildIvfAq(data: DataFrame, nlist: Int, nsplit: Int,
+      lv: Int, k: Int, beam: Int, icm: Int, niter: Int,
+      seed: Long): IvfRqIndex =
+    if (nsplit <= 1)
+      IvfRq.build(data, "id", "vec", nlist, lv, k,
+        niterCoarse = niter, niterRq = niter, beam = beam, icmIters = icm,
+        seed = seed)
+    else {
+      import graft.functions.vec_sub
+      val coarse = graft.cluster.KMeans.fit(data, "vec",
+        graft.cluster.KMeans.Params(k = nlist, niter = niter, seed = seed))
+      val centDf = Probes.centroidsDf(data.sparkSession, coarse.centroids)
+      val assigned = coarse.assign(data, "vec")
+        .join(broadcast(centDf), "list_no")
+        .select(col("id"), col("list_no"),
+          vec_sub(col("vec"), col("centroid")).as("res"))
+        .cache()
+      try {
+        val prq = Prq.train(assigned.select(col("res")), "res", nsplit,
+          lv, k, niter = niter, seed = seed, beam = beam)
+        val codes = assigned.select(col("id"), col("list_no"),
+          prq.encodeCol(col("res"), beam, icm).as("code")).cache()
+        codes.count()
+        new IvfRqIndex(nlist, coarse.centroids,
+          Rq4FastScanIndex.effectiveModel(prq), codes)
+      } finally assigned.unpersist()
+    }
+
   private def ivfAqNorm(data: DataFrame, chain: VecTransform, nlist: Int,
       fam: String, lv: Int, nb: Int, st: String, niter: Int, seed: Long,
-      graph: Option[CoarseGraphSpec] = None): Built = {
-    val (beam, icm) = if (fam == "RQ") (2, 1) else (1, 3)
-    val idx = IvfRq.build(data, "id", "vec", nlist, lv, 1 << nb,
-      niterCoarse = niter, niterRq = niter, beam = beam, icmIters = icm,
-      seed = seed)
+      graph: Option[CoarseGraphSpec] = None, nsplit: Int = 1): Built = {
+    val (beam, icm) =
+      if (fam == "RQ" || fam == "PRQ") (2, 1) else (1, 3)
+    val idx = buildIvfAq(data, nlist, nsplit, lv, 1 << nb, beam, icm,
+      niter, seed)
     if (st == "none")
       // ST_LUT_nonorm: no norm stored or computed — the scan reads the
       // build's own cached codes table directly
@@ -841,6 +945,17 @@ object IndexFactory {
     case AqNorm(fam, lv, nb, st) =>
       ivfAqNorm(data, chain, nlist, fam, lv.toInt, nb.toInt, st,
         niter, seed, graph = Some(spec))
+    case PrqTok(ns, lv, nb) =>
+      new IvfRqBuilt(buildIvfAq(data, nlist, ns.toInt, lv.toInt,
+        1 << nb.toInt, beam = 2, icm = 1, niter = niter, seed = seed),
+        chain, graph = Some(spec))
+    case PlsqTok(ns, lv, nb) =>
+      new IvfRqBuilt(buildIvfAq(data, nlist, ns.toInt, lv.toInt,
+        1 << nb.toInt, beam = 1, icm = 3, niter = niter, seed = seed),
+        chain, graph = Some(spec))
+    case PAqNorm(fam, ns, lv, nb, st) =>
+      ivfAqNorm(data, chain, nlist, fam, lv.toInt, nb.toInt, st,
+        niter, seed, graph = Some(spec), nsplit = ns.toInt)
     case other => throw new IllegalArgumentException(
       s"unsupported graph-coarse IVF code '$other' in '$desc'")
   }
@@ -1180,6 +1295,27 @@ object IndexFactory {
         case other => throw new IllegalArgumentException(
           s"unsupported paren coarse '$other' in '$desc'")
       }
+      // IVF<n>,(ITQ|PCA|PCAR)[<b>],SH[<p>][gcm] (index_factory.cpp:398):
+      // spectral hash over a trained replacement transform
+      case Ivf(nlist) :: ShVt(kind, b) :: ShRef(period, tt) :: Nil =>
+        val dd = data.select(size(col("vec"))).first().getInt(0)
+        val outdim = if (b.nonEmpty) b.toInt else dd
+        val vt = kind match {
+          case "ITQ" => graft.transform.Opq.trainItq(data, "vec", outdim)
+          case "PCA" => Transforms.pca(data, "vec", outdim)
+          case "PCAR" => Transforms.compose(
+            Transforms.randomRotation(outdim, seed),
+            Transforms.pca(data, "vec", outdim))
+        }
+        val per = if (period.nonEmpty) period.toDouble else -1e10
+        val thresholdType = tt match {
+          case "c" => "centroid"
+          case "m" => "median"
+          case _ => "global" // explicit g or ABSENT: ctor default
+        }
+        new SpectralBuilt(IvfSpectralHash.build(data, "id", "vec",
+          nlist.toInt, outdim, per, thresholdType, niter = niter,
+          seed = seed, vt0 = vt), chain)
       case Ivf(nlist) :: code :: Nil => code match {
         case "Flat" =>
           new IvfBuilt(IvfIndex.build(data, "id", "vec", nlist.toInt,
@@ -1273,6 +1409,21 @@ object IndexFactory {
         case AqNorm(fam, lv, nb, st) =>
           ivfAqNorm(data, chain, nlist.toInt, fam, lv.toInt, nb.toInt, st,
             niter, seed)
+        // IVF<n>,{PRQ|PLSQ}<ns>x<L>x<nb> (IndexIVFProduct*Quantizer,
+        // index_factory.cpp:351, empty norm clause = ST_decompress):
+        // per-split residual AQ lists through the effective model
+        case PrqTok(ns, lv, nb) =>
+          new IvfRqBuilt(buildIvfAq(data, nlist.toInt, ns.toInt, lv.toInt,
+            1 << nb.toInt, beam = 2, icm = 1, niter = niter, seed = seed),
+            chain)
+        case PlsqTok(ns, lv, nb) =>
+          new IvfRqBuilt(buildIvfAq(data, nlist.toInt, ns.toInt, lv.toInt,
+            1 << nb.toInt, beam = 1, icm = 3, niter = niter, seed = seed),
+            chain)
+        // ... and with the explicit stored-norm clause
+        case PAqNorm(fam, ns, lv, nb, st) =>
+          ivfAqNorm(data, chain, nlist.toInt, fam, lv.toInt, nb.toInt, st,
+            niter, seed, nsplit = ns.toInt)
         case other => throw new IllegalArgumentException(
           s"unsupported IVF code '$other' in '$desc'")
       }
@@ -1312,50 +1463,17 @@ object IndexFactory {
         val (beam, icm) = if (fam == "RQ") (2, 1) else (1, 3)
         val model = Rq.train(data.select(col("vec")), "vec",
           lv.toInt, 1 << nb.toInt, niter = niter, seed = seed, beam = beam)
-        if (st == "none") {
-          // ST_LUT_nonorm: the norm is never stored (or computed) —
-          // cache the bare codes projection itself so close0's
-          // unpersist releases exactly the cached plan
-          val codes0 = data.select(col("id"),
-            model.encodeCol(col("vec"), beam, icm).as("codes")).cache()
-          new RqLutBuilt(model, codes0, chain, nonorm = true)
-        } else {
-          val codes0 = data.select(col("id"),
-              model.encodeCol(col("vec"), beam, icm).as("codes"))
-            .withColumn("normsq", aggregate(
-              model.decodeCol(col("codes")).cast("array<double>"),
-              lit(0.0), (a, x) => a + x * x))
-            .cache()
-          val nq: Column = st match {
-            case "float" => col("normsq")
-            case "qint8" | "qint4" =>
-              val (nmin, nmax) = RqNorms.range(codes0, "normsq")
-              RqNorms.qintDecode(col("normsq"),
-                if (st == "qint8") 256 else 16, nmin, nmax)
-            case "cqint8" | "cqint4" =>
-              RqNorms.cqDecode(col("normsq"), RqNorms.cqCentroids(codes0,
-                "normsq", if (st == "cqint8") 256 else 16))
-            case "rq2x4" =>
-              // ST_norm_rq2x4 on the FLAT AQ route (the 4fs family
-              // carries its packed-LUT twin): greedy 2-level assign
-              val cb = RqNorms.norm2Codebooks(codes0, "normsq", seed)
-              RqNorms.norm2Decode(RqNorms.rq2EncodeCol(col("normsq"), cb), cb)
-            case "lsq2x4" =>
-              // ST_norm_lsq2x4: LSQ-refined codebooks + exact joint assign
-              val cb = RqNorms.norm2Codebooks(codes0, "normsq", seed, lsqIters = 3)
-              RqNorms.norm2Decode(RqNorms.lsq2EncodeCol(col("normsq"), cb), cb)
-          }
-          // cache + materialize the FINAL scanned table and release
-          // the stats intermediate: Dataset.unpersist only uncaches a
-          // plan that sameResults the cached root, so handing close0 a
-          // derived Project would leak the cached codes+norms table
-          // (code-review r12 — the pre-existing _N routes had this
-          // too). normsq is dropped: the scan reads only (codes, nq).
-          val codesNq = codes0.withColumn("nq", nq).drop("normsq").cache()
-          codesNq.count()
-          codes0.unpersist(blocking = false)
-          new RqLutBuilt(model, codesNq, chain)
-        }
+        aqNormLut(data, chain, model,
+          model.encodeCol(col("vec"), beam, icm), st, seed)
+      // (PRQ|PLSQ)<ns>x<L>x<nb>_N<norm> (index_factory.cpp:589,599):
+      // the product AQs with an explicit stored-norm search type — the
+      // same LUT scan through the zero-padded effective model
+      case PAqNorm(fam, ns, lv, nb, st) :: Nil =>
+        val (beam, icm) = if (fam == "PRQ") (2, 1) else (1, 3)
+        val prq = Prq.train(data.select(col("vec")), "vec", ns.toInt,
+          lv.toInt, 1 << nb.toInt, niter = niter, seed = seed, beam = beam)
+        aqNormLut(data, chain, Rq4FastScanIndex.effectiveModel(prq),
+          prq.encodeCol(col("vec"), beam, icm), st, seed)
       case Lsh(nbits) :: Nil =>
         val dd = data.select(size(col("vec"))).first().getInt(0)
         require(nbits.toInt <= dd, s"LSH$nbits > d=$dd")

@@ -91,7 +91,12 @@ object IvfSpectralHash {
   def build(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int, nbit: Int, period: Double,
       thresholdType: String = "median",
-      niter: Int = 5, seed: Long = 1234L): IvfSpectralHashIndex = {
+      niter: Int = 5, seed: Long = 1234L,
+      /** caller-supplied d -> nbit transform (the factory's
+        * `(ITQ|PCA|PCAR)<b>,SH...` replace_vt form,
+        * index_factory.cpp:398-414); null = the default seeded
+        * random-rotation rows. */
+      vt0: graft.transform.Linear = null): IvfSpectralHashIndex = {
     require(nbit >= 1 && nbit <= 64, "nbit must fit one BIGINT signature")
     val s = df.sparkSession
     import s.implicits._
@@ -100,10 +105,14 @@ object IvfSpectralHash {
     require(nbit <= d, s"nbit=$nbit > d=$d (rotation selects nbit rows)")
     val km = graft.cluster.KMeans.fit(vecs, "vec",
       graft.cluster.KMeans.Params(k = nlist, niter = niter, seed = seed))
-    // d -> nbit transform: first nbit rows of a seeded orthonormal
-    // rotation (the reference's default RandomRotationMatrix(d, nbit))
-    val full = graft.transform.Transforms.randomRotation(d, seed)
-    val vt = graft.transform.Linear(full.a.take(nbit))
+    // d -> nbit transform: caller-supplied (ITQ/PCA/PCAR replace_vt)
+    // or the first nbit rows of a seeded orthonormal rotation (the
+    // reference's default RandomRotationMatrix(d, nbit))
+    val vt = if (vt0 != null) {
+      require(vt0.a.length == nbit, s"vt0 has ${vt0.a.length} rows, nbit=$nbit")
+      vt0
+    } else graft.transform.Linear(
+      graft.transform.Transforms.randomRotation(d, seed).a.take(nbit))
 
     val assigned = vecs
       .withColumn("_a", shim.col(NearestCentroid(shim.expr(col("vec")), km.centroids)))
@@ -113,10 +122,11 @@ object IvfSpectralHash {
     val thresholds: Array[Array[Float]] = thresholdType match {
       case "global" => Array.fill(nlist)(new Array[Float](nbit))
       case "centroid" =>
-        // rotated centroid per list (Thresh_centroid)
+        // transformed centroid per list (Thresh_centroid) — the affine
+        // bias matters when vt is a replaced PCA (mean-centering)
         km.centroids.map { cRow =>
           Array.tabulate(nbit) { j =>
-            var acc = 0.0
+            var acc = if (vt.b != null) vt.b(j).toDouble else 0.0
             var i = 0
             while (i < d) { acc += vt.a(j)(i).toDouble * cRow(i).toDouble; i += 1 }
             acc.toFloat

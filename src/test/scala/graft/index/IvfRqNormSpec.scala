@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 class IvfRqNormSpec extends SparkTestBase {
 
   private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").cache()
-  private def base: DataFrame = emb.filter(col("vec_id") >= 10)
+  private lazy val base: DataFrame = emb.filter(col("vec_id") >= 10)
     .select(col("vec_id").as("id"), col("embedding").as("vec"))
   private def q: DataFrame = emb.filter(col("vec_id") < 8)
     .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -68,6 +68,65 @@ class IvfRqNormSpec extends SparkTestBase {
     val plain = run("IVF8,RQ2x4_Nqint8").collect().toSet
     val graph = run("IVF8_HNSW16,RQ2x4_Nqint8").collect().toSet
     assert(plain == graph)
+  }
+
+  test("product AQ under IVF: PRQ/PLSQ decompress + every _N suffix builds; " +
+    "factory equals the twin-call build") {
+    // decompress forms (empty norm clause = ST_decompress,
+    // index_factory.cpp:351)
+    for (desc <- Seq("IVF8,PRQ2x2x4", "IVF8,PLSQ2x2x4",
+        "IVF8_HNSW16,PRQ2x2x4")) {
+      val bb = IndexFactory.build(base, "id", "vec", desc, niter = 3)
+      assert(bb.search(q, 5, nprobe = 4).count() == q.count() * 5, desc)
+      bb.close()
+    }
+    // norm-clause forms over the effective model
+    for (st <- Seq("float", "qint8", "none"); fam <- Seq("PRQ", "PLSQ")) {
+      val bb = IndexFactory.build(base, "id", "vec",
+        s"IVF8,${fam}2x2x4_N$st", niter = 3)
+      assert(bb.search(q, 5, nprobe = 4).count() == q.count() * 5,
+        s"$fam _N$st")
+      bb.close()
+    }
+    // flat product norm clause too (index_factory.cpp:589,599)
+    val fb = IndexFactory.build(base, "id", "vec", "PRQ2x2x4_Nqint8", niter = 3)
+    assert(fb.search(q, 5).count() == q.count() * 5)
+    fb.close()
+    // factory route == the same deterministic calls done by hand
+    // (coarse k-means, per-split residual RQ train, beam-2/1-ICM
+    // encode, effective-model decompress scan)
+    val viaFactory = IndexFactory.build(base, "id", "vec", "IVF8,PRQ2x2x4",
+      niter = 3).search(q, 5, nprobe = 4).collect().toSet
+    val km = graft.cluster.KMeans.fit(base, "vec",
+      graft.cluster.KMeans.Params(k = 8, niter = 3, seed = 1234L))
+    val assigned = km.assign(base, "vec")
+      .join(broadcast(Probes.centroidsDf(spark, km.centroids)), "list_no")
+      .select(col("id"), col("list_no"),
+        graft.functions.vec_sub(col("vec"), col("centroid")).as("res"))
+    val prq = Prq.train(assigned.select(col("res")), "res", nsplit = 2,
+      levels = 2, k = 16, niter = 3, seed = 1234L, beam = 2)
+    val twin = new IvfRqIndex(8, km.centroids,
+      Rq4FastScanIndex.effectiveModel(prq),
+      assigned.select(col("id"), col("list_no"),
+        prq.encodeCol(col("res"), 2, 1).as("code")))
+    assert(twin.search(q, 5, nprobe = 4).collect().toSet == viaFactory)
+    // codeSize carries the norm bytes
+    assert(IndexFactory.codeSize("PRQ2x2x4_Nqint8", 64) == 3)
+    assert(IndexFactory.codeSize("IVF8,PLSQ2x2x4_Nfloat", 64) == 6)
+    assert(IndexFactory.codeSize("IVF8,PRQ2x2x4", 64) == 2)
+  }
+
+  test("IVF,(ITQ|PCA|PCAR),SH: the reference spectral-hash spelling parses, " +
+    "searches, and the thresholdless form degenerates to projection sign bits") {
+    for (desc <- Seq("IVF8,PCA8,SH", "IVF8,PCAR8,SH0.5g", "IVF8,ITQ8,SHm",
+        "IVF8,PCA8,SH1.0c")) {
+      val bb = IndexFactory.build(base, "id", "vec", desc, niter = 3)
+      val r = bb.search(q, 5, nprobe = 8)
+      assert(r.count() == q.count() * 5, desc)
+      bb.close()
+    }
+    assert(IndexFactory.codeSize("IVF8,PCA8,SH", 64) == 1)
+    assert(IndexFactory.codeSize("IVF8,ITQ16,SH2.5g", 64) == 2)
   }
 
   test("codeSize includes the stored-norm bytes under the IVF prefix") {
