@@ -50,6 +50,14 @@ object OracleAux {
   }
 
   /** (d, r) one row per matrix row (output dim d = weights r). */
+  /** (l, j, c) rows of a two-level 1-D norm codebook (the rq2x4 /
+    * lsq2x4 norm_tabs sidecars). */
+  def normCbDf(s: SparkSession, ncb: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    (for (l <- ncb.indices; j <- ncb(l).indices) yield (l, j, ncb(l)(j)))
+      .toDF("l", "j", "c")
+  }
+
   def matrixDf(s: SparkSession, a: Array[Array[Float]]): DataFrame = {
     import s.implicits._
     a.zipWithIndex.toSeq.map { case (row, d) => (d, row.toSeq) }

@@ -629,12 +629,8 @@ object Queries {
     val lfs = lsqfs2(s, dir)
     OracleAux.write(dir, "lsq4fs_codebooks",
       OracleAux.codebooksDf(s, lfs.model.codebooks))
-    OracleAux.write(dir, "lsq4fs_normcb", {
-      import s.implicits._
-      val ncb = lfs.normCb
-      (for (l <- ncb.indices; j <- ncb(l).indices) yield (l, j, ncb(l)(j)))
-        .toDF("l", "j", "c")
-    })
+    OracleAux.write(dir, "lsq4fs_normcb",
+      OracleAux.normCbDf(s, lfs.normCb))
     OracleAux.write(dir, "lsq4fs_codes",
       bDf(s, dir, 10).select(col("id"),
         lfs.model.encodeCol(col("vec"), 1, 3).as("codes")))
@@ -643,12 +639,8 @@ object Queries {
     val pfs = prqfs22(s, dir)
     OracleAux.write(dir, "prq4fs_codebooks",
       OracleAux.codebooksDf(s, pfs.model.codebooks))
-    OracleAux.write(dir, "prq4fs_normcb", {
-      import s.implicits._
-      val ncb = pfs.normCb
-      (for (l <- ncb.indices; j <- ncb(l).indices) yield (l, j, ncb(l)(j)))
-        .toDF("l", "j", "c")
-    })
+    OracleAux.write(dir, "prq4fs_normcb",
+      OracleAux.normCbDf(s, pfs.normCb))
     OracleAux.write(dir, "prq4fs_codes",
       bDf(s, dir, 10).select(col("id"),
         prqfsModel(s, dir).encodeCol(col("vec"), 1, 0).as("codes")))
@@ -661,18 +653,10 @@ object Queries {
       OracleAux.centroidsDf(s, rqfsr.centroids))
     OracleAux.write(dir, "ivfrqfsr_codebooks",
       OracleAux.codebooksDf(s, rqfsr.model.codebooks))
-    OracleAux.write(dir, "ivfrqfsr_normcb", {
-      import s.implicits._
-      val ncb = rqfsr.normCb
-      (for (l <- ncb.indices; j <- ncb(l).indices) yield (l, j, ncb(l)(j)))
-        .toDF("l", "j", "c")
-    })
-    OracleAux.write(dir, "rq4fs_normcb", {
-      import s.implicits._
-      val ncb = rqfs2(s, dir).normCb
-      (for (l <- ncb.indices; j <- ncb(l).indices) yield (l, j, ncb(l)(j)))
-        .toDF("l", "j", "c")
-    })
+    OracleAux.write(dir, "ivfrqfsr_normcb",
+      OracleAux.normCbDf(s, rqfsr.normCb))
+    OracleAux.write(dir, "rq4fs_normcb",
+      OracleAux.normCbDf(s, rqfs2(s, dir).normCb))
     val ipqfs = ivfpqfs8(s, dir)
     OracleAux.write(dir, "ivfpqfs_centroids", OracleAux.centroidsDf(s, ipqfs.centroids))
     OracleAux.write(dir, "ivfpqfs_codebooks", OracleAux.codebooksDf(s, ipqfs.model.codebooks))

@@ -225,6 +225,8 @@ object Rq4FastScanIndex {
       niter: Int = 6, seed: Long = 1234L, beam: Int = 1,
       model0: RqModel = null, icmIters: Int = 0, nsplit: Int = 1,
       normType: String = "rq2x4"): Rq4FastScanIndex = {
+    require(model0 == null || nsplit == 1,
+      "model0 is a flat-RQ override; the product forms train per split")
     val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val (model, encCol) =
       if (nsplit > 1) {

@@ -143,8 +143,17 @@ object IndexFactory {
       case "FP16" | "SQfp16" => code = Some(2 * dim)
       case Sh(nbit, _, _) => code = Some((nbit.toInt + 7) / 8)
       // (ITQ|PCA|PCAR)<b> middle tokens are consumed by the transform
-      // cases above; SH[<p>][gcm] sizes to the transformed dim's bits
-      case ShRef(_, _) => code = Some((dim + 7) / 8)
+      // cases above; SH[<p>][gcm] sizes to the transformed dim's bits,
+      // and is ONLY valid in the IVF<n>,(ITQ|PCA|PCAR)[<b>],SH form
+      // build() accepts — sizing a spelling build() rejects would let
+      // callers plan storage for an index that later throws (ADVICE r9)
+      case t2 @ ShRef(_, _) =>
+        toks.toList match {
+          case List(Ivf(_), ShVt(_, _), ShRef(_, _)) =>
+            code = Some((dim + 7) / 8)
+          case _ => throw new IllegalArgumentException(
+            s"'$t2' is only valid as IVF<n>,(ITQ|PCA|PCAR)[<b>],$t2 in '$desc'")
+        }
       case Lsh(nb) => code = Some((nb.toInt + 7) / 8)
       // fast-scan BEFORE plain PQ/RQ: "PQ8x4fs" must not fall to `other`
       case PqFs(m, _) => code = Some((m.toInt + 1) / 2)
@@ -771,6 +780,9 @@ object IndexFactory {
       // LSQ-refined codebooks + exact joint assign
       val cb = RqNorms.norm2Codebooks(withNormsq, "normsq", seed, lsqIters = 3)
       RqNorms.norm2Decode(RqNorms.lsq2EncodeCol(col("normsq"), cb), cb)
+    case other => throw new IllegalArgumentException(
+      s"stored-norm codec must be float/qint/cqint/rq2x4/lsq2x4 " +
+      s"(nonorm routes never reach here), got '$other'")
   }
 
   /** Shared tail of the flat `_N<norm>` routes: encode, store the
@@ -853,27 +865,14 @@ object IndexFactory {
       val withN = idx.codes.withColumn("normsq", aggregate(
         idx.model.decodeCol(col("code")).cast("array<double>"),
         lit(0.0), (a, x) => a + x * x)).cache()
-      val nq: Column = st match {
-        case "float" => col("normsq")
-        case "qint8" | "qint4" =>
-          val (nmin, nmax) = RqNorms.range(withN, "normsq")
-          RqNorms.qintDecode(col("normsq"),
-            if (st == "qint8") 256 else 16, nmin, nmax)
-        case "cqint8" | "cqint4" =>
-          RqNorms.cqDecode(col("normsq"), RqNorms.cqCentroids(withN,
-            "normsq", if (st == "cqint8") 256 else 16))
-        case "rq2x4" =>
-          val cb = RqNorms.norm2Codebooks(withN, "normsq", seed)
-          RqNorms.norm2Decode(RqNorms.rq2EncodeCol(col("normsq"), cb), cb)
-        case "lsq2x4" =>
-          val cb = RqNorms.norm2Codebooks(withN, "normsq", seed, lsqIters = 3)
-          RqNorms.norm2Decode(RqNorms.lsq2EncodeCol(col("normsq"), cb), cb)
-      }
       // cache + materialize the FINAL scanned table, then release the
       // stats intermediate (Dataset.unpersist only uncaches a plan
       // that sameResults the cached root — the flat _N route's r12
-      // code-review fix applies here verbatim)
-      val codesNq = withN.withColumn("nq", nq).drop("normsq").cache()
+      // code-review fix applies here verbatim); the codec selection is
+      // the shared normDecodeCol, so the flat and IVF routes cannot
+      // drift (review r13)
+      val codesNq = withN
+        .withColumn("nq", normDecodeCol(withN, st, seed)).drop("normsq").cache()
       codesNq.count()
       withN.unpersist(blocking = false)
       new IvfRqNormBuilt(idx, codesNq, nonorm = false, chain, graph)
@@ -1298,8 +1297,8 @@ object IndexFactory {
       // IVF<n>,(ITQ|PCA|PCAR)[<b>],SH[<p>][gcm] (index_factory.cpp:398):
       // spectral hash over a trained replacement transform
       case Ivf(nlist) :: ShVt(kind, b) :: ShRef(period, tt) :: Nil =>
-        val dd = data.select(size(col("vec"))).first().getInt(0)
-        val outdim = if (b.nonEmpty) b.toInt else dd
+        val outdim = if (b.nonEmpty) b.toInt
+          else data.select(size(col("vec"))).first().getInt(0)
         val vt = kind match {
           case "ITQ" => graft.transform.Opq.trainItq(data, "vec", outdim)
           case "PCA" => Transforms.pca(data, "vec", outdim)

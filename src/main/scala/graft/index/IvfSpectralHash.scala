@@ -133,8 +133,11 @@ object IvfSpectralHash {
           }
         }
       case "median" =>
-        // per-(list, bit) median of the rotated training coordinates,
-        // shifted -period/4 (IndexIVFSpectralHash.cpp:80-90)
+        // per-(list, bit) PLAIN median of the transformed training
+        // coordinates (Thresh_median, IndexIVFSpectralHash.cpp:127-140
+        // — the -period/4 shift belongs to Thresh_centroid_half, a
+        // mode the factory grammar cannot spell; an earlier round
+        // applied it here, review r13 removed it)
         val med = assigned
           .select(col("list_no"), posexplode(col("_y")).as(Seq("_b", "_v")))
           .groupBy(col("list_no"), col("_b"))
@@ -142,7 +145,7 @@ object IvfSpectralHash {
           .collect()
         val out = Array.fill(nlist)(new Array[Float](nbit))
         med.foreach { r =>
-          out(r.getInt(0))(r.getInt(1)) = (r.getDouble(2) - 0.25 * period).toFloat
+          out(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
         }
         out
       case t => throw new IllegalArgumentException(s"threshold type $t")

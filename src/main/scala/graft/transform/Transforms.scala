@@ -86,6 +86,29 @@ object Transforms {
     Linear(a.map(_.map(_.toFloat)))
   }
 
+  /** outer ∘ inner for affine maps:
+    * A2(A1 x + b1) + b2 = (A2 A1) x + (A2 b1 + b2). */
+  def compose(outer: Linear, inner: Linear): Linear = {
+    val dOut = outer.a.length
+    val rp = Array.tabulate(dOut)(i =>
+      Array.tabulate(inner.a(0).length) { j =>
+        var s = 0.0; var k = 0
+        while (k < inner.a.length) { s += outer.a(i)(k).toDouble * inner.a(k)(j); k += 1 }
+        s.toFloat
+      })
+    val rb =
+      if (inner.b == null && outer.b == null) null
+      else Array.tabulate(dOut) { i =>
+        var s = if (outer.b != null) outer.b(i).toDouble else 0.0
+        if (inner.b != null) {
+          var k = 0
+          while (k < inner.b.length) { s += outer.a(i)(k).toDouble * inner.b(k); k += 1 }
+        }
+        s.toFloat
+      }
+    Linear(rp, rb)
+  }
+
   /** PCA with optional whitening (PCAMatrix,
     * VectorTransform.h:133-188). Training = one distributed pass
     * (mean + covariance via [[graft.core.OuterSumAgg]]; d×d doubles to
@@ -93,23 +116,6 @@ object Transforms {
     * plan-embedded mat-vec. Returns the transform projecting onto the
     * top dOut components (rows sorted by decreasing eigenvalue).
     * eigenPower = -0.5 gives whitening (VectorTransform.h:147). */
-  /** outer ∘ inner for affine maps: R(Px + b) = (RP)x + Rb. */
-  def compose(outer: Linear, inner: Linear): Linear = {
-    val rp = Array.tabulate(outer.a.length)(i =>
-      Array.tabulate(inner.a(0).length) { j =>
-        var s = 0.0; var k = 0
-        while (k < inner.a.length) { s += outer.a(i)(k).toDouble * inner.a(k)(j); k += 1 }
-        s.toFloat
-      })
-    val rb = if (inner.b == null) null
-      else Array.tabulate(outer.a.length) { i =>
-        var s = 0.0; var k = 0
-        while (k < inner.b.length) { s += outer.a(i)(k).toDouble * inner.b(k); k += 1 }
-        s.toFloat
-      }
-    Linear(rp, rb)
-  }
-
   def pca(df: DataFrame, vecCol: String, dOut: Int,
       whiten: Boolean = false): Linear = {
     val r = df.agg(shim.agg(OuterSumAgg(shim.expr(col(vecCol)))).as("s"))

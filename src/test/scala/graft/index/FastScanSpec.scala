@@ -162,9 +162,11 @@ class FastScanSpec extends SparkTestBase {
     // a VALID scan (rows, ranks) and is allowed to reorder vs rq2x4
     val nlsq = IndexFactory.build(b, "id", "vec", "RQ2x4fs_Nlsq2x4", niter = 3)
     assert(nlsq.search(q, 5).count() == 50)
+    nlsq.close()
     // LSCQ = the reference's alternative LSQ spelling
     val lscq = IndexFactory.build(b, "id", "vec", "LSCQ2x4", niter = 3)
     assert(lscq.description == "LSCQ2x4" && lscq.search(q, 5).count() == 50)
+    lscq.close()
     assert(IndexFactory.codeSize("LSCQ2x4", 64) == 1)
     // code widths: ceil((levels + 2 norm nibbles) / 2) bytes
     assert(IndexFactory.codeSize("LSQ2x4fs", 64) == 2)
