@@ -300,10 +300,20 @@ class ImiPqIndex(
         .drop("_qres")
       case None => probesLut.drop("_qres")
     }
-    // static cell pruning: only distinct cell ints cross the driver
-    // (Probes.probedListIds); the LUT-bearing probe rows broadcast
-    // (or shuffle-join for huge query sets)
-    val probed0 = Probes.probedListIds(probesLut.select(col("cell").as("list_no")))
+    // static cell pruning FOR SMALL QUERY SETS ONLY: distinct cell
+    // ints cross the driver (Probes.probedListIds) and the codes scan
+    // reads just the probed cells. With broadcastQueries=false
+    // (corpus-sized query sets) the probed union approaches every cell
+    // and the collect would be an eager full probe-selection job
+    // inside a plan builder — the shuffle equi-join on cell IS the
+    // prune there (the IvfIndex.search contract).
+    def pruneCells(pl: DataFrame): DataFrame =
+      if (!broadcastQueries) codes
+      else {
+        val probed = Probes.probedListIds(pl.select(col("cell").as("list_no")))
+        codes.filter(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*))
+      }
+    val codesRaw = pruneCells(probesLut)
     // max_codes = per-query TOTAL scan budget consumed in probe-rank
     // order (IndexIVF.cpp:586 — whole lists accumulate until the
     // budget trips; the IvfIndex.budgetProbes semantics): the cell at
@@ -312,8 +322,7 @@ class ImiPqIndex(
     // per-candidate aggregate.
     maxCodes.foreach { mc =>
       import org.apache.spark.sql.expressions.Window
-      val sizes = codes.filter(col("cell").isin(probed0.map(Integer.valueOf).toSeq: _*))
-        .groupBy("cell").agg(count(lit(1)).as("_csz0"))
+      val sizes = codesRaw.groupBy("cell").agg(count(lit(1)).as("_csz0"))
       val w = Window.partitionBy(col(queryId)).orderBy(col("pr"))
       probesLut = probesLut.join(sizes, Seq("cell"), "left")
         .withColumn("_csz", coalesce(col("_csz0"), lit(0L)))
@@ -322,12 +331,9 @@ class ImiPqIndex(
         .drop("_csz0", "_csz", "_before")
     }
     probesLut = probesLut.drop("pr")
-    val probed = if (maxCodes.isDefined)
-      Probes.probedListIds(probesLut.select(col("cell").as("list_no")))
-    else probed0
+    val scanSide = if (maxCodes.isDefined) pruneCells(probesLut) else codesRaw
     val probeSide = if (broadcastQueries) broadcast(probesLut) else probesLut
-    var cand = codes.filter(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*))
-      .join(probeSide, "cell")
+    var cand = scanSide.join(probeSide, "cell")
     ht.foreach { t =>
       // polysemous pre-filter (IndexIVFPQ polysemous_ht): Hamming
       // between the query's PER-CELL residual code and the stored code
@@ -370,10 +376,15 @@ class ImiPqIndex(
       broadcastQueries: Boolean = true): DataFrame = {
     val probesLut = residualProbes(queries, nprobe, queryId, queryVec)
       .select(col(queryId), col("cell"), model.lutCol(col("_qres")).as("_lut"))
-    val probed = Probes.probedListIds(probesLut.select(col("cell").as("list_no")))
+    // static cell prune only for small query sets (see [[search]])
+    val scanSide =
+      if (!broadcastQueries) codes
+      else {
+        val probed = Probes.probedListIds(probesLut.select(col("cell").as("list_no")))
+        codes.filter(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*))
+      }
     val probeSide = if (broadcastQueries) broadcast(probesLut) else probesLut
-    codes.filter(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*))
-      .join(probeSide, "cell")
+    scanSide.join(probeSide, "cell")
       .select(col(queryId), col("id"),
         model.adcCol(col("code"), col("_lut")).as("dist"))
       .filter(col("dist") < radius)
@@ -449,12 +460,17 @@ class ImiSqIndex(
           graft.functions.vec_sub(col(queryVec),
             concat(col("_c0"), col("_c1"))).as(queryVec))
     }
-    val probed = Probes.probedListIds(probes.select(col("cell").as("list_no")))
-    // broadcastQueries=false: shuffle equi-join for huge query sets
-    // (the ImiPqIndex.search convention)
+    // broadcastQueries=false: shuffle equi-join for huge query sets,
+    // no driver enumeration of the probed cells (the ImiPqIndex.search
+    // convention — the join is the prune)
+    val scanSide =
+      if (!broadcastQueries) codes
+      else {
+        val probed = Probes.probedListIds(probes.select(col("cell").as("list_no")))
+        codes.filter(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*))
+      }
     val probeSide = if (broadcastQueries) broadcast(probes) else probes
-    codes.filter(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*))
-      .join(probeSide, "cell")
+    scanSide.join(probeSide, "cell")
       .select(col(queryId), col("id"),
         shim.col(SqVariant.adcL2(qtype, shim.expr(col(queryVec)),
           shim.expr(col("code")), vmin, vdiff)).as("_dist"))

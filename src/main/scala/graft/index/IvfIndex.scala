@@ -115,16 +115,29 @@ class IvfIndex(
       broadcastQueries: Boolean = true,
       coarse: Option[Probes.CoarseQuant] = None): DataFrame = {
     val pr0 = probes(queries, nprobe, queryId, queryVec, coarse)
-    // The probed-list set is tiny (≤ queries × nprobe ints): collecting
-    // it turns the invlists scan into a statically partition-pruned read.
-    val probed0 = pr0.select("list_no").distinct().collect().map(_.getInt(0))
-    val listsRaw = invlists.filter(col("list_no").isin(probed0.map(Integer.valueOf): _*))
+    // Small query sets (broadcastQueries=true): the probed-list set is
+    // tiny (≤ queries × nprobe ints), so collecting it turns the
+    // invlists scan into a statically partition-pruned read — worth one
+    // cheap pass over the small query table. Big-batch sets
+    // (broadcastQueries=false, corpus-sized queries): the probed union
+    // approaches every list, the isin would prune nothing, and the
+    // collect would force an eager full coarse-quantization job inside
+    // a plan builder AND recompute it in the join — so the scan set is
+    // left entirely to the shuffle equi-join (unprobed lists drop out
+    // of the join; parquet partition pruning on list_no still applies
+    // dynamically). Plan construction launches ZERO jobs on this path
+    // (PlanSpec pins it).
+    def pruneLists(pr: DataFrame): DataFrame =
+      if (!broadcastQueries) invlists
+      else {
+        val probed = pr.select("list_no").distinct().collect().map(_.getInt(0))
+        invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
+      }
+    val listsRaw = pruneLists(pr0)
     val pr = maxCodes.map(budgetProbes(pr0, listsRaw, _, queryId)).getOrElse(pr0)
     // re-prune after the budget cut: lists past the budget drop out of
     // the scan set entirely
-    val probed = if (maxCodes.isDefined)
-      pr.select("list_no").distinct().collect().map(_.getInt(0)) else probed0
-    val lists0 = invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
+    val lists0 = if (maxCodes.isDefined) pruneLists(pr) else listsRaw
     val lists = filter.map(lists0.filter).getOrElse(lists0)
     val prSide = if (broadcastQueries) broadcast(pr) else pr
     val cand = lists.join(prSide, "list_no")
@@ -162,11 +175,16 @@ class IvfIndex(
     * (queryId, list_no) table naming the lists each query scans.
     * Identical pruned-join shape to [[search]] — the probed-list union
     * statically prunes the invlists read, the probe table broadcasts,
-    * one partial-top-k exchange. */
+    * one partial-top-k exchange. `broadcastProbes = false` is the
+    * big-batch form ([[search]]'s broadcastQueries contract): probesDf
+    * may be corpus-sized, so no driver enumeration of the probed set
+    * and a shuffle equi-join instead of a broadcast. */
   def searchPreassigned(queries: DataFrame, probesDf: DataFrame, k: Int,
       queryId: String = "qid", queryVec: String = "qvec",
-      filter: Option[Column] = None): DataFrame =
-    preassignedCandidates(queries, probesDf, queryId, queryVec, filter)
+      filter: Option[Column] = None,
+      broadcastProbes: Boolean = true): DataFrame =
+    preassignedCandidates(queries, probesDf, queryId, queryVec, filter,
+      broadcastProbes)
       .groupBy(col(queryId))
       .agg(topk(col("_dist"), col("id"), k, Metric.ascending(metric)).as("_tk"))
       .select(col(queryId), posexplode(col("_tk")).as(Seq("_pos", "_r")))
@@ -176,16 +194,23 @@ class IvfIndex(
   /** Shared scan head of the preassigned entry points: statically
     * prune the invlists to the probed set (derived from probesDf
     * ALONE — enumerating it must not execute the queries side), then
-    * the broadcast equi-join + distance. */
+    * the broadcast equi-join + distance. With `broadcastProbes=false`
+    * (corpus-sized probesDf) nothing crosses the driver: the shuffle
+    * equi-join on list_no is the prune. */
   private def preassignedCandidates(queries: DataFrame, probesDf: DataFrame,
-      queryId: String, queryVec: String, filter: Option[Column]): DataFrame = {
-    val probed = probesDf.select(col("list_no").cast("int"))
-      .distinct().collect().map(_.getInt(0))
+      queryId: String, queryVec: String, filter: Option[Column],
+      broadcastProbes: Boolean = true): DataFrame = {
     val pr = queries.select(col(queryId), col(queryVec))
       .join(probesDf.select(col(queryId), col("list_no")), queryId)
-    val lists0 = invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
+    val lists0 =
+      if (!broadcastProbes) invlists
+      else {
+        val probed = probesDf.select(col("list_no").cast("int"))
+          .distinct().collect().map(_.getInt(0))
+        invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
+      }
     val lists = filter.map(lists0.filter).getOrElse(lists0)
-    lists.join(broadcast(pr), "list_no")
+    lists.join(if (broadcastProbes) broadcast(pr) else pr, "list_no")
       .select(col(queryId), col("id"),
         vec_dist(col(queryVec), col("vec"), metric).as("_dist"))
   }
@@ -202,13 +227,21 @@ class IvfIndex(
     * dataflow-correct shape). Output (np, qid, rank, id, dist),
     * bit-identical per np to `search(queries, k, np)`. */
   def searchSweep(queries: DataFrame, k: Int, nprobes: Seq[Int],
-      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+      queryId: String = "qid", queryVec: String = "qvec",
+      broadcastQueries: Boolean = true): DataFrame = {
     val sess = queries.sparkSession
     val npMax = nprobes.max
     val pr = probes(queries, npMax, queryId, queryVec)
-    val probed = pr.select("list_no").distinct().collect().map(_.getInt(0))
-    val lists = invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
-    val cand = lists.join(broadcast(pr), "list_no")
+    // same contract as [[search]]: a corpus-sized query set must not
+    // drive an eager probed-set collect — the equi-join is the prune
+    val lists =
+      if (!broadcastQueries) invlists
+      else {
+        val probed = pr.select("list_no").distinct().collect().map(_.getInt(0))
+        invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
+      }
+    val prSide = if (broadcastQueries) broadcast(pr) else pr
+    val cand = lists.join(prSide, "list_no")
       .select(col(queryId), col("pr"), col("id"),
         vec_dist(col(queryVec), col("vec"), metric).as("_dist"))
     import sess.implicits._
@@ -233,20 +266,26 @@ class IvfIndex(
       queryId: String = "qid", queryVec: String = "qvec",
       filter: Option[Column] = None,
       maxCodes: Option[Int] = None,
-      coarse: Option[Probes.CoarseQuant] = None): DataFrame = {
+      coarse: Option[Probes.CoarseQuant] = None,
+      broadcastQueries: Boolean = true): DataFrame = {
     val pr0 = probes(queries, nprobe, queryId, queryVec, coarse)
-    val probed0 = pr0.select("list_no").distinct().collect().map(_.getInt(0))
+    // static prune only for small query sets; see [[search]]
+    def pruneLists(pr: DataFrame): DataFrame =
+      if (!broadcastQueries) invlists
+      else {
+        val probed = pr.select("list_no").distinct().collect().map(_.getInt(0))
+        invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
+      }
     // budget sizes are pre-IDSelector (the reference counts raw
     // list_size even under a selector)
-    val listsRaw = invlists.filter(col("list_no").isin(probed0.map(Integer.valueOf): _*))
+    val listsRaw = pruneLists(pr0)
     val pr = maxCodes.map(budgetProbes(pr0, listsRaw, _, queryId)).getOrElse(pr0)
-    val probed = if (maxCodes.isDefined)
-      pr.select("list_no").distinct().collect().map(_.getInt(0)) else probed0
-    val lists0 = invlists.filter(col("list_no").isin(probed.map(Integer.valueOf): _*))
+    val lists0 = if (maxCodes.isDefined) pruneLists(pr) else listsRaw
     val lists = filter.map(lists0.filter).getOrElse(lists0)
     val asc = Metric.ascending(metric)
     val pred = if (asc) col("dist") < radius else col("dist") > radius
-    lists.join(broadcast(pr), "list_no")
+    val prSide = if (broadcastQueries) broadcast(pr) else pr
+    lists.join(prSide, "list_no")
       .select(col(queryId), col("list_no"), col("id"),
         vec_dist(col(queryVec), col("vec"), metric).as("dist"))
       .select(col(queryId), col("id"), col("dist")).filter(pred)
@@ -262,8 +301,10 @@ class IvfIndex(
     * applies below any aggregation. Output (qid, id, dist). */
   def rangeSearchPreassigned(queries: DataFrame, probesDf: DataFrame,
       radius: Double, queryId: String = "qid",
-      queryVec: String = "qvec"): DataFrame =
-    preassignedCandidates(queries, probesDf, queryId, queryVec, None)
+      queryVec: String = "qvec",
+      broadcastProbes: Boolean = true): DataFrame =
+    preassignedCandidates(queries, probesDf, queryId, queryVec, None,
+      broadcastProbes)
       .filter(if (Metric.ascending(metric)) col("_dist") < radius
         else col("_dist") > radius)
       .select(col(queryId), col("id"), col("_dist").as("dist"))

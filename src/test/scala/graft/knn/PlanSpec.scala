@@ -203,6 +203,43 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("big-batch IVF search runs ONE probe-assign: plan construction launches no job " +
+    "(VERDICT r13 #1)") {
+    // With broadcastQueries=false the query set is corpus-sized: the
+    // old static-prune collect ran a full coarse-quantization job
+    // inside the plan builder and then recomputed the probe table in
+    // the join. The fixed path must build the plan lazily — zero Spark
+    // jobs before the caller's action — so the probe assignment runs
+    // exactly once, inside the shuffle equi-join.
+    val idx = IvfIndex.build(b, "id", "vec", nlist = 4, niter = 2)
+    // ensure the fixture caches are warm so the count below is exact
+    idx.invlists.count()
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val df = idx.search(q, 5, nprobe = 2, broadcastQueries = false,
+        maxCodes = Some(1000))
+      val pre = idx.searchPreassigned(q,
+        df.select(col("qid"), lit(0).as("list_no")), k = 5,
+        broadcastProbes = false)
+      assert(pre.columns.nonEmpty) // plans built, never executed
+      // flush the async listener bus with a sentinel job (RDD action =
+      // exactly one job, no AQE), then assert it is the ONLY job seen
+      sc.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 5000000000L
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(jobs.get() == 1,
+        s"plan construction launched ${jobs.get() - 1} eager Spark job(s)")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("assign uses the heap aggregate (no window, no sort aggregate)") {
     val plan = Knn.assign(q, b).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "assign must not use a window sort")
