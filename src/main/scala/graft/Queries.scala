@@ -262,6 +262,16 @@ object Queries {
       graft.index.IvfSpectralHash.build(bDf(s, dir, 10), "id", "vec",
         nlist = 8, nbit = 32, period = 1.0, thresholdType = "median", niter = 4)
     }
+  /** Thresh_centroid_half twin of [[ivfsh8]]: identical data/seeds, so
+    * the coarse centroids and rotation match ivfsh8's sidecars bit for
+    * bit — only the thresholds differ (centroid - period/4), which the
+    * oracle derives ITSELF from those sidecars. */
+  private def ivfshCh8(s: SparkSession, dir: String): graft.index.IvfSpectralHashIndex =
+    cached(s"ivfshch8:$dir") {
+      graft.index.IvfSpectralHash.build(bDf(s, dir, 10), "id", "vec",
+        nlist = 8, nbit = 32, period = 1.0, thresholdType = "centroid_half",
+        niter = 4)
+    }
   private def ivf8(s: SparkSession, dir: String): IvfIndex =
     cached(s"ivf8:$dir") {
       IvfIndex.build(bDf(s, dir, 10), "id", "vec", nlist = 8, niter = 3)
@@ -577,7 +587,8 @@ object Queries {
     ivf16(s, dir); ivf20(s, dir); ivf8(s, dir); ivfsq16(s, dir)
     ivfsqRes16(s, dir)
     pq16(s, dir); rot64(s, dir); opqModel(s, dir); ivfpq8(s, dir)
-    ivfpqr8(s, dir); twoLayer16(s, dir); ivfsh8(s, dir); km8(s, dir)
+    ivfpqr8(s, dir); twoLayer16(s, dir); ivfsh8(s, dir); ivfshCh8(s, dir)
+    km8(s, dir)
     twoLevel12(s, dir); pdk8(s, dir); bivf8(s, dir); rqModel16(s, dir)
     prqModel(s, dir); imi16(s, dir); imipq16(s, dir); imisq16(s, dir)
     imisqRes16(s, dir); sqMeanstd(s, dir); ivfrq8(s, dir)
@@ -4116,6 +4127,48 @@ object Queries {
               |  FROM basg a JOIN ry y ON y.vec_id = a.id JOIN th t ON t.list_no = a.list_no),
               |qbits AS (SELECT p.qid, p.list_no,
               |    list_transform(list_zip(y.y::DOUBLE[], t.t), p -> floor((p[1]-p[2])*2.0)::BIGINT & 1) AS bits
+              |  FROM probes p JOIN ry y ON y.vec_id = p.qid JOIN th t ON t.list_no = p.list_no),
+              |hd AS (SELECT q.qid, b.id,
+              |    len(list_filter(list_zip(q.bits, b.bits), p -> p[1] <> p[2]))::BIGINT AS hamming
+              |  FROM qbits q JOIN bbits b ON b.list_no = q.list_no)
+              |SELECT qid, "rank", id, hamming FROM (
+              |  SELECT qid, id, hamming, row_number() OVER (PARTITION BY qid ORDER BY hamming, id) AS "rank" FROM hd) w
+              |WHERE "rank" <= 10""".stripMargin)),
+
+    // Thresh_centroid_half (IndexIVFSpectralHash.h:45, .cpp:86-90):
+    // the fourth threshold mode — the FLOAT-rounded transformed list
+    // centroid shifted by -period/4 ("central interval around
+    // centroid"). The twin index shares ivfsh8's data/seeds, so its
+    // coarse centroids and rotation equal the sh_* sidecars bit for
+    // bit; the oracle derives the thresholds ITSELF from those
+    // sidecars (t = (rot·centroid)::REAL - period/4) — an engine that
+    // dropped or misplaced the shift (the dual of the r13 median bug,
+    // which a threshold sidecar masked) hash-mismatches here.
+    ("ivfsh_centroid_half_search", (s: SparkSession, dir: String) =>
+      ivfshCh8(s, dir).search(qDf(s, dir, 10), k = 10, nprobe = 4),
+      Some(s"""WITH cent AS (SELECT list_no, c FROM read_parquet('$AUX/sh_centroids/*.parquet')),
+              |rot AS (SELECT d, r::DOUBLE[] AS r FROM read_parquet('$AUX/sh_rot/*.parquet')),
+              |th AS (SELECT list_no, list(tv ORDER BY d) AS t FROM (
+              |  SELECT c.list_no, r.d,
+              |    ((list_aggregate(list_transform(list_zip(r.r, c.c::DOUBLE[]), p -> p[1]*p[2]), 'sum'))::REAL::DOUBLE - 0.25)::REAL AS tv
+              |  FROM cent c CROSS JOIN rot r) z GROUP BY list_no),
+              |ry AS (SELECT vec_id, list(yv ORDER BY d) AS y FROM (
+              |  SELECT e.vec_id, r.d,
+              |    (list_aggregate(list_transform(list_zip(r.r, e.embedding::DOUBLE[]), p -> p[1]*p[2]), 'sum'))::REAL AS yv
+              |  FROM embeddings e CROSS JOIN rot r) t GROUP BY vec_id),
+              |basg AS (SELECT id, list_no FROM (
+              |  SELECT b.vec_id AS id, c.list_no, row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(b.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS rn
+              |  FROM embeddings b CROSS JOIN cent c WHERE b.vec_id >= 10) t WHERE rn = 1),
+              |probes AS (SELECT qid, list_no FROM (
+              |  SELECT q.vec_id AS qid, c.list_no, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |    list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], c.c::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), c.list_no) AS pr
+              |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10) t WHERE pr <= 4),
+              |bbits AS (SELECT a.id, a.list_no,
+              |    list_transform(list_zip(y.y::DOUBLE[], t.t::DOUBLE[]), p -> floor((p[1]-p[2])*2.0)::BIGINT & 1) AS bits
+              |  FROM basg a JOIN ry y ON y.vec_id = a.id JOIN th t ON t.list_no = a.list_no),
+              |qbits AS (SELECT p.qid, p.list_no,
+              |    list_transform(list_zip(y.y::DOUBLE[], t.t::DOUBLE[]), p -> floor((p[1]-p[2])*2.0)::BIGINT & 1) AS bits
               |  FROM probes p JOIN ry y ON y.vec_id = p.qid JOIN th t ON t.list_no = p.list_no),
               |hd AS (SELECT q.qid, b.id,
               |    len(list_filter(list_zip(q.bits, b.bits), p -> p[1] <> p[2]))::BIGINT AS hamming

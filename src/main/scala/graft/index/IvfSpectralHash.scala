@@ -16,9 +16,11 @@ import graft.functions.topk
   * candidates in the probed lists by Hamming distance of signatures.
   *
   * Threshold types (IndexIVFSpectralHash.h:42-48): global (c = 0),
-  * centroid (c = rotated list centroid), median (per-(list, bit)
-  * median of the training coordinates, shifted by -period/4 so the
-  * median sits mid-interval, IndexIVFSpectralHash.cpp:88).
+  * centroid (c = rotated list centroid), centroid_half (the rotated
+  * list centroid shifted by -period/4 — "central interval around
+  * centroid", IndexIVFSpectralHash.cpp:86-90), median (per-(list, bit)
+  * PLAIN median of the training coordinates, no shift,
+  * IndexIVFSpectralHash.cpp:127-140).
   *
   * Spark shape: signatures are one BIGINT column (nbit <= 64) in a
   * list_no-keyed table; search is the IVF pruned join + XOR/popcount —
@@ -121,15 +123,21 @@ object IvfSpectralHash {
 
     val thresholds: Array[Array[Float]] = thresholdType match {
       case "global" => Array.fill(nlist)(new Array[Float](nbit))
-      case "centroid" =>
+      case "centroid" | "centroid_half" =>
         // transformed centroid per list (Thresh_centroid) — the affine
-        // bias matters when vt is a replaced PCA (mean-centering)
+        // bias matters when vt is a replaced PCA (mean-centering).
+        // Thresh_centroid_half (IndexIVFSpectralHash.h:45) subtracts
+        // period/4 so the centroid sits mid-interval; the reference
+        // shifts the FLOAT-rounded transform output in double and
+        // stores back as float (.cpp:86-90 `trained[i] -= 0.25*period`
+        // over vt->apply's float array), replayed bit for bit here.
+        val shift = if (thresholdType == "centroid_half") 0.25 * period else 0.0
         km.centroids.map { cRow =>
           Array.tabulate(nbit) { j =>
             var acc = if (vt.b != null) vt.b(j).toDouble else 0.0
             var i = 0
             while (i < d) { acc += vt.a(j)(i).toDouble * cRow(i).toDouble; i += 1 }
-            acc.toFloat
+            (acc.toFloat.toDouble - shift).toFloat
           }
         }
       case "median" =>

@@ -36,13 +36,28 @@ class IvfSpectralHashSpec extends SparkTestBase {
   }
 
   test("every threshold type trains and searches") {
-    for (tt <- Seq("global", "centroid", "median")) {
+    for (tt <- Seq("global", "centroid", "centroid_half", "median")) {
       val idx = IvfSpectralHash.build(data, "id", "vec",
         nlist = 4, nbit = 16, period = 2.0, thresholdType = tt, niter = 2)
       val q = emb.filter(col("vec_id") < 2)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       assert(idx.search(q, k = 3, nprobe = 4).count() == 6)
     }
+  }
+
+  test("centroid_half thresholds = float(centroid threshold) - period/4 " +
+    "(IndexIVFSpectralHash.cpp:86-90)") {
+    def built(tt: String) = IvfSpectralHash.build(data, "id", "vec",
+      nlist = 4, nbit = 16, period = 2.0, thresholdType = tt, niter = 2)
+    val c = built("centroid"); val ch = built("centroid_half")
+    // same seeds, same data: coarse + rotation identical, only the
+    // -period/4 shift separates the trained thresholds (applied to the
+    // float-rounded transform output, as the reference subtracts from
+    // trained[] AFTER vt->apply rounds to float)
+    for (l <- 0 until 4; j <- 0 until 16)
+      assert(ch.thresholds(l)(j) ==
+        (c.thresholds(l)(j).toDouble - 0.25 * 2.0).toFloat,
+        s"list $l bit $j: ${ch.thresholds(l)(j)} vs ${c.thresholds(l)(j)}")
   }
 
   test("factory string IVF4,SH16x2.0m builds; codeSize is nbit/8") {
