@@ -354,6 +354,25 @@ object Queries {
       graft.index.IvfRq4FastScanIndex.fromFlat(rqfs2(s, dir),
         bDf(s, dir, 10), "id", "vec", nlist = 8, niterCoarse = 4)
     }
+  /** Adversarial-span base table (VERDICT r13 #3): vectors scaled by
+    * 1/6/11/16x (exact small-int REAL arithmetic — replays verbatim in
+    * DuckDB), so reconstruction norms spread ~256x and the norm-LUT
+    * span dominates the IP-LUT span: the regime where the reference's
+    * flat-family rescale_norm default actually rescales. */
+  private def advVecs(s: SparkSession, dir: String): DataFrame =
+    bDf(s, dir, 10).select(col("id"),
+      transform(col("vec"), x =>
+        x * (lit(1.0f) + pmod(col("id"), lit(4)).cast("float") * lit(5.0f)))
+        .as("vec"))
+  /** Flat AQ fast-scan over [[advVecs]]: estimate_norm_scale lands
+    * well above 1 (measured 8 at sf0.001), so the quantized LUT
+    * carries DIVIDED norm columns and the scan multiplies them back
+    * (NormTableScaler) — the rescale path under test. */
+  private def rqfsRs(s: SparkSession, dir: String): graft.index.Rq4FastScanIndex =
+    cached(s"rqfsrs:$dir") {
+      graft.index.Rq4FastScanIndex.build(advVecs(s, dir), "id", "vec",
+        levels = 2, niter = 4)
+    }
   /** `LSQ2x4fs` (IndexLocalSearchQuantizerFastScan): ICM-refined codes
     * over the same (L+2)-column integer scan. */
   private def lsqfs2(s: SparkSession, dir: String): graft.index.Rq4FastScanIndex =
@@ -465,26 +484,37 @@ object Queries {
   private[graft] def commentCorpus(s: SparkSession, dir: String): DataFrame =
     cached(s"commentCorpus:$dir") {
       val did = (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
-      val toks = (0 until 12).map(i =>
-        substring(md5(concat(did.cast("string"), lit("_" + i))), 1, 6))
-      val li = lineitem(s, dir).filter(col("l_orderkey") % 4 === 0)
+      val ids0 = lineitem(s, dir).filter(col("l_orderkey") % 4 === 0)
+        .select(did.as("_did"))
+      // bench-only 10x tier: replicate the DOC IDS before token
+      // derivation, so every replica is a distinct doc with 12 fresh
+      // md5 tokens (replicating the text instead would plant a
+      // quadratic near-dup candidate blow-up no real corpus has); the
+      // planted-copy offset moves out of the scaled id range
+      val ids = if (scaleX <= 1) ids0 else
+        ids0.select(col("_did"),
+          explode(sequence(lit(0), lit(scaleX - 1))).as("_k"))
+          .select((col("_did") * scaleX + col("_k")).as("_did"))
       // widen before the 12-md5s-per-doc derivation (see bigVecs)
       val widened =
-        if (li.rdd.getNumPartitions >= s.sparkContext.defaultParallelism) li
-        else li.repartition(s.sparkContext.defaultParallelism)
+        if (ids.rdd.getNumPartitions >= s.sparkContext.defaultParallelism) ids
+        else ids.repartition(s.sparkContext.defaultParallelism)
+      val toks = (0 until 12).map(i =>
+        substring(md5(concat(col("_did").cast("string"), lit("_" + i))), 1, 6))
       // single-pass planting: the duplicate copy shares the ORIGINAL
       // doc's text, so emit both rows from one derivation via an
       // exploded id-offset instead of a union whose second branch
       // re-computes all 12 md5s per doc (profiled: halves the most
       // expensive derivation in the catalog, ~7 s -> ~3.5 s at sf0.1)
       val base = widened
-        .select(did.as("_did"), concat_ws(" ", toks: _*).as("text"))
+        .select(col("_did"), concat_ws(" ", toks: _*).as("text"))
+      val plantOff = if (scaleX <= 1) 1000000000L else 1L << 40
       // persist: 12 md5s/doc over ~600k docs is the most expensive
       // derivation in the catalog and the minhash pipeline reads the
       // corpus twice (band table + shingle sets) — ~100 MB cached vs
       // re-hashing 7M md5s per pass
       base
-        .select(explode(array(lit(0L), lit(1000000000L))).as("_off"),
+        .select(explode(array(lit(0L), lit(plantOff))).as("_off"),
           col("_did"), col("text"))
         .select((col("_did") + col("_off")).as("doc_id"), col("text"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -595,6 +625,7 @@ object Queries {
     kmSph8(s, dir); kmEnc8(s, dir); znLat16(s, dir); pca16(s, dir)
     itq32(s, dir)
     pqfs8(s, dir); ivfpqfs8(s, dir); ivfsq4(s, dir); rqfs2(s, dir)
+    rqfsRs(s, dir)
     ivfrqfs8(s, dir); ivfpqfsr8(s, dir); ivfrqfsr8(s, dir); rcq16(s, dir)
     lsqfs2(s, dir); prqfs22(s, dir); prqfsModel(s, dir)
     ivfPrq8(s, dir); ivfShPca8(s, dir); ivfShPcaLin(s, dir)
@@ -668,6 +699,31 @@ object Queries {
       OracleAux.normCbDf(s, rqfsr.normCb))
     OracleAux.write(dir, "rq4fs_normcb",
       OracleAux.normCbDf(s, rqfs2(s, dir).normCb))
+    // flat AQ fast-scan trained norm_scale (rescale_norm defaults TRUE
+    // for the flat family, IndexAdditiveQuantizerFastScan.h:34): the
+    // oracles replay the divided-norm-column LUT quantization and the
+    // NormTableScaler accumulate from this one int — typically 1 on
+    // the embeddings fixture, but the replay must track whatever the
+    // estimate lands on at any sf
+    def writeNormScale(name: String, ns: Int): Unit = {
+      import s.implicits._
+      OracleAux.write(dir, name, Seq(ns).toDF("ns"))
+    }
+    writeNormScale("rq4fs_normscale", rqfs2(s, dir).normScale)
+    writeNormScale("lsq4fs_normscale", lsqfs2(s, dir).normScale)
+    writeNormScale("prq4fs_normscale", prqfs22(s, dir).normScale)
+    // adversarial-span rescale fixture (norm_scale > 1 by
+    // construction): codebooks + norm codebooks + int codes + the
+    // trained scale — the oracle replays decode, norms, norm encode,
+    // the divided-LUT quantization and the scaled integer accumulate
+    val rfsrs = rqfsRs(s, dir)
+    OracleAux.write(dir, "rq4fsrs_codebooks",
+      OracleAux.codebooksDf(s, rfsrs.model.codebooks))
+    OracleAux.write(dir, "rq4fsrs_normcb", OracleAux.normCbDf(s, rfsrs.normCb))
+    OracleAux.write(dir, "rq4fsrs_codes",
+      advVecs(s, dir).select(col("id"),
+        rfsrs.model.encodeCol(col("vec"), 1, 0).as("codes")))
+    writeNormScale("rq4fsrs_normscale", rfsrs.normScale)
     val ipqfs = ivfpqfs8(s, dir)
     OracleAux.write(dir, "ivfpqfs_centroids", OracleAux.centroidsDf(s, ipqfs.centroids))
     OracleAux.write(dir, "ivfpqfs_codebooks", OracleAux.codebooksDf(s, ipqfs.model.codebooks))
@@ -918,6 +974,19 @@ object Queries {
   // reproducible verbatim in DuckDB (same trick as the minhash
   // oracle). Full-row duplicates collapse under DISTINCT identically
   // in both engines.
+  /** Bench-only fixture multiplier (SPARK_GRAFT_SCALE_X, default 1,
+    * max 16): the sf1-equivalent scaling tier replicates the derived
+    * big fixtures 10x with per-copy id shifts and perturbations
+    * (VERDICT r13 #4 — pushes SCALING.md a decade past the overhead
+    * floor without writing to the read-only testdata). The driver's
+    * correctness gate never sets it, so every oracle run sees the
+    * scaleX = 1 derivations bit-identical to r13. */
+  private def scaleX: Int = {
+    val x = sys.env.get("SPARK_GRAFT_SCALE_X")
+      .map(_.trim.toInt).filter(_ > 1).getOrElse(1)
+    require(x <= 16, s"SPARK_GRAFT_SCALE_X=$x exceeds the 4-bit id shift")
+    x
+  }
   private def bigVecs(s: SparkSession, dir: String): DataFrame =
     cached(s"bigvecs:$dir") {
       val key = concat_ws("|",
@@ -940,7 +1009,7 @@ object Queries {
         val target = s.sparkContext.defaultParallelism
         if (li.rdd.getNumPartitions >= target) li else li.repartition(target)
       }
-      val df = src.select(
+      val derived = src.select(
         graft.llm.TextFunctions.fingerprint60(key).as("id"),
         array(
           col("l_quantity") / 50.0,
@@ -953,6 +1022,23 @@ object Queries {
           col("l_linenumber") / 7.0
         ).cast("array<float>").as("vec"))
         .distinct()
+      // bench-only sf1-equivalent tier (VERDICT r13 #4): replicate the
+      // derived table SPARK_GRAFT_SCALE_X times with distinct ids
+      // (60-bit hash truncated to 56 and shifted — no long overflow)
+      // and a per-copy float perturbation so the copies are distinct
+      // vectors, not co-located duplicates. scaleX = 1 (every oracle
+      // run) leaves the derivation bit-identical.
+      val scaled =
+        if (scaleX <= 1) derived
+        else derived
+          .select(col("id"), col("vec"),
+            explode(sequence(lit(0), lit(scaleX - 1))).as("_k"))
+          .select(
+            (shiftleft(col("id").bitwiseAND(lit((1L << 56) - 1)), 4) + col("_k"))
+              .as("id"),
+            transform(col("vec"),
+              x => x + col("_k").cast("float") * lit(1.0e-4f)).as("vec"))
+      val df = scaled
         // feeds every *_big query (flat scan, index builds, searches):
         // cache the ~30 MB derived table once per session rather than
         // re-running the md5+distinct shuffle per action
@@ -2985,6 +3071,7 @@ object Queries {
       Some(s"""WITH cb AS (SELECT m, j, c FROM read_parquet('$AUX/rq_codebooks/*.parquet')),
               |codes AS (SELECT id, codes FROM read_parquet('$AUX/rq_codes/*.parquet')),
               |ncb AS (SELECT l, j, c FROM read_parquet('$AUX/rq4fs_normcb/*.parquet')),
+              |ns AS (SELECT ns FROM read_parquet('$AUX/rq4fs_normscale/*.parquet')),
               |dec AS (SELECT codes.id, codes.codes,
               |    list_transform(list_zip(c0.c, c1.c), p -> p[1] + p[2]) AS dv
               |  FROM codes JOIN cb c0 ON c0.m = 0 AND c0.j = codes.codes[1]
@@ -3007,7 +3094,7 @@ object Queries {
               |    -2 * list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], cb.c::DOUBLE[]), p -> p[1]*p[2]), 'sum') AS pd
               |  FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 10
               |  UNION ALL
-              |  SELECT q.vec_id AS qid, 2 + ncb.l AS m, ncb.j, ncb.c AS pd
+              |  SELECT q.vec_id AS qid, 2 + ncb.l AS m, ncb.j, ncb.c / (SELECT ns FROM ns) AS pd
               |  FROM embeddings q CROSS JOIN ncb WHERE q.vec_id < 10),
               |colstat AS (SELECT qid, m, min(pd) AS mn, max(pd) - min(pd) AS span FROM lut GROUP BY qid, m),
               |scal AS (SELECT qid, 255.0 / max(span) AS a,
@@ -3018,7 +3105,8 @@ object Queries {
               |qn AS (SELECT vec_id AS qid,
               |    list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') AS qn
               |  FROM embeddings WHERE vec_id < 10),
-              |acc AS (SELECT l.qid, e.id, sum(l.lq)::BIGINT AS qdist
+              |acc AS (SELECT l.qid, e.id,
+              |    sum(CASE WHEN l.m >= 2 THEN l.lq * (SELECT ns FROM ns) ELSE l.lq END)::BIGINT AS qdist
               |  FROM enc e JOIN lq l ON l.m = e.m AND l.j = e.j GROUP BY l.qid, e.id)
               |SELECT w.qid, "rank", id, qdist, round(qn.qn + qdist / sc.a + sc.b, 4) AS dist FROM (
               |  SELECT qid, id, qdist, row_number() OVER (PARTITION BY qid ORDER BY qdist, id) AS "rank" FROM acc) w
@@ -3039,6 +3127,7 @@ object Queries {
       Some(s"""WITH cb AS (SELECT m, j, c FROM read_parquet('$AUX/lsq4fs_codebooks/*.parquet')),
               |codes AS (SELECT id, codes FROM read_parquet('$AUX/lsq4fs_codes/*.parquet')),
               |ncb AS (SELECT l, j, c FROM read_parquet('$AUX/lsq4fs_normcb/*.parquet')),
+              |ns AS (SELECT ns FROM read_parquet('$AUX/lsq4fs_normscale/*.parquet')),
               |dec AS (SELECT codes.id, codes.codes,
               |    list_transform(list_zip(c0.c, c1.c), p -> p[1] + p[2]) AS dv
               |  FROM codes JOIN cb c0 ON c0.m = 0 AND c0.j = codes.codes[1]
@@ -3061,7 +3150,7 @@ object Queries {
               |    -2 * list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], cb.c::DOUBLE[]), p -> p[1]*p[2]), 'sum') AS pd
               |  FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 10
               |  UNION ALL
-              |  SELECT q.vec_id AS qid, 2 + ncb.l AS m, ncb.j, ncb.c AS pd
+              |  SELECT q.vec_id AS qid, 2 + ncb.l AS m, ncb.j, ncb.c / (SELECT ns FROM ns) AS pd
               |  FROM embeddings q CROSS JOIN ncb WHERE q.vec_id < 10),
               |colstat AS (SELECT qid, m, min(pd) AS mn, max(pd) - min(pd) AS span FROM lut GROUP BY qid, m),
               |scal AS (SELECT qid, 255.0 / max(span) AS a,
@@ -3072,7 +3161,7 @@ object Queries {
               |qn AS (SELECT vec_id AS qid,
               |    list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') AS qn
               |  FROM embeddings WHERE vec_id < 10),
-              |acc AS (SELECT l.qid, e.id, sum(l.lq)::BIGINT AS qdist
+              |acc AS (SELECT l.qid, e.id, sum(CASE WHEN l.m >= 2 THEN l.lq * (SELECT ns FROM ns) ELSE l.lq END)::BIGINT AS qdist
               |  FROM enc e JOIN lq l ON l.m = e.m AND l.j = e.j GROUP BY l.qid, e.id)
               |SELECT w.qid, "rank", id, qdist, round(qn.qn + qdist / sc.a + sc.b, 4) AS dist FROM (
               |  SELECT qid, id, qdist, row_number() OVER (PARTITION BY qid ORDER BY qdist, id) AS "rank" FROM acc) w
@@ -3094,6 +3183,7 @@ object Queries {
       Some(s"""WITH cb AS (SELECT m, j, c FROM read_parquet('$AUX/prq4fs_codebooks/*.parquet')),
               |codes AS (SELECT id, codes FROM read_parquet('$AUX/prq4fs_codes/*.parquet')),
               |ncb AS (SELECT l, j, c FROM read_parquet('$AUX/prq4fs_normcb/*.parquet')),
+              |ns AS (SELECT ns FROM read_parquet('$AUX/prq4fs_normscale/*.parquet')),
               |enc0 AS (SELECT id, r.m AS m, codes[r.m+1] AS j FROM codes, range(0,4) r(m)),
               |comp AS (SELECT e.id, generate_subscripts(cb.c, 1) AS i, unnest(cb.c) AS v
               |  FROM enc0 e JOIN cb ON cb.m = e.m AND cb.j = e.j),
@@ -3115,7 +3205,7 @@ object Queries {
               |    -2 * list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], cb.c::DOUBLE[]), p -> p[1]*p[2]), 'sum') AS pd
               |  FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 10
               |  UNION ALL
-              |  SELECT q.vec_id AS qid, 4 + ncb.l AS m, ncb.j, ncb.c AS pd
+              |  SELECT q.vec_id AS qid, 4 + ncb.l AS m, ncb.j, ncb.c / (SELECT ns FROM ns) AS pd
               |  FROM embeddings q CROSS JOIN ncb WHERE q.vec_id < 10),
               |colstat AS (SELECT qid, m, min(pd) AS mn, max(pd) - min(pd) AS span FROM lut GROUP BY qid, m),
               |scal AS (SELECT qid, 255.0 / max(span) AS a,
@@ -3126,7 +3216,64 @@ object Queries {
               |qn AS (SELECT vec_id AS qid,
               |    list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') AS qn
               |  FROM embeddings WHERE vec_id < 10),
-              |acc AS (SELECT l.qid, e.id, sum(l.lq)::BIGINT AS qdist
+              |acc AS (SELECT l.qid, e.id, sum(CASE WHEN l.m >= 4 THEN l.lq * (SELECT ns FROM ns) ELSE l.lq END)::BIGINT AS qdist
+              |  FROM enc e JOIN lq l ON l.m = e.m AND l.j = e.j GROUP BY l.qid, e.id)
+              |SELECT w.qid, "rank", id, qdist, round(qn.qn + qdist / sc.a + sc.b, 4) AS dist FROM (
+              |  SELECT qid, id, qdist, row_number() OVER (PARTITION BY qid ORDER BY qdist, id) AS "rank" FROM acc) w
+              |JOIN scal sc ON sc.qid = w.qid JOIN qn ON qn.qid = w.qid
+              |WHERE "rank" <= 10""".stripMargin)),
+
+    // rescale_norm EXERCISED (VERDICT r13 #3): the flat AQ fast-scan
+    // over the adversarial-span table trains norm_scale well above 1
+    // (measured 8 at sf0.001), so the quantized LUT's two norm columns
+    // are DIVIDED by it before the shared uint8 grid and the integer
+    // scan multiplies their lookups back (NormTableScaler,
+    // faiss/impl/LookupTableScaler.h:50; estimate_norm_scale,
+    // IndexAdditiveQuantizerFastScan.cpp:111-145). The oracle replays
+    // the whole chain from sidecars — decode, reconstruction norms,
+    // greedy norm encode, divided-column LUT, quantization, the SCALED
+    // integer accumulate — qdist integer-exact on both sides.
+    ("rq4fs_rescale_search", (s: SparkSession, dir: String) =>
+      rqfsRs(s, dir).search(qDf(s, dir, 10), 10),
+      Some(s"""WITH cb AS (SELECT m, j, c FROM read_parquet('$AUX/rq4fsrs_codebooks/*.parquet')),
+              |codes AS (SELECT id, codes FROM read_parquet('$AUX/rq4fsrs_codes/*.parquet')),
+              |ncb AS (SELECT l, j, c FROM read_parquet('$AUX/rq4fsrs_normcb/*.parquet')),
+              |ns AS (SELECT ns FROM read_parquet('$AUX/rq4fsrs_normscale/*.parquet')),
+              |dec AS (SELECT codes.id, codes.codes,
+              |    list_transform(list_zip(c0.c, c1.c), p -> p[1] + p[2]) AS dv
+              |  FROM codes JOIN cb c0 ON c0.m = 0 AND c0.j = codes.codes[1]
+              |  JOIN cb c1 ON c1.m = 1 AND c1.j = codes.codes[2]),
+              |nb AS (SELECT id, codes,
+              |    list_aggregate(list_transform(dv::DOUBLE[], x -> x*x), 'sum') AS nv FROM dec),
+              |n1 AS (SELECT id, codes, nv, j AS j1, c AS c1 FROM (
+              |  SELECT nb.id, nb.codes, nb.nv, ncb.j, ncb.c,
+              |    row_number() OVER (PARTITION BY nb.id ORDER BY abs(nb.nv - ncb.c), ncb.j) AS rn
+              |  FROM nb JOIN ncb ON ncb.l = 0) t WHERE rn = 1),
+              |n2 AS (SELECT id, codes, j1, j AS j2 FROM (
+              |  SELECT n1.id, n1.codes, n1.j1, ncb.j,
+              |    row_number() OVER (PARTITION BY n1.id ORDER BY abs((n1.nv - n1.c1) - ncb.c), ncb.j) AS rn
+              |  FROM n1 JOIN ncb ON ncb.l = 1) t WHERE rn = 1),
+              |enc AS (SELECT id, 0 AS m, codes[1] AS j FROM n2
+              |  UNION ALL SELECT id, 1, codes[2] FROM n2
+              |  UNION ALL SELECT id, 2, j1 FROM n2
+              |  UNION ALL SELECT id, 3, j2 FROM n2),
+              |lut AS (SELECT q.vec_id AS qid, cb.m, cb.j,
+              |    -2 * list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], cb.c::DOUBLE[]), p -> p[1]*p[2]), 'sum') AS pd
+              |  FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 10
+              |  UNION ALL
+              |  SELECT q.vec_id AS qid, 2 + ncb.l AS m, ncb.j, ncb.c / (SELECT ns FROM ns) AS pd
+              |  FROM embeddings q CROSS JOIN ncb WHERE q.vec_id < 10),
+              |colstat AS (SELECT qid, m, min(pd) AS mn, max(pd) - min(pd) AS span FROM lut GROUP BY qid, m),
+              |scal AS (SELECT qid, 255.0 / max(span) AS a,
+              |    list_aggregate(list(mn ORDER BY m), 'sum') AS b FROM colstat GROUP BY qid),
+              |lq AS (SELECT l.qid, l.m, l.j, floor((l.pd - cs.mn) * sc.a + 0.5)::BIGINT AS lq
+              |  FROM lut l JOIN colstat cs ON cs.qid = l.qid AND cs.m = l.m
+              |  JOIN scal sc ON sc.qid = l.qid),
+              |qn AS (SELECT vec_id AS qid,
+              |    list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') AS qn
+              |  FROM embeddings WHERE vec_id < 10),
+              |acc AS (SELECT l.qid, e.id,
+              |    sum(CASE WHEN l.m >= 2 THEN l.lq * (SELECT ns FROM ns) ELSE l.lq END)::BIGINT AS qdist
               |  FROM enc e JOIN lq l ON l.m = e.m AND l.j = e.j GROUP BY l.qid, e.id)
               |SELECT w.qid, "rank", id, qdist, round(qn.qn + qdist / sc.a + sc.b, 4) AS dist FROM (
               |  SELECT qid, id, qdist, row_number() OVER (PARTITION BY qid ORDER BY qdist, id) AS "rank" FROM acc) w

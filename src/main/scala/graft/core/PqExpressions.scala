@@ -259,6 +259,26 @@ object Pq4Kernels {
     }
     s
   }
+  /** Integer ADC with the last `nscale` columns multiplied by `scale`
+    * — the NormTableScaler accumulate of the AQ fast-scan rescale path
+    * (faiss/impl/LookupTableScaler.h:50: scale_one multiplies the
+    * looked-up uint8 of the norm sub-quantizers by norm_scale; the
+    * norm tables were DIVIDED by it before quantization). */
+  def adcQScaled(packed: Array[Byte], lutq: Array[Byte],
+      scale: Int, nscale: Int): Long = {
+    val m = lutq.length >> 4
+    var s = 0L
+    var mi = 0
+    while (mi < m) {
+      val byte = packed(mi >> 1) & 0xff
+      val nib = if ((mi & 1) == 0) byte & 0x0f else byte >>> 4
+      val v = (lutq((mi << 4) + nib) & 0xff).toLong
+      s += (if (mi >= m - nscale) v * scale else v)
+      mi += 1
+    }
+    s
+  }
+
   /** codegen entry point: fused float LUT + uint8 quantization as the
     * (lutq, a, b) struct row */
   def quantLutRow(q: ArrayData,
@@ -321,6 +341,29 @@ case class Pq4AdcQ(left: Expression, right: Expression)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, (c, l) =>
       s"${ev.value} = graft.core.Pq4Kernels$$.MODULE$$.adcQ($c, $l);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** [[Pq4AdcQ]] with the NormTableScaler applied: the last `nscale`
+  * columns' uint8 lookups multiply by `scale` (the AQ fast-scan
+  * rescale_norm path — faiss/impl/LookupTableScaler.h:50 scale_one;
+  * the matching LUT holds the norm tables DIVIDED by the same scale).
+  * Real codegen like [[Pq4AdcQ]] — it replaces it in the hot loop
+  * when norm_scale > 1. */
+case class Pq4AdcQScaled(left: Expression, right: Expression,
+    scale: Int, nscale: Int) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq4_adc_q_scaled"
+  override def nullSafeEval(code: Any, lutq: Any): Any =
+    Pq4Kernels.adcQScaled(code.asInstanceOf[Array[Byte]],
+      lutq.asInstanceOf[Array[Byte]], scale, nscale)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) =>
+      s"${ev.value} = graft.core.Pq4Kernels$$.MODULE$$.adcQScaled($c, $l, $scale, $nscale);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -452,9 +452,15 @@ case class ScalarLsq2Encode(child: Expression, normCb: Array[Array[Double]])
 }
 
 /** Per-query quantized fast-scan LUT over (L AQ columns + 2 norm
-  * columns); struct(lutq, a, b) exactly like [[Pq4QuantLut]]. */
+  * columns); struct(lutq, a, b) exactly like [[Pq4QuantLut]].
+  * `normScale > 1` divides the norm columns before the shared uint8
+  * quantization (compute_float_LUT's rescale,
+  * faiss/IndexAdditiveQuantizerFastScan.cpp:170-173) so a dominant
+  * norm span stops crushing the IP columns' resolution; the scan then
+  * multiplies the norm lookups back ([[Pq4AdcQScaled]]). */
 case class Rq4FsQuantLut(child: Expression,
-    codebooks: Array[Array[Array[Float]]], normCb: Array[Array[Double]])
+    codebooks: Array[Array[Array[Float]]], normCb: Array[Array[Double]],
+    normScale: Int = 1)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StructType(Seq(
     StructField("lutq", BinaryType, nullable = false),
@@ -484,7 +490,7 @@ case class Rq4FsQuantLut(child: Expression,
     while (p < normCb.length) {
       var j = 0
       while (j < normCb(p).length) {
-        lut((levels + p) * k + j) = normCb(p)(j)
+        lut((levels + p) * k + j) = normCb(p)(j) / normScale
         j += 1
       }
       p += 1

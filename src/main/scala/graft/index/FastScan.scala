@@ -123,13 +123,25 @@ class IvfPq4FastScanIndex(
   * search type ST_norm_rq2x4): RQ codes + a two-nibble scalar-RQ norm
   * code, scanned as ONE (L+2)-column quantized-LUT integer accumulate
   * — L columns of −2·<q,cb> and two norm-codebook columns. dist ≈
-  * qnorm + qdist/a + b. norm_scale fixed at 1 (reference default
-  * before estimate_norm_scale). codes: (id, code: packed nibbles). */
+  * qnorm + qdist/a + b.
+  *
+  * `normScale` (rescale_norm, the FLAT-family default TRUE —
+  * IndexAdditiveQuantizerFastScan.h:34): when the norm columns' span
+  * dominates the IP columns' span, one shared uint8 grid crushes the
+  * IP resolution; the trained norm_scale divides the norm columns
+  * before quantization and the integer scan multiplies their lookups
+  * back ([[graft.core.Pq4AdcQScaled]] = NormTableScaler). As in the
+  * reference, the dequantized bias keeps the DIVIDED norm mins, so
+  * reported distances carry a constant per-query offset — ranking,
+  * which is what the quantized scan returns, is unaffected.
+  * codes: (id, code: packed nibbles). */
 class Rq4FastScanIndex(
     val model: RqModel,
     /** scalar norm codebooks [2][16] (AdditiveQuantizer norm_tabs). */
     val normCb: Array[Array[Double]],
-    val codes: DataFrame) {
+    val codes: DataFrame,
+    /** trained norm_scale (1 = no rescale, the pre-estimate state). */
+    val normScale: Int = 1) {
   require(model.k == 16, s"fast-scan needs 4-bit codes (k=16), got k=${model.k}")
   require(normCb.forall(_.length == 16),
     s"norm codebooks must be padded to 16 entries, got ${normCb.map(_.length).toSeq}")
@@ -137,14 +149,18 @@ class Rq4FastScanIndex(
   def search(queries: DataFrame, k: Int,
       queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
     val q = queries.select(col(queryId),
-      shim.col(Rq4FsQuantLut(shim.expr(col(queryVec)), model.codebooks, normCb))
-        .as("_ql"),
+      shim.col(Rq4FsQuantLut(shim.expr(col(queryVec)), model.codebooks, normCb,
+        normScale)).as("_ql"),
       aggregate(col(queryVec).cast("array<double>"), lit(0.0),
         (a, x) => a + x * x).as("_qn"))
-    codes.crossJoin(broadcast(q))
-      .select(col(queryId),
+    val adc =
+      if (normScale > 1)
+        shim.col(graft.core.Pq4AdcQScaled(shim.expr(col("code")),
+          shim.expr(col("_ql.lutq")), normScale, 2))
+      else
         shim.col(Pq4AdcQ(shim.expr(col("code")), shim.expr(col("_ql.lutq"))))
-          .cast("double").as("_d"),
+    codes.crossJoin(broadcast(q))
+      .select(col(queryId), adc.cast("double").as("_d"),
         col("id"), col("_ql.a").as("_a"), col("_ql.b").as("_b"), col("_qn"))
       .groupBy(col(queryId))
       .agg(topk(col("_d"), col("id"), k, asc = true).as("_tk"),
@@ -220,11 +236,17 @@ object Rq4FastScanIndex {
     * split trains an independent RQ, and the SCAN reuses the flat
     * machinery verbatim through ZERO-PADDED effective codebooks —
     * <q, cb_eff[s*L+l][j]> = <q_slice_s, cb_s[l][j]>, so the
-    * (ns*L+2)-column integer LUT scan is unchanged. */
+    * (ns*L+2)-column integer LUT scan is unchanged.
+    * `rescaleNorm` (default TRUE, the flat-family reference default —
+    * IndexAdditiveQuantizerFastScan.h:34) trains norm_scale via
+    * [[estimateNormScale]]; the IVF wrappers ignore it (the IVF
+    * family's reference default is false,
+    * IndexIVFAdditiveQuantizerFastScan.h:41). */
   def build(df: DataFrame, idCol: String, vecCol: String, levels: Int = 2,
       niter: Int = 6, seed: Long = 1234L, beam: Int = 1,
       model0: RqModel = null, icmIters: Int = 0, nsplit: Int = 1,
-      normType: String = "rq2x4"): Rq4FastScanIndex = {
+      normType: String = "rq2x4",
+      rescaleNorm: Boolean = true): Rq4FastScanIndex = {
     require(model0 == null || nsplit == 1,
       "model0 is a flat-RQ override; the product forms train per split")
     val data = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
@@ -252,7 +274,9 @@ object Rq4FastScanIndex {
           nEnc(col("_norm")))))).as("code"))
         .cache()
       codes.count()
-      new Rq4FastScanIndex(model, normCb, codes)
+      val ns = if (rescaleNorm)
+        estimateNormScale(data, "vec", model, normCb, seed) else 1
+      new Rq4FastScanIndex(model, normCb, codes, ns)
     } finally withNorm.unpersist()
   }
 
@@ -277,6 +301,39 @@ object Rq4FastScanIndex {
   private[index] def ScalarRq2EncodeCol(c: org.apache.spark.sql.Column,
       normCb: Array[Array[Double]]): org.apache.spark.sql.Column =
     shim.col(ScalarRq2Encode(shim.expr(c), normCb))
+
+  /** estimate_norm_scale (IndexAdditiveQuantizerFastScan.cpp:111-145,
+    * quantize_lut::aq_estimate_norm_scale): mean over (subsampled)
+    * training vectors of max-norm-column-span / max-IP-column-span,
+    * then round(max(scale, 1)). The norm columns are query-independent
+    * (they hold the norm codebooks), so the per-query part reduces to
+    * the span of the −2·<q,cb> columns — span of −2x over j is
+    * 2·span(x), computed distributively from the existing [[RQLut]]
+    * expression; one bounded aggregate, no driver loop. LUTs here are
+    * double (the repo's established LUT convention vs the reference's
+    * float) — the ratio is rounded to an int, so the precision
+    * difference does not move the trained scale. Degenerate rows with
+    * zero IP span are excluded (the reference would propagate inf). */
+  private[index] def estimateNormScale(data: DataFrame, vecCol: String,
+      model: RqModel, normCb: Array[Array[Double]], seed: Long): Int = {
+    val spanNorm = normCb.map(cb => cb.max - cb.min).max
+    if (spanNorm <= 0.0) return 1
+    val k = model.k
+    val levels = model.codebooks.length
+    val lut = shim.col(RQLut(shim.expr(col(vecCol)), model.codebooks))
+    val spans = transform(sequence(lit(0), lit(levels - 1)), l =>
+      array_max(slice(col("_lut"), l * k + 1, lit(k))) -
+        array_min(slice(col("_lut"), l * k + 1, lit(k))))
+    val row = data
+      .withColumn("_h", xxhash64(col(vecCol), lit(seed)))
+      .orderBy(col("_h")).limit(65536)
+      .select(lut.as("_lut"))
+      .select((lit(2.0) * array_max(spans)).as("_si"))
+      .filter(col("_si") > 0)
+      .agg(avg(lit(spanNorm) / col("_si"))).first()
+    if (row.isNullAt(0)) 1
+    else math.round(math.max(row.getDouble(0), 1.0)).toInt
+  }
 }
 
 /** IVF AQ fast-scan (IndexIVFAdditiveQuantizerFastScan,
@@ -285,7 +342,11 @@ object Rq4FastScanIndex {
   * the same (L+2)-column quantized-LUT integer scan as the flat
   * [[Rq4FastScanIndex]] (ONE LUT per query — the residual form would
   * need per-probe LUTs, trading the broadcast-LUT scan shape for
-  * encoder quality). codes: (id, list_no, code). */
+  * encoder quality). norm_scale stays 1: the IVF family's reference
+  * default is rescale_norm = FALSE
+  * (IndexIVFAdditiveQuantizerFastScan.h:41, vs true for the flat
+  * family), so wrapping a rescaling flat index searches unscaled —
+  * the codes are scale-independent. codes: (id, list_no, code). */
 class IvfRq4FastScanIndex(
     val nlist: Int,
     val centroids: Array[Array[Float]],
@@ -368,7 +429,9 @@ object IvfRq4FastScanIndex {
   * broadcast probe table ("biases" in compute_LUT :425-441). Because
   * the bias varies per list, candidates are ranked on the DEQUANTIZED
   * q^2 + bias + qdist/a + b (the IvfPq4FastScanRIndex normalizer
-  * convention); norm_scale fixed at 1 like the flat family.
+  * convention); norm_scale stays 1 — the IVF family's reference
+  * default is rescale_norm = false
+  * (IndexIVFAdditiveQuantizerFastScan.h:41).
   * codes: (id, list_no, code packed [L residual nibbles + 2 norm]). */
 class IvfRq4FastScanRIndex(
     val nlist: Int,

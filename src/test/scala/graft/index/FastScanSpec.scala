@@ -102,6 +102,32 @@ class FastScanSpec extends SparkTestBase {
     assert(built.search(q, 5).count() == 50)
   }
 
+  test("rescale_norm (VERDICT r13 #3): scale-1 ADC degenerates to the plain ADC, " +
+    "the scaler multiplies only the norm columns, and the adversarial-span " +
+    "fixture trains norm_scale > 1") {
+    val lut = (0 until 4).flatMap(m => (0 until 16).map(j => m * 1.5 + j * 0.25)).toArray
+    val (lutq, _, _) = Pq4Kernels.quantLut(lut, m = 4, ksub = 16)
+    val raw = Array[Byte](3, 7, 11, 15)
+    val packed = Pq4Kernels.pack(raw)
+    assert(Pq4Kernels.adcQScaled(packed, lutq, 1, 2) == Pq4Kernels.adcQ(packed, lutq))
+    // scale 3 adds (3-1)x the norm columns' lookups on top of the plain sum
+    val normPart = (2 until 4).map(m => lutq(m * 16 + raw(m)) & 0xff).sum
+    assert(Pq4Kernels.adcQScaled(packed, lutq, 3, 2) ==
+      Pq4Kernels.adcQ(packed, lutq) + 2L * normPart)
+    // magnitudes 1/6/11/16x -> reconstruction norms spread ~256x: the
+    // estimate (mean norm-span / IP-span, rounded) must land above 1,
+    // the regime the reference's flat-family default actually rescales
+    val adv = b.select(col("id"), transform(col("vec"), x =>
+      x * (lit(1.0f) + pmod(col("id"), lit(4)).cast("float") * lit(5.0f))).as("vec"))
+    val rs = Rq4FastScanIndex.build(adv, "id", "vec", levels = 2, niter = 3)
+    assert(rs.normScale > 1, s"normScale=${rs.normScale}")
+    assert(rs.search(q, 5).count() == 50)
+    // rescaleNorm=false pins the pre-estimate state (norm_scale stays 1)
+    val off = Rq4FastScanIndex.build(adv, "id", "vec", levels = 2, niter = 3,
+      rescaleNorm = false)
+    assert(off.normScale == 1)
+  }
+
   test("IVF AQ fast-scan: nprobe=nlist matches the flat AQ fast-scan exactly") {
     val flat = Rq4FastScanIndex.build(b, "id", "vec", levels = 2, niter = 3)
     val ivf = IvfRq4FastScanIndex.fromFlat(flat, b, "id", "vec", nlist = 4,
