@@ -495,10 +495,15 @@ object Queries {
         ids0.select(col("_did"),
           explode(sequence(lit(0), lit(scaleX - 1))).as("_k"))
           .select((col("_did") * scaleX + col("_k")).as("_did"))
-      // widen before the 12-md5s-per-doc derivation (see bigVecs)
+      // widen before the 12-md5s-per-doc derivation (see bigVecs); the
+      // scaled tier widens BY scaleX so the per-task md5/shingle work
+      // stays constant as the corpus grows (a cluster adds executors
+      // with data; a fixed 32-way cache would make every downstream
+      // map stage a wave of 10x-fat stragglers)
+      val target = s.sparkContext.defaultParallelism * scaleX
       val widened =
-        if (ids.rdd.getNumPartitions >= s.sparkContext.defaultParallelism) ids
-        else ids.repartition(s.sparkContext.defaultParallelism)
+        if (ids.rdd.getNumPartitions >= target) ids
+        else ids.repartition(target)
       val toks = (0 until 12).map(i =>
         substring(md5(concat(col("_did").cast("string"), lit("_" + i))), 1, 6))
       // single-pass planting: the duplicate copy shares the ORIGINAL
