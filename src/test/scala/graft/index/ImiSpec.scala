@@ -124,6 +124,17 @@ class ImiSpec extends SparkTestBase {
       .select("qid", "rank", "id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(shuffled == bcast)
+    // r14: with the static cell prune gone on this path, the maxCodes
+    // budget (whose sizes now come from the UNpruned codes table) and
+    // the polysemous filter must still match the broadcast plan
+    val bc2 = imipq.search(q, k = 5, nprobe = 4, maxCodes = Some(200),
+      ht = Some(48)).select("qid", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sh2 = imipq.search(q, k = 5, nprobe = 4, maxCodes = Some(200),
+      ht = Some(48), broadcastQueries = false)
+      .select("qid", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sh2 == bc2, "big-batch maxCodes+ht IMI search differs from broadcast")
   }
 
   test("IMI+PQ factory route IMI2x2,PQ8 == direct build") {

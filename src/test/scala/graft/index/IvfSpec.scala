@@ -220,6 +220,31 @@ class IvfSpec extends SparkTestBase {
     assert(capped == full)
   }
 
+  test("big-batch paths (no static prune) are result-identical: search with " +
+    "maxCodes, rangeSearch, searchPreassigned with distributed probes") {
+    // the r14 big-batch fix removed the eager probed-set collect; the
+    // shuffle equi-join must reproduce the broadcast plan's rows
+    // bit-for-bit on every entry point, including the probe-budget
+    // prefilter whose sizes now come from the UNpruned invlists
+    val viaB = resultSet(idx.search(q, 5, nprobe = 4, maxCodes = Some(200)))
+    val viaD = resultSet(idx.search(q, 5, nprobe = 4, maxCodes = Some(200),
+      broadcastQueries = false))
+    assert(viaD == viaB, "big-batch maxCodes search differs from broadcast")
+    def rangeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rB = rangeSet(idx.rangeSearch(q, 0.5, nprobe = 4))
+    val rD = rangeSet(idx.rangeSearch(q, 0.5, nprobe = 4,
+      broadcastQueries = false))
+    assert(rD == rB, "big-batch rangeSearch differs from broadcast")
+    val probesDf = q.select(col("qid"))
+      .crossJoin(spark.range(4).select(col("id").cast("int").as("list_no")))
+    val pB = resultSet(idx.searchPreassigned(q, probesDf, k = 5))
+    val pD = resultSet(idx.searchPreassigned(q, probesDf, k = 5,
+      broadcastProbes = false))
+    assert(pD == pB, "distributed-probe searchPreassigned differs")
+  }
+
   test("factory IVF<n>_{HNSW,NSG}<deg>,<code>: graph coarse composes with any IVF code") {
     // The reference parses the coarse quantizer independently of the
     // code (index_factory.cpp:253-262 -> parse_IndexIVF), so
