@@ -15,6 +15,55 @@ import graft.llm.{Dedup, Multimodal, TextFunctions => TF}
   * index), so parts concatenate in the original sequence. */
 private[graft] trait CatalogCodec { this: QueriesBase =>
 
+  /** The rq4fs_rescale_search oracle, shared verbatim by the
+    * fastscan_io_roundtrip entry (a loaded index must replay the
+    * SCALED integer chain bit for bit). */
+  private lazy val rq4fsRescaleSql: String =
+    s"""WITH cb AS (SELECT m, j, c FROM read_parquet('$AUX/rq4fsrs_codebooks/*.parquet')),
+              |codes AS (SELECT id, codes FROM read_parquet('$AUX/rq4fsrs_codes/*.parquet')),
+              |ncb AS (SELECT l, j, c FROM read_parquet('$AUX/rq4fsrs_normcb/*.parquet')),
+              |ns AS (SELECT ns FROM read_parquet('$AUX/rq4fsrs_normscale/*.parquet')),
+              |dec AS (SELECT codes.id, codes.codes,
+              |    list_transform(list_zip(c0.c, c1.c), p -> p[1] + p[2]) AS dv
+              |  FROM codes JOIN cb c0 ON c0.m = 0 AND c0.j = codes.codes[1]
+              |  JOIN cb c1 ON c1.m = 1 AND c1.j = codes.codes[2]),
+              |nb AS (SELECT id, codes,
+              |    list_aggregate(list_transform(dv::DOUBLE[], x -> x*x), 'sum') AS nv FROM dec),
+              |n1 AS (SELECT id, codes, nv, j AS j1, c AS c1 FROM (
+              |  SELECT nb.id, nb.codes, nb.nv, ncb.j, ncb.c,
+              |    row_number() OVER (PARTITION BY nb.id ORDER BY abs(nb.nv - ncb.c), ncb.j) AS rn
+              |  FROM nb JOIN ncb ON ncb.l = 0) t WHERE rn = 1),
+              |n2 AS (SELECT id, codes, j1, j AS j2 FROM (
+              |  SELECT n1.id, n1.codes, n1.j1, ncb.j,
+              |    row_number() OVER (PARTITION BY n1.id ORDER BY abs((n1.nv - n1.c1) - ncb.c), ncb.j) AS rn
+              |  FROM n1 JOIN ncb ON ncb.l = 1) t WHERE rn = 1),
+              |enc AS (SELECT id, 0 AS m, codes[1] AS j FROM n2
+              |  UNION ALL SELECT id, 1, codes[2] FROM n2
+              |  UNION ALL SELECT id, 2, j1 FROM n2
+              |  UNION ALL SELECT id, 3, j2 FROM n2),
+              |lut AS (SELECT q.vec_id AS qid, cb.m, cb.j,
+              |    -2 * list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], cb.c::DOUBLE[]), p -> p[1]*p[2]), 'sum') AS pd
+              |  FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 10
+              |  UNION ALL
+              |  SELECT q.vec_id AS qid, 2 + ncb.l AS m, ncb.j, ncb.c / (SELECT ns FROM ns) AS pd
+              |  FROM embeddings q CROSS JOIN ncb WHERE q.vec_id < 10),
+              |colstat AS (SELECT qid, m, min(pd) AS mn, max(pd) - min(pd) AS span FROM lut GROUP BY qid, m),
+              |scal AS (SELECT qid, 255.0 / max(span) AS a,
+              |    list_aggregate(list(mn ORDER BY m), 'sum') AS b FROM colstat GROUP BY qid),
+              |lq AS (SELECT l.qid, l.m, l.j, floor((l.pd - cs.mn) * sc.a + 0.5)::BIGINT AS lq
+              |  FROM lut l JOIN colstat cs ON cs.qid = l.qid AND cs.m = l.m
+              |  JOIN scal sc ON sc.qid = l.qid),
+              |qn AS (SELECT vec_id AS qid,
+              |    list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') AS qn
+              |  FROM embeddings WHERE vec_id < 10),
+              |acc AS (SELECT l.qid, e.id,
+              |    sum(CASE WHEN l.m >= 2 THEN l.lq * (SELECT ns FROM ns) ELSE l.lq END)::BIGINT AS qdist
+              |  FROM enc e JOIN lq l ON l.m = e.m AND l.j = e.j GROUP BY l.qid, e.id)
+              |SELECT w.qid, "rank", id, qdist, round(qn.qn + qdist / sc.a + sc.b, 4) AS dist FROM (
+              |  SELECT qid, id, qdist, row_number() OVER (PARTITION BY qid ORDER BY qdist, id) AS "rank" FROM acc) w
+              |JOIN scal sc ON sc.qid = w.qid JOIN qn ON qn.qid = w.qid
+              |WHERE "rank" <= 10""".stripMargin
+
   protected def codecEntries: Seq[CatalogEntry] = Seq(
 
     // §2.11/§2.8 SQ8 codec: train (per-dim min/max) + encode + decode;
@@ -813,50 +862,22 @@ private[graft] trait CatalogCodec { this: QueriesBase =>
     // integer accumulate — qdist integer-exact on both sides.
     ("rq4fs_rescale_search", (s: SparkSession, dir: String) =>
       rqfsRs(s, dir).search(qDf(s, dir, 10), 10),
-      Some(s"""WITH cb AS (SELECT m, j, c FROM read_parquet('$AUX/rq4fsrs_codebooks/*.parquet')),
-              |codes AS (SELECT id, codes FROM read_parquet('$AUX/rq4fsrs_codes/*.parquet')),
-              |ncb AS (SELECT l, j, c FROM read_parquet('$AUX/rq4fsrs_normcb/*.parquet')),
-              |ns AS (SELECT ns FROM read_parquet('$AUX/rq4fsrs_normscale/*.parquet')),
-              |dec AS (SELECT codes.id, codes.codes,
-              |    list_transform(list_zip(c0.c, c1.c), p -> p[1] + p[2]) AS dv
-              |  FROM codes JOIN cb c0 ON c0.m = 0 AND c0.j = codes.codes[1]
-              |  JOIN cb c1 ON c1.m = 1 AND c1.j = codes.codes[2]),
-              |nb AS (SELECT id, codes,
-              |    list_aggregate(list_transform(dv::DOUBLE[], x -> x*x), 'sum') AS nv FROM dec),
-              |n1 AS (SELECT id, codes, nv, j AS j1, c AS c1 FROM (
-              |  SELECT nb.id, nb.codes, nb.nv, ncb.j, ncb.c,
-              |    row_number() OVER (PARTITION BY nb.id ORDER BY abs(nb.nv - ncb.c), ncb.j) AS rn
-              |  FROM nb JOIN ncb ON ncb.l = 0) t WHERE rn = 1),
-              |n2 AS (SELECT id, codes, j1, j AS j2 FROM (
-              |  SELECT n1.id, n1.codes, n1.j1, ncb.j,
-              |    row_number() OVER (PARTITION BY n1.id ORDER BY abs((n1.nv - n1.c1) - ncb.c), ncb.j) AS rn
-              |  FROM n1 JOIN ncb ON ncb.l = 1) t WHERE rn = 1),
-              |enc AS (SELECT id, 0 AS m, codes[1] AS j FROM n2
-              |  UNION ALL SELECT id, 1, codes[2] FROM n2
-              |  UNION ALL SELECT id, 2, j1 FROM n2
-              |  UNION ALL SELECT id, 3, j2 FROM n2),
-              |lut AS (SELECT q.vec_id AS qid, cb.m, cb.j,
-              |    -2 * list_aggregate(list_transform(list_zip(q.embedding::DOUBLE[], cb.c::DOUBLE[]), p -> p[1]*p[2]), 'sum') AS pd
-              |  FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 10
-              |  UNION ALL
-              |  SELECT q.vec_id AS qid, 2 + ncb.l AS m, ncb.j, ncb.c / (SELECT ns FROM ns) AS pd
-              |  FROM embeddings q CROSS JOIN ncb WHERE q.vec_id < 10),
-              |colstat AS (SELECT qid, m, min(pd) AS mn, max(pd) - min(pd) AS span FROM lut GROUP BY qid, m),
-              |scal AS (SELECT qid, 255.0 / max(span) AS a,
-              |    list_aggregate(list(mn ORDER BY m), 'sum') AS b FROM colstat GROUP BY qid),
-              |lq AS (SELECT l.qid, l.m, l.j, floor((l.pd - cs.mn) * sc.a + 0.5)::BIGINT AS lq
-              |  FROM lut l JOIN colstat cs ON cs.qid = l.qid AND cs.m = l.m
-              |  JOIN scal sc ON sc.qid = l.qid),
-              |qn AS (SELECT vec_id AS qid,
-              |    list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum') AS qn
-              |  FROM embeddings WHERE vec_id < 10),
-              |acc AS (SELECT l.qid, e.id,
-              |    sum(CASE WHEN l.m >= 2 THEN l.lq * (SELECT ns FROM ns) ELSE l.lq END)::BIGINT AS qdist
-              |  FROM enc e JOIN lq l ON l.m = e.m AND l.j = e.j GROUP BY l.qid, e.id)
-              |SELECT w.qid, "rank", id, qdist, round(qn.qn + qdist / sc.a + sc.b, 4) AS dist FROM (
-              |  SELECT qid, id, qdist, row_number() OVER (PARTITION BY qid ORDER BY qdist, id) AS "rank" FROM acc) w
-              |JOIN scal sc ON sc.qid = w.qid JOIN qn ON qn.qid = w.qid
-              |WHERE "rank" <= 10""".stripMargin)),
+      Some(rq4fsRescaleSql)),
+
+    // write_index/read_index for the fast-scan family (index_write.cpp
+    // — the SURVEY IO row extended to the r14 rescale state): the
+    // rescaling AQ fast-scan index persists nibble-packed codes, RQ
+    // codebooks, norm codebooks AND the trained norm_scale to
+    // parquet+JSON; the RELOADED index must replay the scaled integer
+    // chain bit for bit, so the oracle is rq4fs_rescale_search's
+    // verbatim (the on-disk trained state equals the twin-call
+    // sidecar state).
+    ("fastscan_io_roundtrip", (s: SparkSession, dir: String) => {
+      val path = s"target/fastscan_io_${math.abs(dir.hashCode)}"
+      graft.io.IndexIO.saveRq4Fs(rqfsRs(s, dir), path)
+      graft.io.IndexIO.loadRq4Fs(s, path).search(qDf(s, dir, 10), 10)
+    },
+      Some(rq4fsRescaleSql)),
 
     // §2.11 IVF AQ fast-scan (IndexIVFAdditiveQuantizerFastScan,
     // non-residual): the flat rq4fs scan behind a coarse-quantizer

@@ -316,6 +316,84 @@ object IndexIO {
     RqModel(levels, k, cb)
   }
 
+  // ---- Fast-scan families ----------------------------------------------
+  // (write_index of IndexPQFastScan / IndexIVFPQFastScan /
+  // IndexAdditiveQuantizerFastScan, faiss/impl/index_write.cpp — codes
+  // stay nibble-packed on disk, half the width of the plain PQ/RQ
+  // saves; the AQ family persists its norm codebooks AND the trained
+  // norm_scale, which a retrain would re-estimate differently.)
+  def savePq4Fs(idx: Pq4FastScanIndex, path: String): Unit = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    idx.codes.write.mode("overwrite").parquet(s"$path/codes")
+    val m = idx.model
+    (for (mi <- 0 until m.m; j <- m.codebooks(mi).indices)
+      yield (mi, j, m.codebooks(mi)(j).toSeq, m.ksub, m.dsub))
+      .toDF("m", "j", "centroid", "ksub", "dsub")
+      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+  }
+
+  def loadPq4Fs(spark: SparkSession, path: String): Pq4FastScanIndex =
+    new Pq4FastScanIndex(readPqModel(spark, s"$path/meta"),
+      spark.read.parquet(s"$path/codes"))
+
+  def saveIvfPq4Fs(idx: IvfPq4FastScanIndex, path: String): Unit = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    // list_no-partitioned like IvfIndex.save: the loaded index keeps
+    // static partition pruning on the probed lists
+    idx.codes.repartition(col("list_no"))
+      .write.mode("overwrite").partitionBy("list_no").parquet(s"$path/codes")
+    idx.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq, idx.nlist) }
+      .toDF("list_no", "centroid", "nlist")
+      .coalesce(1).write.mode("overwrite").json(s"$path/centroids")
+    val m = idx.model
+    (for (mi <- 0 until m.m; j <- m.codebooks(mi).indices)
+      yield (mi, j, m.codebooks(mi)(j).toSeq, m.ksub, m.dsub))
+      .toDF("m", "j", "centroid", "ksub", "dsub")
+      .coalesce(1).write.mode("overwrite").json(s"$path/codebooks")
+  }
+
+  def loadIvfPq4Fs(spark: SparkSession, path: String): IvfPq4FastScanIndex = {
+    val cents = spark.read.json(s"$path/centroids")
+      .select(col("list_no").cast("int"), col("centroid").cast("array<float>"),
+        col("nlist").cast("int")).collect()
+    val nlist = cents.head.getInt(2)
+    val centroids = new Array[Array[Float]](nlist)
+    cents.foreach { r => centroids(r.getInt(0)) = r.getSeq[Float](1).toArray }
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("id"), col("list_no").cast("int"), col("code"))
+    new IvfPq4FastScanIndex(nlist, centroids,
+      readPqModel(spark, s"$path/codebooks"), codes)
+  }
+
+  def saveRq4Fs(idx: Rq4FastScanIndex, path: String): Unit = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    idx.codes.write.mode("overwrite").parquet(s"$path/codes")
+    saveRq(spark, idx.model, s"$path/codebooks")
+    (for (l <- idx.normCb.indices; j <- idx.normCb(l).indices)
+      yield (l, j, idx.normCb(l)(j)))
+      .toDF("l", "j", "c")
+      .coalesce(1).write.mode("overwrite").json(s"$path/normcb")
+    Seq(idx.normScale).toDF("norm_scale")
+      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+  }
+
+  def loadRq4Fs(spark: SparkSession, path: String): Rq4FastScanIndex = {
+    val ncbRows = spark.read.json(s"$path/normcb")
+      .select(col("l").cast("int"), col("j").cast("int"),
+        col("c").cast("double")).collect()
+    val nlev = ncbRows.map(_.getInt(0)).max + 1
+    val ncb = Array.ofDim[Double](nlev, 16)
+    ncbRows.foreach { r => ncb(r.getInt(0))(r.getInt(1)) = r.getDouble(2) }
+    val ns = spark.read.json(s"$path/meta")
+      .select(col("norm_scale").cast("int")).first().getInt(0)
+    new Rq4FastScanIndex(loadRq(spark, s"$path/codebooks"), ncb,
+      spark.read.parquet(s"$path/codes"), ns)
+  }
+
   // ---- VectorTransform chain -----------------------------------------
   // (write_VectorTransform / read_VectorTransform, faiss/index_io.h:67)
   def saveTransform(spark: SparkSession, t: VecTransform, path: String): Unit = {

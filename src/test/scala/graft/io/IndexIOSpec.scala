@@ -59,6 +59,34 @@ class IndexIOSpec extends SparkTestBase {
     assert(parts.nonEmpty)
   }
 
+  test("fast-scan save/load: PQ4fs, IVF-PQ4fs (partitioned) and the rescaling " +
+    "RQ4fs all round-trip bit-identically, including the trained norm_scale") {
+    val fs = graft.index.Pq4FastScanIndex.build(b, "id", "vec", m = 8, niter = 3)
+    val d1 = java.nio.file.Files.createTempDirectory("pq4fsio").toString
+    IndexIO.savePq4Fs(fs, d1)
+    assert(results(IndexIO.loadPq4Fs(spark, d1).search(q, 5)) ==
+      results(fs.search(q, 5)))
+    val ivf = graft.index.IvfPq4FastScanIndex.build(b, "id", "vec", nlist = 4,
+      m = 8, niterCoarse = 2, niterPq = 3)
+    val d2 = java.nio.file.Files.createTempDirectory("ivfpq4fsio").toString
+    IndexIO.saveIvfPq4Fs(ivf, d2)
+    val ivfLoaded = IndexIO.loadIvfPq4Fs(spark, d2)
+    assert(results(ivfLoaded.search(q, 5, nprobe = 2)) ==
+      results(ivf.search(q, 5, nprobe = 2)))
+    // adversarial magnitudes -> norm_scale > 1; the reload must carry it
+    // (a lost scale would quantize UNdivided norm columns and scan
+    // unscaled — different integer distances)
+    val adv = b.select(col("id"), transform(col("vec"), x =>
+      x * (lit(1.0f) + pmod(col("id"), lit(4)).cast("float") * lit(5.0f))).as("vec"))
+    val rs = graft.index.Rq4FastScanIndex.build(adv, "id", "vec", levels = 2, niter = 3)
+    assert(rs.normScale > 1)
+    val d3 = java.nio.file.Files.createTempDirectory("rq4fsio").toString
+    IndexIO.saveRq4Fs(rs, d3)
+    val rsLoaded = IndexIO.loadRq4Fs(spark, d3)
+    assert(rsLoaded.normScale == rs.normScale, "trained norm_scale lost")
+    assert(results(rsLoaded.search(q, 5)) == results(rs.search(q, 5)))
+  }
+
   test("Index2Layer save/load round-trip preserves reconstruction") {
     val idx = graft.index.TwoLayerIndex.build(b, "id", "vec",
       nlist = 4, m = 8, ksub = 16, niterCoarse = 3, niterPq = 3)
