@@ -373,25 +373,124 @@ object IndexIO {
     import spark.implicits._
     idx.codes.write.mode("overwrite").parquet(s"$path/codes")
     saveRq(spark, idx.model, s"$path/codebooks")
-    (for (l <- idx.normCb.indices; j <- idx.normCb(l).indices)
-      yield (l, j, idx.normCb(l)(j)))
-      .toDF("l", "j", "c")
-      .coalesce(1).write.mode("overwrite").json(s"$path/normcb")
+    saveNormCb(spark, idx.normCb, s"$path/normcb")
     Seq(idx.normScale).toDF("norm_scale")
       .coalesce(1).write.mode("overwrite").json(s"$path/meta")
   }
 
   def loadRq4Fs(spark: SparkSession, path: String): Rq4FastScanIndex = {
-    val ncbRows = spark.read.json(s"$path/normcb")
-      .select(col("l").cast("int"), col("j").cast("int"),
-        col("c").cast("double")).collect()
-    val nlev = ncbRows.map(_.getInt(0)).max + 1
-    val ncb = Array.ofDim[Double](nlev, 16)
-    ncbRows.foreach { r => ncb(r.getInt(0))(r.getInt(1)) = r.getDouble(2) }
     val ns = spark.read.json(s"$path/meta")
       .select(col("norm_scale").cast("int")).first().getInt(0)
-    new Rq4FastScanIndex(loadRq(spark, s"$path/codebooks"), ncb,
+    new Rq4FastScanIndex(loadRq(spark, s"$path/codebooks"),
+      readNormCb(spark, s"$path/normcb"),
       spark.read.parquet(s"$path/codes"), ns)
+  }
+
+  private def saveNormCb(spark: SparkSession,
+      normCb: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    (for (l <- normCb.indices; j <- normCb(l).indices)
+      yield (l, j, normCb(l)(j)))
+      .toDF("l", "j", "c")
+      .coalesce(1).write.mode("overwrite").json(path)
+  }
+
+  private def readNormCb(spark: SparkSession, path: String): Array[Array[Double]] = {
+    val rows = spark.read.json(path)
+      .select(col("l").cast("int"), col("j").cast("int"),
+        col("c").cast("double")).collect()
+    val nlev = rows.map(_.getInt(0)).max + 1
+    val ncb = Array.ofDim[Double](nlev, 16)
+    rows.foreach { r => ncb(r.getInt(0))(r.getInt(1)) = r.getDouble(2) }
+    ncb
+  }
+
+  private def saveCentroids(spark: SparkSession,
+      centroids: Array[Array[Float]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq, centroids.length) }
+      .toDF("list_no", "centroid", "nlist")
+      .coalesce(1).write.mode("overwrite").json(path)
+  }
+
+  private def readCentroids(spark: SparkSession, path: String): Array[Array[Float]] = {
+    val cents = spark.read.json(path)
+      .select(col("list_no").cast("int"), col("centroid").cast("array<float>"),
+        col("nlist").cast("int")).collect()
+    val out = new Array[Array[Float]](cents.head.getInt(2))
+    cents.foreach { r => out(r.getInt(0)) = r.getSeq[Float](1).toArray }
+    out
+  }
+
+  /** Both IVF AQ fast-scan forms share one on-disk layout (the
+    * residual flag is in meta): coarse centroids + RQ codebooks +
+    * norm codebooks + list_no-partitioned packed codes. The IVF
+    * families search with norm_scale 1 (their reference default), so
+    * no scale is stored. */
+  private def saveIvfRq4FsCommon(spark: SparkSession, path: String,
+      centroids: Array[Array[Float]], model: RqModel,
+      normCb: Array[Array[Double]], codes: DataFrame,
+      byResidual: Boolean): Unit = {
+    import spark.implicits._
+    codes.repartition(col("list_no"))
+      .write.mode("overwrite").partitionBy("list_no").parquet(s"$path/codes")
+    saveCentroids(spark, centroids, s"$path/centroids")
+    saveRq(spark, model, s"$path/codebooks")
+    saveNormCb(spark, normCb, s"$path/normcb")
+    Seq(byResidual).toDF("by_residual")
+      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+  }
+
+  def saveIvfRq4Fs(idx: IvfRq4FastScanIndex, path: String): Unit =
+    saveIvfRq4FsCommon(idx.codes.sparkSession, path, idx.centroids,
+      idx.model, idx.normCb, idx.codes, byResidual = false)
+
+  def saveIvfRq4FsR(idx: IvfRq4FastScanRIndex, path: String): Unit =
+    saveIvfRq4FsCommon(idx.codes.sparkSession, path, idx.centroids,
+      idx.model, idx.normCb, idx.codes, byResidual = true)
+
+  def loadIvfRq4Fs(spark: SparkSession, path: String): IvfRq4FastScanIndex = {
+    require(!spark.read.json(s"$path/meta")
+      .select(col("by_residual")).first().getBoolean(0),
+      s"$path holds a by-residual (x4fsr) index — use loadIvfRq4FsR")
+    val centroids = readCentroids(spark, s"$path/centroids")
+    new IvfRq4FastScanIndex(centroids.length, centroids,
+      loadRq(spark, s"$path/codebooks"), readNormCb(spark, s"$path/normcb"),
+      spark.read.parquet(s"$path/codes")
+        .select(col("id"), col("list_no").cast("int"), col("code")))
+  }
+
+  def loadIvfRq4FsR(spark: SparkSession, path: String): IvfRq4FastScanRIndex = {
+    require(spark.read.json(s"$path/meta")
+      .select(col("by_residual")).first().getBoolean(0),
+      s"$path holds a non-residual (x4fs) index — use loadIvfRq4Fs")
+    val centroids = readCentroids(spark, s"$path/centroids")
+    new IvfRq4FastScanRIndex(centroids.length, centroids,
+      loadRq(spark, s"$path/codebooks"), readNormCb(spark, s"$path/normcb"),
+      spark.read.parquet(s"$path/codes")
+        .select(col("id"), col("list_no").cast("int"), col("code")))
+  }
+
+  def saveIvfPq4FsR(idx: IvfPq4FastScanRIndex, path: String): Unit = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    idx.codes.repartition(col("list_no"))
+      .write.mode("overwrite").partitionBy("list_no").parquet(s"$path/codes")
+    saveCentroids(spark, idx.centroids, s"$path/centroids")
+    val m = idx.model
+    (for (mi <- 0 until m.m; j <- m.codebooks(mi).indices)
+      yield (mi, j, m.codebooks(mi)(j).toSeq, m.ksub, m.dsub))
+      .toDF("m", "j", "centroid", "ksub", "dsub")
+      .coalesce(1).write.mode("overwrite").json(s"$path/codebooks")
+  }
+
+  def loadIvfPq4FsR(spark: SparkSession, path: String): IvfPq4FastScanRIndex = {
+    val centroids = readCentroids(spark, s"$path/centroids")
+    new IvfPq4FastScanRIndex(centroids.length, centroids,
+      readPqModel(spark, s"$path/codebooks"),
+      spark.read.parquet(s"$path/codes")
+        .select(col("id"), col("list_no").cast("int"), col("code")))
   }
 
   // ---- VectorTransform chain -----------------------------------------

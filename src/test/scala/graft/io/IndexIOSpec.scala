@@ -87,6 +87,38 @@ class IndexIOSpec extends SparkTestBase {
     assert(results(rsLoaded.search(q, 5)) == results(rs.search(q, 5)))
   }
 
+  test("IVF AQ fast-scan save/load: both residual forms round-trip " +
+    "bit-identically; the by_residual meta flag guards cross-loading") {
+    val ivf = graft.index.IvfRq4FastScanIndex.build(b, "id", "vec",
+      nlist = 4, levels = 2, niterCoarse = 2, niter = 3)
+    val d1 = java.nio.file.Files.createTempDirectory("ivfrq4fsio").toString
+    IndexIO.saveIvfRq4Fs(ivf, d1)
+    assert(results(IndexIO.loadIvfRq4Fs(spark, d1).search(q, 5, nprobe = 2)) ==
+      results(ivf.search(q, 5, nprobe = 2)))
+    val ivfr = graft.index.IvfRq4FastScanRIndex.build(b, "id", "vec",
+      nlist = 4, levels = 2, niterCoarse = 2, niter = 3)
+    val d2 = java.nio.file.Files.createTempDirectory("ivfrq4fsrio").toString
+    IndexIO.saveIvfRq4FsR(ivfr, d2)
+    assert(results(IndexIO.loadIvfRq4FsR(spark, d2).search(q, 5, nprobe = 2)) ==
+      results(ivfr.search(q, 5, nprobe = 2)))
+    // loading a residual store through the non-residual entry (or vice
+    // versa) would silently score residual codes against raw-vector
+    // LUTs — the meta flag makes it loud
+    intercept[IllegalArgumentException](IndexIO.loadIvfRq4Fs(spark, d2))
+    intercept[IllegalArgumentException](IndexIO.loadIvfRq4FsR(spark, d1))
+    val pqr = graft.index.IvfPq4FastScanRIndex.build(b, "id", "vec",
+      nlist = 4, m = 8, niterCoarse = 2, niterPq = 3)
+    val d3 = java.nio.file.Files.createTempDirectory("ivfpq4fsrio").toString
+    IndexIO.saveIvfPq4FsR(pqr, d3)
+    val loaded = IndexIO.loadIvfPq4FsR(spark, d3)
+    def r4set(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "id", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(r4set(loaded.search(q, 5, nprobe = 2)) ==
+      r4set(pqr.search(q, 5, nprobe = 2)))
+    pqr.close(); loaded.close(); ivfr.close()
+  }
+
   test("Index2Layer save/load round-trip preserves reconstruction") {
     val idx = graft.index.TwoLayerIndex.build(b, "id", "vec",
       nlist = 4, m = 8, ksub = 16, niterCoarse = 3, niterPq = 3)
