@@ -313,7 +313,16 @@ object Rq4FastScanIndex {
     * double (the repo's established LUT convention vs the reference's
     * float) — the ratio is rounded to an int, so the precision
     * difference does not move the trained scale. Degenerate rows with
-    * zero IP span are excluded (the reference would propagate inf). */
+    * zero IP span are excluded (the reference would propagate inf).
+    *
+    * Subsampling uses the KMeans hash-THRESHOLD filter
+    * (cluster/KMeans.scala: orderBy(hash).limit(n) plans a corpus-wide
+    * TakeOrdered that merges 65k d-dim vectors per partition on the
+    * driver — the scale-killer); the filter keeps ≈65536 rows fully
+    * distributed. The reference's fvecs_maybe_subsample
+    * (IndexAdditiveQuantizerFastScan.cpp:117-121) is itself a seeded
+    * random subset, so either deterministic subset is equally faithful
+    * (SURVEY §7 seeded-RNG parity). */
   private[index] def estimateNormScale(data: DataFrame, vecCol: String,
       model: RqModel, normCb: Array[Array[Double]], seed: Long): Int = {
     val spanNorm = normCb.map(cb => cb.max - cb.min).max
@@ -324,9 +333,16 @@ object Rq4FastScanIndex {
     val spans = transform(sequence(lit(0), lit(levels - 1)), l =>
       array_max(slice(col("_lut"), l * k + 1, lit(k))) -
         array_min(slice(col("_lut"), l * k + 1, lit(k))))
-    val row = data
-      .withColumn("_h", xxhash64(col(vecCol), lit(seed)))
-      .orderBy(col("_h")).limit(65536)
+    val maxTrain = 65536L
+    val total = data.count()
+    val sampled =
+      if (total > maxTrain) {
+        val buckets = 1L << 30
+        val keep = math.min(buckets,
+          (maxTrain.toDouble / total * buckets).toLong + 1)
+        data.filter(pmod(xxhash64(col(vecCol), lit(seed)), lit(buckets)) < keep)
+      } else data
+    val row = sampled
       .select(lut.as("_lut"))
       .select((lit(2.0) * array_max(spans)).as("_si"))
       .filter(col("_si") > 0)

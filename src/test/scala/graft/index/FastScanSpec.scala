@@ -128,6 +128,49 @@ class FastScanSpec extends SparkTestBase {
     assert(off.normScale == 1)
   }
 
+  test("estimateNormScale subsample never plans a corpus TakeOrdered " +
+    "(VERDICT r14 #1: the KMeans hash-threshold pattern, not orderBy(hash).limit)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // force the subsample path: n > 65536
+    val vecs = (0 until 70000)
+      .map(i => Seq.fill(4)((i % 97).toFloat / 7f)).toDF("vec")
+      .select(col("vec").cast("array<float>").as("vec"))
+    val model = RqModel(2, 16, Array.fill(2)(
+      Array.tabulate(16)(j => Array.tabulate(4)(d => (j + d).toFloat))))
+    val normCb = Array.fill(2)(Array.tabulate(16)(_.toDouble * 10))
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans += qe.executedPlan.toString
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark0.listenerManager.register(listener)
+    try {
+      val scale = Rq4FastScanIndex.estimateNormScale(vecs, "vec", model,
+        normCb, seed = 1234L)
+      assert(scale >= 1)
+      Thread.sleep(1500) // listener delivery is async
+      val bad = plans.filter(_.contains("TakeOrderedAndProject"))
+      assert(bad.isEmpty,
+        s"rescale train planned a TakeOrdered:\n${bad.headOption.getOrElse("")}")
+    } finally spark0.listenerManager.unregister(listener)
+  }
+
+  test("the catalog's adversarial rescale fixture still estimates norm_scale 8 " +
+    "after the subsample plan fix (the oracle sidecars are scale-aware, but the " +
+    "pinned value catches an accidental estimator change)") {
+    // same construction as QueriesBase.advVecs at sf0.001 (n < 65536:
+    // the subsample filter is a no-op here, so the estimate is the
+    // full-set mean either way)
+    val adv = b.select(col("id"), transform(col("vec"), x =>
+      x * (lit(1.0f) + pmod(col("id"), lit(4)).cast("float") * lit(5.0f))).as("vec"))
+    val rs = Rq4FastScanIndex.build(adv, "id", "vec", levels = 2, niter = 4)
+    assert(rs.normScale == 8, s"normScale=${rs.normScale}")
+  }
+
   test("IVF AQ fast-scan: nprobe=nlist matches the flat AQ fast-scan exactly") {
     val flat = Rq4FastScanIndex.build(b, "id", "vec", levels = 2, niter = 3)
     val ivf = IvfRq4FastScanIndex.fromFlat(flat, b, "id", "vec", nlist = 4,
