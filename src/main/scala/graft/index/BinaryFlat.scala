@@ -93,6 +93,15 @@ object BinaryFlat {
         col("_r.id").as(baseId), col("_r.dist").cast("long").as("hd"))
   }
 
+  /** Bit-prefix bucket key of the first `b` bits of a packed code —
+    * the IndexBinaryHash hash (faiss/IndexBinaryHash.cpp:30
+    * binary_hash: the low b bits). One expression, reused by build,
+    * query and reload sides so they can never disagree. */
+  def bucketCol(code: org.apache.spark.sql.Column, b: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.shim
+    shim.col(graft.core.BitSlice(shim.expr(code), 0, b))
+  }
+
   /** Hamming range search (hamming_range_search, hamming.h:175). */
   def rangeJoin(queries: DataFrame, base: DataFrame, maxHamming: Long,
       queryId: String = "qid", queryCode: String = "qcode",
@@ -101,4 +110,42 @@ object BinaryFlat {
       .select(col(queryId), col(baseId),
         hamming_dist(col(queryCode), col(baseCode)).as("hd"))
       .filter(col("hd") <= maxHamming)
+}
+
+/** Persistable IndexBinaryHash state (faiss/IndexBinaryHash.h:26;
+  * write_index_binary serializes b + the bucketed map,
+  * index_write.cpp): the bucket width and the codes table carrying the
+  * derived bucket key. Buckets come from [[BinaryFlat.bucketCol]] on
+  * BOTH sides, so a reloaded index and fresh queries can never
+  * disagree on the keying. */
+class BinaryHashIndex(val b: Int,
+    /** (id, code binary, bucket long) */
+    val codes: DataFrame) {
+  def search(queries: DataFrame, k: Int,
+      queryId: String = "qid", queryCode: String = "qcode"): DataFrame =
+    BinaryFlat.hashSearch(
+      queries.withColumn("bucket", BinaryFlat.bucketCol(col(queryCode), b)),
+      codes, k, queryId = queryId, queryCode = queryCode)
+}
+
+object BinaryHashIndex {
+  def build(codes: DataFrame, b: Int,
+      idCol: String = "id", codeCol: String = "code"): BinaryHashIndex =
+    new BinaryHashIndex(b, codes.select(col(idCol).as("id"),
+      col(codeCol).as("code"),
+      BinaryFlat.bucketCol(col(codeCol), b).as("bucket")))
+}
+
+/** Persistable IndexBinaryMultiHash state (faiss/IndexBinaryHash.h:83:
+  * nhash tables, table t keyed on bit range [t*b, (t+1)*b)). The keys
+  * are derived from the code inside the search join
+  * ([[BinaryFlat.multiHashSearch]]), so the stored state is just the
+  * parameters and the flat codes. */
+class BinaryMultiHashIndex(val nhash: Int, val b: Int,
+    /** (id, code binary) */
+    val codes: DataFrame) {
+  def search(queries: DataFrame, k: Int,
+      queryId: String = "qid", queryCode: String = "qcode"): DataFrame =
+    BinaryFlat.multiHashSearch(queries, codes, k, nhash, b,
+      queryId = queryId, queryCode = queryCode)
 }

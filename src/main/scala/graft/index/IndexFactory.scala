@@ -441,34 +441,13 @@ object IndexFactory {
       s"unsupported Refine inner '$other'")
   }
 
-  /** IndexLSH (faiss/IndexLSH.h:23, factory "LSH[rt]"): seeded random
-    * rotation to nbits dims, sign-bit codes, Hamming ranking. */
-  /** IndexLSH: sign bits of the (optionally rotated) components,
-    * optionally centered on trained per-component medians
-    * (IndexLSH.cpp:58-97 train_thresholds). `rot = null` is the
-    * reference's rotate_data = false form. */
-  private final class LshBuilt(rot: Linear, thresholds: Option[Array[Double]],
-      codes: DataFrame, chain: VecTransform) extends Built {
-    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) = {
-      val enc = (c: Column) =>
-        LshBuilt.signBits(rot, thresholds, chain.applyCol(c))
-      BinaryFlat.knnJoin(
-        q.select(col(qid), enc(col(qvec)).as("_qc")), codes, k,
-        queryId = qid, queryCode = "_qc")
-    }
-  }
-  private object LshBuilt {
-    def signBits(rot: Linear, thresholds: Option[Array[Double]],
-        c: Column): Column = {
-      val pre = if (rot != null) rot.applyCol(c) else c
-      val centered = thresholds match {
-        case Some(th) =>
-          zip_with(pre.cast("array<double>"), array(th.map(lit): _*),
-            (x, t) => x - t).cast("array<float>")
-        case None => pre
-      }
-      graft.functions.sign_bits(centered)
-    }
+  /** IndexLSH (faiss/IndexLSH.h:23, factory "LSH[rt]" / "LSH<nbits>"):
+    * thin chain-applying wrapper over the persistable [[LshIndex]]
+    * carrier (which holds the rotation, thresholds and codes). */
+  private final class LshBuilt(lsh: LshIndex, chain: VecTransform)
+      extends Built {
+    def search(q: DataFrame, k: Int, nprobe: Int, qid: String, qvec: String) =
+      lsh.search(q.withColumn(qvec, chain.applyCol(col(qvec))), k, qid, qvec)
   }
 
   private final class ImiBuilt(idx: ImiIndex, chain: VecTransform)
@@ -1454,8 +1433,8 @@ object IndexFactory {
               .orderBy(col("_i")).collect().map(_.getDouble(1)))
           else None
         val codes = data.select(col("id"),
-          LshBuilt.signBits(rot, th, col("vec")).as("code"))
-        new LshBuilt(rot, th, codes, chain)
+          LshIndex.signBits(rot, th, col("vec")).as("code"))
+        new LshBuilt(new LshIndex(rot, th, codes), chain)
       // RQ/LSQ with an explicit stored-norm search type
       // (aq_norm_pattern): flat AQ codes + the quantized-norm LUT scan
       case AqNorm(fam, lv, nb, st) :: Nil =>
@@ -1479,7 +1458,7 @@ object IndexFactory {
         val rot = Linear(Transforms.randomRotation(dd, seed).a.take(nbits.toInt))
         val codes = data.select(col("id"),
           graft.functions.sign_bits(rot.applyCol(col("vec"))).as("code"))
-        new LshBuilt(rot, None, codes, chain)
+        new LshBuilt(new LshIndex(rot, None, codes), chain)
       case Imi(bits) :: "Flat" :: Nil =>
         // IMI2x<b> = MultiIndexQuantizer coarse with 2^b centroids per
         // half-space (faiss index_factory coarse grammar)

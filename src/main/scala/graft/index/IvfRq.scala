@@ -122,6 +122,23 @@ class IvfRqIndex(
   }
 }
 
+/** User-facing carrier of the `IVF<n>,{RQ|LSQ}<L>x<nb>_N<norm>` LUT
+  * form's persistable state (write_index of IndexIVFAdditiveQuantizer,
+  * faiss/impl/index_write.cpp: coarse centroids + AQ codebooks + codes
+  * + stored norms). `codesNq` is the scanned table carrying the
+  * DECODED stored norm (`nq` double column; absent in nonorm mode) —
+  * the norm codec's trained state is baked into those decoded values
+  * (the scan never re-encodes a norm), so persistence stores them
+  * directly: bit-identical search on load, no codec retrain. */
+class IvfRqNormIndex(val idx: IvfRqIndex, val codesNq: DataFrame,
+    val nonorm: Boolean) {
+  def search(queries: DataFrame, k: Int, nprobe: Int,
+      queryId: String = "qid", queryVec: String = "qvec",
+      coarse: Option[Probes.CoarseQuant] = None): DataFrame =
+    idx.searchNormLut(queries, k, nprobe, codesNq, nonorm,
+      queryId, queryVec, coarse)
+}
+
 object IvfRq {
 
   /** Coarse k-means + RQ trained on residuals + encode

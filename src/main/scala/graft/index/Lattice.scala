@@ -39,6 +39,15 @@ object Lattice {
   def subCodesCol(codec: LatticeCodec, vec: Column): Column =
     shim.col(ZnLatticeSubCodes(shim.expr(vec), codec))
 
+  /** Train + encode into a persistable [[LatticeIndex]]. */
+  def build(df: DataFrame, idCol: String, vecCol: String,
+      nsq: Int, scaleNbit: Int, r2: Int): LatticeIndex = {
+    val codec = train(df, vecCol, nsq, scaleNbit, r2)
+    new LatticeIndex(codec,
+      df.select(org.apache.spark.sql.functions.col(idCol).as("id"),
+        encodeCol(codec, org.apache.spark.sql.functions.col(vecCol)).as("code")))
+  }
+
   /** The enumerated sphere codebook as a DataFrame — the dataflow
     * analog of ZnSphereCodecRec's decode_cache (lattice_Zn.h:163):
     * (lattice code, integer point). Bounded by nv (choose dsq/r2 so
@@ -49,4 +58,21 @@ object Lattice {
     (0L until zn.nv).map(code => (code, zn.decode(code).toSeq))
       .toDF("lat_code", "c")
   }
+}
+
+/** Persistable IndexLattice state (write_index of IndexLattice,
+  * faiss/impl/index_write.cpp: d/nsq/scale_nbit/r2 + the trained
+  * per-subvector norm ranges + codes): the codec parameters are O(nsq)
+  * scalars, the sphere enumeration is re-derived from (dsq, r2) on
+  * load — the reference stores no codebook either, the Zn sphere IS
+  * the codebook (IndexLattice.h:22). A vector CODEC in the reference
+  * (search throws), so the searchable surface here is
+  * [[reconstruct]]. */
+class LatticeIndex(val codec: graft.core.LatticeCodec,
+    /** (id, code binary) */
+    val codes: DataFrame) {
+  /** Lossy decode of every stored code: (id, vec array<float>). */
+  def reconstruct: DataFrame =
+    codes.select(org.apache.spark.sql.functions.col("id"),
+      Lattice.decodeCol(codec, org.apache.spark.sql.functions.col("code")).as("vec"))
 }

@@ -98,4 +98,66 @@ object MinMaxCodec {
     base.select(col("id"),
       transform(dec, h => h * col("_sc") + col("_mn")).as("vec"))
   }
+
+  /** Train + encode into a persistable [[MinMaxIndex]] — the same
+    * scaledDf input and inner training as [[roundtripDf]], with the
+    * encoded codes MATERIALIZED instead of fused into the decode:
+    * reconstruct() of the result equals roundtripDf row for row. */
+  def buildIndex(df: DataFrame, idCol: String, vecCol: String,
+      inner: String, fp16Coeffs: Boolean,
+      niter: Int = 4, seed: Long = 1234L,
+      pqModel: PqModel = null): MinMaxIndex = {
+    val base = scaledDf(df, idCol, vecCol, fp16Coeffs)
+    def withCode(code: Column, sqMins: Array[Double], sqDiff: Array[Double],
+        model: PqModel) =
+      new MinMaxIndex(inner, fp16Coeffs, sqMins, sqDiff, model,
+        base.select(col("id"), col("_mn"), col("_sc"), code.as("code")))
+    inner match {
+      case "SQfp16" =>
+        withCode(shim.col(Fp16Encode(shim.expr(col("_scaled")))),
+          Array.empty, Array.empty, null)
+      case "SQ8" | "SQ4" | "SQ6" =>
+        val (mins, vdiff) = SqIndex.trainRange(base, "_scaled")
+        withCode(shim.col(SqVariant.encode(inner, shim.expr(col("_scaled")),
+          mins, vdiff)), mins, vdiff, null)
+      case PqTok(m, ks) =>
+        val model = if (pqModel != null) pqModel
+          else Pq.train(base, "_scaled", m.toInt,
+            Option(ks).map(_.toInt).getOrElse(16), niter = niter, seed = seed)
+        withCode(shim.col(graft.core.PQEncode(shim.expr(col("_scaled")),
+          model.codebooks)), Array.empty, Array.empty, model)
+      case other =>
+        throw new IllegalArgumentException(s"MinMax inner '$other' unsupported")
+    }
+  }
+}
+
+/** Persistable IndexRowwiseMinMax[FP16] state (write_index,
+  * faiss/impl/index_write.cpp: the wrapper flag + the inner index):
+  * per-row coefficients + inner codes + the inner codec's trained
+  * state. A vector CODEC in the reference (search throws,
+  * IndexRowwiseMinMax.cpp:361) — the searchable surface is
+  * [[reconstruct]], which must reproduce
+  * [[MinMaxCodec.roundtripDf]] exactly. */
+class MinMaxIndex(val inner: String, val fp16Coeffs: Boolean,
+    val sqMins: Array[Double], val sqDiff: Array[Double],
+    val pqModel: PqModel,
+    /** (id, _mn double, _sc double, code) */
+    val codes: DataFrame) {
+  /** decode(code) rescaled per row: (id, vec array<double>) — the
+    * exact decode chain of roundtripDf (fp16 cast placement
+    * included). */
+  def reconstruct: DataFrame = {
+    val dec: Column = inner match {
+      case "SQfp16" =>
+        shim.col(Fp16Decode(shim.expr(col("code")))).cast("array<double>")
+      case "SQ8" | "SQ4" | "SQ6" =>
+        shim.col(SqVariant.decode(inner, shim.expr(col("code")),
+          sqMins, sqDiff))
+      case _ =>
+        pqModel.decodeCol(col("code")).cast("array<double>")
+    }
+    codes.select(col("id"),
+      transform(dec, h => h * col("_sc") + col("_mn")).as("vec"))
+  }
 }

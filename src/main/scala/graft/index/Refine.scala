@@ -10,6 +10,30 @@ import graft.knn.Knn
   * vectors and keeps the top k. The candidate set is tiny (queries ×
   * k·k_factor rows), so stage 2 is an equi-join on id — never a second
   * scan of the base table. */
+/** Persistable IndexRefine state for the SQ-family coarse stage (the
+  * `SQ8,RFlat` / `Refine(SQ…)` composites — write_index(IndexRefine),
+  * faiss/impl/index_write.cpp serializes base_index + refine_index +
+  * k_factor; here the refine storage is the exact base table and the
+  * coarse stage an [[SqIndex]], each with its own save/load. Wider
+  * refine chains re-compose from their parts' own IO.) */
+class RefineFlatIndex(val inner: SqIndex, val base: DataFrame,
+    val kFactor: Int = 4, val metric: String = "l2sq") {
+  def search(queries: DataFrame, k: Int,
+      queryId: String = "qid", queryVec: String = "qvec"): DataFrame = {
+    val stage1 = inner.search(queries, k * kFactor, queryId, queryVec)
+    Refine.rerank(queries, base, stage1, k, metric, queryId, queryVec)
+  }
+}
+
+object RefineFlatIndex {
+  def build(base: DataFrame, idCol: String, vecCol: String,
+      kFactor: Int = 4, qtype: String = "SQ8",
+      metric: String = "l2sq"): RefineFlatIndex =
+    new RefineFlatIndex(SqIndex.build(base, idCol, vecCol, qtype = qtype),
+      base.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      kFactor, metric)
+}
+
 object Refine {
 
   /** Re-rank `candidates` (qid, id) with exact distances against

@@ -11,6 +11,25 @@ import graft.transform._
   * a small JSON dataset for trained parameters. Layout:
   *   <path>/codes|invlists/  — parquet (partitioned where meaningful)
   *   <path>/meta/            — one-row-per-parameter JSON
+  *
+  * Graph-shard policy (the HNSW/NSG/NNDescent partition shards,
+  * [[graft.knn.PartitionedHnsw]]/[[graft.knn.PartitionedNsg]]): the
+  * per-partition graphs are NOT persisted. They are ephemeral
+  * physical accelerators built inside mapPartitions over whatever
+  * partitioning the stored table has — the persistable state is the
+  * stored table itself (raw vectors, or SQ/PQ codes + their trained
+  * codec, each with its own save/load here). The reference serializes
+  * its graph because a single-node graph build is the expensive step
+  * it cannot parallelize (index_write.cpp write_HNSW); here the
+  * rebuild is an embarrassingly parallel per-partition pass over
+  * executor-sized shards, and pinning serialized adjacency to a
+  * particular partitioning would FORBID the repartitioning that a
+  * 1000-executor reload wants. Reloaded searches carry the same
+  * approximate-recall contract as a re-built graph — identical to the
+  * reference's own contract for add-after-load.
+  *
+  * Autotune OperatingPoints are in-memory only, exactly as in the
+  * reference (AutoTune.h keeps no serializer) — n/a by design.
   */
 object IndexIO {
 
@@ -491,6 +510,287 @@ object IndexIO {
       readPqModel(spark, s"$path/codebooks"),
       spark.read.parquet(s"$path/codes")
         .select(col("id"), col("list_no").cast("int"), col("code")))
+  }
+
+  // ---- IVF-SQ -----------------------------------------------------------
+  // (write_index of IndexIVFScalarQuantizer, index_write.cpp: coarse
+  // centroids + SQ trained range + by_residual + per-list codes.)
+  def saveIvfSq(idx: IvfSqIndex, path: String): Unit = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    idx.codes.repartition(col("list_no"))
+      .write.mode("overwrite").partitionBy("list_no").parquet(s"$path/codes")
+    saveCentroids(spark, idx.centroids, s"$path/centroids")
+    // fp16 has NO trained range -> this dataset is empty (the loadSq
+    // convention); qtype/by_residual live in their own sidecar
+    idx.vmin.indices.map(i => (i, idx.vmin(i), idx.vdiff(i)))
+      .toDF("dim", "vmin", "vdiff")
+      .coalesce(1).write.mode("overwrite").json(s"$path/range")
+    Seq((idx.qtype, idx.byResidual)).toDF("qtype", "by_residual")
+      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+  }
+
+  def loadIvfSq(spark: SparkSession, path: String): IvfSqIndex = {
+    val centroids = readCentroids(spark, s"$path/centroids")
+    val range =
+      try spark.read.json(s"$path/range")
+        .select(col("dim").cast("int"), col("vmin").cast("double"),
+          col("vdiff").cast("double")).collect()
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        Array.empty[org.apache.spark.sql.Row] }
+    val vmin = new Array[Double](range.length)
+    val vdiff = new Array[Double](range.length)
+    range.foreach { r =>
+      vmin(r.getInt(0)) = r.getDouble(1); vdiff(r.getInt(0)) = r.getDouble(2)
+    }
+    val meta = spark.read.json(s"$path/meta")
+      .select(col("qtype"), col("by_residual")).first()
+    new IvfSqIndex(centroids.length, centroids, vmin, vdiff,
+      meta.getBoolean(1),
+      spark.read.parquet(s"$path/codes")
+        .select(col("id"), col("list_no").cast("int"), col("code")),
+      meta.getString(0))
+  }
+
+  // ---- IVF-AQ (non-fast-scan) -------------------------------------------
+  // (write_index of IndexIVFResidualQuantizer /
+  // IndexIVFLocalSearchQuantizer, index_write.cpp: coarse centroids +
+  // AQ codebooks + per-list codes — the AQ_decompress search form.)
+  def saveIvfRq(idx: IvfRqIndex, path: String): Unit = {
+    val spark = idx.codes.sparkSession
+    idx.codes.repartition(col("list_no"))
+      .write.mode("overwrite").partitionBy("list_no").parquet(s"$path/codes")
+    saveCentroids(spark, idx.centroids, s"$path/centroids")
+    saveRq(spark, idx.model, s"$path/codebooks")
+  }
+
+  def loadIvfRq(spark: SparkSession, path: String): IvfRqIndex = {
+    val centroids = readCentroids(spark, s"$path/centroids")
+    new IvfRqIndex(centroids.length, centroids,
+      loadRq(spark, s"$path/codebooks"),
+      spark.read.parquet(s"$path/codes")
+        .select(col("id"), col("list_no").cast("int"), col("code")))
+  }
+
+  /** `IVF<n>,{RQ|LSQ}<L>x<nb>_N<norm>` LUT form: the decompress
+    * form's state plus the per-row DECODED stored norm (`nq`) and the
+    * nonorm flag — the norm codec's trained state is baked into the
+    * decoded values (see [[graft.index.IvfRqNormIndex]]), so a reload
+    * scans bit-identically with no codec retrain. The codes table is
+    * stored ONCE (codesNq is a superset of the decompress columns). */
+  def saveIvfRqNorm(idx: IvfRqNormIndex, path: String): Unit = {
+    val spark = idx.codesNq.sparkSession
+    import spark.implicits._
+    idx.codesNq.repartition(col("list_no"))
+      .write.mode("overwrite").partitionBy("list_no").parquet(s"$path/codes")
+    saveCentroids(spark, idx.idx.centroids, s"$path/centroids")
+    saveRq(spark, idx.idx.model, s"$path/codebooks")
+    Seq(idx.nonorm).toDF("nonorm")
+      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+  }
+
+  def loadIvfRqNorm(spark: SparkSession, path: String): IvfRqNormIndex = {
+    val nonorm = spark.read.json(s"$path/meta")
+      .select(col("nonorm")).first().getBoolean(0)
+    val centroids = readCentroids(spark, s"$path/centroids")
+    val cols = Seq(col("id"), col("list_no").cast("int"), col("code")) ++
+      (if (nonorm) Nil else Seq(col("nq").cast("double")))
+    val codesNq = spark.read.parquet(s"$path/codes").select(cols: _*)
+    new IvfRqNormIndex(
+      new IvfRqIndex(centroids.length, centroids,
+        loadRq(spark, s"$path/codebooks"), codesNq),
+      codesNq, nonorm)
+  }
+
+  // ---- Binary flat / hash -------------------------------------------------
+  // (write_index_binary of IndexBinaryFlat / IndexBinaryHash /
+  // IndexBinaryMultiHash, index_write.cpp — the flat store is d +
+  // codes; the hash forms add their bucket parameters. The bucketed
+  // layout is partitionBy(bucket) so a reloaded query scan keeps the
+  // bucket pruning.)
+  def saveBinaryFlat(codes: DataFrame, path: String): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    codes.select(col("id"), col("code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    val sz = codes.select(length(col("code")).cast("int")).first().getInt(0)
+    Seq(sz).toDF("code_size")
+      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+  }
+
+  def loadBinaryFlat(spark: SparkSession, path: String): DataFrame = {
+    val want = spark.read.json(s"$path/meta")
+      .select(col("code_size").cast("int")).first().getInt(0)
+    val codes = spark.read.parquet(s"$path/codes").select(col("id"), col("code"))
+    val got = codes.select(length(col("code")).cast("int")).first().getInt(0)
+    require(got == want, s"$path: stored code width $got != meta $want")
+    codes
+  }
+
+  def saveBinaryHash(idx: BinaryHashIndex, path: String): Unit = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    idx.codes.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/codes")
+    Seq(idx.b).toDF("b")
+      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+  }
+
+  def loadBinaryHash(spark: SparkSession, path: String): BinaryHashIndex = {
+    val b = spark.read.json(s"$path/meta")
+      .select(col("b").cast("int")).first().getInt(0)
+    new BinaryHashIndex(b,
+      spark.read.parquet(s"$path/codes")
+        .select(col("id"), col("code"), col("bucket").cast("long")))
+  }
+
+  def saveBinaryMultiHash(idx: BinaryMultiHashIndex, path: String): Unit = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    idx.codes.select(col("id"), col("code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    Seq((idx.nhash, idx.b)).toDF("nhash", "b")
+      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+  }
+
+  def loadBinaryMultiHash(spark: SparkSession, path: String): BinaryMultiHashIndex = {
+    val meta = spark.read.json(s"$path/meta")
+      .select(col("nhash").cast("int"), col("b").cast("int")).first()
+    new BinaryMultiHashIndex(meta.getInt(0), meta.getInt(1),
+      spark.read.parquet(s"$path/codes").select(col("id"), col("code")))
+  }
+
+  // ---- LSH ----------------------------------------------------------------
+  // (write_index of IndexLSH, index_write.cpp: the rotation, the
+  // trained thresholds, the packed codes.)
+  def saveLsh(idx: LshIndex, path: String): Unit = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    idx.codes.write.mode("overwrite").parquet(s"$path/codes")
+    if (idx.rot != null) saveTransform(spark, idx.rot, s"$path/rot")
+    idx.thresholds.foreach { th =>
+      th.zipWithIndex.map { case (t, i) => (i, t) }.toSeq.toDF("i", "t")
+        .coalesce(1).write.mode("overwrite").json(s"$path/thresholds")
+    }
+    Seq((idx.rot != null, idx.thresholds.isDefined))
+      .toDF("rotate_data", "train_thresholds")
+      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+  }
+
+  def loadLsh(spark: SparkSession, path: String): LshIndex = {
+    val meta = spark.read.json(s"$path/meta")
+      .select(col("rotate_data"), col("train_thresholds")).first()
+    val rot =
+      if (meta.getBoolean(0))
+        loadTransform(spark, s"$path/rot").asInstanceOf[Linear]
+      else null
+    val th =
+      if (meta.getBoolean(1))
+        Some(spark.read.json(s"$path/thresholds")
+          .select(col("i").cast("int"), col("t").cast("double"))
+          .collect().sortBy(_.getInt(0)).map(_.getDouble(1)))
+      else None
+    new LshIndex(rot, th,
+      spark.read.parquet(s"$path/codes").select(col("id"), col("code")))
+  }
+
+  // ---- ZnLattice ------------------------------------------------------------
+  // (write_index of IndexLattice, index_write.cpp: d/nsq/scale_nbit/r2
+  // + trained norm ranges + codes; the sphere enumeration re-derives
+  // from (dsq, r2) — no codebook is stored, in either system.)
+  def saveLattice(idx: LatticeIndex, path: String): Unit = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    idx.codes.write.mode("overwrite").parquet(s"$path/codes")
+    val c = idx.codec
+    (0 until c.nsq).map(j =>
+      (j, c.mins(j), c.maxs(j), c.d, c.nsq, c.scaleNbit, c.r2))
+      .toDF("j", "mn", "mx", "d", "nsq", "scale_nbit", "r2")
+      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+  }
+
+  def loadLattice(spark: SparkSession, path: String): LatticeIndex = {
+    val rows = spark.read.json(s"$path/meta")
+      .select(col("j").cast("int"), col("mn").cast("float"),
+        col("mx").cast("float"), col("d").cast("int"),
+        col("nsq").cast("int"), col("scale_nbit").cast("int"),
+        col("r2").cast("int")).collect()
+    val nsq = rows.head.getInt(4)
+    val mins = new Array[Float](nsq); val maxs = new Array[Float](nsq)
+    rows.foreach { r =>
+      mins(r.getInt(0)) = r.getFloat(1); maxs(r.getInt(0)) = r.getFloat(2)
+    }
+    new LatticeIndex(
+      new graft.core.LatticeCodec(rows.head.getInt(3), nsq,
+        rows.head.getInt(5), rows.head.getInt(6), mins, maxs),
+      spark.read.parquet(s"$path/codes").select(col("id"), col("code")))
+  }
+
+  // ---- MinMax wrappers --------------------------------------------------
+  // (write_index of IndexRowwiseMinMax[FP16], index_write.cpp: the
+  // wrapper flag + the inner index. Inner trained state: SQ range rows
+  // or PQ codebooks; SQfp16 is stateless.)
+  def saveMinMax(idx: MinMaxIndex, path: String): Unit = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    idx.codes.write.mode("overwrite").parquet(s"$path/codes")
+    Seq((idx.inner, idx.fp16Coeffs)).toDF("inner", "fp16_coeffs")
+      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+    if (idx.sqMins.nonEmpty)
+      idx.sqMins.indices.map(i => (i, idx.sqMins(i), idx.sqDiff(i)))
+        .toDF("dim", "vmin", "vdiff")
+        .coalesce(1).write.mode("overwrite").json(s"$path/range")
+    if (idx.pqModel != null)
+      pqModelDf(spark, idx.pqModel)
+        .coalesce(1).write.mode("overwrite").json(s"$path/codebooks")
+  }
+
+  def loadMinMax(spark: SparkSession, path: String): MinMaxIndex = {
+    val meta = spark.read.json(s"$path/meta")
+      .select(col("inner"), col("fp16_coeffs")).first()
+    val inner = meta.getString(0)
+    val (mins, vdiff) =
+      if (inner == "SQ8" || inner == "SQ4" || inner == "SQ6") {
+        val rows = spark.read.json(s"$path/range")
+          .select(col("dim").cast("int"), col("vmin").cast("double"),
+            col("vdiff").cast("double")).collect()
+        val mn = new Array[Double](rows.length)
+        val df = new Array[Double](rows.length)
+        rows.foreach { r =>
+          mn(r.getInt(0)) = r.getDouble(1); df(r.getInt(0)) = r.getDouble(2)
+        }
+        (mn, df)
+      } else (Array.empty[Double], Array.empty[Double])
+    val pq =
+      if (inner.startsWith("PQ")) readPqModel(spark, s"$path/codebooks")
+      else null
+    new MinMaxIndex(inner, meta.getBoolean(1), mins, vdiff, pq,
+      spark.read.parquet(s"$path/codes")
+        .select(col("id"), col("_mn").cast("double"),
+          col("_sc").cast("double"), col("code")))
+  }
+
+  // ---- Refine chain -------------------------------------------------------
+  // (write_index of IndexRefine / IndexRefineFlat, index_write.cpp:
+  // base_index + refine_index + k_factor. The SQ-family coarse stage
+  // persists through saveSq — which stores its qtype — and the refine
+  // storage is the exact base table; wider chains re-compose from the
+  // parts' own save/loads.)
+  def saveRefineFlat(idx: RefineFlatIndex, path: String): Unit = {
+    val spark = idx.base.sparkSession
+    import spark.implicits._
+    saveSq(idx.inner, s"$path/inner")
+    idx.base.write.mode("overwrite").parquet(s"$path/base")
+    Seq((idx.kFactor, idx.metric)).toDF("k_factor", "metric")
+      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+  }
+
+  def loadRefineFlat(spark: SparkSession, path: String): RefineFlatIndex = {
+    val meta = spark.read.json(s"$path/meta")
+      .select(col("k_factor").cast("int"), col("metric")).first()
+    new RefineFlatIndex(loadSq(spark, s"$path/inner"),
+      spark.read.parquet(s"$path/base").select(col("id"), col("vec")),
+      meta.getInt(0), meta.getString(1))
   }
 
   // ---- VectorTransform chain -----------------------------------------

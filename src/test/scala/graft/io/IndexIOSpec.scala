@@ -219,6 +219,168 @@ class IndexIOSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("IVF-SQ save/load round-trips both residual forms and every width, " +
+    "keeping the list_no pruning layout") {
+    for ((byRes, qtype) <- Seq((true, "SQ8"), (false, "SQ4"), (true, "fp16"))) {
+      val idx = graft.index.IvfSqIndex.build(b, "id", "vec", nlist = 4,
+        niter = 3, byResidual = byRes, qtype = qtype)
+      val dir = java.nio.file.Files.createTempDirectory(s"ivfsqio_$qtype").toString
+      IndexIO.saveIvfSq(idx, dir)
+      val loaded = IndexIO.loadIvfSq(spark, dir)
+      assert(loaded.qtype == qtype && loaded.byResidual == byRes,
+        s"meta lost: ${loaded.qtype}/${loaded.byResidual}")
+      assert(results(loaded.search(q, 5, nprobe = 2)) ==
+        results(idx.search(q, 5, nprobe = 2)), s"$qtype byRes=$byRes")
+      val parts = new java.io.File(s"$dir/codes").listFiles()
+        .filter(_.getName.startsWith("list_no=")).map(_.getName)
+      assert(parts.nonEmpty)
+      idx.close(); loaded.close()
+    }
+  }
+
+  test("IVF-RQ (AQ decompress form) save/load round-trip preserves search " +
+    "and reconstruction") {
+    val idx = graft.index.IvfRq.build(b, "id", "vec", nlist = 4,
+      levels = 2, k = 16, niterCoarse = 3, niterRq = 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivfrqio").toString
+    IndexIO.saveIvfRq(idx, dir)
+    val loaded = IndexIO.loadIvfRq(spark, dir)
+    assert(results(loaded.search(q, 5, nprobe = 2)) ==
+      results(idx.search(q, 5, nprobe = 2)))
+    def recon(i: graft.index.IvfRqIndex) =
+      i.reconstruct.select(col("id"),
+        round(element_at(col("vec"), 1).cast("double"), 5).as("v"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(recon(loaded) == recon(idx))
+  }
+
+  test("IVF-RQ _N<norm> LUT form save/load: the decoded stored norm and the " +
+    "nonorm flag survive; a reloaded scan is bit-identical") {
+    val idx = graft.index.IvfRq.build(b, "id", "vec", nlist = 4,
+      levels = 2, k = 16, niterCoarse = 3, niterRq = 3)
+    val withN = idx.codes.withColumn("normsq", aggregate(
+      idx.model.decodeCol(col("code")).cast("array<double>"),
+      lit(0.0), (a, x) => a + x * x))
+    // qint8 stored-norm codec, decoded at save-build time (the factory
+    // route's shape): the codec state is baked into nq
+    val (nmin, nmax) = graft.index.RqNorms.range(withN, "normsq")
+    val codesNq = withN.withColumn("nq",
+      graft.index.RqNorms.qintDecode(col("normsq"), 256, nmin, nmax))
+      .drop("normsq")
+    val norm = new graft.index.IvfRqNormIndex(idx, codesNq, nonorm = false)
+    val d1 = java.nio.file.Files.createTempDirectory("ivfrqnormio").toString
+    IndexIO.saveIvfRqNorm(norm, d1)
+    val loaded = IndexIO.loadIvfRqNorm(spark, d1)
+    assert(!loaded.nonorm)
+    assert(results(loaded.search(q, 5, nprobe = 4)) ==
+      results(norm.search(q, 5, nprobe = 4)))
+    // nonorm form: no nq column at all
+    val non = new graft.index.IvfRqNormIndex(idx, idx.codes, nonorm = true)
+    val d2 = java.nio.file.Files.createTempDirectory("ivfrqnonormio").toString
+    IndexIO.saveIvfRqNorm(non, d2)
+    val nonLoaded = IndexIO.loadIvfRqNorm(spark, d2)
+    assert(nonLoaded.nonorm)
+    assert(results(nonLoaded.search(q, 5, nprobe = 4)) ==
+      results(non.search(q, 5, nprobe = 4)))
+  }
+
+  test("binary flat save/load round-trips the packed codes and validates the " +
+    "stored width") {
+    val codes = b.select(col("id"), graft.functions.sign_bits(col("vec")).as("code"))
+    val dir = java.nio.file.Files.createTempDirectory("bflatio").toString
+    IndexIO.saveBinaryFlat(codes, dir)
+    val loaded = IndexIO.loadBinaryFlat(spark, dir)
+    val qc = q.select(col("qid"), graft.functions.sign_bits(col("qvec")).as("qcode"))
+    assert(results(graft.index.BinaryFlat.knnJoin(qc, loaded, 5)) ==
+      results(graft.index.BinaryFlat.knnJoin(qc, codes, 5)))
+  }
+
+  test("binary hash save/load keeps b, the bucket keys and the bucket-pruned " +
+    "layout; multi-hash keeps (nhash, b)") {
+    val codes = b.select(col("id"), graft.functions.sign_bits(col("vec")).as("code"))
+    val idx = graft.index.BinaryHashIndex.build(codes, b = 6)
+    val d1 = java.nio.file.Files.createTempDirectory("bhashio").toString
+    IndexIO.saveBinaryHash(idx, d1)
+    val loaded = IndexIO.loadBinaryHash(spark, d1)
+    assert(loaded.b == 6)
+    val qc = q.select(col("qid"), graft.functions.sign_bits(col("qvec")).as("qcode"))
+    assert(results(loaded.search(qc, 5)) == results(idx.search(qc, 5)))
+    val parts = new java.io.File(s"$d1/codes").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName)
+    assert(parts.nonEmpty, "bucket partitioning lost")
+    val mh = new graft.index.BinaryMultiHashIndex(4, 8, codes)
+    val d2 = java.nio.file.Files.createTempDirectory("bmhio").toString
+    IndexIO.saveBinaryMultiHash(mh, d2)
+    val mhLoaded = IndexIO.loadBinaryMultiHash(spark, d2)
+    assert(mhLoaded.nhash == 4 && mhLoaded.b == 8)
+    assert(results(mhLoaded.search(qc, 5)) == results(mh.search(qc, 5)))
+  }
+
+  test("LSH save/load round-trips all three trained-state shapes " +
+    "(rotation+thresholds, rotation only, neither)") {
+    val d = b.select(size(col("vec"))).first().getInt(0)
+    val rot = Linear(Transforms.randomRotation(d, 1234L).a)
+    val th = Some(Array.tabulate(d)(i => 0.01 * (i % 5 - 2)))
+    for ((r, t) <- Seq((rot, th), (rot, None), (null, None))) {
+      val codes = b.select(col("id"),
+        graft.index.LshIndex.signBits(r, t, col("vec")).as("code"))
+      val idx = new graft.index.LshIndex(r, t, codes)
+      val dir = java.nio.file.Files.createTempDirectory("lshio").toString
+      IndexIO.saveLsh(idx, dir)
+      val loaded = IndexIO.loadLsh(spark, dir)
+      assert((loaded.rot == null) == (r == null))
+      assert(loaded.thresholds.isDefined == t.isDefined)
+      assert(results(loaded.search(q, 5)) == results(idx.search(q, 5)),
+        s"rot=${r != null} th=${t.isDefined}")
+    }
+  }
+
+  test("ZnLattice save/load round-trips the codec parameters and codes; the " +
+    "reloaded decode is bit-identical") {
+    val idx = graft.index.Lattice.build(b, "id", "vec",
+      nsq = 16, scaleNbit = 8, r2 = 10)
+    val dir = java.nio.file.Files.createTempDirectory("latio").toString
+    IndexIO.saveLattice(idx, dir)
+    val loaded = IndexIO.loadLattice(spark, dir)
+    assert(loaded.codec.d == idx.codec.d && loaded.codec.nsq == 16 &&
+      loaded.codec.scaleNbit == 8 && loaded.codec.r2 == 10)
+    assert(loaded.codec.mins.sameElements(idx.codec.mins))
+    def recon(i: graft.index.LatticeIndex) =
+      i.reconstruct.select(col("id"), col("vec"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
+    assert(recon(loaded) == recon(idx))
+  }
+
+  test("MinMax wrapper save/load: buildIndex.reconstruct equals roundtripDf, " +
+    "and a reload reproduces it for SQ8, SQfp16 (fp16 coeffs) and PQ inners") {
+    def rt(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), round(element_at(col("vec"), 1), 5).as("v"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    for ((inner, fp16c) <- Seq(("SQ8", false), ("SQfp16", true), ("PQ8", false))) {
+      val direct = graft.index.MinMaxCodec.roundtripDf(b, "id", "vec",
+        inner, fp16c, niter = 3)
+      val idx = graft.index.MinMaxCodec.buildIndex(b, "id", "vec",
+        inner, fp16c, niter = 3)
+      assert(rt(idx.reconstruct) == rt(direct), s"$inner buildIndex drifted")
+      val dir = java.nio.file.Files.createTempDirectory(s"mmio_$inner").toString
+      IndexIO.saveMinMax(idx, dir)
+      val loaded = IndexIO.loadMinMax(spark, dir)
+      assert(loaded.inner == inner && loaded.fp16Coeffs == fp16c)
+      assert(rt(loaded.reconstruct) == rt(direct), s"$inner reload drifted")
+    }
+  }
+
+  test("RefineFlat (SQ coarse + exact re-rank) save/load round-trip preserves " +
+    "search results and k_factor") {
+    val idx = graft.index.RefineFlatIndex.build(b, "id", "vec", kFactor = 3)
+    val dir = java.nio.file.Files.createTempDirectory("refineio").toString
+    IndexIO.saveRefineFlat(idx, dir)
+    val loaded = IndexIO.loadRefineFlat(spark, dir)
+    assert(loaded.kFactor == 3 && loaded.metric == "l2sq")
+    assert(loaded.inner.qtype == "SQ8")
+    assert(results(loaded.search(q, 5)) == results(idx.search(q, 5)))
+  }
+
   test("transform chain save/load round-trip applies identically") {
     val chain = Chain(Seq(
       Centering.train(emb, "embedding"),
