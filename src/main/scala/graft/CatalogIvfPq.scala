@@ -890,6 +890,21 @@ private[graft] trait CatalogIvfPq { this: QueriesBase =>
         .withColumn("dist", r4("dist")),
       Some(ivfsqResidualSql)),
 
+    // write_index/read_index for IndexIVFScalarQuantizer (the r15
+    // persistence closure's gate entry): the residual-trained range,
+    // by_residual flag, qtype and list_no-partitioned codes persist to
+    // parquet+JSON; the RELOADED index must replay the residual-SQ
+    // scan verbatim, so the oracle is ivfsq_residual_search's verbatim
+    // (on-disk trained state == the twin-call sidecar state — the
+    // fastscan_io_roundtrip convention).
+    ("ivfsq_io_roundtrip", (s: SparkSession, dir: String) => {
+      val path = s"target/ivfsq_io_${math.abs(dir.hashCode)}"
+      graft.io.IndexIO.saveIvfSq(ivfsqRes16(s, dir), path)
+      graft.io.IndexIO.loadIvfSq(s, path).search(qDf(s, dir, 10), 5, nprobe = 16)
+        .withColumn("dist", r4("dist"))
+    },
+      Some(ivfsqResidualSql)),
+
     // §2.11 IVF + 4-bit scalar quantizer (IndexIVFScalarQuantizer
     // QT_4bit, impl/ScalarQuantizer.h:32; factory IVF<n>,SQ4).
     // nprobe = nlist, so the oracle replays the codec exactly:

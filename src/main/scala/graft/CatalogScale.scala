@@ -309,30 +309,21 @@ private[graft] trait CatalogScale { this: QueriesBase =>
     // scan over the whole table; qdist is integer-exact at any scale.
     ("pq4fs_search_big", (s: SparkSession, dir: String) =>
       pqfsBig(s, dir).search(bigQueries(s, dir), k = 10),
-      Some(s"""WITH v AS ($bigVecSql),
-              |cb AS (SELECT m, j, c::DOUBLE[] AS c FROM read_parquet('$AUX/pqfsbig_codebooks/*.parquet')),
-              |bsub AS (SELECT id, r.m AS m, vec[r.m*2+1:r.m*2+2]::DOUBLE[] AS sv
-              |         FROM v, range(0,4) r(m)),
-              |enc AS (SELECT id, m, j FROM (
-              |  SELECT b.id, b.m, cb.j, row_number() OVER (PARTITION BY b.id, b.m ORDER BY
-              |    list_aggregate(list_transform(list_zip(b.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cb.j) AS rn
-              |  FROM bsub b JOIN cb ON cb.m = b.m) t WHERE rn = 1),
-              |qsub AS (SELECT id AS qid, r.m AS m, vec[r.m*2+1:r.m*2+2]::DOUBLE[] AS sv
-              |         FROM v, range(0,4) r(m) WHERE id % 9973 = 1),
-              |lut AS (SELECT q.qid, q.m, cb.j,
-              |    list_aggregate(list_transform(list_zip(q.sv, cb.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS pd
-              |  FROM qsub q JOIN cb ON cb.m = q.m),
-              |colstat AS (SELECT qid, m, min(pd) AS mn, max(pd) - min(pd) AS span FROM lut GROUP BY qid, m),
-              |scal AS (SELECT qid, 255.0 / max(span) AS a,
-              |    list_aggregate(list(mn ORDER BY m), 'sum') AS b FROM colstat GROUP BY qid),
-              |lq AS (SELECT l.qid, l.m, l.j, floor((l.pd - cs.mn) * sc.a + 0.5)::BIGINT AS lq
-              |  FROM lut l JOIN colstat cs ON cs.qid = l.qid AND cs.m = l.m
-              |  JOIN scal sc ON sc.qid = l.qid),
-              |acc AS (SELECT l.qid, e.id, sum(l.lq)::BIGINT AS qdist
-              |  FROM enc e JOIN lq l ON l.m = e.m AND l.j = e.j GROUP BY l.qid, e.id)
-              |SELECT w.qid, "rank", id, qdist, round(qdist / sc.a + sc.b, 4) AS dist FROM (
-              |  SELECT qid, id, qdist, row_number() OVER (PARTITION BY qid ORDER BY qdist, id) AS "rank" FROM acc) w
-              |JOIN scal sc ON sc.qid = w.qid WHERE "rank" <= 10""".stripMargin)),
+      Some(pq4fsBigSql)),
+
+    // write_index/read_index of the fast-scan store AT SCALE, gate-
+    // visible (VERDICT r14 #3: the sf0.001 fastscan_io_roundtrip sits
+    // below the 0.5 s oracle floor): the 600k-row nibble-packed index
+    // is saved, reloaded, and searched while the oracle replays only
+    // the search (pq4fs_search_big's verbatim) — the gated ratio
+    // carries the save+load lifecycle the oracle never pays, the same
+    // asymmetry as distributed_ondisk_recipe (see Bench notes).
+    ("fastscan_io_big", (s: SparkSession, dir: String) => {
+      val path = s"target/fastscan_io_big_${math.abs(dir.hashCode)}"
+      graft.io.IndexIO.savePq4Fs(pqfsBig(s, dir), path)
+      graft.io.IndexIO.loadPq4Fs(s, path).search(bigQueries(s, dir), k = 10)
+    },
+      Some(pq4fsBigSql)),
 
     // IVFPQ at scale (m=4, dsub=2 over d=8): codes are 4 bytes/row vs
     // 32 bytes of floats; oracle replays the full residual-encode +
