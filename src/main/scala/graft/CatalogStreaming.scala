@@ -165,10 +165,23 @@ private[graft] trait CatalogStreaming { this: QueriesBase =>
     // (l_orderkey, l_partkey) — a genuinely duplicated key pair. Only
     // the key COUNT is aggregated (which duplicate survives depends on
     // arrival order, so any payload column would be nondeterministic).
-    ("stream_dedup_big", (s: SparkSession, dir: String) =>
+    ("stream_dedup_big", (s: SparkSession, dir: String) => {
+      // sf1-equivalent tier: replicate each streamed row scaleX times
+      // with shifted keys INSIDE the stream (a 10x source surrogate —
+      // 10x rows and 10x distinct keys through the state store).
+      // scaleX = 1 (every oracle run) passes the stream unchanged.
+      val sx = scaleX
+      val expand: DataFrame => DataFrame =
+        if (sx <= 1) identity
+        else df => df
+          .withColumn("_k", explode(sequence(lit(0), lit(sx - 1))))
+          .withColumn("l_orderkey",
+            col("l_orderkey") + col("_k").cast("long") * lit(1L << 40))
+          .drop("_k")
       graft.streaming.StreamingIngest.dedupIngest(
-        s, s"$dir/lineitem.parquet", Seq("l_orderkey", "l_partkey"))
-        .agg(count(lit(1)).as("n_unique_keys")),
+        s, s"$dir/lineitem.parquet", Seq("l_orderkey", "l_partkey"), expand)
+        .agg(count(lit(1)).as("n_unique_keys"))
+    },
       Some("""SELECT count(*)::BIGINT AS n_unique_keys FROM (
              |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) t""".stripMargin)),
 

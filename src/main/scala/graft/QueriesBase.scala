@@ -1293,8 +1293,28 @@ private[graft] trait QueriesBase {
     * (guarantees >= 0.95-cosine pairs exist at any sf). */
   private[graft] def doubledEmb(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-    e.unionByName(
+    val doubled = e.unionByName(
       e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    // sf1-equivalent tier (the bigVecs convention): replicate scaleX
+    // times with shifted ids and a per-(pair-group, copy) hash noise
+    // of amplitude 0.08/dim. Noise is keyed on the PAIR GROUP
+    // (vec_id % 10000), so each copy keeps its planted exact dup
+    // (both members get identical noise -> cos stays 1) while the
+    // same base vector across copies lands at cos ~0.88 < 0.95
+    // (|delta| ~ 0.37 on unit-norm embeddings): the planted near-dup
+    // structure replicates linearly instead of collapsing into one
+    // quadratic cross-copy clique. Copy 0 is pristine; scaleX = 1
+    // (every oracle run) returns the doubled table bit-identically.
+    if (scaleX <= 1) doubled
+    else doubled
+      .select(col("vec_id"), col("embedding"),
+        (col("vec_id") % 10000).as("_g"),
+        explode(sequence(lit(0), lit(scaleX - 1))).as("_k"))
+      .select((col("vec_id") + col("_k").cast("long") * lit(1L << 40)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") + least(col("_k"), lit(1)).cast("double") *
+            (pmod(xxhash64(col("_g"), col("_k"), i), lit(2001)) - lit(1000))
+              .cast("double") * lit(8.0e-5)).cast("float")).as("embedding"))
   }
   /** The verified >= 0.95-cosine embedding near-dup pair set, shared
     * by the pair-listing and semantic-dedup queries (same

@@ -134,11 +134,16 @@ object StreamingIngest {
     * dropDuplicatesWithinWatermark). Returns the table of unique
     * rows. */
   def dedupIngest(spark: SparkSession, eventsParquet: String,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String],
+      /** Bench-only scale hook (the sf1-equivalent tier): applied to
+        * the stream BEFORE the stateful dedup, so a 10x row/key
+        * expansion flows through the state store like a 10x source
+        * would. Identity on every oracle run. */
+      expand: DataFrame => DataFrame = identity): DataFrame = {
     val (srcDir, staged) = stage(eventsParquet)
     try withNanosAsLong(spark) {
       val schema = spark.read.parquet(eventsParquet).schema
-      val stream = spark.readStream.schema(schema).parquet(srcDir)
+      val stream = expand(spark.readStream.schema(schema).parquet(srcDir))
         .dropDuplicates(keys)
       val name = s"graft_dedup_${System.identityHashCode(stream)}"
       val q = stream.writeStream.outputMode("append")
