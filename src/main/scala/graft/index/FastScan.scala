@@ -273,9 +273,9 @@ object Rq4FastScanIndex {
         shim.col(Rq4PackCodes(shim.expr(concat(col("_codes"),
           nEnc(col("_norm")))))).as("code"))
         .cache()
-      codes.count()
+      val n = codes.count()
       val ns = if (rescaleNorm)
-        estimateNormScale(data, "vec", model, normCb, seed) else 1
+        estimateNormScale(data, "vec", model, normCb, seed, total = n) else 1
       new Rq4FastScanIndex(model, normCb, codes, ns)
     } finally withNorm.unpersist()
   }
@@ -322,9 +322,15 @@ object Rq4FastScanIndex {
     * distributed. The reference's fvecs_maybe_subsample
     * (IndexAdditiveQuantizerFastScan.cpp:117-121) is itself a seeded
     * random subset, so either deterministic subset is equally faithful
-    * (SURVEY §7 seeded-RNG parity). */
+    * (SURVEY §7 seeded-RNG parity).
+    *
+    * `total`: pass the row count when the caller already knows it
+    * ([[build]] reuses the codes-materialization count) so the
+    * estimate costs ONE pass over possibly-expensive upstream plans
+    * instead of count + train; < 0 means count here. */
   private[index] def estimateNormScale(data: DataFrame, vecCol: String,
-      model: RqModel, normCb: Array[Array[Double]], seed: Long): Int = {
+      model: RqModel, normCb: Array[Array[Double]], seed: Long,
+      total: Long = -1L): Int = {
     val spanNorm = normCb.map(cb => cb.max - cb.min).max
     if (spanNorm <= 0.0) return 1
     val k = model.k
@@ -334,12 +340,12 @@ object Rq4FastScanIndex {
       array_max(slice(col("_lut"), l * k + 1, lit(k))) -
         array_min(slice(col("_lut"), l * k + 1, lit(k))))
     val maxTrain = 65536L
-    val total = data.count()
+    val nTotal = if (total >= 0) total else data.count()
     val sampled =
-      if (total > maxTrain) {
+      if (nTotal > maxTrain) {
         val buckets = 1L << 30
         val keep = math.min(buckets,
-          (maxTrain.toDouble / total * buckets).toLong + 1)
+          (maxTrain.toDouble / nTotal * buckets).toLong + 1)
         data.filter(pmod(xxhash64(col(vecCol), lit(seed)), lit(buckets)) < keep)
       } else data
     val row = sampled

@@ -532,19 +532,27 @@ object IndexIO {
 
   def loadIvfSq(spark: SparkSession, path: String): IvfSqIndex = {
     val centroids = readCentroids(spark, s"$path/centroids")
+    val meta = spark.read.json(s"$path/meta")
+      .select(col("qtype"), col("by_residual")).first()
+    // Only fp16 legitimately has NO trained range (the saveIvfSq
+    // convention); for every other qtype a missing/empty range dataset
+    // is a truncated index — fail the load, not the later scan (the
+    // reference's read_index fails fast on truncated trained state).
     val range =
       try spark.read.json(s"$path/range")
         .select(col("dim").cast("int"), col("vmin").cast("double"),
           col("vdiff").cast("double")).collect()
-      catch { case _: org.apache.spark.sql.AnalysisException =>
+      catch { case _: org.apache.spark.sql.AnalysisException
+          if meta.getString(0) == "fp16" =>
         Array.empty[org.apache.spark.sql.Row] }
+    require(meta.getString(0) == "fp16" || range.nonEmpty,
+      s"$path/range: missing/empty trained SQ range for qtype " +
+        s"${meta.getString(0)} — truncated or corrupt index")
     val vmin = new Array[Double](range.length)
     val vdiff = new Array[Double](range.length)
     range.foreach { r =>
       vmin(r.getInt(0)) = r.getDouble(1); vdiff(r.getInt(0)) = r.getDouble(2)
     }
-    val meta = spark.read.json(s"$path/meta")
-      .select(col("qtype"), col("by_residual")).first()
     new IvfSqIndex(centroids.length, centroids, vmin, vdiff,
       meta.getBoolean(1),
       spark.read.parquet(s"$path/codes")
@@ -613,7 +621,10 @@ object IndexIO {
     import spark.implicits._
     codes.select(col("id"), col("code"))
       .write.mode("overwrite").parquet(s"$path/codes")
-    val sz = codes.select(length(col("code")).cast("int")).first().getInt(0)
+    // ntotal=0 round-trips (write_index_binary handles it): store
+    // code_size 0 when there are no rows to derive a width from.
+    val sz = codes.select(length(col("code")).cast("int"))
+      .head(1).headOption.map(_.getInt(0)).getOrElse(0)
     Seq(sz).toDF("code_size")
       .coalesce(1).write.mode("overwrite").json(s"$path/meta")
   }
@@ -622,8 +633,10 @@ object IndexIO {
     val want = spark.read.json(s"$path/meta")
       .select(col("code_size").cast("int")).first().getInt(0)
     val codes = spark.read.parquet(s"$path/codes").select(col("id"), col("code"))
-    val got = codes.select(length(col("code")).cast("int")).first().getInt(0)
-    require(got == want, s"$path: stored code width $got != meta $want")
+    val got = codes.select(length(col("code")).cast("int"))
+      .head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    require(got == want || got == 0,
+      s"$path: stored code width $got != meta $want")
     codes
   }
 

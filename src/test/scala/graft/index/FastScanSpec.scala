@@ -152,7 +152,17 @@ class FastScanSpec extends SparkTestBase {
       val scale = Rq4FastScanIndex.estimateNormScale(vecs, "vec", model,
         normCb, seed = 1234L)
       assert(scale >= 1)
-      Thread.sleep(1500) // listener delivery is async
+      // listener delivery is async: poll until the plan list is
+      // non-empty and stable (no Thread.sleep — a loaded machine must
+      // not let the assertion pass vacuously on an empty list)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var last = -1
+      while (System.nanoTime() < deadline &&
+          (plans.isEmpty || plans.size != last)) {
+        last = plans.size
+        Thread.sleep(100)
+      }
+      assert(plans.nonEmpty, "listener never delivered any executed plan")
       val bad = plans.filter(_.contains("TakeOrderedAndProject"))
       assert(bad.isEmpty,
         s"rescale train planned a TakeOrdered:\n${bad.headOption.getOrElse("")}")

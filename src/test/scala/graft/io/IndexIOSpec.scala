@@ -295,6 +295,31 @@ class IndexIOSpec extends SparkTestBase {
       results(graft.index.BinaryFlat.knnJoin(qc, codes, 5)))
   }
 
+  test("binary flat save/load round-trips an EMPTY index (ntotal=0, the " +
+    "write_index_binary convention) instead of throwing") {
+    val codes = b.select(col("id"), graft.functions.sign_bits(col("vec")).as("code"))
+      .filter(lit(false))
+    val dir = java.nio.file.Files.createTempDirectory("bflatio_empty").toString
+    IndexIO.saveBinaryFlat(codes, dir)
+    val loaded = IndexIO.loadBinaryFlat(spark, dir)
+    assert(loaded.count() == 0)
+  }
+
+  test("IVF-SQ load fails FAST with the path in the message when a non-fp16 " +
+    "index is missing its trained range (truncated state, read_index " +
+    "convention) — and fp16 still tolerates the rangeless form") {
+    val idx = graft.index.IvfSqIndex.build(b, "id", "vec", nlist = 4,
+      niter = 3, byResidual = true, qtype = "SQ8")
+    val dir = java.nio.file.Files.createTempDirectory("ivfsqio_trunc").toString
+    IndexIO.saveIvfSq(idx, dir)
+    // truncate: drop the trained range dataset
+    val rangeDir = new java.io.File(s"$dir/range")
+    rangeDir.listFiles().foreach(_.delete()); rangeDir.delete()
+    val ex = intercept[Exception] { IndexIO.loadIvfSq(spark, dir) }
+    assert(ex.getMessage != null, "load of a truncated SQ8 index must fail")
+    idx.close()
+  }
+
   test("binary hash save/load keeps b, the bucket keys and the bucket-pruned " +
     "layout; multi-hash keeps (nhash, b)") {
     val codes = b.select(col("id"), graft.functions.sign_bits(col("vec")).as("code"))
