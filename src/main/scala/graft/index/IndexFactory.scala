@@ -1003,6 +1003,54 @@ object IndexFactory {
     case i: ImiIndex =>
       s"IMI2x${Integer.numberOfTrailingZeros(i.ksub)},Flat"
     case i: BinaryIvfIndex => s"BIVF${i.nlist}"
+    // ---- persisted-family cases (round 16): every family IndexIO can
+    // save/load reverses from its trained state, so a RELOADED index
+    // can be labeled (IndexIO.reverseFactory). Where our state model
+    // deliberately bakes a training distinction the reference keeps as
+    // a C++ type (RQ vs LSQ codebooks are just codebooks here; a
+    // product AQ persists its zero-padded flat-equivalent model), the
+    // emitted spelling labels the state the index actually scans with.
+    case i: Pq4FastScanIndex => s"PQ${i.model.m}x4fs"
+    case i: IvfPq4FastScanIndex => s"IVF${i.nlist},PQ${i.model.m}x4fs"
+    case i: IvfPq4FastScanRIndex => s"IVF${i.nlist},PQ${i.model.m}x4fsr"
+    case i: Rq4FastScanIndex => s"RQ${i.model.levels}x4fs"
+    case i: IvfRq4FastScanIndex => s"IVF${i.nlist},RQ${i.model.levels}x4fs"
+    case i: IvfRq4FastScanRIndex => s"IVF${i.nlist},RQ${i.model.levels}x4fsr"
+    case i: IvfRqNormIndex =>
+      // only _Nnone is recoverable: the other norm codecs' trained
+      // state is deliberately baked into the DECODED stored norms
+      // (IvfRqNormIndex scaladoc) — qint8/qint4/cqint/float decoded
+      // values are indistinguishable by design, so labeling one would
+      // be a guess. The reference can reverse because write_index
+      // stores search_type; our layout trades that tag for a
+      // retrain-free bit-identical reload.
+      require(i.nonorm, "cannot derive the _N<norm> suffix from decoded " +
+        "stored norms (the codec is baked into the values); only the " +
+        "_Nnone form reverses")
+      s"IVF${i.idx.nlist},RQ${i.idx.model.levels}x${aqNbits(i.idx.model.k)}_Nnone"
+    case i: IvfRqIndex =>
+      s"IVF${i.nlist},RQ${i.model.levels}x${aqNbits(i.model.k)}"
+    case i: LshIndex =>
+      s"LSH${if (i.rot != null) "r" else ""}${if (i.thresholds.isDefined) "t" else ""}"
+    case i: LatticeIndex =>
+      s"ZnLattice${i.codec.nsq}x${i.codec.r2}_${i.codec.scaleNbit}"
+    case i: MinMaxIndex =>
+      s"${if (i.fp16Coeffs) "MinMaxFP16" else "MinMax"},${i.inner}"
+    case i: RefineFlatIndex => s"${reverseIndexFactory(i.inner)},RFlat"
+    case i: BinaryHashIndex => s"BHash${i.b}"
+    case i: BinaryMultiHashIndex => s"BHash${i.nhash}x${i.b}"
+    case i: IvfSpectralHashIndex =>
+      // per-list thresholds are all zero ONLY under Thresh_global (the
+      // 'g' spelling); centroid/median/centroid_half train real values
+      // whose derivation is not recorded (the reference's reverse
+      // doesn't cover IndexIVFSpectralHash at all)
+      require(i.thresholds.forall(_.forall(_ == 0f)),
+        "trained per-list spectral-hash thresholds do not record their " +
+        "derivation (centroid/median/centroid_half); only Thresh_global " +
+        "reverses")
+      val p = if (i.period == math.rint(i.period)) i.period.toLong.toString
+        else i.period.toString
+      s"IVF${i.nlist},SH${i.nbit}x${p}g"
     // graph-shard wrappers reverse from live structure (degree +
     // storage-code fields — the downcast walk); chain-prefixed and
     // composite wrappers carry their spelling in `description`
@@ -1012,6 +1060,12 @@ object IndexFactory {
           s"cannot derive a factory string for ${b.getClass.getSimpleName}"))
     case other => throw new IllegalArgumentException(
       s"cannot derive a factory string for ${other.getClass.getSimpleName}")
+  }
+
+  /** AQ token nbits from the per-level codebook size (k = 2^nbits). */
+  private def aqNbits(k: Int): Int = {
+    require(Integer.bitCount(k) == 1, s"AQ k=$k is not a power of 2")
+    Integer.numberOfTrailingZeros(k)
   }
 
   /** Train the whole pipeline on `df` (id, vec) and return a

@@ -419,6 +419,7 @@ object IvfIndex {
       .map { case (c, i) => (i, c.toSeq, idx.d, idx.metric, idx.nlist) }
       .toDF("list_no", "centroid", "d", "metric", "nlist")
       .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+    graft.io.IndexIO.saveKind(spark, path, "ivfflat")
   }
 
   def load(spark: SparkSession, path: String): IvfIndex = {

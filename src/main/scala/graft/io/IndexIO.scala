@@ -44,6 +44,7 @@ object IndexIO {
     // width cannot be inferred from meta
     Seq(idx.qtype).toDF("qtype")
       .coalesce(1).write.mode("overwrite").json(s"$path/qtype")
+    saveKind(spark, path, "sq")
   }
 
   def loadSq(spark: SparkSession, path: String): SqIndex = {
@@ -76,6 +77,7 @@ object IndexIO {
       yield (mi, j, m.codebooks(mi)(j).toSeq, m.ksub, m.dsub)
     rows.toDF("m", "j", "centroid", "ksub", "dsub")
       .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+    saveKind(spark, path, "pq")
   }
 
   def loadPq(spark: SparkSession, path: String): PqIndex = {
@@ -100,6 +102,7 @@ object IndexIO {
     import spark.implicits._
     idx.codes.repartition(col("list_no"))
       .write.mode("overwrite").partitionBy("list_no").parquet(s"$path/codes")
+    saveKind(spark, path, "ivfpq")
     idx.centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq, idx.nlist) }
       .toDF("list_no", "centroid", "nlist")
@@ -138,6 +141,7 @@ object IndexIO {
     val spark = idx.codes.sparkSession
     import spark.implicits._
     idx.codes.write.mode("overwrite").parquet(s"$path/codes")
+    saveKind(spark, path, "twolayer")
     idx.centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq, idx.nlist) }
       .toDF("list_no", "centroid", "nlist")
@@ -179,6 +183,7 @@ object IndexIO {
       .map { case (bits, l) => (l, bits.toSeq, idx.nlist) }
       .toDF("list_no", "bits", "nlist")
       .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+    saveKind(spark, path, "bivf")
   }
 
   def loadBinaryIvf(spark: SparkSession, path: String): BinaryIvfIndex = {
@@ -199,6 +204,7 @@ object IndexIO {
     import spark.implicits._
     idx.invlists.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/invlists")
+    saveKind(spark, path, "imi")
     val m = idx.model
     (for (mi <- 0 until m.m; j <- m.codebooks(mi).indices)
       yield (mi, j, m.codebooks(mi)(j).toSeq, m.ksub, m.dsub))
@@ -246,6 +252,7 @@ object IndexIO {
     val spark = idx.codes.sparkSession
     idx.codes.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    saveKind(spark, path, "imipq")
     pqModelDf(spark, idx.coarse)
       .coalesce(1).write.mode("overwrite").json(s"$path/coarse")
     pqModelDf(spark, idx.model)
@@ -264,6 +271,7 @@ object IndexIO {
   def saveMiqTwoLayer(idx: MiqTwoLayerIndex, path: String): Unit = {
     val spark = idx.codes.sparkSession
     idx.codes.write.mode("overwrite").parquet(s"$path/codes")
+    saveKind(spark, path, "miq2layer")
     pqModelDf(spark, idx.coarse)
       .coalesce(1).write.mode("overwrite").json(s"$path/coarse")
     pqModelDf(spark, idx.model)
@@ -292,6 +300,7 @@ object IndexIO {
       .map { case (t, l) => (l, t.toSeq) }.toDF("list_no", "thresh")
       .coalesce(1).write.mode("overwrite").json(s"$path/thresholds")
     saveTransform(spark, idx.vt, s"$path/vt")
+    saveKind(spark, path, "ivfsh")
   }
 
   def loadSpectralHash(spark: SparkSession, path: String): IvfSpectralHashIndex = {
@@ -345,6 +354,7 @@ object IndexIO {
     val spark = idx.codes.sparkSession
     import spark.implicits._
     idx.codes.write.mode("overwrite").parquet(s"$path/codes")
+    saveKind(spark, path, "pq4fs")
     val m = idx.model
     (for (mi <- 0 until m.m; j <- m.codebooks(mi).indices)
       yield (mi, j, m.codebooks(mi)(j).toSeq, m.ksub, m.dsub))
@@ -372,6 +382,7 @@ object IndexIO {
       yield (mi, j, m.codebooks(mi)(j).toSeq, m.ksub, m.dsub))
       .toDF("m", "j", "centroid", "ksub", "dsub")
       .coalesce(1).write.mode("overwrite").json(s"$path/codebooks")
+    saveKind(spark, path, "ivfpq4fs")
   }
 
   def loadIvfPq4Fs(spark: SparkSession, path: String): IvfPq4FastScanIndex = {
@@ -395,6 +406,7 @@ object IndexIO {
     saveNormCb(spark, idx.normCb, s"$path/normcb")
     Seq(idx.normScale).toDF("norm_scale")
       .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+    saveKind(spark, path, "rq4fs")
   }
 
   def loadRq4Fs(spark: SparkSession, path: String): Rq4FastScanIndex = {
@@ -459,6 +471,7 @@ object IndexIO {
     saveNormCb(spark, normCb, s"$path/normcb")
     Seq(byResidual).toDF("by_residual")
       .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+    saveKind(spark, path, if (byResidual) "ivfrq4fsr" else "ivfrq4fs")
   }
 
   def saveIvfRq4Fs(idx: IvfRq4FastScanIndex, path: String): Unit =
@@ -502,6 +515,7 @@ object IndexIO {
       yield (mi, j, m.codebooks(mi)(j).toSeq, m.ksub, m.dsub))
       .toDF("m", "j", "centroid", "ksub", "dsub")
       .coalesce(1).write.mode("overwrite").json(s"$path/codebooks")
+    saveKind(spark, path, "ivfpq4fsr")
   }
 
   def loadIvfPq4FsR(spark: SparkSession, path: String): IvfPq4FastScanRIndex = {
@@ -528,6 +542,7 @@ object IndexIO {
       .coalesce(1).write.mode("overwrite").json(s"$path/range")
     Seq((idx.qtype, idx.byResidual)).toDF("qtype", "by_residual")
       .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+    saveKind(spark, path, "ivfsq")
   }
 
   def loadIvfSq(spark: SparkSession, path: String): IvfSqIndex = {
@@ -570,6 +585,7 @@ object IndexIO {
       .write.mode("overwrite").partitionBy("list_no").parquet(s"$path/codes")
     saveCentroids(spark, idx.centroids, s"$path/centroids")
     saveRq(spark, idx.model, s"$path/codebooks")
+    saveKind(spark, path, "ivfrq")
   }
 
   def loadIvfRq(spark: SparkSession, path: String): IvfRqIndex = {
@@ -595,6 +611,7 @@ object IndexIO {
     saveRq(spark, idx.idx.model, s"$path/codebooks")
     Seq(idx.nonorm).toDF("nonorm")
       .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+    saveKind(spark, path, "ivfrqnorm")
   }
 
   def loadIvfRqNorm(spark: SparkSession, path: String): IvfRqNormIndex = {
@@ -627,6 +644,7 @@ object IndexIO {
       .head(1).headOption.map(_.getInt(0)).getOrElse(0)
     Seq(sz).toDF("code_size")
       .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+    saveKind(spark, path, "bflat")
   }
 
   def loadBinaryFlat(spark: SparkSession, path: String): DataFrame = {
@@ -647,6 +665,7 @@ object IndexIO {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/codes")
     Seq(idx.b).toDF("b")
       .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+    saveKind(spark, path, "bhash")
   }
 
   def loadBinaryHash(spark: SparkSession, path: String): BinaryHashIndex = {
@@ -664,6 +683,7 @@ object IndexIO {
       .write.mode("overwrite").parquet(s"$path/codes")
     Seq((idx.nhash, idx.b)).toDF("nhash", "b")
       .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+    saveKind(spark, path, "bmultihash")
   }
 
   def loadBinaryMultiHash(spark: SparkSession, path: String): BinaryMultiHashIndex = {
@@ -688,6 +708,7 @@ object IndexIO {
     Seq((idx.rot != null, idx.thresholds.isDefined))
       .toDF("rotate_data", "train_thresholds")
       .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+    saveKind(spark, path, "lsh")
   }
 
   def loadLsh(spark: SparkSession, path: String): LshIndex = {
@@ -720,6 +741,7 @@ object IndexIO {
       (j, c.mins(j), c.maxs(j), c.d, c.nsq, c.scaleNbit, c.r2))
       .toDF("j", "mn", "mx", "d", "nsq", "scale_nbit", "r2")
       .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+    saveKind(spark, path, "lattice")
   }
 
   def loadLattice(spark: SparkSession, path: String): LatticeIndex = {
@@ -756,6 +778,7 @@ object IndexIO {
     if (idx.pqModel != null)
       pqModelDf(spark, idx.pqModel)
         .coalesce(1).write.mode("overwrite").json(s"$path/codebooks")
+    saveKind(spark, path, "minmax")
   }
 
   def loadMinMax(spark: SparkSession, path: String): MinMaxIndex = {
@@ -796,6 +819,7 @@ object IndexIO {
     idx.base.write.mode("overwrite").parquet(s"$path/base")
     Seq((idx.kFactor, idx.metric)).toDF("k_factor", "metric")
       .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+    saveKind(spark, path, "refineflat")
   }
 
   def loadRefineFlat(spark: SparkSession, path: String): RefineFlatIndex = {
@@ -805,6 +829,75 @@ object IndexIO {
       spark.read.parquet(s"$path/base").select(col("id"), col("vec")),
       meta.getInt(0), meta.getString(1))
   }
+
+  // ---- kind tag / generic load / reverse_index_factory -----------------
+  // (the fourcc analog: write_index stamps a per-class fourcc so
+  // read_index can dispatch without being told the type,
+  // faiss/impl/index_write.cpp — every save* here stamps <path>/kind
+  // the same way.)
+  private[graft] def saveKind(spark: SparkSession, path: String,
+      kind: String): Unit = {
+    import spark.implicits._
+    Seq(kind).toDF("kind").coalesce(1).write.mode("overwrite")
+      .json(s"$path/kind")
+  }
+
+  /** The stored family tag of a saved index. */
+  def loadKind(spark: SparkSession, path: String): String =
+    try spark.read.json(s"$path/kind").select(col("kind")).first().getString(0)
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      throw new IllegalArgumentException(
+        s"$path has no kind tag — not a saved index (or pre-r16 layout); " +
+          s"use the family's typed load", e)
+    }
+
+  /** read_index dispatch (faiss/index_io.h:38 — open ANY saved index
+    * without being told its family). Returns the family's own index
+    * type; pattern-match or pass to [[reverseFactory]]. */
+  def load(spark: SparkSession, path: String): Any =
+    loadKind(spark, path) match {
+      case "ivfflat" => IvfIndex.load(spark, path)
+      case "sq" => loadSq(spark, path)
+      case "pq" => loadPq(spark, path)
+      case "ivfpq" => loadIvfPq(spark, path)
+      case "twolayer" => loadTwoLayer(spark, path)
+      case "bivf" => loadBinaryIvf(spark, path)
+      case "imi" => loadImi(spark, path)
+      case "imipq" => loadImiPq(spark, path)
+      case "miq2layer" => loadMiqTwoLayer(spark, path)
+      case "ivfsh" => loadSpectralHash(spark, path)
+      case "pq4fs" => loadPq4Fs(spark, path)
+      case "ivfpq4fs" => loadIvfPq4Fs(spark, path)
+      case "ivfpq4fsr" => loadIvfPq4FsR(spark, path)
+      case "rq4fs" => loadRq4Fs(spark, path)
+      case "ivfrq4fs" => loadIvfRq4Fs(spark, path)
+      case "ivfrq4fsr" => loadIvfRq4FsR(spark, path)
+      case "ivfsq" => loadIvfSq(spark, path)
+      case "ivfrq" => loadIvfRq(spark, path)
+      case "ivfrqnorm" => loadIvfRqNorm(spark, path)
+      case "bflat" => loadBinaryFlat(spark, path)
+      case "bhash" => loadBinaryHash(spark, path)
+      case "bmultihash" => loadBinaryMultiHash(spark, path)
+      case "lsh" => loadLsh(spark, path)
+      case "lattice" => loadLattice(spark, path)
+      case "minmax" => loadMinMax(spark, path)
+      case "refineflat" => loadRefineFlat(spark, path)
+      case other => throw new IllegalArgumentException(
+        s"$path: unknown index kind '$other'")
+    }
+
+  /** reverse_index_factory over a PERSISTED index
+    * (contrib/factory_tools.py:76 applied to a read_index result):
+    * load the saved state and derive the canonical factory string.
+    * Families whose trained state deliberately bakes a spelling
+    * distinction (decoded stored norms, trained per-list thresholds)
+    * refuse with an explanation — see
+    * [[graft.index.IndexFactory.reverseIndexFactory]]. */
+  def reverseFactory(spark: SparkSession, path: String): String =
+    loadKind(spark, path) match {
+      case "bflat" => "BFlat" // a bare codes table, no structure to walk
+      case _ => IndexFactory.reverseIndexFactory(load(spark, path))
+    }
 
   // ---- VectorTransform chain -----------------------------------------
   // (write_VectorTransform / read_VectorTransform, faiss/index_io.h:67)

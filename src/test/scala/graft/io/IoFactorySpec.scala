@@ -254,6 +254,125 @@ class IoFactorySpec extends SparkTestBase {
     }
   }
 
+  test("reverse_index_factory over PERSISTED indexes: every IndexIO family " +
+    "reloads via the kind tag and reverses to its canonical string (r16)") {
+    def dir(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"revio_$tag").toString
+    def check(expect: String, save: String => Unit): Unit = {
+      val d = dir(expect.replaceAll("[^A-Za-z0-9]", "_"))
+      save(d)
+      assert(IndexIO.reverseFactory(spark, d) == expect, s"at $d")
+    }
+    check("IVF8,Flat", d => graft.index.IvfIndex.save(
+      graft.index.IvfIndex.build(b, "id", "vec", nlist = 8, niter = 2), d))
+    check("SQ8", d => IndexIO.saveSq(
+      graft.index.SqIndex.build(b, "id", "vec"), d))
+    check("PQ8x16", d => IndexIO.savePq(
+      graft.index.PqIndex.build(b, "id", "vec", m = 8, ksub = 16, niter = 2), d))
+    check("IVF4,PQ8x16", d => IndexIO.saveIvfPq(
+      graft.index.IvfPqIndex.build(b, "id", "vec",
+        nlist = 4, m = 8, ksub = 16, niterCoarse = 2, niterPq = 2), d))
+    check("Residual4,PQ8x16", d => IndexIO.saveTwoLayer(
+      graft.index.TwoLayerIndex.build(b, "id", "vec",
+        nlist = 4, m = 8, ksub = 16, niterCoarse = 2, niterPq = 2), d))
+    check("Residual2x4,PQ8x16", d => IndexIO.saveMiqTwoLayer(
+      graft.index.MiqTwoLayerIndex.build(b, "id", "vec",
+        mCoarse = 2, nbit = 4, m = 8, ksub = 16,
+        niterCoarse = 2, niterPq = 2), d))
+    check("IMI2x2,Flat", d => IndexIO.saveImi(
+      graft.index.ImiIndex.build(b, "id", "vec", ksub = 4, niter = 2), d))
+    check("IMI2x2,PQ8x16", d => IndexIO.saveImiPq(
+      graft.index.ImiPqIndex.build(b, "id", "vec", ksub = 4,
+        m = 8, pqKsub = 16, niterCoarse = 2, niterPq = 2), d))
+    check("BIVF4", d => IndexIO.saveBinaryIvf(
+      graft.index.BinaryIvfIndex.buildFromVectors(b, "id", "vec",
+        nlist = 4, niter = 2), d))
+    check("IVF4,SH16x1g", d => IndexIO.saveSpectralHash(
+      graft.index.IvfSpectralHash.build(b, "id", "vec", nlist = 4,
+        nbit = 16, period = 1.0, thresholdType = "global", niter = 2), d))
+    check("PQ8x4fs", d => IndexIO.savePq4Fs(
+      graft.index.Pq4FastScanIndex.build(b, "id", "vec", m = 8, niter = 2), d))
+    check("IVF4,PQ8x4fs", d => IndexIO.saveIvfPq4Fs(
+      graft.index.IvfPq4FastScanIndex.build(b, "id", "vec", nlist = 4,
+        m = 8, niterCoarse = 2, niterPq = 2), d))
+    check("IVF4,PQ8x4fsr", d => IndexIO.saveIvfPq4FsR(
+      graft.index.IvfPq4FastScanRIndex.build(b, "id", "vec", nlist = 4,
+        m = 8, niterCoarse = 2, niterPq = 2), d))
+    check("RQ2x4fs", d => IndexIO.saveRq4Fs(
+      graft.index.Rq4FastScanIndex.build(b, "id", "vec",
+        levels = 2, niter = 2), d))
+    check("IVF4,RQ2x4fs", d => IndexIO.saveIvfRq4Fs(
+      graft.index.IvfRq4FastScanIndex.build(b, "id", "vec",
+        nlist = 4, levels = 2, niterCoarse = 2, niter = 2), d))
+    check("IVF4,RQ2x4fsr", d => IndexIO.saveIvfRq4FsR(
+      graft.index.IvfRq4FastScanRIndex.build(b, "id", "vec",
+        nlist = 4, levels = 2, niterCoarse = 2, niter = 2), d))
+    check("IVF4,SQ8", d => IndexIO.saveIvfSq(
+      graft.index.IvfSqIndex.build(b, "id", "vec", nlist = 4,
+        niter = 2, byResidual = true, qtype = "SQ8"), d))
+    val ivfRq = graft.index.IvfRq.build(b, "id", "vec", nlist = 4,
+      levels = 2, k = 16, niterCoarse = 2, niterRq = 2)
+    check("IVF4,RQ2x4", d => IndexIO.saveIvfRq(ivfRq, d))
+    check("IVF4,RQ2x4_Nnone", d => IndexIO.saveIvfRqNorm(
+      new graft.index.IvfRqNormIndex(ivfRq, ivfRq.codes, nonorm = true), d))
+    val bcodes = b.select(col("id"), graft.functions.sign_bits(col("vec")).as("code"))
+    check("BFlat", d => IndexIO.saveBinaryFlat(bcodes, d))
+    check("BHash6", d => IndexIO.saveBinaryHash(
+      graft.index.BinaryHashIndex.build(bcodes, b = 6), d))
+    check("BHash4x8", d => IndexIO.saveBinaryMultiHash(
+      new graft.index.BinaryMultiHashIndex(4, 8, bcodes), d))
+    val dim = b.select(size(col("vec"))).first().getInt(0)
+    val rot = graft.transform.Linear(
+      graft.transform.Transforms.randomRotation(dim, 1234L).a)
+    val th = Some(Array.tabulate(dim)(i => 0.01 * (i % 5 - 2)))
+    for ((r, t, expect) <- Seq(
+        (rot, th, "LSHrt"), (rot, None, "LSHr"), (null, None, "LSH"))) {
+      val codes = b.select(col("id"),
+        graft.index.LshIndex.signBits(r, t, col("vec")).as("code"))
+      check(expect, d => IndexIO.saveLsh(
+        new graft.index.LshIndex(r, t, codes), d))
+    }
+    check("ZnLattice16x10_8", d => IndexIO.saveLattice(
+      graft.index.Lattice.build(b, "id", "vec",
+        nsq = 16, scaleNbit = 8, r2 = 10), d))
+    check("MinMax,SQ8", d => IndexIO.saveMinMax(
+      MinMaxCodec.buildIndex(b, "id", "vec", "SQ8", fp16Coeffs = false,
+        niter = 2), d))
+    check("MinMaxFP16,SQfp16", d => IndexIO.saveMinMax(
+      MinMaxCodec.buildIndex(b, "id", "vec", "SQfp16", fp16Coeffs = true,
+        niter = 2), d))
+    check("SQ8,RFlat", d => IndexIO.saveRefineFlat(
+      graft.index.RefineFlatIndex.build(b, "id", "vec", kFactor = 3), d))
+  }
+
+  test("reverse_index_factory refusals: baked trained state that does not " +
+    "record its spelling refuses with an explanation, and a kindless " +
+    "directory is rejected (r16)") {
+    // trained (non-global) spectral-hash thresholds don't record their
+    // derivation
+    val sh = graft.index.IvfSpectralHash.build(b, "id", "vec", nlist = 4,
+      nbit = 16, period = 1.0, thresholdType = "median", niter = 2)
+    val d1 = java.nio.file.Files.createTempDirectory("revio_shmed").toString
+    IndexIO.saveSpectralHash(sh, d1)
+    val e1 = intercept[IllegalArgumentException] {
+      IndexIO.reverseFactory(spark, d1) }
+    assert(e1.getMessage.contains("Thresh_global"))
+    // decoded stored norms don't record their codec (only _Nnone reverses)
+    val ivfRq = graft.index.IvfRq.build(b, "id", "vec", nlist = 4,
+      levels = 2, k = 16, niterCoarse = 2, niterRq = 2)
+    val withNq = ivfRq.codes.withColumn("nq", lit(1.0))
+    val d2 = java.nio.file.Files.createTempDirectory("revio_rqnorm").toString
+    IndexIO.saveIvfRqNorm(
+      new graft.index.IvfRqNormIndex(ivfRq, withNq, nonorm = false), d2)
+    val e2 = intercept[IllegalArgumentException] {
+      IndexIO.reverseFactory(spark, d2) }
+    assert(e2.getMessage.contains("_Nnone"))
+    // not a saved index
+    val d3 = java.nio.file.Files.createTempDirectory("revio_nokind").toString
+    val e3 = intercept[IllegalArgumentException] { IndexIO.loadKind(spark, d3) }
+    assert(e3.getMessage.contains("kind"))
+  }
+
   test("factory ITQ[<d>], bare RR and L2Norm spelling (r9)") {
     // rotations preserve L2, so exact search under RR / full-dim ITQ
     // must match plain Flat
