@@ -1062,7 +1062,14 @@ private[graft] trait CatalogIvfPq { this: QueriesBase =>
     // red (precedent: recall_half_dims). KnnGraphSpec additionally
     // asserts per-iteration convergence.
     ("knn_graph_nndescent", (s: SparkSession, dir: String) => {
-      val pts = emb(s, dir).filter(col("vec_id") < 100)
+      // sf1-equivalent tier: replicate the node set scaleX times
+      // ([[replicatePairGroups]] — shifted ids + per-copy hash noise;
+      // here group = id, so every copy is a perturbed whole graph) so
+      // the NN-descent build grows linearly in n. The recall gate's
+      // exact graph is the in-query O(n^2) denominator and scales
+      // with it. scaleX = 1 (every oracle run) is bit-identical.
+      val pts = replicatePairGroups(
+        emb(s, dir).filter(col("vec_id") < 100), "vec_id", "embedding", scaleX)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val exact = graft.knn.KnnGraph.exact(pts, 5)
       val approx = graft.knn.KnnGraph.nnDescent(pts, 5, iters = 3)

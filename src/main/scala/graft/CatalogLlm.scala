@@ -188,7 +188,13 @@ private[graft] trait CatalogLlm { this: QueriesBase =>
              |SELECT c.doc_id, count(DISTINCT c.sh)::BIGINT AS n_shared
              |FROM csh c JOIN bsh b ON b.sh = c.sh GROUP BY c.doc_id""".stripMargin)),
 
-    // embedding near-dup (cosine >= 0.95) on the doubled corpus
+    // embedding near-dup (cosine >= 0.95) on the doubled corpus.
+    // EXACT form: the triangle-inequality cell probes keep candidates
+    // a strict superset of the answer, which on an ISOTROPIC corpus
+    // (this testdata: median pairwise cos 0.001) provably degenerates
+    // to the all-pairs verify — Theta(n^2) work however well it
+    // distributes. SCALING.md carries this row under the n^2 model;
+    // the bounded-work at-scale path is semantic_neardup_cells below.
     ("embedding_near_dup", (s: SparkSession, dir: String) =>
       embPairs95(s, dir).withColumn("cos", round(col("cos"), 4)),
       Some("""WITH u AS (SELECT vec_id, embedding FROM embeddings
@@ -198,6 +204,34 @@ private[graft] trait CatalogLlm { this: QueriesBase =>
              |FROM u a CROSS JOIN u b
              |WHERE a.vec_id < b.vec_id
              |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95""".stripMargin)),
+
+    // SemDeDup WITHIN-CELL near-dup (Abbas et al. 2023 §3: k-means
+    // the corpus, then compare pairs only INSIDE each cluster) — the
+    // published bounded-work recipe and the 100 TB contract for
+    // embedding dedup: work = sum(cell^2) = n^1.5 at the
+    // sqrt-occupancy default, one assignment-hash shuffle, per-cell
+    // pair blocks as independent tasks. Cross-cell pairs are excluded
+    // BY DESIGN (exactly as the paper does). The oracle replays the
+    // assignment from the trained-centroid sidecar (ties on lower
+    // list_no, the NearestCentroid contract) and the within-cell
+    // cosine verify, so a wrong cell map or a leaked cross-cell pair
+    // hash-mismatches.
+    ("semantic_neardup_cells", (s: SparkSession, dir: String) =>
+      Dedup.embeddingNearDupsWithinCells(doubledEmb(s, dir), "vec_id",
+        "embedding", 0.95, semCells(s, dir))
+        .withColumn("cos", round(col("cos"), 4)),
+      Some(s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
+              |           UNION ALL SELECT vec_id + 10000, embedding FROM embeddings),
+              |cent AS (SELECT list_no, c::DOUBLE[] AS c FROM read_parquet('$AUX/semcells_centroids/*.parquet')),
+              |a AS (SELECT vec_id, embedding, list_no FROM (
+              |  SELECT u.vec_id, u.embedding, cent.list_no,
+              |    row_number() OVER (PARTITION BY u.vec_id ORDER BY
+              |      list_aggregate(list_transform(list_zip(u.embedding::DOUBLE[], cent.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cent.list_no) AS rn
+              |  FROM u CROSS JOIN cent) t WHERE rn = 1)
+              |SELECT x.vec_id AS i, y.vec_id AS j,
+              |  round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) AS cos
+              |FROM a x JOIN a y ON x.list_no = y.list_no AND x.vec_id < y.vec_id
+              |WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.95""".stripMargin)),
 
     // SemDeDup-style semantic dedup (Abbas et al. 2023): one
     // representative per connected component of the >= 0.95-cosine

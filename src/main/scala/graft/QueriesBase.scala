@@ -1288,33 +1288,59 @@ private[graft] trait QueriesBase {
     }
   private[graft] def docsDf(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
+  /** Bench-only sf1-equivalent replication (the bigVecs convention):
+    * `sx` copies with ids shifted by copy*2^40 and a per-(pair-group,
+    * copy) hash noise that is ORTHOGONALIZED against the vector and
+    * rescaled to the FIXED length 0.4*||v||. Noise is keyed on the
+    * PAIR GROUP (id % groupMod), so each copy keeps any planted
+    * exact-dup pair whose members share a group (identical vector +
+    * identical noise -> stays an exact dup), while the same base
+    * vector across copies lands at the DETERMINISTIC
+    * cos = 1/sqrt(1.16) = 0.9285 vs pristine copy 0 (delta
+    * perpendicular to v, |delta| = 0.4||v|| exactly — no
+    * distributional tail; the r15 per-dim uniform amplitude left a
+    * ~9% tail of copy0-vs-copyk pairs ABOVE the 0.95 near-dup
+    * threshold) and cos ~ 0.86 between two noisy copies: planted
+    * near-dup structure replicates linearly instead of collapsing
+    * into one quadratic cross-copy clique, and each pair group stays
+    * a TIGHT local cluster (diameter <= ~1.1*0.4) instead of a
+    * diffuse fog. Copy 0 is pristine; sx <= 1 (every oracle run)
+    * returns the input bit-identically (same DataFrame reference).
+    * ScaleXSpec pins all three properties. */
+  private[graft] def replicatePairGroups(df: DataFrame, idCol: String,
+      vecCol: String, sx: Int, groupMod: Long = 10000L): DataFrame =
+    if (sx <= 1) df
+    else {
+      def dot(a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (s, p) => s + p)
+      val vd = col(vecCol).cast("array<double>")
+      df.select(col(idCol), col(vecCol),
+          (col(idCol) % groupMod).as("_g"),
+          explode(sequence(lit(0), lit(sx - 1))).as("_k"))
+        .withColumn("_u", transform(col(vecCol), (_, i) =>
+          (pmod(xxhash64(col("_g"), col("_k"), i), lit(2001)) - lit(1000))
+            .cast("double")))
+        // remove the along-v component, then fix length to 0.4*||v||
+        .withColumn("_c", dot(col("_u"), vd) / greatest(dot(vd, vd), lit(1e-12)))
+        .withColumn("_p", zip_with(col("_u"), vd, (u, v) => u - col("_c") * v))
+        .withColumn("_s", least(col("_k"), lit(1)).cast("double") * lit(0.4) *
+          sqrt(dot(vd, vd)) /
+          sqrt(greatest(dot(col("_p"), col("_p")), lit(1e-12))))
+        .select((col(idCol) + col("_k").cast("long") * lit(1L << 40)).as(idCol),
+          zip_with(vd, col("_p"),
+            (v, p) => (v + col("_s") * p).cast("float")).as(vecCol))
+    }
   /** Embeddings with planted exact duplicates (vec_id + 10000): the
     * corpus the embedding near-dup and semantic-dedup queries run on
-    * (guarantees >= 0.95-cosine pairs exist at any sf). */
+    * (guarantees >= 0.95-cosine pairs exist at any sf). The scaleX
+    * tier replicates via [[replicatePairGroups]] (pair group =
+    * vec_id % 10000, exactly the planted-dup pairing). */
   private[graft] def doubledEmb(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
     val doubled = e.unionByName(
       e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-    // sf1-equivalent tier (the bigVecs convention): replicate scaleX
-    // times with shifted ids and a per-(pair-group, copy) hash noise
-    // of amplitude 0.08/dim. Noise is keyed on the PAIR GROUP
-    // (vec_id % 10000), so each copy keeps its planted exact dup
-    // (both members get identical noise -> cos stays 1) while the
-    // same base vector across copies lands at cos ~0.88 < 0.95
-    // (|delta| ~ 0.37 on unit-norm embeddings): the planted near-dup
-    // structure replicates linearly instead of collapsing into one
-    // quadratic cross-copy clique. Copy 0 is pristine; scaleX = 1
-    // (every oracle run) returns the doubled table bit-identically.
-    if (scaleX <= 1) doubled
-    else doubled
-      .select(col("vec_id"), col("embedding"),
-        (col("vec_id") % 10000).as("_g"),
-        explode(sequence(lit(0), lit(scaleX - 1))).as("_k"))
-      .select((col("vec_id") + col("_k").cast("long") * lit(1L << 40)).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          (x.cast("double") + least(col("_k"), lit(1)).cast("double") *
-            (pmod(xxhash64(col("_g"), col("_k"), i), lit(2001)) - lit(1000))
-              .cast("double") * lit(8.0e-5)).cast("float")).as("embedding"))
+    replicatePairGroups(doubled, "vec_id", "embedding", scaleX)
   }
   /** The verified >= 0.95-cosine embedding near-dup pair set, shared
     * by the pair-listing and semantic-dedup queries (same
@@ -1322,6 +1348,20 @@ private[graft] trait QueriesBase {
   private[graft] def embPairs95(s: SparkSession, dir: String): DataFrame =
     cached(s"embpairs95:$dir") {
       Dedup.embeddingNearDups(doubledEmb(s, dir), "vec_id", "embedding", 0.95)
+    }
+  /** SemDeDup cell centroids over [[doubledEmb]] (k = max(16,
+    * ceil(sqrt(n))) — the sqrt-occupancy n^1.5 work point), trained
+    * once per session and sidecarred for the DuckDB assignment
+    * replay of `semantic_neardup_cells`. */
+  private[graft] def semCells(s: SparkSession, dir: String): Array[Array[Float]] =
+    cached(s"semcells:$dir") {
+      val d = doubledEmb(s, dir)
+      val k = math.max(16, math.ceil(math.sqrt(d.count().toDouble)).toInt)
+      val cents = graft.cluster.KMeans.fit(d.select(col("embedding")),
+        "embedding",
+        graft.cluster.KMeans.Params(k = k, niter = 4, seed = 1234L)).centroids
+      OracleAux.write(dir, "semcells_centroids", OracleAux.centroidsDf(s, cents))
+      cents
     }
   /** The one MinHash-LSH near-dup pipeline at the catalog's standard
     * parameters, shared by every query that consumes its verified

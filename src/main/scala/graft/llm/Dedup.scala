@@ -376,12 +376,19 @@ object Dedup {
     *
     * `nlist <= 0` (the default) derives the cell count from the input:
     * nlist = max(16, ceil(sqrt(n))), so cells stay O(sqrt(n)) and the
-    * within-cell verify join is O(n^1.5 · fanout) instead of the
-    * O(n²/const) a FIXED default degenerates to at corpus scale
-    * (VERDICT r06 finding #4). Large cell counts train via
-    * [[graft.cluster.TwoLevelClustering]] — constant Spark jobs
-    * regardless of nlist. `bruteForce = true` keeps the O(n²) cross
-    * join for tiny inputs / oracle twins. */
+    * within-cell verify join is O(n^1.5 · fanout) WHEN THE PRUNING
+    * ENGAGES — which requires the corpus to have cluster structure at
+    * the threshold scale. On an ISOTROPIC corpus every pairwise
+    * distance concentrates near sqrt(2)·||v||, cell max-radii stay at
+    * the corpus diameter, every point probes every cell, and the
+    * exact form provably degenerates to the Theta(n^2) all-pairs
+    * verify (curse of dimensionality — no ball-based summary
+    * separates anything; measured on the driver testdata, r16). The
+    * bounded-work at-scale path that trades cross-cell pairs away BY
+    * DESIGN is [[embeddingNearDupsWithinCells]] (SemDeDup). Large
+    * cell counts train via [[graft.cluster.TwoLevelClustering]] —
+    * constant Spark jobs regardless of nlist. `bruteForce = true`
+    * keeps the O(n²) cross join for tiny inputs / oracle twins. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 0, niter: Int = 4,
       seed: Long = 1234L, bruteForce: Boolean = false): DataFrame = {
@@ -457,6 +464,44 @@ object Dedup {
       .filter(col("i") < col("j"))
       .select(col("i"), col("j"), col("_va"), col("_vb"))
     (cand, assigned)
+  }
+
+  /** SemDeDup-style WITHIN-CELL near-dup pairs (Abbas et al. 2023,
+    * §3: k-means the corpus, then compare pairs only inside each
+    * cluster) — the published bounded-work recipe, and the 100 TB
+    * contract for this operator. [[embeddingNearDups]]'s
+    * triangle-inequality probe keeps its candidates an EXACT superset
+    * of the answer, but on an ISOTROPIC corpus (all pairwise
+    * distances concentrate near sqrt(2)) no ball-based summary can
+    * separate anything, so the exact form provably degenerates to the
+    * all-pairs verify — Theta(n^2) work however well it distributes
+    * (measured: the driver-testdata embeddings are isotropic, median
+    * pairwise cos 0.001, and the exact form's candidate join is
+    * exactly n^2 at every scale; SCALING.md carries it under the n^2
+    * work model for that reason). This variant trades the cross-cell
+    * pairs away BY DESIGN (exactly as the paper does): work is
+    * sum(cell^2) — n^1.5 at the sqrt-occupancy default, linear at a
+    * fixed occupancy — and each cell's pair block is an independent
+    * task, so the one shuffle is the assignment hash. Callers pass
+    * trained `centroids` (the catalog trains them once per session
+    * and sidecars them for the DuckDB replay); assignment runs on the
+    * RAW vector column for bit-exact float parity with the oracle —
+    * pass a pre-normalized column for the paper's cosine-cell
+    * contract (the catalog corpus is unit-norm already). */
+  def embeddingNearDupsWithinCells(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double,
+      centroids: Array[Array[Float]]): DataFrame = {
+    val assigned = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .withColumn("_a", org.apache.spark.sql.graft.shim.col(
+        graft.core.NearestCentroid(
+          org.apache.spark.sql.graft.shim.expr(col("_v")), centroids)))
+      .select(col("_id"), col("_v"), col("_a.list_no").as("list_no"))
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.list_no") === col("b.list_no") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("i"), col("b._id").as("j"),
+        graft.functions.cosine_sim(col("a._v"), col("b._v")).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** Brute-force all-pairs form (oracle twin / tiny inputs only). */

@@ -33,7 +33,36 @@ SFS = ["0.001", "0.01", "0.1"]
 SF1_QUERIES = [
     "minhash_neardup_big", "unigram_logprob_big", "ivfpq_build_big",
     "distributed_ondisk_recipe_big", "ivf_search_big", "pq4fs_search_big",
+    # r16: the dedup/stream heavies that top the wall-time chart
+    # (VERDICT r15 #1) — their scaleX hooks landed in r15/r16
+    "stream_dedup_big", "embedding_near_dup", "knn_graph_nndescent",
+    "semantic_neardup_cells",
 ]
+# Queries measured ONLY in the fourth decade because their fixtures do
+# not scale with sf (embeddings.parquet is 500 rows at sf<=0.01 and
+# 2000 at sf0.1; the nndescent node set is pinned at vec_id < 100 at
+# every sf) — the engine-replication decade is their only informative
+# span. Models:
+# - embedding_near_dup is "n2": the EXACT near-dup form's
+#   triangle-inequality candidate superset provably degenerates to
+#   the all-pairs verify on an isotropic corpus (this testdata:
+#   median pairwise cos 0.001 — measured r16, see
+#   Dedup.embeddingNearDupsWithinCells scaladoc), so its work model
+#   IS n^2; the bounded at-scale path is semantic_neardup_cells.
+# - semantic_neardup_cells is "n15" (n^1.5): SemDeDup within-cell
+#   pairs at sqrt-occupancy cells — assignment n*sqrt(n) + per-cell
+#   pair blocks sum(cell^2) = n*sqrt(n).
+# - knn_graph_nndescent is "n2": the catalog query carries its own
+#   recall gate, an exact O(n^2) kNN graph, as the in-query
+#   denominator; the NN-descent term itself is n*k^2 per round, so
+#   any candidate blow-up in the descent still surfaces against the
+#   n^2 ceiling.
+SF1_ONLY = {
+    "embedding_near_dup": "n2",
+    "knn_graph_nndescent": "n2",
+    "semantic_neardup_cells": "n15",
+}
+EXPECTED = {"n": 10.0, "n15": 10.0 ** 1.5, "n2": 100.0}
 # query -> work model ("n" linear in corpus, "n2" query-set * corpus)
 QUERIES = {
     "bigvec_derive": "n",
@@ -51,7 +80,11 @@ QUERIES = {
     "minhash_neardup_big": "n",
     "unigram_logprob_big": "n",
     "distributed_ondisk_recipe_big": "n",
+    # r16: streamed lineitem rows through the state-store dedup —
+    # source rows AND distinct keys are both linear in the corpus
+    "stream_dedup_big": "n",
 }
+MODELS = {**QUERIES, **SF1_ONLY}
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -116,7 +149,14 @@ def report(per_sf: dict) -> tuple:  # (markdown, verdicts)
     lines.append("- **n2** — the query table itself scales with the "
                  "corpus (`id % 9973 == 1` sampling), so work is "
                  "(queries x scanned rows): expected growth per decade "
-                 "~100x.")
+                 "~100x. Also used for the operators whose work IS "
+                 "intrinsically quadratic on this corpus (exact "
+                 "near-dup on isotropic embeddings; the in-query exact "
+                 "recall gate of the kNN-graph row).")
+    lines.append("- **n15** — n^1.5: SemDeDup within-cell pairs at "
+                 "sqrt-occupancy cells (assignment n*sqrt(n) + "
+                 "sum(cell^2) = n*sqrt(n)): expected growth per decade "
+                 "~31.6x.")
     lines.append("")
     lines.append("A plan survives scale-up iff `task_ms / work-units` "
                  "is flat-or-falling across the span (no super-linear "
@@ -135,7 +175,7 @@ def report(per_sf: dict) -> tuple:  # (markdown, verdicts)
     for q, model in QUERIES.items():
         secs = [per_sf[sf]["queries"][q]["sec"] for sf in SFS]
         tms = [per_sf[sf]["queries"][q]["task_ms"] for sf in SFS]
-        exp = 10.0 if model == "n" else 100.0
+        exp = EXPECTED[model]
         growth = (tms[2] / tms[1]) if tms[1] > 0 else float("inf")
         per_unit = growth / exp
         # flat-or-falling per-unit cost, with 2x headroom for the
@@ -220,14 +260,45 @@ def report(per_sf: dict) -> tuple:  # (markdown, verdicts)
                      "working sets out of cache and fakes a 2.6-4.5x "
                      "super-linear term that partition scaling removes.")
         lines.append("")
+        lines.append("Three rows exist ONLY in this decade (their "
+                     "fixtures do not scale with sf — embeddings.parquet "
+                     "is 500 rows at sf<=0.01, the nndescent node set is "
+                     "pinned at 100). All three replicate via "
+                     "Queries.replicatePairGroups: shifted ids plus a "
+                     "pair-group-keyed noise ORTHOGONAL to the vector at "
+                     "the fixed length 0.4||v||, so every planted "
+                     ">=0.95-cos pair replicates per copy while the same "
+                     "base vector across copies lands at the "
+                     "deterministic cos 0.9285 < 0.95 (ScaleXSpec pins "
+                     "all margins). embedding_near_dup carries the n2 "
+                     "model: its EXACT triangle-inequality blocking "
+                     "provably degenerates to the all-pairs verify on "
+                     "this ISOTROPIC corpus (median pairwise cos 0.001 — "
+                     "no ball-based summary separates anything; the r16 "
+                     "measurement that exposed this is the point of the "
+                     "decade), so the honest claim is "
+                     "perfectly-distributed quadratic work, and the "
+                     "bounded-work at-scale path is the adjacent "
+                     "semantic_neardup_cells row (SemDeDup within-cell "
+                     "pairs, n^1.5 by construction). knn_graph_nndescent "
+                     "is n2 because the catalog query carries its own "
+                     "recall gate — an exact O(n^2) kNN graph — as the "
+                     "in-query denominator (the NN-descent term itself "
+                     "is n*k^2 per round). stream_dedup_big expands "
+                     "INSIDE the stream (10x rows and 10x distinct keys "
+                     "through the state store), so the decade exercises "
+                     "state-store growth, not just source volume.")
+        lines.append("")
         lines.append("| query | model | sec @.1/1 | task_ms @.1/1 "
                      "| task growth .1->1 | expected | per-unit | verdict |")
         lines.append("|---|---|---|---|---|---|---|---|")
         for q in SF1_QUERIES:
-            model = QUERIES[q]
+            model = MODELS[q]
+            # SF1-only queries have no 3-sf row; seed their record here
+            verdicts.setdefault(q, {"model": model, "sf1_only": True})
             m1 = per_sf["0.1"]["queries"][q]
             m10 = per_sf["1"]["queries"][q]
-            exp = 10.0 if model == "n" else 100.0
+            exp = EXPECTED[model]
             growth = (m10["task_ms"] / m1["task_ms"]) if m1["task_ms"] > 0 \
                 else float("inf")
             per_unit = growth / exp
@@ -259,7 +330,11 @@ def main():
                 per_sf[sf] = json.load(f)
     else:
         for sf in SFS:
-            per_sf[sf] = run_sf(sf)
+            # the sf0.1 run also measures the SF1-only queries' scaleX=1
+            # baselines (their fixtures do not scale with sf, so they
+            # are absent from the smaller spans)
+            qs = list(QUERIES) + (list(SF1_ONLY) if sf == "0.1" else [])
+            per_sf[sf] = run_sf(sf, queries=qs)
         per_sf["1"] = run_sf("0.1", scale_x=10, queries=SF1_QUERIES)
     md, verdicts = report(per_sf)
     with open(os.path.join(REPO, "SCALING.md"), "w") as f:
@@ -267,7 +342,9 @@ def main():
     with open(os.path.join(REPO, "SCALING.json"), "w") as f:
         json.dump({"sfs": SFS + (["1"] if "1" in per_sf else []),
                    "queries": verdicts, "raw": per_sf}, f, indent=1)
-    bad = [q for q, v in verdicts.items() if not v["linear_in_work"]]
+    bad = [q for q, v in verdicts.items()
+           if not (v.get("linear_in_work", True) and
+                   v.get("sf1", {}).get("linear_in_work", True))]
     print(f"[scaling] wrote SCALING.md / SCALING.json; "
           f"super-linear: {bad or 'none'}")
 
