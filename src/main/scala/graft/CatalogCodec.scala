@@ -1096,5 +1096,200 @@ private[graft] trait CatalogCodec { this: QueriesBase =>
               |SELECT qid, "rank", id, round(dist, 4) AS dist FROM (
               |  SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS "rank" FROM d) w
               |WHERE "rank" <= 10""".stripMargin)),
+
+    // write_index/read_index MATRIX (VERDICT r15 #7): every
+    // persistable family's save → kind-dispatch load (read_index,
+    // faiss/index_io.h:38) → reverse_index_factory → equality check,
+    // as ONE oracle-visible row set (the IndexIOSpec round-trips made
+    // gate-visible). Per family: build a tiny index over a fixed
+    // 490-vector slice, save it, reload it WITHOUT being told its
+    // family (the kind tag), derive the canonical factory string from
+    // the persisted meta, and compare the reloaded index against its
+    // in-session twin — searchable families by an identical kNN
+    // (qid, rank, id), codec carriers (two-layer, lattice, MinMax) by
+    // full reconstruction, binary flat by its codes table.
+    // ok = non-empty AND set-equal. The oracle pins the 26 canonical
+    // factory strings and the gate booleans (the knn_graph_nndescent
+    // pattern: DuckDB cannot replay a save/load lifecycle, so the
+    // engine-computed equality IS the check and a regression flips
+    // the hash red).
+    ("index_io_matrix", (s: SparkSession, dir: String) => {
+      import graft.io.IndexIO
+      import graft.index._
+      val e0 = emb(s, dir)
+      // fixed slice: 490 vectors at EVERY sf (embeddings has >= 500
+      // rows from sf0.001 up), so build cost does not grow with sf
+      val base = e0.filter(col("vec_id") >= 10 && col("vec_id") < 500)
+        .select(col("vec_id").as("id"), col("embedding").as("vec")).cache()
+      val q = e0.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val qc = q.select(col("qid"), sign_bits(col("qvec")).as("qcode"))
+      val bcodes = base.select(col("id"), sign_bits(col("vec")).as("code"))
+      val root = s"target/io_matrix_${math.abs(dir.hashCode)}"
+      // bounded-collect compare (<= 490 rows x 26 families, the
+      // distributed_ondisk_recipe idiom): one action per side instead
+      // of the 4 a distributed except() pair would re-execute
+      def canon(df: DataFrame): Seq[Seq[Any]] =
+        df.collect().toSeq.map(_.toSeq.map {
+          case b: Array[Byte] => b.toSeq
+          case q: scala.collection.Seq[_] => q.toSeq
+          case v => v
+        }).sortBy(_.toString())
+      def setEq(a: DataFrame, b: DataFrame): Boolean = {
+        val x = canon(a)
+        x.nonEmpty && x == canon(b)
+      }
+      def sr(df: DataFrame): DataFrame = df.select("qid", "rank", "id")
+      // the 26 family lifecycles are independent tiny-job chains;
+      // overlap them on a bounded pool (concurrent Spark actions are
+      // the intended scheduler use — this is wall-clock packing, not
+      // extra work)
+      val thunks = Seq.newBuilder[() => (String, Boolean)]
+      def add(tag: String, save: String => Unit, twin: => DataFrame,
+          run: Any => DataFrame): Unit = {
+        thunks += (() => {
+          val p = s"$root/$tag"
+          save(p)
+          (IndexIO.reverseFactory(s, p),
+            setEq(run(IndexIO.load(s, p)), twin))
+        })
+      }
+      lazy val ivf = IvfIndex.build(base, "id", "vec", nlist = 8, niter = 2)
+      add("ivfflat", IvfIndex.save(ivf, _), sr(ivf.search(q, 5, nprobe = 8)),
+        a => sr(a.asInstanceOf[IvfIndex].search(q, 5, nprobe = 8)))
+      lazy val sq = SqIndex.build(base, "id", "vec")
+      add("sq", IndexIO.saveSq(sq, _), sr(sq.search(q, 5)),
+        a => sr(a.asInstanceOf[SqIndex].search(q, 5)))
+      lazy val pq = PqIndex.build(base, "id", "vec", m = 8, ksub = 16, niter = 2)
+      add("pq", IndexIO.savePq(pq, _), sr(pq.search(q, 5)),
+        a => sr(a.asInstanceOf[PqIndex].search(q, 5)))
+      lazy val ivfpq = IvfPqIndex.build(base, "id", "vec", nlist = 4, m = 8,
+        ksub = 16, niterCoarse = 2, niterPq = 2)
+      add("ivfpq", IndexIO.saveIvfPq(ivfpq, _),
+        sr(ivfpq.search(q, 5, nprobe = 4)),
+        a => sr(a.asInstanceOf[IvfPqIndex].search(q, 5, nprobe = 4)))
+      lazy val tl = TwoLayerIndex.build(base, "id", "vec", nlist = 4, m = 8,
+        ksub = 16, niterCoarse = 2, niterPq = 2)
+      add("twolayer", IndexIO.saveTwoLayer(tl, _), tl.reconstruct,
+        a => a.asInstanceOf[TwoLayerIndex].reconstruct)
+      lazy val miq = MiqTwoLayerIndex.build(base, "id", "vec", mCoarse = 2,
+        nbit = 4, m = 8, ksub = 16, niterCoarse = 2, niterPq = 2)
+      add("miq2layer", IndexIO.saveMiqTwoLayer(miq, _), miq.reconstruct,
+        a => a.asInstanceOf[MiqTwoLayerIndex].reconstruct)
+      lazy val bivf = BinaryIvfIndex.buildFromVectors(base, "id", "vec",
+        nlist = 4, niter = 2)
+      add("bivf", IndexIO.saveBinaryIvf(bivf, _),
+        sr(bivf.search(qc, 5, nprobe = 4)),
+        a => sr(a.asInstanceOf[BinaryIvfIndex].search(qc, 5, nprobe = 4)))
+      lazy val imi = ImiIndex.build(base, "id", "vec", ksub = 4, niter = 2)
+      add("imi", IndexIO.saveImi(imi, _), sr(imi.search(q, 5, nprobe = 16)),
+        a => sr(a.asInstanceOf[ImiIndex].search(q, 5, nprobe = 16)))
+      lazy val imipq = ImiPqIndex.build(base, "id", "vec", ksub = 4, m = 8,
+        pqKsub = 16, niterCoarse = 2, niterPq = 2)
+      add("imipq", IndexIO.saveImiPq(imipq, _),
+        sr(imipq.search(q, 5, nprobe = 16)),
+        a => sr(a.asInstanceOf[ImiPqIndex].search(q, 5, nprobe = 16)))
+      lazy val sh = IvfSpectralHash.build(base, "id", "vec", nlist = 4,
+        nbit = 16, period = 1.0, thresholdType = "global", niter = 2)
+      add("ivfsh", IndexIO.saveSpectralHash(sh, _),
+        sr(sh.search(q, 5, nprobe = 4)),
+        a => sr(a.asInstanceOf[IvfSpectralHashIndex].search(q, 5, nprobe = 4)))
+      lazy val pqfs = Pq4FastScanIndex.build(base, "id", "vec", m = 8, niter = 2)
+      add("pq4fs", IndexIO.savePq4Fs(pqfs, _), sr(pqfs.search(q, 5)),
+        a => sr(a.asInstanceOf[Pq4FastScanIndex].search(q, 5)))
+      lazy val ipqfs = IvfPq4FastScanIndex.build(base, "id", "vec", nlist = 4,
+        m = 8, niterCoarse = 2, niterPq = 2)
+      add("ivfpq4fs", IndexIO.saveIvfPq4Fs(ipqfs, _),
+        sr(ipqfs.search(q, 5, nprobe = 4)),
+        a => sr(a.asInstanceOf[IvfPq4FastScanIndex].search(q, 5, nprobe = 4)))
+      lazy val ipqfsr = IvfPq4FastScanRIndex.build(base, "id", "vec", nlist = 4,
+        m = 8, niterCoarse = 2, niterPq = 2)
+      add("ivfpq4fsr", IndexIO.saveIvfPq4FsR(ipqfsr, _),
+        sr(ipqfsr.search(q, 5, nprobe = 4)),
+        a => sr(a.asInstanceOf[IvfPq4FastScanRIndex].search(q, 5, nprobe = 4)))
+      lazy val rqfs = Rq4FastScanIndex.build(base, "id", "vec", levels = 2,
+        niter = 2)
+      add("rq4fs", IndexIO.saveRq4Fs(rqfs, _), sr(rqfs.search(q, 5)),
+        a => sr(a.asInstanceOf[Rq4FastScanIndex].search(q, 5)))
+      lazy val irqfs = IvfRq4FastScanIndex.build(base, "id", "vec", nlist = 4,
+        levels = 2, niterCoarse = 2, niter = 2)
+      add("ivfrq4fs", IndexIO.saveIvfRq4Fs(irqfs, _),
+        sr(irqfs.search(q, 5, nprobe = 4)),
+        a => sr(a.asInstanceOf[IvfRq4FastScanIndex].search(q, 5, nprobe = 4)))
+      lazy val irqfsr = IvfRq4FastScanRIndex.build(base, "id", "vec", nlist = 4,
+        levels = 2, niterCoarse = 2, niter = 2)
+      add("ivfrq4fsr", IndexIO.saveIvfRq4FsR(irqfsr, _),
+        sr(irqfsr.search(q, 5, nprobe = 4)),
+        a => sr(a.asInstanceOf[IvfRq4FastScanRIndex].search(q, 5, nprobe = 4)))
+      lazy val ivfsq = IvfSqIndex.build(base, "id", "vec", nlist = 4, niter = 2,
+        byResidual = true, qtype = "SQ8")
+      add("ivfsq", IndexIO.saveIvfSq(ivfsq, _),
+        sr(ivfsq.search(q, 5, nprobe = 4)),
+        a => sr(a.asInstanceOf[IvfSqIndex].search(q, 5, nprobe = 4)))
+      lazy val ivfrq = IvfRq.build(base, "id", "vec", nlist = 4, levels = 2,
+        k = 16, niterCoarse = 2, niterRq = 2)
+      add("ivfrq", IndexIO.saveIvfRq(ivfrq, _),
+        sr(ivfrq.search(q, 5, nprobe = 4)),
+        a => sr(a.asInstanceOf[IvfRqIndex].search(q, 5, nprobe = 4)))
+      lazy val ivfrqn = new IvfRqNormIndex(ivfrq, ivfrq.codes, nonorm = true)
+      add("ivfrqnorm", IndexIO.saveIvfRqNorm(ivfrqn, _),
+        sr(ivfrqn.search(q, 5, nprobe = 4)),
+        a => sr(a.asInstanceOf[IvfRqNormIndex].search(q, 5, nprobe = 4)))
+      add("bflat", IndexIO.saveBinaryFlat(bcodes, _), bcodes,
+        a => a.asInstanceOf[DataFrame])
+      lazy val bh = BinaryHashIndex.build(bcodes, b = 6)
+      add("bhash", IndexIO.saveBinaryHash(bh, _), sr(bh.search(qc, 5)),
+        a => sr(a.asInstanceOf[BinaryHashIndex].search(qc, 5)))
+      lazy val bmh = new BinaryMultiHashIndex(4, 8, bcodes)
+      add("bmultihash", IndexIO.saveBinaryMultiHash(bmh, _),
+        sr(bmh.search(qc, 5)),
+        a => sr(a.asInstanceOf[BinaryMultiHashIndex].search(qc, 5)))
+      // embeddings are d=64 (the znLat16 fixture's contract)
+      lazy val rot = graft.transform.Linear(
+        graft.transform.Transforms.randomRotation(64, 1234L).a)
+      lazy val th = Some(Array.tabulate(64)(i => 0.01 * (i % 5 - 2)))
+      lazy val lsh = new LshIndex(rot, th, base.select(col("id"),
+        LshIndex.signBits(rot, th, col("vec")).as("code")))
+      add("lsh", IndexIO.saveLsh(lsh, _), sr(lsh.search(q, 5)),
+        a => sr(a.asInstanceOf[LshIndex].search(q, 5)))
+      lazy val lat = Lattice.build(base, "id", "vec", nsq = 16, scaleNbit = 8,
+        r2 = 10)
+      add("lattice", IndexIO.saveLattice(lat, _), lat.reconstruct,
+        a => a.asInstanceOf[LatticeIndex].reconstruct)
+      lazy val mm = MinMaxCodec.buildIndex(base, "id", "vec", "SQ8",
+        fp16Coeffs = false, niter = 2)
+      add("minmax", IndexIO.saveMinMax(mm, _), mm.reconstruct,
+        a => a.asInstanceOf[MinMaxIndex].reconstruct)
+      lazy val rf = RefineFlatIndex.build(base, "id", "vec", kFactor = 3)
+      add("refineflat", IndexIO.saveRefineFlat(rf, _), sr(rf.search(q, 5)),
+        a => sr(a.asInstanceOf[RefineFlatIndex].search(q, 5)))
+      base.count() // materialize the shared cache once, outside the pool
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val rows = try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(pool)
+        Await.result(
+          Future.sequence(thunks.result().map(t => Future(t()))),
+          Duration.Inf)
+      } finally pool.shutdown()
+      import s.implicits._
+      rows.sortBy(_._1).toDF("family", "ok")
+    },
+      Some("""SELECT family, ok FROM (VALUES
+             |  ('BFlat', true), ('BHash4x8', true), ('BHash6', true),
+             |  ('BIVF4', true), ('IMI2x2,Flat', true),
+             |  ('IMI2x2,PQ8x16', true), ('IVF4,PQ8x16', true),
+             |  ('IVF4,PQ8x4fs', true), ('IVF4,PQ8x4fsr', true),
+             |  ('IVF4,RQ2x4', true), ('IVF4,RQ2x4_Nnone', true),
+             |  ('IVF4,RQ2x4fs', true), ('IVF4,RQ2x4fsr', true),
+             |  ('IVF4,SH16x1g', true), ('IVF4,SQ8', true),
+             |  ('IVF8,Flat', true), ('LSHrt', true), ('MinMax,SQ8', true),
+             |  ('PQ8x16', true), ('PQ8x4fs', true), ('RQ2x4fs', true),
+             |  ('Residual2x4,PQ8x16', true), ('Residual4,PQ8x16', true),
+             |  ('SQ8', true), ('SQ8,RFlat', true),
+             |  ('ZnLattice16x10_8', true)) t(family, ok)
+             |ORDER BY family""".stripMargin)),
   )
 }
