@@ -1310,27 +1310,15 @@ private[graft] trait QueriesBase {
   private[graft] def replicatePairGroups(df: DataFrame, idCol: String,
       vecCol: String, sx: Int, groupMod: Long = 10000L): DataFrame =
     if (sx <= 1) df
-    else {
-      def dot(a: org.apache.spark.sql.Column,
-          b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (s, p) => s + p)
-      val vd = col(vecCol).cast("array<double>")
-      df.select(col(idCol), col(vecCol),
-          (col(idCol) % groupMod).as("_g"),
-          explode(sequence(lit(0), lit(sx - 1))).as("_k"))
-        .withColumn("_u", transform(col(vecCol), (_, i) =>
-          (pmod(xxhash64(col("_g"), col("_k"), i), lit(2001)) - lit(1000))
-            .cast("double")))
-        // remove the along-v component, then fix length to 0.4*||v||
-        .withColumn("_c", dot(col("_u"), vd) / greatest(dot(vd, vd), lit(1e-12)))
-        .withColumn("_p", zip_with(col("_u"), vd, (u, v) => u - col("_c") * v))
-        .withColumn("_s", least(col("_k"), lit(1)).cast("double") * lit(0.4) *
-          sqrt(dot(vd, vd)) /
-          sqrt(greatest(dot(col("_p"), col("_p")), lit(1e-12))))
-        .select((col(idCol) + col("_k").cast("long") * lit(1L << 40)).as(idCol),
-          zip_with(vd, col("_p"),
-            (v, p) => (v + col("_s") * p).cast("float")).as(vecCol))
-    }
+    else df
+      .select(col(idCol), col(vecCol),
+        (col(idCol) % groupMod).as("_g"),
+        explode(sequence(lit(0), lit(sx - 1))).as("_k"))
+      .select((col(idCol) + col("_k").cast("long") * lit(1L << 40)).as(idCol),
+        shim.col(graft.core.ReplicaNoise(
+          shim.expr(col(vecCol)),
+          shim.expr(col("_g").cast("long")),
+          shim.expr(col("_k").cast("long")))).as(vecCol))
   /** Embeddings with planted exact duplicates (vec_id + 10000): the
     * corpus the embedding near-dup and semantic-dedup queries run on
     * (guarantees >= 0.95-cosine pairs exist at any sf). The scaleX

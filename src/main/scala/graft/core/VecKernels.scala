@@ -253,4 +253,51 @@ object VecKernels {
     }
     out
   }
+
+  /** Bench-fixture replica perturbation (Queries.replicatePairGroups):
+    * v + delta where delta is a deterministic hash noise keyed on
+    * (g, k), ORTHOGONALIZED against v and rescaled to the fixed
+    * length 0.4*||v||, so cos(v, v+delta) = 1/sqrt(1.16) = 0.9285
+    * exactly (below the 0.95 near-dup threshold, no distributional
+    * tail). k = 0 returns v bit-identically (the pristine copy).
+    * One O(3d) imperative pass — a lambda-expression formulation of
+    * the same math gets its scalar subexpressions inlined into the
+    * per-element lambdas by CollapseProject and evaluates INTERPRETED
+    * at O(d^3) per row (measured: minutes per pass over 40k rows). */
+  def replicaNoise(v: ArrayData, g: Long, k: Long): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    if (k <= 0L) {
+      while (i < n) { out(i) = v.getFloat(i); i += 1 }
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    val u = new Array[Double](n)
+    var uv = 0.0
+    var vv = 0.0
+    while (i < n) {
+      // splitmix64-style avalanche of (g, k, i) — stable across runs
+      var z = g * 0x9E3779B97F4A7C15L + k * 0xBF58476D1CE4E5B9L +
+        i * 0x94D049BB133111EBL
+      z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+      z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+      z ^= z >>> 33
+      val r = ((z % 2001L + 2001L) % 2001L - 1000L).toDouble
+      val vi = v.getFloat(i).toDouble
+      u(i) = r; uv += r * vi; vv += vi * vi
+      i += 1
+    }
+    val c = uv / math.max(vv, 1e-12)
+    var pp = 0.0
+    i = 0
+    while (i < n) {
+      val p = u(i) - c * v.getFloat(i)
+      u(i) = p; pp += p * p
+      i += 1
+    }
+    val s = 0.4 * math.sqrt(vv) / math.sqrt(math.max(pp, 1e-12))
+    i = 0
+    while (i < n) { out(i) = (v.getFloat(i) + s * u(i)).toFloat; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

@@ -293,3 +293,28 @@ object SpectralBits {
     sig
   }
 }
+
+/** Bench-fixture replica perturbation (Queries.replicatePairGroups —
+  * the sf1-equivalent scaling tier): vec + a (g, k)-keyed hash noise
+  * orthogonal to vec at fixed length 0.4*||vec||, computed by one
+  * O(3d) static kernel pass ([[VecKernels.replicaNoise]]). Stays
+  * inside whole-stage codegen; the equivalent transform/zip_with
+  * lambda tree is interpreted AND gets its scalar subexpressions
+  * inlined per element by CollapseProject (O(d^3) per row — the r16
+  * scaling-run stall). */
+case class ReplicaNoise(vec: Expression, g: Expression, k: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = vec
+  override def second: Expression = g
+  override def third: Expression = k
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "replica_noise"
+  override def nullSafeEval(v: Any, gv: Any, kv: Any): Any =
+    VecKernels.replicaNoise(v.asInstanceOf[ArrayData],
+      gv.asInstanceOf[Long], kv.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, gv, kv) =>
+      s"graft.core.VecKernels$$.MODULE$$.replicaNoise($v, $gv, $kv)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): Expression = copy(vec = a, g = b, k = c)
+}

@@ -110,6 +110,25 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.filter(col("j") - col("i") =!= 10000).count() == 0)
   }
 
+  test("SemDeDup within-cell near-dups: finds every planted pair, never a non-pair") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val doubled = e.unionByName(
+      e.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))).cache()
+    val cents = graft.cluster.KMeans.fit(doubled.select(col("embedding")),
+      "embedding",
+      graft.cluster.KMeans.Params(k = 32, niter = 4, seed = 1234L)).centroids
+    val cells = Dedup.embeddingNearDupsWithinCells(
+      doubled, "vec_id", "embedding", 0.99, cents).cache()
+    // planted exact dups have IDENTICAL vectors, so they assign to the
+    // same cell by construction — the within-cell form finds all 500
+    assert(cells.filter(col("j") - col("i") === 10000).count() == 500)
+    // and reports nothing the exact form would not (within-cell pairs
+    // are a subset of all pairs; the cosine verify is the same)
+    val exact = Dedup.embeddingNearDups(doubled, "vec_id", "embedding", 0.99)
+    assert(cells.select("i", "j").except(exact.select("i", "j")).isEmpty)
+  }
+
   test("embedding blocking candidate count grows sub-quadratically under auto nlist") {
     // VERDICT r06 finding #4: a FIXED nlist makes the within-cell join
     // O(n²/const) at corpus scale. With nlist = max(16, ceil(sqrt(n)))
