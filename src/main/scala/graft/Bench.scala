@@ -59,6 +59,12 @@ object Bench {
     // sums come from a listener; GC time is the JVM-wide collector
     // delta (local mode: driver and executors share one JVM).
     val taskMs = new java.util.concurrent.atomic.AtomicLong
+    // actual CPU nanoseconds (executorCpuTime): immune to hypervisor
+    // steal / descheduling, which inflates executorRunTime by up to
+    // 15x under sustained full-box load on this VM (measured r16 —
+    // identical inputs, task_ms 252 s vs 3796 s). The scaling study
+    // reads cpu_ms; task_ms stays for wall-side stories (stragglers).
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
     val spillBytes = new java.util.concurrent.atomic.AtomicLong
     val shufBytes = new java.util.concurrent.atomic.AtomicLong
     // per-task durations within the current query window: max/median
@@ -70,6 +76,7 @@ object Bench {
         val m = te.taskMetrics
         if (m != null) {
           taskMs.addAndGet(m.executorRunTime)
+          cpuNs.addAndGet(m.executorCpuTime)
           taskDurs.add(m.executorRunTime)
           spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
           shufBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead +
@@ -142,6 +149,7 @@ object Bench {
       System.gc()
       taskDurs.clear()
       val (gc0, task0, spill0, shuf0) = (gcMs, taskMs.get, spillBytes.get, shufBytes.get)
+      val cpu0 = cpuNs.get
       val jit0 = jitMs
       val miss0 = Queries.memoMissNanosTotal
       val t0 = System.nanoTime()
@@ -160,7 +168,7 @@ object Bench {
       val (taskMax, taskP50) =
         if (durs.isEmpty) (0L, 0L) else (durs.last, durs(durs.length / 2))
       metrics(name) =
-        f"""{"sec":$dt%.3f,"gc_ms":${gcMs - gc0},"jit_ms":${jitMs - jit0},"task_ms":${taskMs.get - task0},"task_max_ms":$taskMax,"task_p50_ms":$taskP50,"n_tasks":${durs.length},"spill_mb":${(spillBytes.get - spill0) >> 20},"shuffle_mb":${(shufBytes.get - shuf0) >> 20},"heap_mb":$heapMb,"cc_mb":$ccUsed,"cc_max_mb":$ccMax}"""
+        f"""{"sec":$dt%.3f,"gc_ms":${gcMs - gc0},"jit_ms":${jitMs - jit0},"task_ms":${taskMs.get - task0},"cpu_ms":${(cpuNs.get - cpu0) / 1000000L},"task_max_ms":$taskMax,"task_p50_ms":$taskP50,"n_tasks":${durs.length},"spill_mb":${(spillBytes.get - spill0) >> 20},"shuffle_mb":${(shufBytes.get - shuf0) >> 20},"heap_mb":$heapMb,"cc_mb":$ccUsed,"cc_max_mb":$ccMax}"""
       // progress to stderr only; stdout carries nothing but the JSON line
       System.err.println(f"[bench] $name%-28s $dt%8.2f s  ${metrics(name)}")
     }
