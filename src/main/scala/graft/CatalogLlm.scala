@@ -217,9 +217,7 @@ private[graft] trait CatalogLlm { this: QueriesBase =>
     // cosine verify, so a wrong cell map or a leaked cross-cell pair
     // hash-mismatches.
     ("semantic_neardup_cells", (s: SparkSession, dir: String) =>
-      Dedup.embeddingNearDupsWithinCells(doubledEmb(s, dir), "vec_id",
-        "embedding", 0.95, semCells(s, dir))
-        .withColumn("cos", round(col("cos"), 4)),
+      cellPairs95(s, dir).withColumn("cos", round(col("cos"), 4)),
       Some(s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
               |           UNION ALL SELECT vec_id + 10000, embedding FROM embeddings),
               |cent AS (SELECT list_no, c::DOUBLE[] AS c FROM read_parquet('$AUX/semcells_centroids/*.parquet')),
@@ -256,6 +254,42 @@ private[graft] trait CatalogLlm { this: QueriesBase =>
              |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
              |SELECT DISTINCT min_r AS vec_id
              |FROM (SELECT id, min(r) AS min_r FROM reach GROUP BY id) c""".stripMargin)),
+
+    // SemDeDup END-TO-END at-scale semantic dedup (VERDICT r16 #2):
+    // the same keep-one-per-component policy as semantic_dedup, but
+    // composed over the BOUNDED within-cell pair source
+    // (embeddingNearDupsWithinCells, n^1.5 at sqrt-occupancy) instead
+    // of the Theta(n^2) exact pair set — so the whole 100 TB dedup
+    // path (assign -> within-cell verify -> components -> keep-one)
+    // has no quadratic stage. Cross-cell near-dup pairs are excluded
+    // BY DESIGN (the paper's trade), so components — and hence the
+    // kept set — can differ from semantic_dedup's exact answer; the
+    // oracle replays the sidecar assignment, the within-cell verify
+    // and the min-label components with a recursive CTE, so a leaked
+    // cross-cell edge or a wrong component hash-mismatches.
+    ("semantic_dedup_cells", (s: SparkSession, dir: String) =>
+      Dedup.nearDupComponents(doubledEmb(s, dir).select(col("vec_id")),
+          cellPairs95(s, dir), "vec_id")
+        .select(col("component").as("vec_id")).distinct(),
+      Some(s"""WITH RECURSIVE u AS (SELECT vec_id, embedding FROM embeddings
+              |           UNION ALL SELECT vec_id + 10000, embedding FROM embeddings),
+              |cent AS (SELECT list_no, c::DOUBLE[] AS c FROM read_parquet('$AUX/semcells_centroids/*.parquet')),
+              |a AS (SELECT vec_id, embedding, list_no FROM (
+              |  SELECT u.vec_id, u.embedding, cent.list_no,
+              |    row_number() OVER (PARTITION BY u.vec_id ORDER BY
+              |      list_aggregate(list_transform(list_zip(u.embedding::DOUBLE[], cent.c), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), cent.list_no) AS rn
+              |  FROM u CROSS JOIN cent) t WHERE rn = 1),
+              |pairs AS (SELECT x.vec_id AS i, y.vec_id AS j
+              |  FROM a x JOIN a y ON x.list_no = y.list_no AND x.vec_id < y.vec_id
+              |  WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.95),
+              |edges AS (SELECT i AS src, j AS dst FROM pairs
+              |          UNION ALL SELECT j AS src, i AS dst FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT vec_id, vec_id FROM u
+              |  UNION
+              |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+              |SELECT DISTINCT min_r AS vec_id
+              |FROM (SELECT id, min(r) AS min_r FROM reach GROUP BY id) c""".stripMargin)),
 
     // unigram-LM quality score (the CCNet/KenLM perplexity-proxy
     // filter): corpus unigram frequencies -> per-token negative log

@@ -1337,6 +1337,16 @@ private[graft] trait QueriesBase {
     cached(s"embpairs95:$dir") {
       Dedup.embeddingNearDups(doubledEmb(s, dir), "vec_id", "embedding", 0.95)
     }
+  /** The verified >= 0.95-cosine WITHIN-CELL pair set (SemDeDup,
+    * bounded n^1.5 work — the 100 TB pair source), shared by the
+    * pair-listing and cells-dedup queries (same run-once-per-session
+    * contract as [[embPairs95]]; the operator itself persists the
+    * returned pairs). */
+  private[graft] def cellPairs95(s: SparkSession, dir: String): DataFrame =
+    cached(s"cellpairs95:$dir") {
+      Dedup.embeddingNearDupsWithinCells(doubledEmb(s, dir), "vec_id",
+        "embedding", 0.95, semCells(s, dir))
+    }
   /** SemDeDup cell centroids over [[doubledEmb]] (k = max(16,
     * ceil(sqrt(n))) — the sqrt-occupancy n^1.5 work point), trained
     * once per session and sidecarred for the DuckDB assignment

@@ -129,6 +129,129 @@ class DedupSpec extends SparkTestBase {
     assert(cells.select("i", "j").except(exact.select("i", "j")).isEmpty)
   }
 
+  test("within-cells executes the NearestCentroid assignment exactly once " +
+    "(VERDICT r16 #1: the self-join must read the persisted table, not " +
+    "re-derive assignment per side)") {
+    val spark0 = spark
+    val e = spark0.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val doubled = e.unionByName(
+      e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val cents = graft.cluster.KMeans.fit(doubled.select(col("embedding")),
+      "embedding",
+      graft.cluster.KMeans.Params(k = 16, niter = 2, seed = 1234L)).centroids
+    val plans = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.execution.SparkPlan]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan; () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ex: Exception): Unit = ()
+    }
+    // full tree incl. AQE/stage/reuse wrappers (their children live in
+    // fields TreeNode traversal does not descend into); InMemoryRelation
+    // is deliberately NOT descended — computation behind the cache is
+    // the materialize-once path this test distinguishes from inline
+    // recomputation
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      import org.apache.spark.sql.execution.adaptive._
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: QueryStageExec => Seq(qs.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    spark0.listenerManager.register(listener)
+    try {
+      val out = Dedup.embeddingNearDupsWithinCells(
+        doubled, "vec_id", "embedding", 0.99, cents)
+      assert(out.filter(col("j") - col("i") === 10000).count() == 500)
+      // listener delivery is async: poll until non-empty and stable
+      // (the FastScanSpec pattern)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var last = -1
+      while (System.nanoTime() < deadline &&
+          (plans.synchronized(plans.isEmpty) ||
+            plans.synchronized(plans.size) != last)) {
+        last = plans.synchronized(plans.size)
+        Thread.sleep(100)
+      }
+      val snap = plans.synchronized(plans.toVector)
+      assert(snap.nonEmpty, "listener never delivered any executed plan")
+      val nodes = snap.flatMap(allNodes)
+      // NO executed plan computes the assignment INLINE: the only
+      // NearestCentroid evaluation is the materialize-once pass behind
+      // the persisted table. Pre-fix, the self-join planned TWO inline
+      // assignment subtrees (one per join side) and this count was > 0.
+      val inline = nodes.map(n => n.expressions.map(
+        _.collect { case _: graft.core.NearestCentroid => 1 }.sum).sum).sum
+      assert(inline == 0,
+        s"join recomputes the NearestCentroid assignment inline ($inline occurrences)")
+      // and both join sides read the persisted assignment back — the
+      // join itself must be a shuffle on list_no, never a corpus
+      // broadcast (the only shape that survives 100 TB). The returned
+      // pairs are themselves persisted, so the join plan lives behind
+      // out's InMemoryRelation: unwrap it and inspect the cached plan.
+      import org.apache.spark.sql.execution.columnar.{
+        InMemoryRelation, InMemoryTableScanExec}
+      import org.apache.spark.sql.execution.joins._
+      assert(nodes.exists(_.isInstanceOf[InMemoryTableScanExec]),
+        "no plan reads a persisted table")
+      val cachedJoinPlan = allNodes(out.queryExecution.executedPlan)
+        .collect { case s: InMemoryTableScanExec => s.relation }
+        .collectFirst { case r: InMemoryRelation => r.cachedPlan }
+        .getOrElse(fail("returned pairs are not persisted"))
+      val joinNodes = allNodes(cachedJoinPlan)
+      val joins = joinNodes.collect { case j: BaseJoinExec => j }
+      assert(joins.exists {
+        case _: ShuffledHashJoinExec | _: SortMergeJoinExec => true
+        case _ => false
+      }, s"no shuffle join on list_no found: ${joins.map(_.nodeName)}")
+      assert(!joins.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "within-cell self-join was planned as a corpus broadcast")
+      // both join inputs read the ONE persisted assignment, and the
+      // join plan computes no assignment of its own
+      assert(joinNodes.count(_.isInstanceOf[InMemoryTableScanExec]) >= 2,
+        "join sides do not both read the persisted assignment table")
+      val joinInline = joinNodes.map(n => n.expressions.map(
+        _.collect { case _: graft.core.NearestCentroid => 1 }.sum).sum).sum
+      assert(joinInline == 0,
+        "join plan re-derives the assignment instead of reading the cache")
+      Dedup.release(out)
+    } finally spark0.listenerManager.unregister(listener)
+  }
+
+  test("semantic dedup composes over within-cell pairs: keep-one-per-component " +
+    "with no quadratic pair source (VERDICT r16 #2)") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val doubled = e.unionByName(
+      e.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))).cache()
+    val n = doubled.count()
+    val cents = graft.cluster.KMeans.fit(doubled.select(col("embedding")),
+      "embedding",
+      graft.cluster.KMeans.Params(k = 32, niter = 4, seed = 1234L)).centroids
+    val pairs = Dedup.embeddingNearDupsWithinCells(
+      doubled, "vec_id", "embedding", 0.99, cents)
+    val kept = Dedup.nearDupComponents(doubled.select(col("vec_id")), pairs, "vec_id")
+      .select(col("component")).distinct()
+    // planted dups are exact copies (same cell by construction), so the
+    // 500 {i, i+10000} pairs collapse to components keeping the low id;
+    // everything else is a singleton: n - 500 representatives, none of
+    // them a high-id planted copy
+    assert(kept.count() == n - 500)
+    assert(kept.filter(col("component") >= 10000).count() == 0)
+    Dedup.release(pairs)
+    doubled.unpersist(false)
+  }
+
   test("embedding blocking candidate count grows sub-quadratically under auto nlist") {
     // VERDICT r06 finding #4: a FIXED nlist makes the within-cell join
     // O(n²/const) at corpus scale. With nlist = max(16, ceil(sqrt(n)))
