@@ -87,7 +87,10 @@ object Explain {
       // deliberately absent - its result is a bounded driver-side
       // table, so its explain would be a LocalTableScan; the scanned
       // plans are each family's own search entries)
-      "semantic_neardup_cells")
+      "semantic_neardup_cells",
+      // r17: end-to-end SemDeDup over the bounded within-cell pair
+      // source (components + keep-one with no n^2 stage)
+      "semantic_dedup_cells")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans of headline operators\n\n")
     sb.append("Generated by `graft.Explain` at sf0.001 (sf0.01 for the *_big\n")

@@ -89,8 +89,28 @@ MODELS = {**QUERIES, **SF1_ONLY}
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def workload_fp() -> str:
+    """Fingerprint of the measured workload: a hash of the engine
+    source (the query/replication code lives there). Merge-min cells
+    keyed on it (ADVICE r16): a cached minimum measured under an older
+    workload definition must NOT survive a code change, or published
+    numbers describe a workload that no longer exists."""
+    import hashlib
+    h = hashlib.sha256()
+    src = os.path.join(REPO, "src", "main", "scala")
+    for root, dirs, files in os.walk(src):
+        dirs.sort()
+        for fn in sorted(files):
+            if fn.endswith(".scala"):
+                p = os.path.join(root, fn)
+                h.update(os.path.relpath(p, src).encode())
+                with open(p, "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 def run_sf(sf: str, scale_x: int = 1, queries=None,
-           per_query: bool = False) -> dict:
+           per_query: bool = False, cache_label: str = None) -> dict:
     """per_query: one Bench JVM per query. The sf1 tier MUST run
     isolated: ten heavy queries in one JVM contend for the storage
     pool (the streaming row's memory sink + each query's persisted
@@ -109,17 +129,25 @@ def run_sf(sf: str, scale_x: int = 1, queries=None,
         # measurement, the standard noise-robust benchmark estimator.
         # A 60 s cooldown before each row lets the box recover.
         out = {"sf": sf if scale_x == 1 else "1", "queries": {}}
-        cache = os.path.join(REPO, "target", f"scaling_sf{out['sf']}.json")
+        clabel = cache_label or out["sf"]
+        cache = os.path.join(REPO, "target", f"scaling_sf{clabel}.json")
+        fp = workload_fp()
         prev = {}
         if os.path.exists(cache):
             with open(cache) as f:
                 prev = json.load(f).get("queries", {})
+        # drop cells measured under a DIFFERENT workload definition
+        # (ADVICE r16: min-merging across code changes publishes
+        # numbers for a workload that no longer exists)
+        prev = {q: m for q, m in prev.items() if m.get("fp") == fp}
         out["queries"].update(prev)  # keep rows not re-measured this call
         import time
         for q in queries:
             time.sleep(60)
-            r = run_sf(sf, scale_x, [q])
+            r = run_sf(sf, scale_x, [q],
+                       cache_label=f"{clabel}.row")  # throwaway row cache
             m = r["queries"][q]
+            m["fp"] = fp
             p = prev.get(q)
             def work(x):
                 return x.get("cpu_ms", x["task_ms"])
@@ -157,7 +185,8 @@ def run_sf(sf: str, scale_x: int = 1, queries=None,
         m = json.loads(detail["metrics"][q]) if isinstance(
             detail["metrics"][q], str) else detail["metrics"][q]
         out["queries"][q] = m
-    cache = os.path.join(REPO, "target", f"scaling_sf{label}.json")
+    cache = os.path.join(REPO, "target",
+                         f"scaling_sf{cache_label or label}.json")
     os.makedirs(os.path.dirname(cache), exist_ok=True)
     with open(cache, "w") as f:
         json.dump(out, f)
@@ -165,8 +194,6 @@ def run_sf(sf: str, scale_x: int = 1, queries=None,
 
 
 def report(per_sf: dict) -> tuple:  # (markdown, verdicts)
-    def wm(m):  # work ms: CPU time when recorded (r16+), else run time
-        return m.get("cpu_ms", m["task_ms"])
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     lines = []
     lines.append("# SCALING — slope study over a 100x data span "
@@ -217,7 +244,14 @@ def report(per_sf: dict) -> tuple:  # (markdown, verdicts)
     verdicts = {}
     for q, model in QUERIES.items():
         secs = [per_sf[sf]["queries"][q]["sec"] for sf in SFS]
-        tms = [wm(per_sf[sf]["queries"][q]) for sf in SFS]
+        # like-with-like across the row (ADVICE r16): cpu_ms only when
+        # EVERY cell recorded it, else task_ms for all three — a row
+        # straddling the cpu_ms format change must not mix
+        # steal-inflated run time with CPU time in one ratio
+        cells = [per_sf[sf]["queries"][q] for sf in SFS]
+        tms = ([c["cpu_ms"] for c in cells]
+               if all("cpu_ms" in c for c in cells)
+               else [c["task_ms"] for c in cells])
         exp = EXPECTED[model]
         growth = (tms[2] / tms[1]) if tms[1] > 0 else float("inf")
         per_unit = growth / exp
@@ -317,7 +351,14 @@ def report(per_sf: dict) -> tuple:  # (markdown, verdicts)
                      "nondeterministically under sustained load — a "
                      "disturbed window shows jit_ms 60-100 s and "
                      "wall >> cpu, and inflates even CPU time up to "
-                     "30x on identical inputs.")
+                     "30x on identical inputs. The sf0.1 BASELINES in "
+                     "this table use the same per-query isolated-JVM "
+                     "merge-min protocol (not the shared-JVM "
+                     "all-queries run, whose contention would bias "
+                     "growth ratios downward), and every cached cell "
+                     "is keyed on a hash of the engine source — a "
+                     "code change discards it, so a published minimum "
+                     "always describes the current workload.")
         lines.append("")
         lines.append("Three rows exist ONLY in this decade (their "
                      "fixtures do not scale with sf — embeddings.parquet "
@@ -355,7 +396,13 @@ def report(per_sf: dict) -> tuple:  # (markdown, verdicts)
             model = MODELS[q]
             # SF1-only queries have no 3-sf row; seed their record here
             verdicts.setdefault(q, {"model": model, "sf1_only": True})
-            m1 = per_sf["0.1"]["queries"][q]
+            # baseline from the ISOLATED-JVM merge-min tier when
+            # measured (ADVICE r16): both sides of the growth ratio
+            # must use the same estimator — a shared-JVM sf0.1 cell
+            # carries up to 15-30x contention inflation that would
+            # bias per-unit ratios downward
+            m1 = per_sf.get("0.1iso", {}).get("queries", {}).get(q) \
+                or per_sf["0.1"]["queries"][q]
             m10 = per_sf["1"]["queries"][q]
             exp = EXPECTED[model]
             # compare like with like: cpu_ms only when BOTH cells
@@ -386,10 +433,10 @@ def report(per_sf: dict) -> tuple:  # (markdown, verdicts)
 def main():
     per_sf = {}
     if "--report" in sys.argv:
-        for sf in SFS + ["1"]:
+        for sf in SFS + ["0.1iso", "1"]:
             cache = os.path.join(REPO, "target", f"scaling_sf{sf}.json")
-            if sf == "1" and not os.path.exists(cache):
-                continue  # fourth decade optional for old caches
+            if sf in ("1", "0.1iso") and not os.path.exists(cache):
+                continue  # fourth decade / iso baselines optional
             with open(cache) as f:
                 per_sf[sf] = json.load(f)
     else:
@@ -399,6 +446,11 @@ def main():
             # are absent from the smaller spans)
             qs = list(QUERIES) + (list(SF1_ONLY) if sf == "0.1" else [])
             per_sf[sf] = run_sf(sf, queries=qs)
+        # the SF1 rows' scaleX=1 baselines, measured with the SAME
+        # per-query isolated-JVM merge-min protocol as the sf1 cells
+        # (ADVICE r16: both sides of a growth ratio need one estimator)
+        per_sf["0.1iso"] = run_sf("0.1", queries=SF1_QUERIES,
+                                  per_query=True, cache_label="0.1iso")
         per_sf["1"] = run_sf("0.1", scale_x=10, queries=SF1_QUERIES,
                              per_query=True)
     md, verdicts = report(per_sf)
