@@ -1130,9 +1130,16 @@ private[graft] trait CatalogCodec { this: QueriesBase =>
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val qc = q.select(col("qid"), sign_bits(col("qvec")).as("qcode"))
       val bcodes = base.select(col("id"), sign_bits(col("vec")).as("code"))
-      // scratch path from the dir basename (the OracleAux convention;
-      // a hashCode is collision-prone and negative at Int.MinValue)
-      val root = s"target/io_matrix_${new java.io.File(dir).getName}"
+      // per-invocation unique scratch root (ADVICE r17): the tree is
+      // recursively deleted in the finally below, so a stable
+      // basename-keyed path would let a concurrent Bench/Verify pair
+      // on the same sf delete each other's in-flight saved indexes
+      val rootPath = {
+        val t = java.nio.file.Paths.get("target")
+        java.nio.file.Files.createDirectories(t)
+        java.nio.file.Files.createTempDirectory(t, "io_matrix_")
+      }
+      val root = rootPath.toString
       // bounded-collect compare (<= 490 rows x 26 families, the
       // distributed_ondisk_recipe idiom): one action per side instead
       // of the 4 a distributed except() pair would re-execute
@@ -1280,9 +1287,16 @@ private[graft] trait CatalogCodec { this: QueriesBase =>
         import scala.concurrent.duration.Duration
         implicit val ec: ExecutionContext =
           ExecutionContext.fromExecutor(pool)
+        // every thunk SETTLES before control reaches the finally
+        // (ADVICE r17): a bare Future.sequence returns on the first
+        // failure while sibling lifecycles are still mid save/load,
+        // and the rm() below would delete trees they are reading.
+        // Try-wrapping makes the sequence total; .map(_.get) then
+        // rethrows the first failure with the pool already quiet.
         Await.result(
-          Future.sequence(thunks.result().map(t => Future(t()))),
-          Duration.Inf)
+          Future.sequence(
+            thunks.result().map(t => Future(scala.util.Try(t())))),
+          Duration.Inf).map(_.get)
       } finally {
         pool.shutdown()
         // hand back the shared storage slice and the 26 saved index
@@ -1291,10 +1305,13 @@ private[graft] trait CatalogCodec { this: QueriesBase =>
         // downstream query's fixtures for the storage pool)
         base.unpersist(false)
         def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
+          // listFiles is null on IO error/concurrent delete; an NPE
+          // here would mask the original exception (ADVICE r17)
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
           f.delete(); ()
         }
-        rm(new java.io.File(root))
+        rm(rootPath.toFile)
       }
       import s.implicits._
       rows.sortBy(_._1).toDF("family", "ok")

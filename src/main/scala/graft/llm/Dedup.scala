@@ -487,7 +487,15 @@ object Dedup {
     * and sidecars them for the DuckDB replay); assignment runs on the
     * RAW vector column for bit-exact float parity with the oracle —
     * pass a pre-normalized column for the paper's cosine-cell
-    * contract (the catalog corpus is unit-norm already). */
+    * contract (the catalog corpus is unit-norm already).
+    *
+    * Lifecycle contract (ADVICE r17): the operator eagerly runs the
+    * whole pipeline and returns the verified pairs PERSISTED
+    * (MEMORY_AND_DISK) — construction cost is paid here, not at the
+    * caller's first action, and the CALLER owns the release: call
+    * [[Dedup.release]] on the returned DataFrame when done, or a
+    * long-lived session leaks the cached pair set. Intermediates
+    * (the assignment) are unpersisted before returning. */
   def embeddingNearDupsWithinCells(df: DataFrame, idCol: String,
       vecCol: String, threshold: Double,
       centroids: Array[Array[Float]]): DataFrame = {

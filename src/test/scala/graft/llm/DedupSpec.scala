@@ -127,6 +127,10 @@ class DedupSpec extends SparkTestBase {
     // are a subset of all pairs; the cosine verify is the same)
     val exact = Dedup.embeddingNearDups(doubled, "vec_id", "embedding", 0.99)
     assert(cells.select("i", "j").except(exact.select("i", "j")).isEmpty)
+    // caller-owned release contract (ADVICE r17): both operators
+    // return persisted pair sets
+    Dedup.release(cells)
+    Dedup.release(exact)
   }
 
   test("within-cells executes the NearestCentroid assignment exactly once " +

@@ -37,6 +37,11 @@ SF1_QUERIES = [
     # (VERDICT r15 #1) — their scaleX hooks landed in r15/r16
     "stream_dedup_big", "embedding_near_dup", "knn_graph_nndescent",
     "semantic_neardup_cells",
+    # r18 (VERDICT r17 #5): the END-TO-END semantic dedup composition
+    # (components + keep-one over the bounded within-cell pair source)
+    # gets its own fourth-decade row — its pair SOURCE was measured,
+    # the composition was not
+    "semantic_dedup_cells",
 ]
 # Queries measured ONLY in the fourth decade because their fixtures do
 # not scale with sf (embeddings.parquet is 500 rows at sf<=0.01 and
@@ -61,6 +66,10 @@ SF1_ONLY = {
     "embedding_near_dup": "n2",
     "knn_graph_nndescent": "n2",
     "semantic_neardup_cells": "n15",
+    # components + keep-one add only edge-set shuffles (edges ~ verified
+    # pairs) on top of the within-cell pair source, so the composition
+    # carries the source's n^1.5 model
+    "semantic_dedup_cells": "n15",
 }
 EXPECTED = {"n": 10.0, "n15": 10.0 ** 1.5, "n2": 100.0}
 # query -> work model ("n" linear in corpus, "n2" query-set * corpus)
@@ -102,7 +111,12 @@ def workload_fp() -> str:
     source (the query/replication code lives there). Merge-min cells
     keyed on it (ADVICE r16): a cached minimum measured under an older
     workload definition must NOT survive a code change, or published
-    numbers describe a workload that no longer exists."""
+    numbers describe a workload that no longer exists.
+
+    The MEASUREMENT PROTOCOL is part of the workload (ADVICE r17):
+    this script decides partition scaling, SPARK_GRAFT_CONF, cooldown
+    and merge-min logic, so its own source hashes in too — a protocol
+    change must also discard cached minimums."""
     import hashlib
     h = hashlib.sha256()
     src = os.path.join(REPO, "src", "main", "scala")
@@ -114,6 +128,11 @@ def workload_fp() -> str:
                 h.update(os.path.relpath(p, src).encode())
                 with open(p, "rb") as f:
                     h.update(f.read())
+    with open(os.path.abspath(__file__), "rb") as f:
+        h.update(f.read())
+    # env-derived protocol knobs that change what a run measures
+    for k in ("SPARK_GRAFT_CPUS", "SPARK_GRAFT_CONF"):
+        h.update(f"{k}={os.environ.get(k, '')}".encode())
     return h.hexdigest()[:16]
 
 
@@ -464,9 +483,20 @@ def report(per_sf: dict) -> tuple:  # (markdown, verdicts)
             # must use the same estimator — a shared-JVM sf0.1 cell
             # carries up to 15-30x contention inflation that would
             # bias per-unit ratios downward
-            m1 = per_sf.get("0.1iso", {}).get("queries", {}).get(q) \
-                or per_sf["0.1"]["queries"][q]
-            m10 = per_sf["1"]["queries"][q]
+            m1 = per_sf.get("0.1iso", {}).get("queries", {}).get(q)
+            # a baseline NOT from the isolated-JVM merge-min tier (cell
+            # fingerprint-invalidated or row newly added) must be
+            # VISIBLE, not silently blended in (ADVICE r17): the
+            # shared-JVM estimator carries contention inflation that
+            # biases the ratio, so the row is marked and not trusted
+            iso_baseline = m1 is not None
+            if m1 is None:
+                m1 = per_sf["0.1"]["queries"].get(q)
+            m10 = per_sf["1"]["queries"].get(q)
+            if m1 is None or m10 is None:
+                lines.append("| %s | %s | (not measured this round) "
+                             "| | | | | UNMEASURED |" % (q, model))
+                continue
             exp = EXPECTED[model]
             # compare like with like: cpu_ms only when BOTH cells
             # recorded it (min-of-repeats can keep a pre-cpu_ms cell)
@@ -482,13 +512,17 @@ def report(per_sf: dict) -> tuple:  # (markdown, verdicts)
                 "cpu_ms": [w1, w10],
                 "growth_1_to_10": round(growth, 2),
                 "per_unit_ratio": round(per_unit, 3),
+                "iso_baseline": bool(iso_baseline),
                 "linear_in_work": bool(ok)}
+            verdict_txt = ("NO-SUPER-LINEAR-TERM" if ok
+                           else "SUPER-LINEAR (fix!)")
+            if not iso_baseline:
+                verdict_txt += " [MIXED-ESTIMATOR: shared-JVM baseline]"
             lines.append(
                 "| %s | %s | %.2f / %.2f | %d / %d | %.1fx | %.0fx | %.2f "
                 "| %s |" % (
                     q, model, m1["sec"], m10["sec"], w1,
-                    w10, growth, exp, per_unit,
-                    "NO-SUPER-LINEAR-TERM" if ok else "SUPER-LINEAR (fix!)"))
+                    w10, growth, exp, per_unit, verdict_txt))
         lines.append("")
     return "\n".join(lines), verdicts
 
