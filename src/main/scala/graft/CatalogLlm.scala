@@ -72,7 +72,7 @@ private[graft] trait CatalogLlm { this: QueriesBase =>
              |         THEN list_transform(t[1:len(t)-2], (x, i) -> x || ' ' || t[i+1] || ' ' || t[i+2])
              |         ELSE []::VARCHAR[] END) AS s FROM toks),
              |hs AS (SELECT doc_id, s, list_transform(s,
-             |         x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 1048573) AS hv FROM sh),
+             |         x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 4294967291) AS hv FROM sh),
              |sig AS (SELECT doc_id, s, list_transform(range(0, 12),
              |          j -> list_aggregate(list_transform(hv,
              |            h -> (h * ((2654435761 * (j+1)) % 1000000007) + (97531 * (j+13)) % 1000000007) % 1000000007),
@@ -81,6 +81,40 @@ private[graft] trait CatalogLlm { this: QueriesBase =>
              |         FROM sig, range(0, 4) r(b)),
              |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
              |         FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+             |jac AS (SELECT i, j, len(list_intersect(sa.s, sb.s))::DOUBLE AS inter,
+             |               (len(sa.s) + len(sb.s))::DOUBLE AS tot
+             |        FROM cand JOIN sh sa ON sa.doc_id = i JOIN sh sb ON sb.doc_id = j)
+             |SELECT i, j, round(inter/(tot-inter), 4) AS jaccard
+             |FROM jac WHERE inter/(tot-inter) >= 0.8""".stripMargin)),
+
+    // HOT-BUCKET-CAPPED near-dup pairs (VERDICT r17 #2's at-scale
+    // knob, oracle-checked): buckets with more than maxBucket member
+    // rows are DROPPED before pair expansion — one template/boilerplate
+    // cluster then bounds at O(cap²) pairs instead of O(B²). cap=2
+    // genuinely binds on this corpus (size-3+ buckets exist at every
+    // sf), so the capped output differs from minhash_lsh_neardup and a
+    // cap regression hash-mismatches.
+    ("minhash_hotcap_neardup", (s: SparkSession, dir: String) =>
+      Dedup.nearDupPairs(docsDf(s, dir), "doc_id", "text",
+          threshold = 0.8, ngram = 3, hashes = 12, bands = 4,
+          maxBucket = 2)
+        .withColumn("jaccard", round(col("jaccard"), 4)),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             |         THEN list_transform(t[1:len(t)-2], (x, i) -> x || ' ' || t[i+1] || ' ' || t[i+2])
+             |         ELSE []::VARCHAR[] END) AS s FROM toks),
+             |hs AS (SELECT doc_id, s, list_transform(s,
+             |         x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 4294967291) AS hv FROM sh),
+             |sig AS (SELECT doc_id, s, list_transform(range(0, 12),
+             |          j -> list_aggregate(list_transform(hv,
+             |            h -> (h * ((2654435761 * (j+1)) % 1000000007) + (97531 * (j+13)) % 1000000007) % 1000000007),
+             |            'min')) AS sg FROM hs),
+             |band AS (SELECT doc_id, b, md5(array_to_string(sg[3*b+1:3*b+3], '|')) AS bh
+             |         FROM sig, range(0, 4) r(b)),
+             |bsz AS (SELECT b, bh, count(*) AS c FROM band GROUP BY b, bh),
+             |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+             |         FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+             |         JOIN bsz ON bsz.b = a.b AND bsz.bh = a.bh AND bsz.c <= 2),
              |jac AS (SELECT i, j, len(list_intersect(sa.s, sb.s))::DOUBLE AS inter,
              |               (len(sa.s) + len(sb.s))::DOUBLE AS tot
              |        FROM cand JOIN sh sa ON sa.doc_id = i JOIN sh sb ON sb.doc_id = j)
@@ -97,7 +131,7 @@ private[graft] trait CatalogLlm { this: QueriesBase =>
              |         THEN list_transform(t[1:len(t)-2], (x, i) -> x || ' ' || t[i+1] || ' ' || t[i+2])
              |         ELSE []::VARCHAR[] END) AS s FROM toks),
              |hs AS (SELECT doc_id, s, list_transform(s,
-             |         x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 1048573) AS hv FROM sh),
+             |         x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 4294967291) AS hv FROM sh),
              |sig AS (SELECT doc_id, s, list_transform(range(0, 12),
              |          j -> list_aggregate(list_transform(hv,
              |            h -> (h * ((2654435761 * (j+1)) % 1000000007) + (97531 * (j+13)) % 1000000007) % 1000000007),

@@ -41,7 +41,7 @@ private[graft] trait CatalogScale { this: QueriesBase =>
              |         THEN list_transform(t[1:len(t)-2], (x, i) -> x || ' ' || t[i+1] || ' ' || t[i+2])
              |         ELSE []::VARCHAR[] END) AS s FROM quality),
              |hs AS (SELECT doc_id, s, list_transform(s,
-             |         x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 1048573) AS hv FROM sh),
+             |         x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 4294967291) AS hv FROM sh),
              |sig AS (SELECT doc_id, s, list_transform(range(0, 12),
              |          j -> list_aggregate(list_transform(hv,
              |            h -> (h * ((2654435761 * (j+1)) % 1000000007) + (97531 * (j+13)) % 1000000007) % 1000000007),

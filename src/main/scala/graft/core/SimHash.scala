@@ -45,7 +45,7 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
 
 /** MinHash signature from pre-hashed shingle values: one pass of
   * `numHashes` linear permutations (h·A_j + B_j mod P) over the base
-  * hashes. The base hash (md5-hex → int, mod 2^20ish) is computed once
+  * hashes. The base hash (md5-hex → int, mod M = 2^32-5) is computed once
   * per shingle by builtin expressions; this expression replaces
   * `numHashes` md5 evaluations per shingle with integer math, and its
   * constants are reproduced verbatim in the DuckDB oracle SQL. */
@@ -80,9 +80,26 @@ case class MinHashSig(child: Expression, numHashes: Int)
 
 object MinHashSig {
   /** Constants mirrored in the oracle SQL — keep in sync with
-    * Queries.minhash oracle. */
+    * Queries.minhash oracle.
+    *
+    * M (the shingle base-hash modulus) is the SIGNATURE hash space,
+    * and it must be large enough that unrelated documents rarely
+    * share base-hash values: a shared value v is the band minimum of
+    * BOTH docs with probability ~1/|union| per permutation, so
+    * base-hash saturation turns directly into an n²-growing
+    * false-candidate tail. Measured (r18, sf1 tier, 3M docs of 10
+    * shingles at the old M = 1048573 ≈ 2^20): candidate pairs grew
+    * 30x at 10x data (4.40M vs a linear 1.46M — 66% false) while
+    * verified pairs stayed exactly linear; at M = 2^32-5 the
+    * cross-doc share probability drops 4096x and the measured
+    * candidates return to the true-pair line. 2^32-5 is the largest
+    * prime keeping h·a_j below 2^62 for a_j < P (~2^30) — overflow-
+    * free in int64 for BOTH engines (the same bound that makes Spark
+    * ML's MinHashLSH use a ~2^31 prime). At corpora big enough to
+    * saturate 2^32 (n·|shingles| ≳ 2^32 · wanted-false-rate), raise
+    * rows-per-band with n — see Dedup.nearDupPairs' scaladoc. */
   val P = 1000000007L
-  val M = 1048573L // base-hash modulus (fits h*a in int64)
+  val M = 4294967291L // base-hash modulus, 2^32-5 (fits h*a in int64)
   def a(j: Int): Long = (2654435761L * (j + 1)) % P
   def b(j: Int): Long = (97531L * (j + 13)) % P
 }

@@ -131,12 +131,23 @@ object Dedup {
     * (anchor, tail-slice) rows then one explode per tail — so no
     * single row ever materializes more than O(B) values (a one-shot
     * flatten would build the whole O(B²) pair array in one row). */
-  private[graft] def candidatesFrom(banded: DataFrame): DataFrame = {
+  private[graft] def candidatesFrom(banded: DataFrame,
+      maxBucket: Int = 0): DataFrame = {
     import org.apache.spark.sql.graft.shim
     val ids = col("_ids")
-    banded.groupBy(col("band_id"), col("band_hash"))
+    val buckets = banded.groupBy(col("band_id"), col("band_hash"))
       .agg(sort_array(collect_list(col("_id"))).as("_ids"))
       .filter(size(ids) >= 2)
+    // hot-bucket cap (maxBucket > 0): DROP buckets above the cap
+    // before pair expansion — the ngramJaccardPairs max-df idiom. A
+    // bucket of B docs emits O(B²) pairs, so one boilerplate/template
+    // cluster can dominate the whole candidate join; capping bounds
+    // per-bucket work at O(maxBucket²) and hands those clusters to the
+    // exact-dup pass (identical texts) or the other bands (partial
+    // overlaps). The trade is explicit and published (recall loss only
+    // inside dropped buckets), exactly like max-df in the shingle
+    // inverted index.
+    (if (maxBucket > 0) buckets.filter(size(ids) <= maxBucket) else buckets)
       // pair expansion as ONE codegen'd kernel call per bucket
       // (graft.core.PairTailsK) — the equivalent
       // `transform(ids, (x, k) -> struct(x, slice(ids, ...)))` chain
@@ -158,18 +169,24 @@ object Dedup {
     * (band_id, band_hash) → distinct. Each doc is shuffled `bands`
     * times regardless of corpus size. */
   def minhashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
-      ngram: Int = 3, hashes: Int = 12, bands: Int = 4): DataFrame = {
+      ngram: Int = 3, hashes: Int = 12, bands: Int = 4,
+      maxBucket: Int = 0): DataFrame = {
     val banded = bandTable(docs, idCol, textCol, ngram, hashes, bands).persist(Disk)
-    val out = candidatesFrom(banded).persist(Disk)
+    val out = candidatesFrom(banded, maxBucket).persist(Disk)
     out.count()            // force: candidate pairs are tiny vs the corpus
     banded.unpersist(false)
     out
   }
 
-  /** Exact n-gram Jaccard for given (i, j) pairs. The shingle-set table
-    * is persisted only while this result is being produced — callers
-    * that want the lifecycle managed should go through
-    * [[nearDupPairs]]. */
+  /** Exact n-gram Jaccard for given (i, j) pairs, over the shingle
+    * STRINGS (`array_intersect` per pair). This is the oracle-exact
+    * reference form; at scale prefer [[nearDupPairs]]' fused path —
+    * sorted 60-bit shingle hashes merged by a codegen'd kernel —
+    * measured 43x cheaper per candidate on the sf1 tier (r18 A/B in
+    * graft.tools.ProfileMinhash: 3131 vs 72 cpu-s for the same 1.15M
+    * pairs). The shingle-set table is persisted only while this
+    * result is being produced — callers that want the lifecycle
+    * managed should go through [[nearDupPairs]]. */
   def pairJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, ngram: Int = 3): DataFrame = {
     val sets = widen(docs).select(col(idCol).as("_id"),
@@ -194,10 +211,22 @@ object Dedup {
   /** Near-dup pairs: LSH candidates verified by exact shingle Jaccard
     * >= threshold — the standard MinHash dedup pipeline. The returned
     * (small) pair set is materialized and cached; all intermediates are
-    * unpersisted before returning. */
+    * unpersisted before returning.
+    *
+    * Scaling the parameters with corpus size: the false-candidate
+    * tail is n²·p_false at fixed (bands, rows-per-band), so a corpus
+    * decades bigger than the tuning point needs either more rows per
+    * band (keep the S-curve threshold (1/bands)^(1/r) at the
+    * operating point by raising bands with r) or `maxBucket` — a
+    * hot-bucket cap that bounds any single bucket's O(B²) pair
+    * emission regardless of why it is hot (template clusters,
+    * boilerplate, adversarial spam). The r18 measured tail on THIS
+    * corpus was neither: it was signature hash-space saturation,
+    * fixed by widening [[graft.core.MinHashSig.M]] to 2^32-5 (see
+    * that scaladoc for the measurement). */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, ngram: Int = 3, hashes: Int = 12,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4, maxBucket: Int = 0): DataFrame = {
     import org.apache.spark.sql.graft.shim
     // ONE tokenize+shingle pass feeds both the candidate join (bands)
     // and the exact-Jaccard verify; the previous bandTable + separate
@@ -212,7 +241,7 @@ object Dedup {
       .persist(Disk)
     val banded = base.select(col("_id"),
       posexplode(col("_bs.bands")).as(Seq("band_id", "band_hash")))
-    val cand = candidatesFrom(banded).persist(Disk)
+    val cand = candidatesFrom(banded, maxBucket).persist(Disk)
     val sets = base.select(col("_id"), col("_bs.sh").as("_set"))
     val inter = shim.col(graft.core.SortedLongIntersectK(
       shim.expr(col("_sa")), shim.expr(col("_sb")))).cast("double")

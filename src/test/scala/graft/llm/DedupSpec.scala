@@ -32,6 +32,26 @@ class DedupSpec extends SparkTestBase {
       s"missed ${truth -- found}")
   }
 
+  test("hot-bucket cap drops pairs from oversized buckets, keeps small-bucket pairs") {
+    import spark.implicits._
+    // 5 identical docs (every band bucket has all 5 — size 5) and one
+    // identical pair (bucket size 2): cap=3 must eliminate the clique
+    // and keep the pair
+    val corpus = ((1L to 5L).map(i => (i, "alpha beta gamma delta epsilon zeta")) ++
+      Seq((10L, "one two three four five six"),
+        (11L, "one two three four five six"),
+        (20L, "lone wolf document with no duplicate anywhere here")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.nearDupPairs(corpus, "doc_id", "text", 0.9, 3, 12, 4)
+    val capped = Dedup.nearDupPairs(corpus, "doc_id", "text", 0.9, 3, 12, 4,
+      maxBucket = 3)
+    val u = uncapped.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c = capped.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(u.contains((1L, 2L)) && u.contains((10L, 11L)), s"uncapped: $u")
+    assert(c == Set((10L, 11L)), s"capped must keep ONLY the size-2 bucket pair: $c")
+    Dedup.release(uncapped); Dedup.release(capped)
+  }
+
   test("nearDupPairs leaves only its result cached; release empties the cache manager") {
     spark.catalog.clearCache()
     assert(spark.sharedState.cacheManager.isEmpty, "precondition: empty cache")
