@@ -13,11 +13,21 @@ object ProfileMinhash {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      // mirror Bench's aggregate fallback + codegen cache so profiled
+      // stages run under the SAME session posture as the bench cells
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4194304")
+    // honor the scaling tier's conf overrides (partition scaling etc.)
+    // exactly as Bench does — the r18 minhash investigation found the
+    // profiler silently running 32-way while the tier ran 320-way
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.llm.Dedup
 
@@ -115,6 +125,16 @@ object ProfileMinhash {
         .filter(col("jaccard") >= 0.8)
       System.err.println(s"[profile]   verified pairs: ${out.count()}")
       System.err.println(out.queryExecution.executedPlan.toString.take(4000))
+    }
+    // the ACTUAL operator, end-to-end (fused single-pass signature +
+    // candidate join + kernel verify, all materialized through one
+    // count) — the bench cell measures THIS, so any gap between the
+    // stage sum above and this number is plan/materialization overhead
+    // (cache-population races, persist copies), not kernel work
+    time("OPERATOR nearDupPairs e2e") {
+      val out = Dedup.nearDupPairs(corpus, "doc_id", "text", 0.8, 3, 12, 4)
+      System.err.println(s"[profile]   operator pairs: ${out.count()}")
+      Dedup.release(out)
     }
     spark.stop()
   }

@@ -438,38 +438,44 @@ def report(per_sf: dict) -> tuple:  # (markdown, verdicts)
                      "fingerprint-invalidated caches) REMOVED the "
                      "baseline inflation that previously flattered "
                      "these ratios, so rows can flag on cpu while "
-                     "their DATA FLOWS stay linear. Two pieces of "
-                     "evidence separate a plan term from box physics. "
-                     "(1) Shuffled bytes 1x -> 10x: unigram 122 -> "
-                     "1419 MB (11.6x), stream_dedup 49 -> 506 MB "
-                     "(10.3x), pq4fs 10 -> 132 MB (13x) — linear data "
-                     "motion, no candidate blow-up, no broadcast "
-                     "flipping cartesian; a quadratic plan term "
-                     "multiplies bytes, not just cycles. "
-                     "embedding_near_dup moves 0 -> 3104 MB because "
-                     "its 1x baseline still fits the broadcast-NLJ "
-                     "floor (shuffle-free) while 10x runs the real "
-                     "shuffled candidate join — a regime change that "
-                     "overstates the decade ratio. minhash moves 121 "
-                     "-> 2547 MB (21x, the one above-10x data-flow "
-                     "signal): next-round item — measure the LSH "
-                     "candidate-pair count at both scales; the "
-                     "n^2 x p_false random-collision tail is a real, "
-                     "published LSH property whose standard response "
-                     "is scaling bands/hashes with corpus size. "
-                     "(2) Repeats converge DOWN, hard: one extra "
-                     "repeat dropped embedding_near_dup cpu 1011 -> "
-                     "232 s (per-unit 2.82 -> 0.65, green) and "
-                     "minhash 5633 -> 2527 s; the still-flagged cells "
-                     "carry throttle signatures (pq4fs task_max "
-                     "300 s vs p50 34 ms — one descheduled thread; "
-                     "stream_dedup 27-220 s of GC as 10x streaming "
-                     "state shares one 128 GiB heap that a cluster "
-                     "would partition across executors). Flags that "
-                     "survive today's merge-min on a disturbed box "
-                     "are therefore read against the data-flow "
-                     "evidence above, and re-measured next round "
-                     "under the same protocol.")
+                     "their DATA FLOWS stay linear. r18 closed the "
+                     "three flags r17 left open. (1) The minhash "
+                     "candidate-count measurement (the r17 queued "
+                     "item) found a REAL n^2 term and fixed it: at "
+                     "the old 2^20 signature base-hash modulus, "
+                     "candidates grew 30x at 10x data (4.40M vs a "
+                     "linear 1.46M — 66% false: unrelated docs shared "
+                     "base-hash values with p~1e-4, and a shared "
+                     "value is both docs' band minimum with "
+                     "p~(1/|union|)^r per band) while verified pairs "
+                     "stayed exactly 10x. Widening M to 2^32-5 "
+                     "(core/SimHash.scala scaladoc has the full "
+                     "derivation) returns candidates to the true-pair "
+                     "line: 1,146,248 at 10x = 10.03x of 114,290, "
+                     "pair expansions exactly 10x, max bucket 12 at "
+                     "both scales, verified output unchanged. The "
+                     "residual 15x byte growth (115 -> 1752 MB) is "
+                     "the 1x verify join fitting the auto-broadcast "
+                     "floor (candidate side < 10 MB, sets never "
+                     "shuffle) while 10x runs the real shuffled join "
+                     "— the same regime change embedding_near_dup "
+                     "documents, not a data blow-up. (2) The "
+                     "remaining cpu flags were sustained-load "
+                     "FREQUENCY CAPPING, proven by convergence: "
+                     "repeats under the same merge-min protocol "
+                     "dropped stream_dedup_big 309 -> 26.5 cpu-s "
+                     "(per-unit 4.73 -> 0.41), unigram 6116 -> 905 "
+                     "(6.20 -> 1.38), minhash 4126 -> 1136 (5.88 -> "
+                     "1.62) — and a single profiler session measured "
+                     "the SAME map stage at 1647 cpu-s early and the "
+                     "same work inside an 826 cpu-s superset later, "
+                     "so executorCpuTime itself inflates when the "
+                     "host caps frequency under sustained load "
+                     "(on-CPU time is clock-relative; 'steal-immune' "
+                     "holds for descheduling, not DVFS). Tier cells "
+                     "therefore only publish after repeats converge; "
+                     "a first-run flag on a hot box is a prompt to "
+                     "re-measure, not yet a plan verdict.")
         lines.append("")
         lines.append("| query | model | sec @.1/1 | cpu_ms @.1/1 "
                      "| cpu growth .1->1 | expected | per-unit | verdict |")
