@@ -480,7 +480,16 @@ private[graft] trait QueriesBase {
     * copies — the LOAD is real (full shingle/minhash/band join over
     * the corpus), the answer is exactly replayable. */
   private[graft] def commentCorpus(s: SparkSession, dir: String): DataFrame =
-    cached(s"commentCorpus:$dir") {
+    commentCorpusAt(s, dir, scaleX)
+  /** [[commentCorpus]] at an EXPLICIT replication factor, bypassing the
+    * env-driven [[scaleX]] (whose <= 16 cap protects [[bigVecs]]' 4-bit
+    * id shift — doc ids here are plain `did * sx + k` arithmetic with
+    * no bit-width constraint). Probe-only entry point: the fifth-decade
+    * candidate-count measurement (graft.tools.ProfileMinhash) runs the
+    * SAME derivation at sx = 100, a decade past the sf1 tier. */
+  private[graft] def commentCorpusAt(s: SparkSession, dir: String,
+      sx: Int): DataFrame =
+    cached(s"commentCorpus:$dir:x$sx") {
       val did = (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
       val ids0 = lineitem(s, dir).filter(col("l_orderkey") % 4 === 0)
         .select(did.as("_did"))
@@ -489,16 +498,16 @@ private[graft] trait QueriesBase {
       // md5 tokens (replicating the text instead would plant a
       // quadratic near-dup candidate blow-up no real corpus has); the
       // planted-copy offset moves out of the scaled id range
-      val ids = if (scaleX <= 1) ids0 else
+      val ids = if (sx <= 1) ids0 else
         ids0.select(col("_did"),
-          explode(sequence(lit(0), lit(scaleX - 1))).as("_k"))
-          .select((col("_did") * scaleX + col("_k")).as("_did"))
+          explode(sequence(lit(0), lit(sx - 1))).as("_k"))
+          .select((col("_did") * sx + col("_k")).as("_did"))
       // widen before the 12-md5s-per-doc derivation (see bigVecs); the
       // scaled tier widens BY scaleX so the per-task md5/shingle work
       // stays constant as the corpus grows (a cluster adds executors
       // with data; a fixed 32-way cache would make every downstream
       // map stage a wave of 10x-fat stragglers)
-      val target = s.sparkContext.defaultParallelism * scaleX
+      val target = s.sparkContext.defaultParallelism * sx
       val widened =
         if (ids.rdd.getNumPartitions >= target) ids
         else ids.repartition(target)
@@ -511,7 +520,7 @@ private[graft] trait QueriesBase {
       // expensive derivation in the catalog, ~7 s -> ~3.5 s at sf0.1)
       val base = widened
         .select(col("_did"), concat_ws(" ", toks: _*).as("text"))
-      val plantOff = if (scaleX <= 1) 1000000000L else 1L << 40
+      val plantOff = if (sx <= 1) 1000000000L else 1L << 40
       // persist: 12 md5s/doc over ~600k docs is the most expensive
       // derivation in the catalog and the minhash pipeline reads the
       // corpus twice (band table + shingle sets) — ~100 MB cached vs

@@ -97,7 +97,12 @@ object MinHashSig {
     * free in int64 for BOTH engines (the same bound that makes Spark
     * ML's MinHashLSH use a ~2^31 prime). At corpora big enough to
     * saturate 2^32 (n·|shingles| ≳ 2^32 · wanted-false-rate), raise
-    * rows-per-band with n — see Dedup.nearDupPairs' scaladoc. */
+    * rows-per-band with n — `Dedup.autoMinhashParams` encodes that
+    * policy (r19). Fifth-decade check (r19, ProfileMinhash `counts`
+    * at 3.0e7 docs — a decade past this fix's measurement):
+    * candidates 10.03x then 10.27x per decade — the 2.7% excess at
+    * 3e8 doc-shingles is the predicted leading edge of this space
+    * loading, with the knee still a decade out (~4e8 docs). */
   val P = 1000000007L
   val M = 4294967291L // base-hash modulus, 2^32-5 (fits h*a in int64)
   def a(j: Int): Long = (2654435761L * (j + 1)) % P

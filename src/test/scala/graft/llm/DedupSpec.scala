@@ -311,4 +311,81 @@ class DedupSpec extends SparkTestBase {
     assert(c4 < 12L * c1,
       s"candidates grew ~quadratically: n=500 -> $c1, n=2000 -> $c4")
   }
+
+  test("autoMinhashParams: rows-per-band grows with log(n), bands keep the " +
+    "S-curve midpoint at the threshold (VERDICT r18 #2)") {
+    // pinned derivations at three corpus decades, threshold 0.8,
+    // background Jaccard 0.1, <=1 expected false candidate per doc:
+    // n*b*s0^r <= 1 picks r, then b = round((1/t)^r) re-pins the
+    // S-curve midpoint (1/b)^(1/r) at ~t
+    assert(Dedup.autoMinhashParams(100000L, 0.8) == (24, 4))    // r=6
+    assert(Dedup.autoMinhashParams(10000000L, 0.8) == (48, 6))  // r=8
+    assert(Dedup.autoMinhashParams(1000000000L, 0.8) == (90, 9)) // r=10
+    // invariants across a wide sweep: r monotone non-decreasing in n,
+    // the midpoint stays within a band-rounding step of the threshold,
+    // and the false-candidate expectation is actually met
+    var lastR = 0
+    for (exp10 <- 3 to 11) {
+      val n = math.pow(10, exp10).toLong
+      val (hashes, bands) = Dedup.autoMinhashParams(n, 0.8)
+      val r = hashes / bands
+      assert(hashes % bands == 0, s"n=$n: $hashes % $bands != 0")
+      assert(r >= lastR, s"rows-per-band fell at n=$n: $r < $lastR")
+      lastR = r
+      val midpoint = math.pow(1.0 / bands, 1.0 / r)
+      assert(math.abs(midpoint - 0.8) < 0.05,
+        s"n=$n: S-curve midpoint $midpoint drifted off threshold 0.8")
+      val falseExp = n.toDouble * bands * math.pow(0.1, r)
+      assert(falseExp <= 1.0,
+        s"n=$n: expected false candidates per doc $falseExp > 1")
+    }
+    // the auto wrapper still finds the planted near-dups on the
+    // fixture corpus (the derived params change recall shape, not
+    // verification: verify is exact Jaccard either way)
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9, 3)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Dedup.nearDupPairsAuto(docs, "doc_id", "text", 0.9)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(auto) || (truth -- auto).size <= 1,
+      s"auto params missed ${truth -- auto}")
+  }
+
+  test("nearDupPairs verify runs the sorted-long kernel, never string " +
+    "array_intersect (VERDICT r18 #5: the 43x-cheaper path is pinned " +
+    "by plan, not by convention)") {
+    // the returned pair set is persisted, so the verify-join plan
+    // lives behind the InMemoryRelation — unwrap and inspect it, the
+    // within-cells test's pattern
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      import org.apache.spark.sql.execution.adaptive._
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: QueryStageExec => Seq(qs.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        // DO descend into nested caches here (unlike the within-cells
+        // test): the assertion is "no array_intersect ANYWHERE on the
+        // operator's path", including behind intermediate persists
+        case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    val out = Dedup.nearDupPairs(docs, "doc_id", "text", 0.8, 3, 12, 4)
+    val nodes = allNodes(out.queryExecution.executedPlan)
+    def exprCount(pred: PartialFunction[
+        org.apache.spark.sql.catalyst.expressions.Expression, Int]): Int =
+      nodes.map(_.expressions.map(_.collect(pred).sum).sum).sum
+    val kernel = exprCount { case _: graft.core.SortedLongIntersectK => 1 }
+    val strInter = exprCount {
+      case _: org.apache.spark.sql.catalyst.expressions.ArrayIntersect => 1 }
+    assert(kernel >= 1,
+      "verify plan does not use the SortedLongIntersectK merge kernel")
+    assert(strInter == 0,
+      s"verify plan contains $strInter array_intersect evaluation(s) — " +
+        "the 43x-slower string form must stay oracle-only (pairJaccard)")
+    Dedup.release(out)
+  }
 }
