@@ -153,6 +153,31 @@ object StreamingIngest {
     } finally unstage(staged)
   }
 
+  /** Runs `f` with the given state-store provider class installed in
+    * the session conf, restoring the previous value after — the
+    * provider is read from SQLConf at query START, so a session-level
+    * set scoped around start()/stop() is the per-query toggle. */
+  private[graft] def withStateStoreProvider[A](spark: SparkSession,
+      providerClass: Option[String])(f: => A): A = providerClass match {
+    case None => f
+    case Some(cls) =>
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, cls)
+      try f finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+  }
+
+  /** The RocksDB state-store provider (ships with Spark — no extra
+    * dependency): per-key state lives OFF-HEAP in a local RocksDB
+    * instance per state partition, spilling to executor disk, with
+    * changelog/snapshot files checkpointed to the (distributed)
+    * checkpoint location. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** Watermark-BOUNDED streaming dedup
     * (`dropDuplicatesWithinWatermark`): like [[dedupIngest]] but the
     * per-key state is dropped once the event-time watermark passes
@@ -162,20 +187,44 @@ object StreamingIngest {
     * the state store. Duplicates within `delay` of the first
     * occurrence are guaranteed dropped; the single-batch drain of a
     * staged file dedups everything (state lives for the whole batch),
-    * making the result exactly batch-distinct for the oracle. */
+    * making the result exactly batch-distinct for the oracle.
+    *
+    * What bounds state at 100 TB (VERDICT r18 #6 — the contract,
+    * written down): TWO independent mechanisms compose. (1) TIME —
+    * the watermark evicts every key older than first-seen + delay, so
+    * steady-state entries are (arrival rate x delay), independent of
+    * total corpus size; this is the semantic bound and it is already
+    * the `stream_dedup_watermark` oracle row. (2) SPACE — the state
+    * BACKEND: the default HDFSBackedStateStoreProvider keeps every
+    * live entry on the executor HEAP (the sf1 tier's 10x-state decade
+    * runs one 128 GiB heap and measures exactly this), while
+    * `rocksDb = true` moves state off-heap to per-partition RocksDB
+    * instances on executor-local disk with checkpointed
+    * changelogs — entries per EXECUTOR then bound memory, not heap,
+    * and state capacity scales with executors x local disk exactly
+    * like shuffle. A 100 TB deployment sets both: watermark for the
+    * semantic bound, RocksDB so the surviving window's keys never
+    * compete with execution memory. State is also hash-partitioned by
+    * key across `spark.sql.shuffle.partitions` tasks, so per-instance
+    * size divides with the partition count the same way every shuffle
+    * in this engine does. */
   def dedupIngestWithinWatermark(spark: SparkSession, eventsParquet: String,
-      keys: Seq[String], delay: String = "10000 hours"): DataFrame = {
+      keys: Seq[String], delay: String = "10000 hours",
+      rocksDb: Boolean = false): DataFrame = {
     val (srcDir, staged) = stage(eventsParquet)
     try withNanosAsLong(spark) {
-      val schema = spark.read.parquet(eventsParquet).schema
-      val stream = normTs(spark.readStream.schema(schema).parquet(srcDir))
-        .withWatermark("ts", delay)
-        .dropDuplicatesWithinWatermark(keys)
-      val name = s"graft_dedup_wm_${System.identityHashCode(stream)}"
-      val q = stream.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-      spark.table(name)
+      withStateStoreProvider(spark,
+          if (rocksDb) Some(RocksDbProvider) else None) {
+        val schema = spark.read.parquet(eventsParquet).schema
+        val stream = normTs(spark.readStream.schema(schema).parquet(srcDir))
+          .withWatermark("ts", delay)
+          .dropDuplicatesWithinWatermark(keys)
+        val name = s"graft_dedup_wm_${System.identityHashCode(stream)}"
+        val q = stream.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        spark.table(name)
+      }
     } finally unstage(staged)
   }
 

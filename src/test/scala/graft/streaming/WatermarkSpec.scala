@@ -73,4 +73,48 @@ class WatermarkSpec extends SparkTestBase {
         s"expected exactly user 1's boundary session emitted, got $users")
     } finally q.stop()
   }
+
+  test("RocksDB state-store toggle: dedup result is batch-distinct, the " +
+    "provider actually engages, and the session conf is restored " +
+    "(VERDICT r18 #6: the off-heap space bound of the 100 TB contract)") {
+    val events = s"$sf0001/events.parquet"
+    val keys = Seq("user_id", "event_type")
+    // capture streaming progress to prove the RocksDB provider RAN —
+    // its state operators publish rocksdb* custom metrics the default
+    // HDFS-backed provider never emits
+    val sawRocks = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (e.progress.stateOperators.exists(
+            _.customMetrics.keySet.asScala.exists(_.contains("rocksdb"))))
+          sawRocks.set(true)
+      }
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.streams.addListener(listener)
+    try {
+      val got = graft.streaming.StreamingIngest.dedupIngestWithinWatermark(
+        spark, events, keys, rocksDb = true)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = spark.read.parquet(events)
+        .select(col("user_id"), col("event_type")).distinct()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want, s"rocksdb dedup != batch distinct: $got vs $want")
+      // listener delivery is async — poll briefly
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!sawRocks.get && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(sawRocks.get,
+        "no streaming progress reported rocksdb state-store metrics — " +
+          "the toggle did not engage the RocksDB provider")
+      assert(spark.conf.getOption(key) == before,
+        "state-store provider conf leaked out of the toggled query")
+    } finally spark.streams.removeListener(listener)
+  }
 }
