@@ -214,6 +214,7 @@ object Bench {
       if (d >= 0.5 && cold / d > 1.5 && SparkEntry.queries.contains(name) &&
           !failed.contains(name)) {
         System.gc()
+        val rerunCpu0 = cpuNs.get
         val t0 = System.nanoTime()
         // a rerun that THROWS must not publish its time-to-failure as
         // a warm measurement (r9 review) — keep the cold number
@@ -221,6 +222,13 @@ object Bench {
           try { SparkEntry.queries(name)(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
         val warm = (System.nanoTime() - t0) / 1e9
+        // the rerun's own executor CPU (ADVICE r18): when `value`
+        // becomes the warm-adjusted wall, cpu_ms (cold window) and the
+        // published time sit on different bases — warm_cpu_ms records
+        // the rerun's CPU so both bases are in the detail record.
+        // cpu_total stays the sum of COLD-window cpu_ms by definition
+        // (noted in the record), keeping it comparable across rounds.
+        val warmCpuMs = (cpuNs.get - rerunCpu0) / 1000000L
         // same-work-profile reconstruction (ADVICE r9 medium): the
         // rerun skips exactly the memoized build work the cold run
         // paid (missSec — measured, eager helpers captured verbatim,
@@ -231,7 +239,7 @@ object Bench {
         if (ok && adj < cold) {
           results(name) = adj
           metrics(name) = metrics(name).dropRight(1) +
-            f""","cold_sec":$cold%.3f,"build_sec":${missSec.getOrElse(name, 0.0)}%.3f}"""
+            f""","cold_sec":$cold%.3f,"build_sec":${missSec.getOrElse(name, 0.0)}%.3f,"warm_cpu_ms":$warmCpuMs}"""
           System.err.println(
             f"[bench] $name%-28s rerun: cold $cold%.2f s -> warm $warm%.2f s + build ${missSec.getOrElse(name, 0.0)}%.2f s")
         }
@@ -262,7 +270,7 @@ object Bench {
     val cpuTotal = metrics.values.flatMap { v =>
       """"cpu_ms":(\d+)""".r.findFirstMatchIn(v).map(_.group(1).toLong)
     }.sum / 1000.0
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$cpuTotal%.3f,"queries":$qs,"oracle":$orc,"metrics":$mj,$notes"failed":$fj,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$cpuTotal%.3f,"cpu_total_basis":"sum of cold-window cpu_ms; borderline-rerun queries publish warm wall in value/queries and carry the rerun's own CPU as warm_cpu_ms in metrics","queries":$qs,"oracle":$orc,"metrics":$mj,$notes"failed":$fj,"sf":"$sfDir"}"""
     // Full per-query detail goes to a committed file + stderr; the log
     // the driver parses keeps only the LAST ~2000 bytes of output
     // (r03 parsed=null: the 2.3 KB full line was head-truncated), so

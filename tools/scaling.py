@@ -130,9 +130,16 @@ def workload_fp() -> str:
                     h.update(f.read())
     with open(os.path.abspath(__file__), "rb") as f:
         h.update(f.read())
-    # env-derived protocol knobs that change what a run measures
-    for k in ("SPARK_GRAFT_CPUS", "SPARK_GRAFT_CONF"):
-        h.update(f"{k}={os.environ.get(k, '')}".encode())
+    # env-derived protocol knobs that change what a run measures —
+    # hashed at their EFFECTIVE values (ADVICE r18: run_sf applies
+    # setdefault('SPARK_GRAFT_CPUS', '32'), so an unset variable and
+    # an explicit '32' describe the identical protocol and must share
+    # a fingerprint; the tier's derived SPARK_GRAFT_CONF suffix is a
+    # pure function of CPUS+scale_x and needs no separate hashing)
+    h.update(f"SPARK_GRAFT_CPUS={os.environ.get('SPARK_GRAFT_CPUS', '32')}"
+             .encode())
+    h.update(f"SPARK_GRAFT_CONF={os.environ.get('SPARK_GRAFT_CONF', '')}"
+             .encode())
     return h.hexdigest()[:16]
 
 
@@ -500,6 +507,12 @@ def report(per_sf: dict) -> tuple:  # (markdown, verdicts)
                 m1 = per_sf["0.1"]["queries"].get(q)
             m10 = per_sf["1"]["queries"].get(q)
             if m1 is None or m10 is None:
+                # machine-readable marker (ADVICE r18): without it the
+                # bad-query check treats a silently-unmeasured row as
+                # linear_in_work=True and the 'none' claim can't be
+                # distinguished from 'not measured' by SCALING.json
+                # consumers
+                verdicts[q]["sf1"] = {"unmeasured": True}
                 lines.append("| %s | %s | (not measured this round) "
                              "| | | | | UNMEASURED |" % (q, model))
                 continue
@@ -565,8 +578,12 @@ def main():
     bad = [q for q, v in verdicts.items()
            if not (v.get("linear_in_work", True) and
                    v.get("sf1", {}).get("linear_in_work", True))]
+    unmeasured = [q for q, v in verdicts.items()
+                  if v.get("sf1", {}).get("unmeasured")]
     print(f"[scaling] wrote SCALING.md / SCALING.json; "
-          f"super-linear: {bad or 'none'}")
+          f"super-linear: {bad or 'none'}"
+          + (f"; UNMEASURED sf1 rows (excluded from the claim): "
+             f"{unmeasured}" if unmeasured else ""))
 
 
 if __name__ == "__main__":
