@@ -90,7 +90,11 @@ object Explain {
       "semantic_neardup_cells",
       // r17: end-to-end SemDeDup over the bounded within-cell pair
       // source (components + keep-one with no n^2 stage)
-      "semantic_dedup_cells")
+      "semantic_dedup_cells",
+      // r18: the hot-bucket cap — the plan must show the
+      // filter(size(ids) <= cap) BEFORE the pair explode, bounding
+      // per-bucket work ahead of the O(B^2) expansion
+      "minhash_hotcap_neardup")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans of headline operators\n\n")
     sb.append("Generated by `graft.Explain` at sf0.001 (sf0.01 for the *_big\n")
