@@ -1278,10 +1278,18 @@ private[graft] trait CatalogCodec { this: QueriesBase =>
       add("refineflat", IndexIO.saveRefineFlat(rf, _), sr(rf.search(q, 5)),
         a => sr(a.asInstanceOf[RefineFlatIndex].search(q, 5)))
       base.count() // materialize the shared cache once, outside the pool
-      // 12 threads: the 26 lifecycles are independent single-task
-      // chains, so the wall is scheduling latency, not CPU — a wider
-      // pool packs them tighter (VERDICT r16 #5; 8 -> 12)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
+      // one thread per lifecycle (r19): the 26 chains are independent
+      // sequences of mostly single-task jobs, so the wall is per-job
+      // latency × chain length ÷ overlap — task slots (32 cores), not
+      // threads, are the binding resource, and at 12 threads the
+      // longest chains queue behind short ones. Measured (ProfileOne,
+      // 3 repeats each on a drifting box): job-seconds absorbed per
+      // wall-second rose ~5.5× → ~10× at pool 26 with the same ~1000
+      // job total; wall itself was inside the box's noise band.
+      // Guide §2.6: overlap independent jobs so the tail of one chain
+      // back-fills the others' idle slots.
+      val ts = thunks.result()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(ts.size)
       val rows = try {
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
@@ -1294,8 +1302,7 @@ private[graft] trait CatalogCodec { this: QueriesBase =>
         // Try-wrapping makes the sequence total; .map(_.get) then
         // rethrows the first failure with the pool already quiet.
         Await.result(
-          Future.sequence(
-            thunks.result().map(t => Future(scala.util.Try(t())))),
+          Future.sequence(ts.map(t => Future(scala.util.Try(t())))),
           Duration.Inf).map(_.get)
       } finally {
         pool.shutdown()

@@ -669,6 +669,15 @@ private[graft] trait QueriesBase {
     // two rounds). Same contract as the rest of this list: session-
     // memoized, no *_build catalog entry to protect.
     semCells(s, dir)
+    // r19 omission sweep (same contract — trained state whose oracle
+    // reads a sidecar, with no *_build entry to protect): the
+    // Residual2x4 two-layer carrier (oracle: resmiq_* sidecars; its
+    // training previously landed in residual_mxn_roundtrip's window),
+    // the MinMax-wrapped PQ codebooks (minmaxpq_codebooks sidecar),
+    // and the ICM-encoded LSQ code table (lsq_codes sidecar — ICM
+    // descent is not SQL-replayable, so the oracle reads the codes
+    // verbatim either way).
+    resMiq24(s, dir); minmaxPqModel(s, dir); lsqCodes(s, dir)
     ()
   }
 

@@ -97,19 +97,30 @@ object KMeans {
         val buckets = 1L << 30
         val keep = math.min(buckets,
           (maxTrain.toDouble / total * buckets).toLong + 1)
-        val sampled =
-          codes.filter(pmod(xxhash64(col("_code"), lit(p.seed)), lit(buckets)) < keep)
-        if (sampled.limit(p.k).count() < p.k) codes.limit(maxTrain.toInt)
-        else sampled
+        codes.filter(pmod(xxhash64(col("_code"), lit(p.seed)), lit(buckets)) < keep)
       } else codes
-    val train = train0.cache()
+    var train = train0.cache()
     try {
       // lazy decoded view: every iteration re-reads the cached CODES
       // and decodes in the scan — float vectors never persist
-      val decoded = train.select(decode(col("_code")).as("vec"))
+      def decoded = train.select(decode(col("_code")).as("vec"))
       var best: Model = null
+      var fellBack = total <= maxTrain // nothing to fall back from
       for (redo <- 0 until p.nredo) {
-        val m = fitOnce(decoded, p, p.seed + redo, init)
+        val seed = p.seed + redo
+        // k-sufficiency fallback folded into the init collect (one
+        // fewer corpus pass per fit — guide §2.4; see fit())
+        val init0 = init.getOrElse {
+          var c = collectInit(decoded, seed, p.k)
+          if (c.length < p.k && !fellBack) {
+            train.unpersist(blocking = false)
+            train = codes.limit(maxTrain.toInt).cache()
+            fellBack = true
+            c = collectInit(decoded, seed, p.k)
+          }
+          c
+        }
+        val m = fitOnce(decoded, p, init0)
         if (best == null || m.objective < best.objective) best = m
       }
       best
@@ -137,36 +148,54 @@ object KMeans {
         val buckets = 1L << 30
         val keep = math.min(buckets,
           (maxTrain.toDouble / total * buckets).toLong + 1)
-        val sampled =
-          vecs.filter(pmod(xxhash64(col("vec"), lit(p.seed)), lit(buckets)) < keep)
-        // The hash keys on the vector VALUE, so duplicate-heavy data can
-        // land every copy in (or out of) the kept range: an empty or
-        // k-deficient sample is possible. Fall back to an unsampled
-        // arbitrary-prefix limit then — degenerate inputs only, so the
-        // limit's driver-side collect stays irrelevant at scale.
-        if (sampled.limit(p.k).count() < p.k) vecs.limit(maxTrain.toInt)
-        else sampled
+        vecs.filter(pmod(xxhash64(col("vec"), lit(p.seed)), lit(buckets)) < keep)
       } else vecs
-    val train = train0.cache()
+    var train = train0.cache()
     try {
       var best: Model = null
+      var fellBack = total <= maxTrain // nothing to fall back from
       for (redo <- 0 until p.nredo) {
-        val m = fitOnce(train, p, p.seed + redo, init)
+        val seed = p.seed + redo
+        // The subsample hash keys on the vector VALUE, so
+        // duplicate-heavy data can land every copy in (or out of) the
+        // kept range: an empty or k-deficient sample is possible. The
+        // old shape spent a dedicated `sampled.limit(k).count()` job —
+        // a full corpus pass — deciding the fallback BEFORE the init
+        // collect re-scanned for the same information; folding the
+        // check into the init collect removes one pass per fit
+        // (guide §2.4 — remove shuffles/passes outright). Fallback =
+        // unsampled arbitrary-prefix limit, degenerate inputs only.
+        val init0 = init.getOrElse {
+          var c = collectInit(train, seed, p.k)
+          if (c.length < p.k && !fellBack) {
+            train.unpersist(blocking = false)
+            train = vecs.limit(maxTrain.toInt).cache()
+            fellBack = true
+            c = collectInit(train, seed, p.k)
+          }
+          c
+        }
+        val m = fitOnce(train, p, init0)
         if (best == null || m.objective < best.objective) best = m
       }
       best
     } finally { train.unpersist() }
   }
 
-  private def fitOnce(train: DataFrame, p: Params, seed: Long,
-      init: Option[Array[Array[Float]]] = None): Model = {
+  /** First k rows in deterministic hash order (rand_perm analog) —
+    * the init sample every fit draws when no warm start is given. */
+  private def collectInit(train: DataFrame, seed: Long,
+      k: Int): Array[Array[Float]] =
+    train.withColumn("_h", xxhash64(col("vec"), lit(seed)))
+      .orderBy(col("_h")).limit(k)
+      .select("vec").collect()
+      .map(_.getSeq[Float](0).toArray)
+
+  private def fitOnce(train: DataFrame, p: Params,
+      init: Array[Array[Float]]): Model = {
     // init: warm-start centroids if given (ProgressiveDimClustering),
-    // else first k rows in deterministic hash order (rand_perm analog)
-    var centroids: Array[Array[Float]] = init.getOrElse(
-      train.withColumn("_h", xxhash64(col("vec"), lit(seed)))
-        .orderBy(col("_h")).limit(p.k)
-        .select("vec").collect()
-        .map(_.getSeq[Float](0).toArray))
+    // else the caller's collectInit sample
+    var centroids: Array[Array[Float]] = init
     require(centroids.nonEmpty, "empty training set")
     if (centroids.length < p.k) {
       // fewer distinct points than k: pad by perturbing existing ones

@@ -124,7 +124,12 @@ case class MinHashBase(child: Expression) extends UnaryExpression with CodegenFa
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val out = new Array[Long](n)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // one digest per task thread, not per ROW: getInstance runs a
+    // provider lookup + allocation each call, measurable across the
+    // 300k-doc corpora this kernel fronts (r19; result-identical —
+    // reset() restores the initial state)
+    val md = MinHashBase.digests.get()
+    md.reset()
     var i = 0
     while (i < n) {
       md.reset()
@@ -140,6 +145,14 @@ case class MinHashBase(child: Expression) extends UnaryExpression with CodegenFa
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashBase {
+  /** Per-thread MD5 instance ([[MinHashBase]] resets before each row). */
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 }
 
 object SimHash64 {

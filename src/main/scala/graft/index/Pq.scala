@@ -36,9 +36,6 @@ object Pq {
     * subspace is a ksub-means over dsub dims.) */
   def train(df: DataFrame, vecCol: String, m: Int, ksub: Int,
       niter: Int = 8, seed: Long = 1234L): PqModel = {
-    val d = df.select(size(col(vecCol))).first().getInt(0)
-    require(d % m == 0, s"d=$d not divisible by M=$m")
-    val dsub = d / m
     val all = df.select(col(vecCol).as("vec")).filter(col("vec").isNotNull)
     // Training subsample — the reference's k-means
     // max_points_per_centroid convention (Clustering.h:36;
@@ -60,11 +57,23 @@ object Pq {
         df.sparkSession.sparkContext.defaultParallelism / 2)).cache()
 
     // init: ksub deterministic sample rows; codebook[mi] = their mi-th
-    // subvectors (random-point init per subspace, one job — the first
-    // ksub rows of the HASH-ORDERED stream, taken before the
-    // repartition destroys that order)
-    val sample = ordered.limit(ksub).select("vec").collect()
+    // subvectors (random-point init per subspace). Collected from the
+    // CACHED subsample by re-sorting on the recomputed row hash — the
+    // first ksub rows of the hash order are a prefix of the cached
+    // maxTrain-row TakeOrdered, so the set is identical to sampling
+    // the corpus directly, but this collect doubles as the cache
+    // materialization: the old shape paid the full corpus TakeOrdered
+    // TWICE (a `ordered.limit(ksub).collect()` init pass + the first
+    // iteration's cache build) plus a third `first()` job just for
+    // `d` (guide §2.4 — remove passes outright; for IVFPQ the removed
+    // pass was a full scan of the cached 600k-row residual table).
+    val sample = vecs.withColumn("_h", xxhash64(col("vec"), lit(seed)))
+      .orderBy(col("_h")).limit(ksub).select("vec").collect()
       .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty training set")
+    val d = sample.head.length
+    require(d % m == 0, s"d=$d not divisible by M=$m")
+    val dsub = d / m
     var codebooks: Array[Array[Array[Float]]] =
       Array.tabulate(m)(mi => Array.tabulate(math.min(ksub, sample.length))(j =>
         sample(j).slice(mi * dsub, (mi + 1) * dsub)))

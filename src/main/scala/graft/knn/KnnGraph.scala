@@ -67,9 +67,16 @@ object KnnGraph {
       .distinct()
 
     for (_ <- 0 until iters) {
+      // NOT distinct'ed here: the union carries a duplicate (src, dst)
+      // only for mutual edges (a↔b both in graph), so skipping the
+      // dedup shuffle at this point at most doubles those rows through
+      // the neighbor join; the single distinct over the FINAL candidate
+      // union below removes them before the expensive knnByIdx. One
+      // shuffle per iteration instead of two for the same candidate
+      // set (guide §2.4 — remove shuffles outright; result-identical
+      // because only the post-distinct SET feeds the top-k).
       val undirected = graph.select(col("src"), col("dst"))
         .unionByName(graph.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
       // neighbors of neighbors
       val non = undirected.as("a")
         .join(undirected.as("b"), col("a.dst") === col("b.src"))
@@ -89,10 +96,17 @@ object KnnGraph {
         // minutes of CPU on deep plans (the r02/r03 bench stalls).
         .localCheckpoint()
     }
-    val q = base.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-    Knn.knnByIdx(q, base,
-      graph.select(col("src").as("qid"), col("dst").as(idCol)), k, metric,
-      baseId = idCol, baseVec = vecCol)
-      .select(col("qid").as("src"), col("rank"), col(idCol).as("dst"), col("dist"))
+    // final ranking straight off the last round's (src, dst, dist)
+    // rows: the loop's knnByIdx already computed the exact distance of
+    // every surviving edge, so re-joining base vectors to re-evaluate
+    // the same pairs (the old shape) paid two extra joins and a
+    // distance pass for information the graph already carries. Same
+    // (dist, id) tie-order as knnByIdx ⇒ identical output.
+    graph.groupBy(col("src"))
+      .agg(graft.functions.topk(col("dist"), col("dst"), k,
+        asc = graft.core.Metric.ascending(metric)).as("_tk"))
+      .select(col("src"), posexplode(col("_tk")).as(Seq("_pos", "_r")))
+      .select(col("src"), (col("_pos") + 1).cast("long").as("rank"),
+        col("_r.id").as("dst"), col("_r.dist").as("dist"))
   }
 }
