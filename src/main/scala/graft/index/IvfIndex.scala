@@ -6,6 +6,8 @@ import org.apache.spark.sql.graft.shim
 import graft.core.{Metric, TopKAgg}
 import graft.cluster.KMeans
 import graft.functions.{topk, vec_dist}
+import graft.io.JsonSidecar
+import graft.io.JsonSidecar.SidecarWriter
 
 /** IVF (inverted-file) index: the reference's scale path
   * (faiss/IndexIVF.cpp) re-expressed as a list_no-partitioned
@@ -418,12 +420,12 @@ object IvfIndex {
     idx.centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq, idx.d, idx.metric, idx.nlist) }
       .toDF("list_no", "centroid", "d", "metric", "nlist")
-      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+      .writeSidecar(s"$path/meta")
     graft.io.IndexIO.saveKind(spark, path, "ivfflat")
   }
 
   def load(spark: SparkSession, path: String): IvfIndex = {
-    val meta = spark.read.json(s"$path/meta")
+    val meta = JsonSidecar.read(spark, s"$path/meta")
       .select(col("list_no").cast("int"),
         col("centroid").cast("array<float>"),
         col("d").cast("int"), col("metric"), col("nlist").cast("int"))

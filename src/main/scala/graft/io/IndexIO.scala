@@ -3,6 +3,7 @@ package graft.io
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.index._
+import graft.io.JsonSidecar.SidecarWriter
 import graft.transform._
 
 /** read_index/write_index analogs for the remaining index families and
@@ -39,11 +40,11 @@ object IndexIO {
     import spark.implicits._
     idx.codes.write.mode("overwrite").parquet(s"$path/codes")
     idx.vmin.indices.map(i => (i, idx.vmin(i), idx.vdiff(i))).toDF("dim", "vmin", "vdiff")
-      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+      .writeSidecar(s"$path/meta")
     // qtype in its own sidecar: fp16 has NO range rows, so the codec
     // width cannot be inferred from meta
     Seq(idx.qtype).toDF("qtype")
-      .coalesce(1).write.mode("overwrite").json(s"$path/qtype")
+      .writeSidecar(s"$path/qtype")
     saveKind(spark, path, "sq")
   }
 
@@ -51,7 +52,7 @@ object IndexIO {
     // fp16 indexes have no trained range -> meta is an empty dataset
     // (no inferable schema)
     val meta =
-      try spark.read.json(s"$path/meta")
+      try JsonSidecar.read(spark, s"$path/meta")
         .select(col("dim").cast("int"), col("vmin").cast("double"),
           col("vdiff").cast("double")).collect()
       catch { case _: org.apache.spark.sql.AnalysisException => Array.empty[org.apache.spark.sql.Row] }
@@ -62,7 +63,7 @@ object IndexIO {
     }
     // pre-r7 saves have no qtype sidecar -> SQ8
     val qtype =
-      try spark.read.json(s"$path/qtype").select(col("qtype")).first().getString(0)
+      try JsonSidecar.read(spark, s"$path/qtype").select(col("qtype")).first().getString(0)
       catch { case _: Throwable => "SQ8" }
     new SqIndex(vmin, vdiff, spark.read.parquet(s"$path/codes"), qtype)
   }
@@ -76,12 +77,12 @@ object IndexIO {
     val rows = for (mi <- 0 until m.m; j <- 0 until m.codebooks(mi).length)
       yield (mi, j, m.codebooks(mi)(j).toSeq, m.ksub, m.dsub)
     rows.toDF("m", "j", "centroid", "ksub", "dsub")
-      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+      .writeSidecar(s"$path/meta")
     saveKind(spark, path, "pq")
   }
 
   def loadPq(spark: SparkSession, path: String): PqIndex = {
-    val meta = spark.read.json(s"$path/meta")
+    val meta = JsonSidecar.read(spark, s"$path/meta")
       .select(col("m").cast("int"), col("j").cast("int"),
         col("centroid").cast("array<float>"),
         col("ksub").cast("int"), col("dsub").cast("int")).collect()
@@ -106,22 +107,22 @@ object IndexIO {
     idx.centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq, idx.nlist) }
       .toDF("list_no", "centroid", "nlist")
-      .coalesce(1).write.mode("overwrite").json(s"$path/centroids")
+      .writeSidecar(s"$path/centroids")
     val m = idx.model
     (for (mi <- 0 until m.m; j <- m.codebooks(mi).indices)
       yield (mi, j, m.codebooks(mi)(j).toSeq, m.ksub, m.dsub))
       .toDF("m", "j", "centroid", "ksub", "dsub")
-      .coalesce(1).write.mode("overwrite").json(s"$path/codebooks")
+      .writeSidecar(s"$path/codebooks")
   }
 
   def loadIvfPq(spark: SparkSession, path: String): IvfPqIndex = {
-    val cents = spark.read.json(s"$path/centroids")
+    val cents = JsonSidecar.read(spark, s"$path/centroids")
       .select(col("list_no").cast("int"), col("centroid").cast("array<float>"),
         col("nlist").cast("int")).collect()
     val nlist = cents.head.getInt(2)
     val centroids = new Array[Array[Float]](nlist)
     cents.foreach { r => centroids(r.getInt(0)) = r.getSeq[Float](1).toArray }
-    val cb = spark.read.json(s"$path/codebooks")
+    val cb = JsonSidecar.read(spark, s"$path/codebooks")
       .select(col("m").cast("int"), col("j").cast("int"),
         col("centroid").cast("array<float>"),
         col("ksub").cast("int"), col("dsub").cast("int")).collect()
@@ -145,22 +146,22 @@ object IndexIO {
     idx.centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq, idx.nlist) }
       .toDF("list_no", "centroid", "nlist")
-      .coalesce(1).write.mode("overwrite").json(s"$path/centroids")
+      .writeSidecar(s"$path/centroids")
     val m = idx.model
     (for (mi <- 0 until m.m; j <- m.codebooks(mi).indices)
       yield (mi, j, m.codebooks(mi)(j).toSeq, m.ksub, m.dsub))
       .toDF("m", "j", "centroid", "ksub", "dsub")
-      .coalesce(1).write.mode("overwrite").json(s"$path/codebooks")
+      .writeSidecar(s"$path/codebooks")
   }
 
   def loadTwoLayer(spark: SparkSession, path: String): TwoLayerIndex = {
-    val cents = spark.read.json(s"$path/centroids")
+    val cents = JsonSidecar.read(spark, s"$path/centroids")
       .select(col("list_no").cast("int"), col("centroid").cast("array<float>"),
         col("nlist").cast("int")).collect()
     val nlist = cents.head.getInt(2)
     val centroids = new Array[Array[Float]](nlist)
     cents.foreach { r => centroids(r.getInt(0)) = r.getSeq[Float](1).toArray }
-    val cb = spark.read.json(s"$path/codebooks")
+    val cb = JsonSidecar.read(spark, s"$path/codebooks")
       .select(col("m").cast("int"), col("j").cast("int"),
         col("centroid").cast("array<float>"),
         col("ksub").cast("int"), col("dsub").cast("int")).collect()
@@ -182,12 +183,12 @@ object IndexIO {
     idx.centroidBits.zipWithIndex.toSeq
       .map { case (bits, l) => (l, bits.toSeq, idx.nlist) }
       .toDF("list_no", "bits", "nlist")
-      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+      .writeSidecar(s"$path/meta")
     saveKind(spark, path, "bivf")
   }
 
   def loadBinaryIvf(spark: SparkSession, path: String): BinaryIvfIndex = {
-    val meta = spark.read.json(s"$path/meta")
+    val meta = JsonSidecar.read(spark, s"$path/meta")
       .select(col("list_no").cast("int"), col("bits").cast("array<int>"),
         col("nlist").cast("int")).collect()
     val nlist = meta.head.getInt(2)
@@ -209,11 +210,11 @@ object IndexIO {
     (for (mi <- 0 until m.m; j <- m.codebooks(mi).indices)
       yield (mi, j, m.codebooks(mi)(j).toSeq, m.ksub, m.dsub))
       .toDF("m", "j", "centroid", "ksub", "dsub")
-      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+      .writeSidecar(s"$path/meta")
   }
 
   def loadImi(spark: SparkSession, path: String): ImiIndex = {
-    val cb = spark.read.json(s"$path/meta")
+    val cb = JsonSidecar.read(spark, s"$path/meta")
       .select(col("m").cast("int"), col("j").cast("int"),
         col("centroid").cast("array<float>"),
         col("ksub").cast("int"), col("dsub").cast("int")).collect()
@@ -237,7 +238,7 @@ object IndexIO {
   }
 
   private def readPqModel(spark: SparkSession, path: String): PqModel = {
-    val cb = spark.read.json(path)
+    val cb = JsonSidecar.read(spark, path)
       .select(col("m").cast("int"), col("j").cast("int"),
         col("centroid").cast("array<float>"),
         col("ksub").cast("int"), col("dsub").cast("int")).collect()
@@ -254,9 +255,9 @@ object IndexIO {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     saveKind(spark, path, "imipq")
     pqModelDf(spark, idx.coarse)
-      .coalesce(1).write.mode("overwrite").json(s"$path/coarse")
+      .writeSidecar(s"$path/coarse")
     pqModelDf(spark, idx.model)
-      .coalesce(1).write.mode("overwrite").json(s"$path/codebooks")
+      .writeSidecar(s"$path/codebooks")
   }
 
   def loadImiPq(spark: SparkSession, path: String): ImiPqIndex = {
@@ -273,9 +274,9 @@ object IndexIO {
     idx.codes.write.mode("overwrite").parquet(s"$path/codes")
     saveKind(spark, path, "miq2layer")
     pqModelDf(spark, idx.coarse)
-      .coalesce(1).write.mode("overwrite").json(s"$path/coarse")
+      .writeSidecar(s"$path/coarse")
     pqModelDf(spark, idx.model)
-      .coalesce(1).write.mode("overwrite").json(s"$path/codebooks")
+      .writeSidecar(s"$path/codebooks")
   }
 
   def loadMiqTwoLayer(spark: SparkSession, path: String): MiqTwoLayerIndex = {
@@ -295,16 +296,16 @@ object IndexIO {
     idx.centroids.zipWithIndex.toSeq
       .map { case (c, l) => (l, c.toSeq, idx.nlist, idx.nbit, idx.period) }
       .toDF("list_no", "centroid", "nlist", "nbit", "period")
-      .coalesce(1).write.mode("overwrite").json(s"$path/centroids")
+      .writeSidecar(s"$path/centroids")
     idx.thresholds.zipWithIndex.toSeq
       .map { case (t, l) => (l, t.toSeq) }.toDF("list_no", "thresh")
-      .coalesce(1).write.mode("overwrite").json(s"$path/thresholds")
+      .writeSidecar(s"$path/thresholds")
     saveTransform(spark, idx.vt, s"$path/vt")
     saveKind(spark, path, "ivfsh")
   }
 
   def loadSpectralHash(spark: SparkSession, path: String): IvfSpectralHashIndex = {
-    val cents = spark.read.json(s"$path/centroids")
+    val cents = JsonSidecar.read(spark, s"$path/centroids")
       .select(col("list_no").cast("int"), col("centroid").cast("array<float>"),
         col("nlist").cast("int"), col("nbit").cast("int"),
         col("period").cast("double")).collect()
@@ -313,7 +314,7 @@ object IndexIO {
     val period = cents.head.getDouble(4)
     val centroids = new Array[Array[Float]](nlist)
     cents.foreach { r => centroids(r.getInt(0)) = r.getSeq[Float](1).toArray }
-    val th = spark.read.json(s"$path/thresholds")
+    val th = JsonSidecar.read(spark, s"$path/thresholds")
       .select(col("list_no").cast("int"), col("thresh").cast("array<float>"))
       .collect()
     val thresholds = new Array[Array[Float]](nlist)
@@ -330,11 +331,11 @@ object IndexIO {
     (for (l <- 0 until model.levels; j <- model.codebooks(l).indices)
       yield (l, j, model.codebooks(l)(j).toSeq, model.k))
       .toDF("level", "j", "centroid", "k")
-      .coalesce(1).write.mode("overwrite").json(path)
+      .writeSidecar(path)
   }
 
   def loadRq(spark: SparkSession, path: String): RqModel = {
-    val rows = spark.read.json(path)
+    val rows = JsonSidecar.read(spark, path)
       .select(col("level").cast("int"), col("j").cast("int"),
         col("centroid").cast("array<float>"), col("k").cast("int")).collect()
     val levels = rows.map(_.getInt(0)).max + 1
@@ -359,7 +360,7 @@ object IndexIO {
     (for (mi <- 0 until m.m; j <- m.codebooks(mi).indices)
       yield (mi, j, m.codebooks(mi)(j).toSeq, m.ksub, m.dsub))
       .toDF("m", "j", "centroid", "ksub", "dsub")
-      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+      .writeSidecar(s"$path/meta")
   }
 
   def loadPq4Fs(spark: SparkSession, path: String): Pq4FastScanIndex =
@@ -376,17 +377,17 @@ object IndexIO {
     idx.centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq, idx.nlist) }
       .toDF("list_no", "centroid", "nlist")
-      .coalesce(1).write.mode("overwrite").json(s"$path/centroids")
+      .writeSidecar(s"$path/centroids")
     val m = idx.model
     (for (mi <- 0 until m.m; j <- m.codebooks(mi).indices)
       yield (mi, j, m.codebooks(mi)(j).toSeq, m.ksub, m.dsub))
       .toDF("m", "j", "centroid", "ksub", "dsub")
-      .coalesce(1).write.mode("overwrite").json(s"$path/codebooks")
+      .writeSidecar(s"$path/codebooks")
     saveKind(spark, path, "ivfpq4fs")
   }
 
   def loadIvfPq4Fs(spark: SparkSession, path: String): IvfPq4FastScanIndex = {
-    val cents = spark.read.json(s"$path/centroids")
+    val cents = JsonSidecar.read(spark, s"$path/centroids")
       .select(col("list_no").cast("int"), col("centroid").cast("array<float>"),
         col("nlist").cast("int")).collect()
     val nlist = cents.head.getInt(2)
@@ -405,12 +406,12 @@ object IndexIO {
     saveRq(spark, idx.model, s"$path/codebooks")
     saveNormCb(spark, idx.normCb, s"$path/normcb")
     Seq(idx.normScale).toDF("norm_scale")
-      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+      .writeSidecar(s"$path/meta")
     saveKind(spark, path, "rq4fs")
   }
 
   def loadRq4Fs(spark: SparkSession, path: String): Rq4FastScanIndex = {
-    val ns = spark.read.json(s"$path/meta")
+    val ns = JsonSidecar.read(spark, s"$path/meta")
       .select(col("norm_scale").cast("int")).first().getInt(0)
     new Rq4FastScanIndex(loadRq(spark, s"$path/codebooks"),
       readNormCb(spark, s"$path/normcb"),
@@ -423,11 +424,11 @@ object IndexIO {
     (for (l <- normCb.indices; j <- normCb(l).indices)
       yield (l, j, normCb(l)(j)))
       .toDF("l", "j", "c")
-      .coalesce(1).write.mode("overwrite").json(path)
+      .writeSidecar(path)
   }
 
   private def readNormCb(spark: SparkSession, path: String): Array[Array[Double]] = {
-    val rows = spark.read.json(path)
+    val rows = JsonSidecar.read(spark, path)
       .select(col("l").cast("int"), col("j").cast("int"),
         col("c").cast("double")).collect()
     val nlev = rows.map(_.getInt(0)).max + 1
@@ -442,11 +443,11 @@ object IndexIO {
     centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq, centroids.length) }
       .toDF("list_no", "centroid", "nlist")
-      .coalesce(1).write.mode("overwrite").json(path)
+      .writeSidecar(path)
   }
 
   private def readCentroids(spark: SparkSession, path: String): Array[Array[Float]] = {
-    val cents = spark.read.json(path)
+    val cents = JsonSidecar.read(spark, path)
       .select(col("list_no").cast("int"), col("centroid").cast("array<float>"),
         col("nlist").cast("int")).collect()
     val out = new Array[Array[Float]](cents.head.getInt(2))
@@ -470,7 +471,7 @@ object IndexIO {
     saveRq(spark, model, s"$path/codebooks")
     saveNormCb(spark, normCb, s"$path/normcb")
     Seq(byResidual).toDF("by_residual")
-      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+      .writeSidecar(s"$path/meta")
     saveKind(spark, path, if (byResidual) "ivfrq4fsr" else "ivfrq4fs")
   }
 
@@ -483,7 +484,7 @@ object IndexIO {
       idx.model, idx.normCb, idx.codes, byResidual = true)
 
   def loadIvfRq4Fs(spark: SparkSession, path: String): IvfRq4FastScanIndex = {
-    require(!spark.read.json(s"$path/meta")
+    require(!JsonSidecar.read(spark, s"$path/meta")
       .select(col("by_residual")).first().getBoolean(0),
       s"$path holds a by-residual (x4fsr) index — use loadIvfRq4FsR")
     val centroids = readCentroids(spark, s"$path/centroids")
@@ -494,7 +495,7 @@ object IndexIO {
   }
 
   def loadIvfRq4FsR(spark: SparkSession, path: String): IvfRq4FastScanRIndex = {
-    require(spark.read.json(s"$path/meta")
+    require(JsonSidecar.read(spark, s"$path/meta")
       .select(col("by_residual")).first().getBoolean(0),
       s"$path holds a non-residual (x4fs) index — use loadIvfRq4Fs")
     val centroids = readCentroids(spark, s"$path/centroids")
@@ -514,7 +515,7 @@ object IndexIO {
     (for (mi <- 0 until m.m; j <- m.codebooks(mi).indices)
       yield (mi, j, m.codebooks(mi)(j).toSeq, m.ksub, m.dsub))
       .toDF("m", "j", "centroid", "ksub", "dsub")
-      .coalesce(1).write.mode("overwrite").json(s"$path/codebooks")
+      .writeSidecar(s"$path/codebooks")
     saveKind(spark, path, "ivfpq4fsr")
   }
 
@@ -539,22 +540,22 @@ object IndexIO {
     // convention); qtype/by_residual live in their own sidecar
     idx.vmin.indices.map(i => (i, idx.vmin(i), idx.vdiff(i)))
       .toDF("dim", "vmin", "vdiff")
-      .coalesce(1).write.mode("overwrite").json(s"$path/range")
+      .writeSidecar(s"$path/range")
     Seq((idx.qtype, idx.byResidual)).toDF("qtype", "by_residual")
-      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+      .writeSidecar(s"$path/meta")
     saveKind(spark, path, "ivfsq")
   }
 
   def loadIvfSq(spark: SparkSession, path: String): IvfSqIndex = {
     val centroids = readCentroids(spark, s"$path/centroids")
-    val meta = spark.read.json(s"$path/meta")
+    val meta = JsonSidecar.read(spark, s"$path/meta")
       .select(col("qtype"), col("by_residual")).first()
     // Only fp16 legitimately has NO trained range (the saveIvfSq
     // convention); for every other qtype a missing/empty range dataset
     // is a truncated index — fail the load, not the later scan (the
     // reference's read_index fails fast on truncated trained state).
     val range =
-      try spark.read.json(s"$path/range")
+      try JsonSidecar.read(spark, s"$path/range")
         .select(col("dim").cast("int"), col("vmin").cast("double"),
           col("vdiff").cast("double")).collect()
       catch { case _: org.apache.spark.sql.AnalysisException
@@ -610,12 +611,12 @@ object IndexIO {
     saveCentroids(spark, idx.idx.centroids, s"$path/centroids")
     saveRq(spark, idx.idx.model, s"$path/codebooks")
     Seq(idx.nonorm).toDF("nonorm")
-      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+      .writeSidecar(s"$path/meta")
     saveKind(spark, path, "ivfrqnorm")
   }
 
   def loadIvfRqNorm(spark: SparkSession, path: String): IvfRqNormIndex = {
-    val nonorm = spark.read.json(s"$path/meta")
+    val nonorm = JsonSidecar.read(spark, s"$path/meta")
       .select(col("nonorm")).first().getBoolean(0)
     val centroids = readCentroids(spark, s"$path/centroids")
     val cols = Seq(col("id"), col("list_no").cast("int"), col("code")) ++
@@ -643,12 +644,12 @@ object IndexIO {
     val sz = codes.select(length(col("code")).cast("int"))
       .head(1).headOption.map(_.getInt(0)).getOrElse(0)
     Seq(sz).toDF("code_size")
-      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+      .writeSidecar(s"$path/meta")
     saveKind(spark, path, "bflat")
   }
 
   def loadBinaryFlat(spark: SparkSession, path: String): DataFrame = {
-    val want = spark.read.json(s"$path/meta")
+    val want = JsonSidecar.read(spark, s"$path/meta")
       .select(col("code_size").cast("int")).first().getInt(0)
     val codes = spark.read.parquet(s"$path/codes").select(col("id"), col("code"))
     val got = codes.select(length(col("code")).cast("int"))
@@ -664,12 +665,12 @@ object IndexIO {
     idx.codes.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/codes")
     Seq(idx.b).toDF("b")
-      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+      .writeSidecar(s"$path/meta")
     saveKind(spark, path, "bhash")
   }
 
   def loadBinaryHash(spark: SparkSession, path: String): BinaryHashIndex = {
-    val b = spark.read.json(s"$path/meta")
+    val b = JsonSidecar.read(spark, s"$path/meta")
       .select(col("b").cast("int")).first().getInt(0)
     new BinaryHashIndex(b,
       spark.read.parquet(s"$path/codes")
@@ -682,12 +683,12 @@ object IndexIO {
     idx.codes.select(col("id"), col("code"))
       .write.mode("overwrite").parquet(s"$path/codes")
     Seq((idx.nhash, idx.b)).toDF("nhash", "b")
-      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+      .writeSidecar(s"$path/meta")
     saveKind(spark, path, "bmultihash")
   }
 
   def loadBinaryMultiHash(spark: SparkSession, path: String): BinaryMultiHashIndex = {
-    val meta = spark.read.json(s"$path/meta")
+    val meta = JsonSidecar.read(spark, s"$path/meta")
       .select(col("nhash").cast("int"), col("b").cast("int")).first()
     new BinaryMultiHashIndex(meta.getInt(0), meta.getInt(1),
       spark.read.parquet(s"$path/codes").select(col("id"), col("code")))
@@ -703,16 +704,16 @@ object IndexIO {
     if (idx.rot != null) saveTransform(spark, idx.rot, s"$path/rot")
     idx.thresholds.foreach { th =>
       th.zipWithIndex.map { case (t, i) => (i, t) }.toSeq.toDF("i", "t")
-        .coalesce(1).write.mode("overwrite").json(s"$path/thresholds")
+        .writeSidecar(s"$path/thresholds")
     }
     Seq((idx.rot != null, idx.thresholds.isDefined))
       .toDF("rotate_data", "train_thresholds")
-      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+      .writeSidecar(s"$path/meta")
     saveKind(spark, path, "lsh")
   }
 
   def loadLsh(spark: SparkSession, path: String): LshIndex = {
-    val meta = spark.read.json(s"$path/meta")
+    val meta = JsonSidecar.read(spark, s"$path/meta")
       .select(col("rotate_data"), col("train_thresholds")).first()
     val rot =
       if (meta.getBoolean(0))
@@ -720,7 +721,7 @@ object IndexIO {
       else null
     val th =
       if (meta.getBoolean(1))
-        Some(spark.read.json(s"$path/thresholds")
+        Some(JsonSidecar.read(spark, s"$path/thresholds")
           .select(col("i").cast("int"), col("t").cast("double"))
           .collect().sortBy(_.getInt(0)).map(_.getDouble(1)))
       else None
@@ -740,12 +741,12 @@ object IndexIO {
     (0 until c.nsq).map(j =>
       (j, c.mins(j), c.maxs(j), c.d, c.nsq, c.scaleNbit, c.r2))
       .toDF("j", "mn", "mx", "d", "nsq", "scale_nbit", "r2")
-      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+      .writeSidecar(s"$path/meta")
     saveKind(spark, path, "lattice")
   }
 
   def loadLattice(spark: SparkSession, path: String): LatticeIndex = {
-    val rows = spark.read.json(s"$path/meta")
+    val rows = JsonSidecar.read(spark, s"$path/meta")
       .select(col("j").cast("int"), col("mn").cast("float"),
         col("mx").cast("float"), col("d").cast("int"),
         col("nsq").cast("int"), col("scale_nbit").cast("int"),
@@ -770,24 +771,24 @@ object IndexIO {
     import spark.implicits._
     idx.codes.write.mode("overwrite").parquet(s"$path/codes")
     Seq((idx.inner, idx.fp16Coeffs)).toDF("inner", "fp16_coeffs")
-      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+      .writeSidecar(s"$path/meta")
     if (idx.sqMins.nonEmpty)
       idx.sqMins.indices.map(i => (i, idx.sqMins(i), idx.sqDiff(i)))
         .toDF("dim", "vmin", "vdiff")
-        .coalesce(1).write.mode("overwrite").json(s"$path/range")
+        .writeSidecar(s"$path/range")
     if (idx.pqModel != null)
       pqModelDf(spark, idx.pqModel)
-        .coalesce(1).write.mode("overwrite").json(s"$path/codebooks")
+        .writeSidecar(s"$path/codebooks")
     saveKind(spark, path, "minmax")
   }
 
   def loadMinMax(spark: SparkSession, path: String): MinMaxIndex = {
-    val meta = spark.read.json(s"$path/meta")
+    val meta = JsonSidecar.read(spark, s"$path/meta")
       .select(col("inner"), col("fp16_coeffs")).first()
     val inner = meta.getString(0)
     val (mins, vdiff) =
       if (inner == "SQ8" || inner == "SQ4" || inner == "SQ6") {
-        val rows = spark.read.json(s"$path/range")
+        val rows = JsonSidecar.read(spark, s"$path/range")
           .select(col("dim").cast("int"), col("vmin").cast("double"),
             col("vdiff").cast("double")).collect()
         val mn = new Array[Double](rows.length)
@@ -818,12 +819,12 @@ object IndexIO {
     saveSq(idx.inner, s"$path/inner")
     idx.base.write.mode("overwrite").parquet(s"$path/base")
     Seq((idx.kFactor, idx.metric)).toDF("k_factor", "metric")
-      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+      .writeSidecar(s"$path/meta")
     saveKind(spark, path, "refineflat")
   }
 
   def loadRefineFlat(spark: SparkSession, path: String): RefineFlatIndex = {
-    val meta = spark.read.json(s"$path/meta")
+    val meta = JsonSidecar.read(spark, s"$path/meta")
       .select(col("k_factor").cast("int"), col("metric")).first()
     new RefineFlatIndex(loadSq(spark, s"$path/inner"),
       spark.read.parquet(s"$path/base").select(col("id"), col("vec")),
@@ -844,7 +845,7 @@ object IndexIO {
 
   /** The stored family tag of a saved index. */
   def loadKind(spark: SparkSession, path: String): String =
-    try spark.read.json(s"$path/kind").select(col("kind")).first().getString(0)
+    try JsonSidecar.read(spark, s"$path/kind").select(col("kind")).first().getString(0)
     catch { case e: org.apache.spark.sql.AnalysisException =>
       throw new IllegalArgumentException(
         s"$path has no kind tag — not a saved index (or pre-r16 layout); " +
@@ -913,11 +914,11 @@ object IndexIO {
         case Chain(ts) => ts.zipWithIndex.flatMap { case (s, i) => rows(s, pos * 100 + i) }
       }
     rows(t, 0).toDF("pos", "kind", "row", "weights", "bias")
-      .coalesce(1).write.mode("overwrite").json(path)
+      .writeSidecar(path)
   }
 
   def loadTransform(spark: SparkSession, path: String): VecTransform = {
-    val rows = spark.read.json(path)
+    val rows = JsonSidecar.read(spark, path)
       .select(col("pos").cast("int"), col("kind"), col("row").cast("int"),
         col("weights").cast("array<float>"), col("bias").cast("array<float>"))
       .collect()

@@ -1,0 +1,216 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Driver-side JSON-lines sidecar IO for trained parameters.
+  *
+  * Every persistable family stores its trained state (centroids,
+  * codebooks, ranges, flags) as a tiny JSON dataset next to the
+  * parquet row data. Writing one through
+  * `df.coalesce(1).write.mode("overwrite").json(path)` schedules a
+  * full Spark job — plan, one task, commit protocol — to move a few
+  * KB the driver already holds (every sidecar DataFrame is a local
+  * `Seq(...).toDF`), and reading one back through
+  * `spark.read.json(path)` pays a schema-inference job plus a collect
+  * job per sidecar. A save→load lifecycle carries 4-8 such jobs of
+  * pure scheduling latency; `index_io_matrix` runs 26 lifecycles and
+  * the on-disk recipe/merge paths several more (guide §1.2: fix the
+  * pass/job structure first — these jobs carry no data).
+  *
+  * This helper keeps the on-disk format BYTE-COMPATIBLE with Spark's
+  * JSON source (JSON-lines `part-00000.json` + `_SUCCESS`, numbers
+  * via the same `Float.toString`/`Double.toString` Jackson uses, null
+  * fields omitted like `spark.sql.jsonGenerator.ignoreNullFields`),
+  * so either side can be read/written by either implementation. The
+  * reader reproduces Spark's JSON schema inference on the subset of
+  * shapes sidecars use (flat rows of bool/long/double/string and
+  * one-level arrays, integral columns → LongType, fractional →
+  * DoubleType, field names sorted) and falls back to the real
+  * `spark.read.json` for anything else — including missing paths and
+  * empty datasets, so error semantics (AnalysisException on a missing
+  * kind tag / empty fp16 range) are exactly the Spark source's.
+  */
+object JsonSidecar {
+
+  private def localPath(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      if (path.startsWith("file:")) new java.net.URI(path).getPath else path)
+
+  /** Drop-in for `df.coalesce(1).write.mode("overwrite").json(path)`
+    * on a driver-local sidecar DataFrame. `collect()` on a
+    * LocalRelation plan returns rows without launching a job. */
+  def write(df: DataFrame, path: String): Unit = {
+    val rows = df.collect()
+    val schema = df.schema
+    val sb = new java.lang.StringBuilder(4096)
+    rows.foreach { r => appendRow(sb, r, schema); sb.append('\n') }
+    val dir = localPath(path)
+    graft.streaming.StreamingIngest.rmTree(dir)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("part-00000.json"),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
+  }
+
+  private def appendRow(sb: java.lang.StringBuilder, r: Row, schema: StructType): Unit = {
+    sb.append('{')
+    var first = true
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!r.isNullAt(i)) { // ignoreNullFields, the Spark writer default
+        if (!first) sb.append(',')
+        first = false
+        appendString(sb, f.name); sb.append(':')
+        appendValue(sb, r.get(i), f.dataType)
+      }
+    }
+    sb.append('}')
+  }
+
+  private def appendValue(sb: java.lang.StringBuilder, v: Any, t: DataType): Unit =
+    (v, t) match {
+      case (null, _) => sb.append("null")
+      case (x: Boolean, BooleanType) => sb.append(x)
+      case (x: Int, IntegerType) => sb.append(x)
+      case (x: Long, LongType) => sb.append(x)
+      case (x: Short, ShortType) => sb.append(x.toInt)
+      case (x: Float, FloatType) => sb.append(java.lang.Float.toString(x))
+      case (x: Double, DoubleType) => sb.append(java.lang.Double.toString(x))
+      case (x: String, StringType) => appendString(sb, x)
+      case (xs: scala.collection.Seq[_], ArrayType(et, _)) =>
+        sb.append('[')
+        var first = true
+        xs.foreach { e =>
+          if (!first) sb.append(','); first = false
+          appendValue(sb, e, et)
+        }
+        sb.append(']')
+      case (x, other) => throw new IllegalArgumentException(
+        s"JsonSidecar.write: unsupported sidecar type $other (value $x)")
+    }
+
+  private def appendString(sb: java.lang.StringBuilder, s: String): Unit = {
+    sb.append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+  }
+
+  /** Drop-in for `spark.read.json(path)` on a sidecar dataset: parses
+    * the JSON lines on the driver into a LocalRelation DataFrame whose
+    * schema matches Spark's own inference, so the callers' existing
+    * `.select(cast).collect()` chains run without a single job. Any
+    * shape outside the sidecar subset — missing path, empty dataset,
+    * nested objects, mixed types — falls back to `spark.read.json`
+    * verbatim (identical results AND identical error semantics). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val parsed: Option[Seq[com.fasterxml.jackson.databind.JsonNode]] = try {
+      val dir = localPath(path)
+      if (!java.nio.file.Files.isDirectory(dir)) None
+      else {
+        import scala.jdk.CollectionConverters._
+        val files = java.nio.file.Files.list(dir).iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            java.nio.file.Files.isRegularFile(p) &&
+              !n.startsWith("_") && !n.startsWith(".")
+          }
+          .toSeq.sortBy(_.getFileName.toString)
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val nodes = files.flatMap { f =>
+          java.nio.file.Files.readAllLines(f,
+            java.nio.charset.StandardCharsets.UTF_8).asScala
+            .filter(_.trim.nonEmpty)
+            .map(mapper.readTree)
+        }
+        if (nodes.isEmpty) None else Some(nodes)
+      }
+    } catch { case _: Throwable => None }
+    parsed.flatMap(toLocalDf(spark, _))
+      .getOrElse(spark.read.json(path))
+  }
+
+  /** None when any field falls outside the supported subset — the
+    * caller then defers to the real JSON source. */
+  private def toLocalDf(spark: SparkSession,
+      nodes: Seq[com.fasterxml.jackson.databind.JsonNode])
+      : Option[DataFrame] = {
+    import com.fasterxml.jackson.databind.JsonNode
+    // field -> inferred type; null = not yet known (all-null / empty
+    // arrays so far). Mirrors JsonInferSchema: integral -> Long,
+    // fractional (or mixed) -> Double, names sorted.
+    val types = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    var ok = true
+    def infer(n: JsonNode): DataType = n match {
+      case _ if n.isBoolean => BooleanType
+      case _ if n.isIntegralNumber => LongType
+      case _ if n.isFloatingPointNumber => DoubleType
+      case _ if n.isTextual => StringType
+      case _ if n.isArray =>
+        var et: DataType = null
+        val it = n.elements()
+        while (it.hasNext && ok) {
+          val e = infer(it.next())
+          et = merge(et, e)
+        }
+        ArrayType(et) // null element type resolved at the end
+      case _ if n.isNull => null
+      case _ => ok = false; null
+    }
+    def merge(a: DataType, b: DataType): DataType = (a, b) match {
+      case (null, x) => x
+      case (x, null) => x
+      case (x, y) if x == y => x
+      case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+      case (ArrayType(x, _), ArrayType(y, _)) => ArrayType(merge(x, y))
+      case _ => ok = false; null
+    }
+    nodes.foreach { n =>
+      if (!n.isObject) ok = false
+      else n.fieldNames().forEachRemaining { name =>
+        if (ok) types.update(name, merge(types.getOrElse(name, null),
+          infer(n.get(name))))
+      }
+    }
+    // Spark infers all-empty arrays / all-null fields as StringType-ish;
+    // those shapes exist (Normalization-only transform rows) — resolve
+    // unknown leaves to StringType exactly like canonicalizeType.
+    def resolve(t: DataType): DataType = t match {
+      case null => StringType
+      case ArrayType(e, _) => ArrayType(resolve(e))
+      case x => x
+    }
+    if (!ok) return None
+    val fields = types.toSeq.map { case (n, t) => (n, resolve(t)) }.sortBy(_._1)
+    val schema = StructType(fields.map { case (n, t) => StructField(n, t) })
+    def convert(n: JsonNode, t: DataType): Any =
+      if (n == null || n.isNull) null
+      else t match {
+        case BooleanType => n.asBoolean()
+        case LongType => n.asLong()
+        case DoubleType => n.asDouble()
+        case StringType => n.asText()
+        case ArrayType(et, _) =>
+          import scala.jdk.CollectionConverters._
+          n.elements().asScala.map(convert(_, et)).toSeq
+        case _ => null
+      }
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row](nodes.size)
+    nodes.foreach { n =>
+      rows.add(Row.fromSeq(fields.map { case (name, t) => convert(n.get(name), t) }))
+    }
+    Some(spark.createDataFrame(rows, schema))
+  }
+
+  /** Import for the `.writeSidecar(path)` spelling at the save sites. */
+  implicit class SidecarWriter(private val df: DataFrame) extends AnyVal {
+    def writeSidecar(path: String): Unit = write(df, path)
+  }
+}

@@ -22,11 +22,23 @@ object KnnGraph {
   def exact(base: DataFrame, k: Int, metric: String = "l2sq",
       idCol: String = "id", vecCol: String = "vec",
       blocks: Int = 1): DataFrame = {
+    // widen the STREAMED side before the broadcast-kNN: knnJoin
+    // broadcasts the queries and streams the base, so a base that
+    // arrives as one file split runs the whole n×n distance scan in
+    // ONE task (measured 1.8 s single-task vs ~0.1 s spread; same
+    // fix as the bigVecs widen). At scale the source has >=
+    // defaultParallelism splits and this is a no-op. Result-identical:
+    // the per-qid top-k is independent of row placement (TopKAgg's
+    // tie determinism is property-tested).
+    val wide = {
+      val target = base.sparkSession.sparkContext.defaultParallelism
+      if (base.rdd.getNumPartitions >= target) base else base.repartition(target)
+    }
     val q = base.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val res =
-      if (blocks <= 1) Knn.knnJoin(q, base, k + 1, metric,
+      if (blocks <= 1) Knn.knnJoin(q, wide, k + 1, metric,
         baseId = idCol, baseVec = vecCol)
-      else Knn.knnJoinBlocked(q, base, k + 1, blocks, metric,
+      else Knn.knnJoinBlocked(q, wide, k + 1, blocks, metric,
         baseId = idCol, baseVec = vecCol)
     // drop the self edge, re-rank 1..k
     res.filter(col("qid") =!= col(idCol))

@@ -153,6 +153,31 @@ object StreamingIngest {
     } finally unstage(staged)
   }
 
+  /** Runs `f` with no-data micro-batches disabled, restoring the
+    * conf after. The engine schedules an EXTRA empty batch after the
+    * data drains whenever a watermark advanced, for eager state
+    * cleanup and watermark-gated EMISSION. For a drained one-shot
+    * `dropDuplicatesWithinWatermark` ingest that batch is pure
+    * overhead: dedup emits every surviving row in the batch it
+    * arrives (nothing is watermark-gated), so the empty batch only
+    * evicts state the `stop()` on the next line throws away anyway —
+    * yet it pays a full stateful-commit cycle across every state
+    * partition (measured: the no-data batch's triggerExecution ≈ the
+    * data batch's, ~40% of the query window). A CONTINUOUS ingest
+    * keeps the default: there the eager cleanup bounds state between
+    * arrivals. Never use this around watermark-EMITTING sinks
+    * (session/tumbling windows in append mode) — their final windows
+    * only emit in that extra batch. */
+  private[graft] def withNoDataBatchesDisabled[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Runs `f` with the given state-store provider class installed in
     * the session conf, restoring the previous value after — the
     * provider is read from SQLConf at query START, so a session-level
@@ -215,15 +240,17 @@ object StreamingIngest {
     try withNanosAsLong(spark) {
       withStateStoreProvider(spark,
           if (rocksDb) Some(RocksDbProvider) else None) {
-        val schema = spark.read.parquet(eventsParquet).schema
-        val stream = normTs(spark.readStream.schema(schema).parquet(srcDir))
-          .withWatermark("ts", delay)
-          .dropDuplicatesWithinWatermark(keys)
-        val name = s"graft_dedup_wm_${System.identityHashCode(stream)}"
-        val q = stream.writeStream.outputMode("append")
-          .format("memory").queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
-        spark.table(name)
+        withNoDataBatchesDisabled(spark) {
+          val schema = spark.read.parquet(eventsParquet).schema
+          val stream = normTs(spark.readStream.schema(schema).parquet(srcDir))
+            .withWatermark("ts", delay)
+            .dropDuplicatesWithinWatermark(keys)
+          val name = s"graft_dedup_wm_${System.identityHashCode(stream)}"
+          val q = stream.writeStream.outputMode("append")
+            .format("memory").queryName(name).start()
+          try q.processAllAvailable() finally q.stop()
+          spark.table(name)
+        }
       }
     } finally unstage(staged)
   }
