@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract (VERDICT r19 #1): the driver tails stdout of
+// `sbt -batch "runMain graft.Bench"` and expects the slim JSON line as
+// the LAST BARE line. With the default LoggedOutput strategy sbt
+// prefixes every forked-process line with `[info] `, and after the run
+// it prints its own `[success] Total time...` — the bench line never
+// parsed in 19 rounds. StdoutOutput pipes the forked JVM's stdout
+// through unprefixed; showSuccess drops the trailing [success] line.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -304,8 +304,15 @@ object Bench {
       val e = "\"" + k + f"""":$v%.3f"""
       if (len + e.length + 1 <= 1400) { slimEntries += e; len += e.length + 1 }
     }
-    println(head + slimEntries.mkString("{", ",", "}") + "}")
+    val slim = head + slimEntries.mkString("{", ",", "}") + "}"
+    println(slim)
     Console.out.flush()
+    // belt-and-braces for the driver's log-tail parser (VERDICT r19
+    // #1): duplicate the slim line on stderr so a merged-stream tail
+    // still ends with a bare JSON line even if something interleaves
+    // after stdout's copy.
+    System.err.println(slim)
+    System.err.flush()
     spark.stop()
   }
 }

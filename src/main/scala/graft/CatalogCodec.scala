@@ -1141,17 +1141,25 @@ private[graft] trait CatalogCodec { this: QueriesBase =>
       }
       val root = rootPath.toString
       // bounded-collect compare (<= 490 rows x 26 families, the
-      // distributed_ondisk_recipe idiom): one action per side instead
-      // of the 4 a distributed except() pair would re-execute
-      def canon(df: DataFrame): Seq[Seq[Any]] =
-        df.collect().toSeq.map(_.toSeq.map {
-          case b: Array[Byte] => b.toSeq
-          case q: scala.collection.Seq[_] => q.toSeq
-          case v => v
-        }).sortBy(_.toString())
+      // distributed_ondisk_recipe idiom): ONE action per GATE (r20,
+      // VERDICT r19 #3) — both sides union into a single side-tagged
+      // collect instead of one collect per side, halving the 52
+      // compare jobs to 26. The boolean per family is unchanged:
+      // non-empty AND set-equal on the same canonicalized rows.
       def setEq(a: DataFrame, b: DataFrame): Boolean = {
-        val x = canon(a)
-        x.nonEmpty && x == canon(b)
+        def tag(df: DataFrame, side: Int) =
+          df.select(lit(side).as("_side"),
+            struct(df.columns.map(col): _*).as("_r"))
+        val rows = tag(a, 0).unionByName(tag(b, 1)).collect()
+        def canon(side: Int): Seq[Seq[Any]] =
+          rows.toSeq.filter(_.getInt(0) == side)
+            .map(_.getStruct(1).toSeq.map {
+              case b: Array[Byte] => b.toSeq
+              case q: scala.collection.Seq[_] => q.toSeq
+              case v => v
+            }).sortBy(_.toString())
+        val x = canon(0)
+        x.nonEmpty && x == canon(1)
       }
       def sr(df: DataFrame): DataFrame = df.select("qid", "rank", "id")
       // the 26 family lifecycles are independent tiny-job chains;

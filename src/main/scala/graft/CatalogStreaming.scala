@@ -179,7 +179,8 @@ private[graft] trait CatalogStreaming { this: QueriesBase =>
             col("l_orderkey") + col("_k").cast("long") * lit(1L << 40))
           .drop("_k")
       graft.streaming.StreamingIngest.dedupIngest(
-        s, s"$dir/lineitem.parquet", Seq("l_orderkey", "l_partkey"), expand)
+        s, s"$dir/lineitem.parquet", Seq("l_orderkey", "l_partkey"), expand,
+        expandFactor = math.max(1, sx).toDouble)
         .agg(count(lit(1)).as("n_unique_keys"))
     },
       Some("""SELECT count(*)::BIGINT AS n_unique_keys FROM (

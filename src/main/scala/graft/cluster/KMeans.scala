@@ -110,15 +110,29 @@ object KMeans {
         val seed = p.seed + redo
         // k-sufficiency fallback folded into the init collect (one
         // fewer corpus pass per fit — guide §2.4; see fit())
-        val init0 = init.getOrElse {
-          var c = collectInit(decoded, seed, p.k)
-          if (c.length < p.k && !fellBack) {
-            train.unpersist(blocking = false)
-            train = codes.limit(maxTrain.toInt).cache()
-            fellBack = true
-            c = collectInit(decoded, seed, p.k)
-          }
-          c
+        val init0 = init match {
+          case Some(c) =>
+            // warm start skips the init collect, so the k-deficiency
+            // check cannot fold into it: restore the r18 guard here
+            // (VERDICT r19 #5) — a duplicate-heavy degenerate sample
+            // can be empty/k-deficient and must swap to the unsampled
+            // prefix before training. limit(k) stops at the first k
+            // cached rows; only warm-start fits pay it.
+            if (!fellBack && train.limit(p.k).count() < p.k) {
+              train.unpersist(blocking = false)
+              train = codes.limit(maxTrain.toInt).cache()
+              fellBack = true
+            }
+            c
+          case None =>
+            var c = collectInit(decoded, seed, p.k)
+            if (c.length < p.k && !fellBack) {
+              train.unpersist(blocking = false)
+              train = codes.limit(maxTrain.toInt).cache()
+              fellBack = true
+              c = collectInit(decoded, seed, p.k)
+            }
+            c
         }
         val m = fitOnce(decoded, p, init0)
         if (best == null || m.objective < best.objective) best = m
@@ -165,15 +179,28 @@ object KMeans {
         // check into the init collect removes one pass per fit
         // (guide §2.4 — remove shuffles/passes outright). Fallback =
         // unsampled arbitrary-prefix limit, degenerate inputs only.
-        val init0 = init.getOrElse {
-          var c = collectInit(train, seed, p.k)
-          if (c.length < p.k && !fellBack) {
-            train.unpersist(blocking = false)
-            train = vecs.limit(maxTrain.toInt).cache()
-            fellBack = true
-            c = collectInit(train, seed, p.k)
-          }
-          c
+        val init0 = init match {
+          case Some(c) =>
+            // warm start (ProgressiveDimKMeans) skips the init collect,
+            // so the k-deficiency check cannot fold into it: restore
+            // the r18 guard (VERDICT r19 #5) — swap a degenerate
+            // (empty/k-deficient) subsample for the unsampled prefix
+            // before training, exactly as the cold path does.
+            if (!fellBack && train.limit(p.k).count() < p.k) {
+              train.unpersist(blocking = false)
+              train = vecs.limit(maxTrain.toInt).cache()
+              fellBack = true
+            }
+            c
+          case None =>
+            var c = collectInit(train, seed, p.k)
+            if (c.length < p.k && !fellBack) {
+              train.unpersist(blocking = false)
+              train = vecs.limit(maxTrain.toInt).cache()
+              fellBack = true
+              c = collectInit(train, seed, p.k)
+            }
+            c
         }
         val m = fitOnce(train, p, init0)
         if (best == null || m.objective < best.objective) best = m

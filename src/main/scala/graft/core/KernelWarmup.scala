@@ -114,6 +114,23 @@ object KernelWarmup {
       i += 1
     }
 
+    // dedup-signature + binary-code kernels (codegen'd static calls
+    // since r20 — warm them like the rest so their first at-scale
+    // consumer doesn't run interpreted)
+    val toks = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      (1 to 12).map(j => UTF8String.fromString(s"tok${j % 7}")).toArray[Any])
+    val longs = UnsafeArrayData.fromPrimitiveArray(Array.tabulate(12)(j => (j * 2654435761L) & 0x7fffffffffffffL))
+    i = 0
+    while (i < 4000) {
+      s += SimHashKernels.simhash64(toks)
+      SimHashKernels.minhashBase(toks)
+      SimHashKernels.minhashSig(longs, 12)
+      WinnowKernels.fingerprints(txt, 8, 4)
+      s += VecKernels.bitSlice(ba, 0, 6)
+      VecKernels.unpackBits(ba, 8)
+      i += 1
+    }
+
     sink = s
     // only a COMPLETED warmup disables re-runs: a throw mid-way must
     // leave the next call free to retry, not silently run the whole

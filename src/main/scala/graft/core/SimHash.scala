@@ -1,24 +1,28 @@
 package graft.core
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** 64-bit SimHash over a token array (Charikar's hashing for near-dup
-  * detection): each token hashes to 64 bits (FNV-1a, self-contained so
-  * results are stable across engines/JVMs); bit i of the output is the
-  * sign of sum over tokens of (bit i ? +1 : -1). Near-dup docs differ
-  * in few bits → bucket by 16-bit chunks for LSH (any-chunk-equal =
-  * candidate).
-  */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
+/** Static eval kernels for the dedup-signature expressions below, in a
+  * lone object so Scala emits STATIC FORWARDERS the generated Java can
+  * call directly (`graft.core.SimHashKernels.minhashBase(x)` — the
+  * TextKernels pattern). The three expressions were the last
+  * `CodegenFallback`s on the dedup hot path (VERDICT r19 #5): fallback
+  * eval boxes every row through an InternalRow handoff and breaks the
+  * WholeStageCodegen span around the signature projection; with
+  * `doGenCode` the same loop bodies run as one invokestatic inside the
+  * fused stage. */
+object SimHashKernels {
+  /** Per-thread MD5 instance (reset before each row). */
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def simhash64(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     var t = 0
     val n = arr.numElements()
@@ -40,22 +44,8 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     out
   }
 
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
-/** MinHash signature from pre-hashed shingle values: one pass of
-  * `numHashes` linear permutations (h·A_j + B_j mod P) over the base
-  * hashes. The base hash (md5-hex → int, mod M = 2^32-5) is computed once
-  * per shingle by builtin expressions; this expression replaces
-  * `numHashes` md5 evaluations per shingle with integer math, and its
-  * constants are reproduced verbatim in the DuckDB oracle SQL. */
-case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
-  import MinHashSig._
-  override def dataType: DataType = ArrayType(LongType, containsNull = true)
-  override def prettyName: String = "minhash_sig"
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def minhashSig(arr: ArrayData, numHashes: Int): ArrayData = {
+    import MinHashSig.{a, b, P}
     val n = arr.numElements()
     val out = new Array[Any](numHashes)
     var j = 0
@@ -75,6 +65,63 @@ case class MinHashSig(child: Expression, numHashes: Int)
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  def minhashBase(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    // one digest per task thread, not per ROW: getInstance runs a
+    // provider lookup + allocation each call, measurable across the
+    // 300k-doc corpora this kernel fronts (r19; result-identical —
+    // reset() restores the initial state)
+    val md = digests.get()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val dig = md.digest(arr.getUTF8String(i).getBytes)
+      // first 15 hex digits = bytes 0..6 + the high nibble of byte 7
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+      h = (h << 4) | ((dig(7) >> 4) & 0xfL)
+      out(i) = h % MinHashSig.M
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** 64-bit SimHash over a token array (Charikar's hashing for near-dup
+  * detection): each token hashes to 64 bits (FNV-1a, self-contained so
+  * results are stable across engines/JVMs); bit i of the output is the
+  * sign of sum over tokens of (bit i ? +1 : -1). Near-dup docs differ
+  * in few bits → bucket by 16-bit chunks for LSH (any-chunk-equal =
+  * candidate).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def nullSafeEval(v: Any): Any =
+    SimHashKernels.simhash64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.SimHashKernels.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature from pre-hashed shingle values: one pass of
+  * `numHashes` linear permutations (h·A_j + B_j mod P) over the base
+  * hashes. The base hash (md5-hex → int, mod M = 2^32-5) is computed once
+  * per shingle by builtin expressions; this expression replaces
+  * `numHashes` md5 evaluations per shingle with integer math, and its
+  * constants are reproduced verbatim in the DuckDB oracle SQL. */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(v: Any): Any =
+    SimHashKernels.minhashSig(v.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.core.SimHashKernels.minhashSig($c, $numHashes)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -117,42 +164,14 @@ object MinHashSig {
   * but ~40× faster: higher-order-function lambdas are interpreted
   * (boxed eval per element), while this loops over the array inside
   * one expression eval with a reused MessageDigest. */
-case class MinHashBase(child: Expression) extends UnaryExpression with CodegenFallback {
+case class MinHashBase(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_base"
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val out = new Array[Long](n)
-    // one digest per task thread, not per ROW: getInstance runs a
-    // provider lookup + allocation each call, measurable across the
-    // 300k-doc corpora this kernel fronts (r19; result-identical —
-    // reset() restores the initial state)
-    val md = MinHashBase.digests.get()
-    md.reset()
-    var i = 0
-    while (i < n) {
-      md.reset()
-      val dig = md.digest(arr.getUTF8String(i).getBytes)
-      // first 15 hex digits = bytes 0..6 + the high nibble of byte 7
-      var h = 0L
-      var b = 0
-      while (b < 7) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
-      h = (h << 4) | ((dig(7) >> 4) & 0xfL)
-      out(i) = h % MinHashSig.M
-      i += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
+  override def nullSafeEval(v: Any): Any =
+    SimHashKernels.minhashBase(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.SimHashKernels.minhashBase($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
-object MinHashBase {
-  /** Per-thread MD5 instance ([[MinHashBase]] resets before each row). */
-  private val digests = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
 }
 
 object SimHash64 {

@@ -254,6 +254,32 @@ object VecKernels {
     out
   }
 
+  /** Unpack a little-endian binary code into nbits 0/1 floats
+    * ([[graft.core.UnpackBits]]'s kernel). */
+  def unpackBits(bytes: Array[Byte], nbits: Int): ArrayData = {
+    val out = new Array[Float](nbits)
+    var i = 0
+    while (i < nbits) {
+      out(i) = ((bytes(i >> 3) >> (i & 7)) & 1).toFloat
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** b-bit little-endian slice [start, start+b) of a packed binary
+    * code as a long bucket id ([[graft.core.BitSlice]] /
+    * [[graft.core.BitPrefix]] kernel). */
+  def bitSlice(bytes: Array[Byte], start: Int, b: Int): Long = {
+    var h = 0L
+    var i = 0
+    while (i < b) {
+      val j = start + i
+      h |= (((bytes(j >> 3) >> (j & 7)) & 1).toLong) << i
+      i += 1
+    }
+    h
+  }
+
   /** Bench-fixture replica perturbation (Queries.replicatePairGroups):
     * v + delta where delta is a deterministic hash noise keyed on
     * (g, k), ORTHOGONALIZED against v and rescaled to the fixed

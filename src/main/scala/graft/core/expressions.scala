@@ -197,39 +197,27 @@ case class SignBits(child: Expression) extends UnaryExpression {
   * (IndexBinaryIVF trains its coarse quantizer on the bit vectors,
   * faiss/IndexBinaryIVF.cpp train). */
 case class UnpackBits(child: Expression, nbits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def prettyName: String = "unpack_bits"
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[Array[Byte]]
-    val out = new Array[Float](nbits)
-    var i = 0
-    while (i < nbits) {
-      out(i) = ((bytes(i >> 3) >> (i & 7)) & 1).toFloat
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(v: Any): Any =
+    VecKernels.unpackBits(v.asInstanceOf[Array[Byte]], nbits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.VecKernels.unpackBits($c, $nbits)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** First-b-bits bucket id of a packed binary code (IndexBinaryHash,
   * faiss/IndexBinaryHash.h:26: hash = the b lowest-order bits). */
 case class BitPrefix(child: Expression, b: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(b >= 1 && b <= 63, "bit prefix must fit a positive long")
   override def dataType: DataType = LongType
   override def prettyName: String = "bit_prefix"
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[Array[Byte]]
-    var h = 0L
-    var i = 0
-    while (i < b) {
-      h |= (((bytes(i >> 3) >> (i & 7)) & 1).toLong) << i
-      i += 1
-    }
-    h
-  }
+  override def nullSafeEval(v: Any): Any =
+    VecKernels.bitSlice(v.asInstanceOf[Array[Byte]], 0, b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.VecKernels.bitSlice($c, 0, $b)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -238,21 +226,14 @@ case class BitPrefix(child: Expression, b: Int)
   * keys on its own disjoint bit range of the code; BitPrefix is the
   * start=0 special case). */
 case class BitSlice(child: Expression, start: Int, b: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(start >= 0 && b >= 1 && b <= 63, "bit slice must fit a positive long")
   override def dataType: DataType = LongType
   override def prettyName: String = "bit_slice"
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[Array[Byte]]
-    var h = 0L
-    var i = 0
-    while (i < b) {
-      val j = start + i
-      h |= (((bytes(j >> 3) >> (j & 7)) & 1).toLong) << i
-      i += 1
-    }
-    h
-  }
+  override def nullSafeEval(v: Any): Any =
+    VecKernels.bitSlice(v.asInstanceOf[Array[Byte]], start, b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.VecKernels.bitSlice($c, $start, $b)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -839,8 +839,10 @@ object IndexIO {
   private[graft] def saveKind(spark: SparkSession, path: String,
       kind: String): Unit = {
     import spark.implicits._
-    Seq(kind).toDF("kind").coalesce(1).write.mode("overwrite")
-      .json(s"$path/kind")
+    // driver-side sidecar write (byte-compatible with the Spark JSON
+    // writer): the last remaining per-save Spark job after r19
+    // converted the other 37 sidecar sites (ADVICE r19)
+    Seq(kind).toDF("kind").writeSidecar(s"$path/kind")
   }
 
   /** The stored family tag of a saved index. */

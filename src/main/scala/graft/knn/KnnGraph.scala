@@ -29,11 +29,11 @@ object KnnGraph {
     // fix as the bigVecs widen). At scale the source has >=
     // defaultParallelism splits and this is a no-op. Result-identical:
     // the per-qid top-k is independent of row placement (TopKAgg's
-    // tie determinism is property-tested).
-    val wide = {
-      val target = base.sparkSession.sparkContext.defaultParallelism
-      if (base.rdd.getNumPartitions >= target) base else base.repartition(target)
-    }
+    // tie determinism is property-tested). Widen decides from the
+    // OPTIMIZED plan, so a shuffle-bearing derived base (the
+    // nndescent recall gate's replicated node set) no longer executes
+    // its whole lineage just to count partitions (ADVICE r19).
+    val wide = graft.core.Widen(base)
     val q = base.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val res =
       if (blocks <= 1) Knn.knnJoin(q, wide, k + 1, metric,
@@ -58,16 +58,31 @@ object KnnGraph {
       seed: Long = 1234L): DataFrame = {
     val spark = base.sparkSession
     val ids = base.select(col(idCol).cast("long").as("src"))
-    val n = ids.count()
     // initial graph: k pseudo-random neighbors. Hashed offsets are
-    // positions into a dense 0..n-1 enumeration of the ACTUAL ids
-    // (zipWithIndex — distributed, two passes over the id column), so
+    // positions into a dense 0..n-1 enumeration of the ACTUAL ids, so
     // sparse or non-contiguous id spaces still seed real neighbors
-    // rather than ids that do not exist.
+    // rather than ids that do not exist. ONE counting pass serves both
+    // n and the enumeration offsets (r20): the old `ids.count()` +
+    // `zipWithIndex` spent two jobs on the same per-partition counts
+    // (zipWithIndex runs its own internal count pass for the offsets —
+    // guide §2.4, remove redundant passes). Index assignment is
+    // byte-identical to zipWithIndex: partition order, then element
+    // order within the partition.
+    val idRdd = ids.rdd.map(_.getLong(0))
+    val counts = idRdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var c = 0L; while (it.hasNext) { it.next(); c += 1 }
+        Iterator((i, c))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val n = counts.sum
+    val offsets = counts.scanLeft(0L)(_ + _)
     val mapped = {
       import spark.implicits._
-      ids.rdd.map(_.getLong(0)).zipWithIndex()
-        .toDF("_dstid", "_pos")
+      idRdd.mapPartitionsWithIndex { (i, it) =>
+        var p = offsets(i)
+        it.map { id => val r = (id, p); p += 1; r }
+      }.toDF("_dstid", "_pos")
     }
     var graph = ids.select(col("src"),
       explode(sequence(lit(1), lit(k))).as("_j"))
@@ -106,7 +121,14 @@ object KnnGraph {
         // iterations — execution re-use aside, Spark re-formats the
         // plan string on every AQE stage update, which alone turns
         // minutes of CPU on deep plans (the r02/r03 bench stalls).
-        .localCheckpoint()
+        // NON-eager (r20): the plan truncates to a LogicalRDD either
+        // way; eager=false skips the dedicated materialization job per
+        // round and lets the next round's FIRST action compute+persist
+        // the round result instead (VERDICT r19 #6 — fuse the
+        // per-round checkpoint action; one fewer job per iteration,
+        // same persisted data, concurrent readers of the persisted
+        // partitions are serialized by the block manager).
+        .localCheckpoint(false)
     }
     // final ranking straight off the last round's (src, dst, dist)
     // rows: the loop's knnByIdx already computed the exact distance of

@@ -117,9 +117,11 @@ object StreamingIngest {
         .groupBy(window(col("ts"), windowLength), col("event_type"))
         .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
       val name = s"graft_windowed_${System.identityHashCode(stream)}"
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+      withShufflePartitions(spark, adaptiveStatePartitions(spark, eventsParquet)) {
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+      }
       spark.table(name)
         .select(col("window.start").cast("long").as("ws"), col("event_type"),
           col("cnt"), round(col("sv"), 2).as("sv"))
@@ -139,18 +141,72 @@ object StreamingIngest {
         * the stream BEFORE the stateful dedup, so a 10x row/key
         * expansion flows through the state store like a 10x source
         * would. Identity on every oracle run. */
-      expand: DataFrame => DataFrame = identity): DataFrame = {
+      expand: DataFrame => DataFrame = identity,
+      /** Row multiplier of `expand` — sizes the adaptive state
+        * partition count from the EXPANDED volume, since the opaque
+        * expand hook hides it from the source stats. */
+      expandFactor: Double = 1.0): DataFrame = {
     val (srcDir, staged) = stage(eventsParquet)
     try withNanosAsLong(spark) {
       val schema = spark.read.parquet(eventsParquet).schema
       val stream = expand(spark.readStream.schema(schema).parquet(srcDir))
         .dropDuplicates(keys)
       val name = s"graft_dedup_${System.identityHashCode(stream)}"
-      val q = stream.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+      withShufflePartitions(spark,
+          adaptiveStatePartitions(spark, eventsParquet, expandFactor)) {
+        val q = stream.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+      }
       spark.table(name)
     } finally unstage(staged)
+  }
+
+  /** Scale-adaptive shuffle/state partition count for the drained
+    * one-shot streams (VERDICT r19 #4). Structured Streaming fixes the
+    * number of STATE partitions at the session's
+    * `spark.sql.shuffle.partitions` when the query first starts — a
+    * constant sized for the cluster (the 32-core local session here),
+    * and AQE never coalesces stateful exchanges. At tiny input volumes
+    * every micro-batch then pays a full stateful-commit cycle across
+    * 32 near-empty state stores (measured r19: every stream_* row ran
+    * FASTER at 8 cores than at 32). The scale-safe rule, derived from
+    * the source rather than hard-coded: partitions =
+    * ceil(sourceBytes x expansion / AQE advisory partition size),
+    * clamped to [1, session shuffle partitions]. A 100 TB source
+    * saturates the clamp and behaves exactly as before (state spread
+    * cluster-wide, per-instance size divides with the partition
+    * count); only a provably small source stops paying empty
+    * state-store commits. Any failure to size the source keeps the
+    * session value. */
+  private def adaptiveStatePartitions(spark: SparkSession, path: String,
+      expansion: Double = 1.0): Int = {
+    val session = spark.sessionState.conf.numShufflePartitions
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val bytes = p.getFileSystem(spark.sessionState.newHadoopConf())
+        .getContentSummary(p).getLength.toDouble
+      val advisory = math.max(1L, spark.sessionState.conf.getConf(
+        org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)).toDouble
+      val n = math.ceil(bytes * expansion / advisory).toLong
+      math.max(1L, math.min(session.toLong, n)).toInt
+    } catch { case scala.util.control.NonFatal(_) => session }
+  }
+
+  /** Runs `f` with `spark.sql.shuffle.partitions` scoped to `n`,
+    * restoring the previous value after — streaming queries read the
+    * value at query START, so a session-level set scoped around
+    * start()/drain is the per-query knob (the withStateStoreProvider
+    * idiom). Callers' downstream batch aggregations plan AFTER the
+    * restore and keep the session value. */
+  private[graft] def withShufflePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Runs `f` with no-data micro-batches disabled, restoring the
@@ -246,9 +302,12 @@ object StreamingIngest {
             .withWatermark("ts", delay)
             .dropDuplicatesWithinWatermark(keys)
           val name = s"graft_dedup_wm_${System.identityHashCode(stream)}"
-          val q = stream.writeStream.outputMode("append")
-            .format("memory").queryName(name).start()
-          try q.processAllAvailable() finally q.stop()
+          withShufflePartitions(spark,
+              adaptiveStatePartitions(spark, eventsParquet)) {
+            val q = stream.writeStream.outputMode("append")
+              .format("memory").queryName(name).start()
+            try q.processAllAvailable() finally q.stop()
+          }
           spark.table(name)
         }
       }
@@ -280,9 +339,11 @@ object StreamingIngest {
         .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sv"))
       val name = s"graft_sessions_${System.identityHashCode(stream)}"
-      val q = agg.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+      withShufflePartitions(spark, adaptiveStatePartitions(spark, eventsParquet)) {
+        val q = agg.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+      }
       spark.table(name)
         .select(col("user_id"),
           unix_micros(col("sw.start")).as("session_start"),
@@ -320,10 +381,12 @@ object StreamingIngest {
           Iterator((uid, cnt, mx, mn))
         }
       val name = s"graft_state_${System.identityHashCode(stream)}"
-      val q = states.toDF("user_id", "cnt", "mx", "mn")
-        .writeStream.outputMode("update")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+      withShufflePartitions(spark, adaptiveStatePartitions(spark, eventsParquet)) {
+        val q = states.toDF("user_id", "cnt", "mx", "mn")
+          .writeStream.outputMode("update")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+      }
       // update mode emits one row per (key, batch): keep the final
       // state = the row with the largest running count per key
       spark.table(name)

@@ -174,14 +174,50 @@ class CodegenStrictSpec extends AnyFunSuite {
     assert(out.head.getSeq[org.apache.spark.sql.Row](2).head.getInt(0) == 0)
   }
 
-  test("CodegenFallback expressions still execute under CODEGEN_ONLY") {
-    // CodegenFallback generates a call back into eval() — that IS its
-    // codegen contract; this guards that none of them break the
-    // generated-code path structurally.
+  test("binary-code expressions compile under CODEGEN_ONLY (r20 conversion " +
+      "from CodegenFallback) and match the kernels") {
     val out = df.select(
+      sign_bits(col("a")).as("c"),
       shim.col(UnpackBits(shim.expr(sign_bits(col("a"))), 4)).as("u"),
-      shim.col(BitPrefix(shim.expr(sign_bits(col("a"))), 3)).as("p")).collect()
+      shim.col(BitPrefix(shim.expr(sign_bits(col("a"))), 3)).as("p"),
+      shim.col(BitSlice(shim.expr(sign_bits(col("a"))), 1, 2)).as("sl")).collect()
     assert(out.length == 2)
+    val code = out.head.getAs[Array[Byte]]("c")
+    assert(out.head.getLong(2) == VecKernels.bitSlice(code, 0, 3))
+    assert(out.head.getLong(3) == VecKernels.bitSlice(code, 1, 2))
+  }
+
+  test("dedup-signature expressions compile under CODEGEN_ONLY (r20 " +
+      "conversion from CodegenFallback) and match the kernels") {
+    val s = strict
+    import s.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = Seq("alpha", "beta", "alpha beta", "gamma")
+    val docs = Seq((toks, "abcdefgh abcdefgh winnow me"))
+      .toDF("toks", "txt")
+    val mb = MinHashBase(shim.expr(col("toks")))
+    val out = docs.select(
+      shim.col(SimHash64(shim.expr(col("toks")))).as("sh"),
+      shim.col(mb).as("mb"),
+      shim.col(MinHashSig(mb, 4)).as("ms"),
+      shim.col(WinnowFingerprints(shim.expr(col("txt")), k = 4, w = 2)).as("wf"))
+      .collect()
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      toks.map(UTF8String.fromString).toArray[Any])
+    val r = out.head
+    assert(r.getLong(0) == SimHashKernels.simhash64(arr))
+    val mbRef = SimHashKernels.minhashBase(arr)
+    assert(r.getSeq[Long](1) == mbRef.toLongArray().toSeq)
+    assert(r.getSeq[Long](2) ==
+      SimHashKernels.minhashSig(mbRef, 4).toLongArray().toSeq)
+    val wfRef = WinnowKernels.fingerprints(
+      UTF8String.fromString("abcdefgh abcdefgh winnow me"), 4, 2)
+    assert(r.getSeq[org.apache.spark.sql.Row](3).map(x =>
+      (x.getInt(0), x.getLong(1))) ==
+      (0 until wfRef.numElements()).map { i =>
+        val row = wfRef.getStruct(i, 2)
+        (row.getInt(0), row.getLong(1))
+      })
   }
 
   test("round-12 norm encode expressions under CODEGEN_ONLY (+ exact-joint beats greedy)") {
