@@ -93,7 +93,36 @@ object KnnGraph {
       .filter(col("src") =!= col("dst"))
       .distinct()
 
-    for (_ <- 0 until iters) {
+    // Data-derived execution shape for the rounds (r20, VERDICT r19
+    // #6): candidate volume per round is ~n·k·(k+2) rows (undirected
+    // edges + neighbor-of-neighbor proposals), known exactly from the
+    // counting pass above. When that volume is far below the session's
+    // shuffle width, the loop's 4 exchanges/round each run as 32-way
+    // stages of near-empty tasks and AQE materializes every stage as
+    // its own job — pure scheduling latency at 100 nodes. Tiny mode
+    // (derived, never a constant): shuffle partitions sized to the
+    // candidate volume, AQE off, eager per-round checkpoint so the
+    // round executes inside the scope. At scale tinyParts clamps to
+    // the session value and NOTHING changes (session confs, lazy
+    // checkpoint, AQE skew handling intact).
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
+    val tinyParts = math.max(1L,
+      math.ceil(n.toDouble * k * (k + 2) / (1 << 17)).toLong)
+    val tiny = tinyParts < sessionParts
+    def withLoopConf[A](f: => A): A =
+      if (!tiny) f
+      else {
+        val scoped = Seq(
+          "spark.sql.shuffle.partitions" -> tinyParts.toString,
+          "spark.sql.adaptive.enabled" -> "false")
+        val prev = scoped.map { case (key, _) => key -> spark.conf.getOption(key) }
+        scoped.foreach { case (key, v) => spark.conf.set(key, v) }
+        try f finally prev.foreach {
+          case (key, Some(v)) => spark.conf.set(key, v)
+          case (key, None) => spark.conf.unset(key)
+        }
+      }
+    for (_ <- 0 until iters) withLoopConf {
       // NOT distinct'ed here: the union carries a duplicate (src, dst)
       // only for mutual edges (a↔b both in graph), so skipping the
       // dedup shuffle at this point at most doubles those rows through
@@ -121,14 +150,16 @@ object KnnGraph {
         // iterations — execution re-use aside, Spark re-formats the
         // plan string on every AQE stage update, which alone turns
         // minutes of CPU on deep plans (the r02/r03 bench stalls).
-        // NON-eager (r20): the plan truncates to a LogicalRDD either
-        // way; eager=false skips the dedicated materialization job per
-        // round and lets the next round's FIRST action compute+persist
-        // the round result instead (VERDICT r19 #6 — fuse the
-        // per-round checkpoint action; one fewer job per iteration,
-        // same persisted data, concurrent readers of the persisted
-        // partitions are serialized by the block manager).
-        .localCheckpoint(false)
+        // Eager ONLY in tiny mode, so the round executes inside the
+        // scoped conf; at scale NON-eager (r20) skips the dedicated
+        // materialization job per round and lets the next round's
+        // FIRST action compute+persist the round result instead
+        // (VERDICT r19 #6 — fuse the per-round checkpoint action; one
+        // fewer job per iteration, same persisted data, concurrent
+        // readers of the persisted partitions are serialized by the
+        // block manager). The plan truncates to a LogicalRDD either
+        // way.
+        .localCheckpoint(tiny)
     }
     // final ranking straight off the last round's (src, dst, dist)
     // rows: the loop's knnByIdx already computed the exact distance of
