@@ -1305,6 +1305,9 @@ private[graft] trait CatalogCodec { this: QueriesBase =>
       val prevConfs = scopedConfs.map { case (key, _) =>
         key -> s.conf.getOption(key) }
       scopedConfs.foreach { case (key, v) => s.conf.set(key, v) }
+      // (KMeans.fit's own tiny-shuffle scope writes the same values
+      // concurrently from the pool threads — identical-value scopes
+      // compose safely, see graft.core.ScopedConf.)
       // one thread per lifecycle (r19): the 26 chains are independent
       // sequences of mostly single-task jobs, so the wall is per-job
       // latency × chain length ÷ overlap — task slots (32 cores), not

@@ -106,6 +106,20 @@ object KMeans {
       def decoded = train.select(decode(col("_code")).as("vec"))
       var best: Model = null
       var fellBack = total <= maxTrain // nothing to fall back from
+      // Training always runs on <= maxTrain = k*max_points_per_centroid
+      // rows (the subsample above) — a size known HERE, before any
+      // iteration. Scope the Lloyd loop's shuffle width to it (r20,
+      // guide §2.2/§1.2): at bench ks the per-iteration
+      // assign→VecSumAgg exchange otherwise runs cluster-width stages
+      // of near-empty tasks, with AQE adding a job per stage; at real
+      // nlist the derived count clamps to the session value and this
+      // is a no-op. Result risk is nil BY CONSTRUCTION of the oracle
+      // contract: DuckDB never trains — every consumer replays the
+      // engine-written trained-state sidecar, so both compare sides
+      // see the same centroids whatever the partial-sum order.
+      graft.core.ScopedConf.tinyShuffle(df.sparkSession,
+          graft.core.ScopedConf.tinyParts(df.sparkSession,
+            math.min(total, maxTrain))) {
       for (redo <- 0 until p.nredo) {
         val seed = p.seed + redo
         // k-sufficiency fallback folded into the init collect (one
@@ -136,6 +150,7 @@ object KMeans {
         }
         val m = fitOnce(decoded, p, init0)
         if (best == null || m.objective < best.objective) best = m
+      }
       }
       best
     } finally { train.unpersist() }
@@ -168,6 +183,11 @@ object KMeans {
     try {
       var best: Model = null
       var fellBack = total <= maxTrain // nothing to fall back from
+      // scoped tiny-shuffle Lloyd loop — see fitEncoded for the
+      // derivation and the oracle-contract argument (sidecar replay
+      // makes partial-sum order invisible to every compare side)
+      graft.core.ScopedConf.tinyShuffle(spark,
+          graft.core.ScopedConf.tinyParts(spark, math.min(total, maxTrain))) {
       for (redo <- 0 until p.nredo) {
         val seed = p.seed + redo
         // The subsample hash keys on the vector VALUE, so
@@ -204,6 +224,7 @@ object KMeans {
         }
         val m = fitOnce(train, p, init0)
         if (best == null || m.objective < best.objective) best = m
+      }
       }
       best
     } finally { train.unpersist() }

@@ -111,17 +111,7 @@ object KnnGraph {
     val tiny = tinyParts < sessionParts
     def withLoopConf[A](f: => A): A =
       if (!tiny) f
-      else {
-        val scoped = Seq(
-          "spark.sql.shuffle.partitions" -> tinyParts.toString,
-          "spark.sql.adaptive.enabled" -> "false")
-        val prev = scoped.map { case (key, _) => key -> spark.conf.getOption(key) }
-        scoped.foreach { case (key, v) => spark.conf.set(key, v) }
-        try f finally prev.foreach {
-          case (key, Some(v)) => spark.conf.set(key, v)
-          case (key, None) => spark.conf.unset(key)
-        }
-      }
+      else graft.core.ScopedConf.tinyShuffle(spark, tinyParts.toInt)(f)
     for (_ <- 0 until iters) withLoopConf {
       // NOT distinct'ed here: the union carries a duplicate (src, dst)
       // only for mutual edges (a↔b both in graph), so skipping the
